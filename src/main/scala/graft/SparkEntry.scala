@@ -1,13 +1,312 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.analytics.Analytics
+import graft.analytics.Analytics.{dsum, davg}
+import graft.cdc.{Transforms, Upsert}
+import graft.compare.Comparer.CompareOptions
+import graft.reconcile.Differ
+
+/** Driver contract — every operator from SURVEY.md §2 gets a `queries`
+  * entry; SQL-expressible ones also get a DuckDB oracle in `oracleSql`.
+  *
+  * Reconciliation queries (q10–q17) run source-vs-target over two
+  * deterministic derived views of `orders`:
+  *   source = orders minus keys divisible by 7
+  *   target = orders minus keys divisible by 5, with o_totalprice
+  *            perturbed by +0.5 where key divisible by 11
+  * so missing / extra / mismatch / match all occur with known membership.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared derived inputs -------------------------------------------
+
+  private def srcOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  private def tgtOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") +
+          when(col("o_orderkey") % 11 === 0, 0.5).otherwise(0.0)).as("o_totalprice"))
+
+  private val srcSql =
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0"
+  private val tgtSql =
+    "SELECT o_orderkey, o_orderstatus, o_totalprice + (CASE WHEN o_orderkey % 11 = 0 THEN 0.5 ELSE 0.0 END) AS o_totalprice FROM orders WHERE o_orderkey % 5 <> 0"
+
+  /** Tolerant double equality in SQL, mirroring Comparer.valuesEqual. */
+  private def eqDoubleSql(a: String, b: String, tol: String = "0.0001") =
+    s"(($a IS NULL AND $b IS NULL) OR ($a IS NOT NULL AND $b IS NOT NULL AND abs($a - $b) < $tol))"
+
+  /** CDC envelope synthesized deterministically from `events` (stands in
+    * for the Debezium-over-Kafka stream; same shape as ChangeEvent). */
+  private def cdcEnvelope(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      when(col("event_id") % 50 === 0, lit("heartbeat.events"))
+        .otherwise(concat(lit("scylla-cluster.app_data."), col("event_type"))).as("topic"),
+      when(col("event_type") === "error", lit("DELETE")).otherwise(lit("UPSERT")).as("operation"),
+      struct(col("user_id").as("user_id"), col("value").as("value_value"),
+        col("props").as("props_value")).as("after"),
+      col("ts"), col("event_id"))
+
+  private val cdcEnvelopeSql =
+    """SELECT CASE WHEN event_id % 50 = 0 THEN 'heartbeat.events' ELSE 'scylla-cluster.app_data.' || event_type END AS topic, CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS operation, user_id, value, props, ts, event_id FROM events"""
+
+  // ---- flagship --------------------------------------------------------
+
+  /** Flagship: TPC-H-Q1-shaped pricing summary on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1(spark, "/root/testdata/sf0.001")
+
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  // ---- registry --------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.5 aggregations / §3.3 analytics
+    "q1_pricing_summary" -> ((s, d) => q1(s, d)),
+    "q2_daily_order_summary" -> ((s, d) =>
+      Analytics.dailyOrderSummary(Tables.orders(s, d))),
+    "q3_product_inventory" -> ((s, d) =>
+      Analytics.productInventoryStatus(Tables.part(s, d), Tables.lineitem(s, d))),
+    "q4_ref_integrity" -> ((s, d) =>
+      Analytics.referentialIntegrity(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.lineitem(s, d))),
+    "q5_validation_summary" -> ((s, d) => {
+      def cnt(df: DataFrame) = df.agg(count(lit(1)).cast("double").as("v"))
+      val checks = Seq(
+        Analytics.validationRow("orders_count", cnt(srcOrders(s, d)), cnt(tgtOrders(s, d))),
+        Analytics.validationRow("orders_revenue",
+          srcOrders(s, d).agg(dsum(col("o_totalprice")).as("v")),
+          tgtOrders(s, d).agg(dsum(col("o_totalprice")).as("v"))),
+        Analytics.validationRow("customer_count", cnt(Tables.customer(s, d)), cnt(Tables.customer(s, d))),
+        Analytics.validationRow("lineitem_count", cnt(Tables.lineitem(s, d)), cnt(Tables.lineitem(s, d))),
+        Analytics.validationRow("events_count", cnt(Tables.events(s, d)), cnt(Tables.events(s, d))))
+      Analytics.validationSummary(checks)
+    }),
+    "q6_top_orders" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)),
+    "q7_latest_event_per_user" -> ((s, d) =>
+      Upsert.latestPerKey(
+        Tables.events(s, d).select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts")),
+        Seq("user_id"), struct(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))),
+    "q8_daily_event_rollup" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))),
+    "q9_value_quantiles" -> ((s, d) =>
+      Analytics.rankQuantiles(Tables.events(s, d), "value", Seq(0.5, 0.95, 0.99))),
+
+    // §2.3 reconciliation joins / set ops
+    "q10_missing_in_target" -> ((s, d) =>
+      Differ.findMissingInTarget(srcOrders(s, d), tgtOrders(s, d), Seq("o_orderkey"))),
+    "q11_extra_in_target" -> ((s, d) =>
+      Differ.findExtraInTarget(srcOrders(s, d), tgtOrders(s, d), Seq("o_orderkey"))),
+    "q12_mismatches" -> ((s, d) =>
+      Differ.findMismatches(srcOrders(s, d), tgtOrders(s, d), Seq("o_orderkey"))),
+    "q13_all_discrepancies" -> ((s, d) =>
+      Differ.findAllDiscrepancies(srcOrders(s, d), tgtOrders(s, d), Seq("o_orderkey"))),
+    "q14_discrepancy_summary" -> ((s, d) =>
+      Differ.discrepancySummary(srcOrders(s, d), tgtOrders(s, d), Seq("o_orderkey"))),
+    "q15_match_percentage" -> ((s, d) =>
+      Differ.matchPercentage(srcOrders(s, d), tgtOrders(s, d), Seq("o_orderkey"))),
+    "q16_duplicates" -> ((s, d) =>
+      Differ.findDuplicates(Tables.lineitem(s, d), Seq("l_orderkey"))),
+    "q17_mismatch_fields" -> ((s, d) => {
+      def dec(df: DataFrame) = df.withColumn("o_totalprice",
+        col("o_totalprice").cast(DecimalType(18, 2)))
+      Differ.findMismatchesDetailed(dec(srcOrders(s, d)), dec(tgtOrders(s, d)),
+        Seq("o_orderkey"))
+    }),
+
+    // §2.2 + §2.9 CDC transform chain & upsert semantics
+    "q20_cdc_transform_chain" -> ((s, d) => {
+      val routed = Transforms.routeTable(Transforms.dropHeartbeats(cdcEnvelope(s, d)))
+      val unwrapped = Transforms.unwrap(routed, "after", "operation",
+        keep = Seq("event_id", "__table"))
+      Transforms.renameFields(Transforms.flatten(unwrapped),
+        Map("value_value" -> "value", "props_value" -> "props", "__table" -> "table_name"))
+        .select(col("event_id"), col("table_name"), col("user_id"), col("value"),
+          col("__deleted"))
+    }),
+    "q21_cdc_latest_state" -> ((s, d) =>
+      Upsert.collapseBatch(
+        Tables.events(s, d).select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"),
+          (col("event_type") === "error").cast("string").as("__deleted"), col("ts")),
+        Seq("user_id"), struct(col("ts"), col("event_id")), "__deleted")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))),
+    "q22_cdc_partial_update" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("value_p",
+        when(col("event_type") === "view", lit(null).cast("double")).otherwise(col("value")))
+      Upsert.lastNonNullPerKey(ev, Seq("user_id"),
+        struct(col("ts"), col("event_id")), Seq("value_p"))
+        .select(col("user_id"), col("value_p").as("last_value"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_daily_order_summary" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day, o_orderstatus,
+        | count(*) AS order_count,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_amount,
+        | min(o_totalprice) AS min_amount, max(o_totalprice) AS max_amount
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q3_product_inventory" ->
+      """SELECT p_partkey, p_name, p_retailprice,
+        | count(l_quantity) AS item_count,
+        | coalesce(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_quantity
+        |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q4_ref_integrity" ->
+      """SELECT o_orderkey,
+        | CASE WHEN c_custkey IS NULL THEN 'orphan' ELSE 'ok' END AS customer_link,
+        | coalesce(item_count, 0) AS item_count
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN (SELECT l_orderkey, count(*) AS item_count FROM lineitem GROUP BY 1) li
+        |  ON o_orderkey = li.l_orderkey""".stripMargin,
+    "q5_validation_summary" ->
+      s"""WITH src AS ($srcSql), tgt AS ($tgtSql),
+         |checks(check_name, expected, actual) AS (
+         | SELECT 'orders_count', CAST((SELECT count(*) FROM src) AS DOUBLE), CAST((SELECT count(*) FROM tgt) AS DOUBLE)
+         | UNION ALL SELECT 'orders_revenue', (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM src), (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM tgt)
+         | UNION ALL SELECT 'customer_count', CAST((SELECT count(*) FROM customer) AS DOUBLE), CAST((SELECT count(*) FROM customer) AS DOUBLE)
+         | UNION ALL SELECT 'lineitem_count', CAST((SELECT count(*) FROM lineitem) AS DOUBLE), CAST((SELECT count(*) FROM lineitem) AS DOUBLE)
+         | UNION ALL SELECT 'events_count', CAST((SELECT count(*) FROM events) AS DOUBLE), CAST((SELECT count(*) FROM events) AS DOUBLE))
+         |SELECT check_name, expected, actual,
+         | CASE WHEN abs(expected - actual) <= 0.01 THEN 'PASS' ELSE 'FAIL' END AS status
+         |FROM checks""".stripMargin,
+    "q6_top_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q7_latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
+    "q8_daily_event_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_day, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q9_value_quantiles" ->
+      """WITH ranked AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rn FROM events),
+        | n AS (SELECT count(*) AS c FROM events)
+        |SELECT CAST(0.5 AS DOUBLE) AS quantile, v AS value FROM ranked, n WHERE rn = greatest(1, CAST(ceil(0.5 * c) AS BIGINT))
+        |UNION ALL SELECT CAST(0.95 AS DOUBLE), v FROM ranked, n WHERE rn = greatest(1, CAST(ceil(0.95 * c) AS BIGINT))
+        |UNION ALL SELECT CAST(0.99 AS DOUBLE), v FROM ranked, n WHERE rn = greatest(1, CAST(ceil(0.99 * c) AS BIGINT))""".stripMargin,
+    "q10_missing_in_target" ->
+      s"""WITH src AS ($srcSql), tgt AS ($tgtSql)
+         |SELECT * FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tgt)""".stripMargin,
+    "q11_extra_in_target" ->
+      s"""WITH src AS ($srcSql), tgt AS ($tgtSql)
+         |SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)""".stripMargin,
+    "q12_mismatches" ->
+      s"""WITH src AS ($srcSql), tgt AS ($tgtSql)
+         |SELECT s.o_orderkey,
+         | s.o_orderstatus AS src_o_orderstatus, s.o_totalprice AS src_o_totalprice,
+         | t.o_orderstatus AS tgt_o_orderstatus, t.o_totalprice AS tgt_o_totalprice
+         |FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey
+         |WHERE NOT ((s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus)
+         |  AND ${eqDoubleSql("s.o_totalprice", "t.o_totalprice")})""".stripMargin,
+    "q13_all_discrepancies" ->
+      s"""WITH src AS ($srcSql), tgt AS ($tgtSql)
+         |SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         | s.o_orderstatus AS src_o_orderstatus, s.o_totalprice AS src_o_totalprice,
+         | t.o_orderstatus AS tgt_o_orderstatus, t.o_totalprice AS tgt_o_totalprice,
+         | CASE WHEN t.o_orderkey IS NULL THEN 'missing_in_target'
+         |      WHEN s.o_orderkey IS NULL THEN 'extra_in_target'
+         |      WHEN NOT ((s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus)
+         |        AND ${eqDoubleSql("s.o_totalprice", "t.o_totalprice")}) THEN 'mismatch'
+         |      ELSE 'match' END AS discrepancy_type
+         |FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+         |WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+         |  AND (s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus)
+         |  AND ${eqDoubleSql("s.o_totalprice", "t.o_totalprice")})""".stripMargin,
+    "q14_discrepancy_summary" ->
+      s"""WITH src AS ($srcSql), tgt AS ($tgtSql)
+         |SELECT CASE WHEN t.o_orderkey IS NULL THEN 'missing_in_target'
+         |      WHEN s.o_orderkey IS NULL THEN 'extra_in_target'
+         |      WHEN NOT ((s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus)
+         |        AND ${eqDoubleSql("s.o_totalprice", "t.o_totalprice")}) THEN 'mismatch'
+         |      ELSE 'match' END AS discrepancy_type, count(*) AS n
+         |FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+         |GROUP BY 1""".stripMargin,
+    "q15_match_percentage" ->
+      s"""WITH src AS ($srcSql), tgt AS ($tgtSql),
+         |d AS (SELECT CASE WHEN t.o_orderkey IS NULL THEN 'missing_in_target'
+         |      WHEN s.o_orderkey IS NULL THEN 'extra_in_target'
+         |      WHEN NOT ((s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus)
+         |        AND ${eqDoubleSql("s.o_totalprice", "t.o_totalprice")}) THEN 'mismatch'
+         |      ELSE 'match' END AS t
+         |  FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey)
+         |SELECT round(CAST(sum(CASE WHEN t = 'match' THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / sum(CASE WHEN t <> 'extra_in_target' THEN 1 ELSE 0 END) * 100.0, 2) AS match_pct
+         |FROM d""".stripMargin,
+    "q16_duplicates" ->
+      "SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1 HAVING count(*) > 1",
+    "q17_mismatch_fields" ->
+      s"""WITH src AS ($srcSql), tgt AS ($tgtSql)
+         |SELECT s.o_orderkey, 'o_totalprice' AS field,
+         | CAST(CAST(s.o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS src_value,
+         | CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS tgt_value
+         |FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey
+         |WHERE CAST(s.o_totalprice AS DECIMAL(18,2)) <> CAST(t.o_totalprice AS DECIMAL(18,2))""".stripMargin,
+    "q20_cdc_transform_chain" ->
+      s"""WITH env AS ($cdcEnvelopeSql)
+         |SELECT event_id,
+         | regexp_extract(topic, 'scylla-cluster\\.app_data\\.(.*)', 1) AS table_name,
+         | user_id, value,
+         | CASE WHEN operation = 'DELETE' THEN 'true' ELSE 'false' END AS __deleted
+         |FROM env WHERE NOT regexp_matches(topic, 'heartbeat\\..*')""".stripMargin,
+    "q21_cdc_latest_state" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "q22_cdc_partial_update" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN event_type = 'view' THEN NULL ELSE value END AS value_p FROM events),
+        |latest AS (SELECT user_id, value_p AS last_value FROM (
+        |  SELECT user_id, value_p,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev WHERE value_p IS NOT NULL) WHERE rn = 1)
+        |SELECT u.user_id, latest.last_value
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN latest ON u.user_id = latest.user_id""".stripMargin,
+  )
 }

@@ -1,0 +1,114 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Warehouse-side analytics: the reference's materialized views and
+  * validation suite re-expressed as DataFrame queries
+  * (reference: `docker/postgres/init.sql:195-239,323-539`;
+  * `tests/integration/fixtures/expected_results.sql:224-241`).
+  *
+  * Scale design notes:
+  *   - Every aggregation here is a partial-aggregating hash agg (map-side
+  *     combine before the shuffle) — the groupBy shapes carry only the
+  *     group columns + accumulators across the wire.
+  *   - The MV join (part ⟕ lineitem) joins a small dim to a huge fact:
+  *     the dim side is broadcast, so the fact never shuffles.
+  *   - Double sums are accumulated as exact decimals (order-independent)
+  *     so results are reproducible across partitionings and engines —
+  *     floating sums would vary with partition count at 100 TB.
+  */
+object Analytics {
+
+  /** Sum a double column exactly: per-row cast to decimal (deterministic),
+    * decimal accumulation (associative/exact), back to double. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Deterministic average: exact decimal sum, one IEEE division. */
+  def davg(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(lit(1))
+
+  /** daily_order_summary MV (init.sql:195-206): GROUP BY day+status with
+    * COUNT/SUM/AVG/MIN/MAX of total_amount. */
+  def dailyOrderSummary(orders: DataFrame): DataFrame =
+    orders.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        dsum(col("o_totalprice")).as("total_amount"),
+        davg(col("o_totalprice")).as("avg_amount"),
+        min(col("o_totalprice")).as("min_amount"),
+        max(col("o_totalprice")).as("max_amount"))
+
+  /** product_inventory_status MV (init.sql:211-224): product ⟕ items,
+    * grouped counts/sums. Dim side broadcast — fact table never shuffles. */
+  def productInventoryStatus(part: DataFrame, lineitem: DataFrame): DataFrame =
+    broadcast(part.select(col("p_partkey"), col("p_name"), col("p_retailprice")))
+      .join(lineitem.select(col("l_partkey"), col("l_quantity")),
+        col("p_partkey") === col("l_partkey"), "left")
+      .groupBy(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .agg(
+        count(col("l_quantity")).as("item_count"),
+        coalesce(dsum(col("l_quantity")), lit(0.0)).as("total_quantity"))
+
+  /** Referential-integrity check (expected_results.sql:224-241): orders ⟕
+    * customer ⟕ lineitem with orphan flag + item counts. Customer dim is
+    * broadcast; lineitem side is pre-aggregated BEFORE the join so the
+    * join input is |orders| not |lineitem|. */
+  def referentialIntegrity(orders: DataFrame, customer: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val itemCounts = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("item_count"))
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .join(itemCounts, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        col("o_orderkey"),
+        when(col("c_custkey").isNull, lit("orphan")).otherwise(lit("ok")).as("customer_link"),
+        coalesce(col("item_count"), lit(0L)).as("item_count"))
+  }
+
+  /** One expected-vs-actual validation row (init.sql:323-488 shape):
+    * `check_name, expected, actual, status`. Tolerance ±0.01 mirrors the
+    * revenue checks at init.sql:423-430. */
+  def validationRow(checkName: String, expected: DataFrame, actual: DataFrame,
+      tolerance: Double = 0.01): DataFrame = {
+    val e = expected.columns.head
+    val a = actual.columns.head
+    expected.select(col(e).cast("double").as("expected"))
+      .crossJoin(actual.select(col(a).cast("double").as("actual")))
+      .select(
+        lit(checkName).as("check_name"),
+        col("expected"), col("actual"),
+        when(abs(col("expected") - col("actual")) <= lit(tolerance), "PASS")
+          .otherwise("FAIL").as("status"))
+  }
+
+  /** validation_summary (init.sql:479-488): UNION ALL of category checks. */
+  def validationSummary(checks: Seq[DataFrame]): DataFrame =
+    checks.reduce(_ unionByName _)
+
+  /** get_replication_completeness (init.sql:524-539): pass % of checks. */
+  def completenessPercentage(validation: DataFrame): DataFrame =
+    validation.agg(
+      round(sum(when(col("status") === "PASS", 1).otherwise(0)).cast("double")
+        / count(lit(1)) * 100.0, 2).as("completeness_pct"))
+
+  /** Exact rank-based quantiles (measure-latency.sh:75-79 stats family,
+    * made engine-reproducible: picks the element at ceil(q*n) rather than
+    * interpolating, so no cross-engine float arithmetic).
+    * One shuffle (global sort of the VALUES ONLY, not whole rows). */
+  def rankQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val ranked = df.select(col(valueCol).as("v"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+    val picks = qs.map(q => (q, math.max(1L, math.ceil(q * n).toLong)))
+    picks.map { case (q, r) =>
+      ranked.filter(col("rn") === r).select(lit(q).as("quantile"), col("v").as("value"))
+    }.reduce(_ unionByName _)
+  }
+}
