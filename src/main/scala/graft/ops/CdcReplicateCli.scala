@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.streaming.Trigger
+import graft.cdc.CdcPipeline
+import graft.observe.{CdcQueryListener, MetricsRegistry}
+
+/** Streaming replication launcher (the engine's analog of bringing up the
+  * reference's source+sink connector pair; pipeline shape SURVEY §3.1).
+  *
+  *   runMain graft.ops.CdcReplicateCli \
+  *     --input <dir of JSON change-event lines> \
+  *     --warehouse <dir> --checkpoint <dir> \
+  *     --table users:user_id [--table orders:order_id,line_id] \
+  *     [--columns name,status,...]   extra string data columns in envelope
+  *
+  * Runs with Trigger.AvailableNow (drain-then-stop) so the same entry
+  * point serves both backfill (S2) and incremental runs (ST3 checkpoint
+  * resume). Prints a metrics summary line at the end.
+  */
+object CdcReplicateCli {
+
+  def main(args: Array[String]): Unit = {
+    var input = ""; var warehouse = ""; var checkpoint = ""
+    var tables = Map[String, Seq[String]]()
+    var columns = Seq("username", "status")
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--input" => input = args(i + 1); i += 2
+        case "--warehouse" => warehouse = args(i + 1); i += 2
+        case "--checkpoint" => checkpoint = args(i + 1); i += 2
+        case "--table" =>
+          val Array(t, ks) = args(i + 1).split(":", 2)
+          tables += t -> ks.split(",").toSeq; i += 2
+        case "--columns" => columns = args(i + 1).split(",").toSeq; i += 2
+        case other => System.err.println(s"[config] unknown flag '$other'"); sys.exit(10)
+      }
+      }
+    if (input.isEmpty || warehouse.isEmpty || checkpoint.isEmpty || tables.isEmpty) {
+      System.err.println("[config] --input, --warehouse, --checkpoint, --table required")
+      sys.exit(10)
+    }
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-cdc-replicate")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val registry = new MetricsRegistry()
+    spark.streams.addListener(new CdcQueryListener(registry))
+
+    // envelope: topic/operation/commit_timestamp + per-table key and data
+    // columns (string-typed generic envelope; typed tables cast post-route)
+    val keyCols = tables.values.flatten.toSeq.distinct
+    val schema = StructType(
+      Seq(StructField("topic", StringType), StructField("operation", StringType),
+        StructField("commit_timestamp", LongType)) ++
+        (keyCols ++ columns).distinct.map(StructField(_, StringType)))
+
+    val pipeline = new CdcPipeline(spark, warehouse, checkpoint, tables)
+    val raw = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(input).toDF("value")
+    val q = pipeline.start(raw, schema, Trigger.AvailableNow())
+    q.awaitTermination()
+    spark.streams.active.foreach(_.awaitTermination())
+
+    tables.keys.foreach { t =>
+      val n = pipeline.readTable(t).map(_.count()).getOrElse(0L)
+      println(s"""{"table": "$t", "rows": $n}""")
+    }
+    val replicatedRow = registry.snapshot(spark)
+      .filter("metric like 'cdc_records_replicated_total%'")
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("value"),
+        org.apache.spark.sql.functions.lit(0.0))).head().getDouble(0)
+    println(s"""{"metric": "records_replicated_total", "value": $replicatedRow}""")
+    spark.stop()
+  }
+}

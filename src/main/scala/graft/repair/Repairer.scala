@@ -1,0 +1,187 @@
+package graft.repair
+
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Repair-action generation: discrepancy rows → idempotent repair SQL
+  * (reference: `src/reconciliation/repairer.py`).
+  *
+  * Pure string builders — no Spark dependency in the formatting path, so
+  * they run executor-side inside `foreachPartition` for large repair sets
+  * (the reference collects everything into driver memory; we only collect
+  * when the caller asks for a driver-side plan).
+  *
+  * Safety: identifiers are always quoted with `"` doubling, string
+  * literals `'` doubled (repairer.py:32-68,514-516; FR-021 injection
+  * prevention, spec.md:146).
+  */
+object Repairer {
+
+  final case class RepairAction(
+      actionType: String, // DELETE | INSERT | UPDATE
+      tableName: String,
+      sql: String,
+      key: String,
+      dryRun: Boolean)
+
+  /** Execution order: deletes first, then inserts, then updates
+    * (repairer.py:70-145 orchestration). */
+  val ActionOrder: Map[String, Int] = Map("DELETE" -> 0, "INSERT" -> 1, "UPDATE" -> 2)
+
+  // ---- identifier / literal formatting (repairer.py:32-68,485-559) -----
+
+  /** Always-quote, `"` doubled (repairer.py:32-49). */
+  def quoteIdentifier(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  def quoteQualified(schema: String, table: String): String =
+    s"${quoteIdentifier(schema)}.${quoteIdentifier(table)}"
+
+  /** SQL literal for a Scala/Spark value (repairer.py:485-559):
+    * NULL, escaped strings, TRUE/FALSE, numerics passthrough, ISO
+    * timestamps, `\x` bytea hex, JSON for collections. */
+  def formatValue(v: Any): String = v match {
+    case null => "NULL"
+    case None => "NULL"
+    case Some(x) => formatValue(x)
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.underlying.toPlainString
+    case n: java.lang.Number => n.toString
+    case t: java.sql.Timestamp =>
+      "'" + t.toInstant.atOffset(ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ') + "'"
+    case i: Instant =>
+      "'" + i.atOffset(ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ') + "'"
+    case d: java.sql.Date => s"'$d'"
+    case d: java.time.LocalDate => s"'$d'"
+    case d: java.time.Duration => // INTERVAL from seconds (repairer.py:537-540)
+      s"INTERVAL '${d.getSeconds} seconds'"
+    case bytes: Array[Byte] => // \x hex bytea (repairer.py:543-546)
+      "'\\x" + bytes.map("%02x".format(_)).mkString + "'"
+    case m: Map[_, _] => // JSON for collections (repairer.py:549-551)
+      "'" + toJson(m).replace("'", "''") + "'"
+    case seq: Seq[_] =>
+      "'" + toJson(seq).replace("'", "''") + "'"
+    case u: java.util.UUID => s"'${u.toString.toLowerCase}'"
+    case other =>
+      throw new IllegalArgumentException(
+        s"Cannot format value of type ${other.getClass.getName}")
+  }
+
+  private def toJson(v: Any): String = v match {
+    case m: Map[_, _] =>
+      m.map { case (k, x) => s""""${jsonEscape(k.toString)}": ${toJson(x)}""" }
+        .mkString("{", ", ", "}")
+    case s: Seq[_] => s.map(toJson).mkString("[", ", ", "]")
+    case null => "null"
+    case s: String => "\"" + jsonEscape(s) + "\""
+    case b: Boolean => b.toString
+    case n: java.lang.Number => n.toString
+    case other => "\"" + jsonEscape(other.toString) + "\""
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  // ---- statement builders (repairer.py:242-461) ------------------------
+
+  def generateInsertSql(schema: String, table: String,
+      columns: Seq[String], values: Seq[Any]): String = {
+    require(columns.nonEmpty && columns.length == values.length)
+    val cols = columns.map(quoteIdentifier).mkString(", ")
+    val vals = values.map(formatValue).mkString(", ")
+    s"INSERT INTO ${quoteQualified(schema, table)} ($cols) VALUES ($vals)"
+  }
+
+  /** Multi-row batch variant (repairer.py:379-430). */
+  def generateInsertBatchSql(schema: String, table: String,
+      columns: Seq[String], rows: Seq[Seq[Any]]): String = {
+    require(rows.nonEmpty)
+    val cols = columns.map(quoteIdentifier).mkString(", ")
+    val vals = rows.map(_.map(formatValue).mkString("(", ", ", ")")).mkString(", ")
+    s"INSERT INTO ${quoteQualified(schema, table)} ($cols) VALUES $vals"
+  }
+
+  def whereClause(key: Map[String, Any]): String =
+    key.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        if (v == null || v == None) s"${quoteIdentifier(k)} IS NULL"
+        else s"${quoteIdentifier(k)} = ${formatValue(v)}"
+      }
+      .mkString(" AND ")
+
+  def generateDeleteSql(schema: String, table: String, key: Map[String, Any]): String = {
+    require(key.nonEmpty, "DELETE requires a key")
+    s"DELETE FROM ${quoteQualified(schema, table)} WHERE ${whereClause(key)}"
+  }
+
+  /** SET only the differing fields; fall back to all non-key fields when
+    * no diff list is given (repairer.py:319-377). */
+  def generateUpdateSql(schema: String, table: String, key: Map[String, Any],
+      setValues: Map[String, Any]): String = {
+    require(key.nonEmpty && setValues.nonEmpty)
+    val sets = setValues.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${quoteIdentifier(k)} = ${formatValue(v)}" }
+      .mkString(", ")
+    s"UPDATE ${quoteQualified(schema, table)} SET $sets WHERE ${whereClause(key)}"
+  }
+
+  // ---- orchestration over a discrepancy DataFrame (repairer.py:70-145) --
+
+  /** Build repair actions from a `Differ.findAllDiscrepancies` result.
+    * Output DataFrame: (priority, action_type, target_key, repair_sql) —
+    * stays distributed; callers `orderBy(priority)` then either collect
+    * (small) or `foreachPartition` a JDBC executor (large).
+    *
+    * `keys` are the key columns; source-side values are in `src_<c>`
+    * columns, target-side in `tgt_<c>` (Differ's layout). */
+  def generateRepairActions(discrepancies: DataFrame, schema: String,
+      table: String, keys: Seq[String], dataCols: Seq[String],
+      dryRun: Boolean = true): DataFrame = {
+    val spark = discrepancies.sparkSession
+    import spark.implicits._
+    val keyIdx = keys.zipWithIndex
+    val rows = discrepancies.select(
+      (col("discrepancy_type") +: keys.map(col)) ++
+        dataCols.map(c => col(s"src_$c")) ++ dataCols.map(c => col(s"tgt_$c")): _*)
+    val nKeys = keys.length
+    val nData = dataCols.length
+    rows.map { r =>
+      val dtype = r.getString(0)
+      val key = keyIdx.map { case (k, i) => k -> r.get(1 + i) }.toMap
+      val srcVals = dataCols.zipWithIndex.map { case (c, i) => c -> r.get(1 + nKeys + i) }
+      val tgtVals = dataCols.zipWithIndex.map { case (c, i) => c -> r.get(1 + nKeys + nData + i) }
+      dtype match {
+        case "missing_in_target" =>
+          (ActionOrder("INSERT"), "INSERT", whereClause(key),
+            generateInsertSql(schema, table,
+              keys ++ dataCols, keys.map(key) ++ srcVals.map(_._2)))
+        case "extra_in_target" =>
+          (ActionOrder("DELETE"), "DELETE", whereClause(key),
+            generateDeleteSql(schema, table, key))
+        case "mismatch" =>
+          val differing = srcVals.zip(tgtVals).collect {
+            case ((c, s), (_, t)) if s != t => c -> s
+          }.toMap
+          val sets = if (differing.nonEmpty) differing else srcVals.toMap
+          (ActionOrder("UPDATE"), "UPDATE", whereClause(key),
+            generateUpdateSql(schema, table, key, sets))
+        case other =>
+          (99, "NOOP", whereClause(key), s"-- no action for $other")
+      }
+    }.toDF("priority", "action_type", "target_key", "repair_sql")
+      .filter($"action_type" =!= "NOOP")
+      .withColumn("dry_run", lit(dryRun))
+  }
+}

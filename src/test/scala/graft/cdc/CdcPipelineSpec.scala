@@ -1,0 +1,106 @@
+package graft.cdc
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end streaming slice (SURVEY §7.2): JSON change events →
+  * parse+DLQ → transforms → foreachBatch merge → warehouse table →
+  * validation query. Mirrors tests/integration/test_end_to_end.py. */
+class CdcPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val envSchema = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("operation", StringType),
+    StructField("commit_timestamp", LongType),
+    StructField("user_id", StringType),
+    StructField("username", StringType),
+    StructField("status", StringType)))
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-cdc").toString
+
+  private def jsonEvents(events: Seq[String]): String = {
+    val in = tmpDir()
+    Files.writeString(java.nio.file.Paths.get(s"$in/batch0.json"),
+      events.mkString("\n"))
+    in
+  }
+
+  private def ev(op: String, ts: Long, id: String, user: String,
+      status: String): String = {
+    val u = if (user == null) "null" else s""""$user""""
+    val st = if (status == null) "null" else s""""$status""""
+    s"""{"topic":"scylla-cluster.app_data.users","operation":"$op","commit_timestamp":$ts,"user_id":"$id","username":$u,"status":$st}"""
+  }
+
+  test("streaming slice: insert/update/delete/partial-update → warehouse + validation") {
+    val in = jsonEvents(Seq(
+      ev("INSERT", 1000L, "u1", "alice", "active"),
+      ev("INSERT", 1001L, "u2", "bob", "active"),
+      ev("INSERT", 1002L, "u3", "carol", "active"),
+      ev("UPDATE", 2000L, "u2", null, "inactive"), // partial: username absent
+      ev("INSERT", 1003L, "u4", "dan", "active"),
+      ev("DELETE", 3000L, "u4", null, null),
+      "this is not json at all"))                  // → DLQ
+
+    val wh = tmpDir(); val cp = tmpDir()
+    val pipeline = new CdcPipeline(spark, wh, cp,
+      keysByTable = Map("users" -> Seq("user_id")))
+    val raw = spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+      .text(in).toDF("value")
+    val q = pipeline.start(raw, envSchema, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    spark.streams.active.foreach(_.awaitTermination(60000))
+
+    val users = pipeline.readTable("users").get
+    val byId = users.select("user_id", "username", "status")
+      .as[(String, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId.keySet == Set("u1", "u2", "u3")) // u4 deleted
+    assert(byId("u2") == ("bob", "inactive"))     // partial update coalesced
+    assert(byId("u1") == ("alice", "active"))
+
+    // the reference's user count-by-status validation (init.sql:335-350)
+    val counts = users.groupBy("status").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("active" -> 2L, "inactive" -> 1L))
+
+    // DLQ captured the poison record (ST6)
+    val dlq = spark.read.parquet(s"$wh/_dlq")
+    assert(dlq.count() == 1)
+    assert(dlq.select("original_payload").as[String].head().contains("not json"))
+  }
+
+  test("restart consistency: second run of same data is idempotent (ST1/ST3)") {
+    val in = jsonEvents(Seq(
+      ev("INSERT", 1000L, "u1", "alice", "active"),
+      ev("UPDATE", 2000L, "u1", null, "inactive")))
+    val wh = tmpDir(); val cp = tmpDir()
+    val pipeline = new CdcPipeline(spark, wh, cp, Map("users" -> Seq("user_id")))
+
+    def runOnce(): Unit = {
+      val raw = spark.readStream
+        .schema(StructType(Seq(StructField("value", StringType)))).text(in).toDF("value")
+      val q = pipeline.start(raw, envSchema, Trigger.AvailableNow())
+      q.awaitTermination(60000)
+      spark.streams.active.foreach(_.awaitTermination(60000))
+    }
+    runOnce()
+    val snap1 = pipeline.readTable("users").get
+      .select("user_id", "username", "status").as[(String, String, String)]
+      .collect().toSet
+    // re-run from the same checkpoint: no new data → unchanged; then replay
+    // the same batch through the merge body directly (at-least-once path)
+    val replay = spark.read.schema(envSchema).json(s"$in/batch0.json")
+    val replayT = Transforms.routeTable(Transforms.dropHeartbeats(replay, "topic"), "topic")
+      .withColumn("__deleted", (col("operation") === "DELETE").cast("string"))
+      .drop("topic", "operation")
+    pipeline.mergeMicroBatch(replayT, 99L)
+    val snap2 = pipeline.readTable("users").get
+      .select("user_id", "username", "status").as[(String, String, String)]
+      .collect().toSet
+    assert(snap1 == snap2 && snap1 == Set(("u1", "alice", "inactive")))
+  }
+}

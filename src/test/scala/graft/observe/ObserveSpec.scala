@@ -1,0 +1,35 @@
+package graft.observe
+
+import graft.SparkSpec
+
+class ObserveSpec extends SparkSpec {
+
+  test("registry: counters accumulate, gauges overwrite, labels separate series") {
+    val m = new MetricsRegistry("cdc")
+    m.inc("records_total", 5, Map("table" -> "users"))
+    m.inc("records_total", 3, Map("table" -> "users"))
+    m.inc("records_total", 7, Map("table" -> "orders"))
+    m.setGauge("lag_seconds", 12.0)
+    m.setGauge("lag_seconds", 3.0)
+    assert(m.counter("records_total", Map("table" -> "users")) == 8.0)
+    assert(m.counter("records_total", Map("table" -> "orders")) == 7.0)
+    assert(m.gauge("lag_seconds") == 3.0)
+  }
+
+  test("recordReconciliation computes accuracy like the reference (metrics.py:147-151)") {
+    val m = new MetricsRegistry()
+    m.recordReconciliation("users",
+      Map("match" -> 90L, "mismatch" -> 5L, "missing_in_target" -> 5L))
+    assert(m.gauge("reconciliation_accuracy_percent", Map("table" -> "users")) == 90.0)
+  }
+
+  test("alert rules fire on threshold breach (alerts.py:45-322)") {
+    val m = new MetricsRegistry("cdc")
+    m.setGauge("replication_lag_seconds", 1000.0)   // > 900 critical, > 300 warning
+    m.setGauge("reconciliation_accuracy_percent", 97.0) // no alert
+    m.setGauge("connector_health", 0.0)             // down → critical
+    val fired = Alerts.evaluate(m.snapshot(spark)).collect()
+      .map(r => r.getString(0)).toSet
+    assert(fired == Set("ReplicationLagHigh", "ReplicationLagCritical", "ConnectorDown"))
+  }
+}
