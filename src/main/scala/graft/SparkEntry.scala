@@ -8,7 +8,11 @@ import graft.analytics.Analytics
 import graft.analytics.Analytics.{dsum, davg}
 import graft.cdc.{Transforms, Upsert}
 import graft.compare.Comparer.CompareOptions
+import graft.multimodal.Multimodal
 import graft.reconcile.Differ
+import graft.repair.Repairer
+import graft.text.{Dedup, TextAnalysis}
+import graft.vector.Similarity
 
 /** Driver contract — every operator from SURVEY.md §2 gets a `queries`
   * entry; SQL-expressible ones also get a DuckDB oracle in `oracleSql`.
@@ -166,7 +170,70 @@ object SparkEntry {
         struct(col("ts"), col("event_id")), Seq("value_p"))
         .select(col("user_id"), col("value_p").as("last_value"))
     }),
+
+    // §7.10 extended surface: text analysis / dedup
+    "q30_dedup_exact_groups" -> ((s, d) =>
+      Dedup.exactDuplicateGroups(Tables.documents(s, d), "doc_id", "text")),
+    "q31_text_stats" -> ((s, d) =>
+      TextAnalysis.stats(Tables.documents(s, d), "text", "doc_id")),
+    "q32_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.languageId(col("text")).as("lang_pred"))),
+    "q33_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text"),
+          TextAnalysis.LangProfiles("en")).as("quality"))),
+    "q34_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashCandidatePairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.4)),
+    "q35_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)),
+    "q36_ngram_jaccard_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, threshold = 0.3)),
+
+    // §7.10 extended surface: similarity search
+    "q37_ann_cosine_topk" -> ((s, d) => {
+      val q = queryVector(s, d)
+      Similarity.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding", q, 10)
+    }),
+    "q38_ann_lsh_topk" -> ((s, d) => {
+      val q = queryVector(s, d)
+      val idx = Similarity.lshIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+        nPlanes = 8, dim = q.length)
+      Similarity.annTopK(idx, "vec_id", "embedding", q, 10, nPlanes = 8)
+    }),
+    "q39_embedding_neardup" -> ((s, d) =>
+      Similarity.nearDuplicatePairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.35, nPlanes = 4, dim = 64)),
+
+    // §7.10 extended surface: multimodal plumbing (decode stubbed)
+    "q40_multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeAndFeaturize(
+        Multimodal.syntheticAssets(Tables.documents(s, d)))
+        .select(col("asset_id"), col("media_type"), col("width"), col("height"),
+          col("duration_ms"), col("n_bytes"))),
+    "q41_frame_samples" -> ((s, d) =>
+      Multimodal.frameSamples(
+        Multimodal.decodeAndFeaturize(
+          Multimodal.syntheticAssets(Tables.documents(s, d))), n = 4)),
+
+    // §2.8 repair plan as a query (deterministic SQL codegen output)
+    "q42_repair_plan" -> ((s, d) => {
+      val disc = Differ.findAllDiscrepancies(srcOrders(s, d), tgtOrders(s, d),
+        Seq("o_orderkey"))
+      Repairer.generateRepairActions(disc, "cdc_data", "orders",
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+        .select(col("priority"), col("action_type"), col("target_key"))
+    }),
   )
+
+  /** Constant query vector for ANN queries: embedding of vec_id = 0
+    * (a one-row driver-side lookup — a query parameter, not data flow). */
+  private def queryVector(s: SparkSession, d: String): Seq[Double] =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -308,5 +375,77 @@ object SparkEntry {
         |SELECT u.user_id, latest.last_value
         |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN latest ON u.user_id = latest.user_id""".stripMargin,
+    "q30_dedup_exact_groups" ->
+      s"""SELECT $fingerprintSql AS fp, count(*) AS n, min(doc_id) AS keep_id
+         |FROM documents GROUP BY 1""".stripMargin,
+    "q31_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)
+         |SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars,
+         | len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         | round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |   / greatest(length(text), 1), 6) AS punct_ratio,
+         | round(CAST(length(trim(text)) - (len(toks) - 1) AS DOUBLE)
+         |   / greatest(len(toks), 1), 6) AS avg_token_len,
+         | len(list_filter(toks, x -> x IN ($enStop))) AS en_stopwords,
+         | $fingerprintSql AS fingerprint
+         |FROM t""".stripMargin,
+    "q32_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+         |s AS (SELECT doc_id, lang, text,
+         |  len(list_filter(toks, x -> x IN ($enStop))) AS s_en,
+         |  len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','un','una','es','los'))) AS s_es,
+         |  len(list_filter(toks, x -> x IN ('le','la','de','et','que','en','un','une','est','les'))) AS s_fr,
+         |  len(list_filter(toks, x -> x IN ('der','die','das','und','zu','in','ein','eine','ist','von'))) AS s_de
+         | FROM t)
+         |SELECT doc_id, lang,
+         | CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |      WHEN s_es >= s_fr THEN 'es'
+         |      ELSE 'fr' END AS lang_pred
+         |FROM s""".stripMargin,
+    "q33_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(toks, x -> x IN ($enStop))) AS DOUBLE)
+         |    / greatest(len(toks), 1) AS sw_ratio
+         | FROM t)
+         |SELECT doc_id, round(
+         |  least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.4 +
+         |  (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.3 END) * 0.3 +
+         |  least(sw_ratio * 5.0, CAST(1.0 AS DOUBLE)) * 0.3, 4) AS quality
+         |FROM m""".stripMargin,
+    "q36_ngram_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 3
+        |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON inter.id_a = sa.doc_id
+        |JOIN sizes sb ON inter.id_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3""".stripMargin,
+    "q37_ann_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cosine
+        |FROM embeddings e, q
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
   )
+
+  private val enStop =
+    "'the','a','of','and','to','in','is','that','it','for'"
+  private val tokensSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private val fingerprintSql =
+    "sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 }

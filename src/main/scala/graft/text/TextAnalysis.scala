@@ -1,0 +1,123 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization, quality scoring, language ID,
+  * fingerprinting. All pure `functions._` expression compositions —
+  * whole-stage-codegen'd, no UDFs, scale linearly with no shuffle
+  * (per-row narrow transforms).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (matches DuckDB `regexp_split_to_array(trim(x),'\s+')`). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def charCount(c: Column): Column = length(c)
+
+  /** Punctuation occurrences. */
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[.,!?;:]"), lit(0)))
+
+  def punctRatio(c: Column): Column =
+    punctCount(c).cast("double") / greatest(length(c), lit(1)).cast("double")
+
+  /** Mean token length. */
+  def avgTokenLength(c: Column): Column =
+    (length(trim(c)) - (tokenCount(c) - lit(1))).cast("double") /
+      greatest(tokenCount(c), lit(1)).cast("double")
+
+  def stopwordCount(c: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(sw, t)))
+  }
+
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column =
+    stopwordCount(c, stopwords).cast("double") /
+      greatest(tokenCount(c), lit(1)).cast("double")
+
+  /** Heuristic quality score in [0,1] (length, punctuation sanity,
+    * stopword presence — the classic pre-training quality signals). */
+  def qualityScore(c: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / lit(100.0), lit(1.0))
+    val punctOk = when(punctRatio(c) < 0.2, 1.0).otherwise(0.3)
+    val swScore = least(stopwordRatio(c, stopwords) * lit(5.0), lit(1.0))
+    round(lenScore * 0.4 + punctOk * 0.3 + swScore * 0.3, 4)
+  }
+
+  /** Tiny per-language stopword profiles (public common function words). */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "es", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "une", "est", "les"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ein", "eine", "ist", "von"))
+
+  /** n-gram/stopword-heuristic language ID: count profile hits per
+    * language, plus a CJK-character check for zh; argmax with
+    * deterministic (alphabetical) tie-break. Returns a string column. */
+  def languageId(c: Column,
+      profiles: Map[String, Seq[String]] = LangProfiles): Column = {
+    val toks = tokens(lower(c))
+    // scores as array<struct<score,negLang>> so array_max picks
+    // (highestScore, then alphabetically-first language)
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val sw = array(words.map(lit): _*)
+      struct(
+        size(filter(toks, t => array_contains(sw, t))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = sortBy(array(scored: _*))
+    val cjk = size(regexp_extract_all(c, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    when(cjk > 0, lit("zh")).otherwise(element_at(best, -1).getField("lang"))
+  }
+
+  /** array_sort by (score asc, lang desc) so the LAST element is
+    * (max score, alphabetically-first lang among ties). */
+  private def sortBy(arr: Column): Column =
+    array_sort(arr, (l, r) =>
+      when(l.getField("score") < r.getField("score"), -1)
+        .when(l.getField("score") > r.getField("score"), 1)
+        // equal scores: alphabetically-first lang should sort LAST
+        .when(l.getField("lang") > r.getField("lang"), -1)
+        .when(l.getField("lang") < r.getField("lang"), 1)
+        .otherwise(0))
+
+  /** Canonical document fingerprint: SHA-256 of lowercased,
+    * whitespace-collapsed text (stable under reflow). */
+  def fingerprint(c: Column): Column =
+    sha2(regexp_replace(lower(trim(c)), "\\s+", " "), 256)
+
+  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, bitwise
+    * majority vote, sign bits packed into a long. Pure expressions
+    * (two nested higher-order aggregates) — no UDF, codegen-friendly. */
+  def simhash64(c: Column): Column = {
+    val hashes = transform(tokens(c), t => xxhash64(t))
+    val n = size(hashes)
+    // for each bit i: majority vote of set bits across token hashes
+    (0 until 64).map { i =>
+      val setCount = size(filter(hashes, h =>
+        shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L)))
+      when(setCount * 2 > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Full per-document stats projection used by the stats query. */
+  def stats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val c = col(textCol)
+    df.select(
+      col(idCol),
+      tokenCount(c).cast("long").as("n_tokens"),
+      charCount(c).cast("long").as("n_chars"),
+      punctCount(c).cast("long").as("n_punct"),
+      round(punctRatio(c), 6).as("punct_ratio"),
+      round(avgTokenLength(c), 6).as("avg_token_len"),
+      stopwordCount(c, LangProfiles("en")).cast("long").as("en_stopwords"),
+      fingerprint(c).as("fingerprint"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def assets = Multimodal.syntheticAssets(Tables.documents(spark, sf))
+
+  test("synthetic assets match the asset schema") {
+    val a = assets
+    assert(a.schema.fieldNames.toSeq ==
+      Multimodal.assetSchema.fieldNames.toSeq)
+    assert(a.schema("payload").dataType.typeName == "binary")
+    assert(a.count() > 0)
+  }
+
+  test("decodeAndFeaturize: deterministic stub metadata, batch shape") {
+    val d1 = Multimodal.decodeAndFeaturize(assets, parallelism = 4)
+    val d2 = Multimodal.decodeAndFeaturize(assets, parallelism = 2)
+    // determinism independent of partitioning
+    val s1 = d1.orderBy("asset_id").collect().map(_.toString).toSeq
+    val s2 = d2.orderBy("asset_id").collect().map(_.toString).toSeq
+    assert(s1 == s2)
+    val row = d1.filter($"asset_id" === 0L).head()
+    assert(row.getInt(2) >= 64 && row.getInt(3) >= 64) // width/height bounds
+    assert(row.getLong(5) > 0)                          // n_bytes
+    assert(row.getSeq[Float](6).length == 8)            // feature dim
+    // images have zero duration; audio/video positive
+    val images = d1.filter($"media_type" === "image")
+    assert(images.filter($"duration_ms" =!= 0L).count() == 0)
+    assert(d1.filter($"media_type" =!= "image")
+      .filter($"duration_ms" <= 0L).count() == 0)
+  }
+
+  test("resizeMeta preserves aspect ratio within target box") {
+    val d = Multimodal.resizeMeta(
+      Multimodal.decodeAndFeaturize(assets), maxW = 128, maxH = 128)
+    val bad = d.filter($"resized_w" > 128 || $"resized_h" > 128)
+    assert(bad.count() == 0)
+    // no upscaling
+    assert(d.filter($"resized_w" > $"width").count() == 0)
+  }
+
+  test("frameSamples: n evenly spaced timestamps per video asset") {
+    val d = Multimodal.decodeAndFeaturize(assets)
+    val f = Multimodal.frameSamples(d, n = 4)
+    val perAsset = f.groupBy("asset_id").count().select("count").as[Long].collect()
+    assert(perAsset.nonEmpty && perAsset.forall(_ == 4L))
+    assert(f.filter($"frame_ts_ms" < 0).count() == 0)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "el gato es un animal que vive en la casa"),
+    (5L, "completely different content about spark engines and columnar execution here")
+  ).toDF("doc_id", "text")
+
+  test("tokenCount / punctCount / fingerprint basics") {
+    val r = docs.filter($"doc_id" === 1L).select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.punctCount(lit("a,b.c!d")),
+      TextAnalysis.fingerprint($"text")).head()
+    assert(r.getInt(0) == 9)
+    assert(r.getInt(1) == 3)
+    assert(r.getString(2).matches("[0-9a-f]{64}"))
+  }
+
+  test("fingerprint is stable under case and whitespace reflow") {
+    val fp = docs.select(TextAnalysis.fingerprint(lit("The  Quick\tBrown")).as("a"),
+      TextAnalysis.fingerprint(lit("the quick brown")).as("b")).head()
+    assert(fp.getString(0) == fp.getString(1))
+  }
+
+  test("languageId picks profile language; CJK short-circuit") {
+    val got = Seq(
+      (1L, "the cat is in the house and it is happy"),
+      (2L, "el gato es un animal que vive en la casa"),
+      (3L, "der Hund ist ein Tier und die Katze ist hier"),
+      (4L, "le chat est un animal et les chiens en France"),
+      (5L, "这 是 中文 文本")
+    ).toDF("id", "t").select($"id", TextAnalysis.languageId($"t").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
+  }
+
+  test("exact dedup keeps min-id representative per group") {
+    val kept = Dedup.dedupExact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L)) // 2 collapsed into 1
+  }
+
+  test("shingles: k-word windows, distinct; short docs fall back whole-text") {
+    val sh = docs.filter($"doc_id" === 1L)
+      .select(Dedup.shingles($"text", 3).as("s")).as[Seq[String]].head()
+    assert(sh.head == "the quick brown" && sh.size == 7)
+    val short = Seq((1L, "only two")).toDF("id", "t")
+      .select(Dedup.shingles($"t", 3).as("s")).as[Seq[String]].head()
+    assert(short == Seq("only two"))
+  }
+
+  test("minhash LSH finds near-dup pair (1,3) and exact pair (1,2)") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      k = 2, numHashes = 32, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("exact duplicates get est_jaccard 1.0") {
+    val j = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      k = 2, numHashes = 16, bands = 8, threshold = 0.9)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select("est_jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs distance 0; near dups close; distinct far") {
+    val sh = docs.select($"doc_id", TextAnalysis.simhash64($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val d13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val d15 = java.lang.Long.bitCount(sh(1L) ^ sh(5L))
+    assert(d13 < d15, s"near-dup hamming $d13 should be < unrelated $d15")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup in (0,1), thresholds apply") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 2, threshold = 0.2)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.get((1L, 3L)).exists(j => j > 0.2 && j < 1.0))
+  }
+}
