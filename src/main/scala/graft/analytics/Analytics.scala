@@ -100,15 +100,24 @@ object Analytics {
   /** Exact rank-based quantiles (measure-latency.sh:75-79 stats family,
     * made engine-reproducible: picks the element at ceil(q*n) rather than
     * interpolating, so no cross-engine float arithmetic).
-    * One shuffle (global sort of the VALUES ONLY, not whole rows). */
+    *
+    * Distributed: a range-partitioned sort of the VALUES ONLY followed by
+    * zipWithIndex (per-partition offsets, no global single-partition
+    * window — `row_number() over (order by ...)` would funnel the whole
+    * dataset through one task). Only the |qs| picked rows are collected. */
   def rankQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
     val n = df.count()
-    val ranked = df.select(col(valueCol).as("v"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
-    val picks = qs.map(q => (q, math.max(1L, math.ceil(q * n).toLong)))
-    picks.map { case (q, r) =>
-      ranked.filter(col("rn") === r).select(lit(q).as("quantile"), col("v").as("value"))
-    }.reduce(_ unionByName _)
+    val ranks = qs.map(q => math.max(1L, math.ceil(q * n).toLong)).toSet
+    val picked = df.select(col(valueCol).cast("double").as("v"))
+      .sort(col("v")).as[Double].rdd
+      .zipWithIndex()
+      .filter { case (_, i) => ranks.contains(i + 1) }
+      .collect().map { case (v, i) => (i + 1) -> v }.toMap
+    qs.map { q =>
+      val r = math.max(1L, math.ceil(q * n).toLong)
+      (q, picked(r))
+    }.toDF("quantile", "value")
   }
 }

@@ -94,14 +94,27 @@ object TextAnalysis {
     * majority vote, sign bits packed into a long. Pure expressions
     * (two nested higher-order aggregates) — no UDF, codegen-friendly. */
   def simhash64(c: Column): Column = {
+    // Single pass over token hashes (see minhashSignature for why the
+    // expensive subtree must be an aggregate's ARRAY ARGUMENT, not live
+    // inside a lambda): fold ±1 bit votes into a 64-counter array, then
+    // pack sign bits. The single-element-array outer aggregate makes the
+    // counter array a lambda variable, so its 64 references are reads of
+    // one computed value, not 64 recomputations.
     val hashes = transform(tokens(c), t => xxhash64(t))
-    val n = size(hashes)
-    // for each bit i: majority vote of set bits across token hashes
-    (0 until 64).map { i =>
-      val setCount = size(filter(hashes, h =>
-        shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L)))
-      when(setCount * 2 > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    val bitVotes = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => {
+        val bits = array((0 until 64).map(i =>
+          (shiftright(h, i).bitwiseAND(lit(1L)) * lit(2) - lit(1)).cast("int")): _*)
+        zip_with(acc, bits, (a, b) => a + b)
+      })
+    aggregate(
+      array(bitVotes),
+      lit(0L),
+      (acc, votes) => (0 until 64).map(i =>
+        when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -104,6 +104,7 @@ object Similarity {
       threshold: Double, nPlanes: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val idx = lshIndex(df, idCol, embCol, nPlanes, dim, seed)
+      .localCheckpoint() // bucket index built once; pair join reads it 2×
     val a = idx.select(col("bucket"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
     val b = idx.select(col("bucket"), col(idCol).as("id_b"), col(embCol).as("emb_b"))
     a.join(b, Seq("bucket"))
