@@ -1,0 +1,40 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming materialized-view equivalents (ST12): the daily summary MV
+  * (`init.sql:195-206`) as a watermarked tumbling-window aggregation —
+  * the same GROUP BY shape the batch variant uses, but incremental.
+  *
+  * State sizing at scale: one state row per (window, status) — bounded
+  * by (days-in-watermark × statuses), not by input volume; the
+  * watermark expires state past the lateness bound (ST4).
+  */
+object StreamingAnalytics {
+
+  /** Tumbling-window order/event rollup over a streaming frame. */
+  def windowedRollup(stream: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowLength: String = "1 day",
+      watermark: String = "1 day"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength).as("win"), col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("total"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+      .select(
+        col("win.start").as("window_start"),
+        col(keyCol), col("n"), col("total"), col("min_value"), col("max_value"))
+
+  /** Streaming replication-lag observation (ST9): attach an observe()
+    * aggregation that reports max commit timestamp per micro-batch; a
+    * QueryListener turns it into the lag gauge. */
+  def withLagObservation(stream: DataFrame, tsCol: String,
+      name: String = "lag_metrics"): DataFrame =
+    stream.observe(name,
+      max(col(tsCol)).as("max_commit_ts"),
+      count(lit(1)).as("batch_rows"))
+}

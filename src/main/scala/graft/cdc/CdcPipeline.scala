@@ -34,7 +34,11 @@ final class CdcPipeline(
     ordCol: String = "commit_timestamp",
     deleteCol: String = "__deleted",
     watermarkDelay: String = "24 hours",
-    partialUpdate: Boolean = true) {
+    partialUpdate: Boolean = true,
+    /** ST5: merge retry attempts with exponential backoff (reference
+      * sink retry config postgres-sink.json:12-13,33-34). */
+    maxMergeRetries: Int = 3,
+    retryBaseBackoffMs: Long = 100) {
 
   /** Parse a raw JSON-line envelope stream with a DLQ split: rows that
     * fail schema parse land in `dlq` with error context
@@ -87,11 +91,44 @@ final class CdcPipeline(
         .forEach(f => Files.delete(f))
     }
 
+  /** ST11 backpressure analog of `max.queue.size`: bound files per
+    * micro-batch. Convenience reader for JSON-line envelope streams. */
+  def readJsonStream(inputDir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val base = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+    val bounded = if (maxFilesPerTrigger > 0)
+      base.option("maxFilesPerTrigger", maxFilesPerTrigger) else base
+    bounded.text(inputDir).toDF("value")
+  }
+
+  /** ST5: retry with exponential backoff around the merge body — the
+    * stream restarts from checkpoint on final failure, so the merge's
+    * idempotence makes retries safe. */
+  private def withRetry[T](what: String)(body: => T): T = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= maxMergeRetries) {
+      try return body
+      catch {
+        case e: Throwable =>
+          lastErr = e
+          attempt += 1
+          if (attempt <= maxMergeRetries)
+            Thread.sleep(retryBaseBackoffMs * (1L << (attempt - 1)))
+      }
+    }
+    throw new RuntimeException(s"$what failed after $maxMergeRetries retries", lastErr)
+  }
+
   /** The per-micro-batch merge body (ST1/ST2/ST7/ST8). Public so batch
     * backfills (S2 snapshot mode) reuse the same path. */
-  def mergeMicroBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (batch.isEmpty) return
-    val tables = batch.select("__table").distinct().collect().map(_.getString(0))
+  def mergeMicroBatch(batch: DataFrame, batchId: Long): Unit = withRetry(s"merge batch $batchId") {
+    // (no early `return` here: NonLocalReturnControl would be caught by
+    // the retry wrapper and misread as a failure)
+    val tables =
+      if (batch.isEmpty) Array.empty[String]
+      else batch.select("__table").distinct().collect().map(_.getString(0))
     tables.foreach { table =>
       keysByTable.get(table).foreach { keys =>
         val updates = batch.filter(col("__table") === table).drop("__table")

@@ -126,6 +126,15 @@ object Differ {
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** Incremental consumption of a discrepancy result (differ.py:387-473
+    * `iter_discrepancies`): partition-at-a-time iterator on the driver —
+    * bounded memory, streams results as partitions complete. */
+  def iterDiscrepancies(src: DataFrame, tgt: DataFrame, keys: Seq[String],
+      opts: CompareOptions = CompareOptions()): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    findAllDiscrepancies(src, tgt, keys, opts).toLocalIterator().asScala
+  }
+
   /** Point lookup (differ.py:586-613) — predicate pushes to the scan. */
   def getRowByKey(df: DataFrame, key: Map[String, Any]): DataFrame =
     key.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }

@@ -184,4 +184,28 @@ object Repairer {
       .filter($"action_type" =!= "NOOP")
       .withColumn("dry_run", lit(dryRun))
   }
+
+  /** Execute repair actions (reference execute_repairs,
+    * `scripts/reconcile.py:490-522`): runs each statement through the
+    * caller-supplied executor (a JDBC statement runner in production),
+    * executor-side via foreachPartition, DELETE→INSERT→UPDATE order
+    * preserved per partition by a repartition-by-priority + sort.
+    * Returns (executed, failed) counts. */
+  def executeRepairs(actions: DataFrame,
+      executor: String => Unit): (Long, Long) = {
+    val sc = actions.sparkSession.sparkContext
+    val executed = sc.longAccumulator("repairs_executed")
+    val failed = sc.longAccumulator("repairs_failed")
+    actions
+      .repartition(col("priority"))
+      .sortWithinPartitions(col("priority"), col("target_key"))
+      .select(col("repair_sql"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        rows.foreach { r =>
+          try { executor(r.getString(0)); executed.add(1) }
+          catch { case _: Exception => failed.add(1) }
+        }
+      }
+    (executed.value, failed.value)
+  }
 }

@@ -1,0 +1,79 @@
+package graft.ops
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.reconcile.Differ
+import graft.repair.Repairer
+import graft.analytics.StreamingAnalytics
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ReconcileCli.parseArgs: contract errors") {
+    assert(ReconcileCli.parseArgs(Array.empty).isLeft)
+    assert(ReconcileCli.parseArgs(Array("frobnicate")).isLeft)
+    assert(ReconcileCli.parseArgs(Array("reconcile", "--source", "s")).isLeft)
+    val ok = ReconcileCli.parseArgs(Array("reconcile", "--source", "s",
+      "--target", "t", "--keys", "a,b", "--tolerance", "0.5", "--execute"))
+    assert(ok.exists(c => c.keys == Seq("a", "b") && c.tolerance == 0.5 && c.execute))
+  }
+
+  test("DlqReplay: dry-run counts, execute re-appends payloads, retry budget") {
+    val dlqDir = Files.createTempDirectory("dlq").toString
+    val inDir = Files.createTempDirectory("in").toString
+    Seq(
+      ("bad json 1", "ParseError", 0),
+      ("bad json 2", "ParseError", 5),  // over retry budget
+      (null.asInstanceOf[String], "ParseError", 0) // null payload skipped
+    ).toDF("original_payload", "error_class", "retry_count")
+      .write.mode("overwrite").parquet(s"$dlqDir/d")
+
+    val dry = DlqReplay.replay(spark, s"$dlqDir/d", inDir, maxRetries = 3)
+    assert(dry == DlqReplay.ReplayResult(1, 0, dryRun = true))
+    val run = DlqReplay.replay(spark, s"$dlqDir/d", inDir, maxRetries = 3, dryRun = false)
+    assert(run.replayed == 1)
+    val replayed = spark.read.text(s"$inDir/*").as[String].collect()
+    assert(replayed.toSeq == Seq("bad json 1"))
+    // missing DLQ path → zero result, no crash
+    assert(DlqReplay.replay(spark, s"$dlqDir/nope", inDir).selected == 0)
+  }
+
+  test("executeRepairs runs statements in priority order with failure counts") {
+    val src = Seq((1L, "a"), (4L, "d")).toDF("id", "v")
+    val tgt = Seq((1L, "x"), (3L, "c")).toDF("id", "v")
+    val disc = Differ.findAllDiscrepancies(src, tgt, Seq("id"))
+    val actions = Repairer.generateRepairActions(disc, "s", "t", Seq("id"), Seq("v"))
+    // closures serialize per task — observe through accumulators only
+    val seen = spark.sparkContext.collectionAccumulator[String]("seen")
+    val (executed, failed) = Repairer.executeRepairs(actions, { sql =>
+      seen.add(sql.takeWhile(_ != ' '))
+      if (sql.startsWith("UPDATE")) throw new RuntimeException("boom")
+    })
+    assert(executed == 2 && failed == 1)
+    val kinds = seen.value
+    assert(kinds.size == 3 && kinds.contains("DELETE") && kinds.contains("INSERT"))
+  }
+
+  test("streaming windowed rollup (ST12): file stream → memory sink") {
+    val in = Files.createTempDirectory("win").toString
+    Files.writeString(java.nio.file.Paths.get(s"$in/d.json"),
+      """{"ts":"2024-01-01T01:00:00Z","status":"NEW","amount":10.0}
+        |{"ts":"2024-01-01T05:00:00Z","status":"NEW","amount":5.0}
+        |{"ts":"2024-01-02T01:00:00Z","status":"DONE","amount":7.0}""".stripMargin)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("status", StringType), StructField("amount", DoubleType)))
+    val stream = spark.readStream.schema(schema).json(in)
+    val rollup = StreamingAnalytics.windowedRollup(stream, "ts", "status", "amount")
+    val q = rollup.writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("rollup_test")
+      .select(date_format($"window_start", "yyyy-MM-dd").as("d"), $"status", $"n", $"total")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(("2024-01-01", "NEW", 2L, 15.0), ("2024-01-02", "DONE", 1L, 7.0)))
+  }
+}
