@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.util.Salting
+
+/** Physical-plan audits: the properties that matter at 100 TB, asserted
+  * so a regression (lost pushdown, lost broadcast, accidental cartesian)
+  * fails CI rather than surfacing as a 100× slowdown on a cluster. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+
+  test("q6 top-orders: column pruning reaches the parquet scan") {
+    val p = plan("q6_top_orders")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"scan should read exactly 2 columns:\n$p")
+  }
+
+  test("q3 product-inventory MV: dim side is broadcast, fact never shuffles") {
+    val p = plan("q3_product_inventory")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q4 referential integrity: customer dim broadcast; lineitem pre-aggregated") {
+    val p = plan("q4_ref_integrity")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q1 pricing summary: vectorized scan + map-side partial aggregation") {
+    val p = plan("q1_pricing_summary")
+    // (AQE prints the pre-execution plan without WholeStageCodegen spans;
+    // the load-bearing properties are the partial agg and batched scan)
+    assert(p.contains("partial_sum"), "map-side partial aggregation expected")
+    assert(p.contains("Batched: true"), "vectorized parquet scan expected")
+  }
+
+  test("q7 latest-per-key: hash aggregate, not a window sort") {
+    val p = plan("q7_latest_event_per_user")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    assert(!p.contains("Window"), "latest-per-key must not use a window")
+  }
+
+  test("q13 discrepancies: one join, no cartesian, no broadcast of the big sides") {
+    val p = plan("q13_all_discrepancies")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) // tiny sf may broadcast; any equi-join ok
+  }
+
+  test("predicate pushdown: point lookup reaches PushedFilters") {
+    val df = graft.reconcile.Differ.getRowByKey(
+      Tables.orders(spark, sf), Map("o_orderkey" -> 42L))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"),
+      s"expected pushdown:\n$p")
+  }
+
+  test("salted count equals plain count under synthetic skew") {
+    val skewed = spark.range(10000)
+      .select(when($"id" % 100 === 0, lit("hot")).otherwise(lit("cold")).as("k"))
+    val plain = skewed.groupBy("k").count().as[(String, Long)].collect().toMap
+    val salted = Salting.saltedCount(skewed, Seq("k"), salts = 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join under synthetic skew") {
+    val skewed = spark.range(5000)
+      .select(($"id" % 3).as("k"), $"id".as("v"))
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (9L, "unmatched"))
+      .toDF("k", "name")
+    val plain = skewed.join(small, Seq("k")).agg(count(lit(1)), sum($"v"))
+      .as[(Long, Long)].head()
+    val salted = Salting.saltedJoin(skewed, small, Seq("k"), salts = 4)
+      .agg(count(lit(1)), sum($"v")).as[(Long, Long)].head()
+    assert(salted == plain)
+  }
+}
