@@ -218,6 +218,21 @@ object SparkEntry {
         Multimodal.decodeAndFeaturize(
           Multimodal.syntheticAssets(Tables.documents(s, d))), n = 4)),
 
+    "q43_token_counts" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe_tokens"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"))),
+    "q44_winnowing_fingerprints" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        explode(TextAnalysis.winnowingFingerprints(col("text"), k = 4, w = 4))
+          .as("fingerprint"))),
+    "q45_ann_ivf_topk" -> ((s, d) => {
+      val q = queryVector(s, d)
+      val (model, index) = graft.vector.Ivf.buildIndex(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
+      graft.vector.Ivf.annTopK(model, index, "vec_id", "embedding", q, 10, nProbe = 2)
+    }),
+
     // §2.8 repair plan as a query (deterministic SQL codegen output)
     "q42_repair_plan" -> ((s, d) => {
       val disc = Differ.findAllDiscrepancies(srcOrders(s, d), tgtOrders(s, d),
@@ -435,6 +450,11 @@ object SparkEntry {
         |JOIN sizes sa ON inter.id_a = sa.doc_id
         |JOIN sizes sb ON inter.id_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3""".stripMargin,
+    "q43_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
+        |FROM documents""".stripMargin,
     "q37_ann_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,

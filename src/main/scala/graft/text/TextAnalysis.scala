@@ -120,6 +120,33 @@ object TextAnalysis {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** BPE-ish subword token count: the GPT-2-style pretokenizer regex
+    * (contractions | letter runs | digit runs | punctuation runs, each
+    * with optional leading space). Counts pretokens — the quantity BPE
+    * vocabularies split further — which tracks LLM token counts far
+    * better than whitespace words. */
+  val BpeishPattern: String =
+    "'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeishPattern), lit(0))).cast("long")
+
+  /** Winnowing fingerprints (rolling-hash document fingerprinting, after
+    * Schleimer/Wilkerson/Aiken's winnowing scheme): hash every k-gram,
+    * keep the minimum hash of each sliding window of w consecutive
+    * k-gram hashes. Guarantees any shared run of ≥ w+k-1 tokens yields a
+    * shared fingerprint — the standard near-copy detector for corpora.
+    * Pure expressions; distinct fingerprint set per document. */
+  def winnowingFingerprints(c: Column, k: Int = 4, w: Int = 4): Column = {
+    val grams = Dedup.shingleHashes(c, k)
+    // window minima over the k-gram hash sequence
+    aggregate(array(grams), lit(null).cast("array<bigint>"), (_, g) =>
+      when(size(g) >= w,
+        array_distinct(transform(sequence(lit(0), size(g) - lit(w)),
+          i => array_min(slice(g, i + 1, lit(w))))))
+        .otherwise(array(array_min(g))))
+  }
+
   /** Full per-document stats projection used by the stats query. */
   def stats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)
