@@ -148,10 +148,31 @@ final class CdcPipeline(
     }
   }
 
+  /** V1–V6 as a pre-merge gate (SURVEY §7.4.4): a Spark stream fixes its
+    * schema at start, so an envelope-schema change must pass the compat
+    * check and register BEFORE the stream starts — incompatible changes
+    * block with the issue list (the reference's registry
+    * block-and-alert flow, data-model.md:547-565) instead of silently
+    * corrupting the sink. */
+  def gateSchema(store: graft.schemaevo.SchemaStore, subject: String,
+      avroSchemaJson: String): Unit =
+    store.register(subject, avroSchemaJson) match {
+      case Left(issues) => throw new IllegalStateException(
+        s"schema change for '$subject' blocked: ${issues.mkString("; ")}")
+      case Right(_) => ()
+    }
+
   /** Wire the full streaming pipeline onto a raw JSON-line stream.
-    * Returns the started query; DLQ rows append to `warehouseDir/_dlq`. */
+    * Returns the started query; DLQ rows append to `warehouseDir/_dlq`.
+    * When `schemaGate` is given, the envelope's Avro schema must pass
+    * the registry compat check first. */
   def start(raw: DataFrame, envelopeSchema: StructType,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      schemaGate: Option[(graft.schemaevo.SchemaStore, String, String)] = None)
+      : StreamingQuery = {
+    schemaGate.foreach { case (store, subject, avroJson) =>
+      gateSchema(store, subject, avroJson)
+    }
     val (good, dlq) = parseWithDlq(raw, envelopeSchema)
     // fire-and-forget DLQ append (separate sink path, ST6)
     dlq.writeStream

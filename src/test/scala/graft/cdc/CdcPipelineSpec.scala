@@ -73,6 +73,29 @@ class CdcPipelineSpec extends SparkSpec {
     assert(dlq.select("original_payload").as[String].head().contains("not json"))
   }
 
+  test("schema gate blocks incompatible envelope changes before the stream starts") {
+    import graft.schemaevo.SchemaStore
+    val store = new SchemaStore()
+    val wh = tmpDir(); val cp = tmpDir()
+    val pipeline = new CdcPipeline(spark, wh, cp, Map("users" -> Seq("user_id")))
+    val v1 =
+      """{"type":"record","name":"UserEvent","namespace":"cdc","fields":[
+        |{"name":"user_id","type":"string"},{"name":"status","type":"string"}]}""".stripMargin
+    pipeline.gateSchema(store, "users-value", v1) // registers v1
+    // removing a field is backward-incompatible → must block
+    val v2 = """{"type":"record","name":"UserEvent","namespace":"cdc","fields":[
+        |{"name":"user_id","type":"string"}]}""".stripMargin
+    val e = intercept[IllegalStateException](
+      pipeline.gateSchema(store, "users-value", v2))
+    assert(e.getMessage.contains("blocked") && e.getMessage.contains("status"))
+    // compatible widening passes and registers v2
+    val v3 = """{"type":"record","name":"UserEvent","namespace":"cdc","fields":[
+        |{"name":"user_id","type":"string"},{"name":"status","type":"string"},
+        |{"name":"age","type":["null","int"],"default":null}]}""".stripMargin
+    pipeline.gateSchema(store, "users-value", v3)
+    assert(store.versions("users-value") == Seq(1, 2))
+  }
+
   test("restart consistency: second run of same data is idempotent (ST1/ST3)") {
     val in = jsonEvents(Seq(
       ev("INSERT", 1000L, "u1", "alice", "active"),
