@@ -23,6 +23,20 @@ class ObserveSpec extends SparkSpec {
     assert(m.gauge("reconciliation_accuracy_percent", Map("table" -> "users")) == 90.0)
   }
 
+  test("correlation context: propagation, nesting, restoration (correlation.py:84-151)") {
+    assert(Correlation.currentId.isEmpty)
+    val outer = Correlation.withContext("outer-id") { id =>
+      assert(id == "outer-id" && Correlation.currentId.contains("outer-id"))
+      Correlation.withContext() { inner =>
+        assert(inner.matches("[0-9a-f-]{36}"))
+        assert(Correlation.currentId.contains(inner))
+      }
+      assert(Correlation.currentId.contains("outer-id")) // restored after nest
+      id
+    }
+    assert(outer == "outer-id" && Correlation.currentId.isEmpty) // cleaned up
+  }
+
   test("alert rules fire on threshold breach (alerts.py:45-322)") {
     val m = new MetricsRegistry("cdc")
     m.setGauge("replication_lag_seconds", 1000.0)   // > 900 critical, > 300 warning
