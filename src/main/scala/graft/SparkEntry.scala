@@ -233,6 +233,13 @@ object SparkEntry {
       graft.vector.Ivf.annTopK(model, index, "vec_id", "embedding", q, 10, nProbe = 2)
     }),
 
+    "q46_dedup_near_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupByPairs(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // §2.8 repair plan as a query (deterministic SQL codegen output)
     "q42_repair_plan" -> ((s, d) => {
       val disc = Differ.findAllDiscrepancies(srcOrders(s, d), tgtOrders(s, d),
@@ -455,6 +462,22 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens,
         | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
         |FROM documents""".stripMargin,
+    "q46_dedup_near_corpus" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 3
+        |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |drops AS (SELECT DISTINCT id_b FROM inter
+        |  JOIN sizes sa ON inter.id_a = sa.doc_id
+        |  JOIN sizes sb ON inter.id_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin,
     "q37_ann_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,

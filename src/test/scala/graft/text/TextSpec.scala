@@ -86,6 +86,14 @@ class TextSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("dedupNear: near-dup corpus keeps min-id survivors") {
+    val kept = Dedup.dedupNear(docs, "doc_id", "text",
+      k = 2, numHashes = 32, bands = 16, threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3} survives as {1}; 4 and 5 untouched
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("ngram jaccard: exact dup = 1.0, near dup in (0,1), thresholds apply") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 2, threshold = 0.2)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
