@@ -36,7 +36,13 @@ object ReconcileCli {
       tolerance: Double = 1e-4,
       repairInto: String = "cdc_data.target",
       execute: Boolean = false,
-      maxPrint: Int = 20)
+      maxPrint: Int = 20,
+      /** SURVEY §7.4.6: snapshot cutoff — reconcile both sides as of a
+        * commit timestamp so in-flight events don't appear as false
+        * discrepancies (the reference reads both sides live and eats the
+        * noise, reconcile.py:378-413). */
+      asOf: Option[String] = None,
+      asOfColumn: String = "cdc_timestamp")
 
   def parseArgs(args: Array[String]): Either[String, Config] = {
     if (args.isEmpty) return Left("usage: reconcile|report --source P --target P --keys K[,K]")
@@ -54,11 +60,16 @@ object ReconcileCli {
         case "--repair-into" => c = c.copy(repairInto = args(i + 1)); i += 2
         case "--execute" => c = c.copy(execute = true); i += 1
         case "--max-print" => c = c.copy(maxPrint = args(i + 1).toInt); i += 2
+        case "--as-of" => c = c.copy(asOf = Some(args(i + 1))); i += 2
+        case "--as-of-column" => c = c.copy(asOfColumn = args(i + 1)); i += 2
         case other => return Left(s"unknown flag '$other'")
       }
     }
     if (c.source.isEmpty || c.target.isEmpty || c.keys.isEmpty)
       Left("--source, --target and --keys are required")
+    else if (c.asOf.exists(s =>
+        scala.util.Try(java.sql.Timestamp.valueOf(s)).isFailure))
+      Left(s"--as-of must be 'yyyy-MM-dd HH:mm:ss[.f]', got '${c.asOf.get}'")
     else Right(c)
   }
 
@@ -82,8 +93,14 @@ object ReconcileCli {
   }
 
   def run(spark: SparkSession, cfg: Config): Int = {
+    def cutoff(df: DataFrame): DataFrame = cfg.asOf match {
+      case Some(ts) if df.columns.contains(cfg.asOfColumn) =>
+        df.filter(col(cfg.asOfColumn) <= lit(ts).cast("timestamp"))
+      case _ => df
+    }
     val (src, tgt) =
-      try (spark.read.parquet(cfg.source), spark.read.parquet(cfg.target))
+      try (cutoff(spark.read.parquet(cfg.source)),
+           cutoff(spark.read.parquet(cfg.target)))
       catch { case e: Exception =>
         System.err.println(s"[connection] cannot read inputs: ${e.getMessage}")
         return 11

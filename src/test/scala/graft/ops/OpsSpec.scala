@@ -17,8 +17,10 @@ class OpsSpec extends SparkSpec {
     assert(ReconcileCli.parseArgs(Array("frobnicate")).isLeft)
     assert(ReconcileCli.parseArgs(Array("reconcile", "--source", "s")).isLeft)
     val ok = ReconcileCli.parseArgs(Array("reconcile", "--source", "s",
-      "--target", "t", "--keys", "a,b", "--tolerance", "0.5", "--execute"))
-    assert(ok.exists(c => c.keys == Seq("a", "b") && c.tolerance == 0.5 && c.execute))
+      "--target", "t", "--keys", "a,b", "--tolerance", "0.5", "--execute",
+      "--as-of", "2024-01-20 00:00:00", "--as-of-column", "commit_ts"))
+    assert(ok.exists(c => c.keys == Seq("a", "b") && c.tolerance == 0.5 && c.execute &&
+      c.asOf.contains("2024-01-20 00:00:00") && c.asOfColumn == "commit_ts"))
   }
 
   test("DlqReplay: dry-run counts, execute re-appends payloads, retry budget") {
