@@ -68,27 +68,33 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       col("source"))
 
+  /** Decoded-asset record (field names/types match [[decodedSchema]]). */
+  final case class Decoded(asset_id: Long, media_type: String, width: Int,
+      height: Int, duration_ms: Long, n_bytes: Long, features: Seq[Float])
+
   /** Decode + feature-extract in partition batches (the mapInPandas
     * analog). Repartitions by id first so work spreads evenly across
-    * executors regardless of input file layout. */
+    * executors regardless of input file layout. Typed-Dataset
+    * mapPartitions keeps ser/de in codegen'd encoders (no Row-RDD
+    * round-trip). */
   def decodeAndFeaturize(assets: DataFrame, parallelism: Int = 0): DataFrame = {
     val spark = assets.sparkSession
+    import spark.implicits._
     val parts = if (parallelism > 0) parallelism
       else spark.sparkContext.defaultParallelism
-    val repartitioned = assets
-      .select(col("asset_id"), col("media_type"), col("payload"))
+    assets
+      .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
       .repartition(parts, col("asset_id"))
-    val out = repartitioned.rdd.mapPartitions { rows =>
-      // batch-scoped "codec" setup would go here (once per partition)
-      rows.map { r =>
-        val id = r.getLong(0)
-        val mt = if (r.isNullAt(1)) null else r.getString(1)
-        val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-        val (w, h, dur, feats) = decodeStub(mt, payload)
-        Row(id, mt, w, h, dur, payload.length.toLong, feats.toSeq)
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // batch-scoped "codec" setup would go here (once per partition)
+        rows.map { case (id, mt, payloadOrNull) =>
+          val payload = if (payloadOrNull == null) Array.empty[Byte] else payloadOrNull
+          val (w, h, dur, feats) = decodeStub(mt, payload)
+          Decoded(id, mt, w, h, dur, payload.length.toLong, feats.toSeq)
+        }
       }
-    }
-    spark.createDataFrame(out, decodedSchema)
+      .toDF()
   }
 
   /** Resize stub: recomputes metadata for a target box, preserving
