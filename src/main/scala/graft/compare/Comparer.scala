@@ -38,8 +38,10 @@ object Comparer {
   def valuesEqual(a: Column, b: Column, dt: DataType,
       opts: CompareOptions = CompareOptions()): Column = dt match {
     case DoubleType | FloatType =>
-      (a.isNull && b.isNull) ||
-        (a.isNotNull && b.isNotNull && abs(a - b) < lit(opts.floatTolerance))
+      // native codegen'd expression; semantics identical to
+      // (a IS NULL AND b IS NULL) OR (both non-null AND |a-b| < tol)
+      graft.functions.TolerantEquals.tolerantEquals(
+        a.cast(DoubleType), b.cast(DoubleType), opts.floatTolerance)
     case d: DecimalType =>
       // trailing-zero-insensitive numeric compare via common wide scale
       val wide = DecimalType(math.min(38, d.precision + 6), math.min(18, d.scale + 6))

@@ -73,6 +73,42 @@ class CdcPipelineSpec extends SparkSpec {
     assert(dlq.select("original_payload").as[String].head().contains("not json"))
   }
 
+  test("multi-table stream: one envelope stream routes to two warehouse tables " +
+      "with composite keys (test_end_to_end.py:167 analog)") {
+    val mkEv = (table: String, ts: Long, kv: String) =>
+      s"""{"topic":"scylla-cluster.app_data.$table","operation":"INSERT","commit_timestamp":$ts,$kv}"""
+    val in = jsonEvents(Seq(
+      mkEv("orders", 1000L, """"order_id":"o1","status":"pending","item_id":null"""),
+      mkEv("orders", 2000L, """"order_id":"o2","status":"completed","item_id":null"""),
+      mkEv("order_items", 1001L, """"order_id":"o1","item_id":"i1","status":null"""),
+      mkEv("order_items", 1002L, """"order_id":"o1","item_id":"i2","status":null"""),
+      mkEv("order_items", 1003L, """"order_id":"o2","item_id":"i1","status":null""")))
+    val schema = StructType(Seq(
+      StructField("topic", StringType), StructField("operation", StringType),
+      StructField("commit_timestamp", LongType),
+      StructField("order_id", StringType), StructField("item_id", StringType),
+      StructField("status", StringType)))
+    val wh = tmpDir(); val cp = tmpDir()
+    val pipeline = new CdcPipeline(spark, wh, cp, keysByTable = Map(
+      "orders" -> Seq("order_id"),
+      "order_items" -> Seq("order_id", "item_id"))) // composite PK
+    val q = pipeline.start(
+      spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+        .text(in).toDF("value"), schema, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    spark.streams.active.foreach(_.awaitTermination(60000))
+
+    val orders = pipeline.readTable("orders").get
+    assert(orders.count() == 2)
+    val items = pipeline.readTable("order_items").get
+    val itemKeys = items.select("order_id", "item_id").as[(String, String)]
+      .collect().toSet
+    assert(itemKeys == Set(("o1", "i1"), ("o1", "i2"), ("o2", "i1")))
+    // referential integrity across the two replicated tables (J12)
+    val orphans = items.join(orders.select($"order_id"), Seq("order_id"), "left_anti")
+    assert(orphans.count() == 0)
+  }
+
   test("schema gate blocks incompatible envelope changes before the stream starts") {
     import graft.schemaevo.SchemaStore
     val store = new SchemaStore()
