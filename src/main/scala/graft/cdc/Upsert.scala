@@ -99,8 +99,10 @@ object Upsert {
     out.select(keys.map(col) ++ resolved: _*)
   }
 
-  /** collapseBatch but keeping delete markers (merge needs to see them). */
-  private[cdc] def collapseBatchKeepDeletes(df: DataFrame, keys: Seq[String],
+  /** collapseBatch but keeping delete markers — the shape merge kernels
+    * and JDBC sink statement generation consume (public: sink authors
+    * outside this package need exactly this collapse). */
+  def collapseBatchKeepDeletes(df: DataFrame, keys: Seq[String],
       ord: Column, deleteCol: String, partialUpdateCols: Seq[String]): DataFrame = {
     val others = df.columns.filterNot(keys.contains)
     val aggs = others.map { c =>
