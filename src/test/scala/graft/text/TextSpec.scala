@@ -94,6 +94,29 @@ class TextSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("connected components: chained clusters collapse to one survivor") {
+    // chain: 1~3 and 2~3, but NO direct 1~2 pair
+    val pairs = Seq((1L, 3L, 0.9), (2L, 3L, 0.9)).toDF("id_a", "id_b", "jaccard")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val corpus = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    // greedy pair-based dedup keeps {1,2,9} — two reps of one cluster
+    val greedy = Dedup.dedupByPairs(corpus, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(greedy == Set(1L, 2L, 9L))
+    // component-exact dedup keeps one per cluster
+    val exact = Dedup.dedupByComponents(corpus, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(exact == Set(1L, 9L))
+  }
+
+  test("connected components: long chain converges within iteration budget") {
+    val chain = (1L until 9L).map(i => (i, i + 1, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val cc = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L) && cc.size == 9)
+  }
+
   test("ngram jaccard: exact dup = 1.0, near dup in (0,1), thresholds apply") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 2, threshold = 0.2)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
