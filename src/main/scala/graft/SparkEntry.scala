@@ -233,6 +233,9 @@ object SparkEntry {
       graft.vector.Ivf.annTopK(model, index, "vec_id", "embedding", q, 10, nProbe = 2)
     }),
 
+    "q47_sessionize" -> ((s, d) =>
+      graft.analytics.StreamingAnalytics.sessionize(
+        Tables.events(s, d), "ts", "user_id", "value", gap = "3 days")),
     "q46_dedup_near_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.dedupByPairs(docs, "doc_id",
@@ -462,6 +465,19 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens,
         | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
         |FROM documents""".stripMargin,
+    "q47_sessionize" ->
+      """WITH marked AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 3 DAY THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM marked)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(max(ts) + INTERVAL 3 DAY, '%Y-%m-%d %H:%M:%S') AS session_end,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "q46_dedup_near_corpus" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(

@@ -29,6 +29,25 @@ object StreamingAnalytics {
         col("win.start").as("window_start"),
         col(keyCol), col("n"), col("total"), col("min_value"), col("max_value"))
 
+  /** Gap-based sessionization (extended surface; event-stream staple):
+    * events of one key belong to one session while consecutive gaps stay
+    * UNDER `gap`; a gap ≥ `gap` opens a new session (Spark session
+    * windows are [start, last_event + gap) — exclusive end). Works on
+    * batch frames directly and on streams with a watermark upstream;
+    * state per in-flight session only. */
+  def sessionize(df: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, gap: String = "30 minutes"): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .select(
+        col(keyCol),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Streaming replication-lag observation (ST9): attach an observe()
     * aggregation that reports max commit timestamp per micro-batch; a
     * QueryListener turns it into the lag gauge. */
