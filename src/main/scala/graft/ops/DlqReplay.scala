@@ -17,11 +17,37 @@ object DlqReplay {
 
   final case class ReplayResult(selected: Long, replayed: Long, dryRun: Boolean)
 
+  /** Replay-attempt ledger: the streaming DLQ sink dir can't be rewritten
+    * (its `_spark_metadata` belongs to the sink), and a re-quarantined
+    * payload arrives as a fresh row with retry_count 0 — so attempts are
+    * tracked in a side table keyed by payload hash. `--max-retries` then
+    * bounds REPLAY CYCLES, not just stored rows. */
+  private def attemptsPath(dlqPath: String) = s"${dlqPath}__replay_attempts"
+
+  private def attempts(spark: SparkSession, dlqPath: String): DataFrame = {
+    val p = attemptsPath(dlqPath)
+    if (Files.exists(Paths.get(p)))
+      spark.read.parquet(p) // defensive: one row per hash regardless of writer
+        .groupBy("payload_hash").agg(max("attempts").as("attempts"))
+    else spark.emptyDataFrame
+      .select(lit("").as("payload_hash"), lit(0L).as("attempts"))
+      .limit(0)
+  }
+
   def selectReplayable(dlq: DataFrame, maxRetries: Int = 3,
-      errorClass: Option[String] = None): DataFrame = {
+      errorClass: Option[String] = None,
+      attemptLedger: Option[DataFrame] = None): DataFrame = {
     val base = dlq.filter(col("retry_count") < maxRetries)
       .filter(col("original_payload").isNotNull)
-    errorClass.fold(base)(ec => base.filter(col("error_class") === ec))
+    val filtered = errorClass.fold(base)(ec => base.filter(col("error_class") === ec))
+    attemptLedger match {
+      case Some(ledger) =>
+        filtered.withColumn("payload_hash", sha2(col("original_payload"), 256))
+          .join(ledger, Seq("payload_hash"), "left")
+          .filter(coalesce(col("attempts"), lit(0L)) < maxRetries)
+          .drop("payload_hash", "attempts")
+      case None => filtered
+    }
   }
 
   /** Replay to a stream input directory (file-source analog of topic
@@ -32,7 +58,13 @@ object DlqReplay {
     if (!Files.exists(Paths.get(dlqPath)))
       return ReplayResult(0, 0, dryRun)
     val dlq = spark.read.parquet(dlqPath)
-    val replayable = selectReplayable(dlq, maxRetries, errorClass).limit(batchLimit)
+    val ledger = attempts(spark, dlqPath)
+    // one replay per distinct payload per cycle: a payload re-quarantined
+    // N times is still one poison message
+    val replayable = selectReplayable(dlq, maxRetries, errorClass, Some(ledger))
+      .dropDuplicates("original_payload")
+      .limit(batchLimit)
+      .localCheckpoint() // consumed 3x: count, payload write, ledger update
     val n = replayable.count()
     if (dryRun || n == 0) return ReplayResult(n, 0, dryRun)
     // The file-stream source lists inputDir NON-recursively, so replayed
@@ -52,6 +84,28 @@ object DlqReplay {
         i += 1
       }
     }
+    // bump the attempt ledger for everything just replayed (staging-swap
+    // write: the ledger is ours, unlike the streaming DLQ dir). Union +
+    // sum-per-hash keeps the ledger one row per payload even if dup rows
+    // ever sneak in.
+    val bumped = ledger.select(col("payload_hash"), col("attempts"))
+      .union(replayable.select(sha2(col("original_payload"), 256).as("payload_hash"),
+        lit(1L).as("attempts")))
+      .groupBy("payload_hash").agg(sum("attempts").as("attempts"))
+    val ledgerTmp = s"${attemptsPath(dlqPath)}__staging"
+    bumped.write.mode("overwrite").parquet(ledgerTmp)
+    def deleteRecursive(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+    val dest = Paths.get(attemptsPath(dlqPath))
+    if (Files.exists(dest)) {
+      val old = Paths.get(s"${attemptsPath(dlqPath)}__old")
+      deleteRecursive(old)
+      Files.move(dest, old)
+      Files.move(Paths.get(ledgerTmp), dest)
+      deleteRecursive(old)
+    } else Files.move(Paths.get(ledgerTmp), dest)
     ReplayResult(n, n, dryRun = false)
   }
 

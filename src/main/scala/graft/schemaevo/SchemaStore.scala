@@ -12,7 +12,10 @@ import scala.collection.concurrent.TrieMap
   * persists to a small warehouse table — the store is tiny (one row per
   * schema version), never a distributed-data concern.
   */
-final class SchemaStore(defaultMode: SchemaCompat.Mode = SchemaCompat.Backward) {
+final class SchemaStore(defaultMode: SchemaCompat.Mode = SchemaCompat.Backward,
+    /** M4 schema metrics (metrics.py:308-384): change / compat-failure
+      * counters and current-version gauges flow here when provided. */
+    metrics: Option[graft.observe.MetricsRegistry] = None) {
 
   final case class Registered(subject: String, version: Int, schemaJson: String,
       fingerprint: String)
@@ -32,7 +35,11 @@ final class SchemaStore(defaultMode: SchemaCompat.Mode = SchemaCompat.Backward) 
   def register(subject: String, schemaJson: String,
       strict: Boolean = false): Either[Seq[String], Registered] = {
     val v = SchemaCompat.validate(schemaJson, strict)
-    if (!v.valid) return Left(v.errors)
+    if (!v.valid) {
+      metrics.foreach(_.inc("schema_validation_failures_total", 1.0,
+        Map("subject" -> subject)))
+      return Left(v.errors)
+    }
     val fp = SchemaCompat.fingerprint(schemaJson)
     val versions = store.getOrElse(subject, Vector.empty)
     versions.find(_.fingerprint == fp) match {
@@ -41,11 +48,21 @@ final class SchemaStore(defaultMode: SchemaCompat.Mode = SchemaCompat.Backward) 
         versions.lastOption match {
           case Some(latest) =>
             val c = SchemaCompat.check(compatibilityOf(subject), schemaJson, latest.schemaJson)
-            if (!c.compatible) return Left(c.issues)
+            if (!c.compatible) {
+              metrics.foreach(_.inc("schema_compat_failures_total", 1.0,
+                Map("subject" -> subject,
+                  "mode" -> compatibilityOf(subject).toString)))
+              return Left(c.issues)
+            }
           case None =>
         }
         val reg = Registered(subject, versions.length + 1, schemaJson, fp)
         store.put(subject, versions :+ reg)
+        metrics.foreach { m =>
+          m.inc("schema_changes_total", 1.0, Map("subject" -> subject))
+          m.setGauge("schema_current_version", reg.version.toDouble,
+            Map("subject" -> subject))
+        }
         Right(reg)
     }
   }

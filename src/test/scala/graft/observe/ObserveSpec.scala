@@ -23,6 +23,24 @@ class ObserveSpec extends SparkSpec {
     assert(m.gauge("reconciliation_accuracy_percent", Map("table" -> "users")) == 90.0)
   }
 
+  test("M4 schema metrics flow from the registry into the alert rules") {
+    import graft.schemaevo.{SchemaCompat, SchemaStore}
+    val m = new MetricsRegistry("cdc")
+    val store = new SchemaStore(SchemaCompat.Backward, metrics = Some(m))
+    def rec(fields: String) =
+      s"""{"type":"record","name":"U","namespace":"n","fields":[$fields]}"""
+    assert(store.register("users-value", rec("""{"name":"id","type":"string"}""")).isRight)
+    // incompatible (field removed) → compat-failure counter
+    assert(store.register("users-value", rec("")).isLeft)
+    assert(m.counter("schema_changes_total", Map("subject" -> "users-value")) == 1.0)
+    assert(m.counter("schema_compat_failures_total",
+      Map("subject" -> "users-value", "mode" -> "Backward")) == 1.0)
+    assert(m.gauge("schema_current_version", Map("subject" -> "users-value")) == 1.0)
+    // the reference's SchemaCompatFailures alert fires off the snapshot
+    val fired = Alerts.evaluate(m.snapshot(spark)).collect().map(_.getString(0)).toSet
+    assert(fired.contains("SchemaCompatFailures"))
+  }
+
   test("correlation context: propagation, nesting, restoration (correlation.py:84-151)") {
     assert(Correlation.currentId.isEmpty)
     val outer = Correlation.withContext("outer-id") { id =>

@@ -41,6 +41,18 @@ class OpsSpec extends SparkSpec {
     assert(replayed.toSeq == Seq("bad json 1"))
     // missing DLQ path → zero result, no crash
     assert(DlqReplay.replay(spark, s"$dlqDir/nope", inDir).selected == 0)
+    // attempt ledger bounds REPLAY CYCLES: the same payload (still in the
+    // DLQ with retry_count 0) is not selected again once attempts == max
+    val again = DlqReplay.replay(spark, s"$dlqDir/d", inDir, maxRetries = 1,
+      dryRun = false)
+    assert(again == DlqReplay.ReplayResult(0, 0, dryRun = false))
+    // with budget 2 it replays once more, then exhausts
+    val third = DlqReplay.replay(spark, s"$dlqDir/d", inDir, maxRetries = 2,
+      dryRun = false)
+    assert(third.replayed == 1)
+    val fourth = DlqReplay.replay(spark, s"$dlqDir/d", inDir, maxRetries = 2,
+      dryRun = false)
+    assert(fourth.replayed == 0)
   }
 
   test("executeRepairs runs statements in priority order with failure counts") {
