@@ -96,7 +96,12 @@ object ReconcileCli {
     def cutoff(df: DataFrame): DataFrame = cfg.asOf match {
       case Some(ts) if df.columns.contains(cfg.asOfColumn) =>
         df.filter(col(cfg.asOfColumn) <= lit(ts).cast("timestamp"))
-      case _ => df
+      case Some(_) =>
+        // a typo'd column name must not silently reconcile unfiltered
+        System.err.println(s"[warn] --as-of ignored: column " +
+          s"'${cfg.asOfColumn}' not present; reconciling unfiltered")
+        df
+      case None => df
     }
     val (src, tgt) =
       try (cutoff(spark.read.parquet(cfg.source)),
