@@ -478,6 +478,21 @@ object SparkEntry {
         | count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "q42_repair_plan" ->
+      s"""WITH src AS ($srcSql), tgt AS ($tgtSql),
+         |d AS (SELECT coalesce(s.o_orderkey, t.o_orderkey) AS k,
+         |  CASE WHEN t.o_orderkey IS NULL THEN 'missing_in_target'
+         |       WHEN s.o_orderkey IS NULL THEN 'extra_in_target'
+         |       WHEN NOT ((s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus)
+         |         AND ${eqDoubleSql("s.o_totalprice", "t.o_totalprice")}) THEN 'mismatch'
+         |       ELSE 'match' END AS dtype
+         | FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey)
+         |SELECT CASE dtype WHEN 'extra_in_target' THEN 0
+         |                  WHEN 'missing_in_target' THEN 1 ELSE 2 END AS priority,
+         | CASE dtype WHEN 'extra_in_target' THEN 'DELETE'
+         |            WHEN 'missing_in_target' THEN 'INSERT' ELSE 'UPDATE' END AS action_type,
+         | '"o_orderkey" = ' || CAST(k AS VARCHAR) AS target_key
+         |FROM d WHERE dtype <> 'match'""".stripMargin,
     "q46_dedup_near_corpus" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(

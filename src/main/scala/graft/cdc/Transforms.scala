@@ -85,6 +85,27 @@ object Transforms {
     df.withColumn("correlation_id", id)
   }
 
+  /** Type-fidelity cast (SURVEY §7.4.5): apply a target table's
+    * StructType to a generically-typed (string-heavy) routed envelope —
+    * UUIDs stay canonical lowercase strings, money becomes
+    * DECIMAL(12,2), timestamps parse in the UTC session zone. Columns
+    * absent from the schema pass through untouched (CDC metadata etc.);
+    * schema columns absent from the frame are NOT invented. */
+  def castTo(df: DataFrame, schema: StructType,
+      /** lenient: malformed values become NULL (try_cast) for DLQ
+        * routing, instead of ANSI mode failing the whole micro-batch on
+        * one poison value. */
+      lenient: Boolean = false): DataFrame = {
+    val target = schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(df.columns.toSeq.map { c =>
+      target.get(c) match {
+        case Some(dt) if df.schema(c).dataType != dt =>
+          (if (lenient) col(c).try_cast(dt) else col(c).cast(dt)).as(c)
+        case _ => col(c)
+      }
+    }: _*)
+  }
+
   /** T8 CDC metadata stamping (init.sql:31-35). */
   def withCdcMeta(df: DataFrame, opCol: String = "operation",
       source: String = "scylla", streamId: Column = lit(null).cast(StringType)): DataFrame =

@@ -59,6 +59,31 @@ class TransformsSpec extends SparkSpec {
     assert(got.select("cdc_source").as[String].head() == "scylla")
   }
 
+  test("castTo applies the table schema to a string-typed envelope (§7.4.5)") {
+    val df = Seq(("o1", "u1", "199.50", "2024-01-02 03:04:05", "op"))
+      .toDF("order_id", "user_id", "total_amount", "order_date", "cdc_operation")
+    val typed = Transforms.castTo(df, ReferenceSchemas.orders)
+    assert(typed.schema("total_amount").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    assert(typed.schema("order_date").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(typed.schema("cdc_operation").dataType ==
+      org.apache.spark.sql.types.StringType) // passthrough untouched
+    val r = typed.select("total_amount", "order_date").head()
+    assert(r.getDecimal(0) == new java.math.BigDecimal("199.50"))
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-01-02 03:04:05"))
+    // lenient mode: poison values null out (DLQ-routable) instead of
+    // ANSI-failing the batch
+    val bad = Seq(("o2", "u2", "NOT MONEY", "nor a date", "x"))
+      .toDF("order_id", "user_id", "total_amount", "order_date", "status")
+    val lenient = Transforms.castTo(bad, ReferenceSchemas.orders, lenient = true)
+      .select("total_amount", "order_date").head()
+    assert(lenient.isNullAt(0) && lenient.isNullAt(1))
+    assertThrows[Exception](
+      Transforms.castTo(bad, ReferenceSchemas.orders).select("total_amount")
+        .collect())
+  }
+
   test("dropTombstones removes null-value records (T6)") {
     val df = Seq((1L, Some("v")), (2L, None)).toDF("id", "value")
     assert(Transforms.dropTombstones(df, "value").count() == 1)
