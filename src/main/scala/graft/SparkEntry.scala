@@ -433,16 +433,17 @@ object SparkEntry {
     "q33_quality_score" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
          |m AS (SELECT doc_id,
-         |  CAST(len(toks) AS DOUBLE) AS n_tokens,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  greatest(CAST(len(toks) AS BIGINT), 1) AS toks_n,
+         |  CAST(len(list_filter(toks, x -> x IN ($enStop))) AS BIGINT) AS sw,
          |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
-         |    / greatest(length(text), 1) AS punct_ratio,
-         |  CAST(len(list_filter(toks, x -> x IN ($enStop))) AS DOUBLE)
-         |    / greatest(len(toks), 1) AS sw_ratio
+         |    / greatest(length(text), 1) AS punct_ratio
          | FROM t)
-         |SELECT doc_id, round(
-         |  least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.4 +
-         |  (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.3 END) * 0.3 +
-         |  least(sw_ratio * 5.0, CAST(1.0 AS DOUBLE)) * 0.3, 4) AS quality
+         |SELECT doc_id,
+         | CAST(least(n_tokens, 100) * 4000
+         |   + (CASE WHEN punct_ratio < CAST(0.2 AS DOUBLE) THEN 300000 ELSE 90000 END)
+         |   + ((least((sw * 5000000) // toks_n, 1000000) * 3) // 10)
+         |  AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS quality
          |FROM m""".stripMargin,
     "q36_ngram_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

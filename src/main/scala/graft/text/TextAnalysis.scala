@@ -40,12 +40,25 @@ object TextAnalysis {
       greatest(tokenCount(c), lit(1)).cast("double")
 
   /** Heuristic quality score in [0,1] (length, punctuation sanity,
-    * stopword presence — the classic pre-training quality signals). */
+    * stopword presence — the classic pre-training quality signals).
+    *
+    * Computed in exact integer parts-per-million, then one final double
+    * division: `round(double, 4)` put sums exactly on 4dp half-way
+    * cliffs (the 0.3/0.4 weights make that systematic) where engines
+    * round differently — one doc in 5000 flipped its last digit against
+    * the DuckDB oracle at sf0.1. Integer arithmetic is bit-identical
+    * everywhere. */
   def qualityScore(c: Column, stopwords: Seq[String]): Column = {
-    val lenScore = least(tokenCount(c).cast("double") / lit(100.0), lit(1.0))
-    val punctOk = when(punctRatio(c) < 0.2, 1.0).otherwise(0.3)
-    val swScore = least(stopwordRatio(c, stopwords) * lit(5.0), lit(1.0))
-    round(lenScore * 0.4 + punctOk * 0.3 + swScore * 0.3, 4)
+    // exact integer floor-division: (a - a%b)/b with a < 2^53
+    def exactDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val toks = greatest(tokenCount(c), lit(1)).cast("long")
+    val sw = stopwordCount(c, stopwords).cast("long")
+    val lenE6 = least(tokenCount(c).cast("long"), lit(100L)) * lit(4000L)
+    val punctE6 = when(punctRatio(c) < 0.2, lit(300000L)).otherwise(lit(90000L))
+    val swFracE6 = least(exactDiv(sw * lit(5000000L), toks), lit(1000000L))
+    val swE6 = exactDiv(swFracE6 * lit(3L), lit(10L))
+    (lenE6 + punctE6 + swE6).cast("double") / lit(1000000.0)
   }
 
   /** Tiny per-language stopword profiles (public common function words). */
