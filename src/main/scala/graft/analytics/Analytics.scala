@@ -108,10 +108,13 @@ object Analytics {
   def rankQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val n = df.count()
+    val values = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull) // NULLs have no rank
+    val n = values.count()
+    if (n == 0) return qs.map(q => (q, Option.empty[Double]))
+      .toDF("quantile", "value") // empty input → NULL quantiles, not a crash
     val ranks = qs.map(q => math.max(1L, math.ceil(q * n).toLong)).toSet
-    val picked = df.select(col(valueCol).cast("double").as("v"))
-      .sort(col("v")).as[Double].rdd
+    val picked = values.sort(col("v")).as[Double].rdd
       .zipWithIndex()
       .filter { case (_, i) => ranks.contains(i + 1) }
       .collect().map { case (v, i) => (i + 1) -> v }.toMap

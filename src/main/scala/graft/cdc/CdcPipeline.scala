@@ -65,31 +65,14 @@ final class CdcPipeline(
 
   def tablePath(table: String): String = s"$warehouseDir/$table"
 
-  def readTable(table: String): Option[DataFrame] = {
-    val p = tablePath(table)
-    if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
-  }
+  /** Reads recover from a crash mid-swap (see AtomicSnapshot): the
+    * snapshot is never lost, at most the in-flight batch is — and the
+    * checkpoint replays that batch into an idempotent merge. */
+  def readTable(table: String): Option[DataFrame] =
+    graft.util.AtomicSnapshot.read(spark, tablePath(table))
 
-  private def writeTable(table: String, df: DataFrame): Unit = {
-    // Rewrite-snapshot emulating MERGE INTO. Write to a new location then
-    // swap, so a failed write never corrupts the current snapshot.
-    val tmp = s"${tablePath(table)}__staging"
-    df.write.mode("overwrite").parquet(tmp)
-    val dest = Paths.get(tablePath(table))
-    if (Files.exists(dest)) {
-      val old = Paths.get(s"${tablePath(table)}__old")
-      deleteRecursive(old)
-      Files.move(dest, old)
-      Files.move(Paths.get(tmp), dest)
-      deleteRecursive(old)
-    } else Files.move(Paths.get(tmp), dest)
-  }
-
-  private def deleteRecursive(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
+  private def writeTable(table: String, df: DataFrame): Unit =
+    graft.util.AtomicSnapshot.write(df, tablePath(table))
 
   /** ST11 backpressure analog of `max.queue.size`: bound files per
     * micro-batch. Convenience reader for JSON-line envelope streams. */
@@ -121,17 +104,50 @@ final class CdcPipeline(
     throw new RuntimeException(s"$what failed after $maxMergeRetries retries", lastErr)
   }
 
+  /** Lateness bound in microseconds, parsed from `watermarkDelay`
+    * ("24 hours", "30 minutes", ...). */
+  private val latenessMicros: Long = {
+    val parts = watermarkDelay.trim.split("\\s+")
+    val n = parts(0).toLong
+    parts.lift(1).map(_.toLowerCase).getOrElse("hours") match {
+      case u if u.startsWith("second") => n * 1000000L
+      case u if u.startsWith("minute") => n * 60L * 1000000L
+      case u if u.startsWith("hour")   => n * 3600L * 1000000L
+      case u if u.startsWith("day")    => n * 86400L * 1000000L
+      case other => throw new IllegalArgumentException(s"bad delay unit $other")
+    }
+  }
+
   /** The per-micro-batch merge body (ST1/ST2/ST7/ST8). Public so batch
-    * backfills (S2 snapshot mode) reuse the same path. */
+    * backfills (S2 snapshot mode) reuse the same path.
+    *
+    * ST4 late-row quarantine: rows whose commit timestamp lags the
+    * batch's high-water mark by more than `watermarkDelay` append to
+    * `warehouseDir/_late` INSTEAD of merging — the reference's 24 h
+    * CDC-TTL staleness bound, with quarantine rather than silent
+    * application (spec.md:134 FR-015). */
   def mergeMicroBatch(batch: DataFrame, batchId: Long): Unit = withRetry(s"merge batch $batchId") {
     // (no early `return` here: NonLocalReturnControl would be caught by
     // the retry wrapper and misread as a failure)
+    val bounds =
+      if (batch.isEmpty) null
+      else batch.agg(max(col(ordCol))).head()
+    val highWater = if (bounds == null || bounds.isNullAt(0)) None
+      else Some(bounds.getLong(0))
+    val (current, late) = highWater match {
+      case Some(hw) =>
+        (batch.filter(col(ordCol) >= hw - latenessMicros),
+          batch.filter(col(ordCol) < hw - latenessMicros))
+      case None => (batch, null)
+    }
+    if (late != null && !late.isEmpty)
+      late.write.mode("append").parquet(s"$warehouseDir/_late")
     val tables =
-      if (batch.isEmpty) Array.empty[String]
-      else batch.select("__table").distinct().collect().map(_.getString(0))
+      if (current.isEmpty) Array.empty[String]
+      else current.select("__table").distinct().collect().map(_.getString(0))
     tables.foreach { table =>
       keysByTable.get(table).foreach { keys =>
-        val updates = batch.filter(col("__table") === table).drop("__table")
+        val updates = current.filter(col("__table") === table).drop("__table")
         val partialCols =
           if (partialUpdate) updates.columns.filterNot(c => keys.contains(c) ||
             c == ordCol || c == deleteCol).toSeq

@@ -93,7 +93,14 @@ object Upsert {
     val deleted = col(s"__u_$deleteCol") === "true"
     val out = joined.filter(!(uPresent && newer && deleted)) // DELETE branch
     val resolved = dataCols.map { c =>
-      when(uPresent && newer, coalesce(col(s"__u_$c"), col(s"__t_$c")))
+      // coalesce ONLY declared partial-update columns; all others take
+      // the source value outright so an explicit set-to-NULL applies,
+      // and results don't depend on how events split across batches
+      val updateValue =
+        if (partialUpdateCols.contains(c))
+          coalesce(col(s"__u_$c"), col(s"__t_$c"))
+        else col(s"__u_$c")
+      when(uPresent && newer, updateValue)
         .otherwise(col(s"__t_$c")).as(c)
     }
     out.select(keys.map(col) ++ resolved: _*)

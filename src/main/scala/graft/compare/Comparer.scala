@@ -43,8 +43,14 @@ object Comparer {
       graft.functions.TolerantEquals.tolerantEquals(
         a.cast(DoubleType), b.cast(DoubleType), opts.floatTolerance)
     case d: DecimalType =>
-      // trailing-zero-insensitive numeric compare via common wide scale
-      val wide = DecimalType(math.min(38, d.precision + 6), math.min(18, d.scale + 6))
+      // trailing-zero-insensitive numeric compare via common wide scale.
+      // Widen scale only as far as precision headroom allows: shrinking
+      // integer-digit capacity would overflow large values to NULL, and
+      // two DISTINCT overflowed values would then compare equal via
+      // NULL <=> NULL.
+      val extraScale = math.min(6, 38 - d.precision)
+      val wide = DecimalType(d.precision + extraScale,
+        math.min(d.scale + extraScale, d.precision + extraScale))
       a.cast(wide) <=> b.cast(wide)
     case StringType if opts.caseInsensitiveStrings => lower(a) <=> lower(b)
     case _ => a <=> b // null-safe; covers timestamps, arrays, maps, structs

@@ -65,16 +65,30 @@ final class MetricsRegistry(namespace: String = "cdc") {
   }
 }
 
-/** ST9/ST10: replication lag + throughput from streaming progress. */
+/** ST9/ST10: replication lag + throughput from streaming progress.
+  * Termination events carry only the query id, so the id→name binding
+  * from the start event is remembered — every gauge keys by the SAME
+  * label for a query's whole lifecycle (a name-keyed health gauge that
+  * never cleared on id-keyed termination is exactly the stale-dashboard
+  * bug this prevents). */
 final class CdcQueryListener(registry: MetricsRegistry) extends StreamingQueryListener {
   import StreamingQueryListener._
 
+  private val names = TrieMap[String, String]() // query id → display label
+
+  private def label(id: java.util.UUID, name: String): String = {
+    val l = Option(name).getOrElse(id.toString)
+    names.put(id.toString, l)
+    l
+  }
+
   override def onQueryStarted(e: QueryStartedEvent): Unit =
-    registry.setGauge("connector_health", 1.0, Map("query" -> e.name_))
+    registry.setGauge("connector_health", 1.0,
+      Map("query" -> label(e.id, e.name)))
 
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
     val p = e.progress
-    val name = Option(p.name).getOrElse(p.id.toString)
+    val name = label(p.id, p.name)
     registry.inc("records_replicated_total", p.numInputRows.toDouble,
       Map("query" -> name))
     registry.setGauge("throughput_rows_per_sec",
@@ -85,12 +99,9 @@ final class CdcQueryListener(registry: MetricsRegistry) extends StreamingQueryLi
   }
 
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
-    registry.setGauge("connector_health", 0.0, Map("query" -> e.id.toString))
+    val name = names.getOrElse(e.id.toString, e.id.toString)
+    registry.setGauge("connector_health", 0.0, Map("query" -> name))
     e.exception.foreach(_ => registry.inc("errors_total", 1.0,
-      Map("query" -> e.id.toString, "type" -> "query_terminated")))
-  }
-
-  private implicit class NameOps(e: QueryStartedEvent) {
-    def name_ : String = Option(e.name).getOrElse(e.id.toString)
+      Map("query" -> name, "type" -> "query_terminated")))
   }
 }

@@ -24,15 +24,14 @@ object DlqReplay {
     * bounds REPLAY CYCLES, not just stored rows. */
   private def attemptsPath(dlqPath: String) = s"${dlqPath}__replay_attempts"
 
-  private def attempts(spark: SparkSession, dlqPath: String): DataFrame = {
-    val p = attemptsPath(dlqPath)
-    if (Files.exists(Paths.get(p)))
-      spark.read.parquet(p) // defensive: one row per hash regardless of writer
-        .groupBy("payload_hash").agg(max("attempts").as("attempts"))
-    else spark.emptyDataFrame
-      .select(lit("").as("payload_hash"), lit(0L).as("attempts"))
-      .limit(0)
-  }
+  private def attempts(spark: SparkSession, dlqPath: String): DataFrame =
+    graft.util.AtomicSnapshot.read(spark, attemptsPath(dlqPath)) match {
+      case Some(df) => // defensive: one row per hash regardless of writer
+        df.groupBy("payload_hash").agg(max("attempts").as("attempts"))
+      case None => spark.emptyDataFrame
+        .select(lit("").as("payload_hash"), lit(0L).as("attempts"))
+        .limit(0)
+    }
 
   def selectReplayable(dlq: DataFrame, maxRetries: Int = 3,
       errorClass: Option[String] = None,
@@ -92,20 +91,7 @@ object DlqReplay {
       .union(replayable.select(sha2(col("original_payload"), 256).as("payload_hash"),
         lit(1L).as("attempts")))
       .groupBy("payload_hash").agg(sum("attempts").as("attempts"))
-    val ledgerTmp = s"${attemptsPath(dlqPath)}__staging"
-    bumped.write.mode("overwrite").parquet(ledgerTmp)
-    def deleteRecursive(p: java.nio.file.Path): Unit =
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-    val dest = Paths.get(attemptsPath(dlqPath))
-    if (Files.exists(dest)) {
-      val old = Paths.get(s"${attemptsPath(dlqPath)}__old")
-      deleteRecursive(old)
-      Files.move(dest, old)
-      Files.move(Paths.get(ledgerTmp), dest)
-      deleteRecursive(old)
-    } else Files.move(Paths.get(ledgerTmp), dest)
+    graft.util.AtomicSnapshot.write(bumped, attemptsPath(dlqPath))
     ReplayResult(n, n, dryRun = false)
   }
 

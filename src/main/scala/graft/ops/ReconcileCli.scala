@@ -42,7 +42,8 @@ object ReconcileCli {
         * discrepancies (the reference reads both sides live and eats the
         * noise, reconcile.py:378-413). */
       asOf: Option[String] = None,
-      asOfColumn: String = "cdc_timestamp")
+      asOfColumn: String = "cdc_timestamp",
+      jdbcUrl: Option[String] = None)
 
   def parseArgs(args: Array[String]): Either[String, Config] = {
     if (args.isEmpty) return Left("usage: reconcile|report --source P --target P --keys K[,K]")
@@ -62,6 +63,7 @@ object ReconcileCli {
         case "--max-print" => c = c.copy(maxPrint = args(i + 1).toInt); i += 2
         case "--as-of" => c = c.copy(asOf = Some(args(i + 1))); i += 2
         case "--as-of-column" => c = c.copy(asOfColumn = args(i + 1)); i += 2
+        case "--jdbc-url" => c = c.copy(jdbcUrl = Some(args(i + 1))); i += 2
         case other => return Left(s"unknown flag '$other'")
       }
     }
@@ -70,6 +72,8 @@ object ReconcileCli {
     else if (c.asOf.exists(s =>
         scala.util.Try(java.sql.Timestamp.valueOf(s)).isFailure))
       Left(s"--as-of must be 'yyyy-MM-dd HH:mm:ss[.f]', got '${c.asOf.get}'")
+    else if (c.execute && c.jdbcUrl.isEmpty)
+      Left("--execute requires --jdbc-url (the target database to repair)")
     else Right(c)
   }
 
@@ -150,9 +154,23 @@ object ReconcileCli {
       .limit(cfg.maxPrint).collect()
     plan.foreach(r => println(s"-- [${r.getString(1)}] ${r.getString(3)}"))
     val nActions = actions.count()
-    println(jsonLine(Map("repair_actions" -> nActions,
-      "dry_run" -> !cfg.execute, "printed" -> plan.length)))
-    1
+    if (cfg.execute) {
+      // apply via JDBC (reference execute path reconcile.py:490-522);
+      // exit 2 = repair-failed per reconciliation-cli.yaml
+      val url = cfg.jdbcUrl.get
+      val (done, failed) = Repairer.executeRepairs(actions, { sql =>
+        val conn = java.sql.DriverManager.getConnection(url)
+        try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
+        finally conn.close()
+      })
+      println(jsonLine(Map("repair_actions" -> nActions,
+        "executed" -> done, "failed" -> failed, "dry_run" -> false)))
+      if (failed > 0) 2 else 1
+    } else {
+      println(jsonLine(Map("repair_actions" -> nActions,
+        "dry_run" -> true, "printed" -> plan.length)))
+      1
+    }
   }
 
   private def jsonLine(m: Map[String, Any]): String =

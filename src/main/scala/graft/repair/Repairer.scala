@@ -188,24 +188,30 @@ object Repairer {
   /** Execute repair actions (reference execute_repairs,
     * `scripts/reconcile.py:490-522`): runs each statement through the
     * caller-supplied executor (a JDBC statement runner in production),
-    * executor-side via foreachPartition, DELETE→INSERT→UPDATE order
-    * preserved per partition by a repartition-by-priority + sort.
-    * Returns (executed, failed) counts. */
+    * executor-side via foreachPartition. DELETE→INSERT→UPDATE ordering
+    * is enforced as sequential PHASES — one Spark job per priority level
+    * — because partitions of a single job run concurrently (a
+    * same-job sort orders rows within a partition, not across the
+    * cluster). Within a phase, statements are independent (distinct
+    * keys) and parallelize freely. Returns (executed, failed) counts. */
   def executeRepairs(actions: DataFrame,
       executor: String => Unit): (Long, Long) = {
     val sc = actions.sparkSession.sparkContext
     val executed = sc.longAccumulator("repairs_executed")
     val failed = sc.longAccumulator("repairs_failed")
-    actions
-      .repartition(col("priority"))
-      .sortWithinPartitions(col("priority"), col("target_key"))
-      .select(col("repair_sql"))
-      .foreachPartition { (rows: Iterator[Row]) =>
-        rows.foreach { r =>
-          try { executor(r.getString(0)); executed.add(1) }
-          catch { case _: Exception => failed.add(1) }
+    val priorities = actions.select("priority").distinct()
+      .collect().map(_.getInt(0)).sorted
+    priorities.foreach { p =>
+      actions.filter(col("priority") === p)
+        .sortWithinPartitions(col("target_key"))
+        .select(col("repair_sql"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          rows.foreach { r =>
+            try { executor(r.getString(0)); executed.add(1) }
+            catch { case _: Exception => failed.add(1) }
+          }
         }
-      }
+    }
     (executed.value, failed.value)
   }
 }

@@ -125,8 +125,16 @@ object SchemaCompat {
   // ---- V2/V3/V4 compatibility modes (schema_validator.py:245-427) -------
 
   /** BACKWARD: a reader with `newSchema` can read data written with
-    * `oldSchema` — no field removed without default on the reader side;
-    * added fields need defaults; types must promote old→new. */
+    * `oldSchema` — no field removed; added fields need defaults; types
+    * must promote old→new.
+    *
+    * NOTE this is deliberately the REFERENCE's rule set
+    * (schema_validator.py:245-308, SURVEY §2.10 V2), which is stricter
+    * than Avro/Confluent BACKWARD: standard Avro treats field removal as
+    * backward-compatible (the new reader just ignores the old bytes),
+    * while the reference flags every removal. Parity wins here — a CDC
+    * sink that silently drops a column on "compatible" evolution is the
+    * failure the reference is guarding against. */
   def checkBackward(newSchema: String, oldSchema: String): CompatResult = {
     val issues = scala.collection.mutable.ArrayBuffer[String]()
     val newF = fieldsOf(parse(newSchema)).map(f => f.name -> f).toMap

@@ -16,10 +16,15 @@ class OpsSpec extends SparkSpec {
     assert(ReconcileCli.parseArgs(Array.empty).isLeft)
     assert(ReconcileCli.parseArgs(Array("frobnicate")).isLeft)
     assert(ReconcileCli.parseArgs(Array("reconcile", "--source", "s")).isLeft)
+    // --execute without a target database is a config error, not a no-op
+    assert(ReconcileCli.parseArgs(Array("reconcile", "--source", "s",
+      "--target", "t", "--keys", "a", "--execute")).isLeft)
     val ok = ReconcileCli.parseArgs(Array("reconcile", "--source", "s",
       "--target", "t", "--keys", "a,b", "--tolerance", "0.5", "--execute",
+      "--jdbc-url", "jdbc:postgresql://h/db",
       "--as-of", "2024-01-20 00:00:00", "--as-of-column", "commit_ts"))
     assert(ok.exists(c => c.keys == Seq("a", "b") && c.tolerance == 0.5 && c.execute &&
+      c.jdbcUrl.contains("jdbc:postgresql://h/db") &&
       c.asOf.contains("2024-01-20 00:00:00") && c.asOfColumn == "commit_ts"))
   }
 
