@@ -104,18 +104,32 @@ final class CdcPipeline(
     throw new RuntimeException(s"$what failed after $maxMergeRetries retries", lastErr)
   }
 
-  /** Lateness bound in microseconds, parsed from `watermarkDelay`
-    * ("24 hours", "30 minutes", ...). */
+  /** Lateness bound in microseconds, parsed with Spark's own interval
+    * parser so every string `withWatermark` accepts works here too
+    * ("24 hours", "1 week", "500 milliseconds", ...). Month-based
+    * intervals are rejected (no fixed length). */
   private val latenessMicros: Long = {
-    val parts = watermarkDelay.trim.split("\\s+")
-    val n = parts(0).toLong
-    parts.lift(1).map(_.toLowerCase).getOrElse("hours") match {
-      case u if u.startsWith("second") => n * 1000000L
-      case u if u.startsWith("minute") => n * 60L * 1000000L
-      case u if u.startsWith("hour")   => n * 3600L * 1000000L
-      case u if u.startsWith("day")    => n * 86400L * 1000000L
-      case other => throw new IllegalArgumentException(s"bad delay unit $other")
-    }
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
+    require(iv.months == 0,
+      s"watermarkDelay '$watermarkDelay': month-based delays are ambiguous")
+    iv.days * 86400000000L + iv.microseconds
+  }
+
+  /** Persistent cross-batch high-water mark (max commit ts seen BEFORE
+    * the current batch): real watermark semantics — a backfill's first
+    * giant batch quarantines nothing, later batches quarantine rows
+    * older than (seen-so-far − delay). Stored as one tiny text file. */
+  private def hwmPath = Paths.get(s"$checkpointDir/_hwm")
+
+  private def readHwm(): Option[Long] =
+    if (Files.exists(hwmPath)) Some(Files.readString(hwmPath).trim.toLong) else None
+
+  private def writeHwm(v: Long): Unit = {
+    val tmp = Paths.get(s"$checkpointDir/_hwm.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, hwmPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** The per-micro-batch merge body (ST1/ST2/ST7/ST8). Public so batch
@@ -132,16 +146,23 @@ final class CdcPipeline(
     val bounds =
       if (batch.isEmpty) null
       else batch.agg(max(col(ordCol))).head()
-    val highWater = if (bounds == null || bounds.isNullAt(0)) None
+    val batchMax = if (bounds == null || bounds.isNullAt(0)) None
       else Some(bounds.getLong(0))
-    val (current, late) = highWater match {
-      case Some(hw) =>
-        (batch.filter(col(ordCol) >= hw - latenessMicros),
-          batch.filter(col(ordCol) < hw - latenessMicros))
-      case None => (batch, null)
+    // lateness is judged against the PRE-batch high-water mark; rows with
+    // a NULL commit ts are unprocessable by an ordering-based merge and
+    // quarantine too (they'd otherwise vanish in the comparisons)
+    val prevHwm = readHwm()
+    val lateCond = prevHwm match {
+      case Some(hwm) =>
+        col(ordCol).isNull || col(ordCol) < lit(hwm - latenessMicros)
+      case None => col(ordCol).isNull
     }
-    if (late != null && !late.isEmpty)
-      late.write.mode("append").parquet(s"$warehouseDir/_late")
+    val current = batch.filter(!coalesce(lateCond, lit(true)))
+    val late = batch.filter(coalesce(lateCond, lit(true)))
+    if (!late.isEmpty)
+      // one directory per batch id, overwritten on retry/replay — the
+      // quarantine write stays idempotent under at-least-once delivery
+      late.write.mode("overwrite").parquet(s"$warehouseDir/_late/batch_$batchId")
     val tables =
       if (current.isEmpty) Array.empty[String]
       else current.select("__table").distinct().collect().map(_.getString(0))
@@ -162,6 +183,10 @@ final class CdcPipeline(
         writeTable(table, merged)
       }
     }
+    // advance the high-water mark only after the batch fully merged
+    val newHwm: Option[Long] =
+      (prevHwm.toList ::: batchMax.toList).reduceOption(_ max _)
+    newHwm.foreach(v => writeHwm(v))
   }
 
   /** V1–V6 as a pre-merge gate (SURVEY §7.4.4): a Spark stream fixes its

@@ -99,7 +99,9 @@ final class CdcQueryListener(registry: MetricsRegistry) extends StreamingQueryLi
   }
 
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
-    val name = names.getOrElse(e.id.toString, e.id.toString)
+    // remove, don't just read: restart-looping queries would otherwise
+    // grow the map by one dead entry per lifecycle forever
+    val name = names.remove(e.id.toString).getOrElse(e.id.toString)
     registry.setGauge("connector_health", 0.0, Map("query" -> name))
     e.exception.foreach(_ => registry.inc("errors_total", 1.0,
       Map("query" -> name, "type" -> "query_terminated")))

@@ -148,29 +148,30 @@ object ReconcileCli {
     val dataCols = src.columns.filterNot(cfg.keys.contains).toSeq
       .filter(tgt.columns.contains(_)).filterNot(cfg.ignoreFields.contains)
     val disc = Differ.findAllDiscrepancies(src, tgt, cfg.keys, opts)
+    // persisted: consumed by the plan print, the count, and (in execute
+    // mode) one job per priority phase — without this the discrepancy
+    // join + SQL generation would recompute ~6x
     val actions = Repairer.generateRepairActions(disc, schemaName, tableName,
-      cfg.keys, dataCols, dryRun = !cfg.execute)
-    val plan = actions.orderBy(col("priority"), col("target_key"))
-      .limit(cfg.maxPrint).collect()
-    plan.foreach(r => println(s"-- [${r.getString(1)}] ${r.getString(3)}"))
-    val nActions = actions.count()
-    if (cfg.execute) {
-      // apply via JDBC (reference execute path reconcile.py:490-522);
-      // exit 2 = repair-failed per reconciliation-cli.yaml
-      val url = cfg.jdbcUrl.get
-      val (done, failed) = Repairer.executeRepairs(actions, { sql =>
-        val conn = java.sql.DriverManager.getConnection(url)
-        try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
-        finally conn.close()
-      })
-      println(jsonLine(Map("repair_actions" -> nActions,
-        "executed" -> done, "failed" -> failed, "dry_run" -> false)))
-      if (failed > 0) 2 else 1
-    } else {
-      println(jsonLine(Map("repair_actions" -> nActions,
-        "dry_run" -> true, "printed" -> plan.length)))
-      1
-    }
+      cfg.keys, dataCols, dryRun = !cfg.execute).persist()
+    try {
+      val plan = actions.orderBy(col("priority"), col("target_key"))
+        .limit(cfg.maxPrint).collect()
+      plan.foreach(r => println(s"-- [${r.getString(1)}] ${r.getString(3)}"))
+      val nActions = actions.count()
+      if (cfg.execute) {
+        // apply via JDBC, one connection per partition (reference execute
+        // path reconcile.py:490-522); exit 2 = repair-failed per
+        // reconciliation-cli.yaml
+        val (done, failed) = Repairer.executeRepairsJdbc(actions, cfg.jdbcUrl.get)
+        println(jsonLine(Map("repair_actions" -> nActions,
+          "executed" -> done, "failed" -> failed, "dry_run" -> false)))
+        if (failed > 0) 2 else 1
+      } else {
+        println(jsonLine(Map("repair_actions" -> nActions,
+          "dry_run" -> true, "printed" -> plan.length)))
+        1
+      }
+    } finally actions.unpersist()
   }
 
   private def jsonLine(m: Map[String, Any]): String =

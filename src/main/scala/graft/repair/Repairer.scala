@@ -214,4 +214,35 @@ object Repairer {
     }
     (executed.value, failed.value)
   }
+
+  /** JDBC flavor of [[executeRepairs]]: ONE connection per partition
+    * (50k statements must not mean 50k TCP+auth handshakes); a partition
+    * whose connection cannot open counts all its statements as failed
+    * instead of failing the job. */
+  def executeRepairsJdbc(actions: DataFrame, jdbcUrl: String): (Long, Long) = {
+    val sc = actions.sparkSession.sparkContext
+    val executed = sc.longAccumulator("repairs_executed")
+    val failed = sc.longAccumulator("repairs_failed")
+    val priorities = actions.select("priority").distinct()
+      .collect().map(_.getInt(0)).sorted
+    priorities.foreach { p =>
+      actions.filter(col("priority") === p)
+        .sortWithinPartitions(col("target_key"))
+        .select(col("repair_sql"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val conn =
+            try java.sql.DriverManager.getConnection(jdbcUrl)
+            catch { case _: Exception => null }
+          if (conn == null) rows.foreach(_ => failed.add(1))
+          else try {
+            val st = conn.createStatement()
+            try rows.foreach { r =>
+              try { st.execute(r.getString(0)); executed.add(1) }
+              catch { case _: Exception => failed.add(1) }
+            } finally st.close()
+          } finally conn.close()
+        }
+    }
+    (executed.value, failed.value)
+  }
 }
