@@ -90,7 +90,10 @@ object Upsert {
     val uPresent = col(s"__u_$ordCol").isNotNull
     val tPresent = col(s"__t_$ordCol").isNotNull
     val newer = !tPresent || col(s"__u_$ordCol") >= col(s"__t_$ordCol")
-    val deleted = col(s"__u_$deleteCol") === "true"
+    // null-safe: a NULL delete marker (e.g. event without `operation`)
+    // must NOT satisfy the delete branch — `===` would yield NULL and
+    // silently drop the joined row
+    val deleted = col(s"__u_$deleteCol") <=> lit("true")
     val out = joined.filter(!(uPresent && newer && deleted)) // DELETE branch
     val resolved = dataCols.map { c =>
       // coalesce ONLY declared partial-update columns; all others take

@@ -61,9 +61,11 @@ object Repairer {
       s"INTERVAL '${d.getSeconds} seconds'"
     case bytes: Array[Byte] => // \x hex bytea (repairer.py:543-546)
       "'\\x" + bytes.map("%02x".format(_)).mkString + "'"
-    case m: Map[_, _] => // JSON for collections (repairer.py:549-551)
+    // scala.collection.* (not the immutable aliases): Spark Row.get
+    // returns mutable.ArraySeq / mutable Map for array/map columns
+    case m: scala.collection.Map[_, _] => // JSON for collections (repairer.py:549-551)
       "'" + toJson(m).replace("'", "''") + "'"
-    case seq: Seq[_] =>
+    case seq: scala.collection.Seq[_] =>
       "'" + toJson(seq).replace("'", "''") + "'"
     case u: java.util.UUID => s"'${u.toString.toLowerCase}'"
     case other =>
@@ -72,10 +74,10 @@ object Repairer {
   }
 
   private def toJson(v: Any): String = v match {
-    case m: Map[_, _] =>
+    case m: scala.collection.Map[_, _] =>
       m.map { case (k, x) => s""""${jsonEscape(k.toString)}": ${toJson(x)}""" }
         .mkString("{", ", ", "}")
-    case s: Seq[_] => s.map(toJson).mkString("[", ", ", "]")
+    case s: scala.collection.Seq[_] => s.map(toJson).mkString("[", ", ", "]")
     case null => "null"
     case s: String => "\"" + jsonEscape(s) + "\""
     case b: Boolean => b.toString

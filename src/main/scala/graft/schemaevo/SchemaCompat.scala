@@ -74,7 +74,12 @@ object SchemaCompat {
               case (f, i) =>
                 if (!f.has("name")) errors += s"$path.fields[$i]: field missing 'name'"
                 if (!f.has("type")) errors += s"$path.fields[$i]: field missing 'type'"
-                else if (f.get("type").isObject) walk(f.get("type"), s"$path.${typeName(f)}")
+                else {
+                  // walk EVERY field-type node — textual (catches typo'd
+                  // primitives like "strin"), union arrays, and objects
+                  val fname = if (f.has("name")) f.get("name").asText() else s"fields[$i]"
+                  walk(f.get("type"), s"$path.$fname")
+                }
             }
           case "enum" if !o.has("symbols") => errors += s"$path: enum missing 'symbols'"
           case "array" if !o.has("items") => errors += s"$path: array missing 'items'"
@@ -159,10 +164,7 @@ object SchemaCompat {
     val issues = scala.collection.mutable.ArrayBuffer[String]()
     val newF = fieldsOf(parse(newSchema)).map(f => f.name -> f).toMap
     val oldF = fieldsOf(parse(oldSchema)).map(f => f.name -> f).toMap
-    newF.keySet.diff(oldF.keySet).toSeq.sorted.foreach { n =>
-      val f = newF(n)
-      if (!oldFToleratesExtra(f)) () // extra fields are skipped by old readers
-    }
+    // fields added in newSchema are simply skipped by old readers — no check
     oldF.values.toSeq.sortBy(_.name).foreach { f =>
       newF.get(f.name) match {
         case None =>
@@ -176,7 +178,6 @@ object SchemaCompat {
     CompatResult(issues.isEmpty, issues.toSeq)
   }
 
-  private def oldFToleratesExtra(f: AField): Boolean = true
 
   def checkFull(newSchema: String, oldSchema: String): CompatResult = {
     val b = checkBackward(newSchema, oldSchema)

@@ -68,6 +68,21 @@ class UpsertSpec extends SparkSpec {
     assert(rows2.toSeq == rows.toSeq)
   }
 
+  test("mergeBatch: NULL delete marker is an update, not a delete") {
+    // a valid-JSON event missing `operation` yields __deleted = NULL;
+    // `=== "true"` is NULL there, and filter(!(... && NULL)) used to drop
+    // the joined row — silently deleting the matched target row
+    val target = Seq((1L, "keep", 1.0, 1L)).toDF("id", "name", "value", "seq")
+    val updates = Seq(
+      (1L, Some("upd"), Some(2.0), 5L, None: Option[String]),  // NULL marker, matched
+      (9L, Some("ins"), Some(9.0), 5L, None: Option[String])   // NULL marker, unmatched
+    ).toDF("id", "name", "value", "seq", "__deleted")
+    val merged = Upsert.mergeBatch(target, updates, Seq("id"), "seq", "__deleted")
+    val rows = merged.select("id", "name", "value")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "upd", 2.0), (9L, "ins", 9.0)))
+  }
+
   test("mergeBatch monotonic guard: stale replay does not regress target") {
     val target = Seq((1L, "current", 10.0, 100L)).toDF("id", "name", "value", "seq")
     val stale = Seq((1L, Some("ancient"), Some(1.0), 5L, "false"))

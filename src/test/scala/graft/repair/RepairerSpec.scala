@@ -34,6 +34,21 @@ class RepairerSpec extends SparkSpec {
     assert(Repairer.formatValue(Map("a" -> 1)) == "'{\"a\": 1}'")
     assert(Repairer.formatValue(Seq(1, 2)) == "'[1, 2]'")
     assertThrows[IllegalArgumentException](Repairer.formatValue(new Object))
+    // Spark Row.get returns mutable.ArraySeq / mutable Map for array/map
+    // columns — these are NOT immutable Seq/Map and used to hit the throw
+    assert(Repairer.formatValue(scala.collection.mutable.ArraySeq(1, 2)) == "'[1, 2]'")
+    assert(Repairer.formatValue(scala.collection.mutable.Map("a" -> 1)) == "'{\"a\": 1}'")
+  }
+
+  test("generateRepairActions over an array-typed column formats JSON executor-side") {
+    val src = Seq((1L, Seq("x", "y"))).toDF("id", "tags")
+    val tgt = Seq((2L, Seq("z"))).toDF("id", "tags")
+    val disc = Differ.findAllDiscrepancies(src, tgt, Seq("id"))
+    val actions = Repairer.generateRepairActions(disc, "s", "t",
+      Seq("id"), Seq("tags"), dryRun = true).collect()
+    val byType = actions.map(r => r.getString(1) -> r.getString(3)).toMap
+    assert(byType("INSERT") ==
+      """INSERT INTO "s"."t" ("id", "tags") VALUES (1, '["x", "y"]')""")
   }
 
   test("update SQL sets only provided fields; composite-key WHERE") {

@@ -24,6 +24,15 @@ class SchemaCompatSpec extends AnyFunSuite {
     assert(!SchemaCompat.validate("not json at all {{{").valid)
   }
 
+  test("structural validation: typo'd primitive and bad union at field position") {
+    // textual field types must be walked too — "strin" used to pass
+    assert(!SchemaCompat.validate(rec("""{"name":"id","type":"strin"}""")).valid)
+    assert(!SchemaCompat.validate(rec("""{"name":"id","type":["null","strin"]}""")).valid)
+    assert(SchemaCompat.validate(rec("""{"name":"id","type":["null","string"]}""")).valid)
+    assert(SchemaCompat.validate(rec(
+      """{"name":"tags","type":{"type":"array","items":"string"}}""")).valid)
+  }
+
   test("namespace: warning normally, error in strict mode") {
     val noNs = """{"type":"record","name":"X","fields":[]}"""
     val lax = SchemaCompat.validate(noNs)
