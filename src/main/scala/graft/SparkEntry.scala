@@ -204,8 +204,10 @@ object SparkEntry {
       Similarity.annTopK(idx, "vec_id", "embedding", q, 10, nPlanes = 8)
     }),
     "q39_embedding_neardup" -> ((s, d) =>
-      Similarity.nearDuplicatePairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.35, nPlanes = 4, dim = 64)),
+      // threshold 0.35 is the LOW-similarity regime → exact block join
+      // (LSH can't band-and-recall there; see Similarity scaladoc)
+      Similarity.exactNearDuplicatePairs(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.35, blocks = 8)),
 
     // §7.10 extended surface: multimodal plumbing (decode stubbed)
     "q40_multimodal_decode" -> ((s, d) =>
@@ -516,6 +518,13 @@ object SparkEntry {
         | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cosine
         |FROM embeddings e, q
         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q39_embedding_neardup" ->
+      """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM p
+        |WHERE cosine >= CAST(0.35 AS DOUBLE)""".stripMargin,
   )
 
   private val enStop =

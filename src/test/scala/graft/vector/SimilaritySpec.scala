@@ -56,11 +56,48 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hyperplanes(4, 8, 42L) != Similarity.hyperplanes(4, 8, 43L))
   }
 
-  test("near-duplicate pairs: symmetric-free (a<b), all above threshold") {
+  test("exact near-duplicate pairs: complete vs naive all-pairs, each pair once") {
     val emb = Tables.embeddings(spark, sf)
-    val pairs = Similarity.nearDuplicatePairs(emb, "vec_id", "embedding",
-      threshold = 0.3, nPlanes = 4, dim = 64).collect()
-    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
-    assert(pairs.forall(_.getDouble(2) >= 0.3))
+    val got = Similarity.exactNearDuplicatePairs(emb, "vec_id", "embedding",
+      threshold = 0.35, blocks = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got.distinct.size == got.size, "block join emitted a pair twice")
+    assert(got.forall(p => p._1 < p._2))
+    // naive reference: unpruned self-join
+    val e = emb.select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    val expected = e.toDF("id_a", "emb_a")
+      .crossJoin(e.toDF("id_b", "emb_b"))
+      .filter($"id_a" < $"id_b")
+      .filter(round(Similarity.cosine($"emb_a", $"emb_b"), 6) >= 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got.toSet == expected.toSet,
+      s"exact block join missed/extra pairs: got ${got.size}, want ${expected.size}")
+  }
+
+  test("banded LSH near-dup: full recall on high-similarity clusters, prunes the rest") {
+    import scala.util.Random
+    // synthetic: 40 base vectors, each with a near-copy at cosine ≈ 0.99,
+    // plus 200 unrelated vectors (the high-sim regime banding is FOR;
+    // the embeddings table's 0.35-threshold pairs are exercised by the
+    // exact-join test above)
+    val rnd = new Random(7)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = (0 until 40).flatMap { i =>
+      val base = unit(Array.fill(64)(rnd.nextGaussian()))
+      val noisy = unit(base.zip(Array.fill(64)(rnd.nextGaussian() * 0.05))
+        .map { case (x, e) => x + e })
+      Seq((i.toLong * 2, base.toSeq), (i.toLong * 2 + 1, noisy.toSeq))
+    } ++ (0 until 200).map(i => ((1000 + i).toLong, unit(Array.fill(64)(rnd.nextGaussian())).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.bandedNearDuplicatePairs(df, "vec_id", "embedding",
+      threshold = 0.9, bands = 16, rowsPerBand = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = Similarity.exactNearDuplicatePairs(df, "vec_id", "embedding",
+      threshold = 0.9, blocks = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(expected.size >= 35, s"test data should contain ≥35 true pairs, got ${expected.size}")
+    assert(got == expected, s"banded recall ${ (got & expected).size}/${expected.size}")
   }
 }
