@@ -230,9 +230,15 @@ object SparkEntry {
           .as("fingerprint"))),
     "q45_ann_ivf_topk" -> ((s, d) => {
       val q = queryVector(s, d)
-      val (model, index) = graft.vector.Ivf.buildIndex(
-        Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
-      graft.vector.Ivf.annTopK(model, index, "vec_id", "embedding", q, 10, nProbe = 2)
+      // fixed-centroid quantizer (centroids = embeddings of vec_id < 8):
+      // exactly reproducible in the DuckDB oracle, which re-derives cell
+      // assignment, probe-cell choice, and in-cell ranking. The adaptive
+      // k-means quantizer (Ivf.buildIndex) is covered by IvfSpec.
+      val cents = ivfCentroids(s, d)
+      val index = graft.vector.Ivf.fixedCentroidIndex(
+        Tables.embeddings(s, d), "vec_id", "embedding", cents)
+      val cells = graft.vector.Ivf.nearestCentroidCells(cents, q, nProbe = 3)
+      graft.vector.Ivf.annTopKCells(index, "vec_id", "embedding", q, 10, cells)
     }),
 
     "q47_sessionize" -> ((s, d) =>
@@ -261,6 +267,13 @@ object SparkEntry {
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toSeq
+
+  /** q45's fixed centroid set: embeddings of vec_id < 8 (a deterministic
+    * choice both engines can re-derive; an 8-row driver-side lookup). */
+  private def ivfCentroids(s: SparkSession, d: String): Seq[Seq[Double]] =
+    Tables.embeddings(s, d).filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -518,6 +531,40 @@ object SparkEntry {
         | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cosine
         |FROM embeddings e, q
         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    // q38's oracle replicates the LSH index end-to-end: the 8 seed-derived
+    // hyperplanes are embedded as literals, DuckDB recomputes every
+    // signature, the query's multi-probe bucket set, and the in-bucket
+    // exact top-10 — any drift in signature/probe/ranking logic mismatches.
+    "q38_ann_lsh_topk" ->
+      s"""WITH pl(p, plane) AS (VALUES $lshPlanesValues),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |sig AS (SELECT vec_id, emb,
+         |  (SELECT CAST(sum(CASE WHEN list_inner_product(emb, plane) >= 0
+         |                        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+         |   FROM pl) AS bucket
+         |  FROM e),
+         |q AS (SELECT bucket AS qsig, emb AS qemb FROM sig WHERE vec_id = 0),
+         |probes AS (SELECT qsig AS b FROM q
+         |  UNION ALL SELECT xor(qsig, CAST(1 AS BIGINT) << i)
+         |             FROM q, generate_series(0, 7) AS g(i))
+         |SELECT s.vec_id, round(list_cosine_similarity(s.emb, (SELECT qemb FROM q)), 6) AS cosine
+         |FROM sig s WHERE s.bucket IN (SELECT b FROM probes)
+         |ORDER BY cosine DESC, s.vec_id LIMIT 10""".stripMargin,
+    // q45's oracle replicates the fixed-centroid IVF end-to-end: cell
+    // assignment (argmax cosine vs the 8 centroid vectors, ties → lower
+    // id), the query's nProbe=3 probe cells, and the in-cell exact
+    // top-10 — any drift in quantizer/probe/ranking logic mismatches.
+    "q45_ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+        |cent AS (SELECT vec_id AS c, emb AS cemb FROM e WHERE vec_id < 8),
+        |assign AS (SELECT v.vec_id, v.emb,
+        |  (SELECT c FROM cent ORDER BY list_cosine_similarity(v.emb, cemb) DESC, c LIMIT 1) AS cell
+        |  FROM e v),
+        |qcells AS (SELECT c FROM cent, q ORDER BY list_cosine_similarity(qe, cemb) DESC, c LIMIT 3)
+        |SELECT a.vec_id, round(list_cosine_similarity(a.emb, (SELECT qe FROM q)), 6) AS cosine
+        |FROM assign a WHERE a.cell IN (SELECT c FROM qcells)
+        |ORDER BY cosine DESC, a.vec_id LIMIT 10""".stripMargin,
     "q39_embedding_neardup" ->
       """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -526,6 +573,13 @@ object SparkEntry {
         |SELECT id_a, id_b, cosine FROM p
         |WHERE cosine >= CAST(0.35 AS DOUBLE)""".stripMargin,
   )
+
+  /** The q38 LSH hyperplanes as DuckDB VALUES rows — seed-derived
+    * constants, so the oracle can recompute identical signatures. */
+  private lazy val lshPlanesValues: String =
+    graft.vector.Similarity.hyperplanes(8, 64, 42L).zipWithIndex
+      .map { case (plane, i) => s"($i, [${plane.mkString(", ")}])" }
+      .mkString(", ")
 
   private val enStop =
     "'the','a','of','and','to','in','is','that','it','for'"

@@ -30,15 +30,26 @@ object Ivf {
     }
   }
 
+  /** Bounded k-means fit input: the full table when it's small, a seeded
+    * sample of ~`fitCap` rows when it isn't. At 100 TB the fit would
+    * otherwise be `maxIter` full passes over every vector; a bounded
+    * sample makes training O(fitCap·k·iter) while ASSIGNMENT stays the
+    * only full pass — the standard IVF recipe. */
+  private[vector] def fitSample(feat: DataFrame, fitCap: Long, seed: Long): DataFrame = {
+    val n = feat.count()
+    if (n <= fitCap) feat
+    else feat.sample(withReplacement = false, fitCap.toDouble / n, seed)
+  }
+
   /** Train centroids and return (model, assignments df with `cell`).
     * Deterministic under the fixed seed. */
   def buildIndex(df: DataFrame, idCol: String, embCol: String, k: Int,
-      seed: Long = 42L): (IvfModel, DataFrame) = {
+      seed: Long = 42L, fitCap: Long = 100000L): (IvfModel, DataFrame) = {
     val feat = df.select(col(idCol), col(embCol))
       .withColumn("features",
         org.apache.spark.ml.functions.array_to_vector(col(embCol)))
     val kmeans = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
-    val model = kmeans.fit(feat)
+    val model = kmeans.fit(fitSample(feat, fitCap, seed))
     val assigned = model.transform(feat)
       .select(col(idCol), col(embCol), col("prediction").as("cell"))
       .localCheckpoint() // the index artifact; written partitionBy(cell) at scale
@@ -49,11 +60,58 @@ object Ivf {
   def annTopK(model: IvfModel, index: DataFrame, idCol: String, embCol: String,
       query: Seq[Double], topK: Int, nProbe: Int = 2): DataFrame = {
     val cells = model.nearestCells(query, nProbe)
+    annTopKCells(index, idCol, embCol, query, topK, cells)
+  }
+
+  /** Probe an explicit cell set (shared by both quantizers). */
+  def annTopKCells(index: DataFrame, idCol: String, embCol: String,
+      query: Seq[Double], topK: Int, cells: Seq[Int]): DataFrame =
     index.filter(col("cell").isin(cells: _*))
       .select(col(idCol),
         round(Similarity.cosine(col(embCol).cast("array<double>"), typedLit(query)), 6)
           .as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(topK)
+
+  // ---- fixed-centroid coarse quantizer ---------------------------------
+
+  /** IVF assignment against a FIXED centroid set (the "random centroids"
+    * coarse quantizer — FAISS-style baseline): cell = argmax cosine
+    * (v, cᵢ), ties to the lower index. Unlike the k-means fit, this
+    * quantizer is exactly reproducible by any engine from the centroid
+    * vectors alone, which is what makes the whole probe path end-to-end
+    * oracle-verifiable (q45 recomputes assignment, probe-cell choice and
+    * in-cell ranking in DuckDB). Use the k-means path when the corpus
+    * actually clusters; this one when you need determinism across
+    * engines or a data-independent layout. Assignment is one narrow
+    * codegen'd pass (k native-cosine calls per row), no shuffle. */
+  def fixedCentroidIndex(df: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val emb = col(embCol).cast("array<double>")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(Similarity.cosine(emb, typedLit(c)).as("score"),
+        lit(-i).as("negIdx"))
+    }
+    // array_max over (score, negIdx): max score, ties → larger negIdx
+    // = smaller index
+    df.select(col(idCol), col(embCol),
+      (-array_max(array(scored: _*)).getField("negIdx")).cast("int").as("cell"))
+  }
+
+  /** Driver-side probe-cell choice for the fixed-centroid quantizer:
+    * the nProbe centroids most cosine-similar to the query, ties to the
+    * lower index. */
+  def nearestCentroidCells(centroids: Seq[Seq[Double]], query: Seq[Double],
+      nProbe: Int): Seq[Int] = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    centroids.zipWithIndex.map { case (c, i) => (i, cos(c, query)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(nProbe).map(_._1)
   }
 }

@@ -24,6 +24,39 @@ class IvfSpec extends SparkSpec {
     assert(narrow.head.getLong(0) == 3L && narrow.head.getDouble(1) == 1.0)
   }
 
+  test("k-means fit input is bounded by fitCap; index still covers all rows") {
+    val emb = Tables.embeddings(spark, sf)
+    val feat = emb.select($"vec_id", $"embedding")
+      .withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector($"embedding"))
+    val sampled = Ivf.fitSample(feat, fitCap = 100, seed = 42L).count()
+    assert(sampled <= 150, s"fit sample $sampled not bounded by cap 100")
+    val (model, index) = Ivf.buildIndex(emb, "vec_id", "embedding", k = 4,
+      fitCap = 100)
+    assert(model.centroids.length == 4)
+    assert(index.count() == emb.count(), "assignment must cover the FULL table")
+  }
+
+  test("fixed-centroid quantizer: every row assigned, ties deterministic, probe finds self") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = emb.filter($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding".cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val index = Ivf.fixedCentroidIndex(emb, "vec_id", "embedding", cents)
+    val cellStats = index.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(cellStats.keySet.subsetOf((0 until 8).toSet))
+    assert(cellStats.values.sum == emb.count())
+    // a centroid's own vector lands in its own cell (cosine 1.0 beats all)
+    val own = index.filter($"vec_id" === 2).select("cell").as[Int].head()
+    assert(own == 2)
+    // probing the query's own cells returns the query itself first
+    val q = cents(1)
+    val cells = Ivf.nearestCentroidCells(cents, q, nProbe = 2)
+    assert(cells.head == 1)
+    val top = Ivf.annTopKCells(index, "vec_id", "embedding", q, 5, cells).collect()
+    assert(top.head.getLong(0) == 1L && top.head.getDouble(1) == 1.0)
+  }
+
   test("index build is deterministic under the seed") {
     val emb = Tables.embeddings(spark, sf)
     val (_, i1) = Ivf.buildIndex(emb, "vec_id", "embedding", k = 3)
