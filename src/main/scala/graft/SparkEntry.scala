@@ -184,10 +184,15 @@ object SparkEntry {
         TextAnalysis.qualityScore(col("text"),
           TextAnalysis.LangProfiles("en")).as("quality"))),
     "q34_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashCandidatePairs(Tables.documents(s, d), "doc_id", "text",
-        k = 3, numHashes = 32, bands = 8, threshold = 0.4)),
+      // sketch generates candidates, emitted jaccard is EXACT → the
+      // oracle is the same all-pairs exact-Jaccard SQL as q36 at 0.4
+      Dedup.minhashVerifiedPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 16, threshold = 0.4)),
     "q35_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10)),
+      // maxHamming=3 is the EXACT regime (4-band pigeonhole guarantees
+      // recall), and the portable polynomial simhash lets the oracle
+      // recompute every sketch and pair in SQL
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)),
     "q36_ngram_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         k = 3, threshold = 0.3)),
@@ -460,6 +465,56 @@ object SparkEntry {
          |   + ((least((sw * 5000000) // toks_n, 1000000) * 3) // 10)
          |  AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS quality
          |FROM m""".stripMargin,
+    // q35's oracle recomputes every 62-bit polynomial simhash sketch and
+    // the all-pairs hamming join in SQL; the Spark side's 4-band
+    // pigeonhole guarantees it finds exactly the same hamming<=3 pairs.
+    "q35_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |th AS (SELECT doc_id, unnest(list_transform(toks, tok ->
+         |    $polyAsql + ($polyBsql << 31))) AS h FROM t),
+         |votes AS (SELECT doc_id, i,
+         |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM th, generate_series(0, 61) AS g(i) GROUP BY doc_id, i),
+         |sh AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sh
+         |  FROM votes GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+    // q44: winnowing re-derived in SQL — same k-gram strings as q36's
+    // CTE, same polynomial hashes, same window-min + distinct selection.
+    "q44_winnowing_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |g AS (SELECT doc_id, list_transform(
+         |    CASE WHEN len(toks) >= 4
+         |      THEN list_transform(generate_series(0, len(toks)-4), i -> array_to_string(toks[i+1:i+4], ' '))
+         |      ELSE [array_to_string(toks, ' ')] END,
+         |    tok -> $polyAsql + ($polyBsql << 31)) AS gh FROM t)
+         |SELECT doc_id, unnest(CASE WHEN len(gh) >= 4
+         |    THEN list_distinct(list_transform(generate_series(0, len(gh)-4), i -> list_min(gh[i+1:i+4])))
+         |    ELSE [list_min(gh)] END) AS fingerprint
+         |FROM g""".stripMargin,
+    // q34 emits exact Jaccard for minhash-LSH candidates; with banding
+    // sized for full recall at J >= 0.4 on this corpus (min true pair
+    // J = 0.8, P(miss) ~ 4e-8), the result set equals the exact
+    // all-pairs query — same SQL shape as q36 at the 0.4 threshold.
+    "q34_minhash_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 3
+        |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON inter.id_a = sa.doc_id
+        |JOIN sizes sb ON inter.id_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4""".stripMargin,
     "q36_ngram_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(
@@ -573,6 +628,16 @@ object SparkEntry {
         |SELECT id_a, id_b, cosine FROM p
         |WHERE cosine >= CAST(0.35 AS DOUBLE)""".stripMargin,
   )
+
+  /** DuckDB fragments computing graft.functions.TextHashes.poly over a
+    * lambda variable `tok` (bases 257/263, mod 2³¹−1) — the cross-engine
+    * hash behind the simhash and winnowing oracles. */
+  private def polySql(base: Int): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(acc, cp) -> (acc * $base + cp) % 2147483647)"
+  private val polyAsql = polySql(257)
+  private val polyBsql = polySql(263)
 
   /** The q38 LSH hyperplanes as DuckDB VALUES rows — seed-derived
     * constants, so the oracle can recompute identical signatures. */

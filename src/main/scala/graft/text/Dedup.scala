@@ -118,21 +118,32 @@ object Dedup {
       minhashSignature(col(textCol), k, numHashes).as("sig"))
       .localCheckpoint()
 
-  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
-    val sigDf = minhashIndex(df, idCol, textCol, k, numHashes)
-    val rowsPerBand = numHashes / bands
+  /** Banded candidate pairs from a signature index: ids sharing at least
+    * one full band bucket, each unordered pair once. id-only join
+    * (signatures would bloat the shuffle). */
+  private def bandedCandidates(sigDf: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val buckets = sigDf
       .select(col("id"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // id-only pair join (signatures would bloat the shuffle), dedup
-    // multi-band collisions, THEN re-attach the two signatures
-    val pairs = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+    buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val sigDf = minhashIndex(df, idCol, textCol, k, numHashes)
+    // dedup multi-band collisions, THEN re-attach the two signatures
+    minhashVerify(bandedCandidates(sigDf, bands, numHashes / bands),
+      sigDf, numHashes, threshold)
+  }
+
+  private def minhashVerify(pairs: DataFrame, sigDf: DataFrame,
+      numHashes: Int, threshold: Double): DataFrame =
     pairs
       .join(sigDf.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigDf.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -142,6 +153,32 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+
+  /** MinHash LSH candidates verified by EXACT Jaccard (the production
+    * dedup shape: the sketch only generates candidates; the emitted
+    * similarity is exact, so results are engine-checkable and free of
+    * estimation noise). Banding must be sized for recall at the
+    * threshold: P(candidate | J) = 1 − (1 − J^r)^b — the (16 × 2)
+    * default gives ≥ 1 − 4e-8 at J ≥ 0.8 while a (8 × 4) layout would
+    * miss ~1.5% of J=0.8 pairs. Verification attaches each side's
+    * distinct shingle-hash set only to the candidate pairs (tiny vs the
+    * corpus), so the exact step costs O(candidates · shingles), not
+    * O(N²). */
+  def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val sigDf = minhashIndex(df, idCol, textCol, k, numHashes)
+    val pairs = bandedCandidates(sigDf, bands, numHashes / bands)
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shingleHashes(col(textCol), k)).as("sh"))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Corpus-level near-dedup: given candidate pairs (id_a < id_b), keep
@@ -214,18 +251,24 @@ object Dedup {
 
   // ---- SimHash ---------------------------------------------------------
 
-  /** Near-duplicate pairs by SimHash: bucket on 4×16-bit bands (two docs
-    * within hamming distance ≤ maxHamming agree on ≥1 band whenever
-    * distance < 4 bands), verify with bit_count. */
+  /** Near-duplicate pairs by SimHash: bucket on 4 bands of the 62-bit
+    * sketch (16+16+16+14 bits), verify with bit_count. EXACT for
+    * `maxHamming ≤ 3`: by pigeonhole, ≤ 3 differing bits cannot touch
+    * all 4 bands, so every qualifying pair shares a full band — recall
+    * is 100% by construction, which is what lets the driver oracle
+    * assert the result against all-pairs SQL. Above 3 the banding is a
+    * high-recall heuristic (a pair differing in ≥ 4 bits may straddle
+    * all bands). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 3): DataFrame = {
+    val bandBits = Seq((0, 16), (16, 16), (32, 16), (48, 14))
     val withSh = df.select(col(idCol).as("id"),
-      TextAnalysis.simhash64(col(textCol)).as("sh"))
+      TextAnalysis.simhash62(col(textCol)).as("sh"))
       .localCheckpoint() // sketch index built once; banded join reads it 2×
     val banded = withSh.select(col("id"), col("sh"),
-      explode(array((0 until 4).map { b =>
+      explode(array(bandBits.zipWithIndex.map { case ((off, width), b) =>
         struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
+          shiftright(col("sh"), off).bitwiseAND(lit((1L << width) - 1)).as("bits"))
       }: _*)).as("bb"))
       .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bits").as("bits"))
     val a = banded.select(col("band"), col("bits"), col("id").as("id_a"), col("sh").as("sh_a"))

@@ -103,34 +103,16 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     sha2(regexp_replace(lower(trim(c)), "\\s+", " "), 256)
 
-  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, bitwise
-    * majority vote, sign bits packed into a long. Pure expressions
-    * (two nested higher-order aggregates) — no UDF, codegen-friendly. */
-  def simhash64(c: Column): Column = {
-    // Single pass over token hashes (see minhashSignature for why the
-    // expensive subtree must be an aggregate's ARRAY ARGUMENT, not live
-    // inside a lambda): fold ±1 bit votes into a 64-counter array, then
-    // pack sign bits. The single-element-array outer aggregate makes the
-    // counter array a lambda variable, so its 64 references are reads of
-    // one computed value, not 64 recomputations.
-    val hashes = transform(tokens(c), t => xxhash64(t))
-    val bitVotes = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => {
-        val bits = array((0 until 64).map(i =>
-          (shiftright(h, i).bitwiseAND(lit(1L)) * lit(2) - lit(1)).cast("int")): _*)
-        zip_with(acc, bits, (a, b) => a + b)
-      })
-    aggregate(
-      array(bitVotes),
-      lit(0L),
-      (acc, votes) => (0 until 64).map(i =>
-        when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b)))
-  }
+  /** 62-bit SimHash over whitespace tokens: per-token polynomial hash
+    * ([[graft.functions.TextHashes]] — integer arithmetic any engine
+    * reproduces, so sketch VALUES are oracle-checkable), bitwise
+    * majority vote with multiplicity, sign bits packed into a long.
+    * Native fused loop ([[graft.functions.SimHash62]]) — the nested-HOF
+    * formulation evaluated interpreted and 60× slower per token. */
+  def simhash62(c: Column): Column =
+    graft.functions.TextHashExpressions.simhash62(tokens(c))
 
-  /** Hamming distance between two 64-bit simhashes. */
+  /** Hamming distance between two packed simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** BPE-ish subword token count: the GPT-2-style pretokenizer regex
@@ -151,13 +133,32 @@ object TextAnalysis {
     * shared fingerprint — the standard near-copy detector for corpora.
     * Pure expressions; distinct fingerprint set per document. */
   def winnowingFingerprints(c: Column, k: Int = 4, w: Int = 4): Column = {
-    val grams = Dedup.shingleHashes(c, k)
+    val grams = polyShingleHashes(c, k)
     // window minima over the k-gram hash sequence
     aggregate(array(grams), lit(null).cast("array<bigint>"), (_, g) =>
       when(size(g) >= w,
         array_distinct(transform(sequence(lit(0), size(g) - lit(w)),
           i => array_min(slice(g, i + 1, lit(w))))))
         .otherwise(array(array_min(g))))
+  }
+
+  /** Positional (non-distinct) k-gram hashes with the cross-engine
+    * polynomial hash — the sequence winnowing slides its window over.
+    * Gram strings are space-joined token windows (the exact shape a SQL
+    * oracle rebuilds); short docs (< k tokens) hash the whole token
+    * string. Emitted VALUES are engine-reproducible, unlike
+    * [[Dedup.shingleHashes]]'s xxhash64 (which stays the right choice
+    * where hashes are join keys only). */
+  def polyShingleHashes(c: Column, k: Int): Column = {
+    val toks = tokens(c)
+    // aggregate-as-let-binding: toks evaluated once (see shingleHashes)
+    aggregate(array(toks), lit(null).cast("array<bigint>"), (_, t) =>
+      when(size(t) >= k,
+        transform(sequence(lit(0), size(t) - lit(k)),
+          i => graft.functions.TextHashExpressions.polyHash62(
+            concat_ws(" ", slice(t, i + 1, lit(k))))))
+        .otherwise(array(graft.functions.TextHashExpressions.polyHash62(
+          concat_ws(" ", t)))))
   }
 
   /** Full per-document stats projection used by the stats query. */

@@ -75,7 +75,7 @@ class TextSpec extends SparkSpec {
   }
 
   test("simhash: identical docs distance 0; near dups close; distinct far") {
-    val sh = docs.select($"doc_id", TextAnalysis.simhash64($"text").as("sh"))
+    val sh = docs.select($"doc_id", TextAnalysis.simhash62($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
     assert(sh(1L) == sh(2L))
     val d13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
