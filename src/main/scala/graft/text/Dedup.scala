@@ -75,24 +75,16 @@ object Dedup {
   /** MinHash signature: for seed s, min over shingles of
     * xxhash64(s, baseHash(shingle)).
     *
-    * Expression-shape matters here: higher-order-function lambdas are
-    * re-evaluated per element, so a naive `transform(seeds, s =>
+    * Expression-shape history: a naive `transform(seeds, s =>
     * array_min(transform(shingles, ...)))` recomputes the whole
-    * tokenize→shingle→hash subtree once per seed (measured 30× slower).
-    * Instead the shingle hashes are the ARRAY ARGUMENT of one
-    * `aggregate` — evaluated exactly once per row — and each shingle
-    * folds an elementwise-min across all seeds (strings hashed once;
-    * per-seed mixing hashes fixed-width longs). */
-  def minhashSignature(c: Column, k: Int = 3, numHashes: Int = 32): Column = {
-    val baseHashes = shingleHashes(c, k) // dupes don't affect a min
-    aggregate(
-      baseHashes,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => {
-        val mixed = array((0 until numHashes).map(s => xxhash64(lit(s), h)): _*)
-        zip_with(acc, mixed, (a, b) => least(a, b))
-      })
-  }
+    * tokenize→shingle→hash subtree once per seed (measured 30× slower);
+    * the single-pass HOF fold fixed that but still evaluated 32
+    * interpreted Catalyst nodes per shingle (~18% of the benchmark).
+    * Now a native fused loop ([[graft.functions.MinHashSig]]) with
+    * bit-identical output (it replicates `xxhash64(lit(s), h)`'s
+    * XXH64 fold exactly). */
+  def minhashSignature(c: Column, k: Int = 3, numHashes: Int = 32): Column =
+    graft.functions.MinHashSig.minhashSig(shingleHashes(c, k), numHashes)
 
   /** LSH band buckets from a signature: `bands` buckets, each hashing
     * `rowsPerBand` consecutive signature entries (banding theorem:
