@@ -85,10 +85,49 @@ final class CdcPipeline(
     bounded.text(inputDir).toDF("value")
   }
 
+  /** S1 Kafka ingest wiring. The sandbox has no Kafka broker or
+    * spark-sql-kafka jar, so this is the documented, compile-checked
+    * option mapping from the reference's connector config
+    * (scylla-source.json:20-31, postgres-sink topics/offsets) onto
+    * Structured Streaming's kafka source; `readKafkaStream` yields the
+    * SAME single-`value`-column envelope frame as [[readJsonStream]],
+    * so the whole downstream pipeline is source-agnostic.
+    *
+    *  - subscribePattern  ← topic.prefix + table regex routing (T4)
+    *  - startingOffsets   ← snapshot.mode initial → "earliest"
+    *  - maxOffsetsPerTrigger ← max.batch.size/max.queue.size
+    *    backpressure (ST11, same knob readJsonStream exposes as
+    *    maxFilesPerTrigger)
+    *  - failOnDataLoss=false ← errors.tolerance=all */
+  def kafkaSourceOptions(bootstrapServers: String, topicPattern: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Long = 0L): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribePattern" -> topicPattern,
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> "false")
+    if (maxOffsetsPerTrigger > 0)
+      base + ("maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString)
+    else base
+  }
+
+  /** Kafka-backed envelope stream (value bytes → one string column,
+    * interface-identical to [[readJsonStream]]). Requires the
+    * spark-sql-kafka package at runtime. */
+  def readKafkaStream(bootstrapServers: String, topicPattern: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Long = 0L): DataFrame =
+    spark.readStream.format("kafka")
+      .options(kafkaSourceOptions(bootstrapServers, topicPattern,
+        startingOffsets, maxOffsetsPerTrigger))
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
   /** ST5: retry with exponential backoff around the merge body — the
     * stream restarts from checkpoint on final failure, so the merge's
     * idempotence makes retries safe. */
-  private def withRetry[T](what: String)(body: => T): T = {
+  private[cdc] def withRetry[T](what: String)(body: => T): T = {
     var attempt = 0
     var lastErr: Throwable = null
     while (attempt <= maxMergeRetries) {

@@ -28,7 +28,13 @@ object Alerts {
     Rule("DlqDepthCritical", "cdc_dlq_depth", ">", 1000, "critical", "dlq"),
     Rule("DlqGrowthHigh", "cdc_dlq_growth_per_second", ">", 10, "critical", "dlq"),
     Rule("ConnectorDown", "cdc_connector_health", "<", 1, "critical", "connector"),
-    Rule("NoTraffic", "cdc_throughput_rows_per_sec", "<=", 0, "warning", "connector"))
+    Rule("NoTraffic", "cdc_throughput_rows_per_sec", "<=", 0, "warning", "connector"),
+    // rate()-window rules (alerts.py ReconciliationFailure /
+    // FrequentSchemaChanges / ConnectorRestartLoop): the Prometheus
+    // rate[window] becomes a pre-computed per-window metric here
+    Rule("ReconciliationFailure", "cdc_reconciliation_failures_per_hour", ">", 0, "warning", "reconciliation"),
+    Rule("FrequentSchemaChanges", "cdc_schema_changes_per_hour", ">", 5, "info", "schema"),
+    Rule("ConnectorRestartLoop", "cdc_connector_restarts_per_10min", ">", 1, "warning", "connector"))
 
   /** Evaluate rules over a `MetricsRegistry.snapshot` DataFrame →
     * (alert, severity, group, metric, value, threshold) for firing rules. */

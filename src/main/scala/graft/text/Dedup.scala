@@ -277,17 +277,33 @@ object Dedup {
 
   /** True Jaccard similarity over k-word shingle sets, computed
     * distributively: explode → self-join on shingle → pair intersection
-    * counts vs per-doc set sizes. */
+    * counts vs per-doc set sizes.
+    *
+    * `maxShingleDf` (0 = off) is the document-frequency cut for the
+    * degenerate-bucket hazard: a shingle present in F documents yields
+    * F² join rows, so one boilerplate phrase shared by 10⁵ docs would
+    * dominate the join. With the cut, shingles with DF > cap are
+    * treated as corpus stopwords — dropped from BOTH candidate
+    * generation and the size/intersection arithmetic, so emitted
+    * Jaccard stays internally consistent (it's Jaccard over the
+    * non-ubiquitous shingle sets, the standard formulation). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame = {
     // join on 64-bit shingle hashes, not strings: same counts (collision
     // odds ~(N·s)²/2⁶⁴), and the exploded shuffle carries 8-byte keys
     // instead of arbitrary-length text. Set semantics via a distributed
     // distinct after explode (not O(s²) array_distinct per row); the
     // exploded table feeds three consumers, so materialize it once.
-    val sh = df.select(col(idCol).as("id"),
+    val shAll = df.select(col(idCol).as("id"),
       explode(shingleHashes(col(textCol), k)).as("shingle"))
       .distinct()
+    val sh = (if (maxShingleDf > 0) {
+        val rare = shAll.groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf)
+          .select("shingle")
+        shAll.join(rare, Seq("shingle"), "left_semi")
+      } else shAll)
       .localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.alias("x").join(sh.alias("y"), Seq("shingle"))

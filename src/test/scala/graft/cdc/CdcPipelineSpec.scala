@@ -37,6 +37,45 @@ class CdcPipelineSpec extends SparkSpec {
     s"""{"topic":"scylla-cluster.app_data.users","operation":"$op","commit_timestamp":$ts,"user_id":"$id","username":$u,"status":$st}"""
   }
 
+  test("ST5 withRetry: transient failures retried with backoff, then success") {
+    val pipeline = new CdcPipeline(spark, tmpDir(), tmpDir(),
+      Map("t" -> Seq("id")), maxMergeRetries = 3, retryBaseBackoffMs = 1)
+    var calls = 0
+    val got = pipeline.withRetry("flaky merge") {
+      calls += 1
+      if (calls < 3) sys.error(s"transient #$calls")
+      "merged"
+    }
+    assert(got == "merged" && calls == 3)
+  }
+
+  test("ST5 withRetry: exhausted retries surface the last cause") {
+    val pipeline = new CdcPipeline(spark, tmpDir(), tmpDir(),
+      Map("t" -> Seq("id")), maxMergeRetries = 2, retryBaseBackoffMs = 1)
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      pipeline.withRetry("doomed merge") { calls += 1; sys.error("still down") }
+    }
+    assert(calls == 3) // initial + 2 retries
+    assert(e.getMessage.contains("doomed merge") &&
+      e.getCause.getMessage == "still down")
+  }
+
+  test("S1 kafka option mapping: offsets, pattern, backpressure knob") {
+    val pipeline = new CdcPipeline(spark, tmpDir(), tmpDir(),
+      Map("t" -> Seq("id")))
+    val opts = pipeline.kafkaSourceOptions("kafka:9092",
+      "cdc\\.scylla\\.app_data\\..*", maxOffsetsPerTrigger = 5000)
+    assert(opts("kafka.bootstrap.servers") == "kafka:9092")
+    assert(opts("subscribePattern") == "cdc\\.scylla\\.app_data\\..*")
+    assert(opts("startingOffsets") == "earliest") // snapshot.mode=initial
+    assert(opts("maxOffsetsPerTrigger") == "5000")
+    assert(opts("failOnDataLoss") == "false")     // errors.tolerance=all
+    // unbounded trigger omits the knob entirely
+    assert(!pipeline.kafkaSourceOptions("k:9092", "t.*")
+      .contains("maxOffsetsPerTrigger"))
+  }
+
   test("streaming slice: insert/update/delete/partial-update → warehouse + validation") {
     val in = jsonEvents(Seq(
       ev("INSERT", 1000L, "u1", "alice", "active"),

@@ -64,4 +64,18 @@ class ObserveSpec extends SparkSpec {
       .map(r => r.getString(0)).toSet
     assert(fired == Set("ReplicationLagHigh", "ReplicationLagCritical", "ConnectorDown"))
   }
+
+  test("rate-window rules: restart loop, reconcile failures, schema churn (18-rule parity)") {
+    assert(Alerts.ReferenceRules.size == 18) // full reference rule count
+    val m = new MetricsRegistry("cdc")
+    m.setGauge("connector_restarts_per_10min", 3.0)    // flapping
+    m.setGauge("reconciliation_failures_per_hour", 1.0)
+    m.setGauge("schema_changes_per_hour", 6.0)         // > 5/h churn
+    val fired = Alerts.evaluate(m.snapshot(spark)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(fired == Map(
+      "ConnectorRestartLoop" -> "warning",
+      "ReconciliationFailure" -> "warning",
+      "FrequentSchemaChanges" -> "info"))
+  }
 }

@@ -57,6 +57,25 @@ class TextSpec extends SparkSpec {
     assert(short == Seq("only two"))
   }
 
+  test("document-frequency cut drops ubiquitous-shingle pairs, keeps real dups") {
+    // 20 unrelated docs all sharing one boilerplate phrase (a 3-gram with
+    // DF=20 → 190 join rows), plus one true near-dup pair
+    val boiler = (0 until 20).map(i =>
+      ((100 + i).toLong, s"click here now unique$i text$i body$i words$i"))
+    val dups = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"))
+    val corpus = (boiler ++ dups).toDF("doc_id", "text")
+    val uncut = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      k = 3, threshold = 0.01)
+    // without the cut the shared phrase manufactures ~190 candidate pairs
+    assert(uncut.count() > 100)
+    val cut = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      k = 3, threshold = 0.01, maxShingleDf = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cut == Set((1L, 2L)),
+      s"cut should leave only the true near-dup pair, got $cut")
+  }
+
   test("minhash LSH finds near-dup pair (1,3) and exact pair (1,2)") {
     val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
       k = 2, numHashes = 32, bands = 16, threshold = 0.3)
