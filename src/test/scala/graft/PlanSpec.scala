@@ -58,6 +58,43 @@ class PlanSpec extends SparkSpec {
       s"expected pushdown:\n$p")
   }
 
+  test("q39 exact pair join: equi-join on block keys, no nested-loop/cartesian") {
+    val p = plan("q39_embedding_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"block theta-join must plan as an equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(p.contains("cosine_similarity"),
+      "pair verification should use the native codegen kernel")
+  }
+
+  test("q34/q35 banded candidate joins: equi-joins, never cartesian") {
+    // (the sketch kernels sit behind localCheckpoint'd indexes, so they
+    // are asserted on the expression plans below, not these)
+    for (q <- Seq("q34_minhash_pairs", "q35_simhash_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not plan a product join:\n$p")
+    }
+  }
+
+  test("sketch kernels are the native expressions (codegen'd, not HOF folds)") {
+    val docs = Tables.documents(spark, sf)
+    val sig = docs.select(graft.text.Dedup.minhashSignature($"text").as("sig"))
+      .queryExecution.executedPlan.toString()
+    assert(sig.contains("minhash_sig"), s"expected native minhash kernel:\n$sig")
+    val sh = docs.select(graft.text.TextAnalysis.simhash62($"text").as("sh"))
+      .queryExecution.executedPlan.toString()
+    assert(sh.contains("simhash62"), s"expected native simhash kernel:\n$sh")
+  }
+
+  test("q45 IVF probe: single codegen'd pass + top-k, no full sort") {
+    val p = plan("q45_ann_ivf_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a full sort")
+    assert(p.contains("cosine_similarity"), "ranking should use the native kernel")
+    assert(p.contains("*(1)"), s"probe+rank should fuse into one codegen stage:\n$p")
+  }
+
   test("salted count equals plain count under synthetic skew") {
     val skewed = spark.range(10000)
       .select(when($"id" % 100 === 0, lit("hot")).otherwise(lit("cold")).as("k"))

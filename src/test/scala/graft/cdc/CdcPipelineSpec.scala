@@ -37,6 +37,39 @@ class CdcPipelineSpec extends SparkSpec {
     s"""{"topic":"scylla-cluster.app_data.users","operation":"$op","commit_timestamp":$ts,"user_id":"$id","username":$u,"status":$st}"""
   }
 
+  test("ST11 backpressure: maxFilesPerTrigger bounds each micro-batch") {
+    val in = tmpDir()
+    (0 until 3).foreach(i =>
+      Files.writeString(java.nio.file.Paths.get(s"$in/f$i.json"),
+        ev("INSERT", 1000L + i, s"u$i", s"name$i", "active")))
+    val pipeline = new CdcPipeline(spark, tmpDir(), tmpDir(),
+      Map("users" -> Seq("user_id")))
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = pipeline.readJsonStream(in, maxFilesPerTrigger = 1)
+      .writeStream
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }; ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(batchSizes.sum == 3)
+    assert(batchSizes.size == 3 && batchSizes.forall(_ == 1L),
+      s"one file per trigger expected, got batches $batchSizes")
+    // unbounded reader drains everything in one batch
+    val oneShot = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = pipeline.readJsonStream(in).writeStream
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        oneShot.synchronized { oneShot += df.count() }; ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    assert(oneShot == Seq(3L))
+  }
+
   test("ST5 withRetry: transient failures retried with backoff, then success") {
     val pipeline = new CdcPipeline(spark, tmpDir(), tmpDir(),
       Map("t" -> Seq("id")), maxMergeRetries = 3, retryBaseBackoffMs = 1)

@@ -82,6 +82,17 @@ class DifferSpec extends SparkSpec {
     assert(got == Set((2L, "amount"), (3L, "name")))
   }
 
+  test("J9 iterDiscrepancies streams the same rows findAllDiscrepancies returns") {
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val tgt = Seq((1L, "a"), (2L, "CHANGED"), (4L, "d")).toDF("id", "v")
+    val it = Differ.iterDiscrepancies(src, tgt, Seq("id"))
+    assert(it.isInstanceOf[Iterator[_]]) // lazily consumed, not collected
+    val streamed = it.map(_.toString).toSeq.sorted
+    val collected = Differ.findAllDiscrepancies(src, tgt, Seq("id"))
+      .collect().map(_.toString).toSeq.sorted
+    assert(streamed == collected && streamed.size == 3)
+  }
+
   test("nullKeyRows isolates rows the reference would raise on") {
     val s = Seq((Some(1L), "a"), (None, "b")).toDF("id", "v")
     assert(Differ.nullKeyRows(s, Seq("id")).count() == 1)
