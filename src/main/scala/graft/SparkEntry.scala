@@ -275,12 +275,18 @@ object SparkEntry {
   /** Decoded multimodal assets, built once per (session, dir) and
     * persisted — q41's frame sampling derives from q40's decode instead
     * of re-decoding (the VERDICT-flagged double-decode). */
+  // weak session keys: a stopped/abandoned SparkSession must stay
+  // collectable (its persisted blocks die with it); entries never pin it
   private val decodedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
   private def decodedAssets(s: SparkSession, d: String): DataFrame =
-    decodedCache.getOrElseUpdate((s, d),
-      Multimodal.decodeAndFeaturize(
-        Multimodal.syntheticAssets(Tables.documents(s, d))).persist())
+    decodedCache.synchronized {
+      decodedCache
+        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d,
+          Multimodal.decodeAndFeaturize(
+            Multimodal.syntheticAssets(Tables.documents(s, d))).persist())
+    }
 
   /** q45's fixed centroid set: embeddings of vec_id < 8 (a deterministic
     * choice both engines can re-derive; an 8-row driver-side lookup). */
@@ -661,8 +667,12 @@ object SparkEntry {
     * lambda variable `tok` (bases 257/263, mod 2³¹−1) — the cross-engine
     * hash behind the simhash and winnowing oracles. */
   private def polySql(base: Int): String =
+    // list_filter guards the empty token: DuckDB string_split('','') is
+    // [''] and unicode('') is -1, which would diverge from the Scala
+    // fold's 0 — filtering empty chars yields reduce([0]) = 0 on both
     "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      "list_transform(list_filter(string_split(tok, ''), c -> c <> ''), " +
+      "c -> CAST(unicode(c) AS BIGINT))), " +
       s"(acc, cp) -> (acc * $base + cp) % 2147483647)"
   private val polyAsql = polySql(257)
   private val polyBsql = polySql(263)

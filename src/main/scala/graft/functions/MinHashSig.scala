@@ -57,10 +57,14 @@ object MinHashSig {
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
-      val h = hashes.getLong(i)
+      // null element: Spark's xxhash64 skips null children, so
+      // xxhash64(lit(s), null) is the accumulated seed hash itself —
+      // replicated here to stay bit-compatible with the HOF form
+      val isNull = hashes.isNullAt(i)
+      val h = if (isNull) 0L else hashes.getLong(i)
       var s = 0
       while (s < numHashes) {
-        val m = XXH64.hashLong(h, sd(s))
+        val m = if (isNull) sd(s) else XXH64.hashLong(h, sd(s))
         if (m < acc(s)) acc(s) = m
         s += 1
       }

@@ -43,8 +43,21 @@ object TextHashes {
     acc
   }
 
-  def combined62(s: UTF8String): Long =
-    poly(s, BaseA) + (poly(s, BaseB) << 31)
+  def combined62(s: UTF8String): Long = {
+    // both bases folded in ONE pass over one materialized string (this
+    // runs per token in the sketch hot path)
+    val str = s.toString
+    var a = 0L
+    var b = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      a = (a * BaseA + cp) % Mod
+      b = (b * BaseB + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    a + (b << 31)
+  }
 
   /** 62-bit SimHash over a token array: per-token combined62 hash,
     * per-bit ±1 vote with multiplicity, bit set iff vote > 0. */

@@ -31,6 +31,11 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // keep ImageIO in-memory: the default FileCache creates (and deletes) a
+  // temp file per encode/decode — per-row disk I/O in the executor hot
+  // loop, and an outright failure on tmp-less containers
+  ImageIO.setUseCache(false)
+
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("media_type", StringType),   // image | audio | video

@@ -55,6 +55,16 @@ object SchemaCompat {
       if (n.isTextual) n.asText()
       else if (n.isObject && n.has("type")) n.get("type").asText()
       else ""
+    // named types (record/enum/fixed) already declared — Avro allows a
+    // later field to reference them by name, and requires definition
+    // before use, so single-pass accumulation matches the spec
+    val declaredNames = scala.collection.mutable.Set.empty[String]
+    def declareName(o: ObjectNode): Unit =
+      if (o.has("name")) {
+        val n = o.get("name").asText()
+        declaredNames += n
+        if (o.has("namespace")) declaredNames += s"${o.get("namespace").asText()}.$n"
+      }
     def walk(n: JsonNode, path: String): Unit = n match {
       case o: ObjectNode =>
         if (!o.has("type")) { errors += s"$path: missing required 'type'"; return }
@@ -63,6 +73,7 @@ object SchemaCompat {
           errors += s"$path: invalid type '$t'"
         t match {
           case "record" =>
+            declareName(o)
             if (!o.has("name")) errors += s"$path: record missing 'name'"
             if (!o.has("namespace")) {
               if (strict) errors += s"$path: record missing 'namespace' (strict)"
@@ -81,14 +92,19 @@ object SchemaCompat {
                   walk(f.get("type"), s"$path.$fname")
                 }
             }
-          case "enum" if !o.has("symbols") => errors += s"$path: enum missing 'symbols'"
+          case "enum" =>
+            declareName(o)
+            if (!o.has("symbols")) errors += s"$path: enum missing 'symbols'"
+          case "fixed" =>
+            declareName(o)
+            if (!o.has("size")) errors += s"$path: fixed missing 'size'"
           case "array" if !o.has("items") => errors += s"$path: array missing 'items'"
           case "map" if !o.has("values") => errors += s"$path: map missing 'values'"
-          case "fixed" if !o.has("size") => errors += s"$path: fixed missing 'size'"
           case _ =>
         }
       case t if t.isTextual =>
-        if (!PrimitiveTypes.contains(t.asText()) && !ComplexTypes.contains(t.asText()))
+        if (!PrimitiveTypes.contains(t.asText()) && !ComplexTypes.contains(t.asText())
+            && !declaredNames.contains(t.asText()))
           errors += s"$path: invalid type '${t.asText()}'"
       case a: ArrayNode => // union
         a.elements().asScala.foreach(walk(_, s"$path|union"))

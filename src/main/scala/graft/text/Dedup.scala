@@ -297,14 +297,15 @@ object Dedup {
     val shAll = df.select(col(idCol).as("id"),
       explode(shingleHashes(col(textCol), k)).as("shingle"))
       .distinct()
-    val sh = (if (maxShingleDf > 0) {
-        val rare = shAll.groupBy("shingle")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf)
-          .select("shingle")
-        shAll.join(rare, Seq("shingle"), "left_semi")
-      } else shAll)
-      .localCheckpoint()
+      .localCheckpoint() // the expensive explode+distinct pass runs ONCE
+    val sh = if (maxShingleDf > 0) {
+      val rare = shAll.groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf)
+        .select("shingle")
+      // the cut output also feeds three consumers — materialize it too
+      shAll.join(rare, Seq("shingle"), "left_semi").localCheckpoint()
+    } else shAll
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.alias("x").join(sh.alias("y"), Seq("shingle"))
       .filter(col("x.id") < col("y.id"))

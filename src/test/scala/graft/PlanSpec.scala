@@ -92,7 +92,8 @@ class PlanSpec extends SparkSpec {
     val p = plan("q45_ann_ivf_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a full sort")
     assert(p.contains("cosine_similarity"), "ranking should use the native kernel")
-    assert(p.contains("*(1)"), s"probe+rank should fuse into one codegen stage:\n$p")
+    assert(p.contains("*(1)") && !p.contains("*(2)"),
+      s"probe+rank should fuse into ONE codegen stage (no second stage):\n$p")
   }
 
   test("salted count equals plain count under synthetic skew") {

@@ -24,6 +24,20 @@ class SchemaCompatSpec extends AnyFunSuite {
     assert(!SchemaCompat.validate("not json at all {{{").valid)
   }
 
+  test("structural validation: named-type references are legal Avro") {
+    // a field may reference a previously declared record/enum/fixed by
+    // name (definition-before-use, per the Avro spec)
+    val withRef = rec(
+      """{"name":"meta","type":{"type":"record","name":"Meta","namespace":"app","fields":[{"name":"k","type":"string"}]}},
+        |{"name":"meta2","type":"Meta"},
+        |{"name":"meta3","type":"app.Meta"},
+        |{"name":"maybe","type":["null","Meta"]}""".stripMargin)
+    val r = SchemaCompat.validate(withRef)
+    assert(r.valid, r.errors.mkString("; "))
+    // an UNDECLARED name is still an error
+    assert(!SchemaCompat.validate(rec("""{"name":"x","type":"NotDeclared"}""")).valid)
+  }
+
   test("structural validation: typo'd primitive and bad union at field position") {
     // textual field types must be walked too — "strin" used to pass
     assert(!SchemaCompat.validate(rec("""{"name":"id","type":"strin"}""")).valid)

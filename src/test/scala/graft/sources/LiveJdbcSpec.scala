@@ -13,6 +13,10 @@ class LiveJdbcSpec extends SparkSpec {
   import spark.implicits._
 
   private def withDb[T](f: String => T): T = {
+    assume(
+      try { Class.forName("org.duckdb.DuckDBDriver"); true }
+      catch { case _: ClassNotFoundException => false },
+      "DuckDB JDBC driver not on the test classpath (see build.sbt unmanagedJars)")
     val dbFile = java.nio.file.Files.createTempDirectory("livejdbc")
       .resolve("t.db").toString
     val url = s"jdbc:duckdb:$dbFile"
