@@ -12,11 +12,18 @@ libraryDependencies ++= Seq(
 // DuckDB's JDBC driver (already present in the pre-warmed cache) backs
 // the live-database specs for the partitioned reader and merge sink —
 // attached as an unmanaged test jar so no resolution is ever attempted.
-// (found by glob so mirror layout doesn't matter; LiveJdbcSpec cancels
-// itself with a clear message when no driver is attached)
+// (found by glob so mirror layout doesn't matter — one recursive scan at
+// project load; sources/javadoc jars excluded and candidates sorted so
+// the pick is deterministic. LiveJdbcSpec cancels itself with a clear
+// message when no driver is attached.)
 Test / unmanagedJars ++= {
   val cache = file(sys.props("user.home")) / ".cache" / "coursier"
-  val jars = if (cache.exists) (cache ** "duckdb_jdbc-*.jar").get() else Seq.empty
+  val jars =
+    if (cache.exists)
+      (cache ** "duckdb_jdbc-*.jar").get()
+        .filterNot(f => f.name.endsWith("-sources.jar") || f.name.endsWith("-javadoc.jar"))
+        .sortBy(_.name)
+    else Seq.empty
   jars.headOption.map(Attributed.blank).toSeq
 }
 Test / fork := true

@@ -275,17 +275,28 @@ object SparkEntry {
   /** Decoded multimodal assets, built once per (session, dir) and
     * persisted — q41's frame sampling derives from q40's decode instead
     * of re-decoding (the VERDICT-flagged double-decode). */
-  // weak session keys: a stopped/abandoned SparkSession must stay
-  // collectable (its persisted blocks die with it); entries never pin it
+  // bounded LRU (weak keys don't work here — the cached DataFrame itself
+  // strongly references its session): at most 4 decodes stay persisted;
+  // evicted entries are unpersisted so neither storage memory nor stopped
+  // sessions accumulate beyond the bound
   private val decodedCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean = {
+        val evict = size() > 4
+        if (evict) try e.getValue.unpersist() catch { case _: Exception => () }
+        evict
+      }
+    }
   private def decodedAssets(s: SparkSession, d: String): DataFrame =
     decodedCache.synchronized {
-      decodedCache
-        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(d,
-          Multimodal.decodeAndFeaturize(
-            Multimodal.syntheticAssets(Tables.documents(s, d))).persist())
+      val k = (s, d)
+      Option(decodedCache.get(k)).getOrElse {
+        val df = Multimodal.decodeAndFeaturize(
+          Multimodal.syntheticAssets(Tables.documents(s, d))).persist()
+        decodedCache.put(k, df)
+        df
+      }
     }
 
   /** q45's fixed centroid set: embeddings of vec_id < 8 (a deterministic

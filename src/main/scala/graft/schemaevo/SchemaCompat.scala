@@ -56,24 +56,33 @@ object SchemaCompat {
       else if (n.isObject && n.has("type")) n.get("type").asText()
       else ""
     // named types (record/enum/fixed) already declared — Avro allows a
-    // later field to reference them by name, and requires definition
-    // before use, so single-pass accumulation matches the spec
+    // later field to reference them by name (textual OR object form),
+    // and requires definition before use, so single-pass accumulation
+    // matches the spec. Registration covers the bare name, the explicit
+    // fullname, and the INHERITED fullname (a nested type without its
+    // own `namespace` lives in the enclosing one). Reference RESOLUTION
+    // here is deliberately lenient — any registered spelling matches;
+    // this is the structural gate, not a full Avro name resolver.
     val declaredNames = scala.collection.mutable.Set.empty[String]
-    def declareName(o: ObjectNode): Unit =
+    def declareName(o: ObjectNode, inheritedNs: String): Unit =
       if (o.has("name")) {
         val n = o.get("name").asText()
         declaredNames += n
-        if (o.has("namespace")) declaredNames += s"${o.get("namespace").asText()}.$n"
+        val ns = if (o.has("namespace")) o.get("namespace").asText() else inheritedNs
+        if (ns.nonEmpty) declaredNames += s"$ns.$n"
       }
-    def walk(n: JsonNode, path: String): Unit = n match {
+    def nsOf(o: ObjectNode, inheritedNs: String): String =
+      if (o.has("namespace")) o.get("namespace").asText() else inheritedNs
+    def walk(n: JsonNode, path: String, ns: String): Unit = n match {
       case o: ObjectNode =>
         if (!o.has("type")) { errors += s"$path: missing required 'type'"; return }
         val t = o.get("type").asText()
-        if (!ComplexTypes.contains(t) && !PrimitiveTypes.contains(t))
+        if (!ComplexTypes.contains(t) && !PrimitiveTypes.contains(t)
+            && !declaredNames.contains(t))
           errors += s"$path: invalid type '$t'"
         t match {
           case "record" =>
-            declareName(o)
+            declareName(o, ns)
             if (!o.has("name")) errors += s"$path: record missing 'name'"
             if (!o.has("namespace")) {
               if (strict) errors += s"$path: record missing 'namespace' (strict)"
@@ -89,14 +98,14 @@ object SchemaCompat {
                   // walk EVERY field-type node — textual (catches typo'd
                   // primitives like "strin"), union arrays, and objects
                   val fname = if (f.has("name")) f.get("name").asText() else s"fields[$i]"
-                  walk(f.get("type"), s"$path.$fname")
+                  walk(f.get("type"), s"$path.$fname", nsOf(o, ns))
                 }
             }
           case "enum" =>
-            declareName(o)
+            declareName(o, ns)
             if (!o.has("symbols")) errors += s"$path: enum missing 'symbols'"
           case "fixed" =>
-            declareName(o)
+            declareName(o, ns)
             if (!o.has("size")) errors += s"$path: fixed missing 'size'"
           case "array" if !o.has("items") => errors += s"$path: array missing 'items'"
           case "map" if !o.has("values") => errors += s"$path: map missing 'values'"
@@ -107,10 +116,10 @@ object SchemaCompat {
             && !declaredNames.contains(t.asText()))
           errors += s"$path: invalid type '${t.asText()}'"
       case a: ArrayNode => // union
-        a.elements().asScala.foreach(walk(_, s"$path|union"))
+        a.elements().asScala.foreach(walk(_, s"$path|union", ns))
       case _ => errors += s"$path: unrecognized schema node"
     }
-    walk(node, "$")
+    walk(node, "$", "")
     ValidationResult(errors.isEmpty, errors.toSeq, warnings.toSeq)
   }
 

@@ -36,6 +36,20 @@ class SchemaCompatSpec extends AnyFunSuite {
     assert(r.valid, r.errors.mkString("; "))
     // an UNDECLARED name is still an error
     assert(!SchemaCompat.validate(rec("""{"name":"x","type":"NotDeclared"}""")).valid)
+    // object-form reference (named ref with attributes) is legal too
+    val objRef = rec(
+      """{"name":"meta","type":{"type":"record","name":"Meta","namespace":"app","fields":[]}},
+        |{"name":"meta2","type":{"type":"Meta","doc":"annotated ref"}}""".stripMargin)
+    assert(SchemaCompat.validate(objRef).valid,
+      SchemaCompat.validate(objRef).errors.mkString("; "))
+    // a nested type with no namespace inherits the enclosing one —
+    // its fullname must be referenceable
+    val inherited =
+      """{"type":"record","name":"Outer","namespace":"app","fields":[
+        |{"name":"inner","type":{"type":"record","name":"Inner","fields":[{"name":"k","type":"int"}]}},
+        |{"name":"ref","type":"app.Inner"}]}""".stripMargin
+    assert(SchemaCompat.validate(inherited).valid,
+      SchemaCompat.validate(inherited).errors.mkString("; "))
   }
 
   test("structural validation: typo'd primitive and bad union at field position") {

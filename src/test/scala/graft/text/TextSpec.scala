@@ -57,6 +57,17 @@ class TextSpec extends SparkSpec {
     assert(short == Seq("only two"))
   }
 
+  test("combined62 == poly fold composition (poly is the reference impl)") {
+    import graft.functions.TextHashes
+    import org.apache.spark.unsafe.types.UTF8String
+    for (s <- Seq("", "a", "ab", "hello world", "Ünïcödé ≠ ascii", "x" * 300)) {
+      val u = UTF8String.fromString(s)
+      assert(TextHashes.combined62(u) ==
+        TextHashes.poly(u, TextHashes.BaseA) + (TextHashes.poly(u, TextHashes.BaseB) << 31),
+        s"one-pass combined62 diverged from the reference fold for '$s'")
+    }
+  }
+
   test("document-frequency cut drops ubiquitous-shingle pairs, keeps real dups") {
     // 20 unrelated docs all sharing one boilerplate phrase (a 3-gram with
     // DF=20 → 190 join rows), plus one true near-dup pair
