@@ -59,16 +59,12 @@ object Dedup {
     * hashing `shingles`: distinct token-hash tuples ↔ distinct shingle
     * strings (modulo 2⁻⁶⁴ collisions). Not deduplicated — callers that
     * need set semantics dedupe after exploding (distributed, not O(s²)
-    * per row). Short docs (<k tokens) hash the whole token string. */
-  def shingleHashes(c: Column, k: Int): Column = {
-    val th = transform(TextAnalysis.tokens(c), t => xxhash64(t))
-    // aggregate-as-let-binding: th evaluated once, referenced many times
-    aggregate(array(th), lit(null).cast("array<bigint>"), (_, t) =>
-      when(size(t) >= k,
-        transform(sequence(lit(0), size(t) - lit(k)),
-          i => xxhash64((1 to k).map(j => element_at(t, (i + j).cast("int"))): _*)))
-        .otherwise(array(xxhash64(concat_ws("\u0000", t)))))
-  }
+    * per row). Short docs (<k tokens) hash the whole token string.
+    *
+    * Native fused loop ([[graft.functions.ShingleHashes]]); bit-
+    * identical to the previous HOF fold (TextSpec pins equivalence). */
+  def shingleHashes(c: Column, k: Int): Column =
+    graft.functions.ShingleHashes.shingleHashes(TextAnalysis.tokens(c), k)
 
   // ---- MinHash + LSH ---------------------------------------------------
 

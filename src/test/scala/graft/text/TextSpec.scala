@@ -57,6 +57,27 @@ class TextSpec extends SparkSpec {
     assert(short == Seq("only two"))
   }
 
+  test("native shingle hashes == HOF reference fold (bit parity)") {
+    // the HOF formulation ShingleHashes replaced — kept here as the
+    // executable reference
+    def hofShingleHashes(c: org.apache.spark.sql.Column, k: Int) = {
+      val th = transform(TextAnalysis.tokens(c), t => xxhash64(t))
+      aggregate(array(th), lit(null).cast("array<bigint>"), (_, t) =>
+        when(size(t) >= k,
+          transform(sequence(lit(0), size(t) - lit(k)),
+            i => xxhash64((1 to k).map(j => element_at(t, (i + j).cast("int"))): _*)))
+          .otherwise(array(xxhash64(concat_ws("\u0000", t)))))
+    }
+    val cases = docs.union(Seq((9L, "one"), (10L, "two words")).toDF("doc_id", "text"))
+    for (k <- Seq(2, 3, 4)) {
+      val both = cases.select(
+        Dedup.shingleHashes($"text", k).as("native"),
+        hofShingleHashes($"text", k).as("hof"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      both.foreach { case (n, h) => assert(n == h, s"k=$k mismatch: $n vs $h") }
+    }
+  }
+
   test("combined62 == poly fold composition (poly is the reference impl)") {
     import graft.functions.TextHashes
     import org.apache.spark.unsafe.types.UTF8String
