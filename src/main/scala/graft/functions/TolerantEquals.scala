@@ -93,14 +93,54 @@ object TolerantEquals {
       "scala_udf")
 }
 
-/** Session extension installing the engine's SQL functions:
+/** The engine's SQL function surface — one table consumed by BOTH
+  * installation paths, so `spark.sql("SELECT cosine_similarity(...)")`
+  * always hits the identical codegen'd expression the Column API uses:
+  *   - cluster: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *     (or `.withExtensions(new GraftExtensions)`) at session build
+  *   - existing session: `GraftFunctions.registerAll(spark)` (builder
+  *     extensions are silently ignored by `getOrCreate` on a live
+  *     session — this path works there) */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
+    case other => throw new IllegalArgumentException(
+      s"$what must be an int literal, got $other")
+  }
+
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("tolerant_equals", classOf[TolerantEquals],
+      exprs => TolerantEquals(exprs(0), exprs(1), exprs(2))),
+    ("cosine_similarity", classOf[CosineSimilarity],
+      exprs => CosineSimilarity(exprs(0), exprs(1))),
+    ("dot_product", classOf[DotProduct],
+      exprs => DotProduct(exprs(0), exprs(1))),
+    ("poly_hash62", classOf[PolyHash62], exprs => PolyHash62(exprs(0))),
+    ("simhash62", classOf[SimHash62], exprs => SimHash62(exprs(0))),
+    ("minhash_sig", classOf[MinHashSig],
+      exprs => MinHashSig(exprs(0), intLit(exprs(1), "minhash_sig numHashes"))),
+    ("shingle_hashes", classOf[ShingleHashes],
+      exprs => ShingleHashes(exprs(0), intLit(exprs(1), "shingle_hashes k"))))
+
+  /** Register every function into an already-running session. */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+}
+
+/** Session extension installing [[GraftFunctions.all]]:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("tolerant_equals"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[TolerantEquals].getName, "tolerant_equals"),
-        (exprs: Seq[Expression]) => TolerantEquals(exprs(0), exprs(1), exprs(2))))
+    GraftFunctions.all.foreach { case (name, clazz, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+    }
 }
