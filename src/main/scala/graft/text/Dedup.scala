@@ -66,6 +66,23 @@ object Dedup {
   def shingleHashes(c: Column, k: Int): Column =
     graft.functions.ShingleHashes.shingleHashes(TextAnalysis.tokens(c), k)
 
+  /** STREAMING exact dedup — the ingest-time shape of [[dedupExact]]
+    * for a continuously arriving corpus: the first document with a given
+    * content fingerprint passes, every later re-occurrence is dropped.
+    * `dropDuplicatesWithinWatermark` keeps one state row per distinct
+    * fingerprint and lets the watermark EXPIRE state older than the
+    * lateness bound, so state is bounded by (arrival rate × horizon),
+    * not by corpus size — the property that makes streaming dedup
+    * feasible at all on an unbounded stream. (Batch dedup of the full
+    * corpus remains [[dedupExact]]; this guards the pipe.) */
+  def dedupExactStream(stream: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   // ---- MinHash + LSH ---------------------------------------------------
 
   /** MinHash signature: for seed s, min over shingles of
