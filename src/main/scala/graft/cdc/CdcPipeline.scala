@@ -38,7 +38,13 @@ final class CdcPipeline(
     /** ST5: merge retry attempts with exponential backoff (reference
       * sink retry config postgres-sink.json:12-13,33-34). */
     maxMergeRetries: Int = 3,
-    retryBaseBackoffMs: Long = 100) {
+    retryBaseBackoffMs: Long = 100,
+    /** > 0 switches the warehouse to bucket-partitioned COPY-ON-WRITE
+      * tables ([[graft.util.BucketedTable]]): each merge rewrites only
+      * the buckets its keys hash into instead of the whole table — the
+      * at-scale layout. 0 keeps the single-snapshot path (simplest for
+      * small tables). */
+    warehouseBuckets: Int = 0) {
 
   /** Parse a raw JSON-line envelope stream with a DLQ split: rows that
     * fail schema parse land in `dlq` with error context
@@ -69,7 +75,9 @@ final class CdcPipeline(
     * snapshot is never lost, at most the in-flight batch is — and the
     * checkpoint replays that batch into an idempotent merge. */
   def readTable(table: String): Option[DataFrame] =
-    graft.util.AtomicSnapshot.read(spark, tablePath(table))
+    if (warehouseBuckets > 0)
+      graft.util.BucketedTable.read(spark, tablePath(table))
+    else graft.util.AtomicSnapshot.read(spark, tablePath(table))
 
   private def writeTable(table: String, df: DataFrame): Unit =
     graft.util.AtomicSnapshot.write(df, tablePath(table))
@@ -212,14 +220,20 @@ final class CdcPipeline(
           if (partialUpdate) updates.columns.filterNot(c => keys.contains(c) ||
             c == ordCol || c == deleteCol).toSeq
           else Seq.empty
-        val merged = readTable(table) match {
-          case Some(target) =>
-            Upsert.mergeBatch(target, updates, keys, ordCol, deleteCol, partialCols)
-          case None =>
-            Upsert.collapseBatch(updates, keys, col(ordCol), deleteCol, partialCols)
-              .drop(deleteCol)
+        if (warehouseBuckets > 0)
+          // COW path: rewrites only the buckets this batch's keys touch
+          graft.util.BucketedTable.merge(spark, tablePath(table), updates,
+            keys, ordCol, deleteCol, partialCols, warehouseBuckets)
+        else {
+          val merged = readTable(table) match {
+            case Some(target) =>
+              Upsert.mergeBatch(target, updates, keys, ordCol, deleteCol, partialCols)
+            case None =>
+              Upsert.collapseBatch(updates, keys, col(ordCol), deleteCol, partialCols)
+                .drop(deleteCol)
+          }
+          writeTable(table, merged)
         }
-        writeTable(table, merged)
       }
     }
     // advance the high-water mark only after the batch fully merged

@@ -181,6 +181,34 @@ class CdcPipelineSpec extends SparkSpec {
     assert(orphans.count() == 0)
   }
 
+  test("bucketed COW warehouse: streaming e2e parity with the snapshot path") {
+    val in = jsonEvents(Seq(
+      ev("INSERT", 1000L, "u1", "alice", "active"),
+      ev("INSERT", 1001L, "u2", "bob", "active"),
+      ev("UPDATE", 2000L, "u2", null, "inactive"), // partial: username absent
+      ev("INSERT", 1002L, "u3", "carol", "active"),
+      ev("DELETE", 3000L, "u3", null, null)))
+    def run(buckets: Int): Set[(String, String, String)] = {
+      val pipeline = new CdcPipeline(spark, tmpDir(), tmpDir(),
+        Map("users" -> Seq("user_id")), warehouseBuckets = buckets)
+      val raw = spark.readStream
+        .schema(StructType(Seq(StructField("value", StringType))))
+        .text(in).toDF("value")
+      val q = pipeline.start(raw, envSchema, Trigger.AvailableNow())
+      q.awaitTermination(60000)
+      spark.streams.active.foreach(_.awaitTermination(60000))
+      pipeline.readTable("users").get
+        .select("user_id", "username", "status")
+        .as[(String, String, String)].collect().toSet
+    }
+    val snapshot = run(0)
+    val bucketed = run(4)
+    assert(bucketed == snapshot,
+      s"COW warehouse must produce identical state: $bucketed vs $snapshot")
+    assert(bucketed.exists(r => r._1 == "u2" && r._2 == "bob" && r._3 == "inactive"))
+    assert(!bucketed.exists(_._1 == "u3")) // delete applied
+  }
+
   test("schema gate blocks incompatible envelope changes before the stream starts") {
     import graft.schemaevo.SchemaStore
     val store = new SchemaStore()
