@@ -78,7 +78,12 @@ object Dedup {
   def dedupExactStream(stream: DataFrame, textCol: String, tsCol: String,
       watermark: String = "1 hour"): DataFrame =
     stream
-      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      // NULL-text docs are not duplicates of anything: fingerprint(null)
+      // is null and dropDuplicates groups nulls as EQUAL, which would
+      // silently discard every null-text doc after the first — give each
+      // one a unique passthrough key instead
+      .withColumn("__fp", coalesce(TextAnalysis.fingerprint(col(textCol)),
+        concat(lit("__graft_null_"), expr("uuid()"))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")

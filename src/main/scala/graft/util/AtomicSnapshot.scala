@@ -19,10 +19,7 @@ object AtomicSnapshot {
   private def oldPath(dest: String) = s"${dest}__old"
   private def stagingPath(dest: String) = s"${dest}__staging"
 
-  private def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+  private def deleteRecursive(p: Path): Unit = Fs.deleteRecursive(p)
 
   /** Write `df` as the new snapshot at `dest` (overwrite semantics). */
   def write(df: DataFrame, dest: String): Unit = {

@@ -11,7 +11,10 @@ import graft.cdc.Upsert
   * to the snapshot path's full-table rewrite per micro-batch.
   *
   * Layout: `dest/__bucket=<i>/part-*.parquet`, bucket =
-  * pmod(xxhash64(keys), n). A merge:
+  * pmod(xxhash64(keys), n), plus a `_graft_buckets` metadata file
+  * pinning n (a restart with a different bucket count would silently
+  * scatter keys across two layouts — the metadata check turns that into
+  * an immediate error). A merge:
   *   1. computes the (≤ n) buckets the update keys hash into,
   *   2. reads ONLY those bucket directories (partition pruning — the
   *      plan's PartitionFilters cut at file listing, untouched buckets
@@ -27,11 +30,15 @@ import graft.cdc.Upsert
   * rewrites a few hundred GB instead of the full table. This is the
   * Delta/Iceberg copy-on-write granularity, implemented on plain
   * parquet; what a table format's transaction log would add is
-  * all-or-nothing visibility across buckets — here a crash mid-swap can
-  * expose a torn (some-buckets-new) snapshot that the checkpoint's
-  * batch REPLAY heals, because the merge kernel is idempotent and
-  * monotonic per key. `read` additionally rolls back any bucket whose
-  * swap crashed between its two moves, so no bucket is ever lost.
+  * all-or-nothing visibility across buckets AND cross-process
+  * coordination. Within one JVM, reads/merges/rewrites of a table are
+  * serialized on a per-destination lock (a concurrent read's recovery
+  * would otherwise race an in-flight swap); across processes, use a
+  * real table format. A crash mid-swap can expose a torn
+  * (some-buckets-new) snapshot that the checkpoint's batch REPLAY
+  * heals, because the merge kernel is idempotent and monotonic per key;
+  * `read` additionally rolls back any bucket (or full rewrite) whose
+  * swap crashed between its two moves, so no data is ever lost.
   */
 object BucketedTable {
 
@@ -39,86 +46,132 @@ object BucketedTable {
     pmod(xxhash64(keys.map(col): _*), lit(n)).cast("int")
 
   private def oldRoot(dest: String) = s"${dest}__oldb"
+  private def oldFull(dest: String) = s"${dest}__oldfull"
   private def stagingRoot(dest: String) = s"${dest}__stagingb"
   private def bucketDir(root: String, b: Int): Path =
     Paths.get(root, s"__bucket=$b")
+  private def metaFile(root: String): Path = Paths.get(root, "_graft_buckets")
 
-  private def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+  // per-destination JVM lock: serializes read-recovery against in-flight
+  // merges/rewrites of the same table
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(dest: String): Object =
+    locks.computeIfAbsent(dest, _ => new Object)
 
-  /** Roll back any bucket whose swap crashed between moves (dest dir
-    * missing, backup present). Idempotent; called before read and merge. */
-  def recover(dest: String): Unit = {
+  /** True when dest holds actual bucket data (an emptied table keeps its
+    * directory + metadata but has no bucket dirs — reading it through
+    * spark.read would throw). */
+  private def hasBuckets(dest: String): Boolean =
+    Fs.listDir(Paths.get(dest)).exists(_.getFileName.toString.startsWith("__bucket="))
+
+  private def checkBucketCount(dest: String, n: Int): Unit = {
+    val mf = metaFile(dest)
+    if (Files.exists(mf)) {
+      val persisted = new String(Files.readAllBytes(mf), "UTF-8").trim.toInt
+      require(persisted == n,
+        s"table at $dest was written with $persisted buckets; " +
+          s"refusing to operate with n=$n (keys would scatter across layouts)")
+    } else if (Files.exists(Paths.get(dest)))
+      throw new IllegalStateException(
+        s"$dest exists but is not a bucketed table (no _graft_buckets) — " +
+          "it was written by the snapshot path; migrate with writeFull first")
+  }
+
+  /** Roll back any swap that crashed between moves: per-bucket backups
+    * first, then a full-rewrite backup. Idempotent. Callers hold the
+    * dest lock. */
+  private def recoverLocked(dest: String): Unit = {
     val or = Paths.get(oldRoot(dest))
     if (Files.exists(or)) {
-      Files.list(or).forEach { backup =>
+      Fs.listDir(or).foreach { backup =>
         val destDir = Paths.get(dest, backup.getFileName.toString)
         if (!Files.exists(destDir)) Files.move(backup, destDir)
-        else deleteRecursive(backup)
+        else Fs.deleteRecursive(backup)
       }
-      deleteRecursive(or)
+      Fs.deleteRecursive(or)
+    }
+    val of = Paths.get(oldFull(dest))
+    if (Files.exists(of)) {
+      // full-rewrite backup survives only if the new dest never landed
+      if (!Files.exists(Paths.get(dest))) Files.move(of, Paths.get(dest))
+      else Fs.deleteRecursive(of)
     }
   }
 
-  /** Full (re)write — initial load only; merges after that are COW. */
-  def writeFull(df: DataFrame, dest: String, keys: Seq[String], n: Int): Unit = {
-    val staging = stagingRoot(dest)
-    df.withColumn("__bucket", bucketCol(keys, n))
-      .write.partitionBy("__bucket").mode("overwrite").parquet(staging)
-    deleteRecursive(Paths.get(dest))
-    Files.move(Paths.get(staging), Paths.get(dest))
-  }
+  /** Full (re)write — initial load or compaction. Keeps the existing
+    * table as a backup until the new layout is in place (the
+    * [[AtomicSnapshot]] dance on the whole partitioned directory). */
+  def writeFull(df: DataFrame, dest: String, keys: Seq[String], n: Int): Unit =
+    lockFor(dest).synchronized {
+      recoverLocked(dest)
+      val staging = stagingRoot(dest)
+      Fs.deleteRecursive(Paths.get(staging))
+      df.withColumn("__bucket", bucketCol(keys, n))
+        .write.partitionBy("__bucket").mode("overwrite").parquet(staging)
+      Files.write(metaFile(staging), n.toString.getBytes("UTF-8"))
+      val destP = Paths.get(dest)
+      val oldP = Paths.get(oldFull(dest))
+      if (Files.exists(destP)) {
+        Fs.deleteRecursive(oldP)
+        Files.move(destP, oldP)
+        Files.move(Paths.get(staging), destP)
+        Fs.deleteRecursive(oldP)
+      } else Files.move(Paths.get(staging), destP)
+    }
 
-  def read(spark: SparkSession, dest: String): Option[DataFrame] = {
-    recover(dest)
-    if (Files.exists(Paths.get(dest)))
-      Some(spark.read.parquet(dest).drop("__bucket"))
-    else None
-  }
+  /** None when the table doesn't exist OR holds zero rows (every bucket
+    * emptied by deletes) — both mean "no accumulated state". */
+  def read(spark: SparkSession, dest: String): Option[DataFrame] =
+    lockFor(dest).synchronized {
+      recoverLocked(dest)
+      if (Files.exists(Paths.get(dest)) && hasBuckets(dest))
+        Some(spark.read.parquet(dest).drop("__bucket"))
+      else None
+    }
 
   /** COW merge of one collapsed update batch (same contract as the
     * snapshot path: `updates` carries key cols, `ordCol`, `deleteCol`,
     * data cols). */
   def merge(spark: SparkSession, dest: String, updates: DataFrame,
       keys: Seq[String], ordCol: String, deleteCol: String,
-      partialUpdateCols: Seq[String], n: Int): Unit = {
-    recover(dest)
-    if (!Files.exists(Paths.get(dest))) {
-      writeFull(
-        Upsert.collapseBatch(updates, keys, col(ordCol), deleteCol,
-          partialUpdateCols).drop(deleteCol),
-        dest, keys, n)
-      return
+      partialUpdateCols: Seq[String], n: Int): Unit =
+    lockFor(dest).synchronized {
+      recoverLocked(dest)
+      checkBucketCount(dest, n)
+      if (!Files.exists(Paths.get(dest)) || !hasBuckets(dest)) {
+        writeFull(
+          Upsert.collapseBatch(updates, keys, col(ordCol), deleteCol,
+            partialUpdateCols).drop(deleteCol),
+          dest, keys, n)
+        return
+      }
+      val touched = updates.select(bucketCol(keys, n).as("b"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+      // partition pruning: only the touched bucket dirs are listed/read
+      val target = spark.read.parquet(dest)
+        .filter(col("__bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+        .drop("__bucket")
+      val merged = Upsert.mergeBatch(target, updates, keys, ordCol, deleteCol,
+        partialUpdateCols)
+        .withColumn("__bucket", bucketCol(keys, n))
+      val staging = stagingRoot(dest)
+      Fs.deleteRecursive(Paths.get(staging))
+      merged.write.partitionBy("__bucket").mode("overwrite").parquet(staging)
+      // per-bucket swap with the AtomicSnapshot invariant: the bucket's
+      // data survives in either dest or the backup at every instant
+      Files.createDirectories(Paths.get(oldRoot(dest)))
+      touched.foreach { b =>
+        val bDest = bucketDir(dest, b)
+        val bOld = bucketDir(oldRoot(dest), b)
+        val bStage = bucketDir(staging, b)
+        Fs.deleteRecursive(bOld)
+        if (Files.exists(bDest)) Files.move(bDest, bOld)
+        if (Files.exists(bStage)) Files.move(bStage, bDest)
+        // else: every key in this bucket was deleted — the dir stays absent
+        Fs.deleteRecursive(bOld)
+      }
+      Fs.deleteRecursive(Paths.get(oldRoot(dest)))
+      Fs.deleteRecursive(Paths.get(staging))
     }
-    val touched = updates.select(bucketCol(keys, n).as("b"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return
-    // partition pruning: only the touched bucket dirs are listed/read
-    val target = spark.read.parquet(dest)
-      .filter(col("__bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
-      .drop("__bucket")
-    val merged = Upsert.mergeBatch(target, updates, keys, ordCol, deleteCol,
-      partialUpdateCols)
-      .withColumn("__bucket", bucketCol(keys, n))
-    val staging = stagingRoot(dest)
-    deleteRecursive(Paths.get(staging))
-    merged.write.partitionBy("__bucket").mode("overwrite").parquet(staging)
-    // per-bucket swap with the AtomicSnapshot invariant: the bucket's
-    // data survives in either dest or the backup at every instant
-    Files.createDirectories(Paths.get(oldRoot(dest)))
-    touched.foreach { b =>
-      val bDest = bucketDir(dest, b)
-      val bOld = bucketDir(oldRoot(dest), b)
-      val bStage = bucketDir(staging, b)
-      deleteRecursive(bOld)
-      if (Files.exists(bDest)) Files.move(bDest, bOld)
-      if (Files.exists(bStage)) Files.move(bStage, bDest)
-      // else: every key in this bucket was deleted — the dir stays absent
-      deleteRecursive(bOld)
-    }
-    deleteRecursive(Paths.get(oldRoot(dest)))
-    deleteRecursive(Paths.get(staging))
-  }
 }

@@ -17,6 +17,11 @@ class BucketedTableSpec extends SparkSpec {
   private def initial = (0L until 200L)
     .map(i => (i, s"name$i", i * 1.0, 100L)).toDF("id", "name", "value", "seq")
 
+  /** All bucket assignments in ONE Spark job. */
+  private def bucketsOf(ids: Seq[Long]): Map[Long, Int] =
+    ids.toDF("id").select($"id", BucketedTable.bucketCol(Seq("id"), N).as("b"))
+      .as[(Long, Int)].collect().toMap
+
   private def fileState(dest: String): Map[String, Long] = {
     val root = Paths.get(dest)
     val out = scala.collection.mutable.Map[String, Long]()
@@ -54,9 +59,7 @@ class BucketedTableSpec extends SparkSpec {
     assert(!got.exists(_._1 == 6L) && got.exists(_._1 == 900L))
 
     // copy-on-write: only the buckets of keys {5, 6, 900} were rewritten
-    val touched = Seq(5L, 6L, 900L).map(id =>
-      spark.range(1).select(pmod(xxhash64(lit(id)), lit(N)).cast("int"))
-        .head().getInt(0)).toSet
+    val touched = bucketsOf(Seq(5L, 6L, 900L)).values.toSet
     val after = fileState(dest)
     val untouchedBefore = before.filter { case (p, _) =>
       !touched.exists(b => p.startsWith(s"__bucket=$b/")) }
@@ -69,10 +72,8 @@ class BucketedTableSpec extends SparkSpec {
 
   test("deleting every key of a bucket removes its directory; reads stay consistent") {
     val dest = tmp()
-    // 3 keys that all share bucket b, plus others
-    val all = (0L until 50L)
-    val bOf = all.map(id => id ->
-      spark.range(1).select(pmod(xxhash64(lit(id)), lit(N)).cast("int")).head().getInt(0)).toMap
+    val all = (0L until 50L).toSeq
+    val bOf = bucketsOf(all)
     val (bucket, members) = bOf.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
       .minBy { case (_, ids) => ids.size }
     val df = all.map(i => (i, s"n$i", 100L)).toDF("id", "name", "seq")
@@ -85,6 +86,42 @@ class BucketedTableSpec extends SparkSpec {
       "fully-emptied bucket directory should disappear")
     val ids = BucketedTable.read(spark, dest).get.select("id").as[Long].collect().toSet
     assert(ids == all.toSet -- members)
+  }
+
+  test("a fully-emptied table reads as None and accepts new merges (no brick)") {
+    val dest = tmp()
+    val df = Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("id", "name", "seq")
+    BucketedTable.writeFull(df, dest, Seq("id"), N)
+    val deleteAll = Seq(
+      (1L, None: Option[String], 200L, "true"),
+      (2L, None: Option[String], 200L, "true")).toDF("id", "name", "seq", "__deleted")
+    BucketedTable.merge(spark, dest, deleteAll, Seq("id"), "seq", "__deleted",
+      Seq.empty, N)
+    assert(BucketedTable.read(spark, dest).isEmpty,
+      "zero-row table must read as None, not throw")
+    // and the table accepts a fresh merge (re-initializes)
+    val revive = Seq((9L, Some("z"), 300L, "false")).toDF("id", "name", "seq", "__deleted")
+    BucketedTable.merge(spark, dest, revive, Seq("id"), "seq", "__deleted",
+      Seq.empty, N)
+    val ids = BucketedTable.read(spark, dest).get.select("id").as[Long].collect().toSeq
+    assert(ids == Seq(9L))
+  }
+
+  test("bucket-count mismatch and non-bucketed layout are refused loudly") {
+    val dest = tmp()
+    BucketedTable.writeFull(initial, dest, Seq("id"), N)
+    val upd = Seq((1L, Some("x"), 200L, "false")).toDF("id", "name", "seq", "__deleted")
+    val e = intercept[IllegalArgumentException](
+      BucketedTable.merge(spark, dest, upd, Seq("id"), "seq", "__deleted",
+        Seq.empty, n = 16))
+    assert(e.getMessage.contains("8 buckets"))
+    // a snapshot-layout dir (plain parquet, no metadata) is refused too
+    val snap = tmp()
+    initial.write.parquet(snap)
+    val e2 = intercept[IllegalStateException](
+      BucketedTable.merge(spark, snap, upd, Seq("id"), "seq", "__deleted",
+        Seq.empty, N))
+    assert(e2.getMessage.contains("not a bucketed table"))
   }
 
   test("recover rolls back a bucket whose swap crashed between moves") {
@@ -100,5 +137,16 @@ class BucketedTableSpec extends SparkSpec {
     val recovered = BucketedTable.read(spark, dest).get.count()
     assert(recovered == whole, "read must transparently restore the bucket")
     assert(!Files.exists(backupRoot), "backup root cleaned after recovery")
+  }
+
+  test("writeFull over an existing table survives a simulated crash (full backup)") {
+    val dest = tmp()
+    BucketedTable.writeFull(initial, dest, Seq("id"), N)
+    // simulate crash between dest→oldfull move and staging→dest move
+    Files.move(Paths.get(dest), Paths.get(s"${dest}__oldfull"))
+    assert(!Files.exists(Paths.get(dest)))
+    val recovered = BucketedTable.read(spark, dest)
+    assert(recovered.isDefined && recovered.get.count() == 200,
+      "full-rewrite backup must be rolled back, not lost")
   }
 }
