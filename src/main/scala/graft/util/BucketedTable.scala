@@ -129,6 +129,23 @@ object BucketedTable {
       else None
     }
 
+  /** Rewrite the table in place to heal the small-file accumulation a
+    * long-running merge stream produces (every merge adds one file set
+    * per touched bucket). One full read + one full write — schedule it
+    * like any table-format OPTIMIZE; readers before/after see identical
+    * rows and a crash mid-compaction is covered by the full-rewrite
+    * backup. */
+  def compact(spark: SparkSession, dest: String, keys: Seq[String], n: Int): Unit =
+    lockFor(dest).synchronized {
+      recoverLocked(dest)
+      checkBucketCount(dest, n)
+      read(spark, dest).foreach { df =>
+        // materialize before writeFull deletes the dirs the plan reads
+        val rows = df.localCheckpoint()
+        writeFull(rows, dest, keys, n)
+      }
+    }
+
   /** COW merge of one collapsed update batch (same contract as the
     * snapshot path: `updates` carries key cols, `ordCol`, `deleteCol`,
     * data cols). */

@@ -139,6 +139,28 @@ class BucketedTableSpec extends SparkSpec {
     assert(!Files.exists(backupRoot), "backup root cleaned after recovery")
   }
 
+  test("compact merges accumulated per-merge files; rows identical") {
+    val dest = tmp()
+    BucketedTable.writeFull(initial, dest, Seq("id"), N)
+    // 3 merges hitting the same keys → file sets pile up in their buckets
+    (1 to 3).foreach { i =>
+      val upd = Seq((5L, Some(s"v$i"), Some(5.0 + i), 100L + i, "false"))
+        .toDF("id", "name", "value", "seq", "__deleted")
+      BucketedTable.merge(spark, dest, upd, Seq("id"), "seq", "__deleted",
+        Seq("name", "value"), N)
+    }
+    val beforeRows = BucketedTable.read(spark, dest).get
+      .orderBy("id").collect().map(_.toString).toSeq
+    val filesBefore = fileState(dest).size
+    BucketedTable.compact(spark, dest, Seq("id"), N)
+    val afterRows = BucketedTable.read(spark, dest).get
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(afterRows == beforeRows, "compaction must not change any row")
+    assert(fileState(dest).size <= filesBefore,
+      "compaction should not grow the file count")
+    assert(afterRows.exists(_.contains("v3")), "latest merge state survives")
+  }
+
   test("writeFull over an existing table survives a simulated crash (full backup)") {
     val dest = tmp()
     BucketedTable.writeFull(initial, dest, Seq("id"), N)
