@@ -56,6 +56,17 @@ object Ivf {
     (IvfModel(model.clusterCenters.map(_.toArray)), assigned)
   }
 
+  /** Persist the assignment table partitioned by cell — the probe path
+    * then prunes to nProbe directories at file listing (the "written
+    * partitionBy(cell)" story made concrete; pruning asserted in
+    * VectorIndexIOSpec). Centroids travel separately (k × dim doubles —
+    * a broadcast-sized artifact). */
+  def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** ANN top-k: probe the nProbe nearest cells, exact cosine inside. */
   def annTopK(model: IvfModel, index: DataFrame, idCol: String, embCol: String,
       query: Seq[Double], topK: Int, nProbe: Int = 2): DataFrame = {

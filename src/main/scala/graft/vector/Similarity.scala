@@ -75,6 +75,17 @@ object Similarity {
       lshSignature(col(embCol), planes).as("bucket"))
   }
 
+  /** Persist an LSH index partitioned by bucket: a probe against the
+    * re-read index prunes to its probe buckets at the FILE-LISTING
+    * level (PartitionFilters on the scan — asserted in
+    * VectorIndexIOSpec), which is what makes a 100 TB index cheap to
+    * query: nProbe directories opened, the rest never listed. */
+  def writeLshIndex(index: DataFrame, path: String): Unit =
+    index.write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Multi-probe neighbor buckets: the query's bucket plus all buckets
     * at hamming distance 1 (flip each bit once). */
   def probeBuckets(sig: Long, nPlanes: Int): Seq[Long] =
