@@ -21,7 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * once and slides the window in a tight loop. Values are unchanged, so
   * downstream joins, minhash signatures and oracles are unaffected
   * (equivalence pinned by TextSpec). */
-case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+/** `distinct = true` dedups INSIDE the kernel (sort + linear dedup per
+  * row, order not preserved — callers treat the result as a set):
+  * consumers needing set semantics then explode an already-unique array
+  * instead of paying a corpus-wide `distinct()` SHUFFLE after the
+  * explode — at scale that shuffle is the size of the exploded corpus. */
+case class ShingleHashes(child: Expression, k: Int,
+    distinct: Boolean = false) extends UnaryExpression {
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -35,12 +41,12 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
-      ShingleHashes.compute(input.asInstanceOf[ArrayData], k))
+      ShingleHashes.compute(input.asInstanceOf[ArrayData], k, distinct))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.ShingleHashes.compute($c, $k))")
+        s"graft.functions.ShingleHashes.compute($c, $k, $distinct))")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -49,7 +55,22 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
 object ShingleHashes {
   private final val Seed = 42L
 
-  def compute(tokens: ArrayData, k: Int): Array[Long] = {
+  def compute(tokens: ArrayData, k: Int, distinct: Boolean): Array[Long] = {
+    val raw = computeAll(tokens, k)
+    if (!distinct || raw.length <= 1) raw
+    else {
+      java.util.Arrays.sort(raw)
+      var w = 1
+      var i = 1
+      while (i < raw.length) {
+        if (raw(i) != raw(w - 1)) { raw(w) = raw(i); w += 1 }
+        i += 1
+      }
+      if (w == raw.length) raw else java.util.Arrays.copyOf(raw, w)
+    }
+  }
+
+  private def computeAll(tokens: ArrayData, k: Int): Array[Long] = {
     val n = tokens.numElements()
     // per-token hashes once (xxhash64 skips null children -> bare seed)
     val th = new Array[Long](n)
@@ -85,8 +106,8 @@ object ShingleHashes {
     }
   }
 
-  def shingleHashes(tokens: Column, k: Int): Column = {
+  def shingleHashes(tokens: Column, k: Int, distinct: Boolean = false): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
-    toColumn(ShingleHashes(toExpr(tokens), k))
+    toColumn(ShingleHashes(toExpr(tokens), k, distinct))
   }
 }

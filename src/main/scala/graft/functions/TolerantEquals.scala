@@ -121,7 +121,12 @@ object GraftFunctions {
     ("minhash_sig", classOf[MinHashSig],
       exprs => MinHashSig(exprs(0), intLit(exprs(1), "minhash_sig numHashes"))),
     ("shingle_hashes", classOf[ShingleHashes],
-      exprs => ShingleHashes(exprs(0), intLit(exprs(1), "shingle_hashes k"))))
+      exprs => ShingleHashes(exprs(0), intLit(exprs(1), "shingle_hashes k"),
+        distinct = exprs.length > 2 && (exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes distinct flag must be a boolean literal, got $other")
+        }))))
 
   /** Register every function into an already-running session. */
   def registerAll(spark: SparkSession): Unit =

@@ -63,8 +63,8 @@ object Dedup {
     *
     * Native fused loop ([[graft.functions.ShingleHashes]]); bit-
     * identical to the previous HOF fold (TextSpec pins equivalence). */
-  def shingleHashes(c: Column, k: Int): Column =
-    graft.functions.ShingleHashes.shingleHashes(TextAnalysis.tokens(c), k)
+  def shingleHashes(c: Column, k: Int, distinct: Boolean = false): Column =
+    graft.functions.ShingleHashes.shingleHashes(TextAnalysis.tokens(c), k, distinct)
 
   /** STREAMING exact dedup — the ingest-time shape of [[dedupExact]]
     * for a continuously arriving corpus: the first document with a given
@@ -180,7 +180,7 @@ object Dedup {
     val sigDf = minhashIndex(df, idCol, textCol, k, numHashes)
     val pairs = bandedCandidates(sigDf, bands, numHashes / bands)
     val sets = df.select(col(idCol).as("id"),
-      array_distinct(shingleHashes(col(textCol), k)).as("sh"))
+      shingleHashes(col(textCol), k, distinct = true).as("sh"))
     pairs
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -312,10 +312,12 @@ object Dedup {
     // instead of arbitrary-length text. Set semantics via a distributed
     // distinct after explode (not O(s²) array_distinct per row); the
     // exploded table feeds three consumers, so materialize it once.
+    // set semantics come from the kernel's per-row dedup (doc ids are
+    // unique, so (id, shingle) is globally unique after a per-doc
+    // distinct) — NO corpus-wide distinct() shuffle after the explode
     val shAll = df.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), k)).as("shingle"))
-      .distinct()
-      .localCheckpoint() // the expensive explode+distinct pass runs ONCE
+      explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
+      .localCheckpoint() // the expensive explode pass runs ONCE
     val sh = if (maxShingleDf > 0) {
       val rare = shAll.groupBy("shingle")
         .agg(count(lit(1)).as("df"))

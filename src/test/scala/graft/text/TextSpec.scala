@@ -75,6 +75,15 @@ class TextSpec extends SparkSpec {
         hofShingleHashes($"text", k).as("hof"))
         .as[(Seq[Long], Seq[Long])].collect()
       both.foreach { case (n, h) => assert(n == h, s"k=$k mismatch: $n vs $h") }
+      // kernel distinct == set of the positional hashes
+      val dd = cases.select(
+        Dedup.shingleHashes($"text", k, distinct = true).as("d"),
+        Dedup.shingleHashes($"text", k).as("all"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      dd.foreach { case (d, all) =>
+        assert(d.toSet == all.toSet && d.size == d.toSet.size,
+          s"k=$k kernel distinct must equal the positional set")
+      }
     }
   }
 
