@@ -25,7 +25,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // CDC-path throughput headline: events through the full transform
+    // chain (q20) + latest-per-key collapse (q21), vs the reference's
+    // 5k events/s dev baseline (BASELINE.md)
+    val cdcSecs = results.getOrElse("q20_cdc_transform_chain", 0.0) +
+      results.getOrElse("q21_cdc_latest_state", 0.0)
+    val eventsPerSec =
+      if (cdcSecs > 0) (Tables.events(spark, sfDir).count() / cdcSecs).toLong
+      else 0L
+    println(s"""{"metric":"total","value":$total,"unit":"sec","events_per_sec":$eventsPerSec,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
