@@ -13,14 +13,16 @@ object Bench {
     // two timed passes per query, report the min — damps the ±30-50%
     // single-shot variance (JIT warmup, page cache, GC) without changing
     // the output contract
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
+    val failed = scala.collection.mutable.Set.empty[String]
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -30,8 +32,13 @@ object Bench {
     // 5k events/s dev baseline (BASELINE.md)
     val cdcSecs = results.getOrElse("q20_cdc_transform_chain", 0.0) +
       results.getOrElse("q21_cdc_latest_state", 0.0)
+    // 0 (not a bogus timing-of-a-failure number) when either CDC query
+    // failed or the events table is unreadable; never crash the report
     val eventsPerSec =
-      if (cdcSecs > 0) (Tables.events(spark, sfDir).count() / cdcSecs).toLong
+      if (cdcSecs > 0 && !failed("q20_cdc_transform_chain") &&
+          !failed("q21_cdc_latest_state"))
+        try (Tables.events(spark, sfDir).count() / cdcSecs).toLong
+        catch { case _: Throwable => 0L }
       else 0L
     println(s"""{"metric":"total","value":$total,"unit":"sec","events_per_sec":$eventsPerSec,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

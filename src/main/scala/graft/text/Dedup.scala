@@ -297,6 +297,13 @@ object Dedup {
     * distributively: explode → self-join on shingle → pair intersection
     * counts vs per-doc set sizes.
     *
+    * PRECONDITION: `idCol` values are unique (they're document primary
+    * keys everywhere this runs). Set semantics come from the kernel's
+    * per-row dedup, so a duplicated id row would double-count its
+    * shingles in the size/intersection arithmetic rather than being
+    * absorbed — run [[dedupExact]]-style id dedup first if ids can
+    * repeat.
+    *
     * `maxShingleDf` (0 = off) is the document-frequency cut for the
     * degenerate-bucket hazard: a shingle present in F documents yields
     * F² join rows, so one boilerplate phrase shared by 10⁵ docs would

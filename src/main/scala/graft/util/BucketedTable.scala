@@ -64,13 +64,23 @@ object BucketedTable {
   private def hasBuckets(dest: String): Boolean =
     Fs.listDir(Paths.get(dest)).exists(_.getFileName.toString.startsWith("__bucket="))
 
-  private def checkBucketCount(dest: String, n: Int): Unit = {
+  /** Metadata pins the WHOLE layout — bucket count AND key columns: a
+    * rewrite or merge hashed by different keys would scatter rows into
+    * buckets later merges never look in (silent key duplication). */
+  private def checkLayout(dest: String, keys: Seq[String], n: Int): Unit = {
     val mf = metaFile(dest)
     if (Files.exists(mf)) {
-      val persisted = new String(Files.readAllBytes(mf), "UTF-8").trim.toInt
-      require(persisted == n,
-        s"table at $dest was written with $persisted buckets; " +
+      val lines = new String(Files.readAllBytes(mf), "UTF-8").trim.split("\n")
+      val persistedN = lines(0).trim.toInt
+      require(persistedN == n,
+        s"table at $dest was written with $persistedN buckets; " +
           s"refusing to operate with n=$n (keys would scatter across layouts)")
+      if (lines.length > 1) {
+        val persistedKeys = lines(1).trim
+        require(persistedKeys == keys.mkString(","),
+          s"table at $dest is bucketed by [${lines(1)}]; " +
+            s"refusing to operate with keys [${keys.mkString(",")}]")
+      }
     } else if (Files.exists(Paths.get(dest)))
       throw new IllegalStateException(
         s"$dest exists but is not a bucketed table (no _graft_buckets) — " +
@@ -101,14 +111,22 @@ object BucketedTable {
   /** Full (re)write — initial load or compaction. Keeps the existing
     * table as a backup until the new layout is in place (the
     * [[AtomicSnapshot]] dance on the whole partitioned directory). */
-  def writeFull(df: DataFrame, dest: String, keys: Seq[String], n: Int): Unit =
+  def writeFull(df: DataFrame, dest: String, keys: Seq[String], n: Int,
+      repartitionByBucket: Boolean = false): Unit =
     lockFor(dest).synchronized {
       recoverLocked(dest)
       val staging = stagingRoot(dest)
       Fs.deleteRecursive(Paths.get(staging))
-      df.withColumn("__bucket", bucketCol(keys, n))
-        .write.partitionBy("__bucket").mode("overwrite").parquet(staging)
-      Files.write(metaFile(staging), n.toString.getBytes("UTF-8"))
+      val bucketed = df.withColumn("__bucket", bucketCol(keys, n))
+      // compaction path: co-locate each bucket into one task so every
+      // bucket directory ends up with ONE file set, not one per
+      // (input-partition × bucket)
+      val arranged =
+        if (repartitionByBucket) bucketed.repartition(col("__bucket"))
+        else bucketed
+      arranged.write.partitionBy("__bucket").mode("overwrite").parquet(staging)
+      Files.write(metaFile(staging),
+        s"$n\n${keys.mkString(",")}".getBytes("UTF-8"))
       val destP = Paths.get(dest)
       val oldP = Paths.get(oldFull(dest))
       if (Files.exists(destP)) {
@@ -138,12 +156,12 @@ object BucketedTable {
   def compact(spark: SparkSession, dest: String, keys: Seq[String], n: Int): Unit =
     lockFor(dest).synchronized {
       recoverLocked(dest)
-      checkBucketCount(dest, n)
-      read(spark, dest).foreach { df =>
-        // materialize before writeFull deletes the dirs the plan reads
-        val rows = df.localCheckpoint()
-        writeFull(rows, dest, keys, n)
-      }
+      checkLayout(dest, keys, n)
+      // safe to stream dest straight into the staging write: writeFull
+      // only swaps directories AFTER the write job (and its reads of
+      // dest) complete
+      read(spark, dest).foreach(df =>
+        writeFull(df, dest, keys, n, repartitionByBucket = true))
     }
 
   /** COW merge of one collapsed update batch (same contract as the
@@ -154,7 +172,7 @@ object BucketedTable {
       partialUpdateCols: Seq[String], n: Int): Unit =
     lockFor(dest).synchronized {
       recoverLocked(dest)
-      checkBucketCount(dest, n)
+      checkLayout(dest, keys, n)
       if (!Files.exists(Paths.get(dest)) || !hasBuckets(dest)) {
         writeFull(
           Upsert.collapseBatch(updates, keys, col(ordCol), deleteCol,

@@ -122,6 +122,11 @@ class BucketedTableSpec extends SparkSpec {
       BucketedTable.merge(spark, snap, upd, Seq("id"), "seq", "__deleted",
         Seq.empty, N))
     assert(e2.getMessage.contains("not a bucketed table"))
+    // and a rewrite/merge with DIFFERENT key columns is refused: rows
+    // would land in buckets later merges never probe
+    val e3 = intercept[IllegalArgumentException](
+      BucketedTable.compact(spark, dest, Seq("name"), N))
+    assert(e3.getMessage.contains("bucketed by [id]"))
   }
 
   test("recover rolls back a bucket whose swap crashed between moves") {
@@ -156,8 +161,9 @@ class BucketedTableSpec extends SparkSpec {
     val afterRows = BucketedTable.read(spark, dest).get
       .orderBy("id").collect().map(_.toString).toSeq
     assert(afterRows == beforeRows, "compaction must not change any row")
-    assert(fileState(dest).size <= filesBefore,
-      "compaction should not grow the file count")
+    assert(fileState(dest).size < filesBefore,
+      s"compaction must REDUCE files (repartition-by-bucket pins one file " +
+        s"set per bucket): ${fileState(dest).size} vs $filesBefore")
     assert(afterRows.exists(_.contains("v3")), "latest merge state survives")
   }
 

@@ -22,7 +22,10 @@ class VectorIndexIOSpec extends SparkSpec {
     val reread = Similarity.readLshIndex(spark, path)
     val probed = Similarity.annTopK(reread, "vec_id", "embedding", q, 10, nPlanes = 8)
     val plan = probed.queryExecution.executedPlan.toString()
-    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+    // a NON-EMPTY partition-filter list (the key alone always prints,
+    // as "PartitionFilters: []", even without pruning)
+    assert("PartitionFilters: \\[\\S".r.findFirstIn(plan).isDefined &&
+      !plan.contains("PartitionFilters: []"),
       s"probe must prune bucket partitions at file listing:\n$plan")
     val inMem = Similarity.annTopK(idx, "vec_id", "embedding", q, 10, nPlanes = 8)
       .as[(Long, Double)].collect().toSeq
@@ -43,7 +46,8 @@ class VectorIndexIOSpec extends SparkSpec {
     val cells = Ivf.nearestCentroidCells(cents, q, nProbe = 3)
     val probed = Ivf.annTopKCells(reread, "vec_id", "embedding", q, 10, cells)
     val plan = probed.queryExecution.executedPlan.toString()
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+    assert("PartitionFilters: \\[\\S".r.findFirstIn(plan).isDefined &&
+      !plan.contains("PartitionFilters: []"),
       s"probe must prune cell partitions at file listing:\n$plan")
     val inMem = Ivf.annTopKCells(index, "vec_id", "embedding", q, 10, cells)
       .as[(Long, Double)].collect().toSeq
