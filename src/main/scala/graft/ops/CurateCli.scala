@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.{Dedup, TextAnalysis}
+
+/** Corpus curation — the standard LLM training-data preparation funnel
+  * as ONE composable pipeline over a documents table:
+  *
+  *   1. exact dedup        (hash groups, deterministic min-id survivor)
+  *   2. near dedup         (minhash-LSH candidates → exact-Jaccard
+  *                          verify → connected-components survivorship,
+  *                          so chained clusters keep ONE representative)
+  *   3. language filter    (n-gram/stopword language ID)
+  *   4. quality filter     (length/punctuation/stopword score)
+  *   5. stats              (per-stage retention counts + token totals)
+  *
+  * Every stage is the already-verified operator from `graft.text` — the
+  * funnel adds no new dataflow, just the composition and the retention
+  * accounting a curation run needs for its datasheet. Each stage's
+  * output is a DataFrame, so a 100 TB run checkpoints/persists between
+  * stages exactly where a local run does.
+  */
+object CurateCli {
+
+  final case class Config(
+      minQuality: Double = 0.5,
+      languages: Set[String] = Set("en"),
+      jaccardThreshold: Double = 0.8,
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      maxShingleDf: Long = 0L)
+
+  final case class StageCount(stage: String, docs: Long, tokens: Long)
+
+  final case class Curated(corpus: DataFrame, funnel: Seq[StageCount])
+
+  private def stageCount(stage: String, df: DataFrame, textCol: String): StageCount = {
+    val r = df.agg(
+      count(lit(1)).as("docs"),
+      coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))
+        .as("tokens")).head()
+    StageCount(stage, r.getLong(0), r.getLong(1))
+  }
+
+  /** Run the funnel; returns the curated corpus plus per-stage counts. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): Curated = {
+    val input = stageCount("input", docs, textCol)
+
+    val exact = Dedup.dedupExact(docs, idCol, textCol)
+    val afterExact = stageCount("exact_dedup", exact, textCol)
+
+    val pairs = Dedup.minhashVerifiedPairs(exact, idCol, textCol,
+      k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
+      threshold = cfg.jaccardThreshold)
+    val near = Dedup.dedupByComponents(exact, idCol, pairs)
+    val afterNear = stageCount("near_dedup", near, textCol)
+
+    val lang = near.filter(
+      TextAnalysis.languageId(col(textCol)).isin(cfg.languages.toSeq: _*))
+    val afterLang = stageCount("language", lang, textCol)
+
+    val quality = lang.filter(
+      TextAnalysis.qualityScore(col(textCol),
+        TextAnalysis.LangProfiles("en")) >= cfg.minQuality)
+    val afterQuality = stageCount("quality", quality, textCol)
+
+    Curated(quality,
+      Seq(input, afterExact, afterNear, afterLang, afterQuality))
+  }
+
+  /** CLI: curate <sfDir> <outDir> [minQuality]. Writes the curated
+    * corpus as parquet plus a `funnel` stats table; prints one JSON
+    * line per stage (the run's datasheet). Exit 0. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/curated")
+    val minQ = args.lift(2).map(_.toDouble).getOrElse(0.5)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val result = curate(docs, "doc_id", "text", Config(minQuality = minQ))
+    result.corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
+    val sparkSession = spark
+    import sparkSession.implicits._
+    result.funnel.toDF().write.mode("overwrite").parquet(s"$outDir/funnel")
+    result.funnel.foreach(s => println(
+      s"""{"stage":"${s.stage}","docs":${s.docs},"tokens":${s.tokens}}"""))
+    spark.stop()
+  }
+}
