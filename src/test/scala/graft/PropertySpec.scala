@@ -18,6 +18,68 @@ class PropertySpec extends AnyFunSuite {
     Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('\'', '"', ';', '-', '\\',
       '\n', '\t', ' ', ',', '(', ')'))).map(_.mkString)
 
+  // ---- native text-hash kernels vs reference formulations -------------
+
+  private val tokenGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).map(_.take(12))
+  private val tokensGen: Gen[List[String]] = Gen.listOf(tokenGen)
+
+  test("poly/combined62: deterministic, 62-bit range, concat-sensitive") {
+    import graft.functions.TextHashes
+    import org.apache.spark.unsafe.types.UTF8String
+    check(Prop.forAll(tokenGen, tokenGen) { (a, b) =>
+      val ua = UTF8String.fromString(a)
+      val h = TextHashes.combined62(ua)
+      h >= 0L && h < (1L << 62) &&
+        h == TextHashes.combined62(UTF8String.fromString(a)) &&
+        h == TextHashes.poly(ua, TextHashes.BaseA) +
+          (TextHashes.poly(ua, TextHashes.BaseB) << 31) &&
+        // order sensitivity: ab vs ba differ unless strings make them equal
+        (a + b == b + a ||
+          TextHashes.combined62(UTF8String.fromString(a + b)) !=
+            TextHashes.combined62(UTF8String.fromString(b + a)))
+    })
+  }
+
+  test("shingle kernel: window count, distinct subset, minhash length/order") {
+    import graft.functions.{MinHashSig, ShingleHashes}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(tokens: List[String]): ArrayData =
+      ArrayData.toArrayData(tokens.map(UTF8String.fromString).toArray)
+    check(Prop.forAll(tokensGen, Gen.choose(1, 5)) { (tokens, k) =>
+      val all = ShingleHashes.compute(arr(tokens), k, distinct = false)
+      val dd = ShingleHashes.compute(arr(tokens), k, distinct = true)
+      val windows = if (tokens.size >= k) tokens.size - k + 1 else 1
+      all.length == windows &&
+        dd.toSet == all.toSet && dd.length == all.toSet.size &&
+        // minhash: fixed width, elementwise ≤ identity under superset
+        {
+          val sig = MinHashSig.compute(ArrayData.toArrayData(all), 8)
+          val sigMore = MinHashSig.compute(
+            ArrayData.toArrayData(all ++ Array(12345L)), 8)
+          sig.length == 8 &&
+            sig.zip(sigMore).forall { case (s, m) => m <= s } // min can only drop
+        }
+    })
+  }
+
+  test("simhash: identical token multisets agree; hamming symmetric and bounded") {
+    import graft.functions.TextHashes
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def sh(tokens: List[String]): Long =
+      TextHashes.simhash(ArrayData.toArrayData(
+        tokens.map(UTF8String.fromString).toArray))
+    check(Prop.forAll(tokensGen, tokensGen) { (a, b) =>
+      val ha = sh(a); val hb = sh(b)
+      val d = java.lang.Long.bitCount(ha ^ hb)
+      ha >= 0L && ha < (1L << 62) &&
+        sh(scala.util.Random.shuffle(a)) == ha && // order-insensitive (votes)
+        d == java.lang.Long.bitCount(hb ^ ha) && d <= 62
+    })
+  }
+
   test("string literals: quotes always doubled, statement never breaks out") {
     check(Prop.forAll(nastyString) { s =>
       val lit = Repairer.formatValue(s)
