@@ -144,7 +144,7 @@ object Dedup {
   }
 
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val sigDf = minhashIndex(df, idCol, textCol, k, numHashes)
     // dedup multi-band collisions, THEN re-attach the two signatures
@@ -206,8 +206,11 @@ object Dedup {
 
   /** End-to-end near-dedup via MinHash LSH: detect pairs, keep min-id
     * survivors. */
+  /** (bands default 16×2, not 8×4: at the J=0.8 near-dup threshold the
+    * wider banding misses ~4e-8 of true pairs vs ~1.5% — see
+    * [[minhashVerifiedPairs]].) */
   def dedupNear(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 16,
       threshold: Double = 0.8): DataFrame =
     dedupByPairs(df, idCol,
       minhashCandidatePairs(df, idCol, textCol, k, numHashes, bands, threshold))

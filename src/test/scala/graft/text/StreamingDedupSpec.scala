@@ -17,6 +17,41 @@ class StreamingDedupSpec extends SparkSpec {
     StructField("ts", TimestampType),
     StructField("text", StringType)))
 
+  test("streaming NEAR dedup: arrival flagged against earlier near-identical doc") {
+    val in = Files.createTempDirectory("sneardedup").toString
+    def row(id: Long, t: String, ts: String) =
+      s"""{"doc_id":$id,"ts":"$ts","text":"$t"}"""
+    val base = "the quick brown fox jumps over the lazy dog and then naps all afternoon"
+    val near = "the quick brown fox jumps over the lazy dog and then naps all evening"
+    // batch 1: original + unrelated; batch 2: near-dup + unrelated
+    Files.writeString(java.nio.file.Paths.get(s"$in/b0.json"),
+      Seq(row(1, base, "2024-01-01T10:00:00Z"),
+        row(2, "completely different words about columnar engines", "2024-01-01T10:00:01Z")
+      ).mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(row(3, near, "2024-01-01T10:00:02Z"),
+        row(4, "yet another unrelated text body entirely", "2024-01-01T10:00:03Z")
+      ).mkString("\n"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    val cands = StreamingNearDedup.candidates(stream, "doc_id", "text",
+      k = 2, numHashes = 32, bands = 16, threshold = 0.5)
+    val q = cands.writeStream
+      .format("memory").queryName("sneardedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("snd-cp").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val pairs = spark.table("sneardedup_out")
+      .select("doc_id", "dup_of").distinct()
+      .as[(Long, Long)].collect().toSet
+    // the near-dup pair flagged (newer against older, either pickup order);
+    // unrelated docs never flagged
+    assert(pairs == Set((3L, 1L)) || pairs == Set((1L, 3L)),
+      s"expected exactly the near-dup pair, got $pairs")
+  }
+
   test("streaming exact dedup drops re-occurrences across micro-batches") {
     val in = Files.createTempDirectory("sdedup").toString
     def row(id: Long, t: String, ts: String) =
