@@ -169,8 +169,12 @@ object Dedup {
     * similarity is exact, so results are engine-checkable and free of
     * estimation noise). Banding must be sized for recall at the
     * threshold: P(candidate | J) = 1 − (1 − J^r)^b — the (16 × 2)
-    * default gives ≥ 1 − 4e-8 at J ≥ 0.8 while a (8 × 4) layout would
-    * miss ~1.5% of J=0.8 pairs. Verification attaches each side's
+    * default gives ≥ 1 − 8e-8 at J ≥ 0.8 while a (8 × 4) layout would
+    * miss ~1.5% of J=0.8 pairs. The trade: fewer rows per band flattens
+    * the S-curve, so corpora with high BACKGROUND similarity (unrelated
+    * pairs at J ≳ 0.2) generate more false candidates for the verify
+    * step — prefer more rows per band there and size b for the recall
+    * target. Verification attaches each side's
     * distinct shingle-hash set only to the candidate pairs (tiny vs the
     * corpus), so the exact step costs O(candidates · shingles), not
     * O(N²). */
@@ -207,8 +211,8 @@ object Dedup {
   /** End-to-end near-dedup via MinHash LSH: detect pairs, keep min-id
     * survivors. */
   /** (bands default 16×2, not 8×4: at the J=0.8 near-dup threshold the
-    * wider banding misses ~4e-8 of true pairs vs ~1.5% — see
-    * [[minhashVerifiedPairs]].) */
+    * wider banding misses ~8e-8 of true pairs vs ~1.5% — see
+    * [[minhashVerifiedPairs]], including the false-candidate trade.) */
   def dedupNear(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 16,
       threshold: Double = 0.8): DataFrame =

@@ -45,11 +45,11 @@ class StreamingDedupSpec extends SparkSpec {
     q.awaitTermination(60000)
     val pairs = spark.table("sneardedup_out")
       .select("doc_id", "dup_of").distinct()
-      .as[(Long, Long)].collect().toSet
-    // the near-dup pair flagged (newer against older, either pickup order);
+      .as[(String, String)].collect().toSet
+    // normalized pair (larger id flagged), regardless of pickup order;
     // unrelated docs never flagged
-    assert(pairs == Set((3L, 1L)) || pairs == Set((1L, 3L)),
-      s"expected exactly the near-dup pair, got $pairs")
+    assert(pairs == Set(("3", "1")),
+      s"expected exactly the normalized near-dup pair, got $pairs")
   }
 
   test("streaming exact dedup drops re-occurrences across micro-batches") {
