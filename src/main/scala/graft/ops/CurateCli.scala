@@ -72,6 +72,21 @@ object CurateCli {
       Seq(input, afterExact, afterNear, afterLang, afterQuality))
   }
 
+  /** INGEST-TIME curation: the streaming prefix of the batch funnel,
+    * applied as documents arrive — exact dedup within the watermark
+    * horizon, then the stateless language/quality gates. Near-dedup
+    * survivorship needs corpus-global state and stays a batch (or
+    * [[graft.text.StreamingNearDedup]] candidate-flagging) concern; this
+    * keeps obvious re-crawls and junk out of the landing zone so the
+    * batch passes run on a smaller corpus. */
+  def curateStream(stream: DataFrame, textCol: String, tsCol: String,
+      cfg: Config = Config(), watermark: String = "1 hour"): DataFrame =
+    Dedup.dedupExactStream(stream, textCol, tsCol, watermark)
+      .filter(TextAnalysis.languageId(col(textCol))
+        .isin(cfg.languages.toSeq: _*))
+      .filter(TextAnalysis.qualityScore(col(textCol),
+        TextAnalysis.LangProfiles("en")) >= cfg.minQuality)
+
   /** CLI: curate <sfDir> <outDir> [minQuality]. Writes the curated
     * corpus as parquet plus a `funnel` stats table; prints one JSON
     * line per stage (the run's datasheet). Exit 0. */
