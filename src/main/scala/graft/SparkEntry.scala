@@ -492,9 +492,10 @@ object SparkEntry {
          |  AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS quality
          |FROM m""".stripMargin,
     // q40: the image rows' width/height are read back out of REAL PNG
-    // bytes by ImageIO — the oracle's formula (the dims the generator
-    // chose) passing means the encode→decode round-trip is faithful.
-    // Audio/video rows are the labeled deterministic stub.
+    // bytes by ImageIO, and the audio rows' duration out of REAL WAV
+    // bytes by javax.sound — the oracle's formulas (the dims/duration
+    // the generator chose) passing means both encode→decode round-trips
+    // are faithful. Video rows are the labeled deterministic stub.
     "q40_multimodal_decode" ->
       """SELECT doc_id AS asset_id,
         | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -503,6 +504,7 @@ object SparkEntry {
         | CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 16
         |           WHEN 1 THEN 0 ELSE 180 + 9 * (doc_id % 8) END AS INTEGER) AS height,
         | CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 0
+        |           WHEN 1 THEN 50 + (doc_id * 37) % 2000
         |           ELSE 1000 + (doc_id * 37) % 600000 END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
     "q41_frame_samples" ->

@@ -17,7 +17,13 @@ import org.apache.spark.sql.types._
   * (decoded dims == the dims the generator chose) verifies a true
   * encode→decode round-trip, not an arithmetic identity.
   *
-  * AUDIO/VIDEO decode remains a STUB (no codec libraries in this
+  * The AUDIO path is REAL the same way: payloads are genuine PCM WAV
+  * bytes (JDK `javax.sound.sampled`, no external codecs), and decode
+  * reads the duration back out of the container's frame count — the
+  * oracle's duration formula passing certifies a true encode→decode
+  * round-trip.
+  *
+  * VIDEO decode remains a STUB (no video codec in the JDK or this
   * container): payloads are text bytes and the metadata fields are
   * deterministic functions of the asset id — arbitrary values, honest
   * plumbing. Swapping in a real codec changes only [[decodeStubMeta]].
@@ -79,13 +85,53 @@ object Multimodal {
     if (img == null) (-1, -1) else (img.getWidth, img.getHeight)
   }
 
-  /** STUB audio/video metadata (no codec libs in this container):
+  /** Audio sample rate for synthetic WAV assets: 8 kHz mono keeps the
+    * longest payload ~33 KB while every whole-millisecond duration is an
+    * exact frame count (8 frames/ms). */
+  private val AudioHz = 8000
+  /** Audio duration the generator encodes (and the oracle predicts).
+    * Bounded at ~2 s so a 10⁴-asset corpus stays tens of MB of payload. */
+  private[multimodal] def audioDurationMs(id: Long): Long =
+    50L + math.floorMod(id * 37L, 2000L)
+
+  /** Real WAV bytes: 16-bit signed mono PCM, deterministic samples. */
+  private[multimodal] def wavBytes(durMs: Long, seed: Long): Array[Byte] = {
+    val frames = (durMs * AudioHz / 1000L).toInt
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = ((seed * 31 + i * 7) & 0xffff).toInt - 32768 // deterministic wave
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian per the format
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(AudioHz.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val baos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** REAL audio decode: duration read from the WAV container's frame
+    * count and sample rate. −1 for undecodable bytes. */
+  private[multimodal] def decodeAudio(payload: Array[Byte]): Long =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val frames = ais.getFrameLength
+      val rate = ais.getFormat.getSampleRate.toLong
+      if (frames < 0 || rate <= 0) -1L else frames * 1000L / rate
+    } catch { case _: Exception => -1L }
+
+  /** STUB video metadata (no video codec in the JDK or this container):
     * deterministic function of the asset id — arbitrary but engine-
     * checkable values. A real decoder replaces exactly this body. */
   private[multimodal] def decodeStubMeta(mediaType: String, id: Long): (Int, Int, Long) = {
     val dur = 1000L + math.floorMod(id * 37L, 600000L)
-    if (mediaType == "audio") (0, 0, dur)
-    else (320 + 16 * math.floorMod(id, 8L).toInt,
+    (320 + 16 * math.floorMod(id, 8L).toInt,
       180 + 9 * math.floorMod(id, 8L).toInt, dur)
   }
 
@@ -105,9 +151,10 @@ object Multimodal {
   }
 
   /** Synthesize a deterministic asset table from `documents`: every
-    * third doc is an image with a REAL PNG payload; the rest carry text
-    * bytes for the stubbed audio/video branches. Runs in partition
-    * batches (encode is imperative codec work, same shape as decode). */
+    * third doc is an image with a REAL PNG payload, the next an audio
+    * asset with a REAL PCM WAV payload; video rows carry text bytes for
+    * the stubbed branch. Runs in partition batches (encode is imperative
+    * codec work, same shape as decode). */
   def syntheticAssets(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -118,9 +165,11 @@ object Multimodal {
           val mt = math.floorMod(id, 3L) match {
             case 0L => "image"; case 1L => "audio"; case _ => "video"
           }
-          val payload: Array[Byte] =
-            if (mt == "image") { val (w, h) = imageDims(id); pngBytes(w, h, id) }
-            else text.getBytes("UTF-8")
+          val payload: Array[Byte] = mt match {
+            case "image" => val (w, h) = imageDims(id); pngBytes(w, h, id)
+            case "audio" => wavBytes(audioDurationMs(id), id)
+            case _ => text.getBytes("UTF-8")
+          }
           (id, mt, payload, source)
         }
       }
@@ -136,7 +185,7 @@ object Multimodal {
     * executors regardless of input file layout. Typed-Dataset
     * mapPartitions keeps ser/de in codegen'd encoders (no Row-RDD
     * round-trip). Image width/height come from a REAL ImageIO decode of
-    * the payload bytes. */
+    * the payload bytes; audio duration from a REAL WAV-container parse. */
   def decodeAndFeaturize(assets: DataFrame, parallelism: Int = 0): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -150,9 +199,11 @@ object Multimodal {
         // batch-scoped codec setup would go here (once per partition)
         rows.map { case (id, mt, payloadOrNull) =>
           val payload = if (payloadOrNull == null) Array.empty[Byte] else payloadOrNull
-          val (w, h, dur) =
-            if (mt == "image") { val (iw, ih) = decodeImage(payload); (iw, ih, 0L) }
-            else { decodeStubMeta(mt, id) }
+          val (w, h, dur) = mt match {
+            case "image" => val (iw, ih) = decodeImage(payload); (iw, ih, 0L)
+            case "audio" => (0, 0, decodeAudio(payload))
+            case _ => decodeStubMeta(mt, id)
+          }
           Decoded(id, mt, w, h, dur, payload.length.toLong, fakeFeatures(payload).toSeq)
         }
       }

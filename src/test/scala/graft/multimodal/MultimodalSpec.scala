@@ -32,6 +32,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(Multimodal.pngBytes(13, 9, 42L)) == (13, 9))
   }
 
+  test("audio branch: REAL WAV payloads decode to the generated duration") {
+    val d = Multimodal.decodeAndFeaturize(assets)
+    val audio = d.filter($"media_type" === "audio")
+      .select("asset_id", "duration_ms").as[(Long, Long)].collect()
+    assert(audio.nonEmpty)
+    audio.foreach { case (id, dur) =>
+      assert(dur == Multimodal.audioDurationMs(id),
+        s"asset $id decoded $dur want ${Multimodal.audioDurationMs(id)}")
+    }
+    // decode genuinely parses bytes, not a formula: corrupt payload fails
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3)) == -1L)
+    // round-trip helper sanity straight through javax.sound
+    assert(Multimodal.decodeAudio(Multimodal.wavBytes(137L, 42L)) == 137L)
+  }
+
   test("decodeAndFeaturize: deterministic metadata, batch shape") {
     val d1 = Multimodal.decodeAndFeaturize(assets, parallelism = 4)
     val d2 = Multimodal.decodeAndFeaturize(assets, parallelism = 2)
