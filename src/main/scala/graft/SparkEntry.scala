@@ -214,8 +214,9 @@ object SparkEntry {
       Similarity.exactNearDuplicatePairs(Tables.embeddings(s, d), "vec_id",
         "embedding", threshold = 0.35, blocks = 8)),
 
-    // §7.10 extended surface: multimodal (REAL PNG encode→decode for the
-    // image branch; audio/video metadata stubbed deterministically).
+    // §7.10 extended surface: multimodal (REAL encode→decode round-trips
+    // on all three branches: PNG for image, PCM-WAV for audio, GVID
+    // containers of PNG frames for video).
     // q40 and q41 share one persisted decode (build once, derive many).
     "q40_multimodal_decode" -> ((s, d) =>
       decodedAssets(s, d)
@@ -492,24 +493,25 @@ object SparkEntry {
          |  AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS quality
          |FROM m""".stripMargin,
     // q40: the image rows' width/height are read back out of REAL PNG
-    // bytes by ImageIO, and the audio rows' duration out of REAL WAV
-    // bytes by javax.sound — the oracle's formulas (the dims/duration
-    // the generator chose) passing means both encode→decode round-trips
-    // are faithful. Video rows are the labeled deterministic stub.
+    // bytes by ImageIO, the audio rows' duration out of REAL WAV bytes
+    // by javax.sound, and the video rows' dims/duration out of a REAL
+    // GVID container (first-frame PNG decode + frame-count header) — the
+    // oracle's formulas (the dims/duration the generator chose) passing
+    // means all three encode→decode round-trips are faithful.
     "q40_multimodal_decode" ->
       """SELECT doc_id AS asset_id,
         | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         | CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 24
-        |           WHEN 1 THEN 0 ELSE 320 + 16 * (doc_id % 8) END AS INTEGER) AS width,
+        |           WHEN 1 THEN 0 ELSE 16 + doc_id % 16 END AS INTEGER) AS width,
         | CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8 + doc_id % 16
-        |           WHEN 1 THEN 0 ELSE 180 + 9 * (doc_id % 8) END AS INTEGER) AS height,
+        |           WHEN 1 THEN 0 ELSE 9 + doc_id % 9 END AS INTEGER) AS height,
         | CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 0
         |           WHEN 1 THEN 50 + (doc_id * 37) % 2000
-        |           ELSE 1000 + (doc_id * 37) % 600000 END AS BIGINT) AS duration_ms
+        |           ELSE (2 + doc_id % 7) * 250 END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
     "q41_frame_samples" ->
       """SELECT doc_id AS asset_id,
-        | CAST(((1000 + (doc_id * 37) % 600000) * i) // 4 AS BIGINT) AS frame_ts_ms
+        | CAST(((2 + doc_id % 7) * 250 * i) // 4 AS BIGINT) AS frame_ts_ms
         |FROM documents, generate_series(0, 3) AS g(i)
         |WHERE doc_id % 3 = 2""".stripMargin,
     // q35's oracle recomputes every 62-bit polynomial simhash sketch and

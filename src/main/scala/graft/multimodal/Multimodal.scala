@@ -23,11 +23,14 @@ import org.apache.spark.sql.types._
   * oracle's duration formula passing certifies a true encode→decode
   * round-trip.
   *
-  * VIDEO decode remains a STUB (no video codec in the JDK or this
-  * container): payloads are text bytes and the metadata fields are
-  * deterministic functions of the asset id — arbitrary values, honest
-  * plumbing. Swapping in a real codec changes only [[decodeStubMeta]].
-  * Everything around it is load-bearing:
+  * The VIDEO path is REAL in the same sense, over a minimal
+  * deterministic container (the JDK ships no video codec, so we define
+  * one): `GVID` magic + fps + frame count header, then length-prefixed
+  * PNG frames. Decode parses the header for the duration and ImageIO-
+  * decodes the first frame for the dimensions — a true encode→decode
+  * round-trip, same honesty as the PNG/WAV branches. Swapping in a
+  * standard codec changes only [[gvidBytes]]/[[decodeVideo]].
+  * Everything around the codecs is load-bearing:
   *   - the asset schema (binary payload + typed metadata)
   *   - `mapPartitions` batch shape — one iterator per partition, the
   *     JVM analog of `mapInPandas` batches: amortizes per-batch codec
@@ -126,14 +129,70 @@ object Multimodal {
       if (frames < 0 || rate <= 0) -1L else frames * 1000L / rate
     } catch { case _: Exception => -1L }
 
-  /** STUB video metadata (no video codec in the JDK or this container):
-    * deterministic function of the asset id — arbitrary but engine-
-    * checkable values. A real decoder replaces exactly this body. */
-  private[multimodal] def decodeStubMeta(mediaType: String, id: Long): (Int, Int, Long) = {
-    val dur = 1000L + math.floorMod(id * 37L, 600000L)
-    (320 + 16 * math.floorMod(id, 8L).toInt,
-      180 + 9 * math.floorMod(id, 8L).toInt, dur)
+  // ---- video: the GVID container ---------------------------------------
+  // layout: "GVID" magic (4B) | version 1 (1B) | fps int32 BE |
+  //         frameCount int32 BE | frameCount × (len int32 BE + PNG bytes)
+
+  private val GvidMagic = Array[Byte]('G', 'V', 'I', 'D')
+  /** Constant frame rate for synthetic clips: 4 fps keeps every whole
+    * frame count an exact multiple of 250 ms. */
+  private[multimodal] val VideoFps = 4
+  /** Frame dims the generator encodes (and the oracle predicts) — tiny
+    * frames keep a 10⁴-clip corpus tens of MB of payload. */
+  private[multimodal] def videoDims(id: Long): (Int, Int) =
+    (16 + math.floorMod(id, 16L).toInt, 9 + math.floorMod(id, 9L).toInt)
+  /** Frames per clip (2..8) → 500..2000 ms at 4 fps. */
+  private[multimodal] def videoFrameCount(id: Long): Int =
+    2 + math.floorMod(id, 7L).toInt
+  /** Clip duration the generator encodes (and the oracle predicts). */
+  private[multimodal] def videoDurationMs(id: Long): Long =
+    videoFrameCount(id) * 1000L / VideoFps
+
+  /** Real GVID bytes: header + per-frame PNG payloads (each frame a
+    * genuine ImageIO encode, varied by frame index). */
+  private[multimodal] def gvidBytes(id: Long): Array[Byte] = {
+    val (w, h) = videoDims(id)
+    val frames = videoFrameCount(id)
+    val baos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(baos)
+    out.write(GvidMagic)
+    out.writeByte(1)
+    out.writeInt(VideoFps)
+    out.writeInt(frames)
+    var f = 0
+    while (f < frames) {
+      val png = pngBytes(w, h, id * 1000L + f)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    baos.toByteArray
   }
+
+  /** REAL video decode: duration from the container header's frame
+    * count × fps, dimensions from an ImageIO decode of the first frame's
+    * PNG bytes. (-1, -1, -1) for undecodable payloads. */
+  private[multimodal] def decodeVideo(payload: Array[Byte]): (Int, Int, Long) =
+    try {
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      if (!java.util.Arrays.equals(magic, GvidMagic)) (-1, -1, -1L)
+      else {
+        in.readByte() // version
+        val fps = in.readInt()
+        val frames = in.readInt()
+        if (fps <= 0 || frames <= 0) (-1, -1, -1L)
+        else {
+          val len = in.readInt()
+          val png = new Array[Byte](len)
+          in.readFully(png)
+          val (w, h) = decodeImage(png)
+          (w, h, frames * 1000L / fps)
+        }
+      }
+    } catch { case _: Exception => (-1, -1, -1L) }
 
   /** Fake 8-dim feature vector from a rolling payload hash (feature
     * EXTRACTION is model-dependent by nature; the plumbing — schema,
@@ -152,23 +211,23 @@ object Multimodal {
 
   /** Synthesize a deterministic asset table from `documents`: every
     * third doc is an image with a REAL PNG payload, the next an audio
-    * asset with a REAL PCM WAV payload; video rows carry text bytes for
-    * the stubbed branch. Runs in partition batches (encode is imperative
-    * codec work, same shape as decode). */
+    * asset with a REAL PCM WAV payload, the next a video asset with a
+    * REAL GVID payload (PNG frames). Runs in partition batches (encode
+    * is imperative codec work, same shape as decode). */
   def syntheticAssets(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id").cast("long"), col("text"), col("source"))
-      .as[(Long, String, String)]
+    documents.select(col("doc_id").cast("long"), col("source"))
+      .as[(Long, String)]
       .mapPartitions { rows =>
-        rows.map { case (id, text, source) =>
+        rows.map { case (id, source) =>
           val mt = math.floorMod(id, 3L) match {
             case 0L => "image"; case 1L => "audio"; case _ => "video"
           }
           val payload: Array[Byte] = mt match {
             case "image" => val (w, h) = imageDims(id); pngBytes(w, h, id)
             case "audio" => wavBytes(audioDurationMs(id), id)
-            case _ => text.getBytes("UTF-8")
+            case _ => gvidBytes(id)
           }
           (id, mt, payload, source)
         }
@@ -202,7 +261,7 @@ object Multimodal {
           val (w, h, dur) = mt match {
             case "image" => val (iw, ih) = decodeImage(payload); (iw, ih, 0L)
             case "audio" => (0, 0, decodeAudio(payload))
-            case _ => decodeStubMeta(mt, id)
+            case _ => decodeVideo(payload)
           }
           Decoded(id, mt, w, h, dur, payload.length.toLong, fakeFeatures(payload).toSeq)
         }
@@ -210,8 +269,10 @@ object Multimodal {
       .toDF()
   }
 
-  /** Resize stub: recomputes metadata for a target box, preserving
-    * aspect ratio (the arithmetic a real resizer would do). */
+  /** Metadata-level resize: recomputes dims for a target box, preserving
+    * aspect ratio (the arithmetic a pixel resizer would apply; the pixel
+    * pass itself is a decode→rescale→encode over `payload` in the same
+    * mapPartitions shape as [[decodeAndFeaturize]]). */
   def resizeMeta(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     // greatest(,1): dimensionless media (audio is 0×0) passes through
     val scale = least(lit(maxW) / greatest(col("width"), lit(1)),
@@ -221,7 +282,7 @@ object Multimodal {
       .withColumn("resized_h", floor(col("height") * scale).cast("int"))
   }
 
-  /** Frame-sample stub for video assets: n evenly spaced timestamps. */
+  /** Frame sampling for video assets: n evenly spaced timestamps. */
   def frameSamples(decoded: DataFrame, n: Int): DataFrame =
     decoded.filter(col("media_type") === "video")
       .withColumn("frame_ts_ms",

@@ -1,9 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-import graft.text.{Dedup, TextAnalysis}
+import graft.text.{Dedup, StreamingNearDedup, TextAnalysis}
 
 /** Corpus curation — the standard LLM training-data preparation funnel
   * as ONE composable pipeline over a documents table:
@@ -18,9 +19,12 @@ import graft.text.{Dedup, TextAnalysis}
   *
   * Every stage is the already-verified operator from `graft.text` — the
   * funnel adds no new dataflow, just the composition and the retention
-  * accounting a curation run needs for its datasheet. Each stage's
-  * output is a DataFrame, so a 100 TB run checkpoints/persists between
-  * stages exactly where a local run does.
+  * accounting a curation run needs for its datasheet. Each stage output
+  * is persisted (MEMORY_AND_DISK — spills, never OOMs) before its count
+  * materializes it, and unpersisted once the next stage is materialized,
+  * so every stage's lineage is evaluated exactly once regardless of how
+  * many downstream stages and counts read it — the property that keeps a
+  * 100 TB run O(stages) passes over the corpus instead of O(stages²).
   */
 object CurateCli {
 
@@ -35,7 +39,11 @@ object CurateCli {
 
   final case class StageCount(stage: String, docs: Long, tokens: Long)
 
-  final case class Curated(corpus: DataFrame, funnel: Seq[StageCount])
+  /** Curated corpus (persisted — call [[Curated.unpersist]] once the
+    * caller has written/consumed it) plus the per-stage datasheet. */
+  final case class Curated(corpus: DataFrame, funnel: Seq[StageCount]) {
+    def unpersist(): Unit = corpus.unpersist(blocking = false)
+  }
 
   private def stageCount(stage: String, df: DataFrame, textCol: String): StageCount = {
     val r = df.agg(
@@ -50,14 +58,22 @@ object CurateCli {
       cfg: Config = Config()): Curated = {
     val input = stageCount("input", docs, textCol)
 
+    // Each stage: persist → count (materializes the cache) → build the
+    // next stage FROM the cache → unpersist once the successor is
+    // materialized. The language filter is counted straight off the
+    // cached near-dedup output (a narrow codegen'd scan), so it needs no
+    // cache of its own.
     val exact = Dedup.dedupExact(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val afterExact = stageCount("exact_dedup", exact, textCol)
 
     val pairs = Dedup.minhashVerifiedPairs(exact, idCol, textCol,
       k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
       threshold = cfg.jaccardThreshold)
     val near = Dedup.dedupByComponents(exact, idCol, pairs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val afterNear = stageCount("near_dedup", near, textCol)
+    exact.unpersist(blocking = false)
 
     val lang = near.filter(
       TextAnalysis.languageId(col(textCol)).isin(cfg.languages.toSeq: _*))
@@ -66,7 +82,9 @@ object CurateCli {
     val quality = lang.filter(
       TextAnalysis.qualityScore(col(textCol),
         TextAnalysis.LangProfiles("en")) >= cfg.minQuality)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val afterQuality = stageCount("quality", quality, textCol)
+    near.unpersist(blocking = false)
 
     Curated(quality,
       Seq(input, afterExact, afterNear, afterLang, afterQuality))
@@ -87,6 +105,27 @@ object CurateCli {
       .filter(TextAnalysis.qualityScore(col(textCol),
         TextAnalysis.LangProfiles("en")) >= cfg.minQuality)
 
+  /** INGEST-TIME near-duplicate candidate flagging — the streaming
+    * complement of [[curateStream]]: the same gated stream, fed through
+    * [[StreamingNearDedup.candidates]], emits a `(doc_id, dup_of, band,
+    * est_jaccard)` row whenever an arrival is near-identical (banding +
+    * signature agreement ≥ `cfg.jaccardThreshold`) to a document seen in
+    * ANY earlier micro-batch. Run it as a second query over the same
+    * source: [[curateStream]] writes the landing zone, this writes the
+    * append-only candidate side-table; batch survivorship
+    * ([[Dedup.dedupByPairs]]) then consumes the side-table without ever
+    * re-scanning the corpus. `maxPerBucket`/`stateTtlMs` bound state
+    * exactly as documented on [[StreamingNearDedup]]. */
+  def curateStreamCandidates(stream: DataFrame, idCol: String,
+      textCol: String, tsCol: String, cfg: Config = Config(),
+      watermark: String = "1 hour", maxPerBucket: Int = 1000,
+      stateTtlMs: Long = 0L): Dataset[StreamingNearDedup.DupCandidate] =
+    StreamingNearDedup.candidates(
+      curateStream(stream, textCol, tsCol, cfg, watermark),
+      idCol, textCol, k = cfg.shingleK, numHashes = cfg.numHashes,
+      bands = cfg.bands, threshold = cfg.jaccardThreshold,
+      maxPerBucket = maxPerBucket, stateTtlMs = stateTtlMs)
+
   /** CLI: curate <sfDir> <outDir> [minQuality]. Writes the curated
     * corpus as parquet plus a `funnel` stats table; prints one JSON
     * line per stage (the run's datasheet). Exit 0. */
@@ -104,6 +143,7 @@ object CurateCli {
     val docs = graft.Tables.documents(spark, sfDir)
     val result = curate(docs, "doc_id", "text", Config(minQuality = minQ))
     result.corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
+    result.unpersist()
     val sparkSession = spark
     import sparkSession.implicits._
     result.funnel.toDF().write.mode("overwrite").parquet(s"$outDir/funnel")

@@ -47,6 +47,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(Multimodal.wavBytes(137L, 42L)) == 137L)
   }
 
+  test("video branch: REAL GVID payloads decode to the generated dims/duration") {
+    val d = Multimodal.decodeAndFeaturize(assets)
+    val vids = d.filter($"media_type" === "video")
+      .select("asset_id", "width", "height", "duration_ms")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(vids.nonEmpty)
+    vids.foreach { case (id, w, h, dur) =>
+      val (ew, eh) = Multimodal.videoDims(id)
+      assert((w, h, dur) == (ew, eh, Multimodal.videoDurationMs(id)),
+        s"asset $id decoded ${(w, h, dur)}")
+    }
+    // decode genuinely parses bytes, not a formula: corrupt payload fails
+    assert(Multimodal.decodeVideo(Array[Byte](1, 2, 3)) == (-1, -1, -1L))
+    // and a PNG (valid image, wrong magic) is rejected too
+    assert(Multimodal.decodeVideo(Multimodal.pngBytes(4, 4, 1L)) == (-1, -1, -1L))
+    // round-trip helper sanity straight through the container
+    val (w5, h5) = Multimodal.videoDims(5L)
+    assert(Multimodal.decodeVideo(Multimodal.gvidBytes(5L)) ==
+      (w5, h5, Multimodal.videoDurationMs(5L)))
+  }
+
   test("decodeAndFeaturize: deterministic metadata, batch shape") {
     val d1 = Multimodal.decodeAndFeaturize(assets, parallelism = 4)
     val d2 = Multimodal.decodeAndFeaturize(assets, parallelism = 2)

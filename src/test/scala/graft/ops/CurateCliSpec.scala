@@ -34,6 +34,80 @@ class CurateCliSpec extends SparkSpec {
     assert(byStage("quality").tokens > 0)
   }
 
+  test("funnel evaluates each stage's lineage once (no O(stages²) recompute)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val n = 200
+    val rows = (1 to n).map(i =>
+      Row(i.toLong, s"the cat number $i sat on the mat and it was a fine " +
+        s"sunny day for all of the cats in the house number $i"))
+    val acc = spark.sparkContext.longAccumulator("docScans")
+    val rdd = spark.sparkContext.parallelize(rows, 4).map { r => acc.add(1); r }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val docs = spark.createDataFrame(rdd, schema)
+    val result = CurateCli.curate(docs, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, languages = Set("en")))
+    assert(result.corpus.count() == result.funnel.last.docs)
+    result.unpersist()
+    // With stage persists: input count = 1 pass over docs; exact-dedup
+    // materialization = 2 more (groupBy build + semi-join probe). Every
+    // later stage/count reads a stage cache, never the input lineage.
+    // The pre-fix funnel re-derived the input at EVERY stage count
+    // (>= 10 passes) — 4n is a discriminating bound with headroom.
+    assert(acc.value <= 4L * n,
+      s"input lineage scanned ${acc.value.toDouble / n}x; expected <= 4x")
+  }
+
+  test("streaming curation: near-dup in a later micro-batch is flagged at ingest") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val in = Files.createTempDirectory("sccand").toString
+    def row(id: Long, t: String, ts: String) =
+      s"""{"doc_id":$id,"ts":"$ts","text":"$t"}"""
+    val base = "the quick brown fox jumps over the lazy dog and then naps in the warm sun all afternoon"
+    val near = "the quick brown fox jumps over the lazy dog and then naps in the warm sun all evening"
+    // batch 1: original + junk that the quality gate must stop before it
+    // ever reaches near-dup state; batch 2: near-dup + exact dup (exact
+    // dedup drops it upstream → no candidate) + unrelated doc
+    val b0 = java.nio.file.Paths.get(s"$in/b0.json")
+    val b1 = java.nio.file.Paths.get(s"$in/b1.json")
+    Files.writeString(b0, Seq(
+      row(1, base, "2024-01-01T10:00:00Z"),
+      row(2, "x!!! ??? ,,, ;;; :::", "2024-01-01T10:00:01Z")
+    ).mkString("\n"))
+    Files.writeString(b1, Seq(
+      row(3, near, "2024-01-01T10:00:02Z"),
+      row(4, base, "2024-01-01T10:00:03Z"),
+      row(5, "a completely different story about columnar query engines today",
+        "2024-01-01T10:00:04Z")
+    ).mkString("\n"))
+    // the file source orders micro-batches by modification time — pin
+    // mtimes so b0 is deterministically the first batch
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(b0, java.nio.file.attribute.FileTime.fromMillis(now - 60000))
+    Files.setLastModifiedTime(b1, java.nio.file.attribute.FileTime.fromMillis(now))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    val q = CurateCli.curateStreamCandidates(stream, "doc_id", "text", "ts",
+      CurateCli.Config(minQuality = 0.4, languages = Set("en"),
+        jaccardThreshold = 0.5, shingleK = 2))
+      .writeStream.format("memory").queryName("sccand_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("sccand-cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val pairs = spark.table("sccand_out").select("doc_id", "dup_of")
+      .distinct().as[(String, String)].collect().toSet
+    // only the cross-batch near-dup pair, normalized; the exact dup was
+    // dropped before the near-dup stage, junk never entered state
+    assert(pairs == Set(("3", "1")),
+      s"expected exactly the flagged near-dup pair (3,1), got $pairs")
+  }
+
   test("streaming curation: dup dropped, junk filtered, good doc passes") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
