@@ -255,6 +255,13 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8))
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    // q36 with the document-frequency cut engaged (shingles in > 20 docs
+    // become corpus stopwords): exercises the skew guard end-to-end —
+    // the oracle recomputes the same cut, so DF semantics and the
+    // rare-set Jaccard arithmetic are both pinned cross-engine
+    "q48_ngram_dfcut" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, threshold = 0.4, maxShingleDf = 20L)),
 
     // §2.8 repair plan as a query (deterministic SQL codegen output)
     "q42_repair_plan" -> ((s, d) => {
@@ -580,6 +587,27 @@ object SparkEntry {
         |JOIN sizes sa ON inter.id_a = sa.doc_id
         |JOIN sizes sb ON inter.id_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3""".stripMargin,
+    // q48: q36's machinery with the DF cut — shingles present in > 20
+    // docs are dropped from BOTH candidate generation and the
+    // size/intersection arithmetic on BOTH engines
+    "q48_ngram_dfcut" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 3
+        |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+        |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 20),
+        |shc AS (SELECT doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |  FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON inter.id_a = sa.doc_id
+        |JOIN sizes sb ON inter.id_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4""".stripMargin,
     "q43_token_counts" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens,

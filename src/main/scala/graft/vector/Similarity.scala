@@ -127,17 +127,26 @@ object Similarity {
     * threshold genuinely asks for all-pairs similarity: O(N²) compute
     * is the honest cost, and this shape distributes it evenly with
     * shuffle volume = (blocks/2 + 1) · |data| and per-task memory
-    * |data|/blocks × 2 — choose `blocks` ≈ N·rowBytes / (executor task
-    * budget). For high thresholds use [[bandedNearDuplicatePairs]].
+    * |data|/blocks × 2. `blocks ≤ 0` (the default) sizes the block
+    * count from the corpus via [[sizeBlocks]] (one count + a one-row
+    * dim probe); pass an explicit count to pin the plan instead.
+    * For high thresholds use [[bandedNearDuplicatePairs]].
     * The cosine kernel is the codegen'd [[graft.functions.CosineSimilarity]]
     * — the pair loop stays in one whole-stage-codegen task loop. */
   def exactNearDuplicatePairs(df: DataFrame, idCol: String, embCol: String,
-      threshold: Double, blocks: Int = 8): DataFrame = {
+      threshold: Double, blocks: Int = 0): DataFrame = {
+    val nBlocks = if (blocks > 0) blocks else {
+      val dim = df.select(col(embCol)).head(1) match {
+        case Array(r) if !r.isNullAt(0) => r.getSeq[Any](0).length
+        case _ => 0
+      }
+      sizeBlocks(df.count(), rowBytes = dim * 8L + 64L)
+    }
     val base = df.select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"),
-      pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("blk"))
+      pmod(xxhash64(col(idCol)), lit(nBlocks)).cast("int").as("blk"))
     val a = base.select(col("id").as("id_a"), col("emb").as("emb_a"),
         col("blk").as("blk_a"))
-      .withColumn("j", explode(sequence(col("blk_a"), lit(blocks - 1))))
+      .withColumn("j", explode(sequence(col("blk_a"), lit(nBlocks - 1))))
     val b = base.select(col("id").as("id_b"), col("emb").as("emb_b"),
         col("blk").as("blk_b"))
       .withColumn("i", explode(sequence(lit(0), col("blk_b"))))
@@ -148,6 +157,22 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
+  }
+
+  /** Block-count sizing for [[exactNearDuplicatePairs]], from the
+    * formula in its scaladoc: each join task materializes two block
+    * slices of ≈ N·rowBytes/blocks each, so
+    * blocks = ⌈2·N·rowBytes / taskBudgetBytes⌉ keeps a task inside its
+    * memory budget. Clamped to [2, maxBlocks]: at least 2 so the
+    * diagonal always splits; capped because shuffle volume grows as
+    * (blocks/2 + 1)·|data| — beyond the cap the right move is more
+    * executor memory, not more replication. */
+  def sizeBlocks(rowCount: Long, rowBytes: Long,
+      taskBudgetBytes: Long = 256L * 1024 * 1024, maxBlocks: Int = 4096): Int = {
+    require(rowBytes > 0 && taskBudgetBytes > 0)
+    val needed = math.ceil(
+      2.0 * math.max(rowCount, 0L) * rowBytes / taskBudgetBytes)
+    math.max(2, math.min(maxBlocks.toDouble, needed)).toInt
   }
 
   /** Banded-LSH near-duplicate pairs for the HIGH-similarity regime:

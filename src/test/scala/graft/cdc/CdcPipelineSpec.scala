@@ -37,6 +37,33 @@ class CdcPipelineSpec extends SparkSpec {
     s"""{"topic":"scylla-cluster.app_data.users","operation":"$op","commit_timestamp":$ts,"user_id":"$id","username":$u,"status":$st}"""
   }
 
+  test("S1 Kafka option map mirrors the reference connector config") {
+    val pipeline = new CdcPipeline(spark, tmpDir(), tmpDir(),
+      Map("users" -> Seq("user_id")))
+    // the reference connector (scylla-source.json): topic.prefix
+    // "cdc.scylla" + RegexRouter pattern (:19,46-48), snapshot.mode
+    // "initial" (:26), errors.tolerance "all" (:50), max.batch.size
+    // 2048 (:30) — each must land on its Structured Streaming
+    // kafka-source equivalent
+    val opts = pipeline.kafkaSourceOptions(
+      bootstrapServers = "kafka:9092",
+      topicPattern = "cdc\\.scylla\\..*",
+      maxOffsetsPerTrigger = 2048L)
+    assert(opts == Map(
+      "kafka.bootstrap.servers" -> "kafka:9092",
+      "subscribePattern" -> "cdc\\.scylla\\..*",   // topic.prefix + RegexRouter
+      "startingOffsets" -> "earliest",             // snapshot.mode=initial
+      "failOnDataLoss" -> "false",                 // errors.tolerance=all
+      "maxOffsetsPerTrigger" -> "2048"))           // max.batch.size backpressure
+    // no backpressure bound requested → the option must be ABSENT
+    // (an accidental "0" would stall the source entirely)
+    assert(!pipeline.kafkaSourceOptions("kafka:9092", "cdc\\.scylla\\..*")
+      .contains("maxOffsetsPerTrigger"))
+    // a later-start deployment overrides startingOffsets explicitly
+    assert(pipeline.kafkaSourceOptions("kafka:9092", "t.*",
+      startingOffsets = "latest")("startingOffsets") == "latest")
+  }
+
   test("ST11 backpressure: maxFilesPerTrigger bounds each micro-batch") {
     val in = tmpDir()
     (0 until 3).foreach(i =>

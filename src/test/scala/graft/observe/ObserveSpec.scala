@@ -30,12 +30,26 @@ class ObserveSpec extends SparkSpec {
     def rec(fields: String) =
       s"""{"type":"record","name":"U","namespace":"n","fields":[$fields]}"""
     assert(store.register("users-value", rec("""{"name":"id","type":"string"}""")).isRight)
-    // incompatible (field removed) → compat-failure counter
+    // COMPATIBLE evolution (added field with default) → change counted,
+    // version gauge advances
+    val v2 = rec("""{"name":"id","type":"string"},{"name":"age","type":"int","default":0}""")
+    assert(store.register("users-value", v2).isRight)
+    assert(m.counter("schema_changes_total", Map("subject" -> "users-value")) == 2.0)
+    assert(m.gauge("schema_current_version", Map("subject" -> "users-value")) == 2.0)
+    // idempotent re-register of the same schema → no counter movement
+    assert(store.register("users-value", v2).isRight)
+    assert(m.counter("schema_changes_total", Map("subject" -> "users-value")) == 2.0)
+    // INCOMPATIBLE (fields removed) → compat-failure counter, version
+    // gauge and change counter hold
     assert(store.register("users-value", rec("")).isLeft)
-    assert(m.counter("schema_changes_total", Map("subject" -> "users-value")) == 1.0)
     assert(m.counter("schema_compat_failures_total",
       Map("subject" -> "users-value", "mode" -> "Backward")) == 1.0)
-    assert(m.gauge("schema_current_version", Map("subject" -> "users-value")) == 1.0)
+    assert(m.counter("schema_changes_total", Map("subject" -> "users-value")) == 2.0)
+    assert(m.gauge("schema_current_version", Map("subject" -> "users-value")) == 2.0)
+    // structurally invalid schema → validation-failure counter
+    assert(store.register("users-value", """{"type":"record","name":"X"}""").isLeft)
+    assert(m.counter("schema_validation_failures_total",
+      Map("subject" -> "users-value")) == 1.0)
     // the reference's SchemaCompatFailures alert fires off the snapshot
     val fired = Alerts.evaluate(m.snapshot(spark)).collect().map(_.getString(0)).toSet
     assert(fired.contains("SchemaCompatFailures"))

@@ -99,22 +99,34 @@ class TextSpec extends SparkSpec {
   }
 
   test("document-frequency cut drops ubiquitous-shingle pairs, keeps real dups") {
-    // 20 unrelated docs all sharing one boilerplate phrase (a 3-gram with
-    // DF=20 → 190 join rows), plus one true near-dup pair
+    // EVERY doc shares one boilerplate phrase — the worst-case skew
+    // shape (the boilerplate 3-gram has DF=22 → 231 join rows from one
+    // key); 20 otherwise-unrelated docs plus one true near-dup pair
+    // that ALSO carries the boilerplate
     val boiler = (0 until 20).map(i =>
       ((100 + i).toLong, s"click here now unique$i text$i body$i words$i"))
-    val dups = Seq((1L, "alpha beta gamma delta epsilon zeta"),
-      (2L, "alpha beta gamma delta epsilon eta"))
+    val dups = Seq((1L, "click here now alpha beta gamma delta epsilon zeta"),
+      (2L, "click here now alpha beta gamma delta epsilon eta"))
     val corpus = (boiler ++ dups).toDF("doc_id", "text")
     val uncut = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
       k = 3, threshold = 0.01)
-    // without the cut the shared phrase manufactures ~190 candidate pairs
-    assert(uncut.count() > 100)
+    // without the cut the shared phrase manufactures a pair for every
+    // doc combination (22·21/2 = 231) — the degenerate-bucket hazard
+    assert(uncut.count() > 200)
     val cut = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
       k = 3, threshold = 0.01, maxShingleDf = 5)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(cut == Set((1L, 2L)),
-      s"cut should leave only the true near-dup pair, got $cut")
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    // bounded: the ubiquitous shingle forms no candidates, so only the
+    // genuinely-shared-content pair survives
+    assert(cut.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"cut should leave only the true near-dup pair, got ${cut.toSeq}")
+    // and the emitted Jaccard is internally consistent: computed over
+    // the non-ubiquitous shingle sets only. Doc 1/2 each have 7
+    // 3-shingles; "click here now" (DF=22) is cut, leaving 6 per doc
+    // with 5 shared → J = 5/7
+    assert(cut.head._3 == 5.0 / 7.0,
+      s"expected Jaccard over rare shingles 5/7, got ${cut.head._3}")
   }
 
   test("minhash LSH finds near-dup pair (1,3) and exact pair (1,2)") {

@@ -74,6 +74,32 @@ class SimilaritySpec extends SparkSpec {
       s"exact block join missed/extra pairs: got ${got.size}, want ${expected.size}")
   }
 
+  test("sizeBlocks: task-budget formula, clamped to [2, maxBlocks]") {
+    // tiny corpora still split the diagonal
+    assert(Similarity.sizeBlocks(0L, 576L) == 2)
+    assert(Similarity.sizeBlocks(1000L, 576L) == 2)
+    // the formula: ceil(2*N*rowBytes / budget)
+    assert(Similarity.sizeBlocks(1000000L, 576L,
+      taskBudgetBytes = 256L * 1024 * 1024) ==
+      math.ceil(2.0 * 1000000L * 576L / (256L * 1024 * 1024)).toInt)
+    // monotone in N; capped at maxBlocks for planet-scale inputs
+    assert(Similarity.sizeBlocks(100000000L, 576L) >
+      Similarity.sizeBlocks(1000000L, 576L))
+    assert(Similarity.sizeBlocks(Long.MaxValue / 1000, 576L) == 4096)
+    assert(Similarity.sizeBlocks(Long.MaxValue / 1000, 576L, maxBlocks = 64) == 64)
+  }
+
+  test("exact near-dup auto-sized blocks produce identical pairs to explicit") {
+    val emb = Tables.embeddings(spark, sf)
+    val auto = Similarity.exactNearDuplicatePairs(emb, "vec_id", "embedding",
+      threshold = 0.35) // blocks unset → sized from count + dim probe
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val explicit = Similarity.exactNearDuplicatePairs(emb, "vec_id", "embedding",
+      threshold = 0.35, blocks = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == explicit)
+  }
+
   test("banded LSH near-dup: full recall on high-similarity clusters, prunes the rest") {
     import scala.util.Random
     // synthetic: 40 base vectors, each with a near-copy at cosine ≈ 0.99,
