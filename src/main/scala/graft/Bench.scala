@@ -14,34 +14,39 @@ object Bench {
     // alongside) — single-shot numbers at this scale are dominated by
     // JIT warmup, page cache, and GC (observed ±30-50%); the median is
     // the stable statistic, the spread makes the noise floor visible
-    val runs = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // malformed env → default; 1 is allowed for a fast smoke bench
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).getOrElse(3))
     val failed = scala.collection.mutable.Set.empty[String]
     def timed(name: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
       try body catch { case _: Throwable => failed += name }
       (System.nanoTime() - t0) / 1e9
     }
-    // (median, min, max); odd `runs` makes the middle element the median
+    // (median, min, max); for even `runs` the upper-middle element is
+    // reported (conservative — never the faster of the two middles)
     def stats(name: String)(body: => Unit): (Double, Double, Double) = {
       val ts = Vector.fill(runs)(timed(name)(body)).sorted
       (ts(ts.size / 2), ts.head, ts.last)
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> stats(name) { fn(spark, sfDir).count(): Unit }
-    } ++ Map(
-      // end-to-end curation funnel (exact → near → lang → quality with
-      // per-stage datasheet counts) — not an oracle query, benched so the
-      // funnel's cost stays visible; each run builds fresh stage caches
-      // and releases them, so runs don't feed each other's cache
-      "curate_funnel" -> stats("curate_funnel") {
-        val r = ops.CurateCli.curate(
-          Tables.documents(spark, sfDir), "doc_id", "text")
-        r.unpersist()
-      })
+    }
+    // end-to-end curation funnel (exact → near → lang → quality with
+    // per-stage datasheet counts) — benched so the funnel's cost stays
+    // visible, but reported SEPARATELY from the oracle-query total (so
+    // `value` stays comparable round-over-round); each run builds fresh
+    // stage caches and releases them, so runs don't feed each other
+    val funnel = stats("curate_funnel") {
+      val r = ops.CurateCli.curate(
+        Tables.documents(spark, sfDir), "doc_id", "text")
+      r.unpersist()
+    }
     val qs = results.map { case (k, (med, _, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, (_, lo, hi)) =>
-      s"\"" + k + "\":[" + lo + "," + hi + "]" }.mkString("{", ",", "}")
+    val spread = (results ++ Map("curate_funnel" -> funnel))
+      .map { case (k, (_, lo, hi)) =>
+        s"\"" + k + "\":[" + lo + "," + hi + "]" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // CDC-path throughput headline: events through the full transform
     // chain (q20) + latest-per-key collapse (q21), vs the reference's
@@ -56,7 +61,7 @@ object Bench {
         try (Tables.events(spark, sfDir).count() / cdcSecs).toLong
         catch { case _: Throwable => 0L }
       else 0L
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"events_per_sec":$eventsPerSec,"queries":$qs,"queries_minmax":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"events_per_sec":$eventsPerSec,"curate_funnel_sec":${funnel._1},"queries":$qs,"queries_minmax":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

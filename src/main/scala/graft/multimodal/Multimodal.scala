@@ -179,13 +179,17 @@ object Multimodal {
       val magic = new Array[Byte](4)
       in.readFully(magic)
       if (!java.util.Arrays.equals(magic, GvidMagic)) (-1, -1, -1L)
+      else if (in.readByte() != 1) (-1, -1, -1L) // unknown version: reject,
+      // don't misparse a future layout into plausible-looking metadata
       else {
-        in.readByte() // version
         val fps = in.readInt()
         val frames = in.readInt()
-        if (fps <= 0 || frames <= 0) (-1, -1, -1L)
+        val len = if (fps <= 0 || frames <= 0) -1 else in.readInt()
+        // bound the frame allocation by the bytes actually present — a
+        // corrupt length prefix must fail cleanly, not allocate GBs (an
+        // OutOfMemoryError would escape the Exception catch below)
+        if (len <= 0 || len > payload.length - 17) (-1, -1, -1L)
         else {
-          val len = in.readInt()
           val png = new Array[Byte](len)
           in.readFully(png)
           val (w, h) = decodeImage(png)

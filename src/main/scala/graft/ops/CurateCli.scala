@@ -28,6 +28,11 @@ import graft.text.{Dedup, StreamingNearDedup, TextAnalysis}
   */
 object CurateCli {
 
+  /** `maxShingleDf` = 0 runs near-dedup via MinHash-LSH candidates
+    * (sketch path, the at-scale default); > 0 switches to exact n-gram
+    * Jaccard with the document-frequency cut at that cap — the skew
+    * guard for corpora where one boilerplate phrase floods the shingle
+    * join ([[Dedup.ngramJaccardPairs]]). */
   final case class Config(
       minQuality: Double = 0.5,
       languages: Set[String] = Set("en"),
@@ -56,38 +61,56 @@ object CurateCli {
   /** Run the funnel; returns the curated corpus plus per-stage counts. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): Curated = {
-    val input = stageCount("input", docs, textCol)
+    // track live stage caches so a mid-funnel failure releases them —
+    // callers (the bench loop especially) retry, and orphaned
+    // MEMORY_AND_DISK caches would accumulate across attempts
+    val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def persisted(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      live += p
+      p
+    }
+    try {
+      val input = stageCount("input", docs, textCol)
 
-    // Each stage: persist → count (materializes the cache) → build the
-    // next stage FROM the cache → unpersist once the successor is
-    // materialized. The language filter is counted straight off the
-    // cached near-dedup output (a narrow codegen'd scan), so it needs no
-    // cache of its own.
-    val exact = Dedup.dedupExact(docs, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterExact = stageCount("exact_dedup", exact, textCol)
+      // Each stage: persist → count (materializes the cache) → build the
+      // next stage FROM the cache → unpersist once the successor is
+      // materialized. The language filter is counted straight off the
+      // cached near-dedup output (a narrow codegen'd scan), so it needs
+      // no cache of its own.
+      val exact = persisted(Dedup.dedupExact(docs, idCol, textCol))
+      val afterExact = stageCount("exact_dedup", exact, textCol)
 
-    val pairs = Dedup.minhashVerifiedPairs(exact, idCol, textCol,
-      k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
-      threshold = cfg.jaccardThreshold)
-    val near = Dedup.dedupByComponents(exact, idCol, pairs)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterNear = stageCount("near_dedup", near, textCol)
-    exact.unpersist(blocking = false)
+      val pairs =
+        if (cfg.maxShingleDf > 0)
+          Dedup.ngramJaccardPairs(exact, idCol, textCol, k = cfg.shingleK,
+            threshold = cfg.jaccardThreshold, maxShingleDf = cfg.maxShingleDf)
+        else
+          Dedup.minhashVerifiedPairs(exact, idCol, textCol,
+            k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
+            threshold = cfg.jaccardThreshold)
+      val near = persisted(Dedup.dedupByComponents(exact, idCol, pairs))
+      val afterNear = stageCount("near_dedup", near, textCol)
+      exact.unpersist(blocking = false)
 
-    val lang = near.filter(
-      TextAnalysis.languageId(col(textCol)).isin(cfg.languages.toSeq: _*))
-    val afterLang = stageCount("language", lang, textCol)
+      val lang = near.filter(
+        TextAnalysis.languageId(col(textCol)).isin(cfg.languages.toSeq: _*))
+      val afterLang = stageCount("language", lang, textCol)
 
-    val quality = lang.filter(
-      TextAnalysis.qualityScore(col(textCol),
-        TextAnalysis.LangProfiles("en")) >= cfg.minQuality)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterQuality = stageCount("quality", quality, textCol)
-    near.unpersist(blocking = false)
+      val quality = persisted(lang.filter(
+        TextAnalysis.qualityScore(col(textCol),
+          TextAnalysis.LangProfiles("en")) >= cfg.minQuality))
+      val afterQuality = stageCount("quality", quality, textCol)
+      near.unpersist(blocking = false)
 
-    Curated(quality,
-      Seq(input, afterExact, afterNear, afterLang, afterQuality))
+      Curated(quality,
+        Seq(input, afterExact, afterNear, afterLang, afterQuality))
+    } catch {
+      case t: Throwable =>
+        live.foreach(df =>
+          try df.unpersist(blocking = false) catch { case _: Exception => () })
+        throw t
+    }
   }
 
   /** INGEST-TIME curation: the streaming prefix of the batch funnel,

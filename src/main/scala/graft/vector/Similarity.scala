@@ -136,10 +136,14 @@ object Similarity {
   def exactNearDuplicatePairs(df: DataFrame, idCol: String, embCol: String,
       threshold: Double, blocks: Int = 0): DataFrame = {
     val nBlocks = if (blocks > 0) blocks else {
-      val dim = df.select(col(embCol)).head(1) match {
-        case Array(r) if !r.isNullAt(0) => r.getSeq[Any](0).length
-        case _ => 0
-      }
+      // probe a NON-NULL embedding for the dim — a null/empty first row
+      // would undersize rowBytes and defeat the task-memory guard
+      val dim = df.select(col(embCol))
+        .filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+        .head(1) match {
+          case Array(r) => r.getSeq[Any](0).length
+          case _ => 0
+        }
       sizeBlocks(df.count(), rowBytes = dim * 8L + 64L)
     }
     val base = df.select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"),

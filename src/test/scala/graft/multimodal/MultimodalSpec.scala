@@ -66,6 +66,16 @@ class MultimodalSpec extends SparkSpec {
     val (w5, h5) = Multimodal.videoDims(5L)
     assert(Multimodal.decodeVideo(Multimodal.gvidBytes(5L)) ==
       (w5, h5, Multimodal.videoDurationMs(5L)))
+    // a corrupt frame-length prefix (huge positive int) must be rejected
+    // by the bounds check, not attempted as an allocation
+    val corrupt = Multimodal.gvidBytes(5L).clone()
+    corrupt(13) = 0x7f.toByte; corrupt(14) = 0xf0.toByte
+    corrupt(15) = 0; corrupt(16) = 0
+    assert(Multimodal.decodeVideo(corrupt) == (-1, -1, -1L))
+    // an unknown container version is rejected, not misparsed
+    val v2 = Multimodal.gvidBytes(5L).clone()
+    v2(4) = 2
+    assert(Multimodal.decodeVideo(v2) == (-1, -1, -1L))
   }
 
   test("decodeAndFeaturize: deterministic metadata, batch shape") {

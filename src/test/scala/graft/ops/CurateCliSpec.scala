@@ -32,6 +32,31 @@ class CurateCliSpec extends SparkSpec {
         graft.text.TextAnalysis.LangProfiles("en")) < 0.5)
     assert(badQ.count() == 0)
     assert(byStage("quality").tokens > 0)
+    result.unpersist() // release the corpus cache (shared test session)
+  }
+
+  test("funnel with maxShingleDf engages the exact DF-cut near-dedup path") {
+    // every doc shares a boilerplate 3-gram; the true near-dup pair's
+    // OTHER shared shingles have DF=2. With cap=1 the exact path cuts
+    // every DF>=2 shingle, so NOTHING collapses (12 survivors) — while
+    // the sketch path at threshold 0.01 would collapse the dup pair and
+    // boilerplate docs alike. A dead knob fails this loudly.
+    val boiler = (0 until 10).map(i =>
+      ((100 + i).toLong, s"click here now unique$i text$i body$i words$i"))
+    val dups = Seq((1L, "click here now alpha beta gamma delta epsilon zeta"),
+      (2L, "click here now alpha beta gamma delta epsilon eta"))
+    val corpus = (boiler ++ dups).toDF("doc_id", "text")
+    val cut = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, jaccardThreshold = 0.01,
+        maxShingleDf = 1L))
+    assert(cut.funnel.find(_.stage == "near_dedup").get.docs == 12,
+      s"cap=1 cuts every shared shingle -> no collapses; got ${cut.funnel}")
+    cut.unpersist()
+    val sketch = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, jaccardThreshold = 0.01))
+    assert(sketch.funnel.find(_.stage == "near_dedup").get.docs < 12,
+      "sketch path at threshold 0.01 must collapse the near-dup pair")
+    sketch.unpersist()
   }
 
   test("funnel evaluates each stage's lineage once (no O(stages²) recompute)") {
