@@ -224,6 +224,15 @@ object SparkEntry {
           col("duration_ms"))),
     "q41_frame_samples" -> ((s, d) =>
       Multimodal.frameSamples(decodedAssets(s, d), n = 4)),
+    // q49: REAL per-frame extraction — every PNG frame parsed out of
+    // its GVID container, dims ImageIO-decoded from the frame's own
+    // bytes; the oracle re-derives count/ts/dims from the generator
+    // formulas, so a match certifies the full container walk
+    "q49_frame_extract" -> ((s, d) =>
+      Multimodal.extractFrames(
+        Multimodal.syntheticAssets(Tables.documents(s, d)))
+        .select(col("asset_id"), col("frame_idx"), col("ts_ms"),
+          col("width"), col("height"))),
 
     "q43_token_counts" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -262,6 +271,23 @@ object SparkEntry {
     "q48_ngram_dfcut" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         k = 3, threshold = 0.4, maxShingleDf = 20L)),
+    // q50: PII scrub. The corpus contains no PII (verified: zero rows
+    // with digits or '@'), so the query SYNTHESIZES a deterministic
+    // email + IP + phone per row — identically on both engines — and
+    // the oracle re-applies the same regex chain in SQL: every row is a
+    // live cross-engine regex-parity check, not an identity pass
+    "q50_pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.piiScrub(concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 or 555-01"), col("doc_id").cast("string"), lit("99")))
+          .as("scrubbed"))),
+    // q51: repetition profile (boilerplate/degenerate-text signal)
+    "q51_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text",
+        k = 2)),
 
     // §2.8 repair plan as a query (deterministic SQL codegen output)
     "q42_repair_plan" -> ((s, d) => {
@@ -521,6 +547,16 @@ object SparkEntry {
         | CAST(((2 + doc_id % 7) * 250 * i) // 4 AS BIGINT) AS frame_ts_ms
         |FROM documents, generate_series(0, 3) AS g(i)
         |WHERE doc_id % 3 = 2""".stripMargin,
+    "q49_frame_extract" ->
+      """WITH v AS (SELECT doc_id,
+        |  unnest(generate_series(0, CAST(2 + doc_id % 7 AS INTEGER) - 1)) AS i
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id AS asset_id,
+        | CAST(i AS INTEGER) AS frame_idx,
+        | CAST(i * 250 AS BIGINT) AS ts_ms,
+        | CAST(16 + doc_id % 16 AS INTEGER) AS width,
+        | CAST(9 + doc_id % 9 AS INTEGER) AS height
+        |FROM v""".stripMargin,
     // q35's oracle recomputes every 62-bit polynomial simhash sketch and
     // the all-pairs hamming join in SQL; the Spark side's 4-band
     // pigeonhole guarantees it finds exactly the same hamming<=3 pairs.
@@ -608,6 +644,33 @@ object SparkEntry {
         |JOIN sizes sa ON inter.id_a = sa.doc_id
         |JOIN sizes sb ON inter.id_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4""".stripMargin,
+    // q50: same synthetic-PII augmentation, same ordered regex chain
+    // (email → IP → phone) re-derived in SQL; 'g' = replace-all to
+    // match Spark's regexp_replace semantics
+    "q50_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@mail.example.com or 10.0.'
+        |       || (doc_id % 256) || '.7 or 555-01' || doc_id || '99' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d[\d-]{6,}\d\b', '<PHONE>', 'g') AS scrubbed
+        |FROM aug""".stripMargin,
+    // q51: bigram counts from gram STRINGS (the engine counts 8-byte
+    // gram hashes — value-equivalent, the grams never leave the engine)
+    "q51_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |    THEN list_transform(generate_series(0, len(toks)-2), i -> array_to_string(toks[i+1:i+2], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END) AS gram FROM t),
+        |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS top_gram_count,
+        | CAST(sum(n) AS BIGINT) AS n_grams,
+        | CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS repetition_ratio
+        |FROM c GROUP BY doc_id""".stripMargin,
     "q43_token_counts" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens,

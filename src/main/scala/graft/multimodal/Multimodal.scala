@@ -286,6 +286,75 @@ object Multimodal {
       .withColumn("resized_h", floor(col("height") * scale).cast("int"))
   }
 
+  /** One extracted video frame: the actual PNG bytes plus decoded dims
+    * and the frame's timestamp in the clip. */
+  final case class Frame(asset_id: Long, frame_idx: Int, ts_ms: Long,
+      width: Int, height: Int, frame_png: Array[Byte])
+
+  /** REAL frame extraction: parse every PNG frame out of each GVID
+    * payload — the operator a vision-model pipeline feeds (decode →
+    * per-frame rows → featurize/caption each frame). Same mapPartitions
+    * batch shape and id-repartitioning as [[decodeAndFeaturize]]; dims
+    * are ImageIO-decoded from each frame's own bytes, timestamps come
+    * from the container frame rate. Non-video and undecodable payloads
+    * contribute no rows. Output grows ~frameCount× the video subset —
+    * at scale, write it partitioned and feed frames to downstream
+    * stages in place (never collect). */
+  def extractFrames(assets: DataFrame, parallelism: Int = 0): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val parts = if (parallelism > 0) parallelism
+      else spark.sparkContext.defaultParallelism
+    assets
+      .filter(col("media_type") === "video")
+      .select(col("asset_id").cast("long"), col("payload"))
+      .repartition(parts, col("asset_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payloadOrNull) =>
+          val payload =
+            if (payloadOrNull == null) Array.empty[Byte] else payloadOrNull
+          parseGvidFrames(id, payload)
+        }
+      }
+      .toDF()
+  }
+
+  /** Iterate a GVID payload's frames (empty for undecodable bytes). */
+  private[multimodal] def parseGvidFrames(id: Long, payload: Array[Byte]): Iterator[Frame] =
+    try {
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      if (!java.util.Arrays.equals(magic, GvidMagic) || in.readByte() != 1)
+        Iterator.empty
+      else {
+        val fps = in.readInt()
+        val frames = in.readInt()
+        if (fps <= 0 || frames <= 0) Iterator.empty
+        else {
+          var remaining = payload.length - 13
+          val out = Vector.newBuilder[Frame]
+          var f = 0
+          var ok = true
+          while (ok && f < frames) {
+            val len = in.readInt()
+            remaining -= 4
+            if (len <= 0 || len > remaining) ok = false
+            else {
+              val png = new Array[Byte](len)
+              in.readFully(png)
+              remaining -= len
+              val (w, h) = decodeImage(png)
+              out += Frame(id, f, f.toLong * 1000L / fps, w, h, png)
+              f += 1
+            }
+          }
+          if (ok) out.result().iterator else Iterator.empty
+        }
+      }
+    } catch { case _: Exception => Iterator.empty }
+
   /** Frame sampling for video assets: n evenly spaced timestamps. */
   def frameSamples(decoded: DataFrame, n: Int): DataFrame =
     decoded.filter(col("media_type") === "video")

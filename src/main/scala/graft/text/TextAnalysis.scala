@@ -161,6 +161,47 @@ object TextAnalysis {
           concat_ws(" ", t)))))
   }
 
+  /** PII scrubbing for training corpora: replace emails, IPv4
+    * addresses, and phone-number-shaped digit runs with typed
+    * placeholders. Pure codegen'd `regexp_replace` chain — no UDF, no
+    * shuffle, linear scan. Order matters and is part of the contract:
+    * emails first (their local parts can contain digits), then IPs
+    * (dotted digit runs a looser phone pattern would mangle), then
+    * phones. Patterns are RE2-safe (no lookaround), so any engine
+    * re-applies them identically — the oracle query re-derives the
+    * same chain in SQL. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhonePattern: String = "\\b\\d[\\d-]{6,}\\d\\b"
+
+  def piiScrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Per-document repetition profile — the boilerplate/degenerate-text
+    * quality signal (a doc whose single most frequent k-gram covers a
+    * large share of all its k-grams is template spam or decode-loop
+    * output): (top_gram_count, n_grams, repetition_ratio = top/total).
+    *
+    * Distributed shape: explode k-gram hashes → per-(doc, gram) count
+    * (map-side partial agg) → per-doc max/sum. Gram VALUES never leave
+    * the engine (only counts do), so the 8-byte xxhash64 shingle kernel
+    * is safe here — the oracle rebuilds the same counts from gram
+    * STRINGS ([[Dedup.shingleHashes]] value-equivalence). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 2): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(Dedup.shingleHashes(col(textCol), k)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        max("n").as("top_gram_count"),
+        sum("n").as("n_grams"),
+        (max("n").cast("double") / sum("n").cast("double"))
+          .as("repetition_ratio"))
+
   /** Full per-document stats projection used by the stats query. */
   def stats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)

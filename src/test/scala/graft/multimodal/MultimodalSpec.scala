@@ -78,6 +78,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeVideo(v2) == (-1, -1, -1L))
   }
 
+  test("extractFrames: every GVID frame comes back as decodable PNG rows") {
+    val f = Multimodal.extractFrames(assets)
+    val perAsset = f.groupBy("asset_id").count()
+      .as[(Long, Long)].collect()
+    assert(perAsset.nonEmpty)
+    perAsset.foreach { case (id, n) =>
+      assert(n == Multimodal.videoFrameCount(id).toLong,
+        s"asset $id extracted $n frames")
+    }
+    val one = f.filter($"asset_id" === 5L).orderBy("frame_idx")
+      .select("frame_idx", "ts_ms", "width", "height", "frame_png")
+      .collect()
+    val (ew, eh) = Multimodal.videoDims(5L)
+    one.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == i && r.getLong(1) == i.toLong * 250L)
+      assert((r.getInt(2), r.getInt(3)) == (ew, eh))
+      // the payload bytes are a genuinely decodable standalone PNG
+      assert(Multimodal.decodeImage(r.getAs[Array[Byte]](4)) == (ew, eh))
+    }
+    // frames vary across the clip (per-frame seed), so this is not one
+    // image repeated
+    assert(one.map(_.getAs[Array[Byte]](4).toSeq).distinct.length == one.length)
+    // corrupt payloads contribute zero rows, not failures
+    assert(Multimodal.parseGvidFrames(1L, Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("decodeAndFeaturize: deterministic metadata, batch shape") {
     val d1 = Multimodal.decodeAndFeaturize(assets, parallelism = 4)
     val d2 = Multimodal.decodeAndFeaturize(assets, parallelism = 2)

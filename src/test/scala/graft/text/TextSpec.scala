@@ -129,6 +129,34 @@ class TextSpec extends SparkSpec {
       s"expected Jaccard over rare shingles 5/7, got ${cut.head._3}")
   }
 
+  test("piiScrub replaces emails, IPs, and phones; leaves clean text alone") {
+    val rows = Seq(
+      ("write to a.user+tag@sub.example.org today",
+        "write to <EMAIL> today"),
+      ("server at 192.168.1.254 responded", "server at <IP> responded"),
+      ("call 555-0123-987 now", "call <PHONE> now"),
+      // all three in one string, scrubbed in one pass
+      ("x@y.io via 10.0.0.1 or 5550123456",
+        "<EMAIL> via <IP> or <PHONE>"),
+      // NOT PII: short digit runs, version strings, bare words
+      ("version 1.2 has 42 fixes since 2024", "version 1.2 has 42 fixes since 2024"),
+      ("no pii here at all", "no pii here at all"))
+    rows.toDF("t", "want")
+      .select(TextAnalysis.piiScrub($"t").as("got"), $"want")
+      .as[(String, String)].collect()
+      .foreach { case (got, want) => assert(got == want) }
+  }
+
+  test("repetitionStats: top-gram share of all bigrams, hand-checked") {
+    // "a b a b a b c" → bigrams: ab, ba, ab, ba, ab, bc →
+    // top(ab)=3, total=6, ratio=0.5; single-token doc → 1 gram, ratio 1
+    val df = Seq((1L, "a b a b a b c"), (2L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 6L, 0.5), (2L, 1L, 1L, 1.0)), got.toString)
+  }
+
   test("minhash LSH finds near-dup pair (1,3) and exact pair (1,2)") {
     val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
       k = 2, numHashes = 32, bands = 16, threshold = 0.3)
