@@ -288,6 +288,11 @@ object SparkEntry {
     "q51_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text",
         k = 2)),
+    // q52: concat-and-chunk sequence packing, 512-token budget, packed
+    // per hash bucket (parallel windows, no global ordering)
+    "q52_seq_pack" -> ((s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d), "doc_id", "text",
+        budget = 512, buckets = 8)),
 
     // §2.8 repair plan as a query (deterministic SQL codegen output)
     "q42_repair_plan" -> ((s, d) => {
@@ -671,6 +676,20 @@ object SparkEntry {
         | CAST(sum(n) AS BIGINT) AS n_grams,
         | CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS repetition_ratio
         |FROM c GROUP BY doc_id""".stripMargin,
+    // q52: the same bucketed cumulative-sum packing re-derived with a
+    // SQL window (PARTITION BY bucket = the engine's parallel shape)
+    "q52_seq_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS bucket,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens FROM documents),
+        |w AS (SELECT doc_id, bucket, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+        |  FROM t)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        | CAST(s // 512 AS BIGINT) AS seq_id,
+        | CAST(s % 512 AS BIGINT) AS start_offset,
+        | CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM w""".stripMargin,
     "q43_token_counts" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens,

@@ -202,6 +202,35 @@ object TextAnalysis {
         (max("n").cast("double") / sum("n").cast("double"))
           .as("repetition_ratio"))
 
+  /** Concat-and-chunk sequence packing — the standard pretraining
+    * batch-prep shape: documents are concatenated in a deterministic
+    * order and cut into fixed `budget`-token sequences; each document
+    * row reports which sequence its first token lands in and at what
+    * offset (documents may straddle sequence boundaries — that is the
+    * concat-and-chunk contract).
+    *
+    * Scale shape: packing runs per hash bucket (`doc_id % buckets`),
+    * `buckets` independent streams packed in parallel — the window is
+    * PARTITIONED, never one global ordering (a global ORDER BY window
+    * is a single-task bottleneck at corpus scale). Within a bucket the
+    * cumulative token sum is one sort + one pass. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, buckets: Int = 64): DataFrame = {
+    require(budget > 0 && buckets > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(idCol).as("doc_id"),
+        pmod(col(idCol), lit(buckets)).cast("long").as("bucket"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("start", sum("n_tokens").over(w) - col("n_tokens"))
+      // starts are non-negative, so cast-truncation == floor division
+      .select(col("doc_id"), col("bucket"),
+        (col("start") / lit(budget)).cast("long").as("seq_id"),
+        (col("start") % lit(budget)).as("start_offset"),
+        col("n_tokens"))
+  }
+
   /** Full per-document stats projection used by the stats query. */
   def stats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)

@@ -157,6 +157,28 @@ class TextSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 6L, 0.5), (2L, 1L, 1L, 1.0)), got.toString)
   }
 
+  test("packSequences: bucketed concat-and-chunk offsets, hand-checked") {
+    // one bucket (buckets=1), budget 5; docs of 3/4/2 tokens in id order:
+    // starts 0,3,7 → seqs 0,0,1 at offsets 0,3,2 (doc 2 straddles 5)
+    val df = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(df, "doc_id", "text",
+      budget = 5, buckets = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "seq_id", "start_offset", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0L, 3L), (2L, 0L, 3L, 4L), (3L, 1L, 2L, 2L)),
+      got.toString)
+    // bucketed: each bucket packs independently from offset 0
+    val b = TextAnalysis.packSequences(df, "doc_id", "text",
+      budget = 5, buckets = 2)
+      .orderBy("doc_id")
+      .select("bucket", "seq_id", "start_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    // bucket 1: docs 1,3 (starts 0,3); bucket 0: doc 2 (start 0)
+    assert(b == Seq((1L, 0L, 0L), (0L, 0L, 0L), (1L, 0L, 3L)), b.toString)
+  }
+
   test("minhash LSH finds near-dup pair (1,3) and exact pair (1,2)") {
     val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
       k = 2, numHashes = 32, bands = 16, threshold = 0.3)
