@@ -229,8 +229,13 @@ object SparkEntry {
     // bytes; the oracle re-derives count/ts/dims from the generator
     // formulas, so a match certifies the full container walk
     "q49_frame_extract" -> ((s, d) =>
+      // pre-filter to the video doc ids (media assignment is doc_id%3)
+      // BEFORE synthesis — the filter can't push below syntheticAssets'
+      // opaque mapPartitions, and encoding the image/audio two-thirds
+      // only to discard them would be pure wasted executor CPU
       Multimodal.extractFrames(
-        Multimodal.syntheticAssets(Tables.documents(s, d)))
+        Multimodal.syntheticAssets(
+          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(3)) === 2)))
         .select(col("asset_id"), col("frame_idx"), col("ts_ms"),
           col("width"), col("height"))),
 
@@ -665,9 +670,13 @@ object SparkEntry {
         |   '\b\d[\d-]{6,}\d\b', '<PHONE>', 'g') AS scrubbed
         |FROM aug""".stripMargin,
     // q51: bigram counts from gram STRINGS (the engine counts 8-byte
-    // gram hashes — value-equivalent, the grams never leave the engine)
+    // gram hashes — value-equivalent, the grams never leave the engine).
+    // NULL-text docs drop on BOTH sides: the engine's null-intolerant
+    // hash kernel yields null → explode drops the row; the SQL filters
+    // explicitly (its ELSE branch would otherwise emit a phantom gram)
     "q51_repetition" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
         |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
         |    THEN list_transform(generate_series(0, len(toks)-2), i -> array_to_string(toks[i+1:i+2], ' '))
         |    ELSE [array_to_string(toks, ' ')] END) AS gram FROM t),

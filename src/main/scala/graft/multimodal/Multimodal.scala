@@ -170,31 +170,44 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Parse + validate the 13-byte GVID header (magic, version, fps,
+    * frame count); None for anything malformed. The ONE copy of the
+    * header contract — both [[decodeVideo]] and [[parseGvidFrames]]
+    * read through it, so they can never disagree on the same bytes. */
+  private def readGvidHeader(in: java.io.DataInputStream): Option[(Int, Int)] = {
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    if (!java.util.Arrays.equals(magic, GvidMagic)) None
+    // unknown version: reject — don't misparse a future layout into
+    // plausible-looking metadata
+    else if (in.readByte() != 1) None
+    else {
+      val fps = in.readInt()
+      val frames = in.readInt()
+      if (fps <= 0 || frames <= 0) None else Some((fps, frames))
+    }
+  }
+
   /** REAL video decode: duration from the container header's frame
     * count × fps, dimensions from an ImageIO decode of the first frame's
     * PNG bytes. (-1, -1, -1) for undecodable payloads. */
   private[multimodal] def decodeVideo(payload: Array[Byte]): (Int, Int, Long) =
     try {
       val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
-      val magic = new Array[Byte](4)
-      in.readFully(magic)
-      if (!java.util.Arrays.equals(magic, GvidMagic)) (-1, -1, -1L)
-      else if (in.readByte() != 1) (-1, -1, -1L) // unknown version: reject,
-      // don't misparse a future layout into plausible-looking metadata
-      else {
-        val fps = in.readInt()
-        val frames = in.readInt()
-        val len = if (fps <= 0 || frames <= 0) -1 else in.readInt()
-        // bound the frame allocation by the bytes actually present — a
-        // corrupt length prefix must fail cleanly, not allocate GBs (an
-        // OutOfMemoryError would escape the Exception catch below)
-        if (len <= 0 || len > payload.length - 17) (-1, -1, -1L)
-        else {
-          val png = new Array[Byte](len)
-          in.readFully(png)
-          val (w, h) = decodeImage(png)
-          (w, h, frames * 1000L / fps)
-        }
+      readGvidHeader(in) match {
+        case None => (-1, -1, -1L)
+        case Some((fps, frames)) =>
+          val len = in.readInt()
+          // bound the frame allocation by the bytes actually present — a
+          // corrupt length prefix must fail cleanly, not allocate GBs (an
+          // OutOfMemoryError would escape the Exception catch below)
+          if (len <= 0 || len > payload.length - 17) (-1, -1, -1L)
+          else {
+            val png = new Array[Byte](len)
+            in.readFully(png)
+            val (w, h) = decodeImage(png)
+            (w, h, frames * 1000L / fps)
+          }
       }
     } catch { case _: Exception => (-1, -1, -1L) }
 
@@ -320,19 +333,15 @@ object Multimodal {
       .toDF()
   }
 
-  /** Iterate a GVID payload's frames (empty for undecodable bytes). */
+  /** Iterate a GVID payload's frames — empty for undecodable bytes,
+    * including a clip whose well-framed bytes aren't decodable images
+    * (all-or-nothing, consistent with [[decodeVideo]]'s rejects). */
   private[multimodal] def parseGvidFrames(id: Long, payload: Array[Byte]): Iterator[Frame] =
     try {
       val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
-      val magic = new Array[Byte](4)
-      in.readFully(magic)
-      if (!java.util.Arrays.equals(magic, GvidMagic) || in.readByte() != 1)
-        Iterator.empty
-      else {
-        val fps = in.readInt()
-        val frames = in.readInt()
-        if (fps <= 0 || frames <= 0) Iterator.empty
-        else {
+      readGvidHeader(in) match {
+        case None => Iterator.empty
+        case Some((fps, frames)) =>
           var remaining = payload.length - 13
           val out = Vector.newBuilder[Frame]
           var f = 0
@@ -346,12 +355,16 @@ object Multimodal {
               in.readFully(png)
               remaining -= len
               val (w, h) = decodeImage(png)
-              out += Frame(id, f, f.toLong * 1000L / fps, w, h, png)
-              f += 1
+              // a well-framed but non-decodable image voids the clip —
+              // never emit (-1,-1)-dim frame rows
+              if (w < 0 || h < 0) ok = false
+              else {
+                out += Frame(id, f, f.toLong * 1000L / fps, w, h, png)
+                f += 1
+              }
             }
           }
           if (ok) out.result().iterator else Iterator.empty
-        }
       }
     } catch { case _: Exception => Iterator.empty }
 

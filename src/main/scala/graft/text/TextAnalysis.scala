@@ -224,9 +224,11 @@ object TextAnalysis {
         pmod(col(idCol), lit(buckets)).cast("long").as("bucket"),
         tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("start", sum("n_tokens").over(w) - col("n_tokens"))
-      // starts are non-negative, so cast-truncation == floor division
+      // `div` = exact integral division on longs (the `/` operator is
+      // IEEE double division, which mis-rounds near 2^53 and diverges
+      // from a SQL engine's `//`); starts are non-negative
       .select(col("doc_id"), col("bucket"),
-        (col("start") / lit(budget)).cast("long").as("seq_id"),
+        expr(s"start div $budget").as("seq_id"),
         (col("start") % lit(budget)).as("start_offset"),
         col("n_tokens"))
   }

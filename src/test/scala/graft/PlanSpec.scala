@@ -96,6 +96,42 @@ class PlanSpec extends SparkSpec {
       s"probe+rank should fuse into ONE codegen stage (no second stage):\n$p")
   }
 
+  test("q48 DF cut: pair join reads the checkpointed cut table, equi-join only") {
+    val p = plan("q48_ngram_dfcut")
+    // the cut itself (LeftSemi vs the rare-shingle set) runs at
+    // localCheckpoint materialization, so the query plan shows the
+    // checkpoint SCAN — proving the explode+cut executes once, not per
+    // consumer — and the pair join must remain a hash equi-join
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"expected the checkpointed cut table scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pair join must stay an equi-join:\n$p")
+  }
+
+  test("q51 repetition: two-level agg with map-side partials, no window") {
+    val p = plan("q51_repetition")
+    // specifically the FIRST-level (doc, gram) count must keep its
+    // map-side partial — a bare contains("partial") would be satisfied
+    // by the final max/sum aggregate and miss the regression that ships
+    // exploded gram rows through the exchange
+    assert(p.contains("partial_count"),
+      s"map-side partial count of (doc, gram) expected:\n$p")
+    assert(!p.contains("Window"), "per-doc max/sum must be aggregation, not a window")
+  }
+
+  test("q52 packing: window is PARTITIONED by bucket (parallel, not global)") {
+    val p = plan("q52_seq_pack")
+    assert(p.contains("Window"), s"expected a window:\n$p")
+    // the Window node's partition spec must key on bucket — matching
+    // the projected column NAME alone would be vacuous (it appears in
+    // any plan of this query); a GLOBAL window would additionally show
+    // a single-partition Exchange
+    assert("""windowspecdefinition\(bucket#\d+""".r.findFirstIn(p).isDefined,
+      s"window partition spec must be bucket:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global single-partition window is the at-scale bottleneck:\n$p")
+  }
+
   test("salted count equals plain count under synthetic skew") {
     val skewed = spark.range(10000)
       .select(when($"id" % 100 === 0, lit("hot")).otherwise(lit("cold")).as("k"))

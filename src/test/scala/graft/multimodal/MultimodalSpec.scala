@@ -102,6 +102,11 @@ class MultimodalSpec extends SparkSpec {
     assert(one.map(_.getAs[Array[Byte]](4).toSeq).distinct.length == one.length)
     // corrupt payloads contribute zero rows, not failures
     assert(Multimodal.parseGvidFrames(1L, Array[Byte](1, 2, 3)).isEmpty)
+    // a well-framed clip whose frame bytes aren't a decodable image is
+    // rejected whole — no (-1,-1)-dim frame rows ever ship
+    val badFrame = Multimodal.gvidBytes(5L).clone()
+    java.util.Arrays.fill(badFrame, 17, badFrame.length, 0.toByte)
+    assert(Multimodal.parseGvidFrames(5L, badFrame).isEmpty)
   }
 
   test("decodeAndFeaturize: deterministic metadata, batch shape") {
