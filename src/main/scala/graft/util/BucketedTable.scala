@@ -147,6 +147,30 @@ object BucketedTable {
       else None
     }
 
+  /** Point lookup that touches ONE bucket directory: the key's bucket
+    * is computed with the SAME hash expression the layout used (on a
+    * one-row local relation — no job), the scan filters on `__bucket`
+    * so pruning happens at file listing (non-empty PartitionFilters),
+    * and the exact-key equality applies within the pruned bucket. The
+    * at-scale answer to "current state of key K": n−1 of n bucket
+    * directories are never even listed. None if the table is absent. */
+  def pointLookup(spark: SparkSession, dest: String, keys: Seq[String],
+      n: Int, keyValues: Map[String, Any]): Option[DataFrame] =
+    lockFor(dest).synchronized {
+      recoverLocked(dest)
+      if (!Files.exists(Paths.get(dest)) || !hasBuckets(dest)) None
+      else {
+        checkLayout(dest, keys, n)
+        val b = spark.range(1)
+          .select(keys.map(k => lit(keyValues(k)).as(k)): _*)
+          .select(bucketCol(keys, n).as("b")).head().getInt(0)
+        Some(spark.read.parquet(dest)
+          .filter(col("__bucket") === b)
+          .drop("__bucket")
+          .filter(keys.map(k => col(k) === lit(keyValues(k))).reduce(_ && _)))
+      }
+    }
+
   /** Rewrite the table in place to heal the small-file accumulation a
     * long-running merge stream produces (every merge adds one file set
     * per touched bucket). One full read + one full write — schedule it

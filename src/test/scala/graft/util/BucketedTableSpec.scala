@@ -32,6 +32,28 @@ class BucketedTableSpec extends SparkSpec {
     out.toMap
   }
 
+  test("pointLookup prunes to one bucket at file listing; row matches full read") {
+    val dest = tmp()
+    BucketedTable.writeFull(initial, dest, Seq("id"), N)
+    val looked = BucketedTable.pointLookup(spark, dest, Seq("id"), N,
+      Map("id" -> 42L)).get
+    val plan = looked.queryExecution.executedPlan.toString()
+    // NON-EMPTY partition filters (the key alone prints "PartitionFilters:
+    // []" even without pruning) keyed on __bucket
+    assert("PartitionFilters: \\[\\S".r.findFirstIn(plan).isDefined &&
+      !plan.contains("PartitionFilters: []") && plan.contains("__bucket"),
+      s"point lookup must prune bucket dirs at file listing:\n$plan")
+    val got = looked.select("id", "name", "value", "seq")
+      .as[(Long, String, Double, Long)].collect().toSeq
+    assert(got == Seq((42L, "name42", 42.0, 100L)))
+    // absent key in the same bucket-pruned path → zero rows, no error
+    assert(BucketedTable.pointLookup(spark, dest, Seq("id"), N,
+      Map("id" -> 100000L)).get.count() == 0)
+    // absent table → None
+    assert(BucketedTable.pointLookup(spark, tmp(), Seq("id"), N,
+      Map("id" -> 1L)).isEmpty)
+  }
+
   test("COW merge == full-merge reference; untouched bucket files not rewritten") {
     val dest = tmp()
     BucketedTable.writeFull(initial, dest, Seq("id"), N)
