@@ -193,9 +193,10 @@ object SparkEntry {
       // recall), and the portable polynomial simhash lets the oracle
       // recompute every sketch and pair in SQL
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)),
+    // q36/q46/q48 are three queries against ONE shared shingle index
+    // (build once, probe many — same pattern as the q40/q41 decode)
     "q36_ngram_jaccard_pairs" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        k = 3, threshold = 0.3)),
+      Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d), threshold = 0.3)),
 
     // §7.10 extended surface: similarity search
     "q37_ann_cosine_topk" -> ((s, d) => {
@@ -266,7 +267,7 @@ object SparkEntry {
     "q46_dedup_near_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.dedupByPairs(docs, "doc_id",
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8))
+        Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d), threshold = 0.8))
         .select(col("doc_id"), col("lang"), col("source"))
     }),
     // q36 with the document-frequency cut engaged (shingles in > 20 docs
@@ -274,8 +275,8 @@ object SparkEntry {
     // the oracle recomputes the same cut, so DF semantics and the
     // rare-set Jaccard arithmetic are both pinned cross-engine
     "q48_ngram_dfcut" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        k = 3, threshold = 0.4, maxShingleDf = 20L)),
+      Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d),
+        threshold = 0.4, maxShingleDf = 20L)),
     // q50: PII scrub. The corpus contains no PII (verified: zero rows
     // with digits or '@'), so the query SYNTHESIZES a deterministic
     // email + IP + phone per row — identically on both engines — and
@@ -339,6 +340,27 @@ object SparkEntry {
         val df = Multimodal.decodeAndFeaturize(
           Multimodal.syntheticAssets(Tables.documents(s, d))).persist()
         decodedCache.put(k, df)
+        df
+      }
+    }
+
+  /** The shared shingle index for the Jaccard family (q36/q46/q48):
+    * built + checkpointed once per (session, dir) — in a persistent
+    * pipeline this is a written table. Bounded cache like
+    * [[decodedAssets]]; evicted checkpoints are reclaimed by the
+    * ContextCleaner once unreferenced. */
+  private val shingleIdxCache =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > 4
+    }
+  private def shingleIdx(s: SparkSession, d: String): DataFrame =
+    shingleIdxCache.synchronized {
+      val k = (s, d)
+      Option(shingleIdxCache.get(k)).getOrElse {
+        val df = Dedup.shingleIndex(Tables.documents(s, d), "doc_id", "text", k = 3)
+        shingleIdxCache.put(k, df)
         df
       }
     }

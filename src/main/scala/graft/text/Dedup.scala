@@ -319,19 +319,32 @@ object Dedup {
     * generation and the size/intersection arithmetic, so emitted
     * Jaccard stays internally consistent (it's Jaccard over the
     * non-ubiquitous shingle sets, the standard formulation). */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame = {
-    // join on 64-bit shingle hashes, not strings: same counts (collision
-    // odds ~(N·s)²/2⁶⁴), and the exploded shuffle carries 8-byte keys
-    // instead of arbitrary-length text. Set semantics via a distributed
-    // distinct after explode (not O(s²) array_distinct per row); the
-    // exploded table feeds three consumers, so materialize it once.
-    // set semantics come from the kernel's per-row dedup (doc ids are
-    // unique, so (id, shingle) is globally unique after a per-doc
-    // distinct) — NO corpus-wide distinct() shuffle after the explode
-    val shAll = df.select(col(idCol).as("id"),
+  /** The exploded (id, shingle-hash) index — build ONCE, run every
+    * Jaccard-family query against it ([[ngramJaccardPairsFromIndex]]).
+    * 64-bit shingle hashes, not strings: same counts (collision odds
+    * ~(N·s)²/2⁶⁴) and the exploded shuffle carries 8-byte keys instead
+    * of arbitrary-length text. Set semantics come from the kernel's
+    * per-row dedup (doc ids are unique, so (id, shingle) is globally
+    * unique after a per-doc distinct) — NO corpus-wide distinct()
+    * shuffle after the explode. Materialized (localCheckpoint here; a
+    * written table in a persistent pipeline) because every query over
+    * it reads it at least three times (sizes + both join sides). */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
       explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
-      .localCheckpoint() // the expensive explode pass runs ONCE
+      .localCheckpoint()
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame =
+    ngramJaccardPairsFromIndex(shingleIndex(df, idCol, textCol, k),
+      threshold, maxShingleDf)
+
+  /** Jaccard pairs against a prebuilt [[shingleIndex]] — the probe side
+    * of the build-once/query-many split (threshold and DF-cut are query
+    * parameters; the index is threshold-independent). */
+  def ngramJaccardPairsFromIndex(shAll: DataFrame, threshold: Double,
+      maxShingleDf: Long = 0L): DataFrame = {
     val sh = if (maxShingleDf > 0) {
       val rare = shAll.groupBy("shingle")
         .agg(count(lit(1)).as("df"))
