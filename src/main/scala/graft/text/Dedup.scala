@@ -366,4 +366,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  // ---- benchmark decontamination ---------------------------------------
+
+  /** Benchmark decontamination: drop every corpus document that shares
+    * at least one k-token shingle with a held-out evaluation set — the
+    * standard guard against train/test leakage in a training corpus
+    * (GPT-3-style n-gram collision, typically k in [8,13]).
+    *
+    * Shape at 100 TB: the eval set is benchmarks — thousands of docs,
+    * megabytes — so its distinct shingle-hash set broadcasts to every
+    * executor and contamination detection is a broadcast semi-join on
+    * 8-byte keys inside the corpus scan, ONE pass, no shuffle of the
+    * corpus. Set `broadcastEval = false` if the eval side is too big to
+    * broadcast (falls back to a shuffled semi-join on the hash key).
+    * The corpus side never materializes its exploded shingles beyond
+    * the join — contaminated ids collapse via the semi-join + distinct,
+    * then an anti-join restores full rows (null-text docs carry no
+    * shingles, so they pass through as clean on both engines). */
+  def decontaminate(df: DataFrame, evalDf: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, broadcastEval: Boolean = true): DataFrame = {
+    val evalSh = evalDf
+      .select(explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
+      .distinct()
+    val evalSide = if (broadcastEval) broadcast(evalSh) else evalSh
+    val dirty = df
+      .select(col(idCol).as("__id"),
+        explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
+      .join(evalSide, Seq("shingle"), "left_semi")
+      .select(col("__id").as(idCol))
+      .distinct()
+    df.join(dirty, Seq(idCol), "left_anti")
+  }
 }
