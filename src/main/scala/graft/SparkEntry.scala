@@ -277,6 +277,18 @@ object SparkEntry {
     "q48_ngram_dfcut" -> ((s, d) =>
       Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d),
         threshold = 0.4, maxShingleDf = 20L)),
+    // q53: benchmark decontamination — the eval set is the deterministic
+    // doc_id % 37 slice of the corpus, so both engines re-derive it; a
+    // corpus doc is contaminated iff it shares >= 1 distinct 8-token
+    // shingle with ANY eval doc (short docs fall back to the whole-token
+    // string, so a short eval doc only flags identical short corpus
+    // docs — the fallback shingle can never equal a true 8-gram)
+    "q53_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     // q50: PII scrub. The corpus contains no PII (verified: zero rows
     // with digits or '@'), so the query SYNTHESIZES a deterministic
     // email + IP + phone per row — identically on both engines — and
@@ -676,6 +688,22 @@ object SparkEntry {
         |JOIN sizes sa ON inter.id_a = sa.doc_id
         |JOIN sizes sb ON inter.id_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4""".stripMargin,
+    // q53: the oracle re-derives the eval slice, the k=8 shingle sets
+    // (with the same whole-doc fallback for <8-token texts), and the
+    // contamination semi-join from shingle STRINGS — value-equivalent to
+    // the engine's 64-bit shingle hashes (token strings carry no
+    // whitespace, so space-joined token sequences are injective)
+    "q53_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 8
+        |     THEN list_transform(generate_series(0, len(toks)-8), i -> array_to_string(toks[i+1:i+8], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+        |dirty AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev ON sh.shingle = ev.shingle)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
     // q50: same synthetic-PII augmentation, same ordered regex chain
     // (email → IP → phone) re-derived in SQL; 'g' = replace-all to
     // match Spark's regexp_replace semantics
@@ -689,7 +717,7 @@ object SparkEntry {
         |   regexp_replace(
         |     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |     '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-        |   '\b\d[\d-]{6,}\d\b', '<PHONE>', 'g') AS scrubbed
+        |   '\b\d(?:-?\d){8,}\b', '<PHONE>', 'g') AS scrubbed
         |FROM aug""".stripMargin,
     // q51: bigram counts from gram STRINGS (the engine counts 8-byte
     // gram hashes — value-equivalent, the grams never leave the engine).

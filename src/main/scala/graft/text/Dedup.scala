@@ -244,14 +244,20 @@ object Dedup {
           .withColumnRenamed("component", "n_component"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("n_component")).as("n_component"))
+      // change-detection rides along as a flag column computed inside the
+      // SAME select, so the eager localCheckpoint is the iteration's one
+      // heavy action; the convergence probe below only scans the
+      // checkpointed partitions (it does NOT re-execute the join, which a
+      // separate updated⋈labels comparison would)
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("n_component"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("n_component"), col("component")) < col("component"))
+            .as("__changed"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("__changed")).isEmpty
+      labels = updated.drop("__changed")
       iter += 1
     }
     labels

@@ -172,7 +172,14 @@ object TextAnalysis {
     * same chain in SQL. */
   val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Pattern: String = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
-  val PhonePattern: String = "\\b\\d[\\d-]{6,}\\d\\b"
+  /** Phone-shaped = AT LEAST 9 digits separated by at most one dash
+    * each. 8-digit runs (ISO dates 2024-01-01, year ranges 2020-2024)
+    * are NOT redacted — the looser `\d[\d-]{6,}\d` form rewrote those
+    * to <PHONE> and silently degraded clean text. 9+-digit IDs still
+    * match by design: at that length a digit run is
+    * indistinguishable from a dialable number, and for corpus PII the
+    * safe default is to redact. */
+  val PhonePattern: String = "\\b\\d(?:-?\\d){8,}\\b"
 
   def piiScrub(c: Column): Column =
     regexp_replace(

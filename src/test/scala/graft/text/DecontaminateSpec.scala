@@ -1,0 +1,65 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[Dedup.decontaminate]]: planted k-shingle contamination, the
+  * short-doc (<k tokens) fallback-shingle edge, null-text passthrough,
+  * and the broadcast shape of the eval semi-join. */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def evalDocs = Seq(
+    // 10 tokens → three distinct 8-token shingles
+    (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    // <8 tokens → ONE whole-doc fallback shingle "tiny eval doc"
+    (101L, "tiny eval doc")
+  ).toDF("doc_id", "text")
+
+  private def corpus = Seq(
+    // embeds the verbatim window alpha..theta → contaminated
+    (10L, "prefix words alpha beta gamma delta epsilon zeta eta theta trailing body"),
+    (11L, "completely unrelated content about spark engines and columnar execution"),
+    // identical short doc → its fallback shingle equals the eval one
+    (12L, "tiny eval doc"),
+    // contains the short eval doc's 3 tokens inside a >= 8-token doc: a
+    // real 8-gram can never equal a 3-token fallback string → CLEAN.
+    // This is exactly the degenerate-shingle hazard: a short eval doc
+    // must NOT flag every longer doc that merely mentions its words.
+    (13L, "this tiny eval doc phrase is embedded in a longer document body"),
+    // null text carries no shingles → passes through as clean
+    (14L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+
+  test("drops docs sharing a k=8 shingle; short-doc fallback only matches whole short docs") {
+    val kept = Dedup.decontaminate(corpus, evalDocs, "doc_id", "text", k = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L, 14L),
+      s"expected 10 (verbatim window) and 12 (identical short doc) dropped, got kept=$kept")
+  }
+
+  test("broadcastEval=false (shuffled semi-join) yields identical survivors") {
+    val kept = Dedup.decontaminate(corpus, evalDocs, "doc_id", "text", k = 8,
+      broadcastEval = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L, 14L))
+  }
+
+  test("eval side reaches the corpus scan as a broadcast LeftSemi") {
+    val p = Dedup.decontaminate(corpus, evalDocs, "doc_id", "text", k = 8)
+      .queryExecution.executedPlan.toString()
+    val semiLines = p.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semiLines.nonEmpty, s"no semi-join in plan:\n$p")
+    assert(semiLines.exists(_.contains("BroadcastHashJoin")),
+      s"eval semi-join is not broadcast:\n$p")
+  }
+
+  test("contaminating the eval set with itself empties only the overlap") {
+    // corpus ∩ eval shingles = everything with >= 1 shingle → only the
+    // null-text doc survives decontaminating a corpus against itself
+    val all = corpus
+    val kept = Dedup.decontaminate(all, all, "doc_id", "text", k = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(14L))
+  }
+}

@@ -239,6 +239,21 @@ class TextSpec extends SparkSpec {
     assert(cc.values.toSet == Set(1L) && cc.size == 9)
   }
 
+  test("connected components: chain longer than maxIter terminates with a valid partial labeling") {
+    // min-label moves one hop per iteration, so a 12-node chain cannot
+    // fully converge in 3 iterations — the loop must still TERMINATE at
+    // the budget and return a labeling where every component id is a
+    // member of the node's true cluster (monotone partial progress)
+    val chain = (1L until 12L).map(i => (i, i + 1, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val cc = Dedup.connectedComponents(chain, maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 12)
+    assert(cc.forall { case (id, comp) => comp <= id && comp >= 1L })
+    // and with the default budget the same chain fully converges
+    val full = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(full.values.toSet == Set(1L))
+  }
+
   test("ngram jaccard: exact dup = 1.0, near dup in (0,1), thresholds apply") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 2, threshold = 0.2)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
