@@ -289,6 +289,14 @@ object SparkEntry {
         "doc_id", "text", k = 8)
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    // q54: the audit side of decontamination — per-doc count of distinct
+    // 8-token shingles shared with the eval slice (the evidence behind
+    // q53's drop decisions, and the input to the n-of-k `minHits` knob)
+    "q54_contamination_hits" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationCounts(docs, docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", k = 8)
+    }),
     // q50: PII scrub. The corpus contains no PII (verified: zero rows
     // with digits or '@'), so the query SYNTHESIZES a deterministic
     // email + IP + phone per row — identically on both engines — and
@@ -704,6 +712,20 @@ object SparkEntry {
         |dirty AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev ON sh.shingle = ev.shingle)
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
+    // q54: same shingle/eval derivation as q53, but emitting the per-doc
+    // distinct-shared-shingle counts (sh is per-doc distinct and ev is
+    // globally distinct, so a plain join count = the distinct-hit count)
+    "q54_contamination_hits" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 8
+        |     THEN list_transform(generate_series(0, len(toks)-8), i -> array_to_string(toks[i+1:i+8], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS hits
+        |FROM sh JOIN ev ON sh.shingle = ev.shingle
+        |GROUP BY sh.doc_id""".stripMargin,
     // q50: same synthetic-PII augmentation, same ordered regex chain
     // (email → IP → phone) re-derived in SQL; 'g' = replace-all to
     // match Spark's regexp_replace semantics

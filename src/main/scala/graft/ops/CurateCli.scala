@@ -32,7 +32,21 @@ object CurateCli {
     * (sketch path, the at-scale default); > 0 switches to exact n-gram
     * Jaccard with the document-frequency cut at that cap — the skew
     * guard for corpora where one boilerplate phrase floods the shingle
-    * join ([[Dedup.ngramJaccardPairs]]). */
+    * join ([[Dedup.ngramJaccardPairs]]).
+    *
+    * The four extended stages default OFF (the classic 4-stage funnel):
+    *  - `piiScrub` rewrites `textCol` through the email→IP→phone
+    *    redaction chain ([[TextAnalysis.piiScrub]]);
+    *  - `maxRepetitionRatio` < 1.0 drops boilerplate/degenerate docs
+    *    whose top `repetitionK`-gram covers more than that share of all
+    *    their grams ([[TextAnalysis.repetitionStats]]);
+    *  - decontamination runs when the caller passes `evalDocs` to
+    *    [[curate]] (`decontaminateK`/`decontaminateMinHits` are its
+    *    shingle width and n-of-k evidence threshold);
+    *  - `packBudget` > 0 additionally emits the concat-and-chunk
+    *    sequence assignments over the surviving corpus
+    *    ([[TextAnalysis.packSequences]], `packBuckets` parallel
+    *    streams). */
   final case class Config(
       minQuality: Double = 0.5,
       languages: Set[String] = Set("en"),
@@ -40,14 +54,28 @@ object CurateCli {
       shingleK: Int = 3,
       numHashes: Int = 32,
       bands: Int = 16,
-      maxShingleDf: Long = 0L)
+      maxShingleDf: Long = 0L,
+      piiScrub: Boolean = false,
+      maxRepetitionRatio: Double = 1.0,
+      repetitionK: Int = 2,
+      decontaminateK: Int = 8,
+      decontaminateMinHits: Int = 1,
+      packBudget: Int = 0,
+      packBuckets: Int = 64)
 
   final case class StageCount(stage: String, docs: Long, tokens: Long)
 
   /** Curated corpus (persisted — call [[Curated.unpersist]] once the
-    * caller has written/consumed it) plus the per-stage datasheet. */
-  final case class Curated(corpus: DataFrame, funnel: Seq[StageCount]) {
-    def unpersist(): Unit = corpus.unpersist(blocking = false)
+    * caller has written/consumed it) plus the per-stage datasheet and,
+    * when `Config.packBudget` > 0, the packed sequence assignments
+    * (`doc_id, bucket, seq_id, start_offset, n_tokens` — a sidecar
+    * table, not a replacement for the corpus rows). */
+  final case class Curated(corpus: DataFrame, funnel: Seq[StageCount],
+      packed: Option[DataFrame] = None) {
+    def unpersist(): Unit = {
+      corpus.unpersist(blocking = false)
+      packed.foreach(_.unpersist(blocking = false))
+    }
   }
 
   private def stageCount(stage: String, df: DataFrame, textCol: String): StageCount = {
@@ -58,9 +86,12 @@ object CurateCli {
     StageCount(stage, r.getLong(0), r.getLong(1))
   }
 
-  /** Run the funnel; returns the curated corpus plus per-stage counts. */
+  /** Run the funnel; returns the curated corpus plus per-stage counts.
+    * `evalDocs` (same `textCol`) switches on the decontamination stage:
+    * survivors share fewer than `cfg.decontaminateMinHits` distinct
+    * `cfg.decontaminateK`-token shingles with it. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): Curated = {
+      cfg: Config = Config(), evalDocs: Option[DataFrame] = None): Curated = {
     // track live stage caches so a mid-funnel failure releases them —
     // callers (the bench loop especially) retry, and orphaned
     // MEMORY_AND_DISK caches would accumulate across attempts
@@ -103,8 +134,51 @@ object CurateCli {
       val afterQuality = stageCount("quality", quality, textCol)
       near.unpersist(blocking = false)
 
-      Curated(quality,
-        Seq(input, afterExact, afterNear, afterLang, afterQuality))
+      // ---- extended stages (each optional, same cache discipline:
+      // persist → count → unpersist predecessor) ------------------------
+      var cur = quality
+      val sheet = scala.collection.mutable.ListBuffer(
+        input, afterExact, afterNear, afterLang, afterQuality)
+      def advance(stage: String, next: DataFrame): Unit = {
+        val p = persisted(next)
+        sheet += stageCount(stage, p, textCol)
+        cur.unpersist(blocking = false)
+        cur = p
+      }
+
+      if (cfg.piiScrub)
+        advance("pii_scrub",
+          cur.withColumn(textCol, TextAnalysis.piiScrub(col(textCol))))
+
+      if (cfg.maxRepetitionRatio < 1.0) {
+        // semi-join on surviving ids: repetition stats shuffle only
+        // (id, gram-hash) counts, never document payloads
+        val keep = TextAnalysis.repetitionStats(cur, idCol, textCol,
+            k = cfg.repetitionK)
+          .filter(col("repetition_ratio") <= cfg.maxRepetitionRatio)
+          .select(col("doc_id").as(idCol))
+        advance("repetition", cur.join(keep, Seq(idCol), "left_semi"))
+      }
+
+      evalDocs.foreach { ev =>
+        advance("decontaminate",
+          Dedup.decontaminate(cur, ev, idCol, textCol,
+            k = cfg.decontaminateK, minHits = cfg.decontaminateMinHits))
+      }
+
+      // packing is a sidecar projection over the final corpus, not a
+      // shrink stage — its datasheet row re-counts through the packed
+      // rows (same tokenCount), pinning corpus ≡ packed consistency
+      val packed = if (cfg.packBudget > 0) {
+        val p = persisted(TextAnalysis.packSequences(cur, idCol, textCol,
+          budget = cfg.packBudget, buckets = cfg.packBuckets))
+        val r = p.agg(count(lit(1)).as("docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("tokens")).head()
+        sheet += StageCount("pack", r.getLong(0), r.getLong(1))
+        Some(p)
+      } else None
+
+      Curated(cur, sheet.toList, packed)
     } catch {
       case t: Throwable =>
         live.foreach(df =>

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+import graft.observe.{CdcQueryListener, MetricsRegistry}
+
+/** Streaming ingest-curation launcher — the ops entry point that wires
+  * [[CurateCli.curateStream]] (exact-dedup + language + quality gates)
+  * and [[CurateCli.curateStreamCandidates]]
+  * ([[graft.text.StreamingNearDedup]] cross-batch near-dup flagging)
+  * into a drivable, restartable pipeline, the way [[CdcReplicateCli]]
+  * does for replication (reference CLI contract:
+  * specs/001-scylla-pg-cdc/contracts/reconciliation-cli.yaml:36-59).
+  *
+  *   runMain graft.ops.CurateStreamCli \
+  *     --input <dir of JSON doc lines {doc_id, ts, text}> \
+  *     --output <landing-zone parquet dir> \
+  *     --candidates <near-dup side-table parquet dir> \
+  *     --checkpoint <dir> \
+  *     [--min-quality 0.5] [--languages en] [--threshold 0.8] \
+  *     [--shingle-k 3] [--watermark "1 hour"] \
+  *     [--max-per-bucket 1000] [--state-ttl-ms 0]
+  *
+  * Two queries over the same file source, each with its own checkpoint
+  * subdirectory: the landing query appends curated docs to `--output`;
+  * the candidate query appends `(doc_id, dup_of, band, est_jaccard)`
+  * rows to `--candidates` whenever an arrival is near-identical to a
+  * document seen in ANY earlier micro-batch — including earlier RUNS,
+  * because the LSH bucket state lives in the checkpoint and restores on
+  * restart. Trigger.AvailableNow (drain-then-stop) makes the same entry
+  * point serve first-load and incremental invocations; re-running after
+  * new files arrive processes only the delta (ST3 semantics). Batch
+  * survivorship ([[graft.text.Dedup.dedupByPairs]]) then consumes the
+  * side-table without re-scanning the corpus.
+  *
+  * Prints one JSON metrics line per query (rows in/out via the
+  * [[CdcQueryListener]] registry) and a final summary line.
+  */
+object CurateStreamCli {
+
+  final case class StreamConfig(
+      input: String,
+      output: String,
+      candidates: String,
+      checkpoint: String,
+      curate: CurateCli.Config = CurateCli.Config(),
+      watermark: String = "1 hour",
+      maxPerBucket: Int = 1000,
+      stateTtlMs: Long = 0L)
+
+  final case class Summary(landed: Long, flagged: Long)
+
+  /** Envelope schema for the input JSON lines. */
+  val inputSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("text", StringType)))
+
+  /** Run both queries to drain (AvailableNow) against the session and
+    * return total rows landed / candidates flagged ACROSS ALL RUNS of
+    * this checkpoint (counted from the output tables, so restarts
+    * accumulate — the e2e restart test pins exactly that). */
+  def run(spark: SparkSession, cfg: StreamConfig): Summary = {
+    def source() = spark.readStream.schema(inputSchema)
+      .option("maxFilesPerTrigger", 1) // backpressure: bounded micro-batches
+      .json(cfg.input)
+
+    val landing = CurateCli.curateStream(source(), "text", "ts",
+        cfg.curate, cfg.watermark)
+      .writeStream.queryName("curate-landing")
+      .format("parquet").option("path", cfg.output)
+      .option("checkpointLocation", s"${cfg.checkpoint}/landing")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    val cands = CurateCli.curateStreamCandidates(source(), "doc_id", "text",
+        "ts", cfg.curate, cfg.watermark, cfg.maxPerBucket, cfg.stateTtlMs)
+      .writeStream.queryName("curate-candidates")
+      .format("parquet").option("path", cfg.candidates)
+      .option("checkpointLocation", s"${cfg.checkpoint}/candidates")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    landing.awaitTermination()
+    cands.awaitTermination()
+
+    val landed =
+      try spark.read.parquet(cfg.output).count() catch { case _: Exception => 0L }
+    // the side-table is band-level append-only (one row per agreeing LSH
+    // band); the summary reports DISTINCT flagged pairs — the unit batch
+    // survivorship consumes
+    val flagged =
+      try spark.read.parquet(cfg.candidates)
+        .select("doc_id", "dup_of").distinct().count()
+      catch { case _: Exception => 0L }
+    Summary(landed, flagged)
+  }
+
+  def parseArgs(args: Array[String]): Either[String, StreamConfig] = {
+    var input = ""; var output = ""; var candidates = ""; var checkpoint = ""
+    var curate = CurateCli.Config()
+    var watermark = "1 hour"; var maxPerBucket = 1000; var stateTtlMs = 0L
+    var i = 0
+    try {
+      while (i < args.length) {
+        args(i) match {
+          case "--input" => input = args(i + 1); i += 2
+          case "--output" => output = args(i + 1); i += 2
+          case "--candidates" => candidates = args(i + 1); i += 2
+          case "--checkpoint" => checkpoint = args(i + 1); i += 2
+          case "--min-quality" =>
+            curate = curate.copy(minQuality = args(i + 1).toDouble); i += 2
+          case "--languages" =>
+            curate = curate.copy(languages = args(i + 1).split(",").toSet); i += 2
+          case "--threshold" =>
+            curate = curate.copy(jaccardThreshold = args(i + 1).toDouble); i += 2
+          case "--shingle-k" =>
+            curate = curate.copy(shingleK = args(i + 1).toInt); i += 2
+          case "--watermark" => watermark = args(i + 1); i += 2
+          case "--max-per-bucket" => maxPerBucket = args(i + 1).toInt; i += 2
+          case "--state-ttl-ms" => stateTtlMs = args(i + 1).toLong; i += 2
+          case other => return Left(s"unknown flag '$other'")
+        }
+      }
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => return Left("flag missing its value")
+      case e: NumberFormatException => return Left(s"bad numeric value: ${e.getMessage}")
+    }
+    if (input.isEmpty || output.isEmpty || candidates.isEmpty || checkpoint.isEmpty)
+      Left("--input, --output, --candidates, --checkpoint required")
+    else Right(StreamConfig(input, output, candidates, checkpoint, curate,
+      watermark, maxPerBucket, stateTtlMs))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args) match {
+      case Left(err) => System.err.println(s"[config] $err"); sys.exit(10)
+      case Right(c) => c
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-curate-stream")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val registry = new MetricsRegistry()
+    spark.streams.addListener(new CdcQueryListener(registry))
+
+    val summary = run(spark, cfg)
+
+    // per-query input-row totals from the listener registry — the same
+    // observability surface the CDC CLI exposes (M3/ST10)
+    val snap = registry.snapshot(spark)
+      .filter("metric like 'cdc_records_replicated_total%'")
+      .select("metric", "value")
+      .collect()
+    snap.foreach(r => println(
+      s"""{"metric": "${r.getString(0)}", "value": ${r.getDouble(1)}}"""))
+    println(s"""{"landed": ${summary.landed}, "candidates": ${summary.flagged}}""")
+    spark.stop()
+  }
+}

@@ -387,21 +387,47 @@ object Dedup {
     * corpus. Set `broadcastEval = false` if the eval side is too big to
     * broadcast (falls back to a shuffled semi-join on the hash key).
     * The corpus side never materializes its exploded shingles beyond
-    * the join — contaminated ids collapse via the semi-join + distinct,
+    * the join — contaminated ids collapse via the semi-join + count,
     * then an anti-join restores full rows (null-text docs carry no
-    * shingles, so they pass through as clean on both engines). */
+    * shingles, so they pass through as clean on both engines).
+    *
+    * `minHits` is the n-of-k knob real pipelines need at corpus scale:
+    * a single shared shingle is often boilerplate collision noise
+    * ("click here to subscribe" appearing in an eval doc would flag
+    * half the web), so "dirty" can be tightened to "shares >= minHits
+    * DISTINCT eval shingles". The default 1 keeps the conservative
+    * GPT-3-style any-collision semantics. */
   def decontaminate(df: DataFrame, evalDf: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, broadcastEval: Boolean = true,
+      minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val dirty = contaminationCounts(df, evalDf, idCol, textCol, k, broadcastEval)
+      .filter(col("hits") >= minHits)
+      .select(idCol)
+    df.join(dirty, Seq(idCol), "left_anti")
+  }
+
+  /** Per-document contamination evidence: `(idCol, hits)` where `hits`
+    * is the number of DISTINCT k-token shingles the document shares with
+    * the eval set (docs with zero hits are absent). The audit artifact a
+    * decontamination run keeps alongside the cleaned corpus — and the
+    * shared kernel behind [[decontaminate]]'s `minHits` threshold. Same
+    * broadcast-semi-join shape: one corpus pass, no corpus shuffle
+    * (the groupBy shuffles only the contaminated (id, shingle) pairs —
+    * a vanishing fraction of the corpus by construction). */
+  def contaminationCounts(df: DataFrame, evalDf: DataFrame, idCol: String,
       textCol: String, k: Int = 8, broadcastEval: Boolean = true): DataFrame = {
     val evalSh = evalDf
       .select(explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
       .distinct()
     val evalSide = if (broadcastEval) broadcast(evalSh) else evalSh
-    val dirty = df
-      .select(col(idCol).as("__id"),
+    df.select(col(idCol).as("__id"),
         explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
       .join(evalSide, Seq("shingle"), "left_semi")
-      .select(col("__id").as(idCol))
-      .distinct()
-    df.join(dirty, Seq(idCol), "left_anti")
+      // corpus shingles are per-doc distinct and the eval side is
+      // globally distinct, so the semi-join survivor count IS the
+      // distinct-shared-shingle count — no count(distinct) needed
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("hits"))
   }
 }

@@ -178,7 +178,15 @@ object TextAnalysis {
     * to <PHONE> and silently degraded clean text. 9+-digit IDs still
     * match by design: at that length a digit run is
     * indistinguishable from a dialable number, and for corpus PII the
-    * safe default is to redact. */
+    * safe default is to redact.
+    *
+    * KNOWN RECALL LIMITATION: 7–8 digit bare local numbers (HK/SG/JP
+    * formats like 6123-4567) fall below the 9-digit floor and pass
+    * unredacted — the deliberate trade against mass false-positives on
+    * dates and year ranges, which share the 8-digit dashed shape
+    * exactly. Corpora where such numbers matter should prepend a
+    * region-shaped pattern (e.g. `\b\d{4}-\d{4}\b` with a date
+    * exclusion) to the chain and mirror it in any oracle. */
   val PhonePattern: String = "\\b\\d(?:-?\\d){8,}\\b"
 
   def piiScrub(c: Column): Column =

@@ -59,6 +59,70 @@ class CurateCliSpec extends SparkSpec {
     sketch.unpersist()
   }
 
+  test("extended funnel: pii_scrub, repetition, decontaminate, pack stages") {
+    // hand-built corpus where each extended stage has exactly one victim:
+    // doc 2 carries PII (scrubbed, not dropped), doc 3 is degenerate
+    // repetition spam, doc 4 overlaps the eval set on an 8-token window
+    val good1 = "the cat sat on the mat and watched the birds in the garden all day long"
+    val good2 = "contact me at alice@example.org about the house by the sea we all like"
+    // "the" keeps the spam doc classified en (zero-hit docs tie → "de")
+    val spam = "the spam " * 20 + "the spam"
+    val leaked = "the hidden answer to the secret benchmark question is forty two exactly"
+    val corpus = Seq(
+      (1L, good1), (2L, good2), (3L, spam), (4L, leaked + " plus trailing words")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((900L, leaked)).toDF("doc_id", "text")
+    val result = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, piiScrub = true,
+        maxRepetitionRatio = 0.5, packBudget = 16, packBuckets = 2),
+      evalDocs = Some(eval_))
+    assert(result.funnel.map(_.stage) ==
+      Seq("input", "exact_dedup", "near_dedup", "language", "quality",
+        "pii_scrub", "repetition", "decontaminate", "pack"))
+    val byStage = result.funnel.map(s => s.stage -> s).toMap
+    // pii scrub rewrites text, drops nothing
+    assert(byStage("pii_scrub").docs == byStage("quality").docs)
+    // repetition filter drops exactly the spam doc; decontaminate the leak
+    assert(byStage("repetition").docs == byStage("pii_scrub").docs - 1)
+    assert(byStage("decontaminate").docs == byStage("repetition").docs - 1)
+    val ids = result.corpus.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"survivors must be the two good docs, got $ids")
+    // the surviving corpus carries SCRUBBED text
+    val texts = result.corpus.select("text").as[String].collect().mkString(" ")
+    assert(!texts.contains("alice@example.org") && texts.contains("<EMAIL>"),
+      s"pii must be redacted in the output corpus: $texts")
+    // pack sidecar: one row per surviving doc, token totals consistent
+    // with the decontaminate stage count (same tokenCount both sides)
+    val packed = result.packed.get
+    assert(packed.count() == byStage("decontaminate").docs)
+    assert(byStage("pack").docs == byStage("decontaminate").docs)
+    assert(byStage("pack").tokens == byStage("decontaminate").tokens)
+    assert(packed.columns.toSeq ==
+      Seq("doc_id", "bucket", "seq_id", "start_offset", "n_tokens"))
+    result.unpersist()
+  }
+
+  test("extended funnel honors decontaminateMinHits (n-of-k evidence)") {
+    // doc 5 shares exactly ONE 8-gram with eval; minHits=2 keeps it
+    val window = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      // en stopwords after the window keep langid = en without adding
+      // any second eval-matching 8-gram
+      (5L, window + " is the only one window in it today"),
+      (6L, "a completely clean document about the weather in the hills")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((901L, window + " iota kappa")).toDF("doc_id", "text")
+    def survivors(minHits: Int) = {
+      val r = CurateCli.curate(corpus, "doc_id", "text",
+        CurateCli.Config(minQuality = 0.0, decontaminateMinHits = minHits),
+        evalDocs = Some(eval_))
+      val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+      r.unpersist(); ids
+    }
+    assert(survivors(1) == Set(6L))
+    assert(survivors(2) == Set(5L, 6L))
+  }
+
   test("funnel evaluates each stage's lineage once (no O(stages²) recompute)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -1,0 +1,83 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import graft.SparkSpec
+
+class CurateStreamCliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jsonRow(id: Long, t: String, ts: String) =
+    s"""{"doc_id":$id,"ts":"$ts","text":"$t"}"""
+
+  test("parseArgs: contract errors and full round-trip") {
+    assert(CurateStreamCli.parseArgs(Array("--input", "a")).isLeft)
+    assert(CurateStreamCli.parseArgs(Array("--frobnicate", "x")).isLeft)
+    assert(CurateStreamCli.parseArgs(Array("--input")).isLeft) // missing value
+    assert(CurateStreamCli.parseArgs(Array("--input", "a", "--output", "b",
+      "--candidates", "c", "--checkpoint", "d", "--threshold", "NaNope")).isLeft)
+    val ok = CurateStreamCli.parseArgs(Array(
+      "--input", "in", "--output", "out", "--candidates", "cand",
+      "--checkpoint", "cp", "--min-quality", "0.4", "--languages", "en,fr",
+      "--threshold", "0.5", "--shingle-k", "2", "--watermark", "2 hours",
+      "--max-per-bucket", "10", "--state-ttl-ms", "5000"))
+    assert(ok.exists(c => c.input == "in" && c.curate.minQuality == 0.4 &&
+      c.curate.languages == Set("en", "fr") && c.curate.jaccardThreshold == 0.5 &&
+      c.curate.shingleK == 2 && c.watermark == "2 hours" &&
+      c.maxPerBucket == 10 && c.stateTtlMs == 5000L))
+  }
+
+  test("e2e: drain, restart on new files, cross-RUN near-dup flagged from checkpointed state") {
+    val in = Files.createTempDirectory("cscli-in").toString
+    val base = Files.createTempDirectory("cscli").toString
+    val cfg = CurateStreamCli.StreamConfig(
+      input = in, output = s"$base/landing", candidates = s"$base/cands",
+      checkpoint = s"$base/cp",
+      curate = CurateCli.Config(minQuality = 0.4, languages = Set("en"),
+        jaccardThreshold = 0.5, shingleK = 2))
+
+    val baseDoc = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDoc = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+
+    // ---- run 1: one good doc, one exact dup (dropped), one junk ----
+    val b0 = Paths.get(s"$in/b0.json")
+    Files.writeString(b0, Seq(
+      jsonRow(1, baseDoc, "2024-01-01T10:00:00Z"),
+      jsonRow(2, baseDoc, "2024-01-01T10:00:01Z"),
+      jsonRow(3, "x!!! ??? ,,, ;;; :::", "2024-01-01T10:00:02Z")
+    ).mkString("\n"))
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(b0, FileTime.fromMillis(now - 120000))
+
+    val s1 = CurateStreamCli.run(spark, cfg)
+    assert(s1 == CurateStreamCli.Summary(1, 0),
+      s"run 1 must land only doc 1 and flag nothing, got $s1")
+
+    // ---- run 2 (restart): a near-dup of run 1's doc + a fresh doc ----
+    val b1 = Paths.get(s"$in/b1.json")
+    Files.writeString(b1, Seq(
+      jsonRow(4, nearDoc, "2024-01-01T10:01:00Z"),
+      jsonRow(5, "a completely different story about columnar query engines today",
+        "2024-01-01T10:01:01Z")
+    ).mkString("\n"))
+    Files.setLastModifiedTime(b1, FileTime.fromMillis(now))
+
+    val s2 = CurateStreamCli.run(spark, cfg)
+    // doc 4 and 5 both pass the gates (landing accumulates 1+2); doc 4 is
+    // flagged against doc 1 — which was seen in the PREVIOUS invocation,
+    // so the LSH bucket state must have come back from the checkpoint
+    assert(s2 == CurateStreamCli.Summary(3, 1),
+      s"run 2 must land docs 4,5 and flag the cross-run near-dup, got $s2")
+    val landed = spark.read.parquet(cfg.output)
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L, 4L, 5L), s"landing zone: $landed")
+    val flagged = spark.read.parquet(cfg.candidates)
+      .select("doc_id", "dup_of").as[(String, String)].collect().toSet
+    assert(flagged == Set(("4", "1")), s"candidates: $flagged")
+
+    // ---- run 3: nothing new → both queries drain zero rows, no dup rows ----
+    val s3 = CurateStreamCli.run(spark, cfg)
+    assert(s3 == CurateStreamCli.Summary(3, 1), s"idempotent re-drain, got $s3")
+  }
+}

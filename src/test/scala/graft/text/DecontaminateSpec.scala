@@ -54,6 +54,30 @@ class DecontaminateSpec extends SparkSpec {
       s"eval semi-join is not broadcast:\n$p")
   }
 
+  test("contaminationCounts: per-doc distinct shared-shingle evidence") {
+    val hits = Dedup.contaminationCounts(corpus, evalDocs, "doc_id", "text", k = 8)
+      .as[(Long, Long)].collect().toMap
+    // doc 10 embeds alpha..theta verbatim → exactly ONE of the eval
+    // doc's three 8-gram windows; doc 12 matches the one fallback
+    // shingle; clean docs are absent (not zero-count rows)
+    assert(hits == Map(10L -> 1L, 12L -> 1L), s"got $hits")
+  }
+
+  test("minHits=2 keeps single-shingle collisions, drops heavier overlap") {
+    // doc 20 shares TWO of the eval doc's 8-gram windows (11 tokens,
+    // windows at offsets 0 and 1 both land inside the eval text)
+    val wide = corpus.union(Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota trailing body")
+    ).toDF("doc_id", "text"))
+    val counts = Dedup.contaminationCounts(wide, evalDocs, "doc_id", "text", k = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(counts(20L) == 2L, s"planted doc must have 2 hits, got $counts")
+    val kept = Dedup.decontaminate(wide, evalDocs, "doc_id", "text", k = 8,
+      minHits = 2).select("doc_id").as[Long].collect().toSet
+    // 10 and 12 (1 hit each) survive the tightened threshold; 20 drops
+    assert(kept == Set(10L, 11L, 12L, 13L, 14L), s"got $kept")
+  }
+
   test("contaminating the eval set with itself empties only the overlap") {
     // corpus ∩ eval shingles = everything with >= 1 shingle → only the
     // null-text doc survives decontaminating a corpus against itself

@@ -248,7 +248,11 @@ class TextSpec extends SparkSpec {
     val cc = Dedup.connectedComponents(chain, maxIter = 3)
       .as[(Long, Long)].collect().toMap
     assert(cc.size == 12)
-    assert(cc.forall { case (id, comp) => comp <= id && comp >= 1L })
+    // min-label moves EXACTLY one hop per iteration, so after 3
+    // iterations node id carries label id-3 (floored at the chain head)
+    // — pins both termination at the budget and per-iteration progress
+    assert(cc.forall { case (id, comp) => comp == math.max(1L, id - 3) },
+      s"expected comp == max(1, id-3) after 3 iterations, got $cc")
     // and with the default budget the same chain fully converges
     val full = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
     assert(full.values.toSet == Set(1L))
