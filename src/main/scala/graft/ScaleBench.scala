@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.Dedup
+import graft.vector.Similarity
+
+/** Scale-proof harness: times the five most expensive operators on a
+  * synthetically scaled corpus and reports the wall-time ratio against
+  * the same code path on the unscaled corpus — the "would this plan
+  * survive 10× the data" datapoint (near-linear ratio expected; a
+  * superlinear ratio names the operator whose plan breaks first).
+  *
+  *   sbt "runMain graft.ScaleBench [baseDir] [factor] [workDir]"
+  *
+  * The scaled corpus is NOT naive replication — that would be a
+  * degenerate benchmark in both directions:
+  *
+  *  - documents: each replica interleaves a replica-salted token (a
+  *    function of the replica id and the PRECEDING word, so it stays
+  *    shift-invariant) after every second word. Cross-replica shingle
+  *    overlap drops to zero — shingle document frequencies stay flat
+  *    instead of multiplying by the factor, which would turn the
+  *    shingle join into an artificial DF² blowup no real corpus has.
+  *    Within a replica, k=3 shingles become deterministic functions of
+  *    the original word bigrams, so each replica carries the original
+  *    corpus's near-duplicate pair structure: total candidate volume
+  *    scales linearly with the factor, like a real crawl would.
+  *  - embeddings: each replica applies a per-replica deterministic
+  *    sign-flip pattern across components — an orthogonal transform, so
+  *    within-replica cosines are EXACTLY the original ones (pair
+  *    structure preserved) while cross-replica cosines collapse to
+  *    ~N(0, 1/sqrt(dim)) noise, far below the 0.35 near-dup threshold.
+  *
+  * Both the 1× and the scaled run go through this same generator (the
+  * 1× run is "factor 1" — interleaved/flipped identically), so the
+  * ratio compares identical text and vector distributions, isolating
+  * pure data-volume scaling. */
+object ScaleBench {
+
+  /** Replicated + decorrelated documents. New ids are `id * 16 + rep`
+    * (factor ≤ 16), keeping the `% 37` eval-slice semantics non-trivial. */
+  def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1 && factor <= 16, s"factor in [1,16], got $factor")
+    val toks = split(col("text"), "\\s+")
+    val tagged = array_join(
+      flatten(transform(toks, (w, i) =>
+        when(i % 2 === 1,
+          array(w, concat(lit("zq"), col("rep").cast("string"), lit("x"),
+            pmod(xxhash64(w), lit(997)).cast("string"))))
+          .otherwise(array(w)))),
+      " ")
+    docs
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("doc_id", col("doc_id") * 16 + col("rep"))
+      .withColumn("text", tagged)
+      .drop("rep")
+  }
+
+  /** Replicated embeddings under per-replica sign-flip isometries. */
+  def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1 && factor <= 16, s"factor in [1,16], got $factor")
+    val flipped = transform(col("embedding"), (x, j) =>
+      (x * (lit(1.0f) - lit(2.0f) *
+        pmod(xxhash64(col("rep") * 10007 + j), lit(2)).cast("float")))
+        .cast("float"))
+    emb
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("vec_id", col("vec_id") * 16 + col("rep"))
+      .withColumn("embedding", flipped)
+      .drop("rep")
+  }
+
+  private def timed(body: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = body
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  /** Runs the heavy-query family against a materialized scaled corpus;
+    * returns (query → (seconds, result rows)). */
+  def run(spark: SparkSession, docsPath: String, embPath: String,
+      funnelCfg: ops.CurateCli.Config): Seq[(String, Double, Long)] = {
+    val docs = spark.read.parquet(docsPath)
+    val emb = spark.read.parquet(embPath)
+    val results = scala.collection.mutable.ListBuffer.empty[(String, Double, Long)]
+    def bench(name: String)(body: => Long): Unit = {
+      val (sec, n) = timed(body)
+      results += ((name, sec, n))
+      println(s"""{"scale_query":"$name","sec":${math.rint(sec * 1000) / 1000},"rows":$n}""")
+    }
+
+    // the shared shingle index, exactly as the q36/q46/q48 family uses it
+    val idx = Dedup.shingleIndex(docs, "doc_id", "text", k = 3)
+    bench("shingle_index")(idx.count())
+    bench("q36_ngram_jaccard_pairs")(
+      Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.3).count())
+    bench("q46_dedup_near_corpus")(
+      Dedup.dedupByPairs(docs, "doc_id",
+        Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.8)).count())
+    bench("q48_ngram_dfcut")(
+      Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.4,
+        maxShingleDf = 20L).count())
+    // auto-sized blocks (the at-scale path), not the bench-pinned 8
+    bench("q39_embedding_neardup")(
+      Similarity.exactNearDuplicatePairs(emb, "vec_id", "embedding",
+        threshold = 0.35).count())
+    // eval slice pinned to replica 0 (doc_id % 16 picks the replica): a
+    // real eval set is FIXED while the corpus grows — scaling it with
+    // the factor would benchmark a scenario that never happens
+    bench("q53_decontaminate")(
+      Dedup.decontaminate(docs,
+        docs.filter(col("doc_id") % 16 === 0 && (col("doc_id") / 16) % 37 === 0),
+        "doc_id", "text", k = 8).count())
+    bench("curate_funnel") {
+      val r = ops.CurateCli.curate(docs, "doc_id", "text", funnelCfg)
+      val n = r.funnel.last.docs
+      r.unpersist()
+      n
+    }
+    results.toList
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val workDir = args.lift(2).getOrElse("/tmp/graft_scale")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scale-bench")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // language/quality gates stay open: the salt tokens depress stopword
+    // ratios identically at both factors, and the scale question is about
+    // data volume through every stage, not gate selectivity
+    val funnelCfg = ops.CurateCli.Config(minQuality = 0.0,
+      languages = Set("en", "de", "fr", "es", "zh", "ja", "unknown"))
+
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    for (f <- Seq(1, factor)) {
+      val dDir = s"$workDir/f$f/documents.parquet"
+      val eDir = s"$workDir/f$f/embeddings.parquet"
+      scaleDocuments(Tables.documents(spark, baseDir), f)
+        .repartition(32).write.mode("overwrite").parquet(dDir)
+      scaleEmbeddings(Tables.embeddings(spark, baseDir), f)
+        .repartition(32).write.mode("overwrite").parquet(eDir)
+      println(s"""{"scale_factor":$f,"docs":${spark.read.parquet(dDir).count()}}""")
+      val rs = run(spark, dDir, eDir, funnelCfg)
+      out += rs.map { case (q, s, n) => s""""$q":[$s,$n]""" }
+        .mkString(s"""{"factor":$f,""", ",", "}")
+    }
+    out.foreach(println)
+    spark.stop()
+  }
+}

@@ -223,13 +223,33 @@ object CurateCli {
       bands = cfg.bands, threshold = cfg.jaccardThreshold,
       maxPerBucket = maxPerBucket, stateTtlMs = stateTtlMs)
 
-  /** CLI: curate <sfDir> <outDir> [minQuality]. Writes the curated
-    * corpus as parquet plus a `funnel` stats table; prints one JSON
-    * line per stage (the run's datasheet). Exit 0. */
+  /** The run's report artifact — the engine's analog of the reference's
+    * reconciliation report (`scripts/reconcile.py:465-480`): per-stage
+    * retained docs/tokens plus the drop each stage charged (the stage
+    * name IS the drop reason; `pii_scrub` and `pack` are rewrite /
+    * sidecar stages and never drop). */
+  def datasheetJson(funnel: Seq[StageCount]): String = {
+    val rows = funnel.zipWithIndex.map { case (s, i) =>
+      val dropped =
+        if (i == 0 || s.stage == "pack") 0L else funnel(i - 1).docs - s.docs
+      s"""{"stage":"${s.stage}","docs":${s.docs},"tokens":${s.tokens},"dropped_docs":$dropped}"""
+    }
+    val fin = funnel.reverse.find(_.stage != "pack").getOrElse(funnel.head)
+    rows.mkString("""{"funnel":[""", ",",
+      s"""],"final_docs":${fin.docs},"final_tokens":${fin.tokens}}""")
+  }
+
+  /** CLI: curate <sfDir> <outDir> [minQuality] [full]. Writes the
+    * curated corpus as parquet, a `funnel` stats table, and the run's
+    * `datasheet.json`; prints one JSON line per stage plus the
+    * datasheet line. `full` switches on the four extended stages
+    * (scrub → repetition → decontaminate vs the `% 37` eval slice →
+    * pack). Exit 0. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/curated")
     val minQ = args.lift(2).map(_.toDouble).getOrElse(0.5)
+    val full = args.lift(3).contains("full")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -238,14 +258,29 @@ object CurateCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.Tables.documents(spark, sfDir)
-    val result = curate(docs, "doc_id", "text", Config(minQuality = minQ))
+    val cfg =
+      if (full) Config(minQuality = minQ, piiScrub = true,
+        maxRepetitionRatio = 0.9, packBudget = 512, packBuckets = 8)
+      else Config(minQuality = minQ)
+    val evalDocs =
+      if (full) Some(docs.filter(org.apache.spark.sql.functions
+        .col("doc_id") % 37 === 0))
+      else None
+    val result = curate(docs, "doc_id", "text", cfg, evalDocs)
     result.corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
+    result.packed.foreach(
+      _.write.mode("overwrite").parquet(s"$outDir/packed"))
     result.unpersist()
     val sparkSession = spark
     import sparkSession.implicits._
     result.funnel.toDF().write.mode("overwrite").parquet(s"$outDir/funnel")
+    val sheet = datasheetJson(result.funnel)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/datasheet.json"), sheet + "\n")
     result.funnel.foreach(s => println(
       s"""{"stage":"${s.stage}","docs":${s.docs},"tokens":${s.tokens}}"""))
+    println(sheet)
     spark.stop()
   }
 }

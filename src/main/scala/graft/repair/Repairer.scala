@@ -33,6 +33,9 @@ object Repairer {
   // ---- identifier / literal formatting (repairer.py:32-68,485-559) -----
 
   /** Always-quote, `"` doubled (repairer.py:32-49). */
+  private val TsFormat =
+    java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")
+
   def quoteIdentifier(name: String): String =
     "\"" + name.replace("\"", "\"\"") + "\""
 
@@ -50,11 +53,22 @@ object Repairer {
     case b: Boolean => if (b) "TRUE" else "FALSE"
     case d: java.math.BigDecimal => d.toPlainString
     case d: BigDecimal => d.underlying.toPlainString
+    // non-finite floats: bare NaN/Infinity is not valid SQL — Postgres
+    // and DuckDB both require the quoted spelling ('NaN'::float8 etc.),
+    // which implicit-casts on insert (proven by FormatValueLiveSpec)
+    case d: java.lang.Double if d.isNaN || d.isInfinite =>
+      "'" + (if (d.isNaN) "NaN" else if (d > 0) "Infinity" else "-Infinity") + "'"
+    case f: java.lang.Float if f.isNaN || f.isInfinite =>
+      "'" + (if (f.isNaN) "NaN" else if (f > 0) "Infinity" else "-Infinity") + "'"
     case n: java.lang.Number => n.toString
+    // ALWAYS full seconds + 6-digit micros: LocalDateTime.toString drops
+    // trailing zero components, and its midnight form 'yyyy-MM-dd HH:mm'
+    // is a timestamp SYNTAX ERROR in DuckDB (caught live by
+    // FormatValueLiveSpec); the fixed-width form parses everywhere
     case t: java.sql.Timestamp =>
-      "'" + t.toInstant.atOffset(ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ') + "'"
+      "'" + t.toInstant.atOffset(ZoneOffset.UTC).toLocalDateTime.format(TsFormat) + "'"
     case i: Instant =>
-      "'" + i.atOffset(ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ') + "'"
+      "'" + i.atOffset(ZoneOffset.UTC).toLocalDateTime.format(TsFormat) + "'"
     case d: java.sql.Date => s"'$d'"
     case d: java.time.LocalDate => s"'$d'"
     case d: java.time.Duration => // INTERVAL from seconds (repairer.py:537-540)

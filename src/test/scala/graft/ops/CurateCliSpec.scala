@@ -123,6 +123,31 @@ class CurateCliSpec extends SparkSpec {
     assert(survivors(2) == Set(5L, 6L))
   }
 
+  test("datasheetJson: per-stage drops, rewrite/sidecar stages charge zero") {
+    val funnel = Seq(
+      CurateCli.StageCount("input", 10, 1000),
+      CurateCli.StageCount("exact_dedup", 8, 800),
+      CurateCli.StageCount("pii_scrub", 8, 800),
+      CurateCli.StageCount("decontaminate", 6, 600),
+      CurateCli.StageCount("pack", 6, 600))
+    val js = CurateCli.datasheetJson(funnel)
+    // shape must be machine-parseable JSON with the documented keys
+    assert(js.startsWith("""{"funnel":[""") &&
+      js.endsWith(""""final_docs":6,"final_tokens":600}"""), js)
+    assert(js.contains(
+      """{"stage":"exact_dedup","docs":8,"tokens":800,"dropped_docs":2}"""))
+    assert(js.contains(
+      """{"stage":"pii_scrub","docs":8,"tokens":800,"dropped_docs":0}"""))
+    assert(js.contains(
+      """{"stage":"decontaminate","docs":6,"tokens":600,"dropped_docs":2}"""))
+    assert(js.contains(
+      """{"stage":"pack","docs":6,"tokens":600,"dropped_docs":0}"""))
+    // total charged drops reconcile with input minus final
+    val dropped = """"dropped_docs":(\d+)""".r
+      .findAllMatchIn(js).map(_.group(1).toLong).sum
+    assert(dropped == 10L - 6L)
+  }
+
   test("funnel evaluates each stage's lineage once (no O(stages²) recompute)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
