@@ -124,7 +124,15 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val factor = args.lift(1).map { s =>
+      try s.toInt catch {
+        case _: NumberFormatException =>
+          System.err.println(
+            s"[config] factor must be an integer in [1,16], got '$s' " +
+              "(usage: ScaleBench [baseDir] [factor] [workDir])")
+          sys.exit(10)
+      }
+    }.getOrElse(10)
     val workDir = args.lift(2).getOrElse("/tmp/graft_scale")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -133,7 +141,8 @@ object ScaleBench {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // NOTE: driver heap cannot be set here (JVM already launched) —
+      // size it at launch, e.g. `sbt -J-Xmx8g "runMain graft.ScaleBench"`
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

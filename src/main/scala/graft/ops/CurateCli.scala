@@ -161,8 +161,16 @@ object CurateCli {
       }
 
       evalDocs.foreach { ev =>
+        // the corpus side was rewritten by the scrub stage — shingle the
+        // eval side through the SAME chain, or any eval window spanning
+        // a redacted token silently stops matching its corpus copy and
+        // eval text leaks through the very stage meant to drop it
+        val evalAligned =
+          if (cfg.piiScrub)
+            ev.withColumn(textCol, TextAnalysis.piiScrub(col(textCol)))
+          else ev
         advance("decontaminate",
-          Dedup.decontaminate(cur, ev, idCol, textCol,
+          Dedup.decontaminate(cur, evalAligned, idCol, textCol,
             k = cfg.decontaminateK, minHits = cfg.decontaminateMinHits))
       }
 

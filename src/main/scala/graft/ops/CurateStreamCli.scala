@@ -87,15 +87,23 @@ object CurateStreamCli {
     landing.awaitTermination()
     cands.awaitTermination()
 
+    // a run that landed nothing legitimately leaves no parquet behind —
+    // only THAT case maps to zero; a corrupt/unreadable output must
+    // surface, not masquerade as "pipeline drained, nothing new"
+    def hasParquet(dir: String): Boolean = {
+      val d = new java.io.File(dir)
+      d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
+    }
     val landed =
-      try spark.read.parquet(cfg.output).count() catch { case _: Exception => 0L }
+      if (hasParquet(cfg.output)) spark.read.parquet(cfg.output).count() else 0L
     // the side-table is band-level append-only (one row per agreeing LSH
     // band); the summary reports DISTINCT flagged pairs — the unit batch
     // survivorship consumes
     val flagged =
-      try spark.read.parquet(cfg.candidates)
-        .select("doc_id", "dup_of").distinct().count()
-      catch { case _: Exception => 0L }
+      if (hasParquet(cfg.candidates))
+        spark.read.parquet(cfg.candidates)
+          .select("doc_id", "dup_of").distinct().count()
+      else 0L
     Summary(landed, flagged)
   }
 

@@ -32,10 +32,12 @@ object Repairer {
 
   // ---- identifier / literal formatting (repairer.py:32-68,485-559) -----
 
-  /** Always-quote, `"` doubled (repairer.py:32-49). */
+  /** Fixed-width timestamp literal form accepted by every target
+    * dialect (see the formatValue timestamp cases). */
   private val TsFormat =
     java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")
 
+  /** Always-quote, `"` doubled (repairer.py:32-49). */
   def quoteIdentifier(name: String): String =
     "\"" + name.replace("\"", "\"\"") + "\""
 

@@ -123,6 +123,25 @@ class CurateCliSpec extends SparkSpec {
     assert(survivors(2) == Set(5L, 6L))
   }
 
+  test("decontaminate stage scrubs the eval side when piiScrub is on") {
+    // the eval doc's every 8-gram window spans the email token; if the
+    // eval side were shingled RAW while the corpus copy is scrubbed,
+    // zero shingles would match and the leak would survive curation
+    val leaked = "contact bob@x.com about the secret answer key for it"
+    val corpus = Seq(
+      (1L, leaked + " and the rest of the document is here"),
+      (2L, "a clean document about the weather in the hills today now")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((902L, leaked)).toDF("doc_id", "text")
+    val r = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, piiScrub = true),
+      evalDocs = Some(eval_))
+    val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+    r.unpersist()
+    assert(ids == Set(2L),
+      s"the eval-overlapping doc must drop despite scrubbing, got $ids")
+  }
+
   test("datasheetJson: per-stage drops, rewrite/sidecar stages charge zero") {
     val funnel = Seq(
       CurateCli.StageCount("input", 10, 1000),
