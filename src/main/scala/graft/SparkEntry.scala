@@ -297,6 +297,23 @@ object SparkEntry {
       Dedup.contaminationCounts(docs, docs.filter(col("doc_id") % 37 === 0),
         "doc_id", "text", k = 8)
     }),
+    // q55: domain mixing — deterministic stratified sampling on the
+    // portable hash coin (integer ppm rates: exact arithmetic, no float
+    // boundary). Rates over the synthetic src0..src19 strata; the
+    // default-rate arm covers the unmapped sources.
+    "q55_corpus_mix" -> ((s, d) =>
+      TextAnalysis.sampleByMix(Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 1000000L, "src1" -> 750000L, "src2" -> 500000L,
+          "src3" -> 250000L), defaultPpm = 100000L)
+        .select(col("doc_id"), col("source"))),
+    // q56: token-budget selection — best-quality docs whose cumulative
+    // tokens fit 20k. The engine runs the bucketed distributed prefix
+    // (one global window NEVER appears); the oracle is the plain global
+    // window, pinning the distributed decomposition's exactness.
+    "q56_budget_select" -> ((s, d) =>
+      TextAnalysis.selectByBudget(
+        Tables.documents(s, d).filter(col("text").isNotNull),
+        "doc_id", "text", budget = 20000L)),
     // q50: PII scrub. The corpus contains no PII (verified: zero rows
     // with digits or '@'), so the query SYNTHESIZES a deterministic
     // email + IP + phone per row — identically on both engines — and
@@ -726,6 +743,38 @@ object SparkEntry {
         |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS hits
         |FROM sh JOIN ev ON sh.shingle = ev.shingle
         |GROUP BY sh.doc_id""".stripMargin,
+    // q55: the oracle recomputes the portable-hash coin from the doc id
+    // string and applies the identical integer-ppm CASE ladder
+    "q55_corpus_mix" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS tok FROM documents),
+         |h AS (SELECT doc_id, source,
+         |   ($polyAsql + ($polyBsql << 31)) % 1000000 AS coin FROM t)
+         |SELECT doc_id, source FROM h
+         |WHERE coin < CASE source WHEN 'src0' THEN 1000000
+         |  WHEN 'src1' THEN 750000 WHEN 'src2' THEN 500000
+         |  WHEN 'src3' THEN 250000 ELSE 100000 END""".stripMargin,
+    // q56: plain global-window prefix — the semantics anchor for the
+    // engine's bucketed distributed decomposition (quality formula = q33)
+    "q56_budget_select" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents
+         |  WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  greatest(CAST(len(toks) AS BIGINT), 1) AS toks_n,
+         |  CAST(len(list_filter(toks, x -> x IN ($enStop))) AS BIGINT) AS sw,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio
+         | FROM t),
+         |q AS (SELECT doc_id, n_tokens,
+         | CAST(least(n_tokens, 100) * 4000
+         |   + (CASE WHEN punct_ratio < CAST(0.2 AS DOUBLE) THEN 300000 ELSE 90000 END)
+         |   + ((least((sw * 5000000) // toks_n, 1000000) * 3) // 10)
+         |  AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS quality
+         |FROM m),
+         |c AS (SELECT doc_id, quality, n_tokens,
+         |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q)
+         |SELECT doc_id, quality, n_tokens FROM c WHERE cum <= 20000""".stripMargin,
     // q50: same synthetic-PII augmentation, same ordered regex chain
     // (email → IP → phone) re-derived in SQL; 'g' = replace-all to
     // match Spark's regexp_replace semantics

@@ -248,6 +248,83 @@ object TextAnalysis {
         col("n_tokens"))
   }
 
+  /** Deterministic stratified corpus sampling — domain mixing: keep
+    * each row with a per-stratum probability expressed in PARTS PER
+    * MILLION (integer, so the keep-predicate is exact integer
+    * arithmetic on both engines — a double-valued rate would ride on
+    * float rounding at the boundary). The coin is the portable
+    * 62-bit polynomial hash of the KEY, not `rand()`: re-running the
+    * pipeline reproduces the identical sample, and any engine can
+    * re-derive membership (the training-data analog of the reference's
+    * deterministic batch carving, scripts/reconcile.py:295-326).
+    *
+    * Scale shape: a codegen'd filter on a scan — no shuffle, no state,
+    * trivially parallel. Changing the mix re-samples only the strata
+    * whose rates changed (hash is rate-independent). */
+  def sampleByMix(df: DataFrame, keyCol: String, stratumCol: String,
+      ratesPpm: Map[String, Long], defaultPpm: Long): DataFrame = {
+    require((defaultPpm +: ratesPpm.values.toSeq)
+      .forall(p => p >= 0L && p <= 1000000L), "rates are ppm in [0, 1e6]")
+    val rate = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(pmod(
+      graft.functions.TextHashExpressions.polyHash62(col(keyCol).cast("string")),
+      lit(1000000L)) < rate)
+  }
+
+  /** Quality-ranked corpus selection under a token budget: keep the
+    * highest-quality documents whose cumulative token count (in
+    * quality-descending, id-ascending order) stays within `budget` —
+    * the standard "best N tokens" data-selection step.
+    *
+    * Scale shape: the obvious formulation is one GLOBAL ordered window
+    * (single-task bottleneck). Instead: quality lands in fixed-range
+    * buckets (`floor(quality * buckets)`, so equal scores can never
+    * straddle a boundary), per-bucket token totals come back to the
+    * driver (`buckets` rows — bounded small), the driver prefix-sums to
+    * find the boundary bucket, whole buckets above it are kept with a
+    * shuffle-free filter, and only the boundary bucket — 1/buckets of
+    * the data — pays an ordered window. Output matches the global-window
+    * SQL exactly (hash-checked cross-engine). */
+  def selectByBudget(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, stopwords: Seq[String] = LangProfiles("en"),
+      buckets: Int = 100): DataFrame = {
+    require(budget >= 0 && buckets > 0)
+    val scored = df.select(col(idCol),
+      qualityScore(col(textCol), stopwords).as("quality"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__bkt",
+        least(floor(col("quality") * buckets), lit(buckets - 1)).cast("int"))
+    // per-bucket totals: `buckets` rows, bounded — same class of
+    // driver-side lookup as the quantile picks in Analytics
+    val totals = scored.groupBy("__bkt")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val order = totals.keys.toSeq.sorted(Ordering.Int.reverse)
+    var remaining = budget
+    val full = scala.collection.mutable.ListBuffer.empty[Int]
+    var boundary: Option[(Int, Long)] = None
+    for (b <- order if boundary.isEmpty) {
+      val t = totals(b)
+      if (t <= remaining) { full += b; remaining -= t }
+      else boundary = Some((b, remaining))
+    }
+    val kept = scored.filter(col("__bkt").isin(full.toSeq: _*))
+    val edge = boundary match {
+      case None => kept.limit(0)
+      case Some((b, r)) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__bkt"))
+          .orderBy(col("quality").desc, col(idCol))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        scored.filter(col("__bkt") === b)
+          .withColumn("__cum", sum("n_tokens").over(w))
+          .filter(col("__cum") <= r).drop("__cum")
+    }
+    kept.unionByName(edge).drop("__bkt")
+  }
+
   /** Full per-document stats projection used by the stats query. */
   def stats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)

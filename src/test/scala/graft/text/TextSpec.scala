@@ -264,4 +264,52 @@ class TextSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 1.0)
     assert(pairs.get((1L, 3L)).exists(j => j > 0.2 && j < 1.0))
   }
+
+  test("sampleByMix: deterministic, stratum-rated, ppm-monotone") {
+    val rows = (1L to 2000L).map(i => (i, s"src${i % 4}")).toDF("id", "stratum")
+    def sample(rates: Map[String, Long], dflt: Long): Set[Long] =
+      TextAnalysis.sampleByMix(rows, "id", "stratum", rates, dflt)
+        .select("id").as[Long].collect().toSet
+    // rate 1e6 keeps everything in the stratum; rate 0 keeps nothing
+    val full = sample(Map("src0" -> 1000000L), 0L)
+    assert(full == (1L to 2000L).filter(_ % 4 == 0).toSet)
+    // deterministic: identical call → identical sample
+    val a = sample(Map("src1" -> 400000L), 100000L)
+    assert(a == sample(Map("src1" -> 400000L), 100000L))
+    // monotone in the rate: a higher ppm is a superset
+    val b = sample(Map("src1" -> 700000L), 100000L)
+    assert(a.subsetOf(b), "raising a stratum rate must only add rows")
+    // the coin ignores the stratum column: a row's membership at rate r
+    // is the same whether r arrives via the map or the default
+    assert(sample(Map("src1" -> 400000L), 400000L)
+      .filter(_ % 4 == 1) == a.filter(_ % 4 == 1))
+    // roughly rate-proportional (hash uniformity sanity, wide band)
+    val frac = a.count(_ % 4 == 1).toDouble / 500
+    assert(frac > 0.25 && frac < 0.55, s"src1 kept $frac at rate 0.4")
+  }
+
+  test("selectByBudget equals the global-window prefix, any bucket count") {
+    val corpus = (1L to 300L).map { i =>
+      val quality = "the a of and to in is that it for " * (i % 7).toInt
+      (i, s"doc $i body with some words $quality")
+    }.toDF("doc_id", "text")
+    // reference: the single global ordered window (what the oracle runs)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val scored = corpus.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text"), TextAnalysis.LangProfiles("en"))
+        .as("quality"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    for (budget <- Seq(0L, 500L, 3000L, 1000000L)) {
+      val expected = scored.withColumn("c", sum("n_tokens").over(w))
+        .filter(col("c") <= budget).select("doc_id").as[Long].collect().toSet
+      for (buckets <- Seq(1, 7, 100)) {
+        val got = TextAnalysis.selectByBudget(corpus, "doc_id", "text",
+          budget, buckets = buckets).select("doc_id").as[Long].collect().toSet
+        assert(got == expected,
+          s"budget=$budget buckets=$buckets: got ${got.size}, want ${expected.size}")
+      }
+    }
+  }
 }
