@@ -132,6 +132,34 @@ class PlanSpec extends SparkSpec {
       s"global single-partition window is the at-scale bottleneck:\n$p")
   }
 
+  test("q55 mix sampling: a pure scan + filter — no shuffle, no join, no agg") {
+    val p = plan("q55_corpus_mix")
+    assert(p.contains("Filter"), s"expected the ppm-coin filter:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Aggregate"),
+      s"domain mixing must stay embarrassingly parallel:\n$p")
+  }
+
+  test("q56 budget selection: no GLOBAL window — the boundary window is bucket-partitioned") {
+    val p = plan("q56_budget_select")
+    // the scale property: the ordered window must be keyed on the
+    // quality bucket (only 1/buckets of rows flow through it); a global
+    // window prints windowspecdefinition with an EMPTY partition spec —
+    // i.e. starting directly at the ordering column's quality#N DESC
+    assert("""windowspecdefinition\(__bkt#\d+""".r.findFirstIn(p).isDefined,
+      s"boundary window must be partitioned by the quality bucket:\n$p")
+    assert("""windowspecdefinition\(quality#\d+ DESC""".r.findFirstIn(p).isEmpty,
+      s"a window partitioned by nothing (global sort) must not appear:\n$p")
+  }
+
+  test("q54 contamination counts: map-side partial count behind the semi-join") {
+    val p = plan("q54_contamination_hits")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval side must broadcast into a semi-join:\n$p")
+    assert(p.contains("partial_count"),
+      s"hit counting must keep its map-side partial:\n$p")
+  }
+
   test("salted count equals plain count under synthetic skew") {
     val skewed = spark.range(10000)
       .select(when($"id" % 100 === 0, lit("hot")).otherwise(lit("cold")).as("k"))
