@@ -125,13 +125,14 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map { s =>
-      try s.toInt catch {
-        case _: NumberFormatException =>
-          System.err.println(
-            s"[config] factor must be an integer in [1,16], got '$s' " +
-              "(usage: ScaleBench [baseDir] [factor] [workDir])")
-          sys.exit(10)
+      val n = try s.toInt catch { case _: NumberFormatException => -1 }
+      if (n < 1 || n > 16) {
+        System.err.println(
+          s"[config] factor must be an integer in [1,16], got '$s' " +
+            "(usage: ScaleBench [baseDir] [factor] [workDir])")
+        sys.exit(10)
       }
+      n
     }.getOrElse(10)
     val workDir = args.lift(2).getOrElse("/tmp/graft_scale")
     val spark = SparkSession.builder()

@@ -91,8 +91,11 @@ object CurateStreamCli {
     // only THAT case maps to zero; a corrupt/unreadable output must
     // surface, not masquerade as "pipeline drained, nothing new"
     def hasParquet(dir: String): Boolean = {
+      // listFiles returns NULL (not empty) on IO errors or if the dir
+      // vanishes between the two calls — treat both as "no output yet"
       val d = new java.io.File(dir)
-      d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
+      d.isDirectory && Option(d.listFiles())
+        .exists(_.exists(_.getName.endsWith(".parquet")))
     }
     val landed =
       if (hasParquet(cfg.output)) spark.read.parquet(cfg.output).count() else 0L

@@ -291,11 +291,20 @@ object TextAnalysis {
       budget: Long, stopwords: Seq[String] = LangProfiles("en"),
       buckets: Int = 100): DataFrame = {
     require(budget >= 0 && buckets > 0)
-    val scored = df.select(col(idCol),
-      qualityScore(col(textCol), stopwords).as("quality"),
-      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // null-text docs carry no tokens and are not selectable (they would
+    // otherwise score a phantom null-skipping quality, land in a real
+    // bucket, and charge nothing to the budget). The operator is
+    // inherently eager (the driver reads per-bucket totals), so the
+    // scored projection is localCheckpoint'd ONCE and the three
+    // consumers — totals, kept, boundary — all read the materialized
+    // partitions instead of re-running the quality HOFs per branch.
+    val scored = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        qualityScore(col(textCol), stopwords).as("quality"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("__bkt",
         least(floor(col("quality") * buckets), lit(buckets - 1)).cast("int"))
+      .localCheckpoint()
     // per-bucket totals: `buckets` rows, bounded — same class of
     // driver-side lookup as the quantile picks in Analytics
     val totals = scored.groupBy("__bkt")

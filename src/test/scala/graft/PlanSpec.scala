@@ -141,7 +141,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q56 budget selection: no GLOBAL window — the boundary window is bucket-partitioned") {
-    val p = plan("q56_budget_select")
+    // synthetic corpus with total tokens far above the budget, so a
+    // boundary bucket is GUARANTEED regardless of any sf dataset's size
+    // (the sf-driven q56 plan would lose its Window node entirely the
+    // day the corpus fits the budget — a data-size precondition, not a
+    // plan property)
+    val corpus = (1L to 50L)
+      .map(i => (i, ("word " * 40) + ("the of and " * i.toInt)))
+      .toDF("doc_id", "text")
+    val p = graft.text.TextAnalysis
+      .selectByBudget(corpus, "doc_id", "text", budget = 100L)
+      .queryExecution.executedPlan.toString()
     // the scale property: the ordered window must be keyed on the
     // quality bucket (only 1/buckets of rows flow through it); a global
     // window prints windowspecdefinition with an EMPTY partition spec —

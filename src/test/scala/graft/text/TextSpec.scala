@@ -288,6 +288,19 @@ class TextSpec extends SparkSpec {
     assert(frac > 0.25 && frac < 0.55, s"src1 kept $frac at rate 0.4")
   }
 
+  test("selectByBudget: null-text docs are not selectable and charge nothing") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and it was a very fine day for all"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "a of and to in is that it for the with words here too now")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.selectByBudget(corpus, "doc_id", "text",
+      budget = 1000000L).select("doc_id").as[Long].collect().toSet
+    // generous budget: both real docs selected, the null row neither
+    // crashes the per-bucket totals nor rides along unaccounted
+    assert(got == Set(1L, 3L), s"got $got")
+  }
+
   test("selectByBudget equals the global-window prefix, any bucket count") {
     val corpus = (1L to 300L).map { i =>
       val quality = "the a of and to in is that it for " * (i % 7).toInt
