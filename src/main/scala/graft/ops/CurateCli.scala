@@ -43,6 +43,15 @@ object CurateCli {
     *  - decontamination runs when the caller passes `evalDocs` to
     *    [[curate]] (`decontaminateK`/`decontaminateMinHits` are its
     *    shingle width and n-of-k evidence threshold);
+    *  - a non-empty `mixRatesPpm` (or `mixDefaultPpm` < 1e6) runs the
+    *    domain-mix stage: deterministic per-stratum downsampling on
+    *    `mixStratumCol` ([[TextAnalysis.sampleByMix]]) — placed right
+    *    after the quality gate so the volume cut benefits every
+    *    downstream stage;
+    *  - `budgetTokens` > 0 runs quality-ranked token-budget selection
+    *    over the decontaminated survivors
+    *    ([[TextAnalysis.selectByBudget]], `budgetBuckets` quality
+    *    buckets);
     *  - `packBudget` > 0 additionally emits the concat-and-chunk
     *    sequence assignments over the surviving corpus
     *    ([[TextAnalysis.packSequences]], `packBuckets` parallel
@@ -55,11 +64,16 @@ object CurateCli {
       numHashes: Int = 32,
       bands: Int = 16,
       maxShingleDf: Long = 0L,
+      mixStratumCol: String = "source",
+      mixRatesPpm: Map[String, Long] = Map.empty,
+      mixDefaultPpm: Long = 1000000L,
       piiScrub: Boolean = false,
       maxRepetitionRatio: Double = 1.0,
       repetitionK: Int = 2,
       decontaminateK: Int = 8,
       decontaminateMinHits: Int = 1,
+      budgetTokens: Long = 0L,
+      budgetBuckets: Int = 100,
       packBudget: Int = 0,
       packBuckets: Int = 64)
 
@@ -146,6 +160,10 @@ object CurateCli {
         cur = p
       }
 
+      if (cfg.mixRatesPpm.nonEmpty || cfg.mixDefaultPpm < 1000000L)
+        advance("mix", TextAnalysis.sampleByMix(cur, idCol,
+          cfg.mixStratumCol, cfg.mixRatesPpm, cfg.mixDefaultPpm))
+
       if (cfg.piiScrub)
         advance("pii_scrub",
           cur.withColumn(textCol, TextAnalysis.piiScrub(col(textCol))))
@@ -172,6 +190,15 @@ object CurateCli {
         advance("decontaminate",
           Dedup.decontaminate(cur, evalAligned, idCol, textCol,
             k = cfg.decontaminateK, minHits = cfg.decontaminateMinHits))
+      }
+
+      if (cfg.budgetTokens > 0L) {
+        // selectByBudget emits (id, quality, n_tokens); the funnel keeps
+        // full document rows, so restore them with a semi-join on the
+        // selected ids
+        val picked = TextAnalysis.selectByBudget(cur, idCol, textCol,
+          cfg.budgetTokens, buckets = cfg.budgetBuckets).select(idCol)
+        advance("token_budget", cur.join(picked, Seq(idCol), "left_semi"))
       }
 
       // packing is a sidecar projection over the final corpus, not a

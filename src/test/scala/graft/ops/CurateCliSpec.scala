@@ -1,6 +1,8 @@
 package graft.ops
 
 import graft.{SparkSpec, Tables}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions.col
 
 class CurateCliSpec extends SparkSpec {
   import spark.implicits._
@@ -121,6 +123,44 @@ class CurateCliSpec extends SparkSpec {
     }
     assert(survivors(1) == Set(6L))
     assert(survivors(2) == Set(5L, 6L))
+  }
+
+  test("mix and token_budget funnel stages: stratum dropped, budget prefix kept") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and it was a fine day for all of us", "wiki"),
+      (2L, "a dog ran in the park and the sun was out for the whole of it", "wiki"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank", "wiki"),
+      (4L, "it is a spammy page full of the usual words about the weather", "web")
+    ).toDF("doc_id", "text", "source")
+    val cfg = CurateCli.Config(minQuality = 0.0,
+      mixRatesPpm = Map("web" -> 0L), mixDefaultPpm = 1000000L,
+      budgetTokens = 30L)
+    val r = CurateCli.curate(corpus, "doc_id", "text", cfg)
+    assert(r.funnel.map(_.stage) ==
+      Seq("input", "exact_dedup", "near_dedup", "language", "quality",
+        "mix", "token_budget"))
+    val byStage = r.funnel.map(s => s.stage -> s).toMap
+    assert(byStage("mix").docs == 3, "the web stratum must drop at rate 0")
+    // expected budget prefix computed from the operator's own scoring,
+    // in (quality desc, id) order over the mix survivors
+    val scored = Seq(1L, 2L, 3L).map { id =>
+      val row = corpus.filter(col("doc_id") === id)
+        .select(
+          TextAnalysis.qualityScore(col("text"),
+            TextAnalysis.LangProfiles("en")).as("q"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+        .head()
+      (id, row.getDouble(0), row.getLong(1))
+    }.sortBy { case (id, q, _) => (-q, id) }(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    val expected = scored.scanLeft((0L, 0L)) { case ((_, cum), (id, _, t)) =>
+      (id, cum + t)
+    }.drop(1).takeWhile(_._2 <= 30L).map(_._1).toSet
+    assert(expected.nonEmpty && expected.size < 3,
+      s"test corpus must make the budget bind: $scored")
+    val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+    r.unpersist()
+    assert(ids == expected, s"budget prefix mismatch: got $ids want $expected")
   }
 
   test("decontaminate stage scrubs the eval side when piiScrub is on") {
