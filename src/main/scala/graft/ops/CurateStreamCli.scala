@@ -22,7 +22,8 @@ import graft.observe.{CdcQueryListener, MetricsRegistry}
   *     --checkpoint <dir> \
   *     [--min-quality 0.5] [--languages en] [--threshold 0.8] \
   *     [--shingle-k 3] [--watermark "1 hour"] \
-  *     [--max-per-bucket 1000] [--state-ttl-ms 0]
+  *     [--max-per-bucket 1000] [--state-ttl-ms 0] \
+  *     [--eval <parquet of eval docs — ingest-time decontamination>]
   *
   * Two queries over the same file source, each with its own checkpoint
   * subdirectory: the landing query appends curated docs to `--output`;
@@ -49,7 +50,8 @@ object CurateStreamCli {
       curate: CurateCli.Config = CurateCli.Config(),
       watermark: String = "1 hour",
       maxPerBucket: Int = 1000,
-      stateTtlMs: Long = 0L)
+      stateTtlMs: Long = 0L,
+      evalPath: Option[String] = None)
 
   final case class Summary(landed: Long, flagged: Long)
 
@@ -68,10 +70,31 @@ object CurateStreamCli {
       .option("maxFilesPerTrigger", 1) // backpressure: bounded micro-batches
       .json(cfg.input)
 
-    val landing = CurateCli.curateStream(source(), "text", "ts",
-        cfg.curate, cfg.watermark)
-      .writeStream.queryName("curate-landing")
-      .format("parquet").option("path", cfg.output)
+    val gated = CurateCli.curateStream(source(), "text", "ts",
+      cfg.curate, cfg.watermark)
+    val landingWriter = cfg.evalPath match {
+      case None =>
+        gated.writeStream.format("parquet").option("path", cfg.output)
+      case Some(evalDir) =>
+        // INGEST-TIME decontamination: doc-level "shares any eval
+        // shingle" cannot be one stream-static join (an anti join on
+        // exploded shingles drops shingle ROWS, not whole docs), so the
+        // idiomatic shape is foreachBatch — each micro-batch runs the
+        // batch decontaminate kernel (broadcast eval semi-join, one
+        // pass) against the static eval set, then appends. The source
+        // checkpoint still bounds reprocessing; appends are
+        // at-least-once on crash-retry, like any foreachBatch file sink.
+        val eval = spark.read.parquet(evalDir)
+        gated.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            graft.text.Dedup.decontaminate(batch, eval, "doc_id", "text",
+              k = cfg.curate.decontaminateK,
+              minHits = cfg.curate.decontaminateMinHits)
+              .write.mode("append").parquet(cfg.output)
+        }
+    }
+    val landing = landingWriter.queryName("curate-landing")
       .option("checkpointLocation", s"${cfg.checkpoint}/landing")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -114,6 +137,7 @@ object CurateStreamCli {
     var input = ""; var output = ""; var candidates = ""; var checkpoint = ""
     var curate = CurateCli.Config()
     var watermark = "1 hour"; var maxPerBucket = 1000; var stateTtlMs = 0L
+    var evalPath: Option[String] = None
     var i = 0
     try {
       while (i < args.length) {
@@ -133,6 +157,7 @@ object CurateStreamCli {
           case "--watermark" => watermark = args(i + 1); i += 2
           case "--max-per-bucket" => maxPerBucket = args(i + 1).toInt; i += 2
           case "--state-ttl-ms" => stateTtlMs = args(i + 1).toLong; i += 2
+          case "--eval" => evalPath = Some(args(i + 1)); i += 2
           case other => return Left(s"unknown flag '$other'")
         }
       }
@@ -143,7 +168,7 @@ object CurateStreamCli {
     if (input.isEmpty || output.isEmpty || candidates.isEmpty || checkpoint.isEmpty)
       Left("--input, --output, --candidates, --checkpoint required")
     else Right(StreamConfig(input, output, candidates, checkpoint, curate,
-      watermark, maxPerBucket, stateTtlMs))
+      watermark, maxPerBucket, stateTtlMs, evalPath))
   }
 
   def main(args: Array[String]): Unit = {

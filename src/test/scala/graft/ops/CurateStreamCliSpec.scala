@@ -21,11 +21,35 @@ class CurateStreamCliSpec extends SparkSpec {
       "--input", "in", "--output", "out", "--candidates", "cand",
       "--checkpoint", "cp", "--min-quality", "0.4", "--languages", "en,fr",
       "--threshold", "0.5", "--shingle-k", "2", "--watermark", "2 hours",
-      "--max-per-bucket", "10", "--state-ttl-ms", "5000"))
+      "--max-per-bucket", "10", "--state-ttl-ms", "5000", "--eval", "ev"))
     assert(ok.exists(c => c.input == "in" && c.curate.minQuality == 0.4 &&
       c.curate.languages == Set("en", "fr") && c.curate.jaccardThreshold == 0.5 &&
       c.curate.shingleK == 2 && c.watermark == "2 hours" &&
-      c.maxPerBucket == 10 && c.stateTtlMs == 5000L))
+      c.maxPerBucket == 10 && c.stateTtlMs == 5000L &&
+      c.evalPath.contains("ev")))
+  }
+
+  test("e2e with --eval: contaminated doc dropped at ingest, clean doc lands") {
+    val in = Files.createTempDirectory("cscli-ev-in").toString
+    val base = Files.createTempDirectory("cscli-ev").toString
+    val leaked = "the hidden answer to the secret benchmark question is forty two"
+    Seq((900L, leaked)).toDF("doc_id", "text")
+      .write.parquet(s"$base/eval")
+    val cfg = CurateStreamCli.StreamConfig(
+      input = in, output = s"$base/landing", candidates = s"$base/cands",
+      checkpoint = s"$base/cp",
+      curate = CurateCli.Config(minQuality = 0.0, languages = Set("en")),
+      evalPath = Some(s"$base/eval"))
+    Files.writeString(Paths.get(s"$in/b0.json"), Seq(
+      jsonRow(1, leaked + " plus some trailing words here", "2024-01-01T10:00:00Z"),
+      jsonRow(2, "a completely clean document about the weather in the hills today",
+        "2024-01-01T10:00:01Z")
+    ).mkString("\n"))
+    val s1 = CurateStreamCli.run(spark, cfg)
+    assert(s1.landed == 1, s"only the clean doc may land, got $s1")
+    val landed = spark.read.parquet(cfg.output)
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed == Set(2L), s"landing zone: $landed")
   }
 
   test("e2e: drain, restart on new files, cross-RUN near-dup flagged from checkpointed state") {
