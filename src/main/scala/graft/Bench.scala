@@ -43,13 +43,16 @@ object Bench {
         Tables.documents(spark, sfDir), "doc_id", "text")
       r.unpersist()
     }
-    // the FULL funnel: all four extended stages on (pii scrub →
-    // repetition filter → decontaminate vs the q53 eval slice →
-    // sequence packing) — the all-stages-enabled curation cost
+    // the FULL funnel: all six extended stages on (domain mix →
+    // pii scrub → repetition filter → decontaminate vs the q53 eval
+    // slice → token-budget selection → sequence packing) — the
+    // everything-enabled curation cost
     val funnelFull = stats("curate_funnel_full") {
       val docs = Tables.documents(spark, sfDir)
       val r = ops.CurateCli.curate(docs, "doc_id", "text",
-        ops.CurateCli.Config(piiScrub = true, maxRepetitionRatio = 0.9,
+        ops.CurateCli.Config(mixDefaultPpm = 900000L,
+          piiScrub = true, maxRepetitionRatio = 0.9,
+          budgetTokens = 2000000L,
           packBudget = 512, packBuckets = 8),
         evalDocs = Some(docs.filter(col("doc_id") % 37 === 0)))
       r.unpersist()
