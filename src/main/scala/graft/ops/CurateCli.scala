@@ -34,7 +34,7 @@ object CurateCli {
     * guard for corpora where one boilerplate phrase floods the shingle
     * join ([[Dedup.ngramJaccardPairs]]).
     *
-    * The four extended stages default OFF (the classic 4-stage funnel):
+    * The six extended stages default OFF (the classic 4-stage funnel):
     *  - `piiScrub` rewrites `textCol` through the email→IP→phone
     *    redaction chain ([[TextAnalysis.piiScrub]]);
     *  - `maxRepetitionRatio` < 1.0 drops boilerplate/degenerate docs
@@ -277,9 +277,9 @@ object CurateCli {
   /** CLI: curate <sfDir> <outDir> [minQuality] [full]. Writes the
     * curated corpus as parquet, a `funnel` stats table, and the run's
     * `datasheet.json`; prints one JSON line per stage plus the
-    * datasheet line. `full` switches on the four extended stages
-    * (scrub → repetition → decontaminate vs the `% 37` eval slice →
-    * pack). Exit 0. */
+    * datasheet line. `full` switches on ALL six extended stages
+    * (mix → scrub → repetition → decontaminate vs the `% 37` eval
+    * slice → token-budget → pack). Exit 0. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/curated")
@@ -294,8 +294,9 @@ object CurateCli {
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.Tables.documents(spark, sfDir)
     val cfg =
-      if (full) Config(minQuality = minQ, piiScrub = true,
-        maxRepetitionRatio = 0.9, packBudget = 512, packBuckets = 8)
+      if (full) Config(minQuality = minQ, mixDefaultPpm = 900000L,
+        piiScrub = true, maxRepetitionRatio = 0.9,
+        budgetTokens = 1000000000L, packBudget = 512, packBuckets = 8)
       else Config(minQuality = minQ)
     val evalDocs =
       if (full) Some(docs.filter(org.apache.spark.sql.functions

@@ -23,7 +23,12 @@ import graft.observe.{CdcQueryListener, MetricsRegistry}
   *     [--min-quality 0.5] [--languages en] [--threshold 0.8] \
   *     [--shingle-k 3] [--watermark "1 hour"] \
   *     [--max-per-bucket 1000] [--state-ttl-ms 0] \
-  *     [--eval <parquet of eval docs — ingest-time decontamination>]
+  *     [--eval <parquet of eval docs — ingest-time decontamination>] \
+  *     [--decontaminate-k 8] [--decontaminate-min-hits 1]
+  *
+  * NOTE: `--shingle-k` tunes the near-dup LSH shingles only; eval
+  * shingling is governed by `--decontaminate-k` (short eval texts under
+  * that many tokens fall back to one whole-text shingle).
   *
   * Two queries over the same file source, each with its own checkpoint
   * subdirectory: the landing query appends curated docs to `--output`;
@@ -66,6 +71,27 @@ object CurateStreamCli {
     * this checkpoint (counted from the output tables, so restarts
     * accumulate — the e2e restart test pins exactly that). */
   def run(spark: SparkSession, cfg: StreamConfig): Summary = {
+    // the two eval modes write the landing zone with DIFFERENT sink
+    // kinds (streaming file sink with a _spark_metadata log vs plain
+    // foreachBatch appends). Mixing them in one directory makes one
+    // mode's files invisible to every reader (the metadata log wins and
+    // hides unlisted parts) — refuse up front rather than silently
+    // losing output
+    val hasSinkLog =
+      new java.io.File(s"${cfg.output}/_spark_metadata").isDirectory
+    if (cfg.evalPath.isDefined && hasSinkLog)
+      throw new IllegalStateException(
+        s"${cfg.output} was written by a non---eval run (streaming file " +
+          "sink); --eval appends would be invisible behind its " +
+          "_spark_metadata log. Use a fresh --output.")
+    if (cfg.evalPath.isEmpty && !hasSinkLog &&
+        Option(new java.io.File(cfg.output).listFiles())
+          .exists(_.exists(_.getName.endsWith(".parquet"))))
+      throw new IllegalStateException(
+        s"${cfg.output} holds --eval-mode appends; a streaming file sink " +
+          "would hide them behind its _spark_metadata log. Use a fresh " +
+          "--output.")
+
     def source() = spark.readStream.schema(inputSchema)
       .option("maxFilesPerTrigger", 1) // backpressure: bounded micro-batches
       .json(cfg.input)
@@ -81,15 +107,20 @@ object CurateStreamCli {
         // exploded shingles drops shingle ROWS, not whole docs), so the
         // idiomatic shape is foreachBatch — each micro-batch runs the
         // batch decontaminate kernel (broadcast eval semi-join, one
-        // pass) against the static eval set, then appends. The source
-        // checkpoint still bounds reprocessing; appends are
-        // at-least-once on crash-retry, like any foreachBatch file sink.
-        val eval = spark.read.parquet(evalDir)
+        // pass), then appends. The eval shingle set is built and
+        // persisted ONCE — maxFilesPerTrigger=1 means one batch per
+        // input file, and re-shingling the eval side every file is pure
+        // waste. Source checkpoint still bounds reprocessing; appends
+        // are at-least-once on crash-retry, like any foreachBatch sink.
+        val evalShingles = graft.text.Dedup.evalShingleSet(
+          spark.read.parquet(evalDir), "text", cfg.curate.decontaminateK)
+          .persist()
+        evalShingles.count() // materialize before the stream starts
         gated.writeStream.foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
               _: Long) =>
-            graft.text.Dedup.decontaminate(batch, eval, "doc_id", "text",
-              k = cfg.curate.decontaminateK,
+            graft.text.Dedup.decontaminateAgainst(batch, evalShingles,
+              "doc_id", "text", k = cfg.curate.decontaminateK,
               minHits = cfg.curate.decontaminateMinHits)
               .write.mode("append").parquet(cfg.output)
         }
@@ -99,8 +130,29 @@ object CurateStreamCli {
       .trigger(Trigger.AvailableNow())
       .start()
 
-    val cands = CurateCli.curateStreamCandidates(source(), "doc_id", "text",
-        "ts", cfg.curate, cfg.watermark, cfg.maxPerBucket, cfg.stateTtlMs)
+    // Candidate flagging must only ever see docs that LANDED: feeding it
+    // the raw gated stream would store decontamination-dropped docs in
+    // the LSH state, and a later clean near-dup would be flagged against
+    // a doc that exists nowhere — batch survivorship would then drop the
+    // clean copy too, silently losing the content entirely. In --eval
+    // mode the candidates query therefore streams FROM the clean landing
+    // zone (the standard bronze→silver chaining); it starts after the
+    // landing drain so the files exist, and its own checkpoint tracks
+    // which landed files it has processed across runs.
+    val candSource: org.apache.spark.sql.DataFrame = cfg.evalPath match {
+      case None =>
+        CurateCli.curateStream(source(), "text", "ts",
+          cfg.curate, cfg.watermark)
+      case Some(_) =>
+        landing.awaitTermination()
+        spark.readStream.schema(gated.schema)
+          .option("maxFilesPerTrigger", 1).parquet(cfg.output)
+    }
+    val cands = graft.text.StreamingNearDedup.candidates(candSource,
+        "doc_id", "text", k = cfg.curate.shingleK,
+        numHashes = cfg.curate.numHashes, bands = cfg.curate.bands,
+        threshold = cfg.curate.jaccardThreshold,
+        maxPerBucket = cfg.maxPerBucket, stateTtlMs = cfg.stateTtlMs)
       .writeStream.queryName("curate-candidates")
       .format("parquet").option("path", cfg.candidates)
       .option("checkpointLocation", s"${cfg.checkpoint}/candidates")
@@ -158,6 +210,10 @@ object CurateStreamCli {
           case "--max-per-bucket" => maxPerBucket = args(i + 1).toInt; i += 2
           case "--state-ttl-ms" => stateTtlMs = args(i + 1).toLong; i += 2
           case "--eval" => evalPath = Some(args(i + 1)); i += 2
+          case "--decontaminate-k" =>
+            curate = curate.copy(decontaminateK = args(i + 1).toInt); i += 2
+          case "--decontaminate-min-hits" =>
+            curate = curate.copy(decontaminateMinHits = args(i + 1).toInt); i += 2
           case other => return Left(s"unknown flag '$other'")
         }
       }

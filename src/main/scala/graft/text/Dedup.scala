@@ -399,13 +399,9 @@ object Dedup {
     * GPT-3-style any-collision semantics. */
   def decontaminate(df: DataFrame, evalDf: DataFrame, idCol: String,
       textCol: String, k: Int = 8, broadcastEval: Boolean = true,
-      minHits: Int = 1): DataFrame = {
-    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
-    val dirty = contaminationCounts(df, evalDf, idCol, textCol, k, broadcastEval)
-      .filter(col("hits") >= minHits)
-      .select(idCol)
-    df.join(dirty, Seq(idCol), "left_anti")
-  }
+      minHits: Int = 1): DataFrame =
+    decontaminateAgainst(df, evalShingleSet(evalDf, textCol, k), idCol,
+      textCol, k, broadcastEval, minHits)
 
   /** Per-document contamination evidence: `(idCol, hits)` where `hits`
     * is the number of DISTINCT k-token shingles the document shares with
@@ -416,11 +412,27 @@ object Dedup {
     * (the groupBy shuffles only the contaminated (id, shingle) pairs —
     * a vanishing fraction of the corpus by construction). */
   def contaminationCounts(df: DataFrame, evalDf: DataFrame, idCol: String,
-      textCol: String, k: Int = 8, broadcastEval: Boolean = true): DataFrame = {
-    val evalSh = evalDf
+      textCol: String, k: Int = 8, broadcastEval: Boolean = true): DataFrame =
+    contaminationCountsAgainst(df,
+      evalShingleSet(evalDf, textCol, k), idCol, textCol, k, broadcastEval)
+
+  /** The eval set's distinct shingle hashes — the reusable half of
+    * decontamination. Callers that decontaminate REPEATEDLY against one
+    * eval set (a streaming gate firing per micro-batch, a multi-corpus
+    * sweep) should build this once, `persist()` it, and pass it to the
+    * `*Against` variants; recomputing the explode + distinct per call
+    * is pure waste when the eval side never changes. */
+  def evalShingleSet(evalDf: DataFrame, textCol: String, k: Int = 8): DataFrame =
+    evalDf
       .select(explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
       .distinct()
-    val evalSide = if (broadcastEval) broadcast(evalSh) else evalSh
+
+  /** [[contaminationCounts]] against a pre-built [[evalShingleSet]]
+    * (single-column `shingle` frame, already distinct). */
+  def contaminationCountsAgainst(df: DataFrame, evalShingles: DataFrame,
+      idCol: String, textCol: String, k: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
+    val evalSide = if (broadcastEval) broadcast(evalShingles) else evalShingles
     df.select(col(idCol).as("__id"),
         explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
       .join(evalSide, Seq("shingle"), "left_semi")
@@ -429,5 +441,17 @@ object Dedup {
       // distinct-shared-shingle count — no count(distinct) needed
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("hits"))
+  }
+
+  /** [[decontaminate]] against a pre-built [[evalShingleSet]]. */
+  def decontaminateAgainst(df: DataFrame, evalShingles: DataFrame,
+      idCol: String, textCol: String, k: Int = 8,
+      broadcastEval: Boolean = true, minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val dirty = contaminationCountsAgainst(df, evalShingles, idCol, textCol,
+        k, broadcastEval)
+      .filter(col("hits") >= minHits)
+      .select(idCol)
+    df.join(dirty, Seq(idCol), "left_anti")
   }
 }

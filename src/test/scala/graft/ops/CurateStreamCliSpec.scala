@@ -21,35 +21,86 @@ class CurateStreamCliSpec extends SparkSpec {
       "--input", "in", "--output", "out", "--candidates", "cand",
       "--checkpoint", "cp", "--min-quality", "0.4", "--languages", "en,fr",
       "--threshold", "0.5", "--shingle-k", "2", "--watermark", "2 hours",
-      "--max-per-bucket", "10", "--state-ttl-ms", "5000", "--eval", "ev"))
+      "--max-per-bucket", "10", "--state-ttl-ms", "5000", "--eval", "ev",
+      "--decontaminate-k", "6", "--decontaminate-min-hits", "2"))
     assert(ok.exists(c => c.input == "in" && c.curate.minQuality == 0.4 &&
       c.curate.languages == Set("en", "fr") && c.curate.jaccardThreshold == 0.5 &&
       c.curate.shingleK == 2 && c.watermark == "2 hours" &&
       c.maxPerBucket == 10 && c.stateTtlMs == 5000L &&
-      c.evalPath.contains("ev")))
+      c.evalPath.contains("ev") && c.curate.decontaminateK == 6 &&
+      c.curate.decontaminateMinHits == 2))
   }
 
-  test("e2e with --eval: contaminated doc dropped at ingest, clean doc lands") {
+  test("e2e with --eval: contaminated docs never land NOR enter near-dup state") {
     val in = Files.createTempDirectory("cscli-ev-in").toString
     val base = Files.createTempDirectory("cscli-ev").toString
     val leaked = "the hidden answer to the secret benchmark question is forty two"
+    val clean2 = "a completely clean document about the weather in the hills today"
     Seq((900L, leaked)).toDF("doc_id", "text")
       .write.parquet(s"$base/eval")
     val cfg = CurateStreamCli.StreamConfig(
       input = in, output = s"$base/landing", candidates = s"$base/cands",
       checkpoint = s"$base/cp",
-      curate = CurateCli.Config(minQuality = 0.0, languages = Set("en")),
+      curate = CurateCli.Config(minQuality = 0.0, languages = Set("en"),
+        jaccardThreshold = 0.5),
       evalPath = Some(s"$base/eval"))
-    Files.writeString(Paths.get(s"$in/b0.json"), Seq(
+    val b0 = Paths.get(s"$in/b0.json")
+    Files.writeString(b0, Seq(
       jsonRow(1, leaked + " plus some trailing words here", "2024-01-01T10:00:00Z"),
-      jsonRow(2, "a completely clean document about the weather in the hills today",
-        "2024-01-01T10:00:01Z")
+      jsonRow(2, clean2, "2024-01-01T10:00:01Z")
     ).mkString("\n"))
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(b0, FileTime.fromMillis(now - 120000))
     val s1 = CurateStreamCli.run(spark, cfg)
     assert(s1.landed == 1, s"only the clean doc may land, got $s1")
-    val landed = spark.read.parquet(cfg.output)
+    assert(spark.read.parquet(cfg.output)
+      .select("doc_id").as[Long].collect().toSet == Set(2L))
+
+    // run 2: doc 3 is CLEAN (one word changed inside every eval-matching
+    // 8-gram window) but a trigram near-dup of the never-landed doc 1 —
+    // if contaminated docs leaked into LSH state, (3, dup_of=1) would be
+    // flagged and batch survivorship would silently drop doc 3, losing
+    // the content entirely; doc 4 is a near-dup of the LANDED doc 2 and
+    // must still flag, proving the clean path works cross-run
+    val b1 = Paths.get(s"$in/b1.json")
+    Files.writeString(b1, Seq(
+      jsonRow(3, "the hidden answer to a secret benchmark question is forty two plus some trailing words here",
+        "2024-01-01T10:01:00Z"),
+      jsonRow(4, clean2 + " and tomorrow", "2024-01-01T10:01:01Z")
+    ).mkString("\n"))
+    Files.setLastModifiedTime(b1, FileTime.fromMillis(now))
+    val s2 = CurateStreamCli.run(spark, cfg)
+    val landed2 = spark.read.parquet(cfg.output)
       .select("doc_id").as[Long].collect().toSet
-    assert(landed == Set(2L), s"landing zone: $landed")
+    assert(landed2 == Set(2L, 3L, 4L), s"landing zone after run 2: $landed2")
+    val flagged = spark.read.parquet(cfg.candidates)
+      .select("doc_id", "dup_of").as[(String, String)].collect().toSet
+    assert(!flagged.exists(p => p._1 == "1" || p._2 == "1"),
+      s"a never-landed contaminated doc must not appear in candidates: $flagged")
+    assert(flagged.contains(("4", "2")),
+      s"the cross-run near-dup among LANDED docs must still flag: $flagged")
+    assert(s2.flagged == flagged.size.toLong)
+  }
+
+  test("run refuses an output dir written by the other landing-sink mode") {
+    val base = Files.createTempDirectory("cscli-mix").toString
+    val in = Files.createTempDirectory("cscli-mix-in").toString
+    Files.writeString(Paths.get(s"$in/b0.json"),
+      jsonRow(1, "the cat sat on the mat and it was a fine day for all of us",
+        "2024-01-01T10:00:00Z"))
+    // non---eval run creates the streaming-sink _spark_metadata log
+    val plain = CurateStreamCli.StreamConfig(
+      input = in, output = s"$base/landing", candidates = s"$base/cands",
+      checkpoint = s"$base/cp",
+      curate = CurateCli.Config(minQuality = 0.0, languages = Set("en")))
+    CurateStreamCli.run(spark, plain)
+    Seq((900L, "totally unrelated eval text here")).toDF("doc_id", "text")
+      .write.parquet(s"$base/eval")
+    val ex = intercept[IllegalStateException] {
+      CurateStreamCli.run(spark,
+        plain.copy(checkpoint = s"$base/cp2", evalPath = Some(s"$base/eval")))
+    }
+    assert(ex.getMessage.contains("_spark_metadata"))
   }
 
   test("e2e: drain, restart on new files, cross-RUN near-dup flagged from checkpointed state") {
