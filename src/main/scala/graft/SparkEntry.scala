@@ -314,6 +314,12 @@ object SparkEntry {
       TextAnalysis.selectByBudget(
         Tables.documents(s, d).filter(col("text").isNotNull),
         "doc_id", "text", budget = 20000L)),
+    // q57: deterministic train/val/test split assignment (80/10/10) on
+    // the salted portable-hash coin — the partition every training
+    // pipeline carves before anything else touches the corpus
+    "q57_split_assign" -> ((s, d) =>
+      TextAnalysis.assignSplits(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("split"))),
     // q50: PII scrub. The corpus contains no PII (verified: zero rows
     // with digits or '@'), so the query SYNTHESIZES a deterministic
     // email + IP + phone per row — identically on both engines — and
@@ -775,6 +781,15 @@ object SparkEntry {
          |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q)
          |SELECT doc_id, quality, n_tokens FROM c WHERE cum <= 20000""".stripMargin,
+    // q57: the oracle recomputes the salted coin and the cumulative-ppm
+    // CASE ladder (80/10/10)
+    "q57_split_assign" ->
+      s"""WITH t AS (SELECT doc_id, CAST(doc_id AS VARCHAR) || '#split' AS tok FROM documents),
+         |h AS (SELECT doc_id,
+         |   ($polyAsql + ($polyBsql << 31)) % 1000000 AS coin FROM t)
+         |SELECT doc_id, CASE WHEN coin < 800000 THEN 'train'
+         |  WHEN coin < 900000 THEN 'val' ELSE 'test' END AS split
+         |FROM h""".stripMargin,
     // q50: same synthetic-PII augmentation, same ordered regex chain
     // (email → IP → phone) re-derived in SQL; 'g' = replace-all to
     // match Spark's regexp_replace semantics

@@ -273,6 +273,33 @@ object TextAnalysis {
       lit(1000000L)) < rate)
   }
 
+  /** Deterministic train/val/test split assignment: each row gets a
+    * `split` label by where its hash coin lands among the cumulative
+    * ppm thresholds (which must sum to exactly 1e6 — the split is a
+    * PARTITION, every row labeled exactly once). The coin is the
+    * portable hash of the key SALTED with "#split" — deliberately a
+    * different coin than [[sampleByMix]]'s, because a corpus that was
+    * mix-sampled kept only low-coin rows, and re-using that coin would
+    * funnel every survivor into the first split. Same scale shape as
+    * the sampler: a codegen'd projection, no shuffle. */
+  def assignSplits(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Long)] =
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0L) &&
+      splits.map(_._2).sum == 1000000L,
+      "split ppm weights must be positive and sum to exactly 1e6")
+    val coin = pmod(
+      graft.functions.TextHashExpressions.polyHash62(
+        concat(col(keyCol).cast("string"), lit("#split"))),
+      lit(1000000L))
+    val cums = splits.scanLeft(0L)(_ + _._2).tail
+    val label = splits.init.zip(cums.init)
+      .foldRight(lit(splits.last._1): Column) { case (((l, _), cum), acc) =>
+        when(coin < cum, lit(l)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
   /** Quality-ranked corpus selection under a token budget: keep the
     * highest-quality documents whose cumulative token count (in
     * quality-descending, id-ascending order) stays within `budget` —

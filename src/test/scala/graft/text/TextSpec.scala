@@ -288,6 +288,33 @@ class TextSpec extends SparkSpec {
     assert(frac > 0.25 && frac < 0.55, s"src1 kept $frac at rate 0.4")
   }
 
+  test("assignSplits: exhaustive partition, deterministic, mix-independent") {
+    val rows = (1L to 3000L).map(i => (i, s"src${i % 4}")).toDF("id", "stratum")
+    val splits = TextAnalysis.assignSplits(rows, "id")
+      .select("id", "split").as[(Long, String)].collect()
+    // every row labeled exactly once with a known label
+    assert(splits.length == 3000 &&
+      splits.forall(s => Set("train", "val", "test")(s._2)))
+    val byLabel = splits.groupBy(_._2).view.mapValues(_.length).toMap
+    // coarse proportionality to 80/10/10 (deterministic, so these are
+    // fixed numbers — the band just avoids pinning exact hash counts)
+    assert(byLabel("train") > 2200 && byLabel("val") > 150 && byLabel("test") > 150,
+      s"split sizes: $byLabel")
+    // determinism
+    assert(TextAnalysis.assignSplits(rows, "id")
+      .select("id", "split").as[(Long, String)].collect().toSet == splits.toSet)
+    // SALTED coin: a mix-sampled subset (low sampler coins) still spans
+    // all three splits — the failure mode the salt exists to prevent
+    val sampled = TextAnalysis.assignSplits(
+      TextAnalysis.sampleByMix(rows, "id", "stratum", Map.empty, 300000L), "id")
+      .select("split").as[String].collect().toSet
+    assert(sampled == Set("train", "val", "test"),
+      s"mix survivors must still span all splits, got $sampled")
+    // weights must sum to exactly 1e6
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.assignSplits(rows, "id", Seq("a" -> 1L, "b" -> 2L)))
+  }
+
   test("selectByBudget: null-text docs are not selectable and charge nothing") {
     val corpus = Seq(
       (1L, "the cat sat on the mat and it was a very fine day for all"),
