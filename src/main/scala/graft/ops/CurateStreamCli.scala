@@ -9,10 +9,9 @@ import graft.observe.{CdcQueryListener, MetricsRegistry}
 
 /** Streaming ingest-curation launcher — the ops entry point that wires
   * [[CurateCli.curateStream]] (exact-dedup + language + quality gates)
-  * and [[CurateCli.curateStreamCandidates]]
-  * ([[graft.text.StreamingNearDedup]] cross-batch near-dup flagging)
-  * into a drivable, restartable pipeline, the way [[CdcReplicateCli]]
-  * does for replication (reference CLI contract:
+  * and [[graft.text.StreamingNearDedup]] (cross-batch near-dup
+  * flagging) into a drivable, restartable pipeline, the way
+  * [[CdcReplicateCli]] does for replication (reference CLI contract:
   * specs/001-scylla-pg-cdc/contracts/reconciliation-cli.yaml:36-59).
   *
   *   runMain graft.ops.CurateStreamCli \
@@ -30,17 +29,22 @@ import graft.observe.{CdcQueryListener, MetricsRegistry}
   * shingling is governed by `--decontaminate-k` (short eval texts under
   * that many tokens fall back to one whole-text shingle).
   *
-  * Two queries over the same file source, each with its own checkpoint
-  * subdirectory: the landing query appends curated docs to `--output`;
-  * the candidate query appends `(doc_id, dup_of, band, est_jaccard)`
-  * rows to `--candidates` whenever an arrival is near-identical to a
-  * document seen in ANY earlier micro-batch — including earlier RUNS,
-  * because the LSH bucket state lives in the checkpoint and restores on
-  * restart. Trigger.AvailableNow (drain-then-stop) makes the same entry
-  * point serve first-load and incremental invocations; re-running after
-  * new files arrive processes only the delta (ST3 semantics). Batch
-  * survivorship ([[graft.text.Dedup.dedupByPairs]]) then consumes the
-  * side-table without re-scanning the corpus.
+  * Two queries, each with its own checkpoint subdirectory: the landing
+  * query appends curated docs to `--output`; the candidate query
+  * appends `(doc_id, dup_of, band, est_jaccard)` rows to
+  * `--candidates` whenever an arrival is near-identical to a document
+  * seen in ANY earlier micro-batch — including earlier RUNS, because
+  * the LSH bucket state lives in the checkpoint and restores on
+  * restart. Without `--eval` both queries read the gated input stream;
+  * with `--eval` the landing query decontaminates per micro-batch
+  * (foreachBatch) and the candidate query streams FROM the clean
+  * landing zone (bronze → silver), so decontamination-dropped docs
+  * never enter the LSH state and can never orphan a survivorship
+  * decision. Trigger.AvailableNow (drain-then-stop) makes the same
+  * entry point serve first-load and incremental invocations;
+  * re-running after new files arrive processes only the delta (ST3
+  * semantics). Batch survivorship ([[graft.text.Dedup.dedupByPairs]])
+  * then consumes the side-table without re-scanning the corpus.
   *
   * Prints one JSON metrics line per query (rows in/out via the
   * [[CdcQueryListener]] registry) and a final summary line.
@@ -76,21 +80,31 @@ object CurateStreamCli {
     // foreachBatch appends). Mixing them in one directory makes one
     // mode's files invisible to every reader (the metadata log wins and
     // hides unlisted parts) — refuse up front rather than silently
-    // losing output
-    val hasSinkLog =
-      new java.io.File(s"${cfg.output}/_spark_metadata").isDirectory
+    // losing output. The check goes through the Hadoop FileSystem API,
+    // NOT java.io.File: the output is routinely an hdfs:// or s3a://
+    // URI, where a local-File probe is always false and the guard would
+    // fail open into exactly the loss it exists to refuse.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val outPath = new org.apache.hadoop.fs.Path(cfg.output)
+    val fs = outPath.getFileSystem(hconf)
+    val hasSinkLog = fs.exists(
+      new org.apache.hadoop.fs.Path(outPath, "_spark_metadata"))
+    // switching modes also needs a fresh source checkpoint — the old one
+    // has committed the already-ingested files' offsets, so a fresh
+    // output alone would silently drain zero rows into it
+    val remedy = "Use a fresh --output AND a fresh --checkpoint " +
+      "(the old checkpoint has already committed the ingested files, so " +
+      "a fresh output alone would stay empty)."
     if (cfg.evalPath.isDefined && hasSinkLog)
       throw new IllegalStateException(
         s"${cfg.output} was written by a non---eval run (streaming file " +
           "sink); --eval appends would be invisible behind its " +
-          "_spark_metadata log. Use a fresh --output.")
-    if (cfg.evalPath.isEmpty && !hasSinkLog &&
-        Option(new java.io.File(cfg.output).listFiles())
-          .exists(_.exists(_.getName.endsWith(".parquet"))))
+          s"_spark_metadata log. $remedy")
+    if (cfg.evalPath.isEmpty && !hasSinkLog && fs.exists(outPath) &&
+        fs.listStatus(outPath).exists(_.getPath.getName.endsWith(".parquet")))
       throw new IllegalStateException(
         s"${cfg.output} holds --eval-mode appends; a streaming file sink " +
-          "would hide them behind its _spark_metadata log. Use a fresh " +
-          "--output.")
+          s"would hide them behind its _spark_metadata log. $remedy")
 
     def source() = spark.readStream.schema(inputSchema)
       .option("maxFilesPerTrigger", 1) // backpressure: bounded micro-batches
@@ -98,6 +112,7 @@ object CurateStreamCli {
 
     val gated = CurateCli.curateStream(source(), "text", "ts",
       cfg.curate, cfg.watermark)
+    var evalCache: Option[org.apache.spark.sql.DataFrame] = None
     val landingWriter = cfg.evalPath match {
       case None =>
         gated.writeStream.format("parquet").option("path", cfg.output)
@@ -116,6 +131,7 @@ object CurateStreamCli {
           spark.read.parquet(evalDir), "text", cfg.curate.decontaminateK)
           .persist()
         evalShingles.count() // materialize before the stream starts
+        evalCache = Some(evalShingles) // released after the landing drain
         gated.writeStream.foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
               _: Long) =>
@@ -140,11 +156,14 @@ object CurateStreamCli {
     // landing drain so the files exist, and its own checkpoint tracks
     // which landed files it has processed across runs.
     val candSource: org.apache.spark.sql.DataFrame = cfg.evalPath match {
-      case None =>
-        CurateCli.curateStream(source(), "text", "ts",
-          cfg.curate, cfg.watermark)
+      // a streaming DataFrame can back multiple queries (each plans its
+      // own source instance) — reuse `gated` rather than duplicating its
+      // construction, so the landing zone and the LSH state can never
+      // silently diverge about which gates apply
+      case None => gated
       case Some(_) =>
         landing.awaitTermination()
+        evalCache.foreach(_.unpersist(blocking = false))
         spark.readStream.schema(gated.schema)
           .option("maxFilesPerTrigger", 1).parquet(cfg.output)
     }
