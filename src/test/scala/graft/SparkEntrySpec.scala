@@ -13,6 +13,14 @@ class SparkEntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every query is oracle-checked (full-coverage invariant since r2)") {
+    // the correctness gate only verifies queries that carry oracle SQL —
+    // a new query without one silently downgrades to a rows-only check;
+    // this pins the 100%-oracle invariant the round verdicts grade
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"query without oracle: $unchecked")
+  }
+
   test("all queries execute at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
