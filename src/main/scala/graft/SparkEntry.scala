@@ -320,6 +320,25 @@ object SparkEntry {
     "q57_split_assign" -> ((s, d) =>
       TextAnalysis.assignSplits(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("split"))),
+    // q58: exact-substring dedup (Lee et al. 2022): maximal token spans
+    // whose every 8-gram occurs in >= 2 distinct documents — localizes
+    // the boilerplate passage instead of dropping the whole document
+    "q58_duplicated_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 8, minDf = 2)),
+    // q59: Bloom-gated incremental dedup — the doc_id % 10 slice is the
+    // arriving batch, the rest is the accumulated history; a new doc
+    // drops when it shares any 8-gram with history. The bloom only
+    // prunes (exact confirm follows), so the result is exact and the
+    // oracle is a plain shingle anti-join
+    "q59_dedup_vs_history" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupAgainstHistory(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     // q50: PII scrub. The corpus contains no PII (verified: zero rows
     // with digits or '@'), so the query SYNTHESIZES a deterministic
     // email + IP + phone per row — identically on both engines — and
@@ -749,6 +768,40 @@ object SparkEntry {
         |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS hits
         |FROM sh JOIN ev ON sh.shingle = ev.shingle
         |GROUP BY sh.doc_id""".stripMargin,
+    // q58: the oracle re-derives duplicated 8-grams as strings (engine
+    // joins 64-bit hashes — the accepted 2⁻⁶⁴ collision pattern) and
+    // replays the same gaps-and-islands merge in SQL windows
+    "q58_duplicated_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |lt AS (SELECT * FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, unnest(generate_series(0, len(toks)-8)) AS p, toks FROM lt),
+        |gg AS (SELECT doc_id, p, array_to_string(toks[p+1:p+8], ' ') AS gram FROM g),
+        |df AS (SELECT gram FROM (SELECT gram, count(*) AS dd
+        |   FROM (SELECT DISTINCT doc_id, gram FROM gg) GROUP BY 1) WHERE dd >= 2),
+        |hits AS (SELECT doc_id, p FROM gg WHERE gram IN (SELECT gram FROM df)),
+        |isl AS (SELECT doc_id, p, CASE WHEN p > lag(p)
+        |   OVER (PARTITION BY doc_id ORDER BY p) + 8 THEN 1 ELSE 0 END AS brk FROM hits),
+        |grp AS (SELECT doc_id, p, sum(brk)
+        |   OVER (PARTITION BY doc_id ORDER BY p) AS island FROM isl)
+        |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |  CAST(max(p) + 8 AS BIGINT) AS span_end, count(*) AS n_grams
+        |FROM grp GROUP BY doc_id, island""".stripMargin,
+    // q59: same shingle derivation as q53 (incl. the short-doc fallback),
+    // roles reversed: new slice (doc_id % 10 = 0) vs history (the rest).
+    // The engine's bloom is prefilter-only, so exact SQL is the oracle.
+    "q59_dedup_vs_history" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 8
+        |     THEN list_transform(generate_series(0, len(toks)-8), i -> array_to_string(toks[i+1:i+8], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+        |hist AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+        |dirty AS (SELECT DISTINCT sh.doc_id FROM sh
+        |  JOIN hist ON sh.shingle = hist.shingle WHERE sh.doc_id % 10 = 0)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
     // q55: the oracle recomputes the portable-hash coin from the doc id
     // string and applies the identical integer-ppm CASE ladder
     "q55_corpus_mix" ->

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over a documents table — the four standard
@@ -441,6 +442,181 @@ object Dedup {
       // distinct-shared-shingle count — no count(distinct) needed
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("hits"))
+  }
+
+  // ---- incremental dedup against a history corpus (Bloom-gated) -------
+
+  /** Bloom filter over the history corpus's distinct k-gram shingle
+    * hashes — the persistable membership sketch behind
+    * [[dedupAgainstHistory]]. Built with ONE aggregation pass over the
+    * history scan (Spark's `stat.bloomFilter` tree-aggregates per-
+    * partition filters); size it with `expectedItems` ≈ the history's
+    * distinct shingle count (the filter is ~1.2 bytes/item at 1% fpp,
+    * so a billion-shingle history sketches into ~1.2 GB — broadcast-
+    * sized, vs TBs for the exact set). In a persistent ingest pipeline
+    * this artifact is built once per history snapshot and reused by
+    * every arriving batch. */
+  def historyShingleBloom(historyDf: DataFrame, textCol: String, k: Int = 8,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01)
+      : org.apache.spark.util.sketch.BloomFilter =
+    historyDf
+      .select(explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
+      .stat.bloomFilter("shingle", expectedItems, fpp)
+
+  /** Incremental-ingest dedup: drop new-batch documents that share at
+    * least `minHits` distinct k-gram shingles with a HISTORY corpus —
+    * [[decontaminate]]'s semantics with the roles reversed (the
+    * reference side is the accumulated corpus, far too large for an
+    * exact broadcast set). The Bloom sketch makes that tractable:
+    *
+    *   1. prefilter — new-batch shingles test against the history
+    *      bloom INSIDE the scan ([[graft.functions.BloomMightContainLong]],
+    *      codegen'd): no join, no shuffle; survivors are true overlaps
+    *      plus an fpp-fraction of false positives.
+    *   2. exact confirm — the surviving shingle set (small by
+    *      construction) broadcasts against ONE history scan to discard
+    *      the false positives, so the emitted result is EXACT for any
+    *      fpp: the sketch only buys the pruning, never decides a drop.
+    *
+    * Passes at scale: 1× history (confirm; the bloom build amortizes
+    * across batches), 2× the new batch (prefilter + final anti-join) —
+    * and no shuffle of either corpus. Set `broadcastConfirm = false`
+    * if an adversarially-overlapping batch makes the candidate set
+    * too big to broadcast (falls back to shuffled semi-joins on the
+    * 8-byte hash key). */
+  def dedupAgainstHistory(newDf: DataFrame, historyDf: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, minHits: Int = 1,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01,
+      broadcastConfirm: Boolean = true): DataFrame =
+    dedupAgainstHistoryBloom(newDf, historyDf,
+      historyShingleBloom(historyDf, textCol, k, expectedItems, fpp),
+      idCol, textCol, k, minHits, broadcastConfirm)
+
+  /** [[dedupAgainstHistory]] against a pre-built (typically persisted)
+    * [[historyShingleBloom]]. */
+  def dedupAgainstHistoryBloom(newDf: DataFrame, historyDf: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter, idCol: String,
+      textCol: String, k: Int = 8, minHits: Int = 1,
+      broadcastConfirm: Boolean = true): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (broadcastConfirm) broadcast else identity
+    // 1. bloom prefilter: (id, shingle) pairs that MIGHT be in history.
+    //    Materialized — read twice (confirm-set derivation + hit count)
+    //    and small by construction (true overlaps + fpp of the rest).
+    val cand = newDf
+      .select(col(idCol).as("__id"),
+        explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
+      .filter(graft.functions.BloomExpressions.mightContainLong(col("shingle"), bloom))
+      .localCheckpoint()
+    // 2. exact confirm: one history pass against the broadcast candidate
+    //    shingle set — false positives fall out here
+    val confirmed = historyDf
+      .select(explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
+      .join(maybeBroadcast(cand.select("shingle").distinct()),
+        Seq("shingle"), "left_semi")
+      .distinct()
+    // per-doc distinct candidates ⋈ globally-distinct confirmed shingles
+    // ⇒ plain count = distinct-hit count (same arithmetic as
+    // [[contaminationCountsAgainst]])
+    val dirty = cand
+      .join(maybeBroadcast(confirmed), Seq("shingle"), "left_semi")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+      .select(idCol)
+    newDf.join(dirty, Seq(idCol), "left_anti")
+  }
+
+  // ---- duplicated-span detection (exact substring dedup) ---------------
+
+  /** Maximal duplicated token spans per document — the exact-substring
+    * dedup of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., 2022) re-expressed relationally: a position
+    * is DUPLICATED when the k-gram starting there occurs in at least
+    * `minDf` distinct documents; overlapping/adjacent duplicated
+    * k-gram windows merge into maximal spans. Output:
+    * `(idCol, span_start, span_end, n_grams)` with token-index spans
+    * `[span_start, span_end)` and `n_grams` = duplicated k-gram starts
+    * inside the span. Unlike whole-doc near-dedup this localizes WHICH
+    * passage is boilerplate, so a curator can excise the passage and
+    * keep the document ([[removeDuplicatedSpans]]).
+    *
+    * Scale shape: duplicated-k-gram discovery is the per-doc-distinct
+    * shingle explode + one count-per-hash aggregation (8-byte keys —
+    * the [[shingleIndex]] shuffle, NOT a corpus-wide suffix sort: the
+    * suffix-array formulation of Lee et al. is a single-machine
+    * algorithm; hash-grouping is its shuffle-native equivalent).
+    * Positions then semi-join that duplicated-hash set — at corpus
+    * scale the hash set is the join's small side (boilerplate grams
+    * are rare relative to all grams) and broadcasts. The island merge
+    * is a window partitioned BY DOCUMENT, so no global sort: each
+    * doc's positions sort locally within its hash partition.
+    *
+    * Docs with fewer than k tokens contain no k-gram and are excluded
+    * from both sides (they can neither carry nor contribute a span).
+    * Within-doc repetition alone does not mark a span (`minDf` counts
+    * distinct documents); use [[graft.text.TextAnalysis.repetitionProfile]]
+    * for intra-doc repetition. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (cross-document), got $minDf")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val longDocs = df.filter(col(textCol).isNotNull && size(toks) >= k)
+    // duplicated k-grams: per-doc distinct hashes, docfreq >= minDf
+    val dup = longDocs
+      .select(col(idCol), explode(shingleHashes(col(textCol), k, distinct = true))
+        .as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("shingle")
+    // positions of duplicated grams: posexplode keeps the start index
+    val hits = longDocs
+      .select(col(idCol).as("__id"),
+        posexplode(shingleHashes(col(textCol), k)).as(Seq("pos", "shingle")))
+      .join(dup, Seq("shingle"), "left_semi")
+      .select(col("__id"), col("pos").cast("long").as("pos"))
+    // gaps-and-islands: a new span starts when this window's start is
+    // beyond the previous window's end (pos > prev + k ⇒ a gap of at
+    // least one non-duplicated token; pos ≤ prev + k merges, so
+    // back-to-back windows [p,p+k)[p+k,p+2k) fuse into one span)
+    val w = Window.partitionBy("__id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        Window.partitionBy("__id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id").as(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k.toLong)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("island")
+  }
+
+  /** Excise duplicated spans: every token covered by a
+    * [[duplicatedSpans]] span is dropped and the remainder re-joined
+    * with single spaces (whitespace reflow is already canonical —
+    * [[TextAnalysis.fingerprint]] normalizes it). Documents with no
+    * spans (including short and null-text docs) pass through with text
+    * unchanged. The span table joins back grouped per doc, so the
+    * token filter is one array pass per document — no per-span
+    * row multiplication. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDf: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, k, minDf)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ",
+            filter(toks, (t, i) =>
+              !exists(col("__spans"), s =>
+                i.cast("long") >= s.getField("span_start") &&
+                  i.cast("long") < s.getField("span_end"))))))
+      .drop("__spans")
   }
 
   /** [[decontaminate]] against a pre-built [[evalShingleSet]]. */
