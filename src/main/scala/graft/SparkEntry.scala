@@ -264,6 +264,13 @@ object SparkEntry {
     "q47_sessionize" -> ((s, d) =>
       graft.analytics.StreamingAnalytics.sessionize(
         Tables.events(s, d), "ts", "user_id", "value", gap = "3 days")),
+    // q60: SemDeDup — cluster embeddings to the q45 fixed centroids,
+    // prune within-cell pairs at cosine >= 0.4, keep min-id survivors.
+    // The fixed quantizer makes assignment + pruning fully re-derivable
+    // by the oracle (the k-means variant is covered by IvfSpec).
+    "q60_semdedup" -> ((s, d) =>
+      graft.vector.SemDedup.semDedup(Tables.embeddings(s, d), "vec_id",
+        "embedding", ivfCentroids(s, d), threshold = 0.4)),
     "q46_dedup_near_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.dedupByPairs(docs, "doc_id",
@@ -984,6 +991,20 @@ object SparkEntry {
         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM p
         |WHERE cosine >= CAST(0.35 AS DOUBLE)""".stripMargin,
+    // q60: the oracle replays the q45 fixed-centroid assignment (argmax
+    // cosine, ties to the lower centroid id), the within-cell pair
+    // pruning at rounded cosine >= 0.4, and min-id survivorship
+    "q60_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS c, emb AS cemb FROM e WHERE vec_id < 8),
+        |assign AS (SELECT v.vec_id, v.emb,
+        |  (SELECT c FROM cent ORDER BY list_cosine_similarity(v.emb, cemb) DESC, c LIMIT 1) AS cell
+        |  FROM e v),
+        |drop AS (SELECT DISTINCT y.vec_id FROM assign x
+        |  JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= CAST(0.4 AS DOUBLE))
+        |SELECT a.vec_id, CAST(a.cell AS INT) AS cell FROM assign a
+        |WHERE a.vec_id NOT IN (SELECT vec_id FROM drop)""".stripMargin,
   )
 
   /** DuckDB fragments computing graft.functions.TextHashes.poly over a
