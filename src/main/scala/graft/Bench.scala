@@ -15,9 +15,12 @@ object Bench {
     // alongside) — single-shot numbers at this scale are dominated by
     // JIT warmup, page cache, and GC (observed ±30-50%); the median is
     // the stable statistic, the spread makes the noise floor visible
-    // malformed env → default; 1 is allowed for a fast smoke bench
+    // malformed env → default; 1 is allowed for a fast smoke bench.
+    // Default 5 (was 3): the host occasionally stalls a single run by
+    // 5-50× (observed spread [0.9, 7.4] on one query within a minute);
+    // with 3 runs one stall lands ON the median, with 5 it cannot.
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
-      .flatMap(_.toIntOption).getOrElse(3))
+      .flatMap(_.toIntOption).getOrElse(5))
     val failed = scala.collection.mutable.Set.empty[String]
     def timed(name: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -30,7 +33,15 @@ object Bench {
       val ts = Vector.fill(runs)(timed(name)(body)).sorted
       (ts(ts.size / 2), ts.head, ts.last)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query filter for isolating one query's
+    // timing (diagnostics only — the driver runs the full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       name -> stats(name) { fn(spark, sfDir).count(): Unit }
     }
     // end-to-end curation funnel (exact → near → lang → quality with
@@ -38,20 +49,24 @@ object Bench {
     // visible, but reported SEPARATELY from the oracle-query total (so
     // `value` stays comparable round-over-round); each run builds fresh
     // stage caches and releases them, so runs don't feed each other
-    val funnel = stats("curate_funnel") {
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+    val zero = (0.0, 0.0, 0.0)
+    val funnel = if (!wanted("curate_funnel")) zero else stats("curate_funnel") {
       val r = ops.CurateCli.curate(
         Tables.documents(spark, sfDir), "doc_id", "text")
       r.unpersist()
     }
-    // the FULL funnel: all six extended stages on (domain mix →
-    // pii scrub → repetition filter → decontaminate vs the q53 eval
-    // slice → token-budget selection → sequence packing) — the
-    // everything-enabled curation cost
-    val funnelFull = stats("curate_funnel_full") {
+    // the FULL funnel: all seven extended stages on (domain mix →
+    // pii scrub → repetition filter → span excision → decontaminate vs
+    // the q53 eval slice → token-budget selection → sequence packing)
+    // — the everything-enabled curation cost
+    val funnelFull = if (!wanted("curate_funnel_full")) zero
+    else stats("curate_funnel_full") {
       val docs = Tables.documents(spark, sfDir)
       val r = ops.CurateCli.curate(docs, "doc_id", "text",
         ops.CurateCli.Config(mixDefaultPpm = 900000L,
           piiScrub = true, maxRepetitionRatio = 0.9,
+          exciseSpanK = 8,
           budgetTokens = 2000000L,
           packBudget = 512, packBuckets = 8),
         evalDocs = Some(docs.filter(col("doc_id") % 37 === 0)))

@@ -36,7 +36,13 @@ object Plans {
     "q55_corpus_mix" ->
       "Domain mixing is a single codegen'd filter on the scan: the portable-hash coin and the integer-ppm CASE ladder evaluate per row with no exchange, no join, no aggregate — the plan a stratified sampler must have to be free at any scale.",
     "q56_budget_select" ->
-      "Token-budget selection WITHOUT a global ordered window: quality lands in fixed-range buckets, per-bucket totals return to the driver (bounded rows), whole buckets keep/drop as a shuffle-free filter, and only the boundary bucket — 1/buckets of the data — pays a windowspecdefinition(__bkt) ordered pass. The oracle's global-window SQL pins that this decomposition is exact.")
+      "Token-budget selection WITHOUT a global ordered window: quality lands in fixed-range buckets, per-bucket totals return to the driver (bounded rows), whole buckets keep/drop as a shuffle-free filter, and only the boundary bucket — 1/buckets of the data — pays a windowspecdefinition(__bkt) ordered pass. The oracle's global-window SQL pins that this decomposition is exact.",
+    "q58_duplicated_spans" ->
+      "Exact-substring dedup without a suffix array: duplicated k-grams come from the per-doc-distinct shingle explode + one count aggregation on 8-byte hashes; positions semi-join that (small) duplicated set — broadcast at scale; and the island merge is a Window PARTITIONED BY DOCUMENT, so each doc's positions sort locally inside its hash partition — no global sort anywhere in the plan.",
+    "q59_dedup_vs_history" ->
+      "Incremental-ingest dedup with a Bloom gate: the new batch's shingles filter against might_contain_long INSIDE the scan (no join below the prefilter), the surviving candidate set broadcasts against ONE history pass for exact confirmation, and the final anti-join touches only confirmed-dirty ids. Neither corpus shuffles; the sketch replaces the unbroadcastable exact history set.",
+    "q60_semdedup" ->
+      "SemDeDup cluster-then-prune: centroid assignment is k native cosines per row fused into the scan (no shuffle); the pair join keys on cell only, so the O(N^2) pair space collapses to within-cell blocks (k ~ sqrt(N) keeps it near-linear); survivorship is one anti-join. The checkpointed assignment is scanned by both join sides instead of recomputing the quantizer.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -78,6 +78,19 @@ object ScaleBench {
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
+  /** Drop every persisted/localCheckpoint'd block and nudge the
+    * ContextCleaner (System.gc() is what lets it reap now-unreferenced
+    * checkpoint RDDs and broadcasts). Without this, the factor-1 phase's
+    * checkpoint blocks stay pinned in storage memory through the
+    * factor-10 phase and its big aggregations spill — the measured
+    * effect was a 4× slowdown on the first post-switch heavy query.
+    * Only called at points where no benched query still references a
+    * checkpoint (after the shingle-index family, between factors). */
+  private def releaseStorage(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
   /** Runs the heavy-query family against a materialized scaled corpus;
     * returns (query → (seconds, result rows)). */
   def run(spark: SparkSession, docsPath: String, embPath: String,
@@ -102,6 +115,7 @@ object ScaleBench {
     bench("q48_ngram_dfcut")(
       Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.4,
         maxShingleDf = 20L).count())
+    releaseStorage(spark) // idx is done; its checkpoint must not pin storage
     // auto-sized blocks (the at-scale path), not the bench-pinned 8
     bench("q39_embedding_neardup")(
       Similarity.exactNearDuplicatePairs(emb, "vec_id", "embedding",
@@ -119,7 +133,35 @@ object ScaleBench {
       r.unpersist()
       n
     }
+    // q58: duplicated spans — within-replica shared stretches keep their
+    // shared 8-grams (the salt insertion is a function of the preceding
+    // word, identical in both carriers), so span volume scales linearly
+    bench("q58_duplicated_spans")(
+      Dedup.duplicatedSpans(docs, "doc_id", "text", k = 8).count())
+    // q59: history dedup — the bloom is sized for the scaled history's
+    // shingle count (the caller-supplied capacity knob doing its job)
+    bench("q59_dedup_vs_history")(
+      Dedup.dedupAgainstHistory(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", k = 8, expectedItems = 50000000L).count())
+    releaseStorage(spark) // q59's candidate checkpoint + funnel leftovers
     results.toList
+  }
+
+  /** q60 at scale: centroid count grows with the corpus (the SemDeDup
+    * paper's k ∝ N regime — constant expected cell size, so within-cell
+    * pair work stays linear in N; a FIXED k under 10× data would be the
+    * quadratic mis-configuration, not a plan property). */
+  def runSemDedup(spark: SparkSession, embPath: String, k: Int): (Double, Long) = {
+    val emb = spark.read.parquet(embPath)
+    val cents = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val t0 = System.nanoTime()
+    val n = graft.vector.SemDedup.semDedup(emb, "vec_id", "embedding",
+      cents, threshold = 0.4).count()
+    ((System.nanoTime() - t0) / 1e9, n)
   }
 
   def main(args: Array[String]): Unit = {
@@ -163,8 +205,14 @@ object ScaleBench {
         .repartition(32).write.mode("overwrite").parquet(eDir)
       println(s"""{"scale_factor":$f,"docs":${spark.read.parquet(dDir).count()}}""")
       val rs = run(spark, dDir, eDir, funnelCfg)
-      out += rs.map { case (q, s, n) => s""""$q":[$s,$n]""" }
+      // k ∝ corpus size: 8 centroids per replica-worth of data keeps the
+      // expected cell size constant across factors
+      val (semSec, semRows) = runSemDedup(spark, eDir, k = 8 * f)
+      println(s"""{"scale_query":"q60_semdedup","sec":${math.rint(semSec * 1000) / 1000},"rows":$semRows}""")
+      out += (rs ++ Seq(("q60_semdedup", semSec, semRows)))
+        .map { case (q, s, n) => s""""$q":[$s,$n]""" }
         .mkString(s"""{"factor":$f,""", ",", "}")
+      releaseStorage(spark) // factor boundary: nothing crosses it
     }
     out.foreach(println)
     spark.stop()

@@ -40,6 +40,11 @@ object CurateCli {
     *  - `maxRepetitionRatio` < 1.0 drops boilerplate/degenerate docs
     *    whose top `repetitionK`-gram covers more than that share of all
     *    their grams ([[TextAnalysis.repetitionStats]]);
+    *  - `exciseSpanK` > 0 runs duplicated-span excision at that k-gram
+    *    width ([[Dedup.removeDuplicatedSpans]], `exciseSpanMinDf` the
+    *    cross-document frequency floor): boilerplate PASSAGES shared by
+    *    surviving docs are cut out while the docs themselves stay — the
+    *    passage-level complement of the whole-doc dedup stages;
     *  - decontamination runs when the caller passes `evalDocs` to
     *    [[curate]] (`decontaminateK`/`decontaminateMinHits` are its
     *    shingle width and n-of-k evidence threshold);
@@ -70,6 +75,8 @@ object CurateCli {
       piiScrub: Boolean = false,
       maxRepetitionRatio: Double = 1.0,
       repetitionK: Int = 2,
+      exciseSpanK: Int = 0,
+      exciseSpanMinDf: Int = 2,
       decontaminateK: Int = 8,
       decontaminateMinHits: Int = 1,
       budgetTokens: Long = 0L,
@@ -178,6 +185,14 @@ object CurateCli {
         advance("repetition", cur.join(keep, Seq(idCol), "left_semi"))
       }
 
+      if (cfg.exciseSpanK > 0)
+        // passage-level dedup AFTER the whole-doc stages: the remaining
+        // corpus keeps every doc but loses the cross-document
+        // boilerplate stretches (the datasheet row shows the token drop
+        // with docs unchanged — the signature of an excision stage)
+        advance("span_excise", Dedup.removeDuplicatedSpans(cur, idCol,
+          textCol, k = cfg.exciseSpanK, minDf = cfg.exciseSpanMinDf))
+
       evalDocs.foreach { ev =>
         // the corpus side was rewritten by the scrub stage — shingle the
         // eval side through the SAME chain, or any eval window spanning
@@ -261,8 +276,9 @@ object CurateCli {
   /** The run's report artifact — the engine's analog of the reference's
     * reconciliation report (`scripts/reconcile.py:465-480`): per-stage
     * retained docs/tokens plus the drop each stage charged (the stage
-    * name IS the drop reason; `pii_scrub` and `pack` are rewrite /
-    * sidecar stages and never drop). */
+    * name IS the drop reason; `pii_scrub`, `span_excise` and `pack` are
+    * rewrite / sidecar stages and never drop documents — excision shows
+    * up as a token delta at constant docs). */
   def datasheetJson(funnel: Seq[StageCount]): String = {
     val rows = funnel.zipWithIndex.map { case (s, i) =>
       val dropped =
@@ -277,9 +293,9 @@ object CurateCli {
   /** CLI: curate <sfDir> <outDir> [minQuality] [full]. Writes the
     * curated corpus as parquet, a `funnel` stats table, and the run's
     * `datasheet.json`; prints one JSON line per stage plus the
-    * datasheet line. `full` switches on ALL six extended stages
-    * (mix → scrub → repetition → decontaminate vs the `% 37` eval
-    * slice → token-budget → pack). Exit 0. */
+    * datasheet line. `full` switches on ALL seven extended stages
+    * (mix → scrub → repetition → span excision → decontaminate vs the
+    * `% 37` eval slice → token-budget → pack). Exit 0. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/curated")
@@ -295,7 +311,7 @@ object CurateCli {
     val docs = graft.Tables.documents(spark, sfDir)
     val cfg =
       if (full) Config(minQuality = minQ, mixDefaultPpm = 900000L,
-        piiScrub = true, maxRepetitionRatio = 0.9,
+        piiScrub = true, maxRepetitionRatio = 0.9, exciseSpanK = 8,
         budgetTokens = 1000000000L, packBudget = 512, packBuckets = 8)
       else Config(minQuality = minQ)
     val evalDocs =

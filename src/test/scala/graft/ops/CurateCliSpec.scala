@@ -104,6 +104,32 @@ class CurateCliSpec extends SparkSpec {
     result.unpersist()
   }
 
+  test("span_excise stage cuts shared passages, keeps docs (tokens drop, docs don't)") {
+    // two docs share a 10-token boilerplate stretch at different offsets;
+    // shared k=3 shingle fraction stays far below the 0.8 near-dup
+    // threshold, so both survive whole-doc dedup and meet span excision
+    val boiler = "one two three the cat and the dog walked home"
+    val corpus = Seq(
+      (1L, boiler + " while the weather stayed warm and the garden was quiet"),
+      (2L, "the report was finished early in the morning " + boiler)
+    ).toDF("doc_id", "text")
+    val result = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, exciseSpanK = 4))
+    assert(result.funnel.map(_.stage) ==
+      Seq("input", "exact_dedup", "near_dedup", "language", "quality",
+        "span_excise"))
+    val byStage = result.funnel.map(s => s.stage -> s).toMap
+    // excision drops TOKENS, never documents
+    assert(byStage("span_excise").docs == byStage("quality").docs)
+    assert(byStage("span_excise").tokens == byStage("quality").tokens - 20,
+      s"each doc must lose exactly its 10 boilerplate tokens: ${result.funnel}")
+    val texts = result.corpus.select("text").as[String].collect()
+    assert(texts.forall(!_.contains("cat")), s"boilerplate must be excised: ${texts.toSeq}")
+    assert(texts.exists(_.contains("garden")) && texts.exists(_.contains("report")),
+      s"unique content must survive: ${texts.toSeq}")
+    result.unpersist()
+  }
+
   test("extended funnel honors decontaminateMinHits (n-of-k evidence)") {
     // doc 5 shares exactly ONE 8-gram with eval; minHits=2 keeps it
     val window = "alpha beta gamma delta epsilon zeta eta theta"
