@@ -42,7 +42,11 @@ object Plans {
     "q59_dedup_vs_history" ->
       "Incremental-ingest dedup with a Bloom gate: the new batch's shingles filter against might_contain_long INSIDE the scan (no join below the prefilter), the surviving candidate set broadcasts against ONE history pass for exact confirmation, and the final anti-join touches only confirmed-dirty ids. Neither corpus shuffles; the sketch replaces the unbroadcastable exact history set.",
     "q60_semdedup" ->
-      "SemDeDup cluster-then-prune: centroid assignment is k native cosines per row fused into the scan (no shuffle); the pair join keys on cell only, so the O(N^2) pair space collapses to within-cell blocks (k ~ sqrt(N) keeps it near-linear); survivorship is one anti-join. The checkpointed assignment is scanned by both join sides instead of recomputing the quantizer.")
+      "SemDeDup cluster-then-prune: centroid assignment is k native cosines per row fused into the scan (no shuffle); the pair join keys on cell only, so the O(N^2) pair space collapses to within-cell blocks (k ~ sqrt(N) keeps it near-linear); survivorship is one anti-join. The checkpointed assignment is scanned by both join sides instead of recomputing the quantizer.",
+    "q61_vocab_df" ->
+      "Corpus vocabulary is word-count-shaped on purpose: the (token, doc) pre-aggregation runs with map-side partials BEFORE the per-token rollup, so a stopword appearing in half the corpus shuffles one row per (token, doc) — never its raw occurrences — and no count(distinct) appears anywhere (it would re-shuffle raw pairs). The top-100 is TakeOrderedAndProject, not a global sort.",
+    "q62_chunk_windows" ->
+      "Context-window chunking is the plan a per-document transform must have: scan → filter → generate (one explode of the stride grid) → project, ZERO exchanges. The token array materializes once per row and every chunk slices it; no window function, no join, nothing leaves the input partition.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

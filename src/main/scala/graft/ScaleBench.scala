@@ -98,10 +98,15 @@ object ScaleBench {
     val docs = spark.read.parquet(docsPath)
     val emb = spark.read.parquet(embPath)
     val results = scala.collection.mutable.ListBuffer.empty[(String, Double, Long)]
+    // diagnostics: SPARK_GRAFT_SCALE_ONLY=q36_...,q46_... isolates queries
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def bench(name: String)(body: => Long): Unit = {
-      val (sec, n) = timed(body)
-      results += ((name, sec, n))
-      println(s"""{"scale_query":"$name","sec":${math.rint(sec * 1000) / 1000},"rows":$n}""")
+      if (only.forall(_.contains(name))) {
+        val (sec, n) = timed(body)
+        results += ((name, sec, n))
+        println(s"""{"scale_query":"$name","sec":${math.rint(sec * 1000) / 1000},"rows":$n}""")
+      }
     }
 
     // the shared shingle index, exactly as the q36/q46/q48 family uses it
@@ -184,6 +189,8 @@ object ScaleBench {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "true"))
       // NOTE: driver heap cannot be set here (JVM already launched) —
       // size it at launch, e.g. `sbt -J-Xmx8g "runMain graft.ScaleBench"`
       .getOrCreate()
@@ -196,20 +203,37 @@ object ScaleBench {
       languages = Set("en", "de", "fr", "es", "zh", "ja", "unknown"))
 
     val out = scala.collection.mutable.ListBuffer.empty[String]
-    for (f <- Seq(1, factor)) {
+    // diagnostics: SPARK_GRAFT_SCALE_FACTORS=10 runs a single factor
+    val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTORS")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(1, factor))
+    for (f <- factors) {
       val dDir = s"$workDir/f$f/documents.parquet"
       val eDir = s"$workDir/f$f/embeddings.parquet"
-      scaleDocuments(Tables.documents(spark, baseDir), f)
-        .repartition(32).write.mode("overwrite").parquet(dDir)
-      scaleEmbeddings(Tables.embeddings(spark, baseDir), f)
-        .repartition(32).write.mode("overwrite").parquet(eDir)
+      // diagnostics: SPARK_GRAFT_SCALE_REUSE=1 skips corpus regeneration
+      // when a previous run's parquet is already at workDir (the
+      // generator is deterministic, so reuse is exact)
+      val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
+        new java.io.File(s"$dDir/_SUCCESS").exists() &&
+        new java.io.File(s"$eDir/_SUCCESS").exists()
+      if (!reuse) {
+        scaleDocuments(Tables.documents(spark, baseDir), f)
+          .repartition(32).write.mode("overwrite").parquet(dDir)
+        scaleEmbeddings(Tables.embeddings(spark, baseDir), f)
+          .repartition(32).write.mode("overwrite").parquet(eDir)
+      }
       println(s"""{"scale_factor":$f,"docs":${spark.read.parquet(dDir).count()}}""")
       val rs = run(spark, dDir, eDir, funnelCfg)
       // k ∝ corpus size: 8 centroids per replica-worth of data keeps the
       // expected cell size constant across factors
-      val (semSec, semRows) = runSemDedup(spark, eDir, k = 8 * f)
-      println(s"""{"scale_query":"q60_semdedup","sec":${math.rint(semSec * 1000) / 1000},"rows":$semRows}""")
-      out += (rs ++ Seq(("q60_semdedup", semSec, semRows)))
+      val sem =
+        if (sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+            .forall(_.split(",").map(_.trim).contains("q60_semdedup"))) {
+          val (semSec, semRows) = runSemDedup(spark, eDir, k = 8 * f)
+          println(s"""{"scale_query":"q60_semdedup","sec":${math.rint(semSec * 1000) / 1000},"rows":$semRows}""")
+          Seq(("q60_semdedup", semSec, semRows))
+        } else Seq.empty
+      out += (rs ++ sem)
         .map { case (q, s, n) => s""""$q":[$s,$n]""" }
         .mkString(s"""{"factor":$f,""", ",", "}")
       releaseStorage(spark) // factor boundary: nothing crosses it

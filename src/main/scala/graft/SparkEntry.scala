@@ -346,6 +346,20 @@ object SparkEntry {
         "doc_id", "text", k = 8)
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    // q61: corpus vocabulary — df/tf per whitespace token, top 100 by
+    // document frequency (the vocab-building / stopword-derivation /
+    // DF-token-filter input). Two-level agg: (token, doc) pre-agg kills
+    // hot-token skew before the per-token rollup
+    "q61_vocab_df" -> ((s, d) =>
+      TextAnalysis.vocabulary(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("df").desc, col("tf").desc, col("token"))
+        .limit(100)),
+    // q62: context-window chunking — 32-token windows at stride 24
+    // (8-token overlap), the long-document split every training pipeline
+    // runs before packing. Zero-shuffle plan: one explode per doc
+    "q62_chunk_windows" -> ((s, d) =>
+      TextAnalysis.chunkWindows(Tables.documents(s, d), "doc_id", "text",
+        window = 32, stride = 24)),
     // q50: PII scrub. The corpus contains no PII (verified: zero rows
     // with digits or '@'), so the query SYNTHESIZES a deterministic
     // email + IP + phone per row — identically on both engines — and
@@ -850,6 +864,25 @@ object SparkEntry {
          |SELECT doc_id, CASE WHEN coin < 800000 THEN 'train'
          |  WHEN coin < 900000 THEN 'val' ELSE 'test' END AS split
          |FROM h""".stripMargin,
+    // q61: word-count semantics — df over distinct (token, doc) pairs,
+    // tf over raw occurrences; same tokenizer as q43
+    "q61_vocab_df" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT token, doc_id, count(*) AS c FROM t WHERE token <> '' GROUP BY 1, 2)
+        |SELECT token, count(*) AS df, CAST(sum(c) AS BIGINT) AS tf
+        |FROM p GROUP BY token ORDER BY df DESC, tf DESC, token LIMIT 100""".stripMargin,
+    // q62: the oracle replays the same start-grid (range excludes the
+    // stop, so start < n_tokens) and the same inclusive 1-based slice
+    "q62_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st FROM t)
+        |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+        |  CAST(st AS BIGINT) AS start,
+        |  CAST(least(32, len(toks) - st) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[st+1 : st + least(32, len(toks) - st)], ' ') AS chunk
+        |FROM s""".stripMargin,
     // q50: same synthetic-PII augmentation, same ordered regex chain
     // (email → IP → phone) re-derived in SQL; 'g' = replace-all to
     // match Spark's regexp_replace semantics

@@ -361,6 +361,59 @@ object TextAnalysis {
     kept.unionByName(edge).drop("__bkt")
   }
 
+  /** Corpus vocabulary: one row per distinct whitespace token with its
+    * document frequency (`df`, docs containing it) and total term
+    * frequency (`tf`, occurrences corpus-wide) — the input to vocab
+    * building, stopword derivation, and DF-based token filtering.
+    *
+    * Scale shape: word-count. The `(token, doc)` pre-aggregation runs
+    * with map-side partials before the per-token rollup, so a hot token
+    * (`the` in half the corpus) never funnels raw occurrence rows into
+    * one reducer — the second aggregate sees at most one row per
+    * (token, doc), and both shuffles carry counts, not text. No
+    * `count(distinct)` anywhere (it would re-shuffle raw pairs). */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token", "__id").agg(count(lit(1)).as("__c"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("__c").as("tf"))
+
+  /** Fixed-length token windows with stride — context-window chunking:
+    * doc `[t0..tn)` yields a chunk at every `start` in
+    * `{0, stride, 2*stride, ...} ∩ [0, n)`, each covering
+    * `[start, min(start + window, n))`. With `stride < window`
+    * consecutive chunks overlap by `window - stride` tokens (the
+    * standard sliding-context regime); the final chunk may be shorter
+    * than `window`. Output: `(idCol, chunk_id, start, n_tokens, chunk)`
+    * with `chunk_id = start / stride`.
+    *
+    * Scale shape: filter → project → one explode, all codegen'd, ZERO
+    * shuffle — chunking is embarrassingly parallel per document, and
+    * the plan keeps it that way (no window function, no join; the
+    * token array materializes once per row and every chunk slices it).
+    * Null-text docs carry no tokens and yield no chunks. */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    val n = size(col("__toks"))
+    val len = least(lit(window).cast("long"), n.cast("long") - col("start"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("start",
+        explode(sequence(lit(0L), n.cast("long") - 1L, lit(stride.toLong))))
+      .select(col(idCol),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("start"),
+        len.as("n_tokens"),
+        array_join(slice(col("__toks"), (col("start") + 1L).cast("int"),
+          len.cast("int")), " ").as("chunk"))
+  }
+
   /** Full per-document stats projection used by the stats query. */
   def stats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)

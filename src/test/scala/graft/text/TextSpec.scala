@@ -265,6 +265,51 @@ class TextSpec extends SparkSpec {
     assert(pairs.get((1L, 3L)).exists(j => j > 0.2 && j < 1.0))
   }
 
+  test("vocabulary: df over distinct (token, doc), tf over occurrences") {
+    val corpus = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "the dog runs"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(corpus, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(v("the") == (2L, 3L))  // docs 1+2; twice in doc 1, once in doc 2
+    assert(v("dog") == (2L, 2L))
+    assert(v("cat") == (1L, 1L))
+    assert(v("runs") == (1L, 1L))
+    // null text contributes nothing; whitespace-only text yields only the
+    // empty token, which is filtered
+    assert(!v.contains(""))
+    assert(v.size == 5, s"vocab: $v") // the cat and dog runs
+  }
+
+  test("chunkWindows: stride grid, overlap, short tail, null passthrough") {
+    val corpus = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b"),                            // shorter than one window
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkWindows(corpus, "doc_id", "text",
+        window = 4, stride = 3)
+      .orderBy($"doc_id", $"chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val d1 = ch.filter(_._1 == 1L)
+    // starts 0,3,6,9: three full windows and a 1-token tail
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    assert(d1.map(_._5).toSeq ==
+      Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"))
+    // consecutive chunks overlap by window - stride = 1 token
+    assert(d1(0)._5.split(" ").last == d1(1)._5.split(" ").head)
+    val d2 = ch.filter(_._1 == 2L)
+    assert(d2.map(c => (c._3, c._4, c._5)).toSeq == Seq((0L, 2L, "a b")))
+    assert(!ch.exists(_._1 == 3L), "null text yields no chunks")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkWindows(corpus, "doc_id", "text", window = 2, stride = 3)
+    }
+  }
+
   test("sampleByMix: deterministic, stratum-rated, ppm-monotone") {
     val rows = (1L to 2000L).map(i => (i, s"src${i % 4}")).toDF("id", "stratum")
     def sample(rates: Map[String, Long], dflt: Long): Set[Long] =
