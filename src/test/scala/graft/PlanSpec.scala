@@ -170,6 +170,25 @@ class PlanSpec extends SparkSpec {
       s"hit counting must keep its map-side partial:\n$p")
   }
 
+  test("q61 vocabulary: two-level agg (no count-distinct), top-k not global sort") {
+    val p = plan("q61_vocab_df")
+    // the word-count shape: partial_count partials at BOTH agg levels
+    assert(p.contains("partial_count"),
+      s"vocab aggregation must keep map-side partials:\n$p")
+    assert(!p.toLowerCase.contains("distinct"),
+      s"df must come from the (token, doc) pre-agg, never count(distinct):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrderedAndProject, not Sort+Limit:\n$p")
+  }
+
+  test("q62 chunking: zero exchanges — nothing leaves the input partition") {
+    val p = plan("q62_chunk_windows")
+    assert(p.contains("Generate"), s"expected the stride-grid explode:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window"),
+      s"chunking must stay embarrassingly parallel:\n$p")
+  }
+
   test("salted count equals plain count under synthetic skew") {
     val skewed = spark.range(10000)
       .select(when($"id" % 100 === 0, lit("hot")).otherwise(lit("cold")).as("k"))
