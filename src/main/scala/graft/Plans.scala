@@ -46,7 +46,11 @@ object Plans {
     "q61_vocab_df" ->
       "Corpus vocabulary is word-count-shaped on purpose: the (token, doc) pre-aggregation runs with map-side partials BEFORE the per-token rollup, so a stopword appearing in half the corpus shuffles one row per (token, doc) — never its raw occurrences — and no count(distinct) appears anywhere (it would re-shuffle raw pairs). The top-100 is TakeOrderedAndProject, not a global sort.",
     "q62_chunk_windows" ->
-      "Context-window chunking is the plan a per-document transform must have: scan → filter → generate (one explode of the stride grid) → project, ZERO exchanges. The token array materializes once per row and every chunk slices it; no window function, no join, nothing leaves the input partition.")
+      "Context-window chunking is the plan a per-document transform must have: scan → filter → generate (one explode of the stride grid) → project, ZERO exchanges. The token array materializes once per row and every chunk slices it; no window function, no join, nothing leaves the input partition.",
+    "q63_distinctive_terms" ->
+      "Keyword extraction: the (token, doc) pre-agg materializes ONCE (localCheckpoint) and feeds both the df rollup and the scored join; the join stays declarative — Catalyst broadcasts the df table at test SF and shifts to a shuffle join on token when the vocabulary outgrows the threshold. The property that actually carries the 100-TB load: row_number()<=k plans a PARTIAL WindowGroupLimit below the document exchange, so per-doc top-k runs map-side and the shuffle moves at most k rows per (doc, input partition). The tf/df score is one IEEE division of two exact integers — that is what makes the oracle hash-match.",
+    "q64_corpus_datasheet" ->
+      "The per-stratum datasheet: one scored projection materializes once (localCheckpoint) and feeds a hash-agg rollup (map-side partials) plus the exact-median pick — a window PARTITIONED BY SOURCE, so strata rank in parallel and the strata-sized rollup broadcasts into the rank filter. Mean quality never sums doubles: it sums the integer ppm numerators and divides once, which is why the oracle hash-matches at every SF.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

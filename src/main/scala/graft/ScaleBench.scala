@@ -150,6 +150,19 @@ object ScaleBench {
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text", k = 8, expectedItems = 50000000L).count())
+    // q61: corpus vocabulary — pure word-count shape; the salted tokens
+    // grow the vocab ~linearly with the factor, the hot originals keep
+    // their flat DF, so this exercises the (token, doc) pre-agg at 10×
+    bench("q61_vocab_df")(
+      graft.text.TextAnalysis.vocabulary(docs, "doc_id", "text")
+        .orderBy(col("df").desc, col("tf").desc, col("token"))
+        .limit(100).count())
+    // q63: keyword extraction — at 10× the vocab side outgrows the
+    // broadcast threshold, so this is the shuffle-join-on-token regime
+    // plus the map-side WindowGroupLimit top-k
+    bench("q63_distinctive_terms")(
+      graft.text.TextAnalysis.distinctiveTerms(docs, "doc_id", "text",
+        topK = 3).count())
     releaseStorage(spark) // q59's candidate checkpoint + funnel leftovers
     results.toList
   }

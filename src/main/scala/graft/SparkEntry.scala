@@ -360,6 +360,19 @@ object SparkEntry {
     "q62_chunk_windows" -> ((s, d) =>
       TextAnalysis.chunkWindows(Tables.documents(s, d), "doc_id", "text",
         window = 32, stride = 24)),
+    // q63: distinctive terms — per-doc top-3 keywords by tf/df (raw-idf
+    // tf-idf: one IEEE division, bit-exact cross-engine; log-idf is a
+    // library-parity hazard). Map-side top-k via WindowGroupLimit
+    // pushdown (PlanSpec-pinned)
+    "q63_distinctive_terms" -> ((s, d) =>
+      TextAnalysis.distinctiveTerms(Tables.documents(s, d), "doc_id", "text",
+        topK = 3)),
+    // q64: per-source corpus datasheet — docs/tokens/mean-quality/exact
+    // median length per stratum (mean sums integer quality ppm, one
+    // division; median is rank (n+1) div 2 in (n_tokens, doc_id) order)
+    "q64_corpus_datasheet" -> ((s, d) =>
+      TextAnalysis.corpusDatasheet(Tables.documents(s, d), "doc_id", "text",
+        "source")),
     // q50: PII scrub. The corpus contains no PII (verified: zero rows
     // with digits or '@'), so the query SYNTHESIZES a deterministic
     // email + IP + phone per row — identically on both engines — and
@@ -883,6 +896,47 @@ object SparkEntry {
         |  CAST(least(32, len(toks) - st) AS BIGINT) AS n_tokens,
         |  array_to_string(toks[st+1 : st + least(32, len(toks) - st)], ' ') AS chunk
         |FROM s""".stripMargin,
+    // q63: same (token, doc) pre-agg, df rollup, tf/df score (one IEEE
+    // division both engines), per-doc row_number with token tiebreak
+    "q63_distinctive_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT token, doc_id, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2),
+        |d AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+        |s AS (SELECT p.doc_id, p.token, p.tf, d.df,
+        |    CAST(p.tf AS DOUBLE) / d.df AS score,
+        |    row_number() OVER (PARTITION BY p.doc_id
+        |      ORDER BY CAST(p.tf AS DOUBLE) / d.df DESC, p.token) AS rnk
+        |  FROM p JOIN d USING (token))
+        |SELECT doc_id, token, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM s WHERE rnk <= 3""".stripMargin,
+    // q64: same integer quality-ppm ladder as q33/q56, summed exactly;
+    // lower median replayed with the same (n_tokens, doc_id) row_number
+    "q64_corpus_datasheet" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $tokensSql AS toks FROM documents
+         |  WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id, source,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  greatest(CAST(len(toks) AS BIGINT), 1) AS toks_n,
+         |  CAST(len(list_filter(toks, x -> x IN ($enStop))) AS BIGINT) AS sw,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio
+         | FROM t),
+         |q AS (SELECT doc_id, source, n_tokens,
+         |  least(n_tokens, 100) * 4000
+         |   + (CASE WHEN punct_ratio < CAST(0.2 AS DOUBLE) THEN 300000 ELSE 90000 END)
+         |   + ((least((sw * 5000000) // toks_n, 1000000) * 3) // 10) AS qppm
+         | FROM m),
+         |a AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         |  CAST(sum(qppm) AS BIGINT) AS qsum FROM q GROUP BY 1),
+         |r AS (SELECT source, n_tokens, doc_id,
+         |  row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn FROM q),
+         |med AS (SELECT r.source, r.n_tokens AS median_tokens
+         |  FROM r JOIN a USING (source) WHERE r.rn = (a.n_docs + 1) // 2)
+         |SELECT a.source, a.n_docs, a.tokens,
+         |  CAST(a.qsum AS DOUBLE) / CAST(a.n_docs * 1000000 AS DOUBLE) AS mean_quality,
+         |  med.median_tokens
+         |FROM a JOIN med USING (source)""".stripMargin,
     // q50: same synthetic-PII augmentation, same ordered regex chain
     // (email → IP → phone) re-derived in SQL; 'g' = replace-all to
     // match Spark's regexp_replace semantics

@@ -381,6 +381,91 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("df"), sum("__c").as("tf"))
 
+  /** Per-document distinctive terms — keyword extraction by
+    * rarity-normalized term frequency: each surviving `(doc, token)`
+    * pair scores `tf / df` (its in-document count over its corpus-wide
+    * document frequency), and the top `topK` terms per document are
+    * kept. The classic tf-idf ranking with raw `1/df` as the inverse
+    * document frequency — chosen over `log`-idf so the score is ONE
+    * IEEE division of two exact integers and therefore bit-identical
+    * across engines (`log` parity is library-dependent); within a
+    * document the `1/df` and `log(N/df)` rankings agree wherever df
+    * differs, and the token-ascending tiebreak pins the rest.
+    *
+    * Scale shape: the `(token, doc)` pre-aggregation (the [[vocabulary]]
+    * first level, materialized ONCE and read twice); the corpus df
+    * table rolls up from it and joins back on token — declaratively, so
+    * Catalyst broadcasts it while it is small and shifts to a shuffle
+    * join on the natural key once the vocabulary outgrows the
+    * threshold. The top-k window partitions BY DOCUMENT, and
+    * `row_number() <= k` plans a PARTIAL WindowGroupLimit below the
+    * exchange: top-k runs map-side and the shuffle carries at most k
+    * rows per (doc, input partition) — asserted in PlanSpec. */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val perDoc = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token", "__id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read twice: df rollup + the scored join
+    val dfTab = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+    val score = col("tf").cast("double") / col("df")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(score.desc, col("token"))
+    perDoc.join(dfTab, "token")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("__id").as(idCol), col("token"), col("tf"), col("df"),
+        score.as("score"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Per-stratum corpus datasheet — the per-source rollup a curation
+    * run publishes alongside its corpus: document count, total tokens,
+    * mean quality, and the exact (lower) median document length per
+    * `stratumCol` value. Mean quality sums the EXACT integer ppm
+    * numerators behind [[qualityScore]] and divides once (cross-engine
+    * bit parity — summing doubles would drift with association order);
+    * the median is rank `(n+1) div 2` under the deterministic
+    * `(n_tokens, id)` order.
+    *
+    * Scale shape: the scored projection materializes once and feeds
+    * both the rollup (hash agg, map-side partials) and the median pick
+    * (a window partitioned BY SOURCE — parallel across strata; a
+    * single colossal stratum pays one sorted partition, the documented
+    * trade for an exact median — `approx_percentile` is the at-scale
+    * relaxation when exactness stops mattering). The rollup side of
+    * the median join is strata-sized — tiny — and broadcasts. */
+  def corpusDatasheet(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, stopwords: Seq[String] = LangProfiles("en"))
+      : DataFrame = {
+    val m = df.filter(col(textCol).isNotNull)
+      .select(col(stratumCol).as("source"), col(idCol).as("__id"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        // the ppm numerator is integral by construction; round() only
+        // undoes the /1e6's binary rounding (exact for ppm < 2^52)
+        round(qualityScore(col(textCol), stopwords) * 1000000)
+          .cast("long").as("__qppm"))
+      .localCheckpoint() // read twice: rollup + median pick
+    val agg = m.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("tokens"),
+      sum("__qppm").as("__qsum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_tokens"), col("__id"))
+    val med = m.withColumn("__rn", row_number().over(w))
+      .join(broadcast(agg.select(col("source"), col("n_docs"))), "source")
+      .filter(col("__rn") === floor((col("n_docs") + 1) / 2))
+      .select(col("source"), col("n_tokens").as("median_tokens"))
+    agg
+      .withColumn("mean_quality",
+        col("__qsum").cast("double") /
+          (col("n_docs") * 1000000L).cast("double"))
+      .drop("__qsum")
+      .join(med, "source")
+  }
+
   /** Fixed-length token windows with stride — context-window chunking:
     * doc `[t0..tn)` yields a chunk at every `start` in
     * `{0, stride, 2*stride, ...} ∩ [0, n)`, each covering

@@ -189,6 +189,30 @@ class PlanSpec extends SparkSpec {
       s"chunking must stay embarrassingly parallel:\n$p")
   }
 
+  test("q63 distinctive terms: per-doc window with map-side top-k pushdown") {
+    val p = plan("q63_distinctive_terms")
+    // the join strategy is Catalyst's size-based call (broadcast at test
+    // SF, shuffle-on-token once the vocab outgrows the threshold) — the
+    // load-bearing plan properties are the ones below
+    assert("""windowspecdefinition\(__id#\d+""".r.findFirstIn(p).isDefined,
+      s"top-k window must be partitioned by document:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"row_number <= k must push a PARTIAL group limit below the " +
+        s"document exchange (top-k runs map-side, the shuffle carries " +
+        s"at most k rows per doc):\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), s"no cartesian:\n$p")
+  }
+
+  test("q64 datasheet: median window per source, strata rollup broadcasts") {
+    val p = plan("q64_corpus_datasheet")
+    assert("""windowspecdefinition\(source#\d+""".r.findFirstIn(p).isDefined,
+      s"median rank must be windowed per source, never globally:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the strata-sized rollup must broadcast into the rank filter:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the rollup must keep map-side partials:\n$p")
+  }
+
   test("salted count equals plain count under synthetic skew") {
     val skewed = spark.range(10000)
       .select(when($"id" % 100 === 0, lit("hot")).otherwise(lit("cold")).as("k"))

@@ -284,6 +284,53 @@ class TextSpec extends SparkSpec {
     assert(v.size == 5, s"vocab: $v") // the cat and dog runs
   }
 
+  test("distinctiveTerms: tf/df ranking, topK cut, token tiebreak") {
+    val corpus = Seq(
+      (1L, "alpha alpha common common"),
+      (2L, "beta common"),
+      (3L, "common gamma delta")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.distinctiveTerms(corpus, "doc_id", "text", topK = 2)
+      .orderBy($"doc_id", $"rnk")
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+    val d1 = r.filter(_._1 == 1L)
+    // alpha: tf=2, df=1 → 2.0 beats common: tf=2, df=3 → 0.667
+    assert(d1.map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq(("alpha", 2L, 1L), ("common", 2L, 3L)))
+    assert(d1.head._5 == 2.0)
+    val d3 = r.filter(_._1 == 3L)
+    // delta and gamma tie at tf=1, df=1 → token-ascending tiebreak
+    assert(d3.map(_._2).toSeq == Seq("delta", "gamma"))
+    // topK cut: doc 3 has 3 terms but only 2 survive
+    assert(d3.length == 2)
+  }
+
+  test("corpusDatasheet: per-source rollup with exact lower median") {
+    val corpus = Seq(
+      (1L, "srcA", "one two three"),
+      (2L, "srcA", "one"),
+      (3L, "srcA", "one two three four five"),
+      (4L, "srcA", "one two"),
+      (5L, "srcB", "a b c d"),
+      (6L, "srcB", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.corpusDatasheet(corpus, "doc_id", "text", "source")
+      .orderBy("source").collect()
+    val a = r(0)
+    // srcA lengths sorted: 1,2,3,5 → lower median at rank (4+1) div 2 = 2
+    assert(a.getString(0) == "srcA" && a.getLong(1) == 4L && a.getLong(2) == 11L)
+    assert(a.getAs[Long]("median_tokens") == 2L)
+    val b = r(1)
+    assert(b.getString(0) == "srcB" && b.getLong(1) == 1L && b.getLong(2) == 4L,
+      "null-text doc contributes nothing")
+    assert(b.getAs[Long]("median_tokens") == 4L)
+    // the ppm-sum mean equals the plain average of per-doc scores
+    val exp = corpus.filter($"source" === "srcA")
+      .select(TextAnalysis.qualityScore($"text", TextAnalysis.LangProfiles("en")))
+      .as[Double].collect()
+    assert(math.abs(a.getAs[Double]("mean_quality") - exp.sum / exp.length) < 1e-9)
+  }
+
   test("chunkWindows: stride grid, overlap, short tail, null passthrough") {
     val corpus = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
