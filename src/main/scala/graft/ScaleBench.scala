@@ -220,6 +220,15 @@ object ScaleBench {
     val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTORS")
       .map(_.split(",").toSeq.map(_.trim.toInt))
       .getOrElse(Seq(1, factor))
+    if (factors.size > 1)
+      // measured: the larger factor's wall-times inflate up to 6× when a
+      // prior factor ran in the same JVM, even with storage released at
+      // the boundary (GC/allocator state, not Spark state). SCALE.md's
+      // protocol section has the details.
+      System.err.println("[scale] NOTE: running multiple factors in one " +
+        "JVM skews the later ones — for recorded numbers run each " +
+        "factor separately (SPARK_GRAFT_SCALE_FACTORS=<f>) and take " +
+        "minima across runs")
     for (f <- factors) {
       val dDir = s"$workDir/f$f/documents.parquet"
       val eDir = s"$workDir/f$f/embeddings.parquet"
