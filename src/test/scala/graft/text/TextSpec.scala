@@ -357,6 +357,47 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("chunkWindows and vocabulary match an independent in-memory model") {
+    // seeded random corpus incl. empty and null texts — the model is a
+    // plain Scala re-implementation, so agreement checks the Spark
+    // expression semantics independently of the DuckDB oracle
+    val rnd = new scala.util.Random(7)
+    val vocabList = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val rows: Seq[(Long, String)] = (1L to 60L).map { i =>
+      val n = rnd.nextInt(12)
+      val t =
+        if (rnd.nextInt(10) == 0) null
+        else Seq.fill(n)(vocabList(rnd.nextInt(vocabList.size))).mkString(" ")
+      (i, t)
+    }
+    val df = rows.toDF("doc_id", "text")
+    def toks(s: String): Seq[String] = s.trim.split("\\s+").toSeq
+
+    val (window, stride) = (4, 2)
+    val expChunks = rows.collect { case (id, t) if t != null =>
+      val tk = toks(t)
+      (0 until tk.size by stride).map { st =>
+        val len = math.min(window, tk.size - st)
+        (id, (st / stride).toLong, st.toLong, len.toLong,
+          tk.slice(st, st + len).mkString(" "))
+      }
+    }.flatten.toSet
+    val gotChunks = TextAnalysis
+      .chunkWindows(df, "doc_id", "text", window, stride)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(gotChunks == expChunks)
+
+    val pairs = rows.collect { case (id, t) if t != null =>
+      toks(t).filter(_.nonEmpty).map(tok => (tok, id))
+    }.flatten
+    val expVocab = pairs.groupBy(_._1).map { case (tok, ps) =>
+      (tok, ps.map(_._2).distinct.size.toLong, ps.size.toLong)
+    }.toSet
+    val gotVocab = TextAnalysis.vocabulary(df, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(gotVocab == expVocab)
+  }
+
   test("sampleByMix: deterministic, stratum-rated, ppm-monotone") {
     val rows = (1L to 2000L).map(i => (i, s"src${i % 4}")).toDF("id", "stratum")
     def sample(rates: Map[String, Long], dflt: Long): Set[Long] =
