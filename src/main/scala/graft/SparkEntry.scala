@@ -277,6 +277,16 @@ object SparkEntry {
         Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d), threshold = 0.8))
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    // q65: near-dedup keeping the BEST-quality member of each pair
+    // instead of the min id — the canonical-copy selection rule; ties
+    // fall back to the smaller id so survivorship stays deterministic
+    "q65_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupByPairsKeepBest(docs, "doc_id",
+        Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d), threshold = 0.8),
+        TextAnalysis.qualityScore(col("text"), TextAnalysis.LangProfiles("en")))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     // q36 with the document-frequency cut engaged (shingles in > 20 docs
     // become corpus stopwords): exercises the skew guard end-to-end —
     // the oracle recomputes the same cut, so DF semantics and the
@@ -1031,6 +1041,42 @@ object SparkEntry {
         |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8)
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin,
+    // q65: q46's pair derivation + the q33 integer quality ladder; the
+    // loser CASE mirrors the engine's (lower quality, tie -> greater id)
+    "q65_dedup_keep_best" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |   CASE WHEN len(toks) >= 3
+         |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+         |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON inter.id_a = sa.doc_id
+         |  JOIN sizes sb ON inter.id_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  greatest(CAST(len(toks) AS BIGINT), 1) AS toks_n,
+         |  CAST(len(list_filter(toks, x -> x IN ($enStop))) AS BIGINT) AS sw,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio
+         | FROM t),
+         |qual AS (SELECT doc_id,
+         |  least(n_tokens, 100) * 4000
+         |   + (CASE WHEN punct_ratio < CAST(0.2 AS DOUBLE) THEN 300000 ELSE 90000 END)
+         |   + ((least((sw * 5000000) // toks_n, 1000000) * 3) // 10) AS q
+         | FROM m),
+         |drops AS (SELECT DISTINCT CASE
+         |    WHEN qa.q < qb.q THEN p.id_a
+         |    WHEN qb.q < qa.q THEN p.id_b
+         |    ELSE greatest(p.id_a, p.id_b) END AS d
+         |  FROM p JOIN qual qa ON p.id_a = qa.doc_id
+         |         JOIN qual qb ON p.id_b = qb.doc_id)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT d FROM drops)""".stripMargin,
     "q37_ann_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,

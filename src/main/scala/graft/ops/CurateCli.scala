@@ -32,7 +32,11 @@ object CurateCli {
     * (sketch path, the at-scale default); > 0 switches to exact n-gram
     * Jaccard with the document-frequency cut at that cap — the skew
     * guard for corpora where one boilerplate phrase floods the shingle
-    * join ([[Dedup.ngramJaccardPairs]]).
+    * join ([[Dedup.ngramJaccardPairs]]). `nearKeepBest` switches the
+    * near-dedup survivor rule from min-id components to per-pair
+    * best-quality ([[Dedup.dedupByPairsKeepBest]] scored by
+    * [[TextAnalysis.qualityScore]]) — keep the canonical copy, not the
+    * first-crawled one.
     *
     * The six extended stages default OFF (the classic 4-stage funnel):
     *  - `piiScrub` rewrites `textCol` through the email→IP→phone
@@ -69,6 +73,7 @@ object CurateCli {
       numHashes: Int = 32,
       bands: Int = 16,
       maxShingleDf: Long = 0L,
+      nearKeepBest: Boolean = false,
       mixStratumCol: String = "source",
       mixRatesPpm: Map[String, Long] = Map.empty,
       mixDefaultPpm: Long = 1000000L,
@@ -141,7 +146,12 @@ object CurateCli {
           Dedup.minhashVerifiedPairs(exact, idCol, textCol,
             k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
             threshold = cfg.jaccardThreshold)
-      val near = persisted(Dedup.dedupByComponents(exact, idCol, pairs))
+      val near = persisted(
+        if (cfg.nearKeepBest)
+          Dedup.dedupByPairsKeepBest(exact, idCol, pairs,
+            TextAnalysis.qualityScore(col(textCol),
+              TextAnalysis.LangProfiles("en")))
+        else Dedup.dedupByComponents(exact, idCol, pairs))
       val afterNear = stageCount("near_dedup", near, textCol)
       exact.unpersist(blocking = false)
 

@@ -209,6 +209,37 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupByPairs]] with a QUALITY-AWARE survivor choice: for every
+    * candidate pair the lower-`score` member drops (score tie → the
+    * greater id, so survivorship is deterministic and min-id-compatible
+    * on constant scores) — the "keep the best duplicate" rule real
+    * curation runs want, where min-id keeps whichever copy happened to
+    * crawl first. Same pair-local greedy semantics as [[dedupByPairs]]:
+    * within a transitive cluster every pair charges its own loser, so
+    * the cluster's best member always survives; a mid-quality member
+    * survives only if LSH missed its pair with the best — the same
+    * recall trade documented on [[dedupByPairs]].
+    *
+    * Scale shape: scores attach to the PAIR LIST (candidate-sized,
+    * orders of magnitude under the corpus), two joins keyed on the id —
+    * Catalyst broadcasts the small side; the corpus pays one anti-join,
+    * exactly like [[dedupByPairs]]. */
+  def dedupByPairsKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column): DataFrame = {
+    val scored = df.select(col(idCol), score.as("__score"))
+    val loserPerPair = pairs.select(col("id_a"), col("id_b"))
+      .join(scored.select(col(idCol).as("id_a"), col("__score").as("__sa")),
+        Seq("id_a"))
+      .join(scored.select(col(idCol).as("id_b"), col("__score").as("__sb")),
+        Seq("id_b"))
+      .select(
+        when(col("__sa") < col("__sb"), col("id_a"))
+          .when(col("__sb") < col("__sa"), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    df.join(loserPerPair, Seq(idCol), "left_anti")
+  }
+
   /** End-to-end near-dedup via MinHash LSH: detect pairs, keep min-id
     * survivors. */
   /** (bands default 16×2, not 8×4: at the J=0.8 near-dup threshold the

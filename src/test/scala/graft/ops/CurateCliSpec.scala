@@ -104,6 +104,27 @@ class CurateCliSpec extends SparkSpec {
     result.unpersist()
   }
 
+  test("nearKeepBest keeps the higher-quality near-dup, default keeps min id") {
+    // doc 2 = doc 1 + one token: J = 5/6 ≥ 0.8, and the extra token
+    // makes doc 2 the higher-quality member (+4000 ppm length credit,
+    // no stopwords on either side)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    def survivors(cfg: CurateCli.Config): Set[Long] = {
+      val r = CurateCli.curate(corpus, "doc_id", "text", cfg)
+      val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+      r.unpersist()
+      ids
+    }
+    val open = CurateCli.Config(minQuality = 0.0,
+      languages = Set("en", "de", "es", "fr", "zh", "unknown"))
+    assert(survivors(open) == Set(1L), "min-id survivorship keeps doc 1")
+    assert(survivors(open.copy(nearKeepBest = true)) == Set(2L),
+      "best-quality survivorship keeps the longer copy")
+  }
+
   test("span_excise stage cuts shared passages, keeps docs (tokens drop, docs don't)") {
     // two docs share a 10-token boilerplate stretch at different offsets;
     // shared k=3 shingle fraction stays far below the 0.8 near-dup

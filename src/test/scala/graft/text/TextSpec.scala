@@ -208,6 +208,22 @@ class TextSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("dedupByPairsKeepBest: lower-quality pair member drops, ties keep min id") {
+    val corpus = Seq(
+      (1L, "a", 0.2), (2L, "b", 0.9),   // pair (1,2): 1 is worse → drops
+      (3L, "c", 0.5), (4L, "d", 0.5),   // pair (3,4): tie → greater id 4 drops
+      (5L, "e", 0.1)                    // unpaired → survives regardless
+    ).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByPairsKeepBest(corpus, "doc_id", pairs, $"score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 5L), s"got $kept")
+    // contrast: min-id survivorship would have kept doc 1, the worse copy
+    val minId = Dedup.dedupByPairs(corpus, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 3L, 5L))
+  }
+
   test("dedupNear: near-dup corpus keeps min-id survivors") {
     val kept = Dedup.dedupNear(docs, "doc_id", "text",
       k = 2, numHashes = 32, bands = 16, threshold = 0.3)
