@@ -52,7 +52,9 @@ object Plans {
     "q64_corpus_datasheet" ->
       "The per-stratum datasheet: one scored projection materializes once (localCheckpoint) and feeds a hash-agg rollup (map-side partials) plus the exact-median pick — a window PARTITIONED BY SOURCE, so strata rank in parallel and the strata-sized rollup broadcasts into the rank filter. Mean quality never sums doubles: it sums the integer ppm numerators and divides once, which is why the oracle hash-matches at every SF.",
     "q65_dedup_keep_best" ->
-      "Quality-aware survivorship at candidate cost: quality scores attach to the PAIR LIST (candidate-sized — orders of magnitude under the corpus), the loser CASE picks per pair, and the corpus pays exactly one anti-join — the same bill as min-id dedupByPairs. The corpus is never re-scored, re-shuffled, or windowed; choosing the canonical copy costs nothing extra at 100 TB.")
+      "Quality-aware survivorship at candidate cost: quality scores attach to the PAIR LIST (candidate-sized — orders of magnitude under the corpus), the loser CASE picks per pair, and the corpus pays exactly one anti-join — the same bill as min-id dedupByPairs. The corpus is never re-scored, re-shuffled, or windowed; choosing the canonical copy costs nothing extra at 100 TB.",
+    "q66_sample_exactk" ->
+      "Exact-k stratified sampling without a global sort: the salted-coin rank windows per stratum, and row_number()<=k plans a PARTIAL WindowGroupLimit below the stratum exchange — every input partition forwards at most k rows per stratum, so the shuffle is k·strata-bounded no matter how big the corpus. The deterministic coin (portable polynomial hash, '#exactk' salt) keeps the sample reproducible and independent of the mix/split coins.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

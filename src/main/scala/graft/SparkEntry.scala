@@ -331,6 +331,13 @@ object SparkEntry {
       TextAnalysis.selectByBudget(
         Tables.documents(s, d).filter(col("text").isNotNull),
         "doc_id", "text", budget = 20000L)),
+    // q66: exact-k stratified sample — exactly 20 docs per source by
+    // the salted portable-hash coin (rate-based q55 gives a binomial
+    // count; eval carving needs an exact one). Map-side top-k via
+    // WindowGroupLimit, k·strata-bounded shuffle
+    "q66_sample_exactk" -> ((s, d) =>
+      TextAnalysis.sampleExactK(Tables.documents(s, d), "doc_id", "source",
+        k = 20).select(col("doc_id"), col("source"))),
     // q57: deterministic train/val/test split assignment (80/10/10) on
     // the salted portable-hash coin — the partition every training
     // pipeline carves before anything else touches the corpus
@@ -878,6 +885,14 @@ object SparkEntry {
          |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q)
          |SELECT doc_id, quality, n_tokens FROM c WHERE cum <= 20000""".stripMargin,
+    // q66: same salted coin, same per-stratum rank with key tiebreak
+    "q66_sample_exactk" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) || '#exactk' AS tok FROM documents),
+         |h AS (SELECT doc_id, source,
+         |   ($polyAsql + ($polyBsql << 31)) % 1000000 AS coin FROM t),
+         |r AS (SELECT doc_id, source,
+         |   row_number() OVER (PARTITION BY source ORDER BY coin, doc_id) AS rn FROM h)
+         |SELECT doc_id, source FROM r WHERE rn <= 20""".stripMargin,
     // q57: the oracle recomputes the salted coin and the cumulative-ppm
     // CASE ladder (80/10/10)
     "q57_split_assign" ->

@@ -273,6 +273,33 @@ object TextAnalysis {
       lit(1000000L)) < rate)
   }
 
+  /** Deterministic EXACT-k per-stratum sample: rank each stratum's rows
+    * by the salted portable-hash coin (key tiebreak) and keep the first
+    * `k` — "exactly 1000 docs per source", the eval-set carve every
+    * pipeline needs where [[sampleByMix]]'s rate-based coin gives a
+    * binomial count, not an exact one. Strata smaller than `k` pass
+    * through whole. The salt keeps this coin independent of the mix
+    * and split coins (see [[assignSplits]] for why coins must not be
+    * shared between sampling stages).
+    *
+    * Scale shape: `row_number() <= k` plans a PARTIAL WindowGroupLimit
+    * below the stratum exchange — each input partition forwards at most
+    * k rows per stratum, so the shuffle is k·strata-bounded regardless
+    * of corpus size (same machinery PlanSpec pins for q63). */
+  def sampleExactK(df: DataFrame, keyCol: String, stratumCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val coin = pmod(
+      graft.functions.TextHashExpressions.polyHash62(
+        concat(col(keyCol).cast("string"), lit("#exactk"))),
+      lit(1000000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(coin, col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Deterministic train/val/test split assignment: each row gets a
     * `split` label by where its hash coin lands among the cumulative
     * ppm thresholds (which must sum to exactly 1e6 — the split is a
@@ -441,29 +468,30 @@ object TextAnalysis {
       stratumCol: String, stopwords: Seq[String] = LangProfiles("en"))
       : DataFrame = {
     val m = df.filter(col(textCol).isNotNull)
-      .select(col(stratumCol).as("source"), col(idCol).as("__id"),
+      .select(col(stratumCol).as("__stratum"), col(idCol).as("__id"),
         tokenCount(col(textCol)).cast("long").as("n_tokens"),
         // the ppm numerator is integral by construction; round() only
         // undoes the /1e6's binary rounding (exact for ppm < 2^52)
         round(qualityScore(col(textCol), stopwords) * 1000000)
           .cast("long").as("__qppm"))
       .localCheckpoint() // read twice: rollup + median pick
-    val agg = m.groupBy("source").agg(
+    val agg = m.groupBy("__stratum").agg(
       count(lit(1)).as("n_docs"),
       sum("n_tokens").as("tokens"),
       sum("__qppm").as("__qsum"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("n_tokens"), col("__id"))
+      .partitionBy("__stratum").orderBy(col("n_tokens"), col("__id"))
     val med = m.withColumn("__rn", row_number().over(w))
-      .join(broadcast(agg.select(col("source"), col("n_docs"))), "source")
+      .join(broadcast(agg.select(col("__stratum"), col("n_docs"))), "__stratum")
       .filter(col("__rn") === floor((col("n_docs") + 1) / 2))
-      .select(col("source"), col("n_tokens").as("median_tokens"))
+      .select(col("__stratum"), col("n_tokens").as("median_tokens"))
     agg
       .withColumn("mean_quality",
         col("__qsum").cast("double") /
           (col("n_docs") * 1000000L).cast("double"))
       .drop("__qsum")
-      .join(med, "source")
+      .join(med, "__stratum")
+      .withColumnRenamed("__stratum", stratumCol)
   }
 
   /** Fixed-length token windows with stride — context-window chunking:

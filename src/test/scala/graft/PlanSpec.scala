@@ -205,12 +205,22 @@ class PlanSpec extends SparkSpec {
 
   test("q64 datasheet: median window per source, strata rollup broadcasts") {
     val p = plan("q64_corpus_datasheet")
-    assert("""windowspecdefinition\(source#\d+""".r.findFirstIn(p).isDefined,
-      s"median rank must be windowed per source, never globally:\n$p")
+    assert("""windowspecdefinition\(__stratum#\d+""".r.findFirstIn(p).isDefined,
+      s"median rank must be windowed per stratum, never globally:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the strata-sized rollup must broadcast into the rank filter:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"the rollup must keep map-side partials:\n$p")
+  }
+
+  test("q66 exact-k sample: map-side group limit, window per stratum") {
+    val p = plan("q66_sample_exactk")
+    assert("""windowspecdefinition\(source#\d+""".r.findFirstIn(p).isDefined,
+      s"rank must be windowed per stratum:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"row_number <= k must push a PARTIAL group limit below the " +
+        s"stratum exchange:\n$p")
+    assert(!p.contains("Join"), s"sampling must not join:\n$p")
   }
 
   test("salted count equals plain count under synthetic skew") {

@@ -414,6 +414,24 @@ class TextSpec extends SparkSpec {
     assert(gotVocab == expVocab)
   }
 
+  test("sampleExactK: exact count per stratum, deterministic, small strata whole") {
+    val corpus = (1L to 50L).map(i => (i, if (i <= 40) "big" else "small"))
+      .toDF("doc_id", "stratum")
+    val got = TextAnalysis.sampleExactK(corpus, "doc_id", "stratum", k = 12)
+      .as[(Long, String)].collect()
+    val byStratum = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byStratum("big").size == 12, "exactly k from the large stratum")
+    assert(byStratum("small") == (41L to 50L).toSet,
+      "strata smaller than k pass through whole")
+    // deterministic: a second evaluation picks the identical rows
+    val again = TextAnalysis.sampleExactK(corpus, "doc_id", "stratum", k = 12)
+      .as[(Long, String)].collect().toSet
+    assert(again == got.toSet)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.sampleExactK(corpus, "doc_id", "stratum", k = 0)
+    }
+  }
+
   test("sampleByMix: deterministic, stratum-rated, ppm-monotone") {
     val rows = (1L to 2000L).map(i => (i, s"src${i % 4}")).toDF("id", "stratum")
     def sample(rates: Map[String, Long], dflt: Long): Set[Long] =
