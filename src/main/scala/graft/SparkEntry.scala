@@ -331,6 +331,12 @@ object SparkEntry {
       TextAnalysis.selectByBudget(
         Tables.documents(s, d).filter(col("text").isNotNull),
         "doc_id", "text", budget = 20000L)),
+    // q67: corpus-typicality — mean corpus frequency of each doc's
+    // positional bigrams (the relational LM-perplexity stand-in: rare
+    // bigram sequences ≈ noisy/generated text). Exact-count division
+    // keeps the score cross-engine reproducible
+    "q67_typicality" -> ((s, d) =>
+      TextAnalysis.typicalityScores(Tables.documents(s, d), "doc_id", "text")),
     // q66: exact-k stratified sample — exactly 20 docs per source by
     // the salted portable-hash coin (rate-based q55 gives a binomial
     // count; eval carving needs an exact one). Map-side top-k via
@@ -885,6 +891,21 @@ object SparkEntry {
          |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q)
          |SELECT doc_id, quality, n_tokens FROM c WHERE cum <= 20000""".stripMargin,
+    // q67: string bigrams re-derive the engine's hash groups (the
+    // accepted 2^-64 collision pattern); positional multiplicity is the
+    // point — the join carries one row per occurrence
+    "q67_typicality" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (SELECT doc_id, unnest(
+        |   CASE WHEN len(toks) >= 2
+        |     THEN list_transform(generate_series(0, len(toks)-2), i -> array_to_string(toks[i+1:i+2], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END) AS b FROM t),
+        |cf AS (SELECT b, count(*) AS c FROM bg GROUP BY 1)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(cf.c) AS BIGINT) AS cf_sum,
+        |  CAST(CAST(sum(cf.c) AS BIGINT) AS DOUBLE) / count(*) AS typicality
+        |FROM bg JOIN cf USING (b) GROUP BY 1""".stripMargin,
     // q66: same salted coin, same per-stratum rank with key tiebreak
     "q66_sample_exactk" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) || '#exactk' AS tok FROM documents),

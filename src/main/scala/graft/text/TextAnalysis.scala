@@ -448,6 +448,36 @@ object TextAnalysis {
         score.as("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Corpus-typicality score — the relational stand-in for LM-based
+    * quality scoring: each document scores the MEAN CORPUS FREQUENCY of
+    * its token bigrams (positional, not distinct — a doc repeating a
+    * common phrase stays typical, one full of never-seen-elsewhere
+    * bigrams scores low ≈ high LM perplexity). Output:
+    * `(idCol, n_bigrams, cf_sum, typicality)` with `typicality =
+    * cf_sum / n_bigrams` — one IEEE division of exact counts, so the
+    * score is cross-engine reproducible where a log-prob LM score
+    * would not be. Docs with one token fall back to the whole-token
+    * string ([[Dedup.shingleHashes]] k=2 semantics).
+    *
+    * Scale shape: the positional bigram projection materializes once
+    * (localCheckpoint) and feeds the corpus-frequency rollup and the
+    * scored join — both keyed on the 8-byte bigram hash (the bigram
+    * table is corpus-sized: shuffle join, not broadcast); the per-doc
+    * rollup aggregates with map-side partials. */
+  def typicalityScores(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val bi = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(Dedup.shingleHashes(col(textCol), 2)).as("__bg"))
+      .localCheckpoint() // read twice: corpus counts + the scored join
+    val cf = bi.groupBy("__bg").agg(count(lit(1)).as("__cf"))
+    bi.join(cf, "__bg")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("__cf").as("cf_sum"))
+      .withColumn("typicality",
+        col("cf_sum").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Per-stratum corpus datasheet — the per-source rollup a curation
     * run publishes alongside its corpus: document count, total tokens,
     * mean quality, and the exact (lower) median document length per

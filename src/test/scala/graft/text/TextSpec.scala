@@ -414,6 +414,22 @@ class TextSpec extends SparkSpec {
     assert(gotVocab == expVocab)
   }
 
+  test("typicalityScores: mean corpus bigram frequency, hand-checked") {
+    val corpus = Seq(
+      (1L, "a b a b"),  // bigrams "a b"×2, "b a"×1
+      (2L, "a b c"),    // "a b", "b c"
+      (3L, "z")         // single token → whole-string fallback
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.typicalityScores(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // corpus cf: "a b"=3, "b a"=1, "b c"=1, "z"=1
+    assert(got == Seq(
+      (1L, 3L, 7L, 7.0 / 3.0),   // 3+1+3
+      (2L, 2L, 4L, 2.0),         // 3+1
+      (3L, 1L, 1L, 1.0)), got.toString)
+  }
+
   test("sampleExactK: exact count per stratum, deterministic, small strata whole") {
     val corpus = (1L to 50L).map(i => (i, if (i <= 40) "big" else "small"))
       .toDF("doc_id", "stratum")
