@@ -54,7 +54,9 @@ object Plans {
     "q65_dedup_keep_best" ->
       "Quality-aware survivorship at candidate cost: quality scores attach to the PAIR LIST (candidate-sized — orders of magnitude under the corpus), the loser CASE picks per pair, and the corpus pays exactly one anti-join — the same bill as min-id dedupByPairs. The corpus is never re-scored, re-shuffled, or windowed; choosing the canonical copy costs nothing extra at 100 TB.",
     "q66_sample_exactk" ->
-      "Exact-k stratified sampling without a global sort: the salted-coin rank windows per stratum, and row_number()<=k plans a PARTIAL WindowGroupLimit below the stratum exchange — every input partition forwards at most k rows per stratum, so the shuffle is k·strata-bounded no matter how big the corpus. The deterministic coin (portable polynomial hash, '#exactk' salt) keeps the sample reproducible and independent of the mix/split coins.")
+      "Exact-k stratified sampling without a global sort: the salted-coin rank windows per stratum, and row_number()<=k plans a PARTIAL WindowGroupLimit below the stratum exchange — every input partition forwards at most k rows per stratum, so the shuffle is k·strata-bounded no matter how big the corpus. The deterministic coin (portable polynomial hash, '#exactk' salt) keeps the sample reproducible and independent of the mix/split coins.",
+    "q67_typicality" ->
+      "Typicality is two aggregations and one join over a SINGLE materialized bigram projection (localCheckpoint — the explode runs once, not once per consumer): corpus frequencies roll up with map-side partials, the scored join keys on the 8-byte bigram hash (corpus-sized side — shuffle join, the broadcast mistake doesn't arise), and the per-doc rollup is again partial-aggregated. No window, no sort, no N² anything — the LM-score stand-in costs two shuffles of counts at any corpus size.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

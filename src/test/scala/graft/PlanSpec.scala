@@ -223,6 +223,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"sampling must not join:\n$p")
   }
 
+  test("q67 typicality: map-side partials, checkpointed bigrams, no window") {
+    val p = plan("q67_typicality")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"both rollups must keep map-side partials:\n$p")
+    assert(p.contains("localCheckpoint") || p.contains("ExistingRDD"),
+      s"the bigram explode must be materialized once, not re-run per consumer:\n$p")
+    assert(!p.contains("Window"), s"no window in the score plan:\n$p")
+  }
+
   test("salted count equals plain count under synthetic skew") {
     val skewed = spark.range(10000)
       .select(when($"id" % 100 === 0, lit("hot")).otherwise(lit("cold")).as("k"))
