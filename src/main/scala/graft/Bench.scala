@@ -91,7 +91,9 @@ object Bench {
     // 0 (not a bogus timing-of-a-failure number) when either CDC query
     // failed or the events table is unreadable; never crash the report
     val eventsPerSec =
-      if (cdcSecs > 0 && !failed("q20_cdc_transform_chain") &&
+      if (results.contains("q20_cdc_transform_chain") &&
+          results.contains("q21_cdc_latest_state") &&
+          cdcSecs > 0 && !failed("q20_cdc_transform_chain") &&
           !failed("q21_cdc_latest_state"))
         try (Tables.events(spark, sfDir).count() / cdcSecs).toLong
         catch { case _: Throwable => 0L }

@@ -98,29 +98,35 @@ object ScaleBench {
     val docs = spark.read.parquet(docsPath)
     val emb = spark.read.parquet(embPath)
     val results = scala.collection.mutable.ListBuffer.empty[(String, Double, Long)]
-    // diagnostics: SPARK_GRAFT_SCALE_ONLY=q36_...,q46_... isolates queries
-    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val only = onlyFilter()
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     def bench(name: String)(body: => Long): Unit = {
-      if (only.forall(_.contains(name))) {
+      if (wanted(name)) {
         val (sec, n) = timed(body)
         results += ((name, sec, n))
         println(s"""{"scale_query":"$name","sec":${math.rint(sec * 1000) / 1000},"rows":$n}""")
       }
     }
 
-    // the shared shingle index, exactly as the q36/q46/q48 family uses it
-    val idx = Dedup.shingleIndex(docs, "doc_id", "text", k = 3)
-    bench("shingle_index")(idx.count())
-    bench("q36_ngram_jaccard_pairs")(
-      Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.3).count())
-    bench("q46_dedup_near_corpus")(
-      Dedup.dedupByPairs(docs, "doc_id",
-        Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.8)).count())
-    bench("q48_ngram_dfcut")(
-      Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.4,
-        maxShingleDf = 20L).count())
-    releaseStorage(spark) // idx is done; its checkpoint must not pin storage
+    // the shared shingle index, exactly as the q36/q46/q48 family uses
+    // it. Built ONLY if some selected query needs it — shingleIndex ends
+    // in an eager localCheckpoint, and paying the corpus's most
+    // expensive materialization would perturb an unrelated isolated
+    // measurement (the very thing SPARK_GRAFT_SCALE_ONLY exists for)
+    if (Seq("shingle_index", "q36_ngram_jaccard_pairs",
+        "q46_dedup_near_corpus", "q48_ngram_dfcut").exists(wanted)) {
+      val idx = Dedup.shingleIndex(docs, "doc_id", "text", k = 3)
+      bench("shingle_index")(idx.count())
+      bench("q36_ngram_jaccard_pairs")(
+        Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.3).count())
+      bench("q46_dedup_near_corpus")(
+        Dedup.dedupByPairs(docs, "doc_id",
+          Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.8)).count())
+      bench("q48_ngram_dfcut")(
+        Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.4,
+          maxShingleDf = 20L).count())
+      releaseStorage(spark) // idx is done; its checkpoint must not pin storage
+    }
     // auto-sized blocks (the at-scale path), not the bench-pinned 8
     bench("q39_embedding_neardup")(
       Similarity.exactNearDuplicatePairs(emb, "vec_id", "embedding",
@@ -166,6 +172,12 @@ object ScaleBench {
     releaseStorage(spark) // q59's candidate checkpoint + funnel leftovers
     results.toList
   }
+
+  /** One parser for SPARK_GRAFT_SCALE_ONLY (trimmed, empty segments
+    * dropped) — run() and the q60 gate in main() must agree on it. */
+  private def onlyFilter(): Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
   /** q60 at scale: centroid count grows with the corpus (the SemDeDup
     * paper's k ∝ N regime — constant expected cell size, so within-cell
@@ -233,31 +245,40 @@ object ScaleBench {
       val dDir = s"$workDir/f$f/documents.parquet"
       val eDir = s"$workDir/f$f/embeddings.parquet"
       // diagnostics: SPARK_GRAFT_SCALE_REUSE=1 skips corpus regeneration
-      // when a previous run's parquet is already at workDir (the
-      // generator is deterministic, so reuse is exact)
+      // when a previous run's parquet is already at workDir AND was
+      // generated from the same baseDir (a marker file records the
+      // source — reuse across different base corpora would silently
+      // measure the wrong data while claiming the new one)
+      val marker = new java.io.File(s"$workDir/f$f/SOURCE")
       val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
         new java.io.File(s"$dDir/_SUCCESS").exists() &&
-        new java.io.File(s"$eDir/_SUCCESS").exists()
+        new java.io.File(s"$eDir/_SUCCESS").exists() &&
+        marker.exists() &&
+        java.nio.file.Files.readString(marker.toPath).trim == baseDir
       if (!reuse) {
         scaleDocuments(Tables.documents(spark, baseDir), f)
           .repartition(32).write.mode("overwrite").parquet(dDir)
         scaleEmbeddings(Tables.embeddings(spark, baseDir), f)
           .repartition(32).write.mode("overwrite").parquet(eDir)
+        java.nio.file.Files.writeString(marker.toPath, baseDir)
       }
       println(s"""{"scale_factor":$f,"docs":${spark.read.parquet(dDir).count()}}""")
       val rs = run(spark, dDir, eDir, funnelCfg)
       // k ∝ corpus size: 8 centroids per replica-worth of data keeps the
       // expected cell size constant across factors
       val sem =
-        if (sys.env.get("SPARK_GRAFT_SCALE_ONLY")
-            .forall(_.split(",").map(_.trim).contains("q60_semdedup"))) {
+        if (onlyFilter().forall(_.contains("q60_semdedup"))) {
           val (semSec, semRows) = runSemDedup(spark, eDir, k = 8 * f)
           println(s"""{"scale_query":"q60_semdedup","sec":${math.rint(semSec * 1000) / 1000},"rows":$semRows}""")
           Seq(("q60_semdedup", semSec, semRows))
         } else Seq.empty
-      out += (rs ++ sem)
-        .map { case (q, s, n) => s""""$q":[$s,$n]""" }
-        .mkString(s"""{"factor":$f,""", ",", "}")
+      val rows = rs ++ sem
+      if (rows.isEmpty)
+        System.err.println("[scale] WARNING: SPARK_GRAFT_SCALE_ONLY=" +
+          s"${sys.env.getOrElse("SPARK_GRAFT_SCALE_ONLY", "")} matched no " +
+          "bench name — nothing was measured this factor")
+      out += rows.map { case (q, s, n) => s""""$q":[$s,$n]""" }
+        .mkString(s"""{"factor":$f${if (rows.isEmpty) "" else ","}""", ",", "}")
       releaseStorage(spark) // factor boundary: nothing crosses it
     }
     out.foreach(println)

@@ -38,7 +38,7 @@ object CurateCli {
     * [[TextAnalysis.qualityScore]]) — keep the canonical copy, not the
     * first-crawled one.
     *
-    * The six extended stages default OFF (the classic 4-stage funnel):
+    * The seven extended stages default OFF (the classic 4-stage funnel):
     *  - `piiScrub` rewrites `textCol` through the email→IP→phone
     *    redaction chain ([[TextAnalysis.piiScrub]]);
     *  - `maxRepetitionRatio` < 1.0 drops boilerplate/degenerate docs

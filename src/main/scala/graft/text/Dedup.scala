@@ -233,7 +233,12 @@ object Dedup {
       .join(scored.select(col(idCol).as("id_b"), col("__score").as("__sb")),
         Seq("id_b"))
       .select(
-        when(col("__sa") < col("__sb"), col("id_a"))
+        // a NULL score is WORSE than any real score (a null-scored doc
+        // must not outlive a scoreable one on the tie branch); two
+        // nulls fall through to the deterministic id tie-break
+        when(col("__sa").isNull && col("__sb").isNotNull, col("id_a"))
+          .when(col("__sb").isNull && col("__sa").isNotNull, col("id_b"))
+          .when(col("__sa") < col("__sb"), col("id_a"))
           .when(col("__sb") < col("__sa"), col("id_b"))
           .otherwise(greatest(col("id_a"), col("id_b"))).as(idCol))
       .distinct()

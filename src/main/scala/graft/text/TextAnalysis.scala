@@ -509,6 +509,10 @@ object TextAnalysis {
       count(lit(1)).as("n_docs"),
       sum("n_tokens").as("tokens"),
       sum("__qppm").as("__qsum"))
+      // strata-sized (tiny) but consumed twice — by the median filter
+      // and the final output join; materializing it saves a second full
+      // aggregation pass over the corpus-sized checkpoint
+      .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__stratum").orderBy(col("n_tokens"), col("__id"))
     val med = m.withColumn("__rn", row_number().over(w))

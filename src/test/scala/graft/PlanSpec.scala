@@ -209,8 +209,13 @@ class PlanSpec extends SparkSpec {
       s"median rank must be windowed per stratum, never globally:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the strata-sized rollup must broadcast into the rank filter:\n$p")
-    assert(p.contains("partial_count") || p.contains("partial_sum"),
-      s"the rollup must keep map-side partials:\n$p")
+    // the rollup materializes ONCE (localCheckpoint) and both consumers
+    // read the checkpoint — a second corpus-wide aggregation pass must
+    // not appear in the final plan
+    assert(p.contains("ExistingRDD"),
+      s"the strata rollup must be read from its checkpoint:\n$p")
+    assert(!p.contains("partial_sum"),
+      s"no re-aggregation of the corpus projection in the final plan:\n$p")
   }
 
   test("q66 exact-k sample: map-side group limit, window per stratum") {

@@ -218,6 +218,19 @@ class TextSpec extends SparkSpec {
     val kept = Dedup.dedupByPairsKeepBest(corpus, "doc_id", pairs, $"score")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L, 5L), s"got $kept")
+    // a NULL score is worse than any real score — the scoreable member
+    // must survive (null treated as tie would wrongly keep the null doc)
+    val withNull = Seq(
+      (1L, "a", Option.empty[Double]), (2L, "b", Some(0.1)),
+      (3L, "c", Some(0.1)), (4L, "d", Option.empty[Double]),
+      (5L, "e", Option.empty[Double]), (6L, "f", Option.empty[Double])
+    ).toDF("doc_id", "text", "score")
+    val keptN = Dedup.dedupByPairsKeepBest(withNull, "doc_id",
+        Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b"), $"score")
+      .select("doc_id").as[Long].collect().toSet
+    // (1,2): null vs 0.1 → keep 2; (3,4): 0.1 vs null → keep 3;
+    // (5,6): both null → id tiebreak keeps 5
+    assert(keptN == Set(2L, 3L, 5L), s"got $keptN")
     // contrast: min-id survivorship would have kept doc 1, the worse copy
     val minId = Dedup.dedupByPairs(corpus, "doc_id", pairs)
       .select("doc_id").as[Long].collect().toSet
