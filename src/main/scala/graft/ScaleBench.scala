@@ -144,6 +144,24 @@ object ScaleBench {
       r.unpersist()
       n
     }
+    // the everything-enabled funnel: all seven extended stages on. The
+    // token budget is effectively unbounded so every stage processes
+    // its full share at BOTH factors (a fixed finite budget would make
+    // the 10× run drop 10× more work after selection — a semantics
+    // change, not a scale measurement); the eval slice is replica 0,
+    // fixed like q53's
+    bench("curate_funnel_full") {
+      val r = ops.CurateCli.curate(docs, "doc_id", "text",
+        funnelCfg.copy(mixDefaultPpm = 900000L, piiScrub = true,
+          maxRepetitionRatio = 0.9, exciseSpanK = 8,
+          budgetTokens = 1000000000000L, packBudget = 512,
+          packBuckets = 8),
+        evalDocs = Some(docs.filter(
+          col("doc_id") % 16 === 0 && (col("doc_id") / 16) % 37 === 0)))
+      val n = r.funnel.last.docs
+      r.unpersist()
+      n
+    }
     // q58: duplicated spans — within-replica shared stretches keep their
     // shared 8-grams (the salt insertion is a function of the preceding
     // word, identical in both carriers), so span volume scales linearly
