@@ -254,6 +254,57 @@ class CurateCliSpec extends SparkSpec {
     assert(dropped == 10L - 6L)
   }
 
+  test("randomized configs: funnel invariants hold under stage interactions") {
+    // seeded sweep over random Config combinations — the hand-written
+    // cases each exercise one stage; this pins the INTERACTIONS (e.g.
+    // mix+budget+keepBest+excision all on). Invariants checked per run:
+    //   1. doc counts are monotone non-increasing through the datasheet
+    //   2. the curated corpus ids are a subset of the input ids
+    //   3. the final datasheet row equals the corpus actually returned
+    //   4. every enabled stage appears exactly once, in funnel order
+    val docs = Tables.documents(spark, sf).limit(200).cache()
+    val inputIds = docs.select("doc_id").as[Long].collect().toSet
+    val rnd = new scala.util.Random(11)
+    val order = Seq("input", "exact_dedup", "near_dedup", "language",
+      "quality", "mix", "pii_scrub", "repetition", "span_excise",
+      "decontaminate", "token_budget", "pack")
+    for (i <- 1 to 8) {
+      val cfg = CurateCli.Config(
+        minQuality = rnd.nextInt(3) * 0.25,
+        languages = Set("en", "de", "es", "fr", "zh", "unknown"),
+        maxShingleDf = if (rnd.nextBoolean()) 50L else 0L,
+        nearKeepBest = rnd.nextBoolean(),
+        mixDefaultPpm = if (rnd.nextBoolean()) 800000L else 1000000L,
+        piiScrub = rnd.nextBoolean(),
+        maxRepetitionRatio = if (rnd.nextBoolean()) 0.9 else 1.0,
+        exciseSpanK = if (rnd.nextBoolean()) 8 else 0,
+        budgetTokens = if (rnd.nextBoolean()) 5000L else 0L,
+        packBudget = if (rnd.nextBoolean()) 128 else 0,
+        packBuckets = 4)
+      val evalDocs =
+        if (rnd.nextBoolean()) Some(docs.filter($"doc_id" % 13 === 0))
+        else None
+      val r = CurateCli.curate(docs, "doc_id", "text", cfg, evalDocs)
+      val stages = r.funnel.map(_.stage)
+      assert(stages == order.filter(stages.contains),
+        s"cfg#$i: stages out of order: $stages")
+      assert(stages.distinct == stages, s"cfg#$i: duplicate stage: $stages")
+      val counts = r.funnel.map(_.docs)
+      assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+        s"cfg#$i ($cfg): docs must be monotone non-increasing: " +
+          s"${stages.zip(counts)}")
+      val outIds = r.corpus.select("doc_id").as[Long].collect().toSet
+      assert(outIds.subsetOf(inputIds), s"cfg#$i: corpus invented ids")
+      // 'pack' re-counts the packed sidecar; the corpus row count is the
+      // last non-pack stage
+      val lastCorpusRow = r.funnel.reverse.find(_.stage != "pack").get
+      assert(outIds.size == lastCorpusRow.docs,
+        s"cfg#$i: datasheet (${lastCorpusRow.docs}) vs corpus (${outIds.size})")
+      r.unpersist()
+    }
+    docs.unpersist()
+  }
+
   test("funnel evaluates each stage's lineage once (no O(stages²) recompute)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
