@@ -331,6 +331,11 @@ object SparkEntry {
       TextAnalysis.selectByBudget(
         Tables.documents(s, d).filter(col("text").isNotNull),
         "doc_id", "text", budget = 20000L)),
+    // q68: Gopher rule battery — one boolean per rule + the
+    // conjunction; every ratio threshold is an integer cross-multiplied
+    // comparison, so flags are bit-identical across engines
+    "q68_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherFlags(Tables.documents(s, d), "doc_id", "text")),
     // q67: corpus-typicality — mean corpus frequency of each doc's
     // positional bigrams (the relational LM-perplexity stand-in: rare
     // bigram sequences ≈ noisy/generated text). Exact-count division
@@ -891,6 +896,34 @@ object SparkEntry {
          |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q)
          |SELECT doc_id, quality, n_tokens FROM c WHERE cum <= 20000""".stripMargin,
+    // q68: same integer cross-multiplied rule arithmetic; newline split
+    // via chr(10) (Spark's split("\n") regex sees a literal newline)
+    "q68_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks,
+         |  string_split(text, chr(10)) AS lines FROM documents
+         |  WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS cns,
+         |  CAST(len(regexp_extract_all(text, '[#…]')) AS BIGINT) AS sym,
+         |  CAST(len(lines) AS BIGINT) AS nl,
+         |  CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS bul,
+         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         |  CAST(len(list_filter(toks, x -> x IN ($enStop))) AS BIGINT) AS sw
+         | FROM t),
+         |f AS (SELECT doc_id,
+         |  (n >= 50 AND n <= 100000) AS word_count_ok,
+         |  (cns >= n * 3 AND cns <= n * 10) AS mean_len_ok,
+         |  (sym * 10 <= n) AS symbol_ok,
+         |  (bul * 10 <= nl * 9) AS bullet_ok,
+         |  (alpha * 5 >= n * 4) AS alpha_ok,
+         |  (sw >= 2) AS stopword_ok
+         | FROM m)
+         |SELECT doc_id, word_count_ok, mean_len_ok, symbol_ok, bullet_ok,
+         |  alpha_ok, stopword_ok,
+         |  (word_count_ok AND mean_len_ok AND symbol_ok AND bullet_ok
+         |    AND alpha_ok AND stopword_ok) AS gopher_pass
+         |FROM f""".stripMargin,
     // q67: string bigrams re-derive the engine's hash groups (the
     // accepted 2^-64 collision pattern); positional multiplicity is the
     // point — the join carries one row per occurrence

@@ -448,6 +448,48 @@ object TextAnalysis {
         score.as("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", §A1.1) — the standard per-document rule
+    * battery real curation stacks run alongside a scalar quality score.
+    * One boolean column per rule plus the conjunction:
+    *
+    *  - `word_count_ok`: 50 ≤ tokens ≤ 100 000
+    *  - `mean_len_ok`: mean non-space chars per token in [3, 10]
+    *  - `symbol_ok`: `#`/`…` symbols ≤ 0.1 per token
+    *  - `bullet_ok`: ≤ 90% of lines start with a bullet
+    *  - `alpha_ok`: ≥ 80% of tokens contain an alphabetic character
+    *  - `stopword_ok`: ≥ 2 stopword occurrences
+    *  - `gopher_pass`: all of the above
+    *
+    * Every ratio threshold is evaluated as an INTEGER cross-multiplied
+    * comparison (`10·sym ≤ tokens`, `5·alpha ≥ 4·tokens`, ...) — no
+    * division anywhere, so the flags are bit-identical across engines
+    * by construction. Pure column expressions: codegen'd, zero shuffle. */
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = LangProfiles("en")): DataFrame = {
+    val c = col(textCol)
+    val toks = tokens(c)
+    val n = size(toks).cast("long")
+    val charsNoSpace = length(regexp_replace(c, "\\s", "")).cast("long")
+    val symbols = size(regexp_extract_all(c, lit("[#…]"), lit(0))).cast("long")
+    val lines = split(c, "\n")
+    val nLines = size(lines).cast("long")
+    val bullets = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val alphaToks = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val sw = stopwordCount(c, stopwords).cast("long")
+    df.filter(c.isNotNull).select(
+      col(idCol),
+      (n >= 50L && n <= 100000L).as("word_count_ok"),
+      (charsNoSpace >= n * 3L && charsNoSpace <= n * 10L).as("mean_len_ok"),
+      (symbols * 10L <= n).as("symbol_ok"),
+      (bullets * 10L <= nLines * 9L).as("bullet_ok"),
+      (alphaToks * 5L >= n * 4L).as("alpha_ok"),
+      (sw >= 2L).as("stopword_ok"))
+      .withColumn("gopher_pass",
+        col("word_count_ok") && col("mean_len_ok") && col("symbol_ok") &&
+          col("bullet_ok") && col("alpha_ok") && col("stopword_ok"))
+  }
+
   /** Corpus-typicality score — the relational stand-in for LM-based
     * quality scoring: each document scores the MEAN CORPUS FREQUENCY of
     * its token bigrams (positional, not distinct — a doc repeating a

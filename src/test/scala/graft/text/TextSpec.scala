@@ -427,6 +427,29 @@ class TextSpec extends SparkSpec {
     assert(gotVocab == expVocab)
   }
 
+  test("gopherFlags: each rule flips on its own trigger") {
+    val base = (1 to 60).map(i => s"the word$i").mkString(" ") // 120 tokens, healthy
+    val corpus = Seq(
+      (1L, base),                                          // passes everything
+      (2L, "too short for gopher"),                        // word_count_ok=false
+      (3L, base + " " + Seq.fill(60)("####### #######").mkString(" ")), // symbols
+      (4L, (1 to 30).map(i => s"- bullet line $i").mkString("\n")),     // bullets
+      (5L, base.replace("the ", "123 456 ")),              // alpha + stopwords
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFlags(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, true, true, true, true, true, true, true)))
+    assert(!byId(2L)._2 && !byId(2L)._8, "short doc fails word count + pass")
+    assert(!byId(3L)._4, "symbol-heavy doc fails symbol_ok")
+    assert(!byId(4L)._5, "all-bullet doc fails bullet_ok")
+    assert(!byId(5L)._6 && !byId(5L)._7, "digit-heavy doc fails alpha + stopword")
+    assert(!byId.contains(6L), "null text excluded")
+  }
+
   test("typicalityScores: mean corpus bigram frequency, hand-checked") {
     val corpus = Seq(
       (1L, "a b a b"),  // bigrams "a b"×2, "b a"×1
