@@ -33,7 +33,7 @@ object QueryDiag {
         val ms = (for (a <- si.submissionTime; b <- si.completionTime)
           yield b - a).getOrElse(-1L)
         println(s"[stage] id=${si.stageId} tasks=${si.numTasks} ms=$ms " +
-          s"name=${si.name.linesIterator.next().take(100)}")
+          s"name=${si.name.linesIterator.nextOption().getOrElse("").take(100)}")
       }
     })
     val docs = spark.read.parquet(docsPath)

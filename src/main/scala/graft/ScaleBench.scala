@@ -247,8 +247,12 @@ object ScaleBench {
 
     val out = scala.collection.mutable.ListBuffer.empty[String]
     // diagnostics: SPARK_GRAFT_SCALE_FACTORS=10 runs a single factor
+    // malformed entries are dropped (same defensive parse as
+    // SPARK_GRAFT_BENCH_RUNS); an all-malformed value falls back to the
+    // default pair rather than crashing the bench
     val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTORS")
-      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .map(_.split(",").toSeq.flatMap(_.trim.toIntOption))
+      .filter(_.nonEmpty)
       .getOrElse(Seq(1, factor))
     if (factors.size > 1)
       // measured: the larger factor's wall-times inflate up to 6× when a

@@ -38,12 +38,16 @@ object CurateCli {
     * [[TextAnalysis.qualityScore]]) — keep the canonical copy, not the
     * first-crawled one.
     *
-    * The seven extended stages default OFF (the classic 4-stage funnel):
+    * The eight extended stages default OFF (the classic 4-stage funnel):
     *  - `piiScrub` rewrites `textCol` through the email→IP→phone
     *    redaction chain ([[TextAnalysis.piiScrub]]);
     *  - `maxRepetitionRatio` < 1.0 drops boilerplate/degenerate docs
     *    whose top `repetitionK`-gram covers more than that share of all
     *    their grams ([[TextAnalysis.repetitionStats]]);
+    *  - `gopherRules` runs the Gopher rule battery
+    *    ([[TextAnalysis.gopherPass]]) as a straight filter between the
+    *    repetition and span-excision stages — pure column expressions
+    *    applied on the corpus scan, zero shuffle;
     *  - `exciseSpanK` > 0 runs duplicated-span excision at that k-gram
     *    width ([[Dedup.removeDuplicatedSpans]], `exciseSpanMinDf` the
     *    cross-document frequency floor): boilerplate PASSAGES shared by
@@ -80,6 +84,7 @@ object CurateCli {
       piiScrub: Boolean = false,
       maxRepetitionRatio: Double = 1.0,
       repetitionK: Int = 2,
+      gopherRules: Boolean = false,
       exciseSpanK: Int = 0,
       exciseSpanMinDf: Int = 2,
       decontaminateK: Int = 8,
@@ -195,6 +200,12 @@ object CurateCli {
         advance("repetition", cur.join(keep, Seq(idCol), "left_semi"))
       }
 
+      if (cfg.gopherRules)
+        // stateless rule battery — a plain filter, so it rides the
+        // corpus scan; placed after the payload-touching stages so the
+        // rules judge the text the corpus will actually ship
+        advance("gopher", cur.filter(TextAnalysis.gopherPass(col(textCol))))
+
       if (cfg.exciseSpanK > 0)
         // passage-level dedup AFTER the whole-doc stages: the remaining
         // corpus keeps every doc but loses the cross-document
@@ -303,9 +314,9 @@ object CurateCli {
   /** CLI: curate <sfDir> <outDir> [minQuality] [full]. Writes the
     * curated corpus as parquet, a `funnel` stats table, and the run's
     * `datasheet.json`; prints one JSON line per stage plus the
-    * datasheet line. `full` switches on ALL seven extended stages
-    * (mix → scrub → repetition → span excision → decontaminate vs the
-    * `% 37` eval slice → token-budget → pack). Exit 0. */
+    * datasheet line. `full` switches on ALL eight extended stages
+    * (mix → scrub → repetition → gopher → span excision → decontaminate
+    * vs the `% 37` eval slice → token-budget → pack). Exit 0. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/curated")
@@ -321,7 +332,8 @@ object CurateCli {
     val docs = graft.Tables.documents(spark, sfDir)
     val cfg =
       if (full) Config(minQuality = minQ, mixDefaultPpm = 900000L,
-        piiScrub = true, maxRepetitionRatio = 0.9, exciseSpanK = 8,
+        piiScrub = true, maxRepetitionRatio = 0.9, gopherRules = true,
+        exciseSpanK = 8,
         budgetTokens = 1000000000L, packBudget = 512, packBuckets = 8)
       else Config(minQuality = minQ)
     val evalDocs =

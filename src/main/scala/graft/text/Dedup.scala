@@ -561,8 +561,27 @@ object Dedup {
       .agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minHits)
       .select(idCol)
+      // eagerly materialize the (ids-only, tiny) dirty set so the
+      // candidate blocks release NOW: repeated invocations in one JVM
+      // (the bench runs q59 five times) would otherwise pin candidate
+      // storage until the ContextCleaner happens to reap the
+      // unreferenced RDDs
+      .localCheckpoint()
+    releaseLocalCheckpoint(cand)
     newDf.join(dirty, Seq(idCol), "left_anti")
   }
+
+  /** Drop the block-manager storage behind a `localCheckpoint`'ed
+    * DataFrame once nothing downstream can re-read it — the targeted
+    * counterpart of ScaleBench's blanket `getPersistentRDDs` sweep
+    * (safe to call concurrently with other pipelines: it touches only
+    * this plan's own checkpoint RDD). */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   // ---- duplicated-span detection (exact substring dedup) ---------------
 

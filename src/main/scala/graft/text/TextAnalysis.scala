@@ -467,7 +467,23 @@ object TextAnalysis {
     * by construction. Pure column expressions: codegen'd, zero shuffle. */
   def gopherFlags(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] = LangProfiles("en")): DataFrame = {
-    val c = col(textCol)
+    val rules = gopherRuleCols(col(textCol), stopwords)
+    df.filter(col(textCol).isNotNull).select(
+      col(idCol) +: rules.map { case (name, c) => c.as(name) }: _*)
+      .withColumn("gopher_pass", rules.map(r => col(r._1)).reduce(_ && _))
+  }
+
+  /** The [[gopherFlags]] conjunction as ONE filter predicate — for
+    * pipelines (the curation funnel's `gopher` stage) that only need
+    * pass/fail: the codegen'd expression applies in place on the
+    * corpus scan, no projection, no join, zero shuffle. NULL text
+    * fails (a null document passes no rule battery). */
+  def gopherPass(c: Column,
+      stopwords: Seq[String] = LangProfiles("en")): Column =
+    c.isNotNull && gopherRuleCols(c, stopwords).map(_._2).reduce(_ && _)
+
+  private def gopherRuleCols(c: Column,
+      stopwords: Seq[String]): Seq[(String, Column)] = {
     val toks = tokens(c)
     val n = size(toks).cast("long")
     val charsNoSpace = length(regexp_replace(c, "\\s", "")).cast("long")
@@ -477,17 +493,13 @@ object TextAnalysis {
     val bullets = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
     val alphaToks = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
     val sw = stopwordCount(c, stopwords).cast("long")
-    df.filter(c.isNotNull).select(
-      col(idCol),
-      (n >= 50L && n <= 100000L).as("word_count_ok"),
-      (charsNoSpace >= n * 3L && charsNoSpace <= n * 10L).as("mean_len_ok"),
-      (symbols * 10L <= n).as("symbol_ok"),
-      (bullets * 10L <= nLines * 9L).as("bullet_ok"),
-      (alphaToks * 5L >= n * 4L).as("alpha_ok"),
-      (sw >= 2L).as("stopword_ok"))
-      .withColumn("gopher_pass",
-        col("word_count_ok") && col("mean_len_ok") && col("symbol_ok") &&
-          col("bullet_ok") && col("alpha_ok") && col("stopword_ok"))
+    Seq(
+      "word_count_ok" -> (n >= 50L && n <= 100000L),
+      "mean_len_ok" -> (charsNoSpace >= n * 3L && charsNoSpace <= n * 10L),
+      "symbol_ok" -> (symbols * 10L <= n),
+      "bullet_ok" -> (bullets * 10L <= nLines * 9L),
+      "alpha_ok" -> (alphaToks * 5L >= n * 4L),
+      "stopword_ok" -> (sw >= 2L))
   }
 
   /** Corpus-typicality score — the relational stand-in for LM-based

@@ -104,6 +104,41 @@ class CurateCliSpec extends SparkSpec {
     result.unpersist()
   }
 
+  test("gopher stage drops rule violators, keeps compliant docs") {
+    // doc 1: >= 50 tokens, sane mean token length, stopwords — passes
+    // the whole battery. doc 2: clean English but far under the 50-token
+    // floor (word_count_ok fails). doc 3: long enough but #-ridden
+    // (symbol_ok fails). Both victims pass language + quality at
+    // minQuality=0, so only the gopher stage can be the thing dropping
+    // them — a dead stage fails this loudly.
+    val sentence = "the cat sat near the mat and the dog ran over the hill while "
+    val compliant = sentence * 5 // 70 tokens
+    val short_ = "the cat sat on the mat today and the dog was here"
+    val symbols = sentence * 5 + "## ## ## ## ## ## ## ## ## ## ## ## ## ##"
+    val corpus = Seq((1L, compliant), (2L, short_), (3L, symbols))
+      .toDF("doc_id", "text")
+    val r = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, gopherRules = true))
+    assert(r.funnel.map(_.stage) ==
+      Seq("input", "exact_dedup", "near_dedup", "language", "quality",
+        "gopher"))
+    val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+    r.unpersist()
+    assert(ids == Set(1L), s"gopher battery must keep only doc 1, got $ids")
+  }
+
+  test("gopher stage runs between repetition and span_excise") {
+    val sentence = "the cat sat near the mat and the dog ran over the hill while "
+    val corpus = Seq((1L, sentence * 5), (2L, sentence * 6))
+      .toDF("doc_id", "text")
+    val r = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, jaccardThreshold = 0.999,
+        maxRepetitionRatio = 0.999, gopherRules = true, exciseSpanK = 0))
+    assert(r.funnel.map(_.stage).containsSlice(Seq("repetition", "gopher")),
+      s"gopher must follow repetition: ${r.funnel.map(_.stage)}")
+    r.unpersist()
+  }
+
   test("nearKeepBest keeps the higher-quality near-dup, default keeps min id") {
     // doc 2 = doc 1 + one token: J = 5/6 ≥ 0.8, and the extra token
     // makes doc 2 the higher-quality member (+4000 ppm length credit,
@@ -266,7 +301,7 @@ class CurateCliSpec extends SparkSpec {
     val inputIds = docs.select("doc_id").as[Long].collect().toSet
     val rnd = new scala.util.Random(11)
     val order = Seq("input", "exact_dedup", "near_dedup", "language",
-      "quality", "mix", "pii_scrub", "repetition", "span_excise",
+      "quality", "mix", "pii_scrub", "repetition", "gopher", "span_excise",
       "decontaminate", "token_budget", "pack")
     for (i <- 1 to 8) {
       val cfg = CurateCli.Config(
@@ -277,6 +312,7 @@ class CurateCliSpec extends SparkSpec {
         mixDefaultPpm = if (rnd.nextBoolean()) 800000L else 1000000L,
         piiScrub = rnd.nextBoolean(),
         maxRepetitionRatio = if (rnd.nextBoolean()) 0.9 else 1.0,
+        gopherRules = rnd.nextBoolean(),
         exciseSpanK = if (rnd.nextBoolean()) 8 else 0,
         budgetTokens = if (rnd.nextBoolean()) 5000L else 0L,
         packBudget = if (rnd.nextBoolean()) 128 else 0,
