@@ -68,7 +68,15 @@ object CurateCli {
     *  - `packBudget` > 0 additionally emits the concat-and-chunk
     *    sequence assignments over the surviving corpus
     *    ([[TextAnalysis.packSequences]], `packBuckets` parallel
-    *    streams). */
+    *    streams).
+    *
+    * `indexDir` (orthogonal to the stage toggles) redirects the
+    * near-dedup candidate index (shingle or minhash, whichever the
+    * config selects) from `localCheckpoint` to a WRITTEN parquet table
+    * under that directory — the durable materialization a cluster run
+    * wants: an executor loss re-reads instead of recomputing the
+    * corpus-wide index, and the artifact outlives the run
+    * ([[Dedup.shingleIndex]]/[[Dedup.minhashIndex]] `path` docs). */
   final case class Config(
       minQuality: Double = 0.5,
       languages: Set[String] = Set("en"),
@@ -92,7 +100,8 @@ object CurateCli {
       budgetTokens: Long = 0L,
       budgetBuckets: Int = 100,
       packBudget: Int = 0,
-      packBuckets: Int = 64)
+      packBuckets: Int = 64,
+      indexDir: Option[String] = None)
 
   final case class StageCount(stage: String, docs: Long, tokens: Long)
 
@@ -146,11 +155,13 @@ object CurateCli {
       val pairs =
         if (cfg.maxShingleDf > 0)
           Dedup.ngramJaccardPairs(exact, idCol, textCol, k = cfg.shingleK,
-            threshold = cfg.jaccardThreshold, maxShingleDf = cfg.maxShingleDf)
+            threshold = cfg.jaccardThreshold, maxShingleDf = cfg.maxShingleDf,
+            indexPath = cfg.indexDir.map(_ + "/shingle_index"))
         else
           Dedup.minhashVerifiedPairs(exact, idCol, textCol,
             k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
-            threshold = cfg.jaccardThreshold)
+            threshold = cfg.jaccardThreshold,
+            indexPath = cfg.indexDir.map(_ + "/minhash_index"))
       val near = persisted(
         if (cfg.nearKeepBest)
           Dedup.dedupByPairsKeepBest(exact, idCol, pairs,

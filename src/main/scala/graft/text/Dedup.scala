@@ -118,16 +118,51 @@ object Dedup {
   /** Candidate near-duplicate pairs via MinHash LSH, verified by
     * signature agreement (estimated Jaccard). Output:
     * (id_a, id_b, est_jaccard) with id_a < id_b. */
-  /** The signature index: (id, sig), materialized once (localCheckpoint)
-    * because candidate-pair generation reads it four times (two sides of
-    * the band join, two signature re-attachments). In a persistent
-    * pipeline this table is simply written out — the build-once/probe-
-    * many structure is the point. */
+  /** The signature index: (id, sig), materialized once because
+    * candidate-pair generation reads it four times (two sides of the
+    * band join, two signature re-attachments). `path = None` (default)
+    * materializes via localCheckpoint — fast, but executor-local: lost
+    * on executor failure and pinned in executor storage for the JVM's
+    * life. Passing a `path` instead WRITES the index as parquet
+    * partitioned by `shard = pmod(xxhash64(id), shards)` and returns
+    * the re-read — the durable variant a cluster run wants (an executor
+    * loss mid-funnel re-reads instead of recomputing, and the artifact
+    * outlives the job for probe-side reuse; per-id probes prune to one
+    * shard directory at file listing — [[minhashLookup]]). */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 32): DataFrame =
-    df.select(col(idCol).as("id"),
+      k: Int = 3, numHashes: Int = 32, path: Option[String] = None,
+      shards: Int = 64): DataFrame = {
+    val idx = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), k, numHashes).as("sig"))
-      .localCheckpoint()
+    path match {
+      case Some(p) =>
+        idx.withColumn("shard", pmod(xxhash64(col("id")), lit(shards.toLong)))
+          .write.partitionBy("shard").mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p).select("id", "sig")
+      case None => idx.localCheckpoint()
+    }
+  }
+
+  /** Pruned per-id probe of a written [[minhashIndex]] (read WITH its
+    * `shard` column, i.e. `spark.read.parquet(path)`): filters on the
+    * shard partition key first, so only the probed ids' directories are
+    * ever listed. */
+  def minhashLookup(index: DataFrame, ids: Seq[Long], shards: Int = 64): DataFrame =
+    index
+      .filter(col("shard").isin(
+        ids.map(i => xxhash64Long(i, shards)): _*) &&
+        col("id").isin(ids: _*))
+      .select("id", "sig")
+
+  // driver-side xxhash64 of one long under Spark's default seed 42 —
+  // must agree with the engine's xxhash64() so shard probes hit the
+  // right directory (XXH64 is a published public algorithm; Spark's
+  // impl hashes the 8 little-endian bytes of the long)
+  private def xxhash64Long(v: Long, shards: Int): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(v, org.apache.spark.sql.types.LongType, 42L)
+    java.lang.Math.floorMod(h, shards.toLong)
+  }
 
   /** Banded candidate pairs from a signature index: ids sharing at least
     * one full band bucket, each unordered pair once. id-only join
@@ -181,8 +216,8 @@ object Dedup {
     * O(N²). */
   def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
-    val sigDf = minhashIndex(df, idCol, textCol, k, numHashes)
+      threshold: Double = 0.5, indexPath: Option[String] = None): DataFrame = {
+    val sigDf = minhashIndex(df, idCol, textCol, k, numHashes, indexPath)
     val pairs = bandedCandidates(sigDf, bands, numHashes / bands)
     val sets = df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), k, distinct = true).as("sh"))
@@ -369,18 +404,42 @@ object Dedup {
     * of arbitrary-length text. Set semantics come from the kernel's
     * per-row dedup (doc ids are unique, so (id, shingle) is globally
     * unique after a per-doc distinct) — NO corpus-wide distinct()
-    * shuffle after the explode. Materialized (localCheckpoint here; a
-    * written table in a persistent pipeline) because every query over
-    * it reads it at least three times (sizes + both join sides). */
+    * shuffle after the explode. Materialized because every query over
+    * it reads it at least three times (sizes + both join sides):
+    * `path = None` via localCheckpoint (fast; executor-local, lost on
+    * executor failure); with a `path` the index WRITES as parquet
+    * partitioned by `shard = pmod(shingle, shards)` and the re-read is
+    * returned — durable across failures and jobs, and shingle-keyed
+    * probes ([[shingleLookup]] — the decontamination/point-probe shape)
+    * prune to their shard directories at file listing. */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"),
+      k: Int = 3, path: Option[String] = None, shards: Int = 64): DataFrame = {
+    val idx = df.select(col(idCol).as("id"),
       explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
-      .localCheckpoint()
+    path match {
+      case Some(p) =>
+        idx.withColumn("shard", pmod(col("shingle"), lit(shards.toLong)))
+          .write.partitionBy("shard").mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p).select("id", "shingle")
+      case None => idx.localCheckpoint()
+    }
+  }
+
+  /** Pruned probe of a written [[shingleIndex]] (read WITH its `shard`
+    * column): which documents contain any of `hashes`? Filters the
+    * shard partition key first — only the probed shingles' directories
+    * are listed, the 100-TB-index point-lookup shape. */
+  def shingleLookup(index: DataFrame, hashes: Seq[Long], shards: Int = 64): DataFrame =
+    index
+      .filter(col("shard").isin(
+        hashes.map(h => java.lang.Math.floorMod(h, shards.toLong)): _*) &&
+        col("shingle").isin(hashes: _*))
+      .select("id", "shingle")
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame =
-    ngramJaccardPairsFromIndex(shingleIndex(df, idCol, textCol, k),
+      k: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L,
+      indexPath: Option[String] = None): DataFrame =
+    ngramJaccardPairsFromIndex(shingleIndex(df, idCol, textCol, k, indexPath),
       threshold, maxShingleDf)
 
   /** Jaccard pairs against a prebuilt [[shingleIndex]] — the probe side
@@ -567,16 +626,19 @@ object Dedup {
       // storage until the ContextCleaner happens to reap the
       // unreferenced RDDs
       .localCheckpoint()
-    releaseLocalCheckpoint(cand)
+    releaseIndex(cand)
     newDf.join(dirty, Seq(idCol), "left_anti")
   }
 
   /** Drop the block-manager storage behind a `localCheckpoint`'ed
-    * DataFrame once nothing downstream can re-read it — the targeted
-    * counterpart of ScaleBench's blanket `getPersistentRDDs` sweep
-    * (safe to call concurrently with other pipelines: it touches only
-    * this plan's own checkpoint RDD). */
-  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    * DataFrame (an in-memory [[shingleIndex]]/[[minhashIndex]], the
+    * history-dedup candidate set, ...) once nothing downstream can
+    * re-read it — the targeted counterpart of ScaleBench's blanket
+    * `getPersistentRDDs` sweep (safe to call concurrently with other
+    * pipelines: it touches only this plan's own checkpoint RDD). No-op
+    * on plans with no checkpointed RDD behind them (e.g. a
+    * written-parquet index). */
+  def releaseIndex(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

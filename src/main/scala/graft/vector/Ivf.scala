@@ -42,9 +42,15 @@ object Ivf {
   }
 
   /** Train centroids and return (model, assignments df with `cell`).
-    * Deterministic under the fixed seed. */
+    * Deterministic under the fixed seed. `path = None` materializes the
+    * assignment table via localCheckpoint (executor-local — lost on
+    * executor failure); with a `path` it is written via [[writeIndex]]
+    * (parquet partitioned by cell) and the durable re-read is returned,
+    * so probes prune to their cells at file listing and the artifact
+    * survives the job. */
   def buildIndex(df: DataFrame, idCol: String, embCol: String, k: Int,
-      seed: Long = 42L, fitCap: Long = 100000L): (IvfModel, DataFrame) = {
+      seed: Long = 42L, fitCap: Long = 100000L,
+      path: Option[String] = None): (IvfModel, DataFrame) = {
     val feat = df.select(col(idCol), col(embCol))
       .withColumn("features",
         org.apache.spark.ml.functions.array_to_vector(col(embCol)))
@@ -52,8 +58,11 @@ object Ivf {
     val model = kmeans.fit(fitSample(feat, fitCap, seed))
     val assigned = model.transform(feat)
       .select(col(idCol), col(embCol), col("prediction").as("cell"))
-      .localCheckpoint() // the index artifact; written partitionBy(cell) at scale
-    (IvfModel(model.clusterCenters.map(_.toArray)), assigned)
+    val index = path match {
+      case Some(p) => writeIndex(assigned, p); readIndex(df.sparkSession, p)
+      case None => assigned.localCheckpoint()
+    }
+    (IvfModel(model.clusterCenters.map(_.toArray)), index)
   }
 
   /** Persist the assignment table partitioned by cell — the probe path

@@ -32,6 +32,26 @@ class VectorIndexIOSpec extends SparkSpec {
     assert(probed.as[(Long, Double)].collect().toSeq == inMem)
   }
 
+  test("buildIndex with a path returns the durable re-read; probes match localCheckpoint") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val path = Files.createTempDirectory("ivfbuild").resolve("idx").toString
+    val (mA, ckIdx) = Ivf.buildIndex(emb, "vec_id", "embedding", k = 4)
+    val (mB, durIdx) = Ivf.buildIndex(emb, "vec_id", "embedding", k = 4,
+      path = Some(path))
+    // same seed → same model; the durable index must answer identically
+    assert(mA.centroids.map(_.toSeq).toSeq == mB.centroids.map(_.toSeq).toSeq)
+    val a = Ivf.annTopK(mA, ckIdx, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val b = Ivf.annTopK(mB, durIdx, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // and it IS the written, cell-partitioned artifact
+    assert(new java.io.File(path).listFiles()
+      .exists(_.getName.startsWith("cell=")), s"cell dirs missing at $path")
+  }
+
   test("IVF index round-trips; probe prunes cell partitions and matches in-memory results") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" === 0)
