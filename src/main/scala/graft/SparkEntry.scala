@@ -271,6 +271,13 @@ object SparkEntry {
     "q60_semdedup" -> ((s, d) =>
       graft.vector.SemDedup.semDedup(Tables.embeddings(s, d), "vec_id",
         "embedding", ivfCentroids(s, d), threshold = 0.4)),
+    // q69: SemDeDup with MULTI-PROBE assignment (top-2 centroids per
+    // vector) — the boundary-miss mitigation: pairs straddling one
+    // cell boundary still meet in a shared probe cell. Survivor cells
+    // stay primary, so the output schema matches q60's
+    "q69_semdedup_multiprobe" -> ((s, d) =>
+      graft.vector.SemDedup.semDedup(Tables.embeddings(s, d), "vec_id",
+        "embedding", ivfCentroids(s, d), threshold = 0.4, nProbe = 2)),
     "q46_dedup_near_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.dedupByPairs(docs, "doc_id",
@@ -1212,6 +1219,23 @@ object SparkEntry {
         |  WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= CAST(0.4 AS DOUBLE))
         |SELECT a.vec_id, CAST(a.cell AS INT) AS cell FROM assign a
         |WHERE a.vec_id NOT IN (SELECT vec_id FROM drop)""".stripMargin,
+    // q69: top-2 multi-probe assignment via a per-vector rank window
+    // (cosine desc, ties lower centroid id — the same order the
+    // engine's in-row struct sort uses); pair discovery joins ALL probe
+    // cells, survivors report their rank-1 (primary) cell
+    "q69_semdedup_multiprobe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS c, emb AS cemb FROM e WHERE vec_id < 8),
+        |scored AS (SELECT v.vec_id, v.emb, cent.c,
+        |  row_number() OVER (PARTITION BY v.vec_id
+        |    ORDER BY list_cosine_similarity(v.emb, cent.cemb) DESC, cent.c) AS rn
+        |  FROM e v CROSS JOIN cent),
+        |assign AS (SELECT vec_id, emb, c AS cell, rn FROM scored WHERE rn <= 2),
+        |drop AS (SELECT DISTINCT y.vec_id FROM assign x
+        |  JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= CAST(0.4 AS DOUBLE))
+        |SELECT a.vec_id, CAST(a.cell AS INT) AS cell FROM assign a
+        |WHERE a.rn = 1 AND a.vec_id NOT IN (SELECT vec_id FROM drop)""".stripMargin,
   )
 
   /** DuckDB fragments computing graft.functions.TextHashes.poly over a

@@ -23,7 +23,8 @@ import graft.observe.{CdcQueryListener, MetricsRegistry}
   *     [--shingle-k 3] [--watermark "1 hour"] \
   *     [--max-per-bucket 1000] [--state-ttl-ms 0] \
   *     [--eval <parquet of eval docs — ingest-time decontamination>] \
-  *     [--decontaminate-k 8] [--decontaminate-min-hits 1]
+  *     [--decontaminate-k 8] [--decontaminate-min-hits 1] \
+  *     [--state-store rocksdb|hdfs|<provider class>]
   *
   * NOTE: `--shingle-k` tunes the near-dup LSH shingles only; eval
   * shingling is governed by `--decontaminate-k` (short eval texts under
@@ -60,7 +61,8 @@ object CurateStreamCli {
       watermark: String = "1 hour",
       maxPerBucket: Int = 1000,
       stateTtlMs: Long = 0L,
-      evalPath: Option[String] = None)
+      evalPath: Option[String] = None,
+      stateStore: Option[String] = None)
 
   final case class Summary(landed: Long, flagged: Long)
 
@@ -70,11 +72,41 @@ object CurateStreamCli {
     StructField("ts", TimestampType),
     StructField("text", StringType)))
 
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+
+  /** `--state-store` values → provider classes. At 100-TB ingest the
+    * per-(band,bucket) LSH state outgrows executor heaps — `rocksdb`
+    * moves it off-heap with changelog checkpointing (the recommended
+    * provider for large state); `hdfs` is Spark's heap-backed default.
+    * Any other value is taken as a fully-qualified provider class.
+    * NOTE: a checkpoint is bound to the provider that created it —
+    * restart an existing checkpoint with the SAME setting. */
+  private def providerClass(name: String): String = name.toLowerCase match {
+    case "rocksdb" =>
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    case "hdfs" =>
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    case other => other
+  }
+
   /** Run both queries to drain (AvailableNow) against the session and
     * return total rows landed / candidates flagged ACROSS ALL RUNS of
     * this checkpoint (counted from the output tables, so restarts
     * accumulate — the e2e restart test pins exactly that). */
   def run(spark: SparkSession, cfg: StreamConfig): Summary = {
+    // the provider conf is read per-query at START — set it for this
+    // run only and restore after the drain, so a shared session doesn't
+    // leak the choice into unrelated streaming queries
+    val prevProvider = spark.conf.getOption(ProviderConf)
+    cfg.stateStore.foreach(s => spark.conf.set(ProviderConf, providerClass(s)))
+    try doRun(spark, cfg)
+    finally if (cfg.stateStore.isDefined) prevProvider match {
+      case Some(v) => spark.conf.set(ProviderConf, v)
+      case None => spark.conf.unset(ProviderConf)
+    }
+  }
+
+  private def doRun(spark: SparkSession, cfg: StreamConfig): Summary = {
     // the two eval modes write the landing zone with DIFFERENT sink
     // kinds (streaming file sink with a _spark_metadata log vs plain
     // foreachBatch appends). Mixing them in one directory makes one
@@ -209,6 +241,7 @@ object CurateStreamCli {
     var curate = CurateCli.Config()
     var watermark = "1 hour"; var maxPerBucket = 1000; var stateTtlMs = 0L
     var evalPath: Option[String] = None
+    var stateStore: Option[String] = None
     var i = 0
     try {
       while (i < args.length) {
@@ -229,6 +262,7 @@ object CurateStreamCli {
           case "--max-per-bucket" => maxPerBucket = args(i + 1).toInt; i += 2
           case "--state-ttl-ms" => stateTtlMs = args(i + 1).toLong; i += 2
           case "--eval" => evalPath = Some(args(i + 1)); i += 2
+          case "--state-store" => stateStore = Some(args(i + 1)); i += 2
           case "--decontaminate-k" =>
             curate = curate.copy(decontaminateK = args(i + 1).toInt); i += 2
           case "--decontaminate-min-hits" =>
@@ -243,7 +277,7 @@ object CurateStreamCli {
     if (input.isEmpty || output.isEmpty || candidates.isEmpty || checkpoint.isEmpty)
       Left("--input, --output, --candidates, --checkpoint required")
     else Right(StreamConfig(input, output, candidates, checkpoint, curate,
-      watermark, maxPerBucket, stateTtlMs, evalPath))
+      watermark, maxPerBucket, stateTtlMs, evalPath, stateStore))
   }
 
   def main(args: Array[String]): Unit = {

@@ -118,6 +118,32 @@ object Ivf {
       (-array_max(array(scored: _*)).getField("negIdx")).cast("int").as("cell"))
   }
 
+  /** Multi-probe fixed-centroid assignment: each vector EXPLODED to its
+    * `nProbe` nearest centroids (cosine desc, ties to the lower index),
+    * with `probe` = 0-based rank (probe 0 ≡ the [[fixedCentroidIndex]]
+    * cell). The standard boundary-miss mitigation for cluster-pruned
+    * pair search ([[SemDedup]]): a pair straddling one cell boundary
+    * still meets in one member's second-nearest cell. Still a single
+    * narrow codegen pass — k cosines per row, a bounded in-row sort,
+    * then the nProbe-row explode; no shuffle. */
+  def fixedCentroidMultiIndex(df: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val emb = col(embCol).cast("array<double>")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct((-Similarity.cosine(emb, typedLit(c))).as("negScore"),
+        lit(i).as("idx"))
+    }
+    // ascending struct sort on (negScore, idx) = cosine desc, ties to
+    // the lower centroid index — same order fixedCentroidIndex picks
+    df.select(col(idCol), col(embCol),
+      posexplode(transform(
+        slice(sort_array(array(scored: _*)), 1, nProbe),
+        s => s.getField("idx"))))
+      .withColumnRenamed("pos", "probe")
+      .withColumnRenamed("col", "cell")
+  }
+
   /** Driver-side probe-cell choice for the fixed-centroid quantizer:
     * the nProbe centroids most cosine-similar to the query, ties to the
     * lower index. */

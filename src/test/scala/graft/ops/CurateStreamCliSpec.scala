@@ -3,6 +3,8 @@ package graft.ops
 import java.nio.file.{Files, Paths}
 import java.nio.file.attribute.FileTime
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 
 class CurateStreamCliSpec extends SparkSpec {
@@ -22,13 +24,57 @@ class CurateStreamCliSpec extends SparkSpec {
       "--checkpoint", "cp", "--min-quality", "0.4", "--languages", "en,fr",
       "--threshold", "0.5", "--shingle-k", "2", "--watermark", "2 hours",
       "--max-per-bucket", "10", "--state-ttl-ms", "5000", "--eval", "ev",
-      "--decontaminate-k", "6", "--decontaminate-min-hits", "2"))
+      "--decontaminate-k", "6", "--decontaminate-min-hits", "2",
+      "--state-store", "rocksdb"))
     assert(ok.exists(c => c.input == "in" && c.curate.minQuality == 0.4 &&
       c.curate.languages == Set("en", "fr") && c.curate.jaccardThreshold == 0.5 &&
       c.curate.shingleK == 2 && c.watermark == "2 hours" &&
       c.maxPerBucket == 10 && c.stateTtlMs == 5000L &&
       c.evalPath.contains("ev") && c.curate.decontaminateK == 6 &&
-      c.curate.decontaminateMinHits == 2))
+      c.curate.decontaminateMinHits == 2 && c.stateStore.contains("rocksdb")))
+  }
+
+  test("RocksDB state store: cross-run near-dup flagged from restored RocksDB state") {
+    val in = Files.createTempDirectory("cscli-rdb-in").toString
+    val base = Files.createTempDirectory("cscli-rdb").toString
+    val cfg = CurateStreamCli.StreamConfig(
+      input = in, output = s"$base/landing", candidates = s"$base/cands",
+      checkpoint = s"$base/cp",
+      curate = CurateCli.Config(minQuality = 0.4, languages = Set("en"),
+        jaccardThreshold = 0.5, shingleK = 2),
+      stateStore = Some("rocksdb"))
+    val baseDoc = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDoc = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val b0 = Paths.get(s"$in/b0.json")
+    Files.writeString(b0, jsonRow(1, baseDoc, "2024-01-01T10:00:00Z"))
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(b0, FileTime.fromMillis(now - 120000))
+    assert(CurateStreamCli.run(spark, cfg) == CurateStreamCli.Summary(1, 0))
+    // the provider choice must not leak into the shared session (the
+    // conf key resolves to Spark's HDFS-backed default after restore —
+    // getOption surfaces defaults, so assert on the value, not on unset)
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+    // run 2 restarts the checkpoint: the near-dup of run 1's doc must be
+    // flagged from state RESTORED by the RocksDB provider
+    val b1 = Paths.get(s"$in/b1.json")
+    Files.writeString(b1, jsonRow(4, nearDoc, "2024-01-01T10:01:00Z"))
+    Files.setLastModifiedTime(b1, FileTime.fromMillis(now))
+    assert(CurateStreamCli.run(spark, cfg) == CurateStreamCli.Summary(2, 1))
+    val flagged = spark.read.parquet(cfg.candidates)
+      .select("doc_id", "dup_of").as[(String, String)].collect().toSet
+    assert(flagged == Set(("4", "1")), s"candidates: $flagged")
+    // and the state dir really is RocksDB-format (zip/changelog uploads,
+    // no HDFS-provider .delta files)
+    val stateDir = Paths.get(s"$base/cp/candidates/state")
+    assert(Files.exists(stateDir), "state dir must exist")
+    val names = java.nio.file.Files.walk(stateDir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(names.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+      s"expected RocksDB snapshot artifacts in state dir, got $names")
+    assert(!names.exists(_.endsWith(".delta")),
+      s"HDFS-provider .delta files mean RocksDB was NOT used: $names")
   }
 
   test("e2e with --eval: contaminated docs never land NOR enter near-dup state") {

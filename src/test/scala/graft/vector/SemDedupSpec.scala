@@ -56,6 +56,48 @@ class SemDedupSpec extends SparkSpec {
       s"cross-cell pair must survive (straddles the boundary): $kept")
   }
 
+  test("nProbe=2 recovers the boundary pair: recall meets the exact all-pairs baseline") {
+    // three centroids so multi-probe is NOT trivially all-pairs; the
+    // straddler pair probes {+x, +y} and meets in a shared cell
+    val cents3: Seq[Seq[Double]] =
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
+    val df = Seq(
+      (1L, Array(0.9f, 1.0f)), (2L, Array(1.0f, 0.9f)), // boundary straddlers
+      (10L, Array(1.0f, 0.0f)), (11L, Array(1.0f, 0.01f)), // same-cell dup
+      (20L, Array(0.0f, 1.0f)), (30L, Array(-1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    def pairSet(nProbe: Int) = SemDedup.semanticDuplicatePairs(
+      df, "vec_id", "embedding", cents3, threshold = 0.95, nProbe = nProbe)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val exact = Similarity.exactNearDuplicatePairs(
+      df, "vec_id", "embedding", threshold = 0.95, blocks = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = pairSet(1)
+    val multiRows = pairSet(2)
+    val multi = multiRows.toSet
+    assert(multiRows.size == multi.size,
+      s"cross-probe duplicate pair rows must dedupe: $multiRows")
+    assert(single.toSet.subsetOf(multi))
+    assert(!single.toSet.contains((1L, 2L)),
+      "fixture broken: single-probe should miss the straddler pair")
+    // THE verdict criterion: multi-probe recall ≥ the exact baseline
+    // on this fixture (and never a false pair — cosines are true)
+    assert(multi == exact,
+      s"nProbe=2 must match exact all-pairs here: $multi vs $exact")
+  }
+
+  test("semDedup nProbe=2 prunes the boundary dup that nProbe=1 keeps; cells stay primary") {
+    val df = Seq(
+      (1L, Array(0.9f, 1.0f)),
+      (2L, Array(1.0f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val kept = SemDedup.semDedup(df, "vec_id", "embedding", cents,
+      threshold = 0.9, nProbe = 2).as[(Long, Int)].collect().toMap
+    // survivor is min-id 1; its reported cell is the PRIMARY assignment
+    // (cell 1 — (0.9, 1.0) is nearer +y), not a probe cell
+    assert(kept == Map(1L -> 1), s"got $kept")
+  }
+
   test("pair join shuffles on the cell key (no cartesian)") {
     val plan = SemDedup.semanticDuplicatePairs(vecs, "vec_id", "embedding",
       cents, threshold = 0.5).queryExecution.executedPlan.toString()
