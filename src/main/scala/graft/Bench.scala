@@ -82,6 +82,35 @@ object Bench {
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 
+  /** Aggregate (total, idle+iowait, steal) jiffies from /proc/stat —
+    * deltas over the bench window make a stalled round machine-readable
+    * from the artifact: `steal_pct` is time the hypervisor withheld the
+    * CPUs (the stall signature SCALE.md measured; anything over a few
+    * percent means minima-only reading), `cpu_pct` is overall busy
+    * (mostly the bench's own work). None off-Linux → field omitted. */
+  private def cpuJiffies(): Option[(Long, Long, Long)] = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try src.getLines().find(_.startsWith("cpu ")).map { l =>
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      // fields: user nice system idle iowait irq softirq steal ...
+      (f.sum, f(3) + f.lift(4).getOrElse(0L), f.lift(7).getOrElse(0L))
+    } finally src.close()
+  } catch { case _: Exception => None }
+
+  private def hostBusyJson(start: Option[(Long, Long, Long)]): String = {
+    val load1 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val pcts = for {
+      (t0, i0, s0) <- start; (t1, i1, s1) <- cpuJiffies()
+      dt = t1 - t0 if dt > 0
+    } yield (100.0 * (dt - (i1 - i0)) / dt, 100.0 * (s1 - s0) / dt)
+    pcts match {
+      case Some((cpu, steal)) =>
+        s""""host_busy":{"cpu_pct":${r3(cpu)},"steal_pct":${r3(steal)},"load1":${r3(load1)}},"""
+      case None => ""
+    }
+  }
+
   /** Child mode: run ONE funnel in this (fresh) JVM and print a single
     * parseable line. Selected via SPARK_GRAFT_BENCH_CHILD.
     */
@@ -129,6 +158,7 @@ object Bench {
       case Some(name) => childMain(name, sfDir); return
       case None => ()
     }
+    val jiffies0 = cpuJiffies()
     val spark = buildSpark()
     // optional comma-separated query filter for isolating one query's
     // timing (diagnostics only — the driver runs the full set); when
@@ -192,21 +222,22 @@ object Bench {
       "\"only\":[" + n.toSeq.sorted.map("\"" + _ + "\"").mkString(",") + "],")
       .getOrElse("")
     // headline `value`/`queries` are per-run MINIMA ("stat":"min") —
-    // the round-over-round signal; value_med + the medians line keep
-    // the contention-sensitive statistic visible. 3-decimal (ms)
-    // resolution keeps the line inside the driver's ~2 KB stdout-tail
-    // capture window (both full per-query maps do NOT fit in one line,
-    // hence medians on their own earlier line).
-    val headline = s"""{"metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","runs":$runs,$onlyField"events_per_sec":$eventsPerSec,"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel._2)},"curate_funnel_med":${r3(funnel._1)},"curate_funnel_full_sec":${r3(funnelFull._2)},"curate_funnel_full_med":${r3(funnelFull._1)},"queries":$qsMin,"sf":"$sfDir"}"""
-    // diagnostic detail on EARLIER lines so the compact headline is the
-    // LAST stdout line and survives whole in a bounded tail capture
+    // the round-over-round signal; the medians line keeps the
+    // contention-sensitive statistic visible. The headline is the LAST
+    // stdout line and the driver captures a bounded (~2 KB) TAIL, so
+    // truncation cuts the line's START: the queries map leads and every
+    // scalar (totals, throughput, funnel numbers, sf) sits at the END,
+    // where it can never be lost. Both full per-query maps do NOT fit
+    // in one line — medians go on their own earlier line, and the whole
+    // report lands in bench_last.json.
+    val scalars = s""""metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","runs":$runs,$onlyField"events_per_sec":$eventsPerSec,"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel._2)},"curate_funnel_med":${r3(funnel._1)},"curate_funnel_full_sec":${r3(funnelFull._2)},"curate_funnel_full_med":${r3(funnelFull._1)},${hostBusyJson(jiffies0)}"sf":"$sfDir""""
     println(s"""{"metric":"medians","queries_med":$qsMed}""")
     println(s"""{"metric":"spread","queries_minmax":$spread}""")
     try {
       val w = new java.io.PrintWriter("bench_last.json")
-      try w.println(s"""{"metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","runs":$runs,$onlyField"events_per_sec":$eventsPerSec,"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel._2)},"curate_funnel_med":${r3(funnel._1)},"curate_funnel_full_sec":${r3(funnelFull._2)},"curate_funnel_full_med":${r3(funnelFull._1)},"queries":$qsMin,"queries_med":$qsMed,"queries_minmax":$spread,"sf":"$sfDir"}""")
+      try w.println(s"""{$scalars,"queries":$qsMin,"queries_med":$qsMed,"queries_minmax":$spread}""")
       finally w.close()
     } catch { case _: Exception => () } // read-only cwd → stdout still has it
-    println(headline)
+    println(s"""{"queries":$qsMin,$scalars}""")
   }
 }

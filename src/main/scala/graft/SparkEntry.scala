@@ -368,6 +368,23 @@ object SparkEntry {
     "q58_duplicated_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
         k = 8, minDf = 2)),
+    // q70/q71: line-wise boilerplate dedup (RefinedWeb/CCNet). The raw
+    // docs are single-line, so both queries synthesize the realistic
+    // shape deterministically: each doc gains a per-source footer line
+    // (shared by its whole stratum → df ≈ n/20) and a unique ref line.
+    // q70 excises every cross-document line (the footer everywhere; at
+    // sf0.1 also the 8 duplicate-text first lines) keeping survivors in
+    // order; q71 is the audit rollup (distinct boilerplate lines + df)
+    "q70_line_dedup" -> ((s, d) =>
+      Dedup.removeDuplicatedLines(withFooterLines(Tables.documents(s, d)),
+          "doc_id", "text")
+        .select(col("doc_id"), col("text"))),
+    "q71_boilerplate_lines" -> ((s, d) =>
+      Dedup.duplicatedLines(withFooterLines(Tables.documents(s, d)),
+          "doc_id", "text")
+        .select(col("line"), col("df")).distinct()
+        .orderBy(col("df").desc, col("line"))
+        .limit(50)),
     // q59: Bloom-gated incremental dedup — the doc_id % 10 slice is the
     // arriving batch, the rest is the accumulated history; a new doc
     // drops when it shares any 8-gram with history. The bloom only
@@ -500,6 +517,15 @@ object SparkEntry {
         df
       }
     }
+
+  /** q70/q71's synthesized multi-line corpus: the raw text, a
+    * per-source footer (cross-document boilerplate by construction),
+    * and a per-doc ref line — both engines rebuild it from the same
+    * columns, so line dedup is fully oracle-replayable. */
+  private def withFooterLines(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat_ws("\n", col("text"),
+      concat(lit("all rights reserved - "), col("source")),
+      concat(lit("ref "), col("doc_id"))))
 
   /** q45's fixed centroid set: embeddings of vec_id < 8 (a deterministic
     * choice both engines can re-derive; an 8-row driver-side lookup). */
@@ -845,6 +871,32 @@ object SparkEntry {
     // q58: the oracle re-derives duplicated 8-grams as strings (engine
     // joins 64-bit hashes — the accepted 2⁻⁶⁴ collision pattern) and
     // replays the same gaps-and-islands merge in SQL windows
+    // q70/q71: the oracle rebuilds the synthesized 3-line corpus from
+    // the same columns, splits on chr(10), trims for the dup key
+    // (distinct docs >= 2), and re-joins survivors in line order
+    // (string_agg ORDER BY i ≡ the engine's in-array filter order).
+    // A doc losing every line yields the empty string on both sides.
+    "q70_line_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $footerLinesSql AS t FROM documents),
+        |s AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM d),
+        |e AS (SELECT doc_id, unnest(generate_series(1, len(lines))) AS i, lines FROM s),
+        |el AS (SELECT doc_id, i, lines[i] AS ln FROM e),
+        |k AS (SELECT DISTINCT doc_id, trim(ln) AS key FROM el WHERE trim(ln) <> ''),
+        |dup AS (SELECT key FROM (SELECT key, count(*) AS c FROM k GROUP BY 1) WHERE c >= 2),
+        |keep AS (SELECT doc_id, i, ln FROM el
+        |  WHERE trim(ln) = '' OR trim(ln) NOT IN (SELECT key FROM dup)),
+        |agg AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS text
+        |  FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text, '') AS text
+        |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q71_boilerplate_lines" ->
+      s"""WITH d AS (SELECT doc_id, $footerLinesSql AS t FROM documents),
+        |e AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS ln FROM d),
+        |k AS (SELECT DISTINCT doc_id, trim(ln) AS key FROM e WHERE trim(ln) <> ''),
+        |dupk AS (SELECT key, count(*) AS df FROM k GROUP BY 1 HAVING count(*) >= 2),
+        |occ AS (SELECT DISTINCT e.ln AS line, dk.df FROM e
+        |  JOIN dupk dk ON trim(e.ln) = dk.key)
+        |SELECT line, df FROM occ ORDER BY df DESC, line LIMIT 50""".stripMargin,
     "q58_duplicated_spans" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
         |  FROM documents WHERE text IS NOT NULL),
@@ -1237,6 +1289,12 @@ object SparkEntry {
         |SELECT a.vec_id, CAST(a.cell AS INT) AS cell FROM assign a
         |WHERE a.rn = 1 AND a.vec_id NOT IN (SELECT vec_id FROM drop)""".stripMargin,
   )
+
+  /** The q70/q71 synthesized 3-line text as a DuckDB expression —
+    * must rebuild [[withFooterLines]] byte-for-byte. */
+  private val footerLinesSql: String =
+    "text || chr(10) || 'all rights reserved - ' || source || " +
+      "chr(10) || 'ref ' || CAST(doc_id AS VARCHAR)"
 
   /** DuckDB fragments computing graft.functions.TextHashes.poly over a
     * lambda variable `tok` (bases 257/263, mod 2³¹−1) — the cross-engine

@@ -736,6 +736,62 @@ object Dedup {
       .drop("__spans")
   }
 
+  // ---- duplicated-line removal (boilerplate line dedup) ----------------
+
+  /** Cross-document duplicated lines — the line-wise dedup of
+    * RefinedWeb (Penedo et al. 2023) / CCNet (Wenzek et al. 2020):
+    * a LINE is boilerplate when its space-trimmed form occurs in at
+    * least `minDf` DISTINCT documents (nav menus, cookie banners,
+    * footers — the web-scrape junk that whole-doc and span dedup both
+    * miss because it is short and everywhere). Output: one row per
+    * occurrence, `(idCol, line_idx, line, df)` with 0-based
+    * `line_idx` — the audit table [[removeDuplicatedLines]] consumes.
+    * Whitespace-only lines are never marked (structure, not content);
+    * within-doc repetition alone is not evidence (df counts distinct
+    * docs, same rule as [[duplicatedSpans]]).
+    *
+    * Scale shape: lines explode once; the df rollup runs on the
+    * (doc, line-hash) pre-distinct — 8-byte keys, hot-line skew dies
+    * in the pre-agg exactly as in [[graft.text.TextAnalysis.vocabulary]].
+    * The duplicated-hash set is boilerplate-sized (small side of the
+    * occurrence join) and broadcasts at scale. */
+  def duplicatedLines(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (cross-document), got $minDf")
+    val lines = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+      .filter(trim(col("line")) =!= "")
+      .withColumn("key", xxhash64(trim(col("line"))))
+    val dup = lines.select("__id", "key").distinct()
+      .groupBy("key").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    lines.join(dup, Seq("key"))
+      .select(col("__id").as(idCol), col("line_idx"), col("line"), col("df"))
+  }
+
+  /** Drop every [[duplicatedLines]] occurrence and re-join the
+    * surviving lines with newlines (original order; whitespace-only
+    * lines always survive). Documents with no duplicated lines —
+    * including null-text docs — pass through unchanged; a document
+    * consisting ENTIRELY of boilerplate lines collapses to the empty
+    * string (the whole-doc-duplicate case line dedup subsumes). Same
+    * join-back shape as [[removeDuplicatedSpans]]: dropped indexes
+    * group per doc, the rebuild is one array pass per document. */
+  def removeDuplicatedLines(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2): DataFrame = {
+    val drops = duplicatedLines(df, idCol, textCol, minDf)
+      .groupBy(idCol)
+      .agg(collect_list(col("line_idx")).as("__drop"))
+    df.join(drops, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__drop").isNull, col(textCol))
+          .otherwise(concat_ws("\n",
+            filter(split(col(textCol), "\n"), (l, i) =>
+              !exists(col("__drop"), d => d === i)))))
+      .drop("__drop")
+  }
+
   /** [[decontaminate]] against a pre-built [[evalShingleSet]]. */
   def decontaminateAgainst(df: DataFrame, evalShingles: DataFrame,
       idCol: String, textCol: String, k: Int = 8,
