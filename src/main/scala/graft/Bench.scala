@@ -63,15 +63,15 @@ object Bench {
       r.unpersist()
     }
     // the FULL funnel: all extended stages (domain mix → pii scrub →
-    // repetition filter → gopher rules → span excision → decontaminate
-    // vs the q53 eval slice → token-budget selection → sequence
-    // packing) — the everything-enabled curation cost
+    // repetition filter → gopher rules → line dedup → span excision →
+    // decontaminate vs the q53 eval slice → token-budget selection →
+    // sequence packing) — the everything-enabled curation cost
     case _ => stats(name) {
       val docs = Tables.documents(spark, sfDir)
       val r = ops.CurateCli.curate(docs, "doc_id", "text",
         ops.CurateCli.Config(mixDefaultPpm = 900000L,
           piiScrub = true, maxRepetitionRatio = 0.9,
-          gopherRules = true,
+          gopherRules = true, lineDedupMinDf = 2,
           exciseSpanK = 8,
           budgetTokens = 2000000L,
           packBudget = 512, packBuckets = 8),

@@ -38,7 +38,7 @@ object CurateCli {
     * [[TextAnalysis.qualityScore]]) — keep the canonical copy, not the
     * first-crawled one.
     *
-    * The eight extended stages default OFF (the classic 4-stage funnel):
+    * The nine extended stages default OFF (the classic 4-stage funnel):
     *  - `piiScrub` rewrites `textCol` through the email→IP→phone
     *    redaction chain ([[TextAnalysis.piiScrub]]);
     *  - `maxRepetitionRatio` < 1.0 drops boilerplate/degenerate docs
@@ -48,6 +48,13 @@ object CurateCli {
     *    ([[TextAnalysis.gopherPass]]) as a straight filter between the
     *    repetition and span-excision stages — pure column expressions
     *    applied on the corpus scan, zero shuffle;
+    *  - `lineDedupMinDf` >= 2 runs line-wise boilerplate removal
+    *    ([[Dedup.removeDuplicatedLines]]): lines whose trimmed form
+    *    appears in at least that many distinct surviving docs are cut
+    *    from every doc (nav menus, cookie banners, footers). A rewrite
+    *    stage like the scrub — docs constant, tokens drop; it runs
+    *    BEFORE span excision so the k-gram pass works on line-clean
+    *    text;
     *  - `exciseSpanK` > 0 runs duplicated-span excision at that k-gram
     *    width ([[Dedup.removeDuplicatedSpans]], `exciseSpanMinDf` the
     *    cross-document frequency floor): boilerplate PASSAGES shared by
@@ -93,6 +100,7 @@ object CurateCli {
       maxRepetitionRatio: Double = 1.0,
       repetitionK: Int = 2,
       gopherRules: Boolean = false,
+      lineDedupMinDf: Int = 0,
       exciseSpanK: Int = 0,
       exciseSpanMinDf: Int = 2,
       decontaminateK: Int = 8,
@@ -217,6 +225,14 @@ object CurateCli {
         // rules judge the text the corpus will actually ship
         advance("gopher", cur.filter(TextAnalysis.gopherPass(col(textCol))))
 
+      if (cfg.lineDedupMinDf >= 2)
+        // line-level boilerplate removal between the whole-doc gates and
+        // the k-gram span pass: a rewrite stage (docs constant, tokens
+        // drop) — a doc that was ENTIRELY boilerplate survives as an
+        // empty row, charged to a later quality/budget gate if one runs
+        advance("line_dedup", Dedup.removeDuplicatedLines(cur, idCol,
+          textCol, minDf = cfg.lineDedupMinDf))
+
       if (cfg.exciseSpanK > 0)
         // passage-level dedup AFTER the whole-doc stages: the remaining
         // corpus keeps every doc but loses the cross-document
@@ -308,9 +324,10 @@ object CurateCli {
   /** The run's report artifact — the engine's analog of the reference's
     * reconciliation report (`scripts/reconcile.py:465-480`): per-stage
     * retained docs/tokens plus the drop each stage charged (the stage
-    * name IS the drop reason; `pii_scrub`, `span_excise` and `pack` are
-    * rewrite / sidecar stages and never drop documents — excision shows
-    * up as a token delta at constant docs). */
+    * name IS the drop reason; `pii_scrub`, `line_dedup`, `span_excise`
+    * and `pack` are rewrite / sidecar stages and never drop documents —
+    * line dedup and excision show up as a token delta at constant
+    * docs). */
   def datasheetJson(funnel: Seq[StageCount]): String = {
     val rows = funnel.zipWithIndex.map { case (s, i) =>
       val dropped =
@@ -325,9 +342,10 @@ object CurateCli {
   /** CLI: curate <sfDir> <outDir> [minQuality] [full]. Writes the
     * curated corpus as parquet, a `funnel` stats table, and the run's
     * `datasheet.json`; prints one JSON line per stage plus the
-    * datasheet line. `full` switches on ALL eight extended stages
-    * (mix → scrub → repetition → gopher → span excision → decontaminate
-    * vs the `% 37` eval slice → token-budget → pack). Exit 0. */
+    * datasheet line. `full` switches on ALL nine extended stages
+    * (mix → scrub → repetition → gopher → line dedup → span excision →
+    * decontaminate vs the `% 37` eval slice → token-budget → pack).
+    * Exit 0. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/curated")
@@ -344,7 +362,7 @@ object CurateCli {
     val cfg =
       if (full) Config(minQuality = minQ, mixDefaultPpm = 900000L,
         piiScrub = true, maxRepetitionRatio = 0.9, gopherRules = true,
-        exciseSpanK = 8,
+        lineDedupMinDf = 2, exciseSpanK = 8,
         budgetTokens = 1000000000L, packBudget = 512, packBuckets = 8)
       else Config(minQuality = minQ)
     val evalDocs =

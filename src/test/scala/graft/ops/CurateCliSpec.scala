@@ -186,6 +186,36 @@ class CurateCliSpec extends SparkSpec {
     result.unpersist()
   }
 
+  test("line_dedup stage cuts cross-doc boilerplate lines, keeps docs") {
+    // three docs share a footer LINE; each keeps its unique body line.
+    // The shared line is short relative to each doc, so whole-doc and
+    // near dedup both pass everything through — only line dedup can be
+    // the thing cutting it. minDf=3 would also pass; 2 is the default.
+    val footer = "copyright the example site all rights reserved"
+    val corpus = Seq(
+      (1L, "the cat sat near the mat and the dog ran over the hill\n" + footer),
+      (2L, "a completely different story about the weather in the hills\n" + footer),
+      (3L, "the report was finished early in the morning by the team\n" + footer)
+    ).toDF("doc_id", "text")
+    val r = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, lineDedupMinDf = 2))
+    assert(r.funnel.map(_.stage) ==
+      Seq("input", "exact_dedup", "near_dedup", "language", "quality",
+        "line_dedup"))
+    val byStage = r.funnel.map(s => s.stage -> s).toMap
+    // a rewrite stage: docs constant, each doc loses its 7 footer tokens
+    assert(byStage("line_dedup").docs == byStage("quality").docs)
+    assert(byStage("line_dedup").tokens == byStage("quality").tokens - 21,
+      s"each doc must lose exactly the footer tokens: ${r.funnel}")
+    val texts = r.corpus.select("text").as[String].collect()
+    r.unpersist()
+    assert(texts.forall(!_.contains("copyright")),
+      s"footer line must be gone: ${texts.toSeq}")
+    assert(texts.exists(_.contains("weather")) &&
+      texts.exists(_.contains("report")),
+      s"unique body lines must survive: ${texts.toSeq}")
+  }
+
   test("extended funnel honors decontaminateMinHits (n-of-k evidence)") {
     // doc 5 shares exactly ONE 8-gram with eval; minHits=2 keeps it
     val window = "alpha beta gamma delta epsilon zeta eta theta"
@@ -301,8 +331,8 @@ class CurateCliSpec extends SparkSpec {
     val inputIds = docs.select("doc_id").as[Long].collect().toSet
     val rnd = new scala.util.Random(11)
     val order = Seq("input", "exact_dedup", "near_dedup", "language",
-      "quality", "mix", "pii_scrub", "repetition", "gopher", "span_excise",
-      "decontaminate", "token_budget", "pack")
+      "quality", "mix", "pii_scrub", "repetition", "gopher", "line_dedup",
+      "span_excise", "decontaminate", "token_budget", "pack")
     for (i <- 1 to 8) {
       val cfg = CurateCli.Config(
         minQuality = rnd.nextInt(3) * 0.25,
@@ -313,6 +343,7 @@ class CurateCliSpec extends SparkSpec {
         piiScrub = rnd.nextBoolean(),
         maxRepetitionRatio = if (rnd.nextBoolean()) 0.9 else 1.0,
         gopherRules = rnd.nextBoolean(),
+        lineDedupMinDf = if (rnd.nextBoolean()) 2 else 0,
         exciseSpanK = if (rnd.nextBoolean()) 8 else 0,
         budgetTokens = if (rnd.nextBoolean()) 5000L else 0L,
         packBudget = if (rnd.nextBoolean()) 128 else 0,
