@@ -349,6 +349,16 @@ object SparkEntry {
     // keeps the score cross-engine reproducible
     "q67_typicality" -> ((s, d) =>
       TextAnalysis.typicalityScores(Tables.documents(s, d), "doc_id", "text")),
+    // q72: DSIR importance weights — every raw doc scored against the
+    // doc_id % 23 slice as the "target domain" sample (deterministic,
+    // the q53/q59 slice pattern); 512 hashed-bigram buckets. Fixed-point
+    // integer logs make the weights hash-comparable cross-engine
+    "q72_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.importanceWeights(docs,
+        docs.filter(col("doc_id") % 23 === 0), "doc_id", "text",
+        buckets = 512)
+    }),
     // q66: exact-k stratified sample — exactly 20 docs per source by
     // the salted portable-hash coin (rate-based q55 gives a binomial
     // count; eval carving needs an exact one). Map-side top-k via
@@ -1003,6 +1013,37 @@ object SparkEntry {
         |  CAST(sum(cf.c) AS BIGINT) AS cf_sum,
         |  CAST(CAST(sum(cf.c) AS BIGINT) AS DOUBLE) / count(*) AS typicality
         |FROM bg JOIN cf USING (b) GROUP BY 1""".stripMargin,
+    // q72: the oracle recomputes the hashed-bigram buckets with the
+    // portable polynomial hash, both smoothed count tables, and the
+    // SAME fixed-point logs L(n) = floor(ln(n)*1e6) on integer
+    // arguments — the sums are then exact 64-bit arithmetic on both
+    // engines, and the display weight is one IEEE division
+    "q72_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, list_transform(
+         |   CASE WHEN len(toks) >= 2
+         |     THEN list_transform(generate_series(0, len(toks)-2), i -> array_to_string(toks[i+1:i+2], ' '))
+         |     ELSE [array_to_string(toks, ' ')] END,
+         |   tok -> ($polyAsql + ($polyBsql << 31)) % 512) AS fs FROM t),
+         |rf AS (SELECT doc_id, unnest(fs) AS f FROM g),
+         |rc AS (SELECT f, count(*) AS cr FROM rf GROUP BY 1),
+         |tc AS (SELECT f, count(*) AS ct FROM rf WHERE doc_id % 23 = 0 GROUP BY 1),
+         |fl AS (SELECT rc.f,
+         |   CAST(floor(ln(coalesce(tc.ct, 0) + 1) * 1000000) AS BIGINT)
+         |   - CAST(floor(ln(rc.cr + 1) * 1000000) AS BIGINT) AS lr
+         |  FROM rc LEFT JOIN tc USING (f)),
+         |tot AS (SELECT
+         |   CAST(floor(ln((SELECT sum(cr) FROM rc) + 512) * 1000000) AS BIGINT)
+         |   - CAST(floor(ln((SELECT coalesce(sum(ct), 0) FROM tc) + 512) * 1000000) AS BIGINT) AS lnorm),
+         |pd AS (SELECT doc_id, f, count(*) AS c FROM rf GROUP BY 1, 2),
+         |agg AS (SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_feats,
+         |   CAST(sum(pd.c * fl.lr) AS BIGINT) AS s
+         |  FROM pd JOIN fl ON pd.f = fl.f GROUP BY 1)
+         |SELECT doc_id, n_feats,
+         |  s + n_feats * (SELECT lnorm FROM tot) AS dsir_weight_fp,
+         |  CAST(s + n_feats * (SELECT lnorm FROM tot) AS DOUBLE) / 1000000.0 AS dsir_weight
+         |FROM agg""".stripMargin,
     // q66: same salted coin, same per-stratum rank with key tiebreak
     "q66_sample_exactk" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) || '#exactk' AS tok FROM documents),

@@ -532,6 +532,73 @@ object TextAnalysis {
         col("cf_sum").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-domain-like its hashed n-gram profile is,
+    *
+    *   w(doc) = Σ_f c_doc(f) · [ln p_target(f) − ln q_raw(f)]
+    *
+    * over hashed bigram features f (bucketed to `buckets` bins — DSIR's
+    * memory bound), with add-1 smoothing: p(f) = (ct(f)+1)/(N+buckets).
+    * Docs that look like the target sample score high; resampling the
+    * raw corpus ∝ exp(w) yields the target-shaped training set.
+    *
+    * Cross-engine exactness: every ln runs on an INTEGER argument and is
+    * immediately fixed-pointed — `L(n) = floor(ln(n)·10⁶)` as a long —
+    * so the aggregation is exact 64-bit integer arithmetic in any
+    * association order (float sums would drift; the only float ops are
+    * the per-distinct-integer `ln` and the final display division).
+    * Output: `(idCol, n_feats, dsir_weight_fp, dsir_weight)` with
+    * `dsir_weight = dsir_weight_fp / 10⁶` (one IEEE division).
+    *
+    * Scale shape: the feature stream materializes once
+    * (localCheckpoint) and feeds the two count rollups and the per-doc
+    * pre-agg — all keyed on the bucket id, so hot features die in
+    * map-side partials. The per-feature log-ratio table is at most
+    * `buckets` rows (broadcast), the corpus-total table is 1×1
+    * (broadcast); nothing corpus-sized is ever collected or
+    * broadcast. The target side is a SAMPLE by design (DSIR's own
+    * setup) — small relative to raw, but handled by the same rollup
+    * shape either way. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def lfp(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1000000L)).cast("long")
+    val rawFeats = raw.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(polyShingleHashes(col(textCol), 2)).as("__h"))
+      .withColumn("__f", col("__h") % buckets).drop("__h")
+      .localCheckpoint() // read twice: raw feature counts + per-doc agg
+    val tgtCt = target.filter(col(textCol).isNotNull)
+      .select(explode(polyShingleHashes(col(textCol), 2)).as("__h"))
+      .select((col("__h") % buckets).as("__f"))
+      .groupBy("__f").agg(count(lit(1)).as("__ct"))
+    val rawCt = rawFeats.groupBy("__f").agg(count(lit(1)).as("__cr"))
+    // per-feature fixed-point log-ratio ln((ct_t+1)/(ct_r+1)); absent
+    // target features smooth to ct_t = 0. <= `buckets` rows → broadcast.
+    val featLog = rawCt.join(tgtCt, Seq("__f"), "left")
+      .select(col("__f"),
+        (lfp(coalesce(col("__ct"), lit(0L)) + lit(1L)) -
+          lfp(col("__cr") + lit(1L))).as("__lr"))
+    // the normalizer ln((Nr+B)/(Nt+B)) applies once per doc feature —
+    // two 1-row aggregates, broadcast via the 1x1 cross join
+    val totals = rawCt.agg(sum("__cr").as("__nr"))
+      .crossJoin(tgtCt.agg(coalesce(sum("__ct"), lit(0L)).as("__nt")))
+      .select((lfp(col("__nr") + lit(buckets.toLong)) -
+        lfp(col("__nt") + lit(buckets.toLong))).as("__lnorm"))
+    rawFeats.groupBy("__id", "__f").agg(count(lit(1)).as("__c"))
+      .join(broadcast(featLog), "__f")
+      .groupBy("__id")
+      .agg(sum("__c").as("n_feats"),
+        sum(col("__c") * col("__lr")).as("__s"))
+      .crossJoin(broadcast(totals))
+      .select(col("__id").as(idCol), col("n_feats"),
+        (col("__s") + col("n_feats") * col("__lnorm")).as("dsir_weight_fp"))
+      .withColumn("dsir_weight",
+        col("dsir_weight_fp").cast("double") / lit(1000000.0))
+  }
+
   /** Per-stratum corpus datasheet — the per-source rollup a curation
     * run publishes alongside its corpus: document count, total tokens,
     * mean quality, and the exact (lower) median document length per

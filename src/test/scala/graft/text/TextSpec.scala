@@ -466,6 +466,53 @@ class TextSpec extends SparkSpec {
       (3L, 1L, 1L, 1.0)), got.toString)
   }
 
+  test("importanceWeights: target-like docs outweigh off-domain ones; fixed-point model") {
+    // target sample = legal-ish docs; raw corpus has two legal docs,
+    // one off-domain doc. DSIR must rank the legal docs above the
+    // recipe doc. Large bucket count → no feature collisions here.
+    val raw = Seq(
+      (1L, "the party hereby agrees to the terms of the contract"),
+      (2L, "the party hereby agrees to all terms of this contract"),
+      (3L, "stir the flour into the butter then bake until golden")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "the party hereby agrees to the terms and conditions"),
+      (101L, "this contract binds the party to the terms herein")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.importanceWeights(raw, target, "doc_id", "text",
+      buckets = 65536)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    // n_feats = positional bigram count = tokens - 1
+    assert(got.map(_._2) == Seq(9L, 9L, 9L), got.toString)
+    val w = got.map(r => r._1 -> r._4).toMap
+    assert(w(1L) > w(3L) && w(2L) > w(3L),
+      s"legal docs must outweigh the recipe doc: $w")
+    // display weight is exactly the fixed-point value / 1e6
+    got.foreach(r => assert(r._4 == r._3.toDouble / 1e6, r.toString))
+    // independent model: w = sum_f c_f*(L(ct_t+1)-L(ct_r+1))
+    //                      + n*(L(Nr+B)-L(Nt+B)), L(n)=floor(ln(n)*1e6)
+    def L(n: Long): Long = math.floor(math.log(n.toDouble) * 1e6).toLong
+    def bigrams(s: String): Seq[String] =
+      s.split("\\s+").toSeq.sliding(2).map(_.mkString(" ")).toSeq
+    val rawAll = Seq(1L, 2L, 3L).flatMap(i => bigrams(Map(
+      1L -> "the party hereby agrees to the terms of the contract",
+      2L -> "the party hereby agrees to all terms of this contract",
+      3L -> "stir the flour into the butter then bake until golden")(i)))
+    val tgtAll = Seq(
+      "the party hereby agrees to the terms and conditions",
+      "this contract binds the party to the terms herein").flatMap(bigrams)
+    val rc = rawAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tc = tgtAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val lnorm = L(rawAll.size + 65536L) - L(tgtAll.size + 65536L)
+    val expected1 = bigrams(
+      "the party hereby agrees to the terms of the contract")
+      .map(f => L(tc.getOrElse(f, 0L) + 1) - L(rc(f) + 1)).sum + 9L * lnorm
+    assert(got.head._3 == expected1,
+      s"doc 1 fixed-point weight ${got.head._3} != model $expected1")
+  }
+
   test("sampleExactK: exact count per stratum, deterministic, small strata whole") {
     val corpus = (1L to 50L).map(i => (i, if (i <= 40) "big" else "small"))
       .toDF("doc_id", "stratum")
