@@ -92,9 +92,14 @@ object ScaleBench {
   }
 
   /** Runs the heavy-query family against a materialized scaled corpus;
-    * returns (query → (seconds, result rows)). */
+    * returns (query → (seconds, result rows)). `evalSlice` selects the
+    * FIXED eval set for the decontamination paths — replica mode pins
+    * replica 0's `% 37` docs, organic mode the `% 37` docs of the
+    * factor-1 id prefix (same document set at every factor either
+    * way). */
   def run(spark: SparkSession, docsPath: String, embPath: String,
-      funnelCfg: ops.CurateCli.Config): Seq[(String, Double, Long)] = {
+      funnelCfg: ops.CurateCli.Config,
+      evalSlice: org.apache.spark.sql.Column): Seq[(String, Double, Long)] = {
     val docs = spark.read.parquet(docsPath)
     val emb = spark.read.parquet(embPath)
     val results = scala.collection.mutable.ListBuffer.empty[(String, Double, Long)]
@@ -131,12 +136,10 @@ object ScaleBench {
     bench("q39_embedding_neardup")(
       Similarity.exactNearDuplicatePairs(emb, "vec_id", "embedding",
         threshold = 0.35).count())
-    // eval slice pinned to replica 0 (doc_id % 16 picks the replica): a
-    // real eval set is FIXED while the corpus grows — scaling it with
-    // the factor would benchmark a scenario that never happens
+    // eval slice FIXED while the corpus grows — scaling it with the
+    // factor would benchmark a scenario that never happens
     bench("q53_decontaminate")(
-      Dedup.decontaminate(docs,
-        docs.filter(col("doc_id") % 16 === 0 && (col("doc_id") / 16) % 37 === 0),
+      Dedup.decontaminate(docs, docs.filter(evalSlice),
         "doc_id", "text", k = 8).count())
     bench("curate_funnel") {
       val r = ops.CurateCli.curate(docs, "doc_id", "text", funnelCfg)
@@ -156,8 +159,7 @@ object ScaleBench {
           maxRepetitionRatio = 0.9, exciseSpanK = 8,
           budgetTokens = 1000000000000L, packBudget = 512,
           packBuckets = 8),
-        evalDocs = Some(docs.filter(
-          col("doc_id") % 16 === 0 && (col("doc_id") / 16) % 37 === 0)))
+        evalDocs = Some(docs.filter(evalSlice)))
       val n = r.funnel.last.docs
       r.unpersist()
       n
@@ -245,6 +247,19 @@ object ScaleBench {
     val funnelCfg = ops.CurateCli.Config(minQuality = 0.0,
       languages = Set("en", "de", "fr", "es", "zh", "ja", "unknown"))
 
+    // SPARK_GRAFT_SCALE_ORGANIC=1 swaps the decorrelated-replica
+    // documents for the passage-bootstrap generator (OrganicCorpus):
+    // fresh documents, collision-grown cross-doc repetition, planted
+    // 5% near-dup rate — the non-replicated datapoint. Embeddings stay
+    // replica-generated (the organic question is about the text family;
+    // select it via SPARK_GRAFT_SCALE_ONLY).
+    val organic = sys.env.get("SPARK_GRAFT_SCALE_ORGANIC").contains("1")
+    val baseDocCount =
+      if (organic) Tables.documents(spark, baseDir).count() else 0L
+    val evalSlice =
+      if (organic) col("doc_id") < baseDocCount && col("doc_id") % 37 === 0
+      else col("doc_id") % 16 === 0 && (col("doc_id") / 16) % 37 === 0
+
     val out = scala.collection.mutable.ListBuffer.empty[String]
     // diagnostics: SPARK_GRAFT_SCALE_FACTORS=10 runs a single factor
     // malformed entries are dropped (same defensive parse as
@@ -272,20 +287,23 @@ object ScaleBench {
       // source — reuse across different base corpora would silently
       // measure the wrong data while claiming the new one)
       val marker = new java.io.File(s"$workDir/f$f/SOURCE")
+      val markerWant = baseDir + (if (organic) " organic" else "")
       val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
         new java.io.File(s"$dDir/_SUCCESS").exists() &&
         new java.io.File(s"$eDir/_SUCCESS").exists() &&
         marker.exists() &&
-        java.nio.file.Files.readString(marker.toPath).trim == baseDir
+        java.nio.file.Files.readString(marker.toPath).trim == markerWant
       if (!reuse) {
-        scaleDocuments(Tables.documents(spark, baseDir), f)
-          .repartition(32).write.mode("overwrite").parquet(dDir)
+        val scaledDocs =
+          if (organic) OrganicCorpus.generate(Tables.documents(spark, baseDir), f)
+          else scaleDocuments(Tables.documents(spark, baseDir), f)
+        scaledDocs.repartition(32).write.mode("overwrite").parquet(dDir)
         scaleEmbeddings(Tables.embeddings(spark, baseDir), f)
           .repartition(32).write.mode("overwrite").parquet(eDir)
-        java.nio.file.Files.writeString(marker.toPath, baseDir)
+        java.nio.file.Files.writeString(marker.toPath, markerWant)
       }
-      println(s"""{"scale_factor":$f,"docs":${spark.read.parquet(dDir).count()}}""")
-      val rs = run(spark, dDir, eDir, funnelCfg)
+      println(s"""{"scale_factor":$f,"mode":"${if (organic) "organic" else "replica"}","docs":${spark.read.parquet(dDir).count()}}""")
+      val rs = run(spark, dDir, eDir, funnelCfg, evalSlice)
       // k ∝ corpus size: 8 centroids per replica-worth of data keeps the
       // expected cell size constant across factors
       val sem =
