@@ -359,6 +359,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 23 === 0), "doc_id", "text",
         buckets = 512)
     }),
+    // q73: cross-source near-dup attribution matrix — which source
+    // pairs share near-duplicate docs (within-source on the diagonal).
+    // Rolls up q36's machinery (shared shingle index, J >= 0.4) — the
+    // feed-overlap report a curator reads before dropping a source
+    "q73_neardup_source_matrix" -> ((s, d) =>
+      Dedup.nearDupSourceMatrix(
+        Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d), threshold = 0.4),
+        Tables.documents(s, d), "doc_id", "source")),
     // q66: exact-k stratified sample — exactly 20 docs per source by
     // the salted portable-hash coin (rate-based q55 gives a binomial
     // count; eval carving needs an exact one). Map-side top-k via
@@ -1044,6 +1052,29 @@ object SparkEntry {
          |  s + n_feats * (SELECT lnorm FROM tot) AS dsir_weight_fp,
          |  CAST(s + n_feats * (SELECT lnorm FROM tot) AS DOUBLE) / 1000000.0 AS dsir_weight
          |FROM agg""".stripMargin,
+    // q73: q36's exact-Jaccard CTE at J >= 0.4, then both pair ends
+    // joined back to their source and rolled up unordered
+    // (least/greatest) — the engine's matrix replayed relationally
+    "q73_neardup_source_matrix" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 3
+        |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON inter.id_a = sa.doc_id
+        |  JOIN sizes sb ON inter.id_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4),
+        |m AS (SELECT least(da.source, db.source) AS source_a,
+        |    greatest(da.source, db.source) AS source_b
+        |  FROM p JOIN documents da ON p.id_a = da.doc_id
+        |  JOIN documents db ON p.id_b = db.doc_id)
+        |SELECT source_a, source_b, count(*) AS pair_count
+        |FROM m GROUP BY 1, 2""".stripMargin,
     // q66: same salted coin, same per-stratum rank with key tiebreak
     "q66_sample_exactk" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) || '#exactk' AS tok FROM documents),

@@ -792,6 +792,44 @@ object Dedup {
       .drop("__drop")
   }
 
+  // ---- near-dup source attribution -------------------------------------
+
+  /** Cross-source near-duplicate attribution matrix — the curation
+    * report web-corpus datasheets publish (RefinedWeb's cross-dump
+    * duplication analysis, Dolma's per-source dedup stats): for each
+    * unordered pair of sources, how many near-duplicate DOCUMENT pairs
+    * span them. The diagonal (`source_a = source_b`) is within-source
+    * duplication (re-posts inside one crawl dump); off-diagonal mass
+    * says two ingest feeds overlap and one of them can be dropped or
+    * down-weighted before paying the full pipeline for it.
+    *
+    * Composable by design: `pairs` is ANY `(id_a, id_b, ...)` pair
+    * list — exact n-gram Jaccard ([[ngramJaccardPairs]]), MinHash
+    * banding ([[minhashNearDupPairs]]), SimHash ([[simhashPairs]]), or
+    * embedding pairs — attribution is orthogonal to how candidates
+    * were found.
+    *
+    * Scale shape: the pair list is candidate-sized (orders of
+    * magnitude under the corpus); the `(id → source)` projection is
+    * corpus-sized but two columns wide, so the two attribution joins
+    * shuffle only skinny frames on the id key (AQE broadcasts the pair
+    * side when it is small enough). The rollup output is at most
+    * |sources|² rows — trivially collectable. */
+  def nearDupSourceMatrix(pairs: DataFrame, docs: DataFrame,
+      idCol: String, sourceCol: String): DataFrame = {
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs.select("id_a", "id_b")
+      .join(src.select(col(idCol).as("id_a"), col(sourceCol).as("__sa")),
+        Seq("id_a"))
+      .join(src.select(col(idCol).as("id_b"), col(sourceCol).as("__sb")),
+        Seq("id_b"))
+      // unordered source pair: (a,b) and (b,a) are the same overlap
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("pair_count"))
+  }
+
   /** [[decontaminate]] against a pre-built [[evalShingleSet]]. */
   def decontaminateAgainst(df: DataFrame, evalShingles: DataFrame,
       idCol: String, textCol: String, k: Int = 8,

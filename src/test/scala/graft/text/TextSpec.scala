@@ -294,6 +294,28 @@ class TextSpec extends SparkSpec {
     assert(pairs.get((1L, 3L)).exists(j => j > 0.2 && j < 1.0))
   }
 
+  test("nearDupSourceMatrix: unordered source rollup over any pair list") {
+    val sourced = Seq(
+      (1L, "crawlA", "the quick brown fox jumps over the lazy dog"),
+      (2L, "crawlB", "the quick brown fox jumps over the lazy dog"), // cross-source dup of 1
+      (3L, "crawlA", "the quick brown fox jumps over the lazy cat"), // near dup of 1, same source
+      (4L, "crawlB", "el gato es un animal que vive en la casa"),
+      (5L, "crawlC", "completely different content about spark engines here")
+    ).toDF("doc_id", "source", "text")
+    val pairs = Dedup.ngramJaccardPairs(sourced, "doc_id", "text",
+      k = 2, threshold = 0.2)
+    val m = Dedup.nearDupSourceMatrix(pairs, sourced, "doc_id", "source")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // pairs: (1,2) cross A-B, (1,3) within A, (2,3) cross A-B — and
+    // least/greatest must fold (B,A) onto (A,B)
+    assert(m(("crawlA", "crawlB")) == 2L, s"got $m")
+    assert(m(("crawlA", "crawlA")) == 1L, s"got $m")
+    assert(!m.keys.exists { case (a, b) => a > b },
+      "matrix keys must be unordered-canonical (source_a <= source_b)")
+    assert(m.values.sum == pairs.count(), "every pair attributed exactly once")
+  }
+
   test("vocabulary: df over distinct (token, doc), tf over occurrences") {
     val corpus = Seq(
       (1L, "the cat and the dog"),
