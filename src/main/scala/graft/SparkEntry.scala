@@ -367,6 +367,13 @@ object SparkEntry {
       Dedup.nearDupSourceMatrix(
         Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d), threshold = 0.4),
         Tables.documents(s, d), "doc_id", "source")),
+    // q74: duplicate-cluster size histogram — the datasheet's duplication
+    // profile. Oracle-checkable despite the iterative CC underneath
+    // because the histogram is label-invariant (see clusterSizeHistogram)
+    "q74_neardup_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizeHistogram(
+        Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d), threshold = 0.4))
+        .orderBy("cluster_size")),
     // q66: exact-k stratified sample — exactly 20 docs per source by
     // the salted portable-hash coin (rate-based q55 gives a binomial
     // count; eval carving needs an exact one). Map-side top-k via
@@ -1075,6 +1082,34 @@ object SparkEntry {
         |  JOIN documents db ON p.id_b = db.doc_id)
         |SELECT source_a, source_b, count(*) AS pair_count
         |FROM m GROUP BY 1, 2""".stripMargin,
+    // q74: same pair CTE, then components by declarative transitive
+    // closure (reach = everything connected by some path; min reachable
+    // id = the component label; (a,a) enters reach via any 2-cycle, so
+    // min includes the node itself). The iterative Spark CC and this
+    // fixpoint SQL must agree because the histogram only sees the
+    // partition, never the labels
+    "q74_neardup_cluster_sizes" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 3
+        |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON inter.id_a = sa.doc_id
+        |  JOIN sizes sb ON inter.id_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+        |csz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters
+        |FROM csz GROUP BY 1 ORDER BY 1""".stripMargin,
     // q66: same salted coin, same per-stratum rank with key tiebreak
     "q66_sample_exactk" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) || '#exactk' AS tok FROM documents),

@@ -344,6 +344,31 @@ object Dedup {
       .drop("component")
   }
 
+  /** Duplicate-cluster size histogram: `(cluster_size, n_clusters)` over
+    * the connected components of a near-dup pair graph — the one-page
+    * duplication profile a curation datasheet publishes (how much of the
+    * corpus is pairwise twins vs. hundred-way boilerplate explosions).
+    * The shape drives remediation: mass at size 2 is organic re-posting
+    * that pair-dedup handles; a heavy tail means template boilerplate
+    * that wants span excision ([[removeDuplicatedSpans]]) or a DF cut
+    * ([[shingleIndex]]'s `maxShingleDf`) instead of whole-doc dropping.
+    * Only documents that appear in ≥1 pair are counted (singletons are
+    * not "clusters"), so every size is ≥ 2.
+    *
+    * The histogram is label-invariant — it depends on the component
+    * PARTITION, not on which id labels each cluster — which is what
+    * makes the iterative min-label CC oracle-checkable against a
+    * declarative transitive-closure SQL. Scale shape: inherits
+    * [[connectedComponents]] (candidate-sized edge list, diameter-bound
+    * iterations); both rollups are hash-aggs whose output is at most
+    * |distinct sizes| ≤ √(2·|pairs|) rows. */
+  def clusterSizeHistogram(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+
   // ---- SimHash ---------------------------------------------------------
 
   /** Near-duplicate pairs by SimHash: bucket on 4 bands of the 62-bit
@@ -557,6 +582,37 @@ object Dedup {
     historyDf
       .select(explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
       .stat.bloomFilter("shingle", expectedItems, fpp)
+
+  /** Persist a [[historyShingleBloom]] sketch. Goes through the Hadoop
+    * filesystem API, so `path` can be local, HDFS, or object storage —
+    * on a real ingest pipeline the sketch is built once per history
+    * snapshot, written next to the snapshot, and every arriving batch's
+    * driver loads it (~1.2 GB per billion shingles at 1% fpp) instead
+    * of re-scanning the history. Written atomically (temp file +
+    * rename) so a concurrent loader never sees a torn sketch. */
+  def saveBloom(spark: org.apache.spark.sql.SparkSession,
+      bloom: org.apache.spark.util.sketch.BloomFilter, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try bloom.writeTo(out) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
+  }
+
+  /** Load a sketch written by [[saveBloom]]; feed to
+    * [[dedupAgainstHistoryBloom]]. */
+  def loadBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
 
   /** Incremental-ingest dedup: drop new-batch documents that share at
     * least `minHits` distinct k-gram shingles with a HISTORY corpus —

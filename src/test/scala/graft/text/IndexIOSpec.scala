@@ -93,4 +93,32 @@ class IndexIOSpec extends SparkSpec {
     assert(sidx.isDirectory &&
       sidx.listFiles().exists(_.getName.startsWith("shard=")))
   }
+
+  test("saved history bloom round-trips: identical dedup, identical membership") {
+    val history = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val bloom = Dedup.historyShingleBloom(history, "text", k = 3,
+      expectedItems = 100000L)
+    val path = Files.createTempDirectory("bloom").resolve("history.bloom").toString
+    Dedup.saveBloom(spark, bloom, path)
+    val reloaded = Dedup.loadBloom(spark, path)
+    // the serialized form must answer membership identically — probe
+    // with the history's own shingles (all true) plus arbitrary longs
+    val probes = history
+      .select(explode(Dedup.shingleHashes(col("text"), 3, distinct = true))
+        .as("h")).limit(500).as[Long].collect().toSeq ++
+      Seq(Long.MinValue, -1L, 0L, 42L, Long.MaxValue)
+    probes.foreach(h =>
+      assert(reloaded.mightContainLong(h) == bloom.mightContainLong(h)))
+    // and drive the actual operator through both sketches
+    def survivors(b: org.apache.spark.util.sketch.BloomFilter): Set[Long] =
+      Dedup.dedupAgainstHistoryBloom(batch, history, b, "doc_id", "text",
+        k = 3).select("doc_id").as[Long].collect().toSet
+    val a = survivors(bloom)
+    assert(survivors(reloaded) == a)
+    assert(a.size < batch.count(), "fixture must actually drop something")
+    // overwrite must be atomic-rename clean (second save over same path)
+    Dedup.saveBloom(spark, bloom, path)
+    assert(Dedup.loadBloom(spark, path).mightContainLong(probes.head))
+  }
 }

@@ -316,6 +316,15 @@ class TextSpec extends SparkSpec {
     assert(m.values.sum == pairs.count(), "every pair attributed exactly once")
   }
 
+  test("clusterSizeHistogram: label-invariant sizes over chained components") {
+    // chain 1~2, 2~3 (no direct 1~3 edge) must count as ONE size-3
+    // cluster; 7~9 is a separate pair; singletons never appear
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val h = Dedup.clusterSizeHistogram(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(h == Map(3L -> 1L, 2L -> 1L), s"got $h")
+  }
+
   test("vocabulary: df over distinct (token, doc), tf over occurrences") {
     val corpus = Seq(
       (1L, "the cat and the dog"),
