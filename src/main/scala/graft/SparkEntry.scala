@@ -359,6 +359,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 23 === 0), "doc_id", "text",
         buckets = 512)
     }),
+    // q75: DSIR step 2 — systematic resampling by the q72 weights,
+    // shifted to positive integers (min-shift is rank-preserving; the
+    // paper's exp() only rescales, and staying in 64-bit integers is
+    // what keeps the resample bitwise cross-engine). k=128 picks.
+    "q75_dsir_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val wts = TextAnalysis.importanceWeights(docs,
+        docs.filter(col("doc_id") % 23 === 0), "doc_id", "text",
+        buckets = 512)
+      val mn = wts.agg(min("dsir_weight_fp").as("__mn"))
+      val shifted = wts.crossJoin(broadcast(mn))
+        .select(col("doc_id"),
+          (col("dsir_weight_fp") - col("__mn") + lit(1L)).as("w"))
+      TextAnalysis.systematicResample(shifted, "doc_id", "w", k = 128)
+        .orderBy("doc_id")
+    }),
     // q73: cross-source near-dup attribution matrix — which source
     // pairs share near-duplicate docs (within-source on the diagonal).
     // Rolls up q36's machinery (shared shingle index, J >= 0.4) — the
@@ -1059,6 +1075,46 @@ object SparkEntry {
          |  s + n_feats * (SELECT lnorm FROM tot) AS dsir_weight_fp,
          |  CAST(s + n_feats * (SELECT lnorm FROM tot) AS DOUBLE) / 1000000.0 AS dsir_weight
          |FROM agg""".stripMargin,
+    // q75: q72's weight CTEs, min-shifted to positive integers, then the
+    // systematic resampler as declarative SQL — global cumulative-weight
+    // window lays the intervals, 128 interval-midpoint thresholds (exact
+    // hugeint floor division) probe by containment. DuckDB's hugeint
+    // sums make W·(2j+1) exact; Spark's side proves the same result
+    // with BigInt driver thresholds + 64-bit laid intervals
+    "q75_dsir_resample" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, list_transform(
+         |   CASE WHEN len(toks) >= 2
+         |     THEN list_transform(generate_series(0, len(toks)-2), i -> array_to_string(toks[i+1:i+2], ' '))
+         |     ELSE [array_to_string(toks, ' ')] END,
+         |   tok -> ($polyAsql + ($polyBsql << 31)) % 512) AS fs FROM t),
+         |rf AS (SELECT doc_id, unnest(fs) AS f FROM g),
+         |rc AS (SELECT f, count(*) AS cr FROM rf GROUP BY 1),
+         |tc AS (SELECT f, count(*) AS ct FROM rf WHERE doc_id % 23 = 0 GROUP BY 1),
+         |fl AS (SELECT rc.f,
+         |   CAST(floor(ln(coalesce(tc.ct, 0) + 1) * 1000000) AS BIGINT)
+         |   - CAST(floor(ln(rc.cr + 1) * 1000000) AS BIGINT) AS lr
+         |  FROM rc LEFT JOIN tc USING (f)),
+         |tot AS (SELECT
+         |   CAST(floor(ln((SELECT sum(cr) FROM rc) + 512) * 1000000) AS BIGINT)
+         |   - CAST(floor(ln((SELECT coalesce(sum(ct), 0) FROM tc) + 512) * 1000000) AS BIGINT) AS lnorm),
+         |pd AS (SELECT doc_id, f, count(*) AS c FROM rf GROUP BY 1, 2),
+         |agg AS (SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_feats,
+         |   CAST(sum(pd.c * fl.lr) AS BIGINT) AS s
+         |  FROM pd JOIN fl ON pd.f = fl.f GROUP BY 1),
+         |wts AS (SELECT doc_id,
+         |   s + n_feats * (SELECT lnorm FROM tot) AS fp FROM agg),
+         |w AS (SELECT doc_id,
+         |   fp - (SELECT min(fp) FROM wts) + 1 AS w FROM wts),
+         |laid AS (SELECT doc_id, w,
+         |   sum(w) OVER (ORDER BY doc_id) AS hi FROM w),
+         |th AS (SELECT ((SELECT sum(w) FROM w) * (2*j + 1)) // (2*128) AS t
+         |  FROM range(0, 128) AS r(j))
+         |SELECT laid.doc_id, CAST(laid.w AS BIGINT) AS weight_fp,
+         |  count(*) AS n_copies
+         |FROM laid JOIN th ON th.t >= laid.hi - laid.w AND th.t < laid.hi
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // q73: q36's exact-Jaccard CTE at J >= 0.4, then both pair ends
     // joined back to their source and rolled up unordered
     // (least/greatest) — the engine's matrix replayed relationally

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -386,6 +387,76 @@ object TextAnalysis {
           .filter(col("__cum") <= r).drop("__cum")
     }
     kept.unionByName(edge).drop("__bkt")
+  }
+
+  /** Systematic (low-variance) resampling by integer weights — the
+    * "use the weights" step after [[importanceWeights]]: draw `k`
+    * evenly-spaced picks over the cumulative-weight line, so a document
+    * with weight share w/W receives floor/ceil(k·w/W) copies — the
+    * particle-filter systematic resampler (Kitagawa 1996), which beats
+    * independent multinomial draws on variance and is fully
+    * deterministic: lay the documents out on `[0, W)` in `idCol` order,
+    * each owning an interval of its own width, and select the interval
+    * containing each threshold `t_j = floor(W·(2j+1) / 2k)` (interval
+    * midpoints of the k-fold partition of `[0, W)`). Output:
+    * `(idCol, weight_fp, n_copies)` for documents with ≥ 1 copy;
+    * `Σ n_copies = k` always. Weights must be non-negative integers
+    * (fixed-point them upstream — e.g. shift [[importanceWeights]]'s
+    * `dsir_weight_fp` by its minimum); zero-weight docs own empty
+    * intervals and can never be selected, so they are pre-filtered.
+    *
+    * Scale shape: the global prefix sum never runs as one ordered
+    * window. Ids land in fixed-span range buckets (order-preserving by
+    * construction); per-bucket totals come back to the driver
+    * (`buckets` rows, bounded — the [[selectByBudget]] pattern), the
+    * driver prefix-sums those into per-bucket base offsets, and each
+    * bucket computes its INTERNAL cumulative sum in parallel under
+    * `partitionBy(bucket)`. The k thresholds (driver-computed with
+    * BigInt — no 64-bit overflow on `W·(2j+1)`) broadcast to an
+    * interval-containment join, so the corpus is never shuffled at all:
+    * one window per bucket plus a map-side broadcast probe. All
+    * arithmetic is 64-bit integer — bitwise cross-engine exact. */
+  def systematicResample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, buckets: Int = 256): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = df.select(col(idCol).as("__id"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .localCheckpoint() // read 3×: id range, bucket totals, final probe
+    val range = w.agg(min("__id"), max("__id")).collect()(0)
+    if (range.isNullAt(0))
+      return w.select(col("__id").as(idCol), col("__w").as("weight_fp"),
+        lit(0L).as("n_copies")).limit(0)
+    val (minId, maxId) = (range.getLong(0), range.getLong(1))
+    // fixed-span buckets over the id range: order-preserving, and the
+    // span divide can't overflow where a direct (id-min)·buckets would
+    val span = ((BigInt(maxId) - BigInt(minId) + buckets) / buckets)
+      .max(BigInt(1)).toLong
+    val bucketed = w.withColumn("__bkt",
+      ((col("__id") - lit(minId)) / lit(span)).cast("int"))
+    val totals = bucketed.groupBy("__bkt").agg(sum("__w").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = totals.map(t => BigInt(t._2)).sum
+    require(total.isValidLong,
+      s"total weight $total overflows 64-bit — rescale the fixed point")
+    val bases = totals.scanLeft(0L)((acc, bt) => acc + bt._2).init
+    val baseDf = totals.map(_._1).zip(bases).toSeq.toDF("__bkt", "__base")
+    val win = Window.partitionBy("__bkt").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val laid = bucketed
+      .withColumn("__hi_in", sum("__w").over(win))
+      .join(broadcast(baseDf), "__bkt")
+      .select(col("__id"), col("__w"),
+        (col("__base") + col("__hi_in")).as("__hi"))
+    val thresholds = (0 until k)
+      .map(j => (total * (2 * j + 1) / (2 * k)).toLong).toDF("__t")
+    laid.join(broadcast(thresholds),
+        col("__t") >= col("__hi") - col("__w") && col("__t") < col("__hi"))
+      .groupBy(col("__id").as(idCol), col("__w").as("weight_fp"))
+      .agg(count(lit(1)).as("n_copies"))
   }
 
   /** Corpus vocabulary: one row per distinct whitespace token with its

@@ -325,6 +325,23 @@ class TextSpec extends SparkSpec {
     assert(h == Map(3L -> 1L, 2L -> 1L), s"got $h")
   }
 
+  test("systematicResample: deterministic interval picks, Σcopies = k") {
+    val w = Seq((1L, 1L), (2L, 5L), (3L, 1L), (4L, 1L), (5L, 0L))
+      .toDF("doc_id", "w")
+    // W=8, thresholds floor(8·(2j+1)/8) = 1,3,5,7; intervals in id
+    // order: 1:[0,1) 2:[1,6) 3:[6,7) 4:[7,8) → doc2 ×3, doc4 ×1;
+    // doc5's zero-width interval can never be hit
+    val r = TextAnalysis.systematicResample(w, "doc_id", "w", k = 4)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r == Map(2L -> (5L, 3L), 4L -> (1L, 1L)), s"got $r")
+    // the bucketed distributed prefix sum must reproduce the global
+    // layout whatever the bucket count
+    val many = TextAnalysis
+      .systematicResample(w, "doc_id", "w", k = 4, buckets = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(many == r.map { case (id, (ww, c)) => (id, ww, c) }.toSet)
+  }
+
   test("vocabulary: df over distinct (token, doc), tf over occurrences") {
     val corpus = Seq(
       (1L, "the cat and the dog"),
