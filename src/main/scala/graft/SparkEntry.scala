@@ -390,6 +390,16 @@ object SparkEntry {
       Dedup.clusterSizeHistogram(
         Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d), threshold = 0.4))
         .orderBy("cluster_size")),
+    // q76: the dedup REDIRECT MAP — (doc_id, canonical_id) for every
+    // document in a near-dup cluster, canonical = the cluster's min id.
+    // The artifact a pipeline persists so downstream joins (metrics,
+    // lineage, re-ingest) can rewrite ids; unlike q74 this checks CC's
+    // actual LABELS (min-label fixpoint ≡ min reachable id in SQL)
+    "q76_dedup_redirect_map" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d), threshold = 0.4))
+        .select(col("id").as("doc_id"), col("component").as("canonical_id"))
+        .orderBy("doc_id")),
     // q66: exact-k stratified sample — exactly 20 docs per source by
     // the salted portable-hash coin (rate-based q55 gives a binomial
     // count; eval carving needs an exact one). Map-side top-k via
@@ -1166,6 +1176,28 @@ object SparkEntry {
         |csz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
         |SELECT cluster_size, count(*) AS n_clusters
         |FROM csz GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q76: identical closure, but emitting the labels themselves — the
+    // min reachable id IS the converged min-label fixpoint
+    "q76_dedup_redirect_map" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 3
+        |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON inter.id_a = sa.doc_id
+        |  JOIN sizes sb ON inter.id_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, min(b) AS canonical_id
+        |FROM reach GROUP BY a ORDER BY 1""".stripMargin,
     // q66: same salted coin, same per-stratum rank with key tiebreak
     "q66_sample_exactk" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) || '#exactk' AS tok FROM documents),

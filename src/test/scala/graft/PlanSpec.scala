@@ -246,6 +246,24 @@ class PlanSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("q75 resampler: bucket-partitioned prefix sum, broadcast threshold probe") {
+    val w = (1L to 500L).map(i => (i, i % 7 + 1)).toDF("doc_id", "w")
+    val p = graft.text.TextAnalysis
+      .systematicResample(w, "doc_id", "w", k = 16, buckets = 8)
+      .queryExecution.executedPlan.toString()
+    // the cumulative sum must run per id-range bucket, never as one
+    // global ordered window (empty partition spec = starts at __id ASC)
+    assert("""windowspecdefinition\(__bkt#\d+""".r.findFirstIn(p).isDefined,
+      s"prefix sum must be partitioned by the id-range bucket:\n$p")
+    assert("""windowspecdefinition\(__id#\d+L? ASC""".r.findFirstIn(p).isEmpty,
+      s"a global (unpartitioned) window must not appear:\n$p")
+    // k thresholds probe by interval containment — broadcast nested
+    // loop over the tiny side, never a cartesian of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"threshold probe must broadcast the k-row side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))
