@@ -12,7 +12,7 @@ import graft.multimodal.Multimodal
 import graft.reconcile.Differ
 import graft.repair.Repairer
 import graft.text.{Dedup, TextAnalysis}
-import graft.vector.Similarity
+import graft.vector.{Pq, Similarity}
 
 /** Driver contract — every operator from SURVEY.md §2 gets a `queries`
   * entry; SQL-expressible ones also get a DuckDB oracle in `oracleSql`.
@@ -390,6 +390,35 @@ object SparkEntry {
       Dedup.clusterSizeHistogram(
         Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d), threshold = 0.4))
         .orderBy("cluster_size")),
+    // q77: product-quantization ANN (Jégou 2011) — encode the corpus
+    // against data-derived codebooks (subspace slices of the first 8
+    // vectors, so the oracle can rebuild them from the table alone),
+    // then top-10 by asymmetric-distance (ADC) over the CODES only.
+    // Bit-parity by construction: both engines fold the same Σ(δ²)
+    // sequentially and sum the 4 subspace terms left-associated
+    "q77_ann_pq_topk" -> ((s, d) => {
+      val cb = pqCodebooks(s, d)
+      Pq.adcTopK(
+        Pq.encode(Tables.embeddings(s, d), "vec_id", "embedding", cb),
+        "vec_id", cb, queryVector(s, d), 10)
+    }),
+    // q78: IVF-PQ — the FAISS composition: coarse-quantize into cells
+    // (q45's fixed-centroid assignment), PQ-encode with the cell column
+    // carried, prune to the query's 3 nearest cells, ADC only the
+    // surviving codes. At 100 TB the codes table written
+    // partitionBy(cell) makes this file-listing pruning over an index
+    // 64× smaller than the raw vectors
+    "q78_ann_ivfpq_topk" -> ((s, d) => {
+      val cents = ivfCentroids(s, d)
+      val cb = pqCodebooks(s, d)
+      val q = queryVector(s, d)
+      val index = graft.vector.Ivf.fixedCentroidIndex(
+        Tables.embeddings(s, d), "vec_id", "embedding", cents)
+      val codes = Pq.encode(index, "vec_id", "embedding", cb)
+      val cells = graft.vector.Ivf.nearestCentroidCells(cents, q, nProbe = 3)
+      Pq.adcTopK(codes.filter(col("cell").isin(cells: _*)), "vec_id",
+        cb, q, 10)
+    }),
     // q76: the dedup REDIRECT MAP — (doc_id, canonical_id) for every
     // document in a near-dup cluster, canonical = the cluster's min id.
     // The artifact a pipeline persists so downstream joins (metrics,
@@ -584,6 +613,32 @@ object SparkEntry {
     Tables.embeddings(s, d).filter(col("vec_id") < 8).orderBy(col("vec_id"))
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
+
+  /** PQ codebooks for q77/q78: the [[ivfCentroids]] vectors cut into 4
+    * subspace slices — data-derived, so the oracle rebuilds them from
+    * the embeddings table alone. */
+  private def pqCodebooks(s: SparkSession, d: String): graft.vector.Pq.Codebooks = {
+    val rows = ivfCentroids(s, d)
+    val d0 = rows.head.length / 4
+    (0 until 4).map(m => rows.map(_.slice(m * d0, (m + 1) * d0)).toSeq)
+  }
+
+  // shared q77/q78 oracle fragments: sequential Σ(δ²) fold over a
+  // subspace slice (list_zip + list_sum ≡ Spark's zip_with + aggregate,
+  // bit-exact), per-subspace argmin code columns, and the
+  // left-associated 4-term ADC sum
+  private def pqL2Sql(a: String, b: String, lo: Int, hi: Int): String =
+    s"list_sum(list_transform(list_zip($a[$lo:$hi], $b[$lo:$hi]), " +
+      "p -> (p[1]-p[2])*(p[1]-p[2])))"
+  private val pqSubs = Seq((1, 16), (17, 32), (33, 48), (49, 64))
+  private def pqCodeColsSql: String =
+    pqSubs.zipWithIndex.map { case ((lo, hi), m) =>
+      s"(SELECT k FROM cent ORDER BY ${pqL2Sql("v.emb", "cemb", lo, hi)} ASC, k LIMIT 1) AS c$m"
+    }.mkString(",\n ")
+  private def pqAdistSql: String =
+    pqSubs.zipWithIndex.map { case ((lo, hi), m) =>
+      s"(SELECT ${pqL2Sql("qe", "cemb", lo, hi)} FROM cent, q WHERE k = codes.c$m)"
+    }.mkString("\n + ")
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1198,6 +1253,33 @@ object SparkEntry {
         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, min(b) AS canonical_id
         |FROM reach GROUP BY a ORDER BY 1""".stripMargin,
+    // q77: PQ encode + ADC replayed declaratively — codebooks are the
+    // first-8 vectors' subspace slices, per-subspace argmin via
+    // correlated min-distance subqueries (the q45 pattern), ADC as the
+    // same left-associated 4-term sum of sequential Σ(δ²) folds
+    // (list_zip + list_sum ≡ Spark's zip_with + aggregate, bit-exact)
+    "q77_ann_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+         |cent AS (SELECT vec_id AS k, emb AS cemb FROM e WHERE vec_id < 8),
+         |codes AS (SELECT v.vec_id, $pqCodeColsSql FROM e v)
+         |SELECT vec_id, round($pqAdistSql, 6) AS adist
+         |FROM codes ORDER BY adist, vec_id LIMIT 10""".stripMargin,
+    // q78: q45's cell assignment + probe-cell choice gate q77's
+    // encode/ADC — only vectors in the query's 3 nearest cells are
+    // coded and scored
+    "q78_ann_ivfpq_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+         |cent AS (SELECT vec_id AS k, emb AS cemb FROM e WHERE vec_id < 8),
+         |assign AS (SELECT v.vec_id, v.emb,
+         |  (SELECT k FROM cent ORDER BY list_cosine_similarity(v.emb, cemb) DESC, k LIMIT 1) AS cell
+         |  FROM e v),
+         |qcells AS (SELECT k AS c FROM cent, q ORDER BY list_cosine_similarity(qe, cemb) DESC, k LIMIT 3),
+         |codes AS (SELECT v.vec_id, $pqCodeColsSql
+         |  FROM assign v WHERE v.cell IN (SELECT c FROM qcells))
+         |SELECT vec_id, round($pqAdistSql, 6) AS adist
+         |FROM codes ORDER BY adist, vec_id LIMIT 10""".stripMargin,
     // q66: same salted coin, same per-stratum rank with key tiebreak
     "q66_sample_exactk" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) || '#exactk' AS tok FROM documents),

@@ -246,6 +246,14 @@ class PlanSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("q77 PQ search: compressed-domain scan → top-k, no join, no shuffle") {
+    val p = plan("q77_ann_pq_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ADC top-k must be TakeOrderedAndProject, not a global sort:\n$p")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"ADC search must touch only the codes scan — no join/shuffle:\n$p")
+  }
+
   test("q75 resampler: bucket-partitioned prefix sum, broadcast threshold probe") {
     val w = (1L to 500L).map(i => (i, i % 7 + 1)).toDF("doc_id", "w")
     val p = graft.text.TextAnalysis
