@@ -11,7 +11,7 @@ import graft.compare.Comparer.CompareOptions
 import graft.multimodal.Multimodal
 import graft.reconcile.Differ
 import graft.repair.Repairer
-import graft.text.{Dedup, TextAnalysis}
+import graft.text.{Dedup, Retrieval, TextAnalysis}
 import graft.vector.{Pq, Similarity}
 
 /** Driver contract — every operator from SURVEY.md §2 gets a `queries`
@@ -533,6 +533,23 @@ object SparkEntry {
       TextAnalysis.packSequences(Tables.documents(s, d), "doc_id", "text",
         budget = 512, buckets = 8)),
 
+    // q79: BM25 top-k retrieval — the inverted-index probe ("docs about
+    // X") a curation pipeline runs for retrieval audits and targeted
+    // decontamination. Lucene-BM25 in exact fixed-point integers (the
+    // q72 trick): per-term scores floor to micros BEFORE the per-doc
+    // sum, so ranking is bit-identical cross-engine
+    "q79_bm25_topk" -> ((s, d) =>
+      Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        bm25Terms, 20)),
+
+    // q80: deterministic training-order shuffle + token-balanced output
+    // shards — every ~2000-token run of the coin order is one shard
+    // (the webdataset/TFRecord shard-writing step). Bucketed distributed
+    // prefix-sum; the oracle's single global window pins it
+    "q80_shard_assign" -> ((s, d) =>
+      TextAnalysis.assignShards(Tables.documents(s, d), "doc_id", "text",
+        targetTokens = 2000L)),
+
     // §2.8 repair plan as a query (deterministic SQL codegen output)
     "q42_repair_plan" -> ((s, d) => {
       val disc = Differ.findAllDiscrepancies(srcOrders(s, d), tgtOrders(s, d),
@@ -640,7 +657,59 @@ object SparkEntry {
       s"(SELECT ${pqL2Sql("qe", "cemb", lo, hi)} FROM cent, q WHERE k = codes.c$m)"
     }.mkString("\n + ")
 
+  /** q79's query terms (mid-frequency corpus vocabulary). */
+  private val bm25Terms = Seq("vector", "hash", "scan")
+
+  /** Per-term BM25 oracle fragments: tf/df conditional-agg columns and
+    * the fixed-point score term (all-integer; `//` on nonnegative
+    * HUGEINTs is floor division, matching Spark's decimal floor-div). */
+  private def bm25TfColsSql: String =
+    bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf$i"
+    }.mkString(",\n ")
+  private def bm25DfColsSql: String =
+    bm25Terms.indices.map { i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n ")
+  private def bm25ScoreSql: String =
+    bm25Terms.indices.map { i =>
+      s"((CAST(floor(ln(2*n+2)*1000000) AS BIGINT) - CAST(floor(ln(2*df$i+1)*1000000) AS BIGINT))" +
+        s" * ((CAST(22 AS HUGEINT)*tf$i*t*1000000) // (CAST(10 AS HUGEINT)*t*tf$i + 3*t + 9*dl*n))) // 1000000"
+    }.mkString("\n + ")
+
   def oracleSql: Map[String, String] = Map(
+    // q79: the oracle replays the one-pass profile (dl + per-term tf),
+    // the 1-row stats rollup, and the same fixed-point score arithmetic
+    "q79_bm25_topk" ->
+      s"""WITH b AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |pd AS (SELECT doc_id, count(*) AS dl,
+         |  $bm25TfColsSql
+         |  FROM b WHERE tok <> '' GROUP BY 1),
+         |st AS (SELECT count(*) AS n, sum(dl) AS t,
+         |  $bm25DfColsSql
+         |  FROM pd),
+         |sc AS (SELECT doc_id, CAST(
+         |  $bm25ScoreSql
+         |  AS BIGINT) AS score_fp FROM pd, st)
+         |SELECT doc_id, score_fp, CAST(score_fp AS DOUBLE)/1000000.0 AS score
+         |FROM sc WHERE score_fp > 0 ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin,
+    // q80: the oracle lays the corpus on one global (coin, id) window —
+    // exclusive running token sum = each doc's start offset — and cuts
+    // shards by integer division, pinning the bucketed decomposition
+    "q80_shard_assign" ->
+      s"""WITH t AS (SELECT doc_id,
+         |   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         |   CAST(doc_id AS VARCHAR) || '#shard' AS tok
+         | FROM documents WHERE text IS NOT NULL),
+         |h AS (SELECT doc_id, n_tokens,
+         |   ($polyAsql + ($polyBsql << 31)) % 1000000 AS coin FROM t),
+         |c AS (SELECT doc_id, n_tokens,
+         |   coalesce(sum(n_tokens) OVER (ORDER BY coin, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+         | FROM h)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(strt // 2000 AS BIGINT) AS shard_id FROM c""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

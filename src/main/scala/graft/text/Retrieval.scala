@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the `documents` table: BM25 scoring against
+  * a fixed set of query terms, the inverted-index probe a curation
+  * pipeline uses to find "docs about X" without re-scanning text.
+  *
+  * Reference analog: the warehouse's validation analytics answer
+  * "which rows satisfy predicate X" declaratively
+  * (`docker/postgres/init.sql:323-488`); this is the text-corpus
+  * counterpart a training-data pipeline needs (retrieval audits,
+  * targeted decontamination, topic probes).
+  *
+  * Cross-engine exactness: BM25 is a sum of per-term ratios — float
+  * association poison. Here every per-term score is computed in exact
+  * integer arithmetic and fixed-pointed BEFORE the per-doc sum:
+  *
+  *   idf_fp(t)  = L(2N+2) − L(2·df(t)+1)            (Lucene BM25+, ≥ 0)
+  *   tf_fp(t,d) = ⌊ 22·tf·T·10⁶ / (10·T·tf + 3·T + 9·dl·N) ⌋
+  *   score_fp   = Σ_t ⌊ idf_fp · tf_fp / 10⁶ ⌋
+  *
+  * where `L(n) = floor(ln(n)·10⁶)` runs on integer arguments only (the
+  * q72 DSIR trick), and the tf term is k1=1.2, b=0.75 cross-multiplied
+  * through by `10·T` (T = corpus tokens, N = docs, dl = doc length):
+  *   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),  avgdl = T/N.
+  * Every quantity is a nonnegative integer, so truncating division is
+  * floor division in any engine, and the per-doc sum is exact 64-bit
+  * addition in any association order. Products run in DECIMAL(38,0) —
+  * at a 100-TB corpus `22·tf·T·10⁶` overflows a long (T ~ 10¹³); the
+  * decimal path is exact at any corpus size.
+  *
+  * Scale shape: ONE pass over the token stream builds the per-doc
+  * (dl, tf per term) profile — conditional aggregates, no join, hot
+  * tokens die in map-side partials. Corpus stats (N, T, df per term)
+  * are a 1-row rollup OF that profile, broadcast back via a 1×1 cross
+  * join. Top-k is TakeOrderedAndProject — never a global sort.
+  */
+object Retrieval {
+
+  /** `L(n) = floor(ln(n)·10⁶)` — fixed-point log on an integer arg. */
+  private def lfp(c: Column): Column =
+    floor(log(c.cast("double")) * lit(1000000L)).cast("long")
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Exact floor division for nonnegative decimals: (a − a mod b)/b. */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+
+  private def tfCol(t: String) = s"__tf_$t"
+  private def dfCol(t: String) = s"__df_$t"
+
+  /** Per-document BM25 profile: one token-stream pass → (id, dl,
+    * tf per query term). Exposed for composition (e.g. scoring the
+    * same profile against several term sets). */
+  def bm25Profile(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val aggs = count(lit(1)).as("__dl") +:
+      terms.map(t => sum(when(col("__tok") === t, 1L).otherwise(0L)).as(tfCol(t)))
+    toks.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** BM25 scores for every document matching ≥1 query term:
+    * `(idCol, score_fp, score)` with `score = score_fp / 10⁶` (one
+    * IEEE division, display only). */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val perDoc = bm25Profile(docs, idCol, textCol, terms)
+    // corpus stats: N, T, df per term — ONE row, broadcast
+    val statAggs = count(lit(1)).as("__n") +: sum("__dl").as("__t") +:
+      terms.map(t => sum(when(col(tfCol(t)) > 0L, 1L).otherwise(0L)).as(dfCol(t)))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val termScore: String => Column = { t =>
+      val tf = col(tfCol(t)); val df = col(dfCol(t))
+      val n = col("__n"); val tt = col("__t"); val dl = col("__dl")
+      val idfFp = lfp(lit(2L) * n + lit(2L)) - lfp(lit(2L) * df + lit(1L))
+      val num = dec(lit(22L)) * dec(tf) * dec(tt) * dec(lit(1000000L))
+      val den = dec(lit(10L)) * dec(tt) * dec(tf) + dec(lit(3L)) * dec(tt) +
+        dec(lit(9L)) * dec(dl) * dec(n)
+      // tf = 0 ⇒ num = 0 ⇒ term contributes 0 (den is always > 0)
+      floorDiv(dec(idfFp) * floorDiv(num, den), dec(lit(1000000L))).cast("long")
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("__id").as(idCol),
+        terms.map(termScore).reduce(_ + _).as("score_fp"))
+      .filter(col("score_fp") > 0L)
+      .withColumn("score", col("score_fp").cast("double") / lit(1000000.0))
+  }
+
+  /** Top-k retrieval: highest BM25 score first, id tiebreak.
+    * TakeOrderedAndProject — the limit rides the shuffle, never a
+    * global sort. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    bm25Scores(docs, idCol, textCol, terms)
+      .orderBy(col("score_fp").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Inverted index: `(token, doc_id, tf)` posting rows, optionally
+    * written to parquet partitioned by a token shard (64 dirs) so a
+    * term probe prunes at file listing — the durable-index pattern of
+    * [[Dedup.shingleIndex]]. Returns the (possibly re-read) postings. */
+  def postingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: Option[String] = None): DataFrame = {
+    val postings = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    path match {
+      case Some(p) =>
+        val spark = docs.sparkSession
+        postings.withColumn("shard", pmod(hash(col("token")), lit(64)))
+          .write.mode("overwrite").partitionBy("shard").parquet(p)
+        spark.read.parquet(p).drop("shard")
+      case None => postings
+    }
+  }
+
+  /** Point probe of a written postings index: partition-prunes to the
+    * term's shard directory. */
+  def termLookup(spark: org.apache.spark.sql.SparkSession, path: String,
+      term: String): DataFrame = {
+    val shard = math.floorMod(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        term.getBytes("UTF-8"),
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        term.getBytes("UTF-8").length, 42), 64)
+    spark.read.parquet(path)
+      .filter(col("shard") === shard && col("token") === term)
+      .drop("shard")
+  }
+}

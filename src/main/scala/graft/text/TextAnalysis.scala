@@ -328,6 +328,59 @@ object TextAnalysis {
     df.withColumn("split", label)
   }
 
+  /** Deterministic training-order shuffle + token-balanced output
+    * sharding — the last step before a training run writes its corpus:
+    * documents land in a pseudorandom but reproducible order (the
+    * portable hash coin salted with "#shard" — independent of the
+    * sampler and split coins), and consecutive runs of ~`targetTokens`
+    * tokens form a shard, so every output file carries the same token
+    * mass regardless of document-length skew. `shard_id =
+    * start_offset div targetTokens` where `start_offset` is the exact
+    * number of tokens before the document in coin order.
+    *
+    * Scale shape: the global prefix sum decomposes over fixed coin-range
+    * buckets (the coin is uniform on [0, 1e6), so buckets are balanced
+    * by construction): per-bucket token totals come back to the driver
+    * (`buckets` rows, bounded), the driver prefix-sums them into bucket
+    * base offsets, and each bucket computes its within-bucket cumulative
+    * window IN PARALLEL — no global sort, no single-task window. Every
+    * arithmetic step is 64-bit integer, so shard boundaries are
+    * bit-identical cross-engine (the oracle's single global window pins
+    * the decomposition). */
+  def assignShards(df: DataFrame, idCol: String, textCol: String,
+      targetTokens: Long, buckets: Int = 100): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    require(buckets > 0 && buckets <= 1000000,
+      s"buckets must be in [1, 1e6], got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def exactDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val coin = pmod(
+      graft.functions.TextHashExpressions.polyHash62(
+        concat(col(idCol).cast("string"), lit("#shard"))),
+      lit(1000000L))
+    val scored = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        coin.as("__coin"))
+      .withColumn("__bkt",
+        exactDiv(col("__coin") * lit(buckets.toLong), lit(1000000L)).cast("int"))
+      .localCheckpoint() // read twice: bucket totals + laid-out assignment
+    val totals = scored.groupBy("__bkt").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.scanLeft(0L)((acc, bt) => acc + bt._2).init
+    val baseDf = totals.map(_._1).zip(bases).toSeq.toDF("__bkt", "__base")
+    val win = Window.partitionBy("__bkt").orderBy("__coin", "__id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored
+      .withColumn("__before", coalesce(sum("n_tokens").over(win), lit(0L)))
+      .join(broadcast(baseDf), "__bkt")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        exactDiv(col("__base") + col("__before"), lit(targetTokens))
+          .as("shard_id"))
+  }
+
   /** Quality-ranked corpus selection under a token budget: keep the
     * highest-quality documents whose cumulative token count (in
     * quality-descending, id-ascending order) stays within `budget` —

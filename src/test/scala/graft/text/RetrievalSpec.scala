@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** BM25 retrieval: scores checked EXACTLY against an independent
+  * in-memory fixed-point model (BigInt floor arithmetic — the same
+  * spec the DuckDB oracle replays), plus ranking/limit semantics and
+  * the partition-pruned postings probe. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with known term distribution: "apple" rare, "the" ubiquitous
+  private lazy val docs = Seq(
+    (1L, "the apple tree the orchard"),          // apple x1, dl 5
+    (2L, "the the the banana stand"),            // dl 5
+    (3L, "apple apple apple pie the"),           // apple x3, dl 5
+    (4L, "banana banana the smoothie bar near"), // dl 6
+    (5L, "plain text with nothing relevant")     // dl 5
+  ).toDF("doc_id", "text")
+
+  /** Independent model: Lucene-BM25 fixed-point exactly as documented
+    * on [[Retrieval]] (k1=1.2, b=0.75 cross-multiplied integers). */
+  private def modelScores(
+      corpus: Seq[(Long, String)], terms: Seq[String]): Map[Long, Long] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    }.toMap
+    val n = BigInt(corpus.size)
+    val tt = BigInt(toks.values.map(_.size).sum)
+    def lfp(x: BigInt): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    corpus.map { case (id, _) =>
+      val dl = BigInt(toks(id).size)
+      val score = terms.map { term =>
+        val tf = BigInt(toks(id).count(_ == term))
+        val df = BigInt(toks.values.count(_.contains(term)))
+        val idfFp = BigInt(lfp(2 * n + 2) - lfp(2 * df + 1))
+        val num = 22 * tf * tt * 1000000
+        val den = 10 * tt * tf + 3 * tt + 9 * dl * n
+        (idfFp * (num / den) / 1000000).toLong
+      }.sum
+      id -> score
+    }.toMap.filter(_._2 > 0)
+  }
+
+  test("bm25Scores match the independent fixed-point model exactly") {
+    val terms = Seq("apple", "banana", "the")
+    val got = Retrieval.bm25Scores(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = modelScores(
+      Seq(1L -> "the apple tree the orchard",
+        2L -> "the the the banana stand",
+        3L -> "apple apple apple pie the",
+        4L -> "banana banana the smoothie bar near",
+        5L -> "plain text with nothing relevant").map(p => (p._1, p._2)),
+      terms)
+    assert(got == want)
+    // sanity on the fixture: doc 3 (apple x3) must beat doc 1 (apple x1)
+    assert(got(3L) > got(1L))
+    // doc 5 matches no term -> excluded
+    assert(!got.contains(5L))
+  }
+
+  test("rare term outscores ubiquitous term at equal tf") {
+    // doc 1 has apple x1 and the x2; a pure-"apple" query on doc 1 must
+    // outscore a pure-"the" query on the same doc despite lower tf
+    val apple = Retrieval.bm25Scores(docs, "doc_id", "text", Seq("apple"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val the = Retrieval.bm25Scores(docs, "doc_id", "text", Seq("the"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(apple(1L) > the(1L))
+  }
+
+  test("bm25TopK: k rows, descending score, id tiebreak") {
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("apple", "banana"), 3).collect()
+    assert(top.length == 3)
+    val scores = top.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // plan must be TakeOrderedAndProject, not a global sort
+    val plan = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("apple"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("postingsIndex written: probe ≡ full filter, partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("postings").toString
+    val mem = Retrieval.postingsIndex(docs, "doc_id", "text")
+      .filter(col("token") === "banana")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    Retrieval.postingsIndex(docs, "doc_id", "text", Some(dir))
+    val probe = Retrieval.termLookup(spark, dir, "banana")
+    val got = probe.collect()
+      .map(r => (r.getString(r.fieldIndex("token")),
+        r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("tf")))).toSet
+    assert(got == mem)
+    val pf = probe.queryExecution.executedPlan.toString
+    assert(pf.contains("PartitionFilters: [isnotnull(shard"), pf)
+  }
+
+  test("duplicate terms rejected; empty terms rejected") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25Scores(docs, "doc_id", "text", Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25Scores(docs, "doc_id", "text", Nil)
+    }
+  }
+}

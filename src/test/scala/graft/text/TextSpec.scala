@@ -666,4 +666,48 @@ class TextSpec extends SparkSpec {
       }
     }
   }
+
+  test("assignShards equals the global-window layout, any bucket count") {
+    val corpus = (1L to 200L).map { i =>
+      (i, ("tok " * (1 + (i % 13)).toInt).trim)
+    }.toDF("doc_id", "text")
+    // reference: ONE global (coin, id) window — exclusive running sum
+    // is each doc's start offset; shard = start div target
+    val coin = pmod(
+      graft.functions.TextHashExpressions.polyHash62(
+        concat(col("doc_id").cast("string"), lit("#shard"))),
+      lit(1000000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__coin"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = corpus
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("__coin", coin)
+      .withColumn("strt", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), (col("strt") - pmod(col("strt"), lit(40L))) / 40L)
+      .as[(Long, Double)].collect().map { case (id, s) => id -> s.toLong }.toMap
+    for (buckets <- Seq(1, 7, 100)) {
+      val got = TextAnalysis.assignShards(corpus, "doc_id", "text",
+        targetTokens = 40L, buckets = buckets)
+        .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"buckets=$buckets")
+    }
+    // shards are contiguous from 0 and balanced: every shard except the
+    // last starts within one max-doc-length of its nominal boundary
+    val ids = expected.values.toSet
+    assert(ids == (0L until (ids.max + 1)).toSet)
+  }
+
+  test("assignShards: deterministic, null text excluded, total tokens conserved") {
+    val corpus = Seq(
+      (1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, "d e f g h")
+    ).toDF("doc_id", "text")
+    val a = TextAnalysis.assignShards(corpus, "doc_id", "text", 4L).collect()
+    val b = TextAnalysis.assignShards(corpus, "doc_id", "text", 4L).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    val rows = TextAnalysis.assignShards(corpus, "doc_id", "text", 4L)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(rows == Map(1L -> 3L, 3L -> 5L)) // null-text doc 2 excluded
+  }
 }
