@@ -550,6 +550,38 @@ object SparkEntry {
       TextAnalysis.assignShards(Tables.documents(s, d), "doc_id", "text",
         targetTokens = 2000L)),
 
+    // q83: one full-data Lloyd k-means step from the fixed first-8
+    // centroids — the distributed-clustering refinement Ivf.buildIndex's
+    // sample fit seeds. Member means in exact fixed-point (floor to
+    // micros, integer sums, one floor division) — bit-identical across
+    // engines AND partitionings
+    "q83_kmeans_lloyd_step" -> ((s, d) =>
+      graft.vector.Kmeans.lloydStepFp(Tables.embeddings(s, d), "vec_id",
+        "embedding", ivfCentroids(s, d))
+        .orderBy("cell", "dim")),
+
+    // q82: exact Jaccard pairs via PREFIX FILTERING (Bayardo 2007) —
+    // same result as q36 from a fundamentally cheaper candidate join
+    // (only rarest-first prefixes explode; verification is
+    // candidate-sized array_intersect). Same oracle as q36: the output
+    // is identical BY DESIGN — result-identity across plans is the test
+    "q82_jaccard_prefix_filter" -> ((s, d) =>
+      Dedup.ngramJaccardPairsPrefixFromIndex(shingleIdx(s, d),
+        threshold = 0.3)),
+
+    // q81: BPE pair statistics — the tokenizer-training primitive
+    // (Sennrich 2016 get_stats): freq-weighted adjacent character-pair
+    // counts over the word-frequency table, top-50. The iterative merge
+    // loop (Bpe.trainMerges) reruns this each round; BpeSpec model-checks
+    // the loop against an in-memory reference — this query pins the
+    // distributed statistics it argmaxes over
+    "q81_bpe_pair_counts" -> ((s, d) =>
+      graft.text.Bpe.pairCounts(
+        graft.text.Bpe.wordCounts(Tables.documents(s, d), "text")
+          .withColumn("syms", graft.text.Bpe.initialSymbols(col("word"))))
+        .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+        .limit(50)),
+
     // §2.8 repair plan as a query (deterministic SQL codegen output)
     "q42_repair_plan" -> ((s, d) => {
       val disc = Differ.findAllDiscrepancies(srcOrders(s, d), tgtOrders(s, d),
@@ -660,6 +692,26 @@ object SparkEntry {
   /** q79's query terms (mid-frequency corpus vocabulary). */
   private val bm25Terms = Seq("vector", "hash", "scan")
 
+  /** The exact all-pairs Jaccard oracle at threshold 0.3 — shared by
+    * q36 (full index self-join) and q82 (prefix-filtered plan): both
+    * must hash-match this same declarative answer. */
+  private val jaccardAllPairsSql03 =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |   CASE WHEN len(toks) >= 3
+      |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+      |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON inter.id_a = sa.doc_id
+      |JOIN sizes sb ON inter.id_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3""".stripMargin
+
   /** Per-term BM25 oracle fragments: tf/df conditional-agg columns and
     * the fixed-point score term (all-integer; `//` on nonnegative
     * HUGEINTs is floor division, matching Spark's decimal floor-div). */
@@ -678,6 +730,26 @@ object SparkEntry {
     }.mkString("\n + ")
 
   def oracleSql: Map[String, String] = Map(
+    // q83: q45's cell assignment, then per-(cell, dim) fixed-point
+    // means — floor(x·1e6) components, integer sums, floor division by
+    // the member count (((sx % n) + n) % n is the nonneg mod = Spark's
+    // pmod, so negative sums floor identically)
+    "q83_kmeans_lloyd_step" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS k, emb AS cemb FROM e WHERE vec_id < 8),
+        |assign AS (SELECT v.vec_id, v.emb,
+        |  (SELECT k FROM cent ORDER BY list_cosine_similarity(v.emb, cemb) DESC, k LIMIT 1) AS cell
+        |  FROM e v),
+        |d AS (SELECT cell, unnest(list_transform(generate_series(1, len(emb)),
+        |   i -> struct_pack(dim := i, x := CAST(floor(emb[i] * 1000000) AS BIGINT)))) AS p
+        | FROM assign),
+        |s AS (SELECT CAST(cell AS INT) AS cell, CAST(p.dim AS BIGINT) AS dim,
+        |   sum(p.x) AS sx, count(*) AS n FROM d GROUP BY 1, 2)
+        |SELECT cell, dim,
+        |  CAST((sx - (((sx % n) + n) % n)) / n AS BIGINT) AS centroid_fp,
+        |  CAST(CAST((sx - (((sx % n) + n) % n)) / n AS BIGINT) AS DOUBLE) / 1000000.0 AS centroid
+        |FROM s ORDER BY cell, dim""".stripMargin,
+
     // q79: the oracle replays the one-pass profile (dl + per-term tf),
     // the 1-row stats rollup, and the same fixed-point score arithmetic
     "q79_bm25_topk" ->
@@ -710,6 +782,20 @@ object SparkEntry {
          | FROM h)
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(strt // 2000 AS BIGINT) AS shard_id FROM c""".stripMargin,
+    // q81: the oracle rebuilds the word-frequency table, chars via
+    // string_split (empty-filtered, the polySql guard), and every
+    // adjacent position i -> (syms[i], syms[i+1]) — overlap included
+    "q81_bpe_pair_counts" ->
+      """WITH w AS (SELECT tok AS word, count(*) AS freq FROM (
+        |   SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |   FROM documents WHERE text IS NOT NULL) WHERE tok <> '' GROUP BY 1),
+        |s AS (SELECT freq, list_filter(string_split(word, ''), c -> c <> '') AS syms FROM w),
+        |p AS (SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+        |   i -> struct_pack(sym_a := syms[i], sym_b := syms[i + 1]))) AS pr
+        | FROM s WHERE len(syms) >= 2)
+        |SELECT pr.sym_a AS sym_a, pr.sym_b AS sym_b,
+        |  CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1, 2 ORDER BY pair_count DESC, sym_a, sym_b LIMIT 50""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -976,22 +1062,10 @@ object SparkEntry {
         |JOIN sizes sa ON inter.id_a = sa.doc_id
         |JOIN sizes sb ON inter.id_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4""".stripMargin,
-    "q36_ngram_jaccard_pairs" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(
-        |   CASE WHEN len(toks) >= 3
-        |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
-        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
-        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON inter.id_a = sa.doc_id
-        |JOIN sizes sb ON inter.id_b = sb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3""".stripMargin,
+    "q36_ngram_jaccard_pairs" -> jaccardAllPairsSql03,
+    // q82: the prefix-filtered plan must reproduce the full self-join's
+    // answer EXACTLY — same oracle text as q36
+    "q82_jaccard_prefix_filter" -> jaccardAllPairsSql03,
     // q48: q36's machinery with the DF cut — shingles present in > 20
     // docs are dropped from BOTH candidate generation and the
     // size/intersection arithmetic on BOTH engines

@@ -494,6 +494,72 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact Jaccard pairs by PREFIX FILTERING (Bayardo et al. 2007,
+    * "Scaling Up All Pairs Similarity Search") — the same result set as
+    * [[ngramJaccardPairsFromIndex]] from a fundamentally cheaper
+    * candidate join. For Jaccard ≥ t, two shingle sets must share an
+    * element among each set's first `s − ⌈t·s⌉ + 1` shingles in a
+    * global canonical order (rarest-first: df asc, shingle asc) — so
+    * the self-join explodes only PREFIXES, not full sets. Verification
+    * then runs per candidate pair on compact per-doc hash arrays
+    * (`array_intersect`, codegen) — candidate-sized work, one exchange
+    * on the pair key.
+    *
+    * At 100 TB this is the all-pairs configuration that replaces the
+    * full index self-join: the prefix join's fan-out shrinks with t
+    * (t=0.9 explodes ~10% of each set) and skips the ubiquitous-shingle
+    * blowup automatically — hot shingles are almost never in a
+    * rarest-first prefix — making it the exact-result alternative to
+    * the lossy DF-cut guard.
+    *
+    * The prefix length uses `⌈t'·s⌉` with `t' = floor(t·10⁶)/10⁶ ≤ t`
+    * in exact integer arithmetic — a float `ceil(0.4·5)` can land on
+    * 3 where exact lands on 2, silently SHORTENING the prefix and
+    * dropping true pairs; rounding t DOWN only lengthens it (safe). */
+  def ngramJaccardPairsPrefixFromIndex(shAll: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val tPpm = math.floor(threshold * 1000000).toLong
+    val dfs = shAll.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    // per-doc shingles in canonical rarest-first order, as ONE array —
+    // read twice (prefix explode + pair verification)
+    val docs = shAll.join(dfs, "shingle")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("__df"), col("shingle"))))
+        .getField("shingle").as("__syms"))
+      .select(col("id"), col("__syms"), size(col("__syms")).as("__sz"))
+      .localCheckpoint()
+    // prefix length ℓ = s − ⌈t'·s⌉ + 1, exact integer ceil
+    val ceilTs = ((col("__sz").cast("long") * tPpm + lit(999999L)) -
+      pmod(col("__sz").cast("long") * tPpm + lit(999999L), lit(1000000L))) / lit(1000000L)
+    val prefixes = docs
+      .select(col("id"),
+        explode(slice(col("__syms"), lit(1),
+          greatest((col("__sz") - ceilTs + lit(1)).cast("int"), lit(1))))
+          .as("shingle"))
+    val cands = prefixes.alias("x").join(prefixes.alias("y"), Seq("shingle"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cands
+      .join(docs.select(col("id").as("id_a"), col("__syms").as("__sa"),
+        col("__sz").as("sz_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("__syms").as("__sb"),
+        col("__sz").as("sz_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** [[ngramJaccardPairsPrefixFromIndex]] over a fresh shingle index. */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsPrefixFromIndex(
+      shingleIndex(df, idCol, textCol, k), threshold)
+
   // ---- benchmark decontamination ---------------------------------------
 
   /** Benchmark decontamination: drop every corpus document that shares

@@ -246,6 +246,48 @@ class PlanSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("q79 BM25: one-pass profile, broadcast stats, top-k not global sort") {
+    val p = plan("q79_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject, not a global sort:\n$p")
+    assert(p.contains("partial_count"),
+      s"the doc profile must keep map-side partials:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row corpus stats must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join anywhere:\n$p")
+  }
+
+  test("q80 sharding: per-bucket window, never a global ordered one") {
+    val p = plan("q80_shard_assign")
+    assert("""windowspecdefinition\(__bkt#\d+""".r.findFirstIn(p).isDefined,
+      s"prefix sum must be partitioned by the coin-range bucket:\n$p")
+    assert("""windowspecdefinition\(__coin#\d+L? ASC""".r.findFirstIn(p).isEmpty,
+      s"a global (unpartitioned) window must not appear:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the buckets-row base-offset table must broadcast:\n$p")
+  }
+
+  test("q81 BPE pairs: two hash aggs with partials, no join, bounded top-k") {
+    val p = plan("q81_bpe_pair_counts")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"word counting and pair rollup must keep map-side partials:\n$p")
+    assert(!p.contains("Join"), s"pair statistics must not join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be TakeOrderedAndProject:\n$p")
+  }
+
+  test("q83 Lloyd step: narrow assignment, one (cell,dim) agg with partials") {
+    val p = plan("q83_kmeans_lloyd_step")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"the member mean must keep map-side partials:\n$p")
+    assert(!p.contains("Join"),
+      s"fixed-centroid assignment is a projection — no join:\n$p")
+    // exactly one aggregation exchange (on (cell, dim)) plus the final
+    // order-by — no extra corpus-wide shuffles
+    assert(!p.toLowerCase.contains("cartesian"), s"no cartesian:\n$p")
+  }
+
   test("q77 PQ search: compressed-domain scan → top-k, no join, no shuffle") {
     val p = plan("q77_ann_pq_topk")
     assert(p.contains("TakeOrderedAndProject"),

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** BPE training model-checked against an independent in-memory
+  * reference implementation (the Sennrich get_stats/merge loop). */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- in-memory reference --------------------------------------------
+
+  private def refMergeWord(syms: Vector[String], a: String, b: String): Vector[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+      else acc :+ x
+    }
+
+  private def refPairCounts(words: Map[Vector[String], Long]): Map[(String, String), Long] =
+    words.toSeq.flatMap { case (syms, freq) =>
+      syms.zip(syms.drop(1)).map(p => p -> freq)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+
+  private def refTrain(corpus: Seq[String], numMerges: Int)
+      : (Seq[(String, String)], Map[Vector[String], Long]) = {
+    val wc = corpus.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    var words = wc.map { case (w, f) => w.split("").toVector.filter(_.nonEmpty) -> f }
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    for (_ <- 0 until numMerges) {
+      val pc = refPairCounts(words)
+      if (pc.nonEmpty) {
+        val (a, b) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges += ((a, b))
+        words = words.map { case (s, f) => refMergeWord(s, a, b) -> f }
+          .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      }
+    }
+    (merges.toList, words)
+  }
+
+  private val corpus = Seq(
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest widest",
+    "widest widest low lower")
+
+  private lazy val docs =
+    corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("pairCounts: overlapping adjacent positions, freq-weighted") {
+    val words = Seq(("aaa", 3L), ("ab", 2L)).toDF("word", "freq")
+      .withColumn("syms", Bpe.initialSymbols(col("word")))
+    val got = Bpe.pairCounts(words).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // aaa: (a,a) twice per word x freq 3 = 6; ab: (a,b) x 2
+    assert(got == Map(("a", "a") -> 6L, ("a", "b") -> 2L))
+  }
+
+  test("applyMerge is greedy left-to-right (no re-fuse through a fresh merge)") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("b"))
+      .toDF("syms")
+    val got = df.select(Bpe.applyMerge(col("syms"), "a", "a")).as[Seq[String]]
+      .collect().toSet
+    assert(got == Set(Seq("aa", "a"), Seq("aa", "aa"), Seq("b")))
+  }
+
+  test("trainMerges matches the in-memory reference loop exactly") {
+    val (refMerges, refWords) = refTrain(corpus, 8)
+    val (gotMerges, gotWords) = Bpe.trainMerges(docs, "text", 8)
+    assert(gotMerges == refMerges)
+    val gotTable = gotWords.select("syms", "freq").as[(Seq[String], Long)]
+      .collect().map { case (s, f) => s.toVector -> f }.toMap
+    assert(gotTable == refWords)
+  }
+
+  test("subwordCounts: merged-vocabulary rollup matches the reference table") {
+    val (merges, _) = refTrain(corpus, 6)
+    val (_, refWords) = refTrain(corpus, 6)
+    val want = refWords.toSeq.flatMap { case (syms, f) => syms.map(_ -> f) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val got = Bpe.subwordCounts(docs, "text", merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("encode: subword concatenation round-trips the text, order preserved") {
+    val (merges, _) = Bpe.trainMerges(docs, "text", 5)
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong).mkString == t.replaceAll("\\s+", ""),
+        s"doc $i round-trip")
+    }
+  }
+
+  test("trainMerges stops early when no pairs remain") {
+    val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
+    val (merges, words) = Bpe.trainMerges(tiny, "text", 10)
+    assert(merges.isEmpty) // all words are single chars — no adjacent pairs
+    assert(words.count() == 2)
+  }
+}

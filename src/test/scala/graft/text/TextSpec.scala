@@ -667,6 +667,40 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered all-pairs equals the full self-join at every threshold") {
+    // near-dup-rich corpus: shared sentence stems with local edits
+    val corpus = (1L to 60L).map { i =>
+      val stem = s"shared passage stem ${i % 8} with common phrasing across docs"
+      (i, s"$stem and unique tail $i plus ${if (i % 3 == 0) "variant wording" else "stable wording"}")
+    }.toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(corpus, "doc_id", "text", k = 3)
+    for (t <- Seq(0.2, 0.3, 0.5, 0.8, 1.0)) {
+      val full = Dedup.ngramJaccardPairsFromIndex(idx, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pref = Dedup.ngramJaccardPairsPrefixFromIndex(idx, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pref == full, s"threshold=$t: prefix ${pref.size} vs full ${full.size}")
+    }
+  }
+
+  test("prefix filter explodes strictly fewer rows than the full index at high t") {
+    val corpus = (1L to 40L).map { i =>
+      (i, s"a long document body number $i with plenty of shared vocabulary " +
+        "over many shingles common to all documents in this corpus")
+    }.toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(corpus, "doc_id", "text", k = 3)
+    // the candidate join input is the prefix explode; at t=0.9 the
+    // prefix is ~10% of each set
+    val fullRows = idx.count()
+    val tPpm = 900000L
+    val prefRows = idx.groupBy("id").agg(count(lit(1)).as("s"))
+      .select((col("s") - ((col("s") * tPpm + 999999L -
+        pmod(col("s") * tPpm + 999999L, lit(1000000L))) / 1000000L) + 1).as("l"))
+      .agg(sum("l")).head().getDouble(0)
+    assert(prefRows < fullRows * 0.3,
+      s"prefix rows $prefRows vs full $fullRows — filter not pruning")
+  }
+
   test("assignShards equals the global-window layout, any bucket count") {
     val corpus = (1L to 200L).map { i =>
       (i, ("tok " * (1 + (i % 13)).toInt).trim)
