@@ -550,6 +550,21 @@ object SparkEntry {
       TextAnalysis.assignShards(Tables.documents(s, d), "doc_id", "text",
         targetTokens = 2000L)),
 
+    // q85: cell-pruned kNN graph — every vector's top-3 neighbors among
+    // its IVF cell-mates (the neighbor-graph behind graph dedup and
+    // corpus cartography). Shuffles on cell only; per-source top-k is a
+    // map-side WindowGroupLimit
+    "q85_knn_graph" -> ((s, d) =>
+      graft.vector.Kmeans.knnGraph(Tables.embeddings(s, d), "vec_id",
+        "embedding", ivfCentroids(s, d), k = 3)),
+
+    // q84: per-domain quality cap (RefinedWeb-style) — each source
+    // contributes at most its 25 BEST docs by quality. Map-side
+    // WindowGroupLimit; the quality-ranked counterpart of q66
+    "q84_domain_cap" -> ((s, d) =>
+      TextAnalysis.capPerStratum(Tables.documents(s, d), "doc_id", "text",
+        "source", k = 25)),
+
     // q83: one full-data Lloyd k-means step from the fixed first-8
     // centroids — the distributed-clustering refinement Ivf.buildIndex's
     // sample fit seeds. Member means in exact fixed-point (floor to
@@ -730,6 +745,45 @@ object SparkEntry {
     }.mkString("\n + ")
 
   def oracleSql: Map[String, String] = Map(
+    // q85: q45's cell assignment, all within-cell directed pairs, rank
+    // by (cosine desc, nbr) per source vector, keep 3
+    "q85_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS k, emb AS cemb FROM e WHERE vec_id < 8),
+        |assign AS (SELECT v.vec_id, v.emb,
+        |  (SELECT k FROM cent ORDER BY list_cosine_similarity(v.emb, cemb) DESC, k LIMIT 1) AS cell
+        |  FROM e v),
+        |p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+        |   round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+        | FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |r AS (SELECT src_id, nbr_id, cosine,
+        |  row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rn
+        | FROM p)
+        |SELECT src_id, nbr_id, cosine FROM r WHERE rn <= 3""".stripMargin,
+
+    // q84: q33's integer-ppm quality replayed, then a per-source
+    // row_number cap in (quality desc, doc_id) order
+    "q84_domain_cap" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $tokensSql AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id, source,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  greatest(CAST(len(toks) AS BIGINT), 1) AS toks_n,
+         |  CAST(len(list_filter(toks, x -> x IN ($enStop))) AS BIGINT) AS sw,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio
+         | FROM t),
+         |q AS (SELECT doc_id, source,
+         | CAST(least(n_tokens, 100) * 4000
+         |   + (CASE WHEN punct_ratio < CAST(0.2 AS DOUBLE) THEN 300000 ELSE 90000 END)
+         |   + ((least((sw * 5000000) // toks_n, 1000000) * 3) // 10)
+         |  AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS quality
+         |FROM m),
+         |r AS (SELECT doc_id, source, quality,
+         |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+         | FROM q)
+         |SELECT doc_id, source, quality FROM r WHERE rn <= 25""".stripMargin,
+
     // q83: q45's cell assignment, then per-(cell, dim) fixed-point
     // means — floor(x·1e6) components, integer sums, floor division by
     // the member count (((sx % n) + n) % n is the nonneg mod = Spark's

@@ -96,6 +96,7 @@ object CurateCli {
       mixStratumCol: String = "source",
       mixRatesPpm: Map[String, Long] = Map.empty,
       mixDefaultPpm: Long = 1000000L,
+      domainCapK: Int = 0,
       piiScrub: Boolean = false,
       maxRepetitionRatio: Double = 1.0,
       repetitionK: Int = 2,
@@ -204,6 +205,16 @@ object CurateCli {
       if (cfg.mixRatesPpm.nonEmpty || cfg.mixDefaultPpm < 1000000L)
         advance("mix", TextAnalysis.sampleByMix(cur, idCol,
           cfg.mixStratumCol, cfg.mixRatesPpm, cfg.mixDefaultPpm))
+
+      if (cfg.domainCapK > 0)
+        // RefinedWeb-style per-domain cap directly after the mix stage:
+        // no stratum may contribute more than k docs, and the k kept
+        // are its best by quality. Semi-join on surviving ids — the cap
+        // ranking shuffles only (id, stratum, quality), never payloads
+        advance("domain_cap", cur.join(
+          TextAnalysis.capPerStratum(cur, idCol, textCol,
+            cfg.mixStratumCol, cfg.domainCapK).select(col(idCol)),
+          Seq(idCol), "left_semi"))
 
       if (cfg.piiScrub)
         advance("pii_scrub",

@@ -328,6 +328,29 @@ object TextAnalysis {
     df.withColumn("split", label)
   }
 
+  /** Per-stratum quality cap — the RefinedWeb-style per-domain cap: a
+    * single domain (mirror farm, crawl loop) may not contribute more
+    * than `k` documents, and the `k` kept are its BEST by
+    * [[qualityScore]] (deterministic `(quality desc, id)` order) — the
+    * quality-ranked counterpart of [[sampleExactK]]'s random carve.
+    *
+    * Scale shape: `row_number() <= k` over a per-stratum window plans a
+    * PARTIAL WindowGroupLimit below the exchange — top-k runs map-side
+    * and the shuffle carries at most k rows per stratum. */
+  def capPerStratum(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, k: Int,
+      stopwords: Seq[String] = LangProfiles("en")): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("quality").desc, col(idCol))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(stratumCol),
+        qualityScore(col(textCol), stopwords).as("quality"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Deterministic training-order shuffle + token-balanced output
     * sharding — the last step before a training run writes its corpus:
     * documents land in a pseudorandom but reproducible order (the

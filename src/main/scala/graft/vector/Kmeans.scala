@@ -45,6 +45,42 @@ object Kmeans {
           .cast("long").as("centroid_fp"))
       .withColumn("centroid", col("centroid_fp").cast("double") / lit(1000000.0))
 
+  /** Cell-pruned kNN graph: every vector's top-`k` nearest neighbors
+    * (cosine) among its cell-mates — the neighbor-graph construction
+    * behind graph-based dedup, SemDeDup variants, and corpus
+    * cartography. With `nProbe >= 2`, each vector meets candidates in
+    * its top-nProbe cells (boundary-miss mitigation; neighbor pairs
+    * deduplicate before ranking).
+    *
+    * Scale shape: the self-join keys on `cell` only (balanced by the
+    * quantizer; within-cell pair work is k²-free because `row_number()
+    * <= k` plans a PARTIAL WindowGroupLimit — per-source top-k runs
+    * map-side and the shuffle carries at most k rows per vector). The
+    * exact all-pairs alternative is quadratic; this is linear in
+    * `cells × cellSize²` with constant cell size ∝ √N. */
+  def knnGraph(df: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[Seq[Double]], k: Int, nProbe: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val idx = (if (nProbe == 1)
+        Ivf.fixedCentroidIndex(df, idCol, embCol, centroids)
+      else
+        Ivf.fixedCentroidMultiIndex(df, idCol, embCol, centroids, nProbe)
+          .drop("probe"))
+      .select(col(idCol).as("__id"),
+        col(embCol).cast("array<double>").as("__emb"), col("cell"))
+    val pairs = idx.alias("a").join(idx.alias("b"), Seq("cell"))
+      .filter(col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("src_id"), col("b.__id").as("nbr_id"),
+        round(Similarity.cosine(col("a.__emb"), col("b.__emb")), 6)
+          .as("cosine"))
+    val deduped = if (nProbe == 1) pairs
+      else pairs.groupBy("src_id", "nbr_id").agg(max("cosine").as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("cosine").desc, col("nbr_id"))
+    deduped.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Run `iterations` full-data Lloyd steps from `init`. Returns the
     * refined centroids (empty cells keep their previous centroid). */
   def lloyd(df: DataFrame, idCol: String, embCol: String,

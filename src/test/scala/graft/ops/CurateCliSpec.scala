@@ -275,6 +275,30 @@ class CurateCliSpec extends SparkSpec {
     assert(ids == expected, s"budget prefix mismatch: got $ids want $expected")
   }
 
+  test("domain_cap stage: each stratum keeps only its k best by quality") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and it was a fine day for all of us", "wiki"),
+      (2L, "a dog ran in the park and the sun was out for the whole of it", "wiki"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank", "wiki"),
+      (4L, "it is a spammy page full of the usual words about the weather", "web")
+    ).toDF("doc_id", "text", "source")
+    val r = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, domainCapK = 2))
+    assert(r.funnel.map(_.stage) ==
+      Seq("input", "exact_dedup", "near_dedup", "language", "quality",
+        "domain_cap"))
+    val byStage = r.funnel.map(s => s.stage -> s).toMap
+    assert(byStage("domain_cap").docs == 3,
+      "wiki must drop from 3 to 2; web keeps its single doc")
+    // the survivor set is the capPerStratum top-2 of wiki plus doc 4
+    val want = TextAnalysis.capPerStratum(
+      corpus.filter(col("source") === "wiki"), "doc_id", "text", "source", 2)
+      .select("doc_id").as[Long].collect().toSet + 4L
+    val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+    r.unpersist()
+    assert(ids == want)
+  }
+
   test("decontaminate stage scrubs the eval side when piiScrub is on") {
     // the eval doc's every 8-gram window spans the email token; if the
     // eval side were shingled RAW while the corpus copy is scrubbed,
@@ -331,8 +355,8 @@ class CurateCliSpec extends SparkSpec {
     val inputIds = docs.select("doc_id").as[Long].collect().toSet
     val rnd = new scala.util.Random(11)
     val order = Seq("input", "exact_dedup", "near_dedup", "language",
-      "quality", "mix", "pii_scrub", "repetition", "gopher", "line_dedup",
-      "span_excise", "decontaminate", "token_budget", "pack")
+      "quality", "mix", "domain_cap", "pii_scrub", "repetition", "gopher",
+      "line_dedup", "span_excise", "decontaminate", "token_budget", "pack")
     for (i <- 1 to 8) {
       val cfg = CurateCli.Config(
         minQuality = rnd.nextInt(3) * 0.25,
@@ -340,6 +364,7 @@ class CurateCliSpec extends SparkSpec {
         maxShingleDf = if (rnd.nextBoolean()) 50L else 0L,
         nearKeepBest = rnd.nextBoolean(),
         mixDefaultPpm = if (rnd.nextBoolean()) 800000L else 1000000L,
+        domainCapK = if (rnd.nextBoolean()) 30 else 0,
         piiScrub = rnd.nextBoolean(),
         maxRepetitionRatio = if (rnd.nextBoolean()) 0.9 else 1.0,
         gopherRules = rnd.nextBoolean(),

@@ -667,6 +667,35 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("capPerStratum keeps the k best by quality, deterministic tiebreak") {
+    // quality rises with token count (length term); stratum s0 has 6
+    // docs, s1 has 2 — cap at 3
+    val corpus = Seq(
+      (1L, "s0", "a b"), (2L, "s0", "a b c d e f g h"), (3L, "s0", "a b c d"),
+      (4L, "s0", "a b c d e f"), (5L, "s0", "a"), (6L, "s0", "a b c"),
+      (7L, "s1", "x y z"), (8L, "s1", "x y")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.capPerStratum(corpus, "doc_id", "text", "source", 3)
+      .select("doc_id").as[Long].collect().toSet
+    // expected: in-memory (quality desc, id) rank per stratum over the
+    // same scored projection (quality arithmetic itself is q33's oracle)
+    val want = corpus
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.qualityScore(col("text"), TextAnalysis.LangProfiles("en"))
+          .as("q"))
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).values.flatMap(
+        _.sortBy { case (_, id, q) => (-q, id) }.take(3).map(_._2)).toSet
+    assert(got == want)
+    assert(got.count(_ => true) == 5) // s0 capped 6 -> 3, s1 keeps both
+    // tiebreak: equal quality -> lower id survives
+    val tie = Seq((10L, "s", "a b c"), (11L, "s", "d e f"), (12L, "s", "g h i"))
+      .toDF("doc_id", "source", "text")
+    val kept = TextAnalysis.capPerStratum(tie, "doc_id", "text", "source", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 11L))
+  }
+
   test("prefix-filtered all-pairs equals the full self-join at every threshold") {
     // near-dup-rich corpus: shared sentence stems with local edits
     val corpus = (1L to 60L).map { i =>

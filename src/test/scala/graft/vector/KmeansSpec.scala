@@ -75,6 +75,21 @@ class KmeansSpec extends SparkSpec {
     assert(out2.length == 4)
   }
 
+  test("knnGraph: within-cell top-k equals brute force; nProbe widens recall") {
+    val out = Kmeans.knnGraph(df, "vec_id", "embedding", init, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // separable fixture: each vector's only cell-mate is its twin
+    assert(out == Map(0L -> 1L, 1L -> 0L, 2L -> 3L, 3L -> 2L, 4L -> 5L, 5L -> 4L))
+    // nProbe=2: candidates from two cells; top-1 must still be the twin
+    // (it is the global nearest), and no duplicate (src, nbr) rows
+    val multi = Kmeans.knnGraph(df, "vec_id", "embedding", init, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(multi.distinct.length == multi.length)
+    val top1 = Kmeans.knnGraph(df, "vec_id", "embedding", init, k = 1, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 == out)
+  }
+
   test("a second step from the step-1 centroids is deterministic") {
     val s1 = Kmeans.lloyd(df, "vec_id", "embedding", init, 1)
     val a = Kmeans.lloydStepFp(df, "vec_id", "embedding", s1).collect().toSet
