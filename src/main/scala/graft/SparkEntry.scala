@@ -550,6 +550,20 @@ object SparkEntry {
       TextAnalysis.assignShards(Tables.documents(s, d), "doc_id", "text",
         targetTokens = 2000L)),
 
+    // q86: content-defined chunking — boundaries where the k-gram
+    // rolling hash ≡ 0 (mod 8), so shared passages chunk identically
+    // regardless of position (the dedup-friendly chunk unit fixed-stride
+    // q62 can't give). Zero shuffle, one explode per doc
+    "q86_content_chunks" -> ((s, d) =>
+      TextAnalysis.contentChunks(Tables.documents(s, d), "doc_id", "text",
+        k = 3, avgChunkGrams = 8)),
+    // q87: edit-distance-verified near-dups — exact-Jaccard candidates
+    // re-verified with levenshtein over normalized text (order-aware
+    // confirmation; the DP runs only on the candidate-sized pair list)
+    "q87_editdist_pairs" -> ((s, d) =>
+      Dedup.editVerifiedPairsFromIndex(Tables.documents(s, d), "doc_id",
+        "text", shingleIdx(s, d), jaccardThreshold = 0.4, maxEdit = 60)),
+
     // q85: cell-pruned kNN graph — every vector's top-3 neighbors among
     // its IVF cell-mates (the neighbor-graph behind graph dedup and
     // corpus cartography). Shuffles on cell only; per-source top-k is a
@@ -745,6 +759,50 @@ object SparkEntry {
     }.mkString("\n + ")
 
   def oracleSql: Map[String, String] = Map(
+    // q86: same positional poly-hash grams as q44; boundary positions
+    // by the same mod test; chunk spans between consecutive starts;
+    // chunk_hash = the polynomial hash of the chunk string
+    "q86_content_chunks" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, toks, list_transform(
+         |    CASE WHEN len(toks) >= 3
+         |      THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+         |      ELSE [array_to_string(toks, ' ')] END,
+         |    tok -> $polyAsql + ($polyBsql << 31)) AS gh FROM t),
+         |st AS (SELECT doc_id, toks, list_prepend(CAST(0 AS BIGINT),
+         |    list_filter(generate_series(1, len(gh) - 1), i -> gh[i+1] % 8 = 0)) AS starts
+         | FROM g),
+         |c AS (SELECT doc_id, toks, starts, unnest(generate_series(1, len(starts))) AS ci FROM st),
+         |s AS (SELECT doc_id, CAST(ci - 1 AS BIGINT) AS chunk_id,
+         |   CAST(starts[ci] AS BIGINT) AS start,
+         |   CAST(coalesce(starts[ci+1], len(toks)) - starts[ci] AS BIGINT) AS n_tokens,
+         |   array_to_string(toks[starts[ci]+1 : coalesce(starts[ci+1], len(toks))], ' ') AS tok
+         | FROM c)
+         |SELECT doc_id, chunk_id, start, n_tokens,
+         |  $polyAsql + ($polyBsql << 31) AS chunk_hash FROM s""".stripMargin,
+    // q87: the q36-shaped candidate CTE at 0.4, then DuckDB's own
+    // levenshtein over identically normalized text
+    "q87_editdist_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 3
+        |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON inter.id_a = sa.doc_id
+        |  JOIN sizes sb ON inter.id_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4),
+        |n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS edit_distance
+        |FROM p JOIN n na ON p.id_a = na.doc_id JOIN n nb ON p.id_b = nb.doc_id
+        |WHERE levenshtein(na.nt, nb.nt) <= 60""".stripMargin,
+
     // q85: q45's cell assignment, all within-cell directed pairs, rank
     // by (cosine desc, nbr) per source vector, keep 3
     "q85_knn_graph" ->

@@ -554,6 +554,41 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Edit-distance-verified near-dup pairs: exact-Jaccard candidates
+    * (≥ `jaccardThreshold`, the cheap set-overlap gate) re-verified
+    * with LEVENSHTEIN distance over whitespace-normalized lowercased
+    * text — the order-sensitive confirmation Jaccard can't give (bag
+    * overlap is blind to token order; edit distance is not). Output:
+    * `(id_a, id_b, edit_distance)`, ascending-id pairs.
+    *
+    * Scale shape: the quadratic-looking edit DP runs only on the
+    * CANDIDATE-sized pair list (two projections join the normalized
+    * texts in); candidates come from the shared shingle index. The
+    * built-in `levenshtein` is codegen'd and engines agree on the
+    * classic unit-cost DP, so distances are oracle-exact. */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.4, maxEdit: Int = 40, k: Int = 3): DataFrame =
+    editVerifiedPairsFromIndex(df, idCol, textCol,
+      shingleIndex(df, idCol, textCol, k), jaccardThreshold, maxEdit)
+
+  /** [[editVerifiedPairs]] against a prebuilt [[shingleIndex]]. */
+  def editVerifiedPairsFromIndex(df: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, jaccardThreshold: Double,
+      maxEdit: Int): DataFrame = {
+    require(maxEdit >= 0, s"maxEdit must be >= 0, got $maxEdit")
+    val norm = df.select(col(idCol).as("__nid"),
+      lower(regexp_replace(trim(col(textCol)), "\\s+", " ")).as("__norm"))
+    ngramJaccardPairsFromIndex(index, jaccardThreshold)
+      .select("id_a", "id_b")
+      .join(norm.select(col("__nid").as("id_a"), col("__norm").as("__na")),
+        Seq("id_a"))
+      .join(norm.select(col("__nid").as("id_b"), col("__norm").as("__nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__na"), col("__nb")).cast("long").as("edit_distance"))
+      .filter(col("edit_distance") <= maxEdit)
+  }
+
   /** [[ngramJaccardPairsPrefixFromIndex]] over a fresh shingle index. */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame =

@@ -143,6 +143,49 @@ object TextAnalysis {
         .otherwise(array(array_min(g))))
   }
 
+  /** Content-defined chunking (the FastCDC/Rabin idea on token
+    * streams): a chunk boundary opens at every token position whose
+    * k-gram rolling hash is ≡ 0 (mod `avgChunkGrams`) — boundaries
+    * depend only on LOCAL content, so two documents sharing a long
+    * passage produce the SAME chunks for it regardless of where the
+    * passage sits. Fixed-stride chunking ([[chunkWindows]]) loses that
+    * alignment after one insertion; content-defined chunks are the
+    * dedup-friendly unit (join on `chunk_hash` to find shared passages
+    * at chunk granularity).
+    *
+    * Output: `(idCol, chunk_id, start, n_tokens, chunk_hash)` — chunks
+    * partition each document's tokens exactly; `chunk_hash` is the
+    * cross-engine polynomial hash of the chunk string. Pure
+    * expressions, one explode per doc, zero shuffle. */
+  def contentChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, avgChunkGrams: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(avgChunkGrams >= 2,
+      s"avgChunkGrams must be >= 2, got $avgChunkGrams")
+    val m = avgChunkGrams.toLong
+    val gh = col("__gh")
+    // boundary token positions: i in [1, len(gh)-1] with gh[i] % m == 0
+    // (guarded — Spark's sequence(1, 0) DESCENDS instead of emptying)
+    val boundaries = when(size(gh) >= 2,
+      filter(sequence(lit(1), size(gh) - 1),
+        i => pmod(element_at(gh, i + 1), lit(m)) === 0L))
+      .otherwise(array().cast("array<int>"))
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"),
+        polyShingleHashes(col(textCol), k).as("__gh"))
+      .withColumn("__starts", concat(array(lit(0)), boundaries))
+      .select(col(idCol), col("__toks"), col("__starts"),
+        posexplode(col("__starts")).as(Seq("__ci", "__st")))
+    val end = coalesce(
+      try_element_at(col("__starts"), col("__ci") + 2), size(col("__toks")))
+    base.select(col(idCol), col("__ci").cast("long").as("chunk_id"),
+      col("__st").cast("long").as("start"),
+      (end - col("__st")).cast("long").as("n_tokens"),
+      graft.functions.TextHashExpressions.polyHash62(
+        concat_ws(" ", slice(col("__toks"), col("__st") + 1, end - col("__st"))))
+        .as("chunk_hash"))
+  }
+
   /** Positional (non-distinct) k-gram hashes with the cross-engine
     * polynomial hash — the sequence winnowing slides its window over.
     * Gram strings are space-joined token windows (the exact shape a SQL

@@ -667,6 +667,63 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("contentChunks: exact partition, content-aligned across an insertion") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val b = s"INSERTED PREFIX WORDS HERE $a" // same passage, shifted
+    val df2 = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val rows = TextAnalysis.contentChunks(df2, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // chunks partition each doc's tokens exactly: starts contiguous,
+    // lengths sum to token count
+    for ((id, n) <- Seq(1L -> 20L, 2L -> 24L)) {
+      val cs = rows.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 0L)
+      assert(cs.map(_._4).sum == n, s"doc $id lengths must sum to $n")
+      cs.sliding(2).foreach {
+        case Array(x, y) => assert(y._3 == x._3 + x._4, "contiguous spans")
+        case _ =>
+      }
+    }
+    // content alignment: every boundary of doc 1 past the warmup k-gram
+    // window reappears in doc 2 (shifted by 4) -> shared chunk hashes
+    val h1 = rows.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = rows.filter(_._1 == 2L).map(_._5).toSet
+    assert((h1 & h2).nonEmpty,
+      s"shared passage must produce shared chunk hashes: $h1 vs $h2")
+    // determinism
+    val again = TextAnalysis.contentChunks(df2, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.sortBy(r => (r._1, r._2)).sameElements(again.sortBy(r => (r._1, r._2))))
+  }
+
+  test("editVerifiedPairs: order-scrambled dup rejected, near-identical kept") {
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val nearDup = base.replace("today", "tonight")
+    // same token multiset, scrambled order: Jaccard-identical, edit-far
+    val scrambled = base.split(" ").reverse.mkString(" ")
+    val corpus = Seq((1L, base), (2L, nearDup), (3L, scrambled))
+      .toDF("doc_id", "text")
+    def editDist(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = Seq(d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1)).min
+      d(s.length)(t.length)
+    }
+    val got = Dedup.editVerifiedPairs(corpus, "doc_id", "text",
+      jaccardThreshold = 0.1, maxEdit = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set((1L, 2L)), s"only the true near-dup survives: $got")
+    assert(got((1L, 2L)) == editDist(base.toLowerCase, nearDup.toLowerCase))
+    // without the edit gate the scrambled doc WOULD pair (bag overlap) —
+    // 1-gram shingles make token order invisible to Jaccard
+    val bagPairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      k = 1, threshold = 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bagPairs.contains((1L, 3L)),
+      s"fixture must make Jaccard blind to order: $bagPairs")
+  }
+
   test("capPerStratum keeps the k best by quality, deterministic tiebreak") {
     // quality rises with token count (length term); stratum s0 has 6
     // docs, s1 has 2 — cap at 3
