@@ -56,7 +56,19 @@ object Plans {
     "q66_sample_exactk" ->
       "Exact-k stratified sampling without a global sort: the salted-coin rank windows per stratum, and row_number()<=k plans a PARTIAL WindowGroupLimit below the stratum exchange — every input partition forwards at most k rows per stratum, so the shuffle is k·strata-bounded no matter how big the corpus. The deterministic coin (portable polynomial hash, '#exactk' salt) keeps the sample reproducible and independent of the mix/split coins.",
     "q67_typicality" ->
-      "Typicality is two aggregations and one join over a SINGLE materialized bigram projection (localCheckpoint — the explode runs once, not once per consumer): corpus frequencies roll up with map-side partials, the scored join keys on the 8-byte bigram hash (corpus-sized side — shuffle join, the broadcast mistake doesn't arise), and the per-doc rollup is again partial-aggregated. No window, no sort, no N² anything — the LM-score stand-in costs two shuffles of counts at any corpus size.")
+      "Typicality is two aggregations and one join over a SINGLE materialized bigram projection (localCheckpoint — the explode runs once, not once per consumer): corpus frequencies roll up with map-side partials, the scored join keys on the 8-byte bigram hash (corpus-sized side — shuffle join, the broadcast mistake doesn't arise), and the per-doc rollup is again partial-aggregated. No window, no sort, no N² anything — the LM-score stand-in costs two shuffles of counts at any corpus size.",
+    "q79_bm25_topk" ->
+      "BM25 retrieval in three bounded moves: ONE token-stream pass builds the per-doc (dl, tf-per-term) profile as conditional aggregates (no join, hot tokens die map-side); corpus stats (N, T, df) are a 1-ROW rollup broadcast back via nested-loop; top-k is TakeOrderedAndProject. Per-term scores fix-point to integer micros BEFORE the per-doc sum — the ranking is bit-identical at any partitioning, and DECIMAL(38,0) products make the arithmetic overflow-proof at any corpus size.",
+    "q80_shard_assign" ->
+      "Token-balanced output sharding without a global sort: the deterministic coin lands each doc in a fixed coin-range bucket (uniform ⇒ balanced), per-bucket token totals return to the driver (bounded rows), and the cumulative window runs PER BUCKET in parallel — windowspecdefinition(__bkt), never an unpartitioned one. The broadcast base-offset join turns bucket-local prefix sums into exact global offsets; shard boundaries are all-integer, so the oracle's single global window hash-matches.",
+    "q82_jaccard_prefix_filter" ->
+      "The AllPairs prefix filter: the candidate self-join explodes only each set's rarest-first PREFIX (s − ⌈t·s⌉ + 1 shingles — at t=0.8 one fifth of the set), so the join fan-out shrinks with the threshold and ubiquitous shingles almost never reach it. Verification is candidate-sized array_intersect over per-doc hash arrays (two id-keyed joins). Same exact result as the full self-join — q82 shares q36's oracle text verbatim — from a plan whose heavy join is a fraction of the index.",
+    "q83_kmeans_lloyd_step" ->
+      "One distributed Lloyd step: centroid assignment fuses into the scan (k native cosines per row, no shuffle, no join), then a single (cell, dim) hash aggregation with map-side partials computes member means in exact fixed-point — integer sums commute, so the step is bit-identical across partitionings, which is precisely what lets an iterative clustering loop be oracle-checked at all. Driver traffic per iteration is k·d rows, independent of corpus size.",
+    "q85_knn_graph" ->
+      "kNN-graph construction with the quadratic tamed twice: the pair join keys on the IVF cell only (constant cell size ⇒ linear total pair work), and the per-source top-k is row_number()<=k with a PARTIAL WindowGroupLimit — each task forwards at most k neighbors per vector, so the exchange carries the GRAPH, not the pair space.",
+    "q86_content_chunks" ->
+      "Content-defined chunking is scan-shaped: tokens, rolling k-gram hashes, boundary positions (hash ≡ 0 mod m), and chunk spans are all one projection plus one explode — ZERO exchanges, nothing leaves the input partition. Boundaries depend only on local content, so identical passages produce identical (joinable) chunk hashes at any document offset — the property fixed-stride chunking cannot give.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -119,7 +119,8 @@ object ScaleBench {
     // expensive materialization would perturb an unrelated isolated
     // measurement (the very thing SPARK_GRAFT_SCALE_ONLY exists for)
     if (Seq("shingle_index", "q36_ngram_jaccard_pairs",
-        "q46_dedup_near_corpus", "q48_ngram_dfcut").exists(wanted)) {
+        "q46_dedup_near_corpus", "q48_ngram_dfcut", "q82_prefix_highsim",
+        "q36_full_highsim").exists(wanted)) {
       val idx = Dedup.shingleIndex(docs, "doc_id", "text", k = 3)
       bench("shingle_index")(idx.count())
       bench("q36_ngram_jaccard_pairs")(
@@ -130,6 +131,13 @@ object ScaleBench {
       bench("q48_ngram_dfcut")(
         Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.4,
           maxShingleDf = 20L).count())
+      // the prefix-filter vs full-self-join pair at the HIGH threshold
+      // the prefix plan is designed for (t=0.8 explodes ~20% of each
+      // set) — same exact result, measured side by side
+      bench("q36_full_highsim")(
+        Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.8).count())
+      bench("q82_prefix_highsim")(
+        Dedup.ngramJaccardPairsPrefixFromIndex(idx, threshold = 0.8).count())
       releaseStorage(spark) // idx is done; its checkpoint must not pin storage
     }
     // auto-sized blocks (the at-scale path), not the bench-pinned 8
