@@ -550,6 +550,38 @@ object SparkEntry {
       TextAnalysis.assignShards(Tables.documents(s, d), "doc_id", "text",
         targetTokens = 2000L)),
 
+    // q90: BATCH BM25 — top-3 corpus docs for every query in a query
+    // table (the doc_id % 97 slice queries the corpus it came from; each
+    // query doc must rank itself first — a built-in relevance sanity).
+    // The inverted-index JOIN formulation: cost = matching postings,
+    // never queries × corpus
+    "q90_bm25_batch" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.bm25BatchTopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 3)
+    }),
+
+    // q88: chunk-granular duplication report — q86's content-defined
+    // chunks grouped by hash across documents: the passage-level dedup
+    // unit between single lines (q70) and k-gram islands (q58)
+    "q88_duplicated_chunks" -> ((s, d) =>
+      TextAnalysis.duplicatedChunks(Tables.documents(s, d), "doc_id",
+        "text", k = 3, avgChunkGrams = 8, minDocs = 2, minTokens = 2)),
+    // q89: corpus snapshot diff — the reconciliation engine (J6's one
+    // full-outer join) applied to corpus snapshots by fingerprint:
+    // added / removed / changed docs between today's corpus and a
+    // deterministically derived next snapshot (% 17 removed, % 13
+    // edited — the srcOrders/tgtOrders pattern on documents)
+    "q89_corpus_snapshot_diff" -> ((s, d) => {
+      val a = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val b = Tables.documents(s, d).filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), TextAnalysis.fingerprint(
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" updated")))
+            .otherwise(col("text"))).as("fp"))
+      Differ.findAllDiscrepancies(a, b, Seq("doc_id"))
+    }),
+
     // q86: content-defined chunking — boundaries where the k-gram
     // rolling hash ≡ 0 (mod 8), so shared passages chunk identically
     // regardless of position (the dedup-friendly chunk unit fixed-stride
@@ -781,6 +813,70 @@ object SparkEntry {
          | FROM c)
          |SELECT doc_id, chunk_id, start, n_tokens,
          |  $polyAsql + ($polyBsql << 31) AS chunk_hash FROM s""".stripMargin,
+    // q90: postings, per-doc lengths, corpus totals, per-token df, and
+    // the query-term table all as CTEs; same fixed-point score as q79
+    // per (query, doc, term); per-query rank cut at 3
+    "q90_bm25_batch" ->
+      """WITH b AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT tok AS token, doc_id, count(*) AS tf FROM b WHERE tok <> '' GROUP BY 1, 2),
+        |dlt AS (SELECT doc_id, sum(tf) AS dlv FROM p GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, sum(dlv) AS t FROM dlt),
+        |dft AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+        |qt AS (SELECT DISTINCT doc_id AS qid, tok AS token FROM (
+        |   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |   FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL) WHERE tok <> ''),
+        |s AS (SELECT qt.qid, p.doc_id,
+        |  ((CAST(floor(ln(2*n+2)*1000000) AS BIGINT) - CAST(floor(ln(2*df+1)*1000000) AS BIGINT))
+        |   * ((CAST(22 AS HUGEINT)*tf*t*1000000) // (CAST(10 AS HUGEINT)*t*tf + 3*t + 9*dlv*n))) // 1000000 AS sc
+        | FROM p JOIN qt ON p.token = qt.token
+        |   JOIN dft ON p.token = dft.token
+        |   JOIN dlt ON p.doc_id = dlt.doc_id, tot),
+        |g AS (SELECT qid, doc_id, CAST(sum(sc) AS BIGINT) AS score_fp
+        | FROM s GROUP BY 1, 2 HAVING sum(sc) > 0),
+        |r AS (SELECT qid, doc_id, score_fp,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS rn FROM g)
+        |SELECT qid AS query_id, doc_id, score_fp FROM r WHERE rn <= 3""".stripMargin,
+
+    // q88: the q86 chunk CTEs, then per-(hash, doc) pre-distinct and
+    // the cross-doc rollup with the same minDocs/minTokens gates
+    "q88_duplicated_chunks" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, toks, list_transform(
+         |    CASE WHEN len(toks) >= 3
+         |      THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+         |      ELSE [array_to_string(toks, ' ')] END,
+         |    tok -> $polyAsql + ($polyBsql << 31)) AS gh FROM t),
+         |st AS (SELECT doc_id, toks, list_prepend(CAST(0 AS BIGINT),
+         |    list_filter(generate_series(1, len(gh) - 1), i -> gh[i+1] % 8 = 0)) AS starts
+         | FROM g),
+         |c AS (SELECT doc_id, toks, starts, unnest(generate_series(1, len(starts))) AS ci FROM st),
+         |s AS (SELECT doc_id,
+         |   CAST(coalesce(starts[ci+1], len(toks)) - starts[ci] AS BIGINT) AS n_tokens,
+         |   array_to_string(toks[starts[ci]+1 : coalesce(starts[ci+1], len(toks))], ' ') AS tok
+         | FROM c),
+         |h AS (SELECT doc_id, $polyAsql + ($polyBsql << 31) AS chunk_hash
+         | FROM s WHERE n_tokens >= 2),
+         |p AS (SELECT chunk_hash, doc_id, count(*) AS c FROM h GROUP BY 1, 2)
+         |SELECT chunk_hash, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS n_occurrences
+         |FROM p GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // q89: the q13 full-outer shape on fingerprints of the two derived
+    // snapshots
+    "q89_corpus_snapshot_diff" ->
+      s"""WITH a AS (SELECT doc_id, $fingerprintSql AS fp FROM documents),
+         |b AS (SELECT doc_id, sha256(regexp_replace(lower(trim(
+         |    CASE WHEN doc_id % 13 = 0 THEN text || ' updated' ELSE text END)),
+         |    '\\s+', ' ', 'g')) AS fp
+         |  FROM documents WHERE doc_id % 17 <> 0)
+         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |  a.fp AS src_fp, b.fp AS tgt_fp,
+         |  CASE WHEN b.doc_id IS NULL THEN 'missing_in_target'
+         |       WHEN a.doc_id IS NULL THEN 'extra_in_target'
+         |       WHEN a.fp <> b.fp THEN 'mismatch' ELSE 'match' END AS discrepancy_type
+         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         |WHERE NOT (a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL AND a.fp = b.fp)""".stripMargin,
+
     // q87: the q36-shaped candidate CTE at 0.4, then DuckDB's own
     // levenshtein over identically normalized text
     "q87_editdist_pairs" ->

@@ -106,6 +106,59 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Batch BM25: top-`k` corpus documents for EVERY query in a query
+    * table — the retrieval-audit shape (one query per eval document,
+    * say) where per-query conditional aggregates ([[bm25Scores]]) stop
+    * scaling. This is the inverted-index JOIN formulation: corpus
+    * postings meet the exploded query-term table on `token`, so cost is
+    * (matching postings), not (queries × corpus).
+    *
+    * Same fixed-point arithmetic as [[bm25Scores]] — integer micros per
+    * (query, doc, term) BEFORE the per-(query, doc) sum — so rankings
+    * hash-match cross-engine. Per-query top-k is `row_number() <= k`
+    * with its map-side PARTIAL WindowGroupLimit.
+    *
+    * Scale shape: postings and query terms join on token (broadcast
+    * while the query set is small, shuffle-on-token at scale); df
+    * arrives from a vocabulary rollup of the postings (map-side
+    * partials, no count-distinct); corpus totals broadcast as one row.
+    * Nothing is quadratic in queries or corpus. */
+  def bm25BatchTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val postings = postingsIndex(docs, idCol, textCol) // (token, doc_id, tf)
+      .localCheckpoint() // read twice: df rollup + scoring join
+    val dl = postings.groupBy("doc_id").agg(sum("tf").as("__dl"))
+    val tot = dl.agg(count(lit(1)).as("__n"), sum("__dl").as("__t"))
+    val dfT = postings.groupBy("token").agg(count(lit(1)).as("__df"))
+    val qTerms = queries.filter(col(queryTextCol).isNotNull)
+      .select(col(queryIdCol).as("__qid"),
+        explode(TextAnalysis.tokens(col(queryTextCol))).as("token"))
+      .filter(col("token") =!= "").distinct()
+    val scoredTerms = postings.join(qTerms, "token")
+      .join(dfT, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("__qid"), col("doc_id"), {
+        val idfFp = lfp(lit(2L) * col("__n") + lit(2L)) -
+          lfp(lit(2L) * col("__df") + lit(1L))
+        val num = dec(lit(22L)) * dec(col("tf")) * dec(col("__t")) * dec(lit(1000000L))
+        val den = dec(lit(10L)) * dec(col("__t")) * dec(col("tf")) +
+          dec(lit(3L)) * dec(col("__t")) +
+          dec(lit(9L)) * dec(col("__dl")) * dec(col("__n"))
+        floorDiv(dec(idfFp) * floorDiv(num, den), dec(lit(1000000L)))
+          .cast("long").as("__s")
+      })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("score_fp").desc, col("doc_id"))
+    scoredTerms.groupBy("__qid", "doc_id").agg(sum("__s").as("score_fp"))
+      .filter(col("score_fp") > 0L)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+      .select(col("__qid").as("query_id"), col("doc_id"), col("score_fp"))
+  }
+
   /** Inverted index: `(token, doc_id, tf)` posting rows, optionally
     * written to parquet partitioned by a token shard (64 dirs) so a
     * term probe prunes at file listing — the durable-index pattern of

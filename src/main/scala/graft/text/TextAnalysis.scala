@@ -186,6 +186,27 @@ object TextAnalysis {
         .as("chunk_hash"))
   }
 
+  /** Cross-document duplicated chunks over [[contentChunks]]: chunk
+    * hashes appearing in ≥ `minDocs` DISTINCT documents, with how many
+    * documents and total occurrences — the chunk-granular duplication
+    * report (between line-dedup's single lines and span-dedup's k-gram
+    * islands). Because boundaries are content-defined, a passage shared
+    * at ANY offset still groups here. Rollup on 8-byte chunk hashes with
+    * per-doc pre-distinct — hot chunks die map-side; chunks shorter than
+    * `minTokens` are noise and excluded. */
+  def duplicatedChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, avgChunkGrams: Int = 8, minDocs: Int = 2,
+      minTokens: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    contentChunks(df, idCol, textCol, k, avgChunkGrams)
+      .filter(col("n_tokens") >= minTokens)
+      .groupBy("chunk_hash", idCol)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_docs"), sum("__c").as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Positional (non-distinct) k-gram hashes with the cross-engine
     * polynomial hash — the sequence winnowing slides its window over.
     * Gram strings are space-joined token windows (the exact shape a SQL

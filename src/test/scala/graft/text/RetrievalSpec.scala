@@ -98,6 +98,33 @@ class RetrievalSpec extends SparkSpec {
     assert(pf.contains("PartitionFilters: [isnotnull(shard"), pf)
   }
 
+  test("bm25BatchTopK: a single-query batch ranks exactly like bm25Scores") {
+    // query text = the fixed term set, so the join formulation and the
+    // conditional-agg formulation must produce identical (doc, score)s
+    val queries = Seq((100L, "apple banana")).toDF("qid", "qtext")
+    val batch = Retrieval.bm25BatchTopK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val single = Retrieval.bm25Scores(docs, "doc_id", "text",
+      Seq("apple", "banana"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == single)
+  }
+
+  test("bm25BatchTopK: each query-doc ranks itself first; k honored") {
+    val queries = docs.filter(col("doc_id").isin(1L, 4L))
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val got = Retrieval.bm25BatchTopK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 2)
+      .collect().groupBy(_.getLong(0))
+    assert(got.keySet == Set(1L, 4L))
+    got.foreach { case (qid, rows) =>
+      assert(rows.length <= 2)
+      val best = rows.minBy(r => (-r.getLong(2), r.getLong(1)))
+      assert(best.getLong(1) == qid, s"query $qid must retrieve itself first")
+    }
+  }
+
   test("duplicate terms rejected; empty terms rejected") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25Scores(docs, "doc_id", "text", Seq("a", "a"))

@@ -697,6 +697,25 @@ class TextSpec extends SparkSpec {
     assert(rows.sortBy(r => (r._1, r._2)).sameElements(again.sortBy(r => (r._1, r._2))))
   }
 
+  test("duplicatedChunks: shared passage found at different offsets") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, passage),
+      (2L, s"TOTALLY DIFFERENT LEAD IN WORDS $passage"),
+      (3L, "unrelated content about engines and pipelines running fast")
+    ).toDF("doc_id", "text")
+    val dup = TextAnalysis.duplicatedChunks(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dup.nonEmpty, "offset-shifted shared passage must surface")
+    assert(dup.forall(_._2 == 2), s"each duplicated chunk spans docs 1+2: ${dup.toSeq}")
+    // doc 3 shares nothing: no chunk hash of doc 3 appears
+    val doc3Hashes = TextAnalysis.contentChunks(
+      corpus.filter(col("doc_id") === 3L), "doc_id", "text")
+      .select("chunk_hash").as[Long].collect().toSet
+    assert(dup.map(_._1).toSet.intersect(doc3Hashes).isEmpty)
+  }
+
   test("editVerifiedPairs: order-scrambled dup rejected, near-identical kept") {
     val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
     val nearDup = base.replace("today", "tonight")
