@@ -550,6 +550,19 @@ object SparkEntry {
       TextAnalysis.assignShards(Tables.documents(s, d), "doc_id", "text",
         targetTokens = 2000L)),
 
+    // q91: revenue by nation (TPC-H Q5 shape) — the star-join rollup:
+    // date-pruned orders, broadcast nation dim, decimal-exact revenue
+    "q91_revenue_by_nation" -> ((s, d) =>
+      Analytics.revenueByNation(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d),
+        "1996-01-01", "1997-01-01")),
+    // q92: top suppliers by shipped revenue (TPC-H Q15 shape) — the
+    // fact pre-aggregates BEFORE the dim join; top-k rides
+    // TakeOrderedAndProject
+    "q92_top_suppliers" -> ((s, d) =>
+      Analytics.topSuppliersByRevenue(Tables.supplier(s, d),
+        Tables.lineitem(s, d), "1996-01-01", "1996-04-01", k = 10)),
+
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
     // query doc must rank itself first — a built-in relevance sanity).
@@ -813,6 +826,29 @@ object SparkEntry {
          | FROM c)
          |SELECT doc_id, chunk_id, start, n_tokens,
          |  $polyAsql + ($polyBsql << 31) AS chunk_hash FROM s""".stripMargin,
+    // q91: the same star join declaratively; revenue = decimal(18,6)
+    // sum cast back (q1's parity rule)
+    "q91_revenue_by_nation" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | count(*) AS line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // q92: pre-aggregated supplier revenue + dim join + top-10
+    "q92_top_suppliers" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY total_revenue DESC, s_suppkey LIMIT 10""".stripMargin,
+
     // q90: postings, per-doc lengths, corpus totals, per-token df, and
     // the query-term table all as CTEs; same fixed-point score as q79
     // per (query, doc, term); per-query rank cut at 3

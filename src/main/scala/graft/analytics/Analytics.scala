@@ -30,6 +30,54 @@ object Analytics {
   def davg(c: Column, scale: Int = 2): Column =
     dsum(c, scale) / count(lit(1))
 
+  /** Revenue by nation over a date window — the classic star-join
+    * rollup (TPC-H Q5 shape) a warehouse user runs daily: lineitem ⋈
+    * orders (date-pruned) ⋈ customer ⋈ nation. Plan discipline: the
+    * date filter prunes ORDERS before any join; `nation` (25 rows) is
+    * explicitly broadcast; customer joins declaratively (broadcast
+    * while small, shuffle-on-key at warehouse scale); revenue sums in
+    * exact decimal (6dp — the discount product has 6 significant
+    * decimals) so the total is partition-count-independent. */
+  def revenueByNation(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nation: DataFrame,
+      fromDate: String, toDate: String): DataFrame = {
+    val o = orders
+      .filter(col("o_orderdate") >= lit(fromDate) &&
+        col("o_orderdate") < lit(toDate))
+      .select("o_orderkey", "o_custkey")
+    lineitem.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top suppliers by shipped revenue in a date window (TPC-H Q15
+    * shape): one pre-aggregated rollup on the fact table, then a
+    * broadcast-joined supplier dim and TakeOrderedAndProject top-k —
+    * the aggregate runs BEFORE the join, so the join input is
+    * suppliers-sized, not lineitem-sized. */
+  def topSuppliersByRevenue(supplier: DataFrame, lineitem: DataFrame,
+      fromDate: String, toDate: String, k: Int): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(fromDate) &&
+        col("l_shipdate") < lit(toDate))
+      .groupBy("l_suppkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("total_revenue"))
+    rev.join(supplier.select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("total_revenue").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
   /** daily_order_summary MV (init.sql:195-206): GROUP BY day+status with
     * COUNT/SUM/AVG/MIN/MAX of total_amount. */
   def dailyOrderSummary(orders: DataFrame): DataFrame =

@@ -288,6 +288,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesian"), s"no cartesian:\n$p")
   }
 
+  test("q91 star join: date filter pushed to the orders scan, nation broadcast") {
+    val p = plan("q91_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 25-row nation dim must broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+        "GreaterThanOrEqual(o_orderdate") || p.contains("o_orderdate"),
+      s"the date window must prune orders before any join:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), s"no cartesian:\n$p")
+  }
+
+  test("q92 top suppliers: fact pre-aggregates BEFORE the dim join, top-k bounded") {
+    val p = plan("q92_top_suppliers")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrderedAndProject:\n$p")
+    // the lineitem rollup must appear BELOW the supplier join: the
+    // aggregate's partial pass shows up before any join keyed on
+    // s_suppkey — assert partial aggregation exists and the join sees
+    // the aggregated side
+    assert(p.contains("partial_sum"),
+      s"supplier revenue must pre-aggregate map-side:\n$p")
+    // plans print top-down (children after parents): the aggregate being
+    // a CHILD of the join means its line appears after the join's
+    assert(p.indexOf("HashAggregate") > p.indexOf("Join"),
+      s"aggregate must be the join's input (below it in the tree):\n$p")
+  }
+
   test("q77 PQ search: compressed-domain scan → top-k, no join, no shuffle") {
     val p = plan("q77_ann_pq_topk")
     assert(p.contains("TakeOrderedAndProject"),
