@@ -550,6 +550,15 @@ object SparkEntry {
       TextAnalysis.assignShards(Tables.documents(s, d), "doc_id", "text",
         targetTokens = 2000L)),
 
+    // q93: REAL audio feature extraction — exact integer PCM statistics
+    // (n, peak |s|, Σ|s|, Σs²) decoded from the WAV payload bytes; the
+    // oracle re-derives the generator's closed-form samples in SQL, so
+    // a pass proves the decode reads the real bytes bit-for-bit
+    "q93_audio_features" -> ((s, d) =>
+      Multimodal.audioFeatures(
+        Multimodal.syntheticAssets(Tables.documents(s, d)))
+        .orderBy("asset_id")),
+
     // q91: revenue by nation (TPC-H Q5 shape) — the star-join rollup:
     // date-pruned orders, broadcast nation dim, decimal-exact revenue
     "q91_revenue_by_nation" -> ((s, d) =>
@@ -826,6 +835,20 @@ object SparkEntry {
          | FROM c)
          |SELECT doc_id, chunk_id, start, n_tokens,
          |  $polyAsql + ($polyBsql << 31) AS chunk_hash FROM s""".stripMargin,
+    // q93: the generator's PCM formula replayed per sample — duration
+    // 50 + (id*37) % 2000 ms at 8 frames/ms, sample = ((id*31 + i*7) &
+    // 0xffff) - 32768 — and the same integer statistics rolled up
+    "q93_audio_features" ->
+      """WITH a AS (SELECT doc_id, 50 + (doc_id * 37) % 2000 AS dur_ms
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT doc_id, unnest(generate_series(0, dur_ms * 8 - 1)) AS i FROM a),
+        |v AS (SELECT doc_id, ((doc_id * 31 + i * 7) & 65535) - 32768 AS smp FROM s)
+        |SELECT doc_id AS asset_id, count(*) AS n_samples,
+        |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs,
+        |  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(smp * smp) AS BIGINT) AS sum_sq
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q91: the same star join declaratively; revenue = decimal(18,6)
     // sum cast back (q1's parity rule)
     "q91_revenue_by_nation" ->

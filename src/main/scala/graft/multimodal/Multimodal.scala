@@ -286,6 +286,52 @@ object Multimodal {
       .toDF()
   }
 
+  /** One asset's exact PCM statistics. */
+  final case class AudioFeat(asset_id: Long, n_samples: Long,
+      peak_abs: Long, sum_abs: Long, sum_sq: Long)
+
+  /** REAL audio feature extraction: parse each WAV payload's 16-bit LE
+    * mono PCM and compute exact integer signal statistics — sample
+    * count, peak |amplitude|, Σ|s|, Σs² (the loudness/energy profile a
+    * speech-data pipeline filters on; RMS = sqrt(sum_sq/n) derives
+    * downstream). Integer statistics make the REAL decode oracle-exact:
+    * the synthetic generator's closed-form samples are re-derived in
+    * SQL and must match the decoded bytes bit-for-bit. Same
+    * mapPartitions batch shape as [[decodeAndFeaturize]]; undecodable
+    * payloads contribute no rows. */
+  def audioFeatures(assets: DataFrame, parallelism: Int = 0): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val parts = if (parallelism > 0) parallelism
+      else spark.sparkContext.defaultParallelism
+    assets.filter(col("media_type") === "audio")
+      .select(col("asset_id").cast("long"), col("payload"))
+      .repartition(parts, col("asset_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payloadOrNull) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(payloadOrNull))
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            var peak = 0L; var sabs = 0L; var ssq = 0L
+            var i = 0
+            while (i < n) {
+              val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8))
+                .toShort.toLong
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sabs += a; ssq += s * s
+              i += 1
+            }
+            Some(AudioFeat(id, n.toLong, peak, sabs, ssq))
+          } catch { case _: Exception => None }
+        }
+      }
+      .toDF()
+  }
+
   /** Metadata-level resize: recomputes dims for a target box, preserving
     * aspect ratio (the arithmetic a pixel resizer would apply; the pixel
     * pass itself is a decode→rescale→encode over `payload` in the same

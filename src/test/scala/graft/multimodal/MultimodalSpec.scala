@@ -127,6 +127,29 @@ class MultimodalSpec extends SparkSpec {
       .filter($"duration_ms" <= 0L).count() == 0)
   }
 
+  test("audioFeatures: decoded PCM statistics equal the generator formula") {
+    val feats = Multimodal.audioFeatures(assets)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(feats.nonEmpty)
+    feats.foreach { case (id, (n, peak, sabs, ssq)) =>
+      val frames = (Multimodal.audioDurationMs(id) * 8L).toInt
+      var ep = 0L; var es = 0L; var eq = 0L
+      (0 until frames).foreach { i =>
+        val s = (((id * 31 + i * 7) & 0xffff) - 32768)
+        val a = math.abs(s)
+        if (a > ep) ep = a
+        es += a; eq += s * s
+      }
+      assert(n == frames.toLong, s"asset $id sample count")
+      assert((peak, sabs, ssq) == ((ep, es, eq)), s"asset $id stats")
+    }
+    // a corrupt payload yields no row, not a crash
+    val junk = Seq((999L, "audio", Array[Byte](1, 2, 3)))
+      .toDF("asset_id", "media_type", "payload")
+    assert(Multimodal.audioFeatures(junk).count() == 0)
+  }
+
   test("resizeMeta preserves aspect ratio within target box") {
     val d = Multimodal.resizeMeta(
       Multimodal.decodeAndFeaturize(assets), maxW = 128, maxH = 128)
