@@ -550,6 +550,14 @@ object SparkEntry {
       TextAnalysis.assignShards(Tables.documents(s, d), "doc_id", "text",
         targetTokens = 2000L)),
 
+    // q94: REAL image pixel statistics — per-channel integer sums from
+    // ImageIO-decoded PNG payloads; lossless PNG means the oracle's
+    // closed-form pixel replay must match bit-for-bit
+    "q94_image_pixel_stats" -> ((s, d) =>
+      Multimodal.imagePixelStats(
+        Multimodal.syntheticAssets(Tables.documents(s, d)))
+        .orderBy("asset_id")),
+
     // q93: REAL audio feature extraction — exact integer PCM statistics
     // (n, peak |s|, Σ|s|, Σs²) decoded from the WAV payload bytes; the
     // oracle re-derives the generator's closed-form samples in SQL, so
@@ -835,6 +843,20 @@ object SparkEntry {
          | FROM c)
          |SELECT doc_id, chunk_id, start, n_tokens,
          |  $polyAsql + ($polyBsql << 31) AS chunk_hash FROM s""".stripMargin,
+    // q94: the generator's pixel formula replayed per (x, y) — dims
+    // 8 + id % 24 by 8 + id % 16, rgb = (id + 31x + 17y) & 0xffffff
+    "q94_image_pixel_stats" ->
+      """WITH a AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id, unnest(generate_series(0, w - 1)) AS x, h FROM a),
+        |py AS (SELECT doc_id, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+        |v AS (SELECT doc_id, (doc_id + x * 31 + y * 17) & 16777215 AS rgb FROM py)
+        |SELECT doc_id AS asset_id, count(*) AS n_pixels,
+        |  CAST(sum((rgb >> 16) & 255) AS BIGINT) AS sum_r,
+        |  CAST(sum((rgb >> 8) & 255) AS BIGINT) AS sum_g,
+        |  CAST(sum(rgb & 255) AS BIGINT) AS sum_b
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q93: the generator's PCM formula replayed per sample — duration
     // 50 + (id*37) % 2000 ms at 8 frames/ms, sample = ((id*31 + i*7) &
     // 0xffff) - 32768 — and the same integer statistics rolled up

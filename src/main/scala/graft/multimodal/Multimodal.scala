@@ -332,6 +332,51 @@ object Multimodal {
       .toDF()
   }
 
+  /** One asset's exact per-channel pixel statistics. */
+  final case class ImageStat(asset_id: Long, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image feature extraction: decode each PNG payload and roll up
+    * exact integer per-channel sums (mean brightness/color balance
+    * derive downstream — the cheap filters an image-data pipeline runs
+    * before expensive model scoring). PNG is lossless, so the decoded
+    * pixels must equal the generator's closed form bit-for-bit — the
+    * image-branch counterpart of [[audioFeatures]]' oracle proof. */
+  def imagePixelStats(assets: DataFrame, parallelism: Int = 0): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val parts = if (parallelism > 0) parallelism
+      else spark.sparkContext.defaultParallelism
+    assets.filter(col("media_type") === "image")
+      .select(col("asset_id").cast("long"), col("payload"))
+      .repartition(parts, col("asset_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          try {
+            val img = ImageIO.read(new ByteArrayInputStream(payload))
+            if (img == null) None
+            else {
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val v = img.getRGB(x, y)
+                  sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              Some(ImageStat(id, img.getWidth.toLong * img.getHeight,
+                sr, sg, sb))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+      .toDF()
+  }
+
   /** Metadata-level resize: recomputes dims for a target box, preserving
     * aspect ratio (the arithmetic a pixel resizer would apply; the pixel
     * pass itself is a decode→rescale→encode over `payload` in the same

@@ -150,6 +150,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFeatures(junk).count() == 0)
   }
 
+  test("imagePixelStats: decoded channel sums equal the generator formula") {
+    val stats = Multimodal.imagePixelStats(assets)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(stats.nonEmpty)
+    stats.foreach { case (id, (n, sr, sg, sb)) =>
+      val (w, h) = Multimodal.imageDims(id)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id + x * 31 + y * 17) & 0xffffff).toInt
+        er += (v >> 16) & 0xff; eg += (v >> 8) & 0xff; eb += v & 0xff
+      }
+      assert(n == w.toLong * h, s"asset $id pixel count")
+      assert((sr, sg, sb) == ((er, eg, eb)), s"asset $id channel sums")
+    }
+  }
+
   test("resizeMeta preserves aspect ratio within target box") {
     val d = Multimodal.resizeMeta(
       Multimodal.decodeAndFeaturize(assets), maxW = 128, maxH = 128)
