@@ -68,7 +68,13 @@ object Plans {
     "q85_knn_graph" ->
       "kNN-graph construction with the quadratic tamed twice: the pair join keys on the IVF cell only (constant cell size ⇒ linear total pair work), and the per-source top-k is row_number()<=k with a PARTIAL WindowGroupLimit — each task forwards at most k neighbors per vector, so the exchange carries the GRAPH, not the pair space.",
     "q86_content_chunks" ->
-      "Content-defined chunking is scan-shaped: tokens, rolling k-gram hashes, boundary positions (hash ≡ 0 mod m), and chunk spans are all one projection plus one explode — ZERO exchanges, nothing leaves the input partition. Boundaries depend only on local content, so identical passages produce identical (joinable) chunk hashes at any document offset — the property fixed-stride chunking cannot give.")
+      "Content-defined chunking is scan-shaped: tokens, rolling k-gram hashes, boundary positions (hash ≡ 0 mod m), and chunk spans are all one projection plus one explode — ZERO exchanges, nothing leaves the input partition. Boundaries depend only on local content, so identical passages produce identical (joinable) chunk hashes at any document offset — the property fixed-stride chunking cannot give.",
+    "q90_bm25_batch" ->
+      "Batch retrieval as the inverted-index JOIN: postings (one checkpointed (token, doc, tf) table, read by both the df rollup and the scoring join) meet the exploded query-term table on token, so cost is (matching postings) — never queries × corpus. Per-(query, doc, term) scores fix-point to integer micros before the per-pair sum, and the per-query top-k is row_number()<=k with its PARTIAL WindowGroupLimit below the query exchange.",
+    "q91_revenue_by_nation" ->
+      "The Q5-shaped star join: the date window prunes ORDERS at its scan (PushedFilters carries the timestamp bounds), the 25-row nation dim is an explicit broadcast, customer joins declaratively, and revenue accumulates as exact decimal(18,6) — identical totals at any partition count, which is what lets a float-heavy join rollup hash-match an oracle at all.",
+    "q92_top_suppliers" ->
+      "The Q15 shape with the aggregate pushed BELOW the join: lineitem pre-aggregates per supplier (map-side partials behind the shipdate-pruned scan), so the supplier dim join sees a suppliers-sized input instead of the fact table, and the top-10 is TakeOrderedAndProject — no global sort, no fact-sized join.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
