@@ -170,12 +170,17 @@ object TextAnalysis {
       filter(sequence(lit(1), size(gh) - 1),
         i => pmod(element_at(gh, i + 1), lit(m)) === 0L))
       .otherwise(array().cast("array<int>"))
+    // posexplode_OUTER: `__starts` always holds element 0, so outer ≡
+    // inner — but the outer generator takes NO generator-non-empty
+    // pre-filter, and that filter is poison here: Catalyst pushes it
+    // below the projections, substituting the WHOLE rolling-hash tree
+    // into the Filter node (measured 3× the scan cost at sf0.1)
     val base = df.filter(col(textCol).isNotNull)
       .select(col(idCol), tokens(col(textCol)).as("__toks"),
         polyShingleHashes(col(textCol), k).as("__gh"))
       .withColumn("__starts", concat(array(lit(0)), boundaries))
       .select(col(idCol), col("__toks"), col("__starts"),
-        posexplode(col("__starts")).as(Seq("__ci", "__st")))
+        posexplode_outer(col("__starts")).as(Seq("__ci", "__st")))
     val end = coalesce(
       try_element_at(col("__starts"), col("__ci") + 2), size(col("__toks")))
     base.select(col(idCol), col("__ci").cast("long").as("chunk_id"),
