@@ -136,11 +136,15 @@ object Retrieval {
       .select(col(queryIdCol).as("__qid"),
         explode(TextAnalysis.tokens(col(queryTextCol))).as("token"))
       .filter(col("token") =!= "").distinct()
-    val scoredTerms = postings.join(qTerms, "token")
+    // per-(token, doc) scores are QUERY-INDEPENDENT — fix-point them on
+    // the postings-sized table BEFORE the query join, so the (query,
+    // doc, term) fan-out (the large stage when queries share vocabulary)
+    // carries only a pre-computed long, not the decimal arithmetic
+    val scoredPostings = postings
       .join(dfT, "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(tot))
-      .select(col("__qid"), col("doc_id"), {
+      .select(col("token"), col("doc_id"), {
         val idfFp = lfp(lit(2L) * col("__n") + lit(2L)) -
           lfp(lit(2L) * col("__df") + lit(1L))
         val num = dec(lit(22L)) * dec(col("tf")) * dec(col("__t")) * dec(lit(1000000L))
@@ -150,6 +154,8 @@ object Retrieval {
         floorDiv(dec(idfFp) * floorDiv(num, den), dec(lit(1000000L)))
           .cast("long").as("__s")
       })
+    val scoredTerms = scoredPostings.join(qTerms, "token")
+      .select(col("__qid"), col("doc_id"), col("__s"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__qid").orderBy(col("score_fp").desc, col("doc_id"))
     scoredTerms.groupBy("__qid", "doc_id").agg(sum("__s").as("score_fp"))
