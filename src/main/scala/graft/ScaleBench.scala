@@ -187,6 +187,10 @@ object ScaleBench {
     // q61: corpus vocabulary — pure word-count shape; the salted tokens
     // grow the vocab ~linearly with the factor, the hot originals keep
     // their flat DF, so this exercises the (token, doc) pre-agg at 10×
+    bench("q61_vocab_df")(
+      graft.text.TextAnalysis.vocabulary(docs, "doc_id", "text")
+        .orderBy(col("df").desc, col("tf").desc, col("token"))
+        .limit(100).count())
     bench("q81_bpe_pairs")(
       graft.text.Bpe.pairCounts(
         graft.text.Bpe.wordCounts(docs, "text")
@@ -196,10 +200,6 @@ object ScaleBench {
       graft.text.Retrieval.bm25BatchTopK(docs, "doc_id", "text",
         docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 3)
         .count())
-    bench("q61_vocab_df")(
-      graft.text.TextAnalysis.vocabulary(docs, "doc_id", "text")
-        .orderBy(col("df").desc, col("tf").desc, col("token"))
-        .limit(100).count())
     // q63: keyword extraction — at 10× the vocab side outgrows the
     // broadcast threshold, so this is the shuffle-join-on-token regime
     // plus the map-side WindowGroupLimit top-k

@@ -313,6 +313,14 @@ object Multimodal {
           try {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new ByteArrayInputStream(payloadOrNull))
+            val fmt = ais.getFormat
+            // the statistics below reinterpret raw bytes as 16-bit LE
+            // mono signed PCM — any other valid WAV would decode to
+            // plausible-looking garbage, so it must yield NO row instead
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.isBigEndian ||
+                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              throw new IllegalArgumentException("unsupported PCM layout")
             val bytes = ais.readAllBytes()
             val n = bytes.length / 2
             var peak = 0L; var sabs = 0L; var ssq = 0L

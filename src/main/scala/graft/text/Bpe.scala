@@ -30,9 +30,13 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Character-level starting symbols for a word. */
+  /** Character-level starting symbols for a word — one symbol per
+    * Unicode CODE POINT (`.` in Java regex is codepoint-aware), so a
+    * supplementary-plane character (emoji, CJK-B) stays one symbol
+    * instead of two unpaired surrogate halves, matching DuckDB's
+    * per-character `string_split(word, '')` in the q81 oracle. */
   def initialSymbols(word: Column): Column =
-    filter(split(word, ""), s => s =!= "")
+    regexp_extract_all(word, lit("(?s)."), lit(0))
 
   /** Frequency-weighted adjacent-pair counts over the current symbol
     * sequences: `(sym_a, sym_b, pair_count)`. Every adjacent position
@@ -95,7 +99,10 @@ object Bpe {
         val prev = words
         words = words.withColumn("syms", applyMerge(col("syms"), a, b))
           .localCheckpoint()
-        prev.unpersist()
+        // localCheckpoint storage lives on the underlying RDD —
+        // Dataset.unpersist would be a no-op (the Dedup.releaseIndex
+        // rationale); without this, N merge rounds pin N word tables
+        Dedup.releaseIndex(prev)
       }
     }
     (merges.toList, words)

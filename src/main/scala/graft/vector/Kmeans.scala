@@ -68,6 +68,10 @@ object Kmeans {
           .drop("probe"))
       .select(col(idCol).as("__id"),
         col(embCol).cast("array<double>").as("__emb"), col("cell"))
+      // both sides of the cell self-join read this — materialize once,
+      // or the k-cosine assignment (and the nProbe sort+explode) runs
+      // twice over the full corpus
+      .localCheckpoint()
     val pairs = idx.alias("a").join(idx.alias("b"), Seq("cell"))
       .filter(col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("src_id"), col("b.__id").as("nbr_id"),

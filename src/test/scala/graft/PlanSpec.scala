@@ -292,9 +292,9 @@ class PlanSpec extends SparkSpec {
     val p = plan("q91_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"),
       s"the 25-row nation dim must broadcast:\n$p")
-    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
-        "GreaterThanOrEqual(o_orderdate") || p.contains("o_orderdate"),
-      s"the date window must prune orders before any join:\n$p")
+    assert("""PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate"""
+        .r.findFirstIn(p).isDefined,
+      s"the date window must push to the orders scan, not evaluate post-join:\n$p")
     assert(!p.toLowerCase.contains("cartesian"), s"no cartesian:\n$p")
   }
 

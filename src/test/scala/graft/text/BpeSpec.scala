@@ -94,6 +94,13 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("initialSymbols: one symbol per code point, surrogate pairs intact") {
+    val df = Seq("a😀b").toDF("word") // a😀b
+    val syms = df.select(Bpe.initialSymbols(col("word"))).as[Seq[String]].head()
+    assert(syms == Seq("a", "😀", "b"),
+      s"supplementary-plane char must stay one symbol: $syms")
+  }
+
   test("trainMerges stops early when no pairs remain") {
     val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
     val (merges, words) = Bpe.trainMerges(tiny, "text", 10)
