@@ -550,6 +550,14 @@ object SparkEntry {
       TextAnalysis.assignShards(Tables.documents(s, d), "doc_id", "text",
         targetTokens = 2000L)),
 
+    // q95: winnowing-fingerprint pairs — the MOSS pair stage over q44's
+    // fingerprints: docs sharing >= 3 window-min hashes, with the
+    // count. The winnowing guarantee (any shared >= w+k-1 token run
+    // forces a shared fingerprint) makes this a detection bound
+    "q95_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowingPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 4, w = 4, minShared = 3L)),
+
     // q94: REAL image pixel statistics — per-channel integer sums from
     // ImageIO-decoded PNG payloads; lossless PNG means the oracle's
     // closed-form pixel replay must match bit-for-bit
@@ -843,6 +851,23 @@ object SparkEntry {
          | FROM c)
          |SELECT doc_id, chunk_id, start, n_tokens,
          |  $polyAsql + ($polyBsql << 31) AS chunk_hash FROM s""".stripMargin,
+    // q95: q44's fingerprint CTE, self-joined on the fingerprint with
+    // the same >= 3 shared-count gate
+    "q95_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |g AS (SELECT doc_id, list_transform(
+         |    CASE WHEN len(toks) >= 4
+         |      THEN list_transform(generate_series(0, len(toks)-4), i -> array_to_string(toks[i+1:i+4], ' '))
+         |      ELSE [array_to_string(toks, ' ')] END,
+         |    tok -> $polyAsql + ($polyBsql << 31)) AS gh FROM t),
+         |f AS (SELECT doc_id, unnest(CASE WHEN len(gh) >= 4
+         |    THEN list_distinct(list_transform(generate_series(0, len(gh)-4), i -> list_min(gh[i+1:i+4])))
+         |    ELSE [list_min(gh)] END) AS fp FROM g)
+         |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         |  count(*) AS shared_fingerprints
+         |FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
     // q94: the generator's pixel formula replayed per (x, y) — dims
     // 8 + id % 24 by 8 + id % 16, rgb = (id + 31x + 17y) & 0xffffff
     "q94_image_pixel_stats" ->

@@ -554,6 +554,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Winnowing-fingerprint near-dup pairs — the pair stage of the MOSS
+    * scheme over [[TextAnalysis.winnowingFingerprints]]: documents
+    * sharing ≥ `minShared` fingerprints, with the shared count. The
+    * winnowing guarantee makes this a DETECTION bound, not a heuristic:
+    * any shared token run of ≥ w+k−1 tokens forces ≥1 shared
+    * fingerprint, so plagiarized/templated passages cannot hide.
+    *
+    * Scale shape: identical to the shingle family — fingerprints are a
+    * per-doc-distinct 8-byte hash explode (each doc keeps ~1/w of its
+    * gram hashes, so the index is w× smaller than the shingle index),
+    * the self-join keys on the hash, and the rollup counts pairs.
+    * `minShared` ≥ 2 is the noise floor; the DF-cut guard applies the
+    * same way if a boilerplate fingerprint saturates. */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 2L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(TextAnalysis.winnowingFingerprints(col(textCol), k, w))
+          .as("__fp"))
+    fps.alias("x").join(fps.alias("y"), Seq("__fp"))
+      .filter(col("x.__id") < col("y.__id"))
+      .groupBy(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   /** Edit-distance-verified near-dup pairs: exact-Jaccard candidates
     * (≥ `jaccardThreshold`, the cheap set-overlap gate) re-verified
     * with LEVENSHTEIN distance over whitespace-normalized lowercased

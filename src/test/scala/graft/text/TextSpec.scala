@@ -697,6 +697,27 @@ class TextSpec extends SparkSpec {
     assert(rows.sortBy(r => (r._1, r._2)).sameElements(again.sortBy(r => (r._1, r._2))))
   }
 
+  test("winnowingPairs: shared long run detected, disjoint docs clean") {
+    val run = "one two three four five six seven eight nine ten eleven twelve"
+    val corpus = Seq(
+      (1L, s"$run and a unique alpha tail here"),
+      (2L, s"completely different beta lead then $run"),
+      (3L, "nothing in common with anything else at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(corpus, "doc_id", "text",
+      minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the 12-token shared run >= w+k-1 = 7 forces shared fingerprints
+    assert(pairs.contains((1L, 2L)), s"shared run must be detected: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"disjoint doc must not pair: $pairs")
+    // shared count matches a direct fingerprint-set intersection
+    val fps = corpus.select(col("doc_id"),
+      TextAnalysis.winnowingFingerprints(col("text")).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(pairs((1L, 2L)) == fps(1L).toSet.intersect(fps(2L).toSet).size)
+  }
+
   test("duplicatedChunks: shared passage found at different offsets") {
     val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
