@@ -97,16 +97,24 @@ object Bench {
     } finally src.close()
   } catch { case _: Exception => None }
 
-  private def hostBusyJson(start: Option[(Long, Long, Long)]): String = {
+  /** `"key":{...},` for the jiffies delta between two [[cpuJiffies]]
+    * snapshots, or "" when either snapshot is unavailable. Emitted once
+    * for the whole bench window (`host_busy`) and once PER PHASE
+    * (`host_busy_queries`, `host_busy_funnel`, `host_busy_funnel_full`)
+    * — a stall concentrated in one ~25-minute funnel phase averages
+    * away in the whole-window figure, so per-phase deltas are what make
+    * an inflated funnel number adjudicable from the artifact alone. */
+  private def hostBusyJson(key: String, start: Option[(Long, Long, Long)],
+      end: Option[(Long, Long, Long)]): String = {
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val pcts = for {
-      (t0, i0, s0) <- start; (t1, i1, s1) <- cpuJiffies()
+      (t0, i0, s0) <- start; (t1, i1, s1) <- end
       dt = t1 - t0 if dt > 0
     } yield (100.0 * (dt - (i1 - i0)) / dt, 100.0 * (s1 - s0) / dt)
     pcts match {
       case Some((cpu, steal)) =>
-        s""""host_busy":{"cpu_pct":${r3(cpu)},"steal_pct":${r3(steal)},"load1":${r3(load1)}},"""
+        s""""$key":{"cpu_pct":${r3(cpu)},"steal_pct":${r3(steal)},"load1":${r3(load1)}},"""
       case None => ""
     }
   }
@@ -170,6 +178,7 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    val queriesJ0 = cpuJiffies()
     val results = selected.map { case (name, fn) =>
       name -> stats(name) { fn(spark, sfDir).count(): Unit }
     }
@@ -188,22 +197,28 @@ object Bench {
         try (Tables.events(spark, sfDir).count() / cdcSecs).toLong
         catch { case _: Throwable => 0L }
       else 0L
+    val queriesBusy = hostBusyJson("host_busy_queries", queriesJ0, cpuJiffies())
     // parent Spark work is DONE before any child JVM starts — two
     // active Spark JVMs would contend and corrupt the child's timing
     spark.stop()
     val zero = (0.0, 0.0, 0.0)
     var funnelMode = "fresh-jvm"
+    val phaseBusy = new StringBuilder(queriesBusy)
     val funnels = FunnelNames.map { name =>
-      name -> (if (!wanted(name)) zero else spawnChild(name).getOrElse {
+      val f0 = cpuJiffies()
+      val r = if (!wanted(name)) zero else spawnChild(name).getOrElse {
         // fallback: in-process after a full state reset; numbers are
         // then NOT comparable to ScaleBench's fresh-JVM figures and
         // the headline says so via funnel_mode
         funnelMode = "in-process"
         val s2 = buildSpark()
-        val r = runFunnel(s2, sfDir, name)
+        val rr = runFunnel(s2, sfDir, name)
         s2.stop()
-        r
-      })
+        rr
+      }
+      if (wanted(name)) phaseBusy ++= hostBusyJson(
+        name.replace("curate_", "host_busy_"), f0, cpuJiffies())
+      name -> r
     }.toMap
     val funnel = funnels("curate_funnel")
     val funnelFull = funnels("curate_funnel_full")
@@ -230,7 +245,7 @@ object Bench {
     // where it can never be lost. Both full per-query maps do NOT fit
     // in one line — medians go on their own earlier line, and the whole
     // report lands in bench_last.json.
-    val scalars = s""""metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","runs":$runs,$onlyField"events_per_sec":$eventsPerSec,"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel._2)},"curate_funnel_med":${r3(funnel._1)},"curate_funnel_full_sec":${r3(funnelFull._2)},"curate_funnel_full_med":${r3(funnelFull._1)},${hostBusyJson(jiffies0)}"sf":"$sfDir""""
+    val scalars = s""""metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","runs":$runs,$onlyField"events_per_sec":$eventsPerSec,"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel._2)},"curate_funnel_med":${r3(funnel._1)},"curate_funnel_full_sec":${r3(funnelFull._2)},"curate_funnel_full_med":${r3(funnelFull._1)},$phaseBusy${hostBusyJson("host_busy", jiffies0, cpuJiffies())}"sf":"$sfDir""""
     println(s"""{"metric":"medians","queries_med":$qsMed}""")
     println(s"""{"metric":"spread","queries_minmax":$spread}""")
     try {

@@ -473,14 +473,14 @@ object SparkEntry {
     "q59_dedup_vs_history" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val history = docs.filter(col("doc_id") % 10 =!= 0)
-      // size the bloom from the corpus (doc count × a safe per-doc
-      // distinct-shingle bound) instead of a fixed 1M: an undersized
-      // sketch saturates at larger SFs and the "small by construction"
-      // candidate set balloons toward the full batch shingle set
-      val expected = math.max(1000000L, history.count() * 64L)
+      // expectedItems stays at its 0 default → the bloom auto-sizes
+      // from the history's HLL distinct-shingle estimate: an
+      // undersized sketch saturates at larger SFs and the "small by
+      // construction" candidate set balloons toward the full batch
+      // shingle set
       Dedup.dedupAgainstHistory(
         docs.filter(col("doc_id") % 10 === 0), history,
-        "doc_id", "text", k = 8, expectedItems = expected)
+        "doc_id", "text", k = 8)
         .select(col("doc_id"), col("lang"), col("source"))
     }),
     // q61: corpus vocabulary — df/tf per whitespace token, top 100 by

@@ -35,8 +35,14 @@ import org.apache.spark.sql.types._
   *   - `mapPartitions` batch shape — one iterator per partition, the
   *     JVM analog of `mapInPandas` batches: amortizes per-batch codec
   *     setup, never materializes a partition as a list
-  *   - partitioning: assets are repartitioned by id so decode
-  *     parallelism matches executor count, independent of file layout
+  *   - partitioning: decode runs on the SCAN partitions by default —
+  *     parquet split sizing (`spark.sql.files.maxPartitionBytes`)
+  *     already parallelizes a payload table, and shuffling media BYTES
+  *     before decode would double the pipeline's I/O at 100 TB of
+  *     payload. Pass `parallelism > 0` to opt into a spread shuffle by
+  *     asset id — the knob for a SKEWED layout (a few huge files, or
+  *     decode cost uncorrelated with bytes) where redistribution is
+  *     worth one extra pass over the payload bytes
   */
 object Multimodal {
 
@@ -256,20 +262,25 @@ object Multimodal {
   final case class Decoded(asset_id: Long, media_type: String, width: Int,
       height: Int, duration_ms: Long, n_bytes: Long, features: Seq[Float])
 
+  /** Opt-in spread shuffle (see the partitioning note in the object
+    * doc): `parallelism` = 0 decodes on the scan partitions — no
+    * shuffle of payload bytes; > 0 redistributes by asset id first. */
+  private def spread(df: DataFrame, parallelism: Int): DataFrame =
+    if (parallelism > 0) df.repartition(parallelism, col("asset_id")) else df
+
   /** Decode + feature-extract in partition batches (the mapInPandas
-    * analog). Repartitions by id first so work spreads evenly across
-    * executors regardless of input file layout. Typed-Dataset
-    * mapPartitions keeps ser/de in codegen'd encoders (no Row-RDD
-    * round-trip). Image width/height come from a REAL ImageIO decode of
-    * the payload bytes; audio duration from a REAL WAV-container parse. */
+    * analog). Decodes on the scan partitions by default; `parallelism`
+    * > 0 opts into an id-spread shuffle first ([[spread]]).
+    * Typed-Dataset mapPartitions keeps ser/de in codegen'd encoders
+    * (no Row-RDD round-trip). Image width/height come from a REAL
+    * ImageIO decode of the payload bytes; audio duration from a REAL
+    * WAV-container parse. */
   def decodeAndFeaturize(assets: DataFrame, parallelism: Int = 0): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val parts = if (parallelism > 0) parallelism
-      else spark.sparkContext.defaultParallelism
-    assets
-      .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
-      .repartition(parts, col("asset_id"))
+    spread(assets
+      .select(col("asset_id").cast("long"), col("media_type"), col("payload")),
+      parallelism)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         // batch-scoped codec setup would go here (once per partition)
@@ -297,16 +308,13 @@ object Multimodal {
     * downstream). Integer statistics make the REAL decode oracle-exact:
     * the synthetic generator's closed-form samples are re-derived in
     * SQL and must match the decoded bytes bit-for-bit. Same
-    * mapPartitions batch shape as [[decodeAndFeaturize]]; undecodable
-    * payloads contribute no rows. */
+    * mapPartitions batch shape and opt-in [[spread]] shuffle as
+    * [[decodeAndFeaturize]]; undecodable payloads contribute no rows. */
   def audioFeatures(assets: DataFrame, parallelism: Int = 0): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val parts = if (parallelism > 0) parallelism
-      else spark.sparkContext.defaultParallelism
-    assets.filter(col("media_type") === "audio")
-      .select(col("asset_id").cast("long"), col("payload"))
-      .repartition(parts, col("asset_id"))
+    spread(assets.filter(col("media_type") === "audio")
+      .select(col("asset_id").cast("long"), col("payload")), parallelism)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payloadOrNull) =>
@@ -353,11 +361,8 @@ object Multimodal {
   def imagePixelStats(assets: DataFrame, parallelism: Int = 0): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val parts = if (parallelism > 0) parallelism
-      else spark.sparkContext.defaultParallelism
-    assets.filter(col("media_type") === "image")
-      .select(col("asset_id").cast("long"), col("payload"))
-      .repartition(parts, col("asset_id"))
+    spread(assets.filter(col("media_type") === "image")
+      .select(col("asset_id").cast("long"), col("payload")), parallelism)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
@@ -406,21 +411,19 @@ object Multimodal {
   /** REAL frame extraction: parse every PNG frame out of each GVID
     * payload — the operator a vision-model pipeline feeds (decode →
     * per-frame rows → featurize/caption each frame). Same mapPartitions
-    * batch shape and id-repartitioning as [[decodeAndFeaturize]]; dims
-    * are ImageIO-decoded from each frame's own bytes, timestamps come
-    * from the container frame rate. Non-video and undecodable payloads
-    * contribute no rows. Output grows ~frameCount× the video subset —
-    * at scale, write it partitioned and feed frames to downstream
-    * stages in place (never collect). */
+    * batch shape and opt-in [[spread]] shuffle as
+    * [[decodeAndFeaturize]]; dims are ImageIO-decoded from each frame's
+    * own bytes, timestamps come from the container frame rate.
+    * Non-video and undecodable payloads contribute no rows. Output
+    * grows ~frameCount× the video subset — at scale, write it
+    * partitioned and feed frames to downstream stages in place (never
+    * collect). */
   def extractFrames(assets: DataFrame, parallelism: Int = 0): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val parts = if (parallelism > 0) parallelism
-      else spark.sparkContext.defaultParallelism
-    assets
+    spread(assets
       .filter(col("media_type") === "video")
-      .select(col("asset_id").cast("long"), col("payload"))
-      .repartition(parts, col("asset_id"))
+      .select(col("asset_id").cast("long"), col("payload")), parallelism)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payloadOrNull) =>

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.text.{Dedup, StreamingNearDedup, TextAnalysis}
 
@@ -20,11 +19,21 @@ import graft.text.{Dedup, StreamingNearDedup, TextAnalysis}
   * Every stage is the already-verified operator from `graft.text` — the
   * funnel adds no new dataflow, just the composition and the retention
   * accounting a curation run needs for its datasheet. Each stage output
-  * is persisted (MEMORY_AND_DISK — spills, never OOMs) before its count
-  * materializes it, and unpersisted once the next stage is materialized,
-  * so every stage's lineage is evaluated exactly once regardless of how
-  * many downstream stages and counts read it — the property that keeps a
-  * 100 TB run O(stages) passes over the corpus instead of O(stages²).
+  * is materialized ONCE with its logical-plan lineage CUT at the stage
+  * boundary (`localCheckpoint`, MEMORY_AND_DISK — spills, never OOMs;
+  * or a reliable `checkpoint` under [[Config.checkpointDir]]), and its
+  * block storage is released once the successor stage is materialized.
+  * The cut — not just the cache — is load-bearing: rewrite stages that
+  * join the corpus back against a derivative of itself (`line_dedup`,
+  * `span_excise`, the decontamination join) reference their input tree
+  * TWICE, so a bare `persist` (which caches rows but keeps the full
+  * plan) doubles the logical plan at every such stage and Catalyst
+  * re-walks the doubled tree for every later stage — geometric
+  * driver-side analysis cost in the number of join-back stages.
+  * Checkpointing instead replaces each stage's plan with a single
+  * `LogicalRDD` leaf: every stage plans against a constant-size tree,
+  * keeping a 100 TB run O(stages) in BOTH executor passes and
+  * driver-side planning.
   */
 object CurateCli {
 
@@ -83,7 +92,17 @@ object CurateCli {
     * under that directory — the durable materialization a cluster run
     * wants: an executor loss re-reads instead of recomputing the
     * corpus-wide index, and the artifact outlives the run
-    * ([[Dedup.shingleIndex]]/[[Dedup.minhashIndex]] `path` docs). */
+    * ([[Dedup.shingleIndex]]/[[Dedup.minhashIndex]] `path` docs).
+    *
+    * `checkpointDir` selects how stage lineage is cut: `None` (default)
+    * uses `localCheckpoint` — executor-local block storage, the right
+    * call on a healthy cluster and in local mode; a directory switches
+    * every stage to a RELIABLE `checkpoint` written under it, so a run
+    * on a preemptible/spot cluster survives executor loss without
+    * recomputing the whole funnel prefix (checkpoint files are reaped
+    * by Spark's ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set, or by
+    * deleting the directory after the run). */
   final case class Config(
       minQuality: Double = 0.5,
       languages: Set[String] = Set("en"),
@@ -110,11 +129,12 @@ object CurateCli {
       budgetBuckets: Int = 100,
       packBudget: Int = 0,
       packBuckets: Int = 64,
-      indexDir: Option[String] = None)
+      indexDir: Option[String] = None,
+      checkpointDir: Option[String] = None)
 
   final case class StageCount(stage: String, docs: Long, tokens: Long)
 
-  /** Curated corpus (persisted — call [[Curated.unpersist]] once the
+  /** Curated corpus (checkpointed — call [[Curated.unpersist]] once the
     * caller has written/consumed it) plus the per-stage datasheet and,
     * when `Config.packBudget` > 0, the packed sequence assignments
     * (`doc_id, bucket, seq_id, start_offset, n_tokens` — a sidecar
@@ -122,8 +142,16 @@ object CurateCli {
   final case class Curated(corpus: DataFrame, funnel: Seq[StageCount],
       packed: Option[DataFrame] = None) {
     def unpersist(): Unit = {
+      // stage outputs are lineage-cut via localCheckpoint, so their
+      // storage lives behind a LogicalRDD, not the cache manager —
+      // releaseIndex drops those blocks; unpersist stays as a no-op
+      // safety net should a caller persist() on top
+      Dedup.releaseIndex(corpus)
       corpus.unpersist(blocking = false)
-      packed.foreach(_.unpersist(blocking = false))
+      packed.foreach { p =>
+        Dedup.releaseIndex(p)
+        p.unpersist(blocking = false)
+      }
     }
   }
 
@@ -141,24 +169,35 @@ object CurateCli {
     * `cfg.decontaminateK`-token shingles with it. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config(), evalDocs: Option[DataFrame] = None): Curated = {
-    // track live stage caches so a mid-funnel failure releases them —
-    // callers (the bench loop especially) retry, and orphaned
-    // MEMORY_AND_DISK caches would accumulate across attempts
+    // track live stage checkpoints so a mid-funnel failure releases
+    // them — callers (the bench loop especially) retry, and orphaned
+    // MEMORY_AND_DISK blocks would accumulate across attempts
     val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    def persisted(df: DataFrame): DataFrame = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      live += p
-      p
+    cfg.checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
+    // materialize ONCE and cut lineage: the stage's plan becomes a
+    // single LogicalRDD leaf, so a join-back stage referencing its
+    // input twice adds O(1) plan nodes instead of doubling the tree
+    def checkpointed(df: DataFrame): DataFrame = {
+      val c =
+        if (cfg.checkpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint()
+      live += c
+      c
+    }
+    def release(df: DataFrame): Unit = {
+      Dedup.releaseIndex(df)
+      live -= df
     }
     try {
       val input = stageCount("input", docs, textCol)
 
-      // Each stage: persist → count (materializes the cache) → build the
-      // next stage FROM the cache → unpersist once the successor is
+      // Each stage: checkpoint (materializes + cuts lineage) → count
+      // (a cheap scan of the checkpointed blocks) → build the next
+      // stage FROM the checkpoint → release once the successor is
       // materialized. The language filter is counted straight off the
-      // cached near-dedup output (a narrow codegen'd scan), so it needs
-      // no cache of its own.
-      val exact = persisted(Dedup.dedupExact(docs, idCol, textCol))
+      // checkpointed near-dedup output (a narrow codegen'd scan), so it
+      // needs no materialization of its own.
+      val exact = checkpointed(Dedup.dedupExact(docs, idCol, textCol))
       val afterExact = stageCount("exact_dedup", exact, textCol)
 
       val pairs =
@@ -171,34 +210,34 @@ object CurateCli {
             k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
             threshold = cfg.jaccardThreshold,
             indexPath = cfg.indexDir.map(_ + "/minhash_index"))
-      val near = persisted(
+      val near = checkpointed(
         if (cfg.nearKeepBest)
           Dedup.dedupByPairsKeepBest(exact, idCol, pairs,
             TextAnalysis.qualityScore(col(textCol),
               TextAnalysis.LangProfiles("en")))
         else Dedup.dedupByComponents(exact, idCol, pairs))
       val afterNear = stageCount("near_dedup", near, textCol)
-      exact.unpersist(blocking = false)
+      release(exact)
 
       val lang = near.filter(
         TextAnalysis.languageId(col(textCol)).isin(cfg.languages.toSeq: _*))
       val afterLang = stageCount("language", lang, textCol)
 
-      val quality = persisted(lang.filter(
+      val quality = checkpointed(lang.filter(
         TextAnalysis.qualityScore(col(textCol),
           TextAnalysis.LangProfiles("en")) >= cfg.minQuality))
       val afterQuality = stageCount("quality", quality, textCol)
-      near.unpersist(blocking = false)
+      release(near)
 
-      // ---- extended stages (each optional, same cache discipline:
-      // persist → count → unpersist predecessor) ------------------------
+      // ---- extended stages (each optional, same lineage-cut
+      // discipline: checkpoint → count → release predecessor) -----------
       var cur = quality
       val sheet = scala.collection.mutable.ListBuffer(
         input, afterExact, afterNear, afterLang, afterQuality)
       def advance(stage: String, next: DataFrame): Unit = {
-        val p = persisted(next)
+        val p = checkpointed(next)
         sheet += stageCount(stage, p, textCol)
-        cur.unpersist(blocking = false)
+        release(cur)
         cur = p
       }
 
@@ -279,7 +318,7 @@ object CurateCli {
       // shrink stage — its datasheet row re-counts through the packed
       // rows (same tokenCount), pinning corpus ≡ packed consistency
       val packed = if (cfg.packBudget > 0) {
-        val p = persisted(TextAnalysis.packSequences(cur, idCol, textCol,
+        val p = checkpointed(TextAnalysis.packSequences(cur, idCol, textCol,
           budget = cfg.packBudget, buckets = cfg.packBuckets))
         val r = p.agg(count(lit(1)).as("docs"),
           coalesce(sum(col("n_tokens")), lit(0L)).as("tokens")).head()
@@ -291,7 +330,7 @@ object CurateCli {
     } catch {
       case t: Throwable =>
         live.foreach(df =>
-          try df.unpersist(blocking = false) catch { case _: Exception => () })
+          try Dedup.releaseIndex(df) catch { case _: Exception => () })
         throw t
     }
   }

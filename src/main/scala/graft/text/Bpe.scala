@@ -70,10 +70,47 @@ object Bpe {
         .otherwise(concat(acc, array(x))))
 
   /** Apply a trained merge list in order. Chains one fold per merge in
-    * a single projection — fine for the tens-of-merges the specs train;
-    * checkpoint every ~50 merges if applying a production-sized list. */
+    * ONE projection — a Column, so it cannot cut lineage itself: keep
+    * it to ≤ [[MergeBatchSize]] merges (the table-level consumers
+    * [[subwordCounts]]/[[encode]] batch through [[applyMergesTable]]
+    * automatically; use that for production-sized lists). */
   def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(syms) { case (c, (a, b)) => applyMerge(c, a, b) }
+
+  /** Catalyst keeps the whole merge chain as one expression tree —
+    * ~50 stacked aggregate-folds per projection is the comfortable
+    * bound before analysis/codegen cost dominates; a 30k-merge
+    * production list needs the tree CUT between batches, which only a
+    * DataFrame boundary can do. */
+  val MergeBatchSize = 50
+
+  /** Apply a merge list to the `symsCol` array column of a word table,
+    * folding at most `batchSize` merges per projection and cutting
+    * lineage (localCheckpoint) between batches — the production-sized
+    * path: a 30k-merge list becomes 600 bounded projections instead of
+    * one 30k-deep Catalyst expression tree. Intermediate checkpoints
+    * are released as soon as their successor materializes
+    * ([[Dedup.releaseIndex]] — the [[trainMerges]] discipline); the
+    * FINAL batch's checkpoint backs the returned table, so release it
+    * the same way once consumed (or let the ContextCleaner reap it).
+    * Lists of ≤ `batchSize` merges stay a pure column fold — no
+    * materialization, identical plan to [[applyMerges]]. */
+  def applyMergesTable(words: DataFrame, symsCol: String,
+      merges: Seq[(String, String)],
+      batchSize: Int = MergeBatchSize): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val batches = merges.grouped(batchSize).toSeq
+    if (batches.sizeIs <= 1)
+      words.withColumn(symsCol, applyMerges(col(symsCol), merges))
+    else batches.zipWithIndex.foldLeft(words) { case (cur, (batch, i)) =>
+      val next = cur.withColumn(symsCol, applyMerges(col(symsCol), batch))
+        .localCheckpoint()
+      // release the PREVIOUS batch's checkpoint only — never the
+      // caller-owned input table (i == 0)
+      if (i > 0) Dedup.releaseIndex(cur)
+      next
+    }
+  }
 
   /** Train `numMerges` BPE merges on the corpus. Each round: pair
     * statistics over the compact word table, a 1-ROW argmax to the
@@ -113,9 +150,9 @@ object Bpe {
     * DISTINCT-WORD table (the whole point — never per occurrence). */
   def subwordCounts(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame =
-    wordCounts(df, textCol)
-      .withColumn("syms",
-        applyMerges(initialSymbols(col("word")), merges))
+    applyMergesTable(
+      wordCounts(df, textCol).withColumn("syms", initialSymbols(col("word"))),
+      "syms", merges)
       .select(col("freq"), explode(col("syms")).as("subword"))
       .groupBy("subword").agg(sum("freq").as("count"))
 
@@ -125,9 +162,9 @@ object Bpe {
     * per-occurrence work is one join probe, not a merge fold. */
   def encode(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val encodedWords = wordCounts(df, textCol)
-      .select(col("word"),
-        applyMerges(initialSymbols(col("word")), merges).as("__enc"))
+    val encodedWords = applyMergesTable(
+      wordCounts(df, textCol).withColumn("__enc", initialSymbols(col("word"))),
+      "__enc", merges).select("word", "__enc")
     df.filter(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__pos", "word")))

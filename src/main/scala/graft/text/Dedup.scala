@@ -565,15 +565,28 @@ object Dedup {
     * per-doc-distinct 8-byte hash explode (each doc keeps ~1/w of its
     * gram hashes, so the index is w× smaller than the shingle index),
     * the self-join keys on the hash, and the rollup counts pairs.
-    * `minShared` ≥ 2 is the noise floor; the DF-cut guard applies the
-    * same way if a boilerplate fingerprint saturates. */
+    * `minShared` ≥ 2 is the noise floor; `maxFingerprintDf` > 0 is the
+    * DF-cut guard for when a boilerplate fingerprint saturates — same
+    * semantics as [[ngramJaccardPairsFromIndex]]'s `maxShingleDf`: a
+    * fingerprint appearing in more than that many docs is dropped
+    * BEFORE the self-join, so one ubiquitous fingerprint shared by F
+    * docs contributes 0 instead of F² join rows (lossy in the same
+    * controlled way: pairs supported only by corpus-stopword
+    * fingerprints vanish). */
   def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 4, w: Int = 4, minShared: Long = 2L): DataFrame = {
+      k: Int = 4, w: Int = 4, minShared: Long = 2L,
+      maxFingerprintDf: Long = 0L): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val fps = df.filter(col(textCol).isNotNull)
+    val fpsAll = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         explode(TextAnalysis.winnowingFingerprints(col(textCol), k, w))
           .as("__fp"))
+    val fps = if (maxFingerprintDf > 0) {
+      val all = fpsAll.localCheckpoint() // df rollup + both join sides
+      val rare = all.groupBy("__fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxFingerprintDf).select("__fp")
+      all.join(rare, Seq("__fp"), "left_semi")
+    } else fpsAll
     fps.alias("x").join(fps.alias("y"), Seq("__fp"))
       .filter(col("x.__id") < col("y.__id"))
       .groupBy(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
@@ -698,18 +711,30 @@ object Dedup {
     * hashes — the persistable membership sketch behind
     * [[dedupAgainstHistory]]. Built with ONE aggregation pass over the
     * history scan (Spark's `stat.bloomFilter` tree-aggregates per-
-    * partition filters); size it with `expectedItems` ≈ the history's
-    * distinct shingle count (the filter is ~1.2 bytes/item at 1% fpp,
-    * so a billion-shingle history sketches into ~1.2 GB — broadcast-
-    * sized, vs TBs for the exact set). In a persistent ingest pipeline
-    * this artifact is built once per history snapshot and reused by
-    * every arriving batch. */
+    * partition filters). `expectedItems` ≈ the history's distinct
+    * shingle count (the filter is ~1.2 bytes/item at 1% fpp, so a
+    * billion-shingle history sketches into ~1.2 GB — broadcast-sized,
+    * vs TBs for the exact set); the default 0 AUTO-SIZES it from an
+    * HLL estimate (`approx_count_distinct`, ±~2% + 30% headroom — one
+    * extra narrow pass over the history scan). A fixed guess is the
+    * silent perf cliff this replaces: an undersized sketch saturates
+    * and the prefilter degrades toward a no-op (correctness survives
+    * via the exact confirm; the pruning — the whole point — dies). In
+    * a persistent ingest pipeline this artifact is built once per
+    * history snapshot and reused by every arriving batch, so the
+    * sizing pass amortizes with the build itself. */
   def historyShingleBloom(historyDf: DataFrame, textCol: String, k: Int = 8,
-      expectedItems: Long = 1000000L, fpp: Double = 0.01)
-      : org.apache.spark.util.sketch.BloomFilter =
-    historyDf
+      expectedItems: Long = 0L, fpp: Double = 0.01)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val sh = historyDf
       .select(explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
-      .stat.bloomFilter("shingle", expectedItems, fpp)
+    val n =
+      if (expectedItems > 0L) expectedItems
+      else math.max(1000L,
+        sh.agg(approx_count_distinct("shingle").as("n")).head().getLong(0)
+          * 13L / 10L)
+    sh.stat.bloomFilter("shingle", n, fpp)
+  }
 
   /** Persist a [[historyShingleBloom]] sketch. Goes through the Hadoop
     * filesystem API, so `path` can be local, HDFS, or object storage —
@@ -765,7 +790,7 @@ object Dedup {
     * 8-byte hash key). */
   def dedupAgainstHistory(newDf: DataFrame, historyDf: DataFrame,
       idCol: String, textCol: String, k: Int = 8, minHits: Int = 1,
-      expectedItems: Long = 1000000L, fpp: Double = 0.01,
+      expectedItems: Long = 0L, fpp: Double = 0.01,
       broadcastConfirm: Boolean = true): DataFrame =
     dedupAgainstHistoryBloom(newDf, historyDf,
       historyShingleBloom(historyDf, textCol, k, expectedItems, fpp),

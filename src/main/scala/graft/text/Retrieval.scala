@@ -49,12 +49,17 @@ object Retrieval {
   private def floorDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("decimal(38,0)")
 
-  private def tfCol(t: String) = s"__tf_$t"
-  private def dfCol(t: String) = s"__df_$t"
+  // tf/df columns are named by TERM INDEX, never by the term itself —
+  // a term containing `.` or a backtick would make col("__tf_$term")
+  // resolve as a nested-field/invalid reference and throw; the term
+  // text appears only inside the when() predicate as a literal
+  private def tfCol(i: Int) = s"__tf_$i"
+  private def dfCol(i: Int) = s"__df_$i"
 
   /** Per-document BM25 profile: one token-stream pass → (id, dl,
-    * tf per query term). Exposed for composition (e.g. scoring the
-    * same profile against several term sets). */
+    * tf per query term — `__tf_<i>` in `terms` order). Exposed for
+    * composition (e.g. scoring the same profile against several term
+    * sets). */
   def bm25Profile(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
@@ -63,8 +68,9 @@ object Retrieval {
       .select(col(idCol).as("__id"),
         explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
       .filter(col("__tok") =!= "")
-    val aggs = count(lit(1)).as("__dl") +:
-      terms.map(t => sum(when(col("__tok") === t, 1L).otherwise(0L)).as(tfCol(t)))
+    val aggs = count(lit(1)).as("__dl") +: terms.zipWithIndex.map {
+      case (t, i) => sum(when(col("__tok") === t, 1L).otherwise(0L)).as(tfCol(i))
+    }
     toks.groupBy("__id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -76,10 +82,11 @@ object Retrieval {
     val perDoc = bm25Profile(docs, idCol, textCol, terms)
     // corpus stats: N, T, df per term — ONE row, broadcast
     val statAggs = count(lit(1)).as("__n") +: sum("__dl").as("__t") +:
-      terms.map(t => sum(when(col(tfCol(t)) > 0L, 1L).otherwise(0L)).as(dfCol(t)))
+      terms.indices.map(i =>
+        sum(when(col(tfCol(i)) > 0L, 1L).otherwise(0L)).as(dfCol(i)))
     val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
-    val termScore: String => Column = { t =>
-      val tf = col(tfCol(t)); val df = col(dfCol(t))
+    val termScore: Int => Column = { i =>
+      val tf = col(tfCol(i)); val df = col(dfCol(i))
       val n = col("__n"); val tt = col("__t"); val dl = col("__dl")
       val idfFp = lfp(lit(2L) * n + lit(2L)) - lfp(lit(2L) * df + lit(1L))
       val num = dec(lit(22L)) * dec(tf) * dec(tt) * dec(lit(1000000L))
@@ -90,7 +97,7 @@ object Retrieval {
     }
     perDoc.crossJoin(broadcast(stats))
       .select(col("__id").as(idCol),
-        terms.map(termScore).reduce(_ + _).as("score_fp"))
+        terms.indices.map(termScore).reduce(_ + _).as("score_fp"))
       .filter(col("score_fp") > 0L)
       .withColumn("score", col("score_fp").cast("double") / lit(1000000.0))
   }
@@ -187,14 +194,16 @@ object Retrieval {
   }
 
   /** Point probe of a written postings index: partition-prunes to the
-    * term's shard directory. */
+    * term's shard directory. The shard is computed by evaluating the
+    * SAME public expression the write path uses (`pmod(hash(token),
+    * 64)` on a 1-row local relation — constant-folded, no job), so the
+    * probe can never silently diverge from the written layout the way a
+    * re-implementation against Spark's internal hash could. */
   def termLookup(spark: org.apache.spark.sql.SparkSession, path: String,
       term: String): DataFrame = {
-    val shard = math.floorMod(
-      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        term.getBytes("UTF-8"),
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        term.getBytes("UTF-8").length, 42), 64)
+    val shard = spark.range(1)
+      .select(pmod(hash(lit(term)), lit(64)).as("shard"))
+      .head().getInt(0)
     spark.read.parquet(path)
       .filter(col("shard") === shard && col("token") === term)
       .drop("shard")

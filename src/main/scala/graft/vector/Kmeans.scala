@@ -39,7 +39,12 @@ object Kmeans {
       .select(col("cell"), (col("__pos") + 1).cast("long").as("dim"),
         floor(col("__x") * lit(1000000L)).cast("long").as("__xfp"))
       .groupBy("cell", "dim")
-      .agg(sum("__xfp").as("__sx"), count(lit(1)).as("__n"))
+      .agg(sum("__xfp").cast("decimal(38,0)").as("__sx"),
+        count(lit(1)).cast("decimal(38,0)").as("__n"))
+      // floor division in DECIMAL(38,0): long `/` would cast to double,
+      // exact only while |__sx| < 2^53 (~9e9 members per cell at unit
+      // components) — decimal keeps the mean exact at ANY cell size,
+      // same pattern as Retrieval's BM25 fixed-point scoring
       .select(col("cell"), col("dim"),
         ((col("__sx") - pmod(col("__sx"), col("__n"))) / col("__n"))
           .cast("long").as("centroid_fp"))

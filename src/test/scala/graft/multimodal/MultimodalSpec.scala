@@ -127,6 +127,20 @@ class MultimodalSpec extends SparkSpec {
       .filter($"duration_ms" <= 0L).count() == 0)
   }
 
+  test("decode shuffles payload bytes only when parallelism opts in") {
+    // default: decode rides the scan partitions — shuffling media BYTES
+    // before decode doubles payload I/O at scale, so no Exchange may
+    // appear; parallelism > 0 is the explicit spread-shuffle opt-in
+    val plan0 = Multimodal.decodeAndFeaturize(assets)
+      .queryExecution.executedPlan.toString
+    assert(!plan0.contains("Exchange"),
+      s"default decode must not shuffle payloads:\n$plan0")
+    val plan4 = Multimodal.decodeAndFeaturize(assets, parallelism = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan4.contains("Exchange"),
+      s"parallelism=4 must spread-shuffle by asset id:\n$plan4")
+  }
+
   test("audioFeatures: decoded PCM statistics equal the generator formula") {
     val feats = Multimodal.audioFeatures(assets)
       .collect().map(r => r.getLong(0) ->

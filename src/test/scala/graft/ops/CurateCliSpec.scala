@@ -422,6 +422,35 @@ class CurateCliSpec extends SparkSpec {
       s"input lineage scanned ${acc.value.toDouble / n}x; expected <= 4x")
   }
 
+  test("rewrite stages cut lineage: corpus plan size is bounded, not doubled per stage") {
+    // line_dedup / span_excise / decontaminate each join the corpus back
+    // against a derivative of itself — with bare persists the logical
+    // plan DOUBLES at every such stage (persist caches rows, not the
+    // tree) and driver-side planning grows geometrically. With the
+    // checkpoint discipline every stage's plan is a LogicalRDD leaf, so
+    // the returned corpus plan must be constant-size REGARDLESS of how
+    // many join-back stages ran. A regression to persist fails loudly:
+    // the 3-join-back plan is >8x the baseline's node count.
+    val footer = "copyright the example site all rights reserved"
+    val corpus = (1 to 20).map(i =>
+      (i.toLong, s"the cat number $i sat on the mat and watched bird " +
+        s"number $i in the garden\n" + footer)).toDF("doc_id", "text")
+    val eval_ = Seq((900L, "the hidden answer to the secret benchmark " +
+      "question is forty two exactly")).toDF("doc_id", "text")
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    val base = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0))
+    val rewrites = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, lineDedupMinDf = 2,
+        exciseSpanK = 8), evalDocs = Some(eval_))
+    val (nBase, nRewrites) = (planNodes(base.corpus), planNodes(rewrites.corpus))
+    base.unpersist(); rewrites.unpersist()
+    assert(nBase <= 3, s"baseline corpus plan must be a checkpoint leaf: $nBase")
+    assert(nRewrites <= nBase + 2,
+      s"3 join-back stages must not grow the plan: base=$nBase rewrites=$nRewrites")
+  }
+
   test("streaming curation: near-dup in a later micro-batch is flagged at ingest") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._

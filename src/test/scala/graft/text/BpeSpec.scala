@@ -101,6 +101,31 @@ class BpeSpec extends SparkSpec {
       s"supplementary-plane char must stay one symbol: $syms")
   }
 
+  test("applyMergesTable: batched fold ≡ single-projection fold, plan stays bounded") {
+    val (merges, _) = refTrain(corpus, 8)
+    val words = Bpe.wordCounts(docs, "text")
+      .withColumn("syms", Bpe.initialSymbols(col("word")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("word"), col("syms")).collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    // batchSize 3 forces 3 batches with lineage cuts between them; the
+    // result must be identical to the one-projection column fold
+    val batched = Bpe.applyMergesTable(words, "syms", merges, batchSize = 3)
+    assert(rows(batched) == rows(
+      words.withColumn("syms", Bpe.applyMerges(col("syms"), merges))))
+    // the cut is real: the batched plan bottoms out at a checkpoint
+    // leaf, not the full 8-merge expression chain over wordCounts
+    assert(batched.queryExecution.optimizedPlan.collect {
+      case _: org.apache.spark.sql.execution.LogicalRDD => 1 }.nonEmpty,
+      "batched apply must cut lineage via localCheckpoint")
+    graft.text.Dedup.releaseIndex(batched)
+    // ≤ one batch falls back to the pure column fold — no checkpoint
+    val small = Bpe.applyMergesTable(words, "syms", merges, batchSize = 50)
+    assert(small.queryExecution.optimizedPlan.collect {
+      case _: org.apache.spark.sql.execution.LogicalRDD => 1 }.isEmpty,
+      "small lists must stay an unmaterialized column fold")
+  }
+
   test("trainMerges stops early when no pairs remain") {
     val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
     val (merges, words) = Bpe.trainMerges(tiny, "text", 10)

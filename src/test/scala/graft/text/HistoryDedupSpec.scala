@@ -72,6 +72,27 @@ class HistoryDedupSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"prefilter must not join:\n$plan")
   }
 
+  test("expectedItems=0 auto-sizes the bloom from the history's distinct shingles") {
+    val exact = history
+      .select(explode(Dedup.shingleHashes(col("text"), 8, distinct = true)).as("sh"))
+      .distinct().count()
+    val auto = Dedup.historyShingleBloom(history, "text", k = 8)
+    // the auto floor (1000 items at 1% fpp) must dominate a sketch
+    // sized for the true count alone — i.e. it cannot be the saturated
+    // undersized configuration — while staying within the documented
+    // floor-or-1.3×-estimate bound (+HLL error margin)
+    val sizedExact = Dedup.historyShingleBloom(history, "text", k = 8,
+      expectedItems = exact)
+    val sizedFloor = Dedup.historyShingleBloom(history, "text", k = 8,
+      expectedItems = math.max(1000L, exact * 13L / 10L))
+    assert(auto.bitSize() >= sizedExact.bitSize(),
+      s"auto (${auto.bitSize()}) must not undersize vs exact-count " +
+        s"(${sizedExact.bitSize()})")
+    assert(auto.bitSize() <= (sizedFloor.bitSize() * 1.1).toLong,
+      s"auto (${auto.bitSize()}) exceeds the documented bound " +
+        s"(${sizedFloor.bitSize()})")
+  }
+
   test("bloom never false-negatives: every true overlap survives the prefilter") {
     val bloom = Dedup.historyShingleBloom(history, "text", k = 8,
       expectedItems = 100L, fpp = 0.000001)

@@ -718,6 +718,31 @@ class TextSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == fps(1L).toSet.intersect(fps(2L).toSet).size)
   }
 
+  test("winnowingPairs: maxFingerprintDf cuts saturated fingerprints pre-join") {
+    // the boiler run opens ALL three docs; docs 1,2 additionally share
+    // the pairRun and keep IDENTICAL context through it (divergence
+    // only in the tails, > w+k-1 tokens past the shared region), so
+    // every boiler-region fingerprint selected in doc 1 is selected in
+    // doc 2 too — boiler support is df=3 exactly, pairRun support df=2.
+    // The cut at 2 removes the saturated boiler fingerprints BEFORE the
+    // self-join: doc 3 pairs with nothing, the genuine 1-2 pair
+    // survives on its df=2 run
+    val boiler = "one two three four five six seven eight nine ten eleven twelve"
+    val pairRun = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, s"$boiler $pairRun plus a unique alef tail closing doc one"),
+      (2L, s"$boiler $pairRun with some other entirely different ending"),
+      (3L, s"$boiler and nothing else shared with anyone today at all")
+    ).toDF("doc_id", "text")
+    def pairKeys(maxDf: Long) = Dedup.winnowingPairs(corpus, "doc_id",
+      "text", minShared = 1L, maxFingerprintDf = maxDf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // uncut: every pair shares the boilerplate run's fingerprints
+    assert(pairKeys(0L) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairKeys(2L) == Set((1L, 2L)),
+      "df-cut must drop pairs supported only by the saturated run")
+  }
+
   test("duplicatedChunks: shared passage found at different offsets") {
     val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
