@@ -37,6 +37,12 @@ import org.apache.spark.sql.functions._
   *    symmetric) appends one FIXED window of the stream — organic
   *    boilerplate whose document frequency grows linearly with corpus
   *    size, the q48 DF-cut / q58 span workload;
+  *  - chunks are newline-joined (each chunk is one LINE of the doc),
+  *    so the fixed boilerplate window is also a cross-document
+  *    duplicated LINE — the line-dedup (q70) / funnel `line_dedup`
+  *    stage workload. Newline is whitespace to every tokenizer in the
+  *    engine, so shingle/token statistics are unchanged vs a
+  *    space-joined assembly;
   *  - `source` is a 20-way hash stratum, mirroring the base table's
   *    stratification for the mix/datasheet stages.
   *
@@ -117,19 +123,47 @@ object OrganicCorpus {
         explode(sequence(lit(0), lit(chunkLen - 1))).as("o"))
       .select(col("doc_id"), col("chunk"), col("o"), col("mut"),
         (col("start") + col("o")).as("pos"))
-    placed.join(stream, "pos")
+    // assemble chunk → line, then lines → doc (newline-joined): two
+    // hash-agg shuffles on (doc,chunk) then doc, both corpus-linear
+    val lines = placed.join(stream, "pos")
       // the planted mutation: one token of chunk 0 gets a suffix —
       // kills at most 3 distinct shingles of the ≥ 4-chunk pair
       .withColumn("token",
         when(col("mut") === 1 && col("chunk") === 0 && col("o") === 7,
           concat(col("token"), lit("zq"))).otherwise(col("token")))
-      .groupBy("doc_id")
+      .groupBy("doc_id", "chunk")
       .agg(array_join(transform(
-        array_sort(collect_list(struct(col("chunk"), col("o"), col("token")))),
-        s => s.getField("token")), " ").as("text"))
+        array_sort(collect_list(struct(col("o"), col("token")))),
+        s => s.getField("token")), " ").as("line"))
+    lines.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk"), col("line")))),
+        s => s.getField("line")), "\n").as("text"))
       .withColumn("source",
         concat(lit("src"), (h(lit(tag), col("doc_id"), lit("s")) % 20)
           .cast("string")))
       .select("doc_id", "source", "text")
+  }
+
+  /** Boilerplate line the bench seeds into single-line corpora (the
+    * driver's `documents` text has NO newlines, so the funnel's
+    * `line_dedup` stage can never fire on it unseeded — it would time
+    * the stage's overhead but not its work). 9 tokens → at k=8 span
+    * width the line alone never forms a cross-doc duplicated span, so
+    * the token delta it produces is attributable to line dedup alone. */
+  val BoilerplateLine: String =
+    "subscribe to our newsletter for daily updates and offers"
+
+  /** Append [[BoilerplateLine]] as a trailing LINE to every `every`-th
+    * document — the seeded line-dedup workload for corpora without
+    * natural line structure. Deterministic, id-derived, payload-local
+    * (one projection, no shuffle). */
+  def seedBoilerplate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", every: Int = 7): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    docs.withColumn(textCol,
+      when(col(idCol) % every === 0 && col(textCol).isNotNull,
+        concat(col(textCol), lit("\n" + BoilerplateLine)))
+        .otherwise(col(textCol)))
   }
 }

@@ -162,9 +162,14 @@ object ScaleBench {
     // change, not a scale measurement); the eval slice is replica 0,
     // fixed like q53's
     bench("curate_funnel_full") {
+      // lineDedupMinDf=2: the organic corpus's fixed boilerplate LINE
+      // has document frequency ~N/7 (grows linearly with the corpus) —
+      // the line-dedup stage's at-scale prey; with the per-stage
+      // lineage cut its join-back is O(1) plan nodes, so the stage must
+      // scale like the other rewrite stages
       val r = ops.CurateCli.curate(docs, "doc_id", "text",
         funnelCfg.copy(mixDefaultPpm = 900000L, piiScrub = true,
-          maxRepetitionRatio = 0.9, exciseSpanK = 8,
+          maxRepetitionRatio = 0.9, lineDedupMinDf = 2, exciseSpanK = 8,
           budgetTokens = 1000000000000L, packBudget = 512,
           packBuckets = 8),
         evalDocs = Some(docs.filter(evalSlice)))
@@ -315,7 +320,13 @@ object ScaleBench {
           if (organic) OrganicCorpus.generate(Tables.documents(spark, baseDir), f)
           else scaleDocuments(Tables.documents(spark, baseDir), f)
         scaledDocs.repartition(32).write.mode("overwrite").parquet(dDir)
-        scaleEmbeddings(Tables.embeddings(spark, baseDir), f)
+        // replica embeddings top out at 16 (ids are `id*16+rep`); the
+        // organic TEXT corpus has no such bound — an organic factor
+        // beyond 16 caps the embedding side (the organic question is
+        // the text family; vector queries at >16 would mix factors, so
+        // select text queries via SPARK_GRAFT_SCALE_ONLY there)
+        scaleEmbeddings(Tables.embeddings(spark, baseDir),
+          if (organic) math.min(f, 16) else f)
           .repartition(32).write.mode("overwrite").parquet(eDir)
         java.nio.file.Files.writeString(marker.toPath, markerWant)
       }

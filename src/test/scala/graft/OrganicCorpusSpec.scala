@@ -52,4 +52,41 @@ class OrganicCorpusSpec extends AnyFunSuite {
     assert(expected.subsetOf(withFooter),
       s"docs $expected must carry the footer window; got $withFooter")
   }
+
+  test("chunks are newline-joined lines; the footer is a duplicated LINE") {
+    val docs = OrganicCorpus.generate(base, 1)
+    // multi-chunk docs must be multi-line
+    val multiline = docs.filter(size(split(col("text"), "\n")) >= 2).count()
+    assert(multiline == docs.count(),
+      "every doc has >= 2 chunks, so every doc must be multi-line")
+    // the fixed boilerplate window is a LINE shared across the %7 docs,
+    // so line dedup (not just span excision) can remove it
+    val dupLines = Dedup.duplicatedLines(docs, "doc_id", "text", minDf = 2)
+    val footerDocs = dupLines
+      .filter(col("line").startsWith("document number 0 begins here"))
+      .select("doc_id").as[Long].collect().toSet
+    val expected = (0L until 40L).filter(_ % 7 == 0).toSet
+    assert(expected.subsetOf(footerDocs),
+      s"footer line must be flagged in docs $expected; got $footerDocs")
+  }
+
+  test("seedBoilerplate: line dedup produces a non-zero token delta") {
+    val flat = (0L until 30L).map(i =>
+      (i, s"src${i % 3}", s"plain single line document body number $i"))
+      .toDF("doc_id", "source", "text")
+    val seeded = OrganicCorpus.seedBoilerplate(flat)
+    // seeded docs carry the trailing boilerplate line
+    assert(seeded.filter(col("text")
+      .contains(OrganicCorpus.BoilerplateLine)).count() == 5)
+    val before = seeded.agg(sum(size(split(col("text"), "\\s+")))).head.getLong(0)
+    val after = Dedup.removeDuplicatedLines(seeded, "doc_id", "text", minDf = 2)
+      .agg(sum(size(split(col("text"), "\\s+")))).head.getLong(0)
+    assert(after < before,
+      s"line dedup must drop the seeded boilerplate tokens ($after vs $before)")
+    // and the un-seeded corpus is untouched (no false positives)
+    val flatAfter = Dedup.removeDuplicatedLines(flat, "doc_id", "text", minDf = 2)
+      .agg(sum(size(split(col("text"), "\\s+")))).head.getLong(0)
+    val flatBefore = flat.agg(sum(size(split(col("text"), "\\s+")))).head.getLong(0)
+    assert(flatAfter == flatBefore)
+  }
 }
