@@ -197,6 +197,18 @@ object SparkEntry {
     // (build once, probe many — same pattern as the q40/q41 decode)
     "q36_ngram_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d), threshold = 0.3)),
+    // q98: DIRECTED containment (excerpt detection) off the same index
+    "q98_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairsFromIndex(shingleIdx(s, d), threshold = 0.6)),
+    // q100: per-doc n-gram novelty vs the id-ordered corpus — again the
+    // shared k=3 index, read as the (shingle → first id) rollup
+    "q100_ngram_novelty" -> ((s, d) =>
+      Dedup.ngramNoveltyFromIndex(shingleIdx(s, d), "doc_id")),
+    // q99: tf-idf cosine pairs over top-5-term sparse vectors —
+    // integer-micro weights make the dot product an exact BIGINT sum
+    "q99_tfidf_cosine_pairs" -> ((s, d) =>
+      TextAnalysis.tfidfCosinePairs(Tables.documents(s, d),
+        "doc_id", "text", topM = 5, threshold = 0.8)),
 
     // §7.10 extended surface: similarity search
     "q37_ann_cosine_topk" -> ((s, d) => {
@@ -587,6 +599,33 @@ object SparkEntry {
     "q92_top_suppliers" -> ((s, d) =>
       Analytics.topSuppliersByRevenue(Tables.supplier(s, d),
         Tables.lineitem(s, d), "1996-01-01", "1996-04-01", k = 10)),
+    // q96: shipping priority (TPC-H Q3 shape) — both fact scans
+    // date-pruned, segment slice as a semi-join, decimal revenue,
+    // TakeOrderedAndProject top-k
+    "q96_shipping_priority" -> ((s, d) =>
+      Analytics.shippingPriority(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), "BUILDING", "1996-06-01", k = 10)),
+    // q97: returned-item customers (TPC-H Q10 shape) — flag+date-pruned
+    // fact, per-customer pre-agg BEFORE the dim joins, broadcast nation
+    "q97_returned_customers" -> ((s, d) =>
+      Analytics.returnedItemCustomers(Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d), Tables.nation(s, d),
+        "1996-01-01", "1996-04-01", k = 20)),
+    // q101: priority counts of orders with a returned line (TPC-H Q4
+    // shape) — EXISTS as a key-only LEFT SEMI join
+    "q101_priority_returns" -> ((s, d) =>
+      Analytics.priorityReturnCounts(Tables.orders(s, d),
+        Tables.lineitem(s, d), "1996-01-01", "1996-07-01")),
+    // q102: exact quality-score quantiles over the corpus (integer-ppm
+    // scores through the q9 distributed exact-rank machinery) — the
+    // calibration table a curation run reads before picking minQuality
+    "q102_quality_quantiles" -> ((s, d) =>
+      Analytics.rankQuantiles(
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(round(TextAnalysis.qualityScore(col("text"),
+            TextAnalysis.LangProfiles("en")) * 1000000)
+            .cast("long").as("q_ppm")),
+        "q_ppm", Seq(0.25, 0.5, 0.75, 0.95))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -918,6 +957,64 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY total_revenue DESC, s_suppkey LIMIT 10""".stripMargin,
+    // q96: Q3 shape — same pruned scans, segment IN-subquery for the
+    // semi-join, decimal revenue, l_orderkey tiebreak into the limit
+    "q96_shipping_priority" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-06-01'),
+        |l AS (SELECT l_orderkey, l_extendedprice, l_discount
+        |  FROM lineitem WHERE l_shipdate > TIMESTAMP '1996-06-01')
+        |SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM l JOIN o ON l_orderkey = o_orderkey
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    // q97: Q10 shape — flag+date-pruned fact, per-customer rollup, then
+    // the customer/nation attributes
+    "q97_returned_customers" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'),
+        |rev AS (SELECT o_custkey,
+        |   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        | FROM lineitem JOIN o ON l_orderkey = o_orderkey
+        | WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // q101: Q4 shape — EXISTS semi-join + priority rollup
+    "q101_priority_returns" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    // q102: the q33/q64 integer quality-ppm ladder, fed through q9's
+    // exact-rank quantile pick (ceil-rank, 1-based, doc_id-free — the
+    // value column is the ppm itself so ranks are well-defined)
+    "q102_quality_quantiles" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents
+         |  WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  greatest(CAST(len(toks) AS BIGINT), 1) AS toks_n,
+         |  CAST(len(list_filter(toks, x -> x IN ($enStop))) AS BIGINT) AS sw,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio
+         | FROM t),
+         |q AS (SELECT least(n_tokens, 100) * 4000
+         |   + (CASE WHEN punct_ratio < CAST(0.2 AS DOUBLE) THEN 300000 ELSE 90000 END)
+         |   + ((least((sw * 5000000) // toks_n, 1000000) * 3) // 10) AS qppm
+         | FROM m),
+         |ranked AS (SELECT CAST(qppm AS DOUBLE) AS v,
+         |   row_number() OVER (ORDER BY qppm) AS rn FROM q),
+         |n AS (SELECT count(*) AS c FROM q)
+         |SELECT CAST(0.25 AS DOUBLE) AS quantile, v AS value FROM ranked, n WHERE rn = greatest(1, CAST(ceil(0.25 * c) AS BIGINT))
+         |UNION ALL SELECT CAST(0.5 AS DOUBLE), v FROM ranked, n WHERE rn = greatest(1, CAST(ceil(0.5 * c) AS BIGINT))
+         |UNION ALL SELECT CAST(0.75 AS DOUBLE), v FROM ranked, n WHERE rn = greatest(1, CAST(ceil(0.75 * c) AS BIGINT))
+         |UNION ALL SELECT CAST(0.95 AS DOUBLE), v FROM ranked, n WHERE rn = greatest(1, CAST(ceil(0.95 * c) AS BIGINT))""".stripMargin,
 
     // q90: postings, per-doc lengths, corpus totals, per-token df, and
     // the query-term table all as CTEs; same fixed-point score as q79
@@ -1380,6 +1477,55 @@ object SparkEntry {
     // q82: the prefix-filtered plan must reproduce the full self-join's
     // answer EXACTLY — same oracle text as q36
     "q82_jaccard_prefix_filter" -> jaccardAllPairsSql03,
+    // q98: q36's shingle CTEs, but DIRECTED pairs normalized by the
+    // contained side's size only
+    "q98_containment_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 3
+        |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / sa.sz AS containment
+        |FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+        |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.6""".stripMargin,
+    // q100: shingle → min(doc) first-occurrence rollup, then the
+    // per-doc novel-count join-back; novelty is ONE double division
+    "q100_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 3
+        |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+        |f AS (SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_shingles,
+        |  CAST(sum(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+        |FROM sh JOIN f ON sh.shingle = f.shingle
+        |GROUP BY 1""".stripMargin,
+    // q99: q63's (token, doc) pre-agg and df rollup; integer-micro
+    // weights (floor division both engines), exact BIGINT dot, cosine
+    // as sqrt·sqrt·divide on the exact sums
+    "q99_tfidf_cosine_pairs" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT token, doc_id, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2),
+        |d AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+        |s AS (SELECT p.doc_id, p.token, (p.tf * 1000000) // d.df AS w,
+        |    row_number() OVER (PARTITION BY p.doc_id
+        |      ORDER BY CAST(p.tf AS DOUBLE) / d.df DESC, p.token) AS rnk
+        |  FROM p JOIN d USING (token)),
+        |v AS (SELECT doc_id, token, w FROM s WHERE rnk <= 5),
+        |n AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS n2 FROM v GROUP BY 1),
+        |dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(a.w*b.w) AS BIGINT) AS dp
+        |  FROM v a JOIN v b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(dp AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+        |FROM dot JOIN n na ON dot.id_a = na.doc_id JOIN n nb ON dot.id_b = nb.doc_id
+        |WHERE CAST(dp AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.8""".stripMargin,
     // q48: q36's machinery with the DF cut — shingles present in > 20
     // docs are dropped from BOTH candidate generation and the
     // size/intersection arithmetic on BOTH engines

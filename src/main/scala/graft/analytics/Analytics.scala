@@ -78,6 +78,84 @@ object Analytics {
       .limit(k)
   }
 
+  /** Unshipped-order shipping priority (TPC-H Q3 shape): top-k orders
+    * by open revenue for one market segment — the order-book triage a
+    * warehouse user runs each morning. Plan discipline: BOTH date
+    * filters prune their fact scans before any join (orders by
+    * order date, lineitem by ship date — `PushedFilters` on each
+    * scan); the segment-filtered customer slice projects to the join
+    * key only and joins declaratively (broadcast while small, key
+    * shuffle at scale); revenue aggregates in exact decimal; the
+    * top-k rides TakeOrderedAndProject (never a global sort). */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String, date: String,
+      k: Int = 10): DataFrame = {
+    val c = customer.filter(col("c_mktsegment") === lit(segment))
+      .select("c_custkey")
+    val o = orders.filter(col("o_orderdate") < lit(date))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = lineitem.filter(col("l_shipdate") > lit(date))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"),
+        // calendar-day string, not raw timestamp — engine-portable (q2's
+        // parity rule) and what the triage report shows anyway
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(k)
+  }
+
+  /** Returned-item revenue by customer (TPC-H Q10 shape): which
+    * customers returned the most revenue in a quarter — the
+    * support-triage rollup. The fact side is date- AND flag-pruned
+    * before the join chain; customer attributes attach AFTER the
+    * per-customer aggregate (the join input is customers-sized, not
+    * lineitem-sized); nation (25 rows) broadcasts. */
+  def returnedItemCustomers(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nation: DataFrame,
+      fromDate: String, toDate: String, k: Int = 20): DataFrame = {
+    val o = orders
+      .filter(col("o_orderdate") >= lit(fromDate) &&
+        col("o_orderdate") < lit(toDate))
+      .select("o_orderkey", "o_custkey")
+    val rev = lineitem.filter(col("l_returnflag") === lit("R"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+    rev
+      .join(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Order-priority rollup of orders with at least one returned line
+    * (TPC-H Q4 shape, EXISTS re-expressed as a LEFT SEMI join): the
+    * date filter prunes the orders scan; the lineitem side projects to
+    * the flag-filtered join key only — the semi-join shuffles 8-byte
+    * keys, never payloads, and short-circuits per key (no fan-out on
+    * multi-line orders, no distinct needed). */
+  def priorityReturnCounts(orders: DataFrame, lineitem: DataFrame,
+      fromDate: String, toDate: String): DataFrame = {
+    val o = orders.filter(col("o_orderdate") >= lit(fromDate) &&
+      col("o_orderdate") < lit(toDate))
+    val returned = lineitem.filter(col("l_returnflag") === lit("R"))
+      .select("l_orderkey")
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   /** daily_order_summary MV (init.sql:195-206): GROUP BY day+status with
     * COUNT/SUM/AVG/MIN/MAX of total_amount. */
   def dailyOrderSummary(orders: DataFrame): DataFrame =

@@ -494,6 +494,80 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Directed containment pairs (Broder 1997's second resemblance
+    * measure): C(A→B) = |A ∩ B| / |A| ≥ threshold flags document A as
+    * an EXCERPT of B — the near-dup family's answer to quotes, partial
+    * re-crawls, and page-within-page duplication that symmetric Jaccard
+    * misses (a 50-token quote inside a 5000-token page has J ≈ 0.01
+    * but C ≈ 1.0). Output is DIRECTED: one row per ordered pair
+    * (id_a, id_b, containment) with id_a ≠ id_b — a mutual pair (true
+    * near-dups) appears in both directions.
+    *
+    * Same scale shape as [[ngramJaccardPairsFromIndex]]: candidates
+    * come only from the shingle-equality join (never all-pairs), the
+    * optional `maxShingleDf` cut guards the hot-shingle blowup, and
+    * the normalizer is the CONTAINED side's size only — one size join
+    * per direction. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame =
+    containmentPairsFromIndex(shingleIndex(df, idCol, textCol, k),
+      threshold, maxShingleDf)
+
+  /** [[containmentPairs]] against a prebuilt [[shingleIndex]] — shares
+    * the index with the Jaccard/prefix-filter queries (the index is
+    * measure-independent). */
+  def containmentPairsFromIndex(shAll: DataFrame, threshold: Double,
+      maxShingleDf: Long = 0L): DataFrame = {
+    val sh = if (maxShingleDf > 0) {
+      val rare = shAll.groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf)
+        .select("shingle")
+      shAll.join(rare, Seq("shingle"), "left_semi").localCheckpoint()
+    } else shAll
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.alias("x").join(sh.alias("y"), Seq("shingle"))
+      .filter(col("x.id") =!= col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .withColumn("containment", col("inter").cast("double") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
+  /** Per-document n-gram NOVELTY against the corpus ordered by id —
+    * what fraction of a document's distinct k-gram shingles first
+    * appear in THAT document (no earlier-id document contains them)?
+    * The crawl-ordering quality signal: in an id-ordered ingest, a
+    * late document with near-zero novelty is re-crawled/templated
+    * content even when no single earlier document matches it closely
+    * enough for pair-wise dedup (its grams are scattered across many
+    * predecessors). Output: (id, n_shingles, novel_shingles, novelty)
+    * with novelty = novel/n as ONE IEEE division of exact longs.
+    *
+    * Scale shape: word-count on 8-byte gram keys — one map-side-partial
+    * `min(id)` rollup per shingle (hot shingles collapse in the
+    * partials), one id-keyed count-agg join back; no joins carry text,
+    * nothing is quadratic. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    ngramNoveltyFromIndex(shingleIndex(df, idCol, textCol, k), idCol)
+
+  /** [[ngramNovelty]] against a prebuilt [[shingleIndex]] (shared with
+    * the pair queries — the index is measure-independent). */
+  def ngramNoveltyFromIndex(sh: DataFrame, idCol: String = "id"): DataFrame = {
+    val first = sh.groupBy("shingle").agg(min(col("id")).as("__first"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col("id"), 1L).otherwise(0L))
+          .as("novel_shingles"))
+      .withColumn("novelty",
+        col("novel_shingles").cast("double") / col("n_shingles"))
+  }
+
   /** Exact Jaccard pairs by PREFIX FILTERING (Bayardo et al. 2007,
     * "Scaling Up All Pairs Similarity Search") — the same result set as
     * [[ngramJaccardPairsFromIndex]] from a fundamentally cheaper

@@ -664,6 +664,59 @@ object TextAnalysis {
         score.as("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Near-duplicate pairs by TF-IDF cosine over TOP-`topM` TERM
+    * vectors — the lexical-similarity complement of shingle Jaccard
+    * (word-weight overlap instead of word-order overlap; robust to
+    * token reordering that destroys every shingle). Each document's
+    * sparse vector keeps only its `topM` most distinctive terms
+    * ([[distinctiveTerms]] ranking), weighted `⌊tf·10⁶/df⌋` in exact
+    * integer micros: the dot product is then an exact BIGINT sum
+    * (order-independent — double summation order differs across
+    * engines and partitionings), and the cosine is three IEEE ops
+    * (two sqrt, one divide) on exact integers — bit-identical on any
+    * engine at any parallelism. Output: (id_a, id_b, cosine), id_a <
+    * id_b, cosine ≥ threshold.
+    *
+    * The truncation IS the scale design, not a shortcut: full tf-idf
+    * pair generation via an inverted index fans out Σ_t df(t)² rows —
+    * quadratic in corpus size for ubiquitous terms. Truncating to
+    * rarest-leaning top-m caps the fan-out at m rows per doc per side
+    * (the same reason Bayardo prefix filtering explodes only
+    * prefixes), and the per-term posting join inherits the vocabulary
+    * word-count shape: counts shuffle, never text. */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      topM: Int = 5, threshold: Double = 0.8): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    val perDoc = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token", "__id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read twice: df rollup + the scored join
+    val dfTab = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id")
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("token"))
+    val vec = perDoc.join(dfTab, "token")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topM)
+      .select(col("__id"), col("token"),
+        expr("tf * 1000000L DIV df").as("w"))
+      .localCheckpoint() // read three times: norms + both join sides
+    val norms = vec.groupBy("__id").agg(sum(col("w") * col("w")).as("n2"))
+    val dot = vec.alias("x").join(vec.alias("y"), Seq("token"))
+      .filter(col("x.__id") < col("y.__id"))
+      .groupBy(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .agg(sum(col("x.w") * col("y.w")).as("dp"))
+    dot
+      .join(norms.select(col("__id").as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
+      .join(norms.select(col("__id").as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
+      .withColumn("cosine", col("dp").cast("double") /
+        (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
     * Models: ... Gopher", §A1.1) — the standard per-document rule
     * battery real curation stacks run alongside a scalar quality score.

@@ -340,6 +340,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("q96 shipping priority: pruned fact scans, semi-join, top-k not global sort") {
+    val p = plan("q96_shipping_priority")
+    // both date filters must reach their parquet scans
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"orders scan must push the date filter:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem scan must push the ship-date filter:\n$p")
+    assert(p.contains("LeftSemi"), s"segment slice must be a semi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("q97/q101: pre-agg before dim join; returnflag pushed; no fan-out on the semi side") {
+    val p97 = plan("q97_returned_customers")
+    assert(p97.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+      s"returnflag must reach the lineitem scan:\n$p97")
+    assert(p97.contains("TakeOrderedAndProject"))
+    val p101 = plan("q101_priority_returns")
+    assert(p101.contains("LeftSemi"), s"EXISTS must plan as a semi-join:\n$p101")
+    assert(p101.contains("partial_count"), "map-side partial count expected")
+  }
+
+  test("q98/q100 share q36's index shape: equi-joins only, no cartesian") {
+    for (q <- Seq("q98_containment_pairs", "q100_ngram_novelty")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: equi-joins only:\n$p")
+    }
+  }
+
+  test("q99 tf-idf cosine: exact-integer dot with map-side partials, equi-joins only") {
+    // (the top-m window lives BEHIND the vec checkpoint — its
+    // WindowGroupLimit pushdown is q63's asserted plan, same code shape)
+    val p = plan("q99_tfidf_cosine_pairs")
+    assert(p.contains("partial_sum"),
+      s"dot product must pre-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"equi-joins only:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))
