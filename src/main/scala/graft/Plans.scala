@@ -74,7 +74,15 @@ object Plans {
     "q91_revenue_by_nation" ->
       "The Q5-shaped star join: the date window prunes ORDERS at its scan (PushedFilters carries the timestamp bounds), the 25-row nation dim is an explicit broadcast, customer joins declaratively, and revenue accumulates as exact decimal(18,6) — identical totals at any partition count, which is what lets a float-heavy join rollup hash-match an oracle at all.",
     "q92_top_suppliers" ->
-      "The Q15 shape with the aggregate pushed BELOW the join: lineitem pre-aggregates per supplier (map-side partials behind the shipdate-pruned scan), so the supplier dim join sees a suppliers-sized input instead of the fact table, and the top-10 is TakeOrderedAndProject — no global sort, no fact-sized join.")
+      "The Q15 shape with the aggregate pushed BELOW the join: lineitem pre-aggregates per supplier (map-side partials behind the shipdate-pruned scan), so the supplier dim join sees a suppliers-sized input instead of the fact table, and the top-10 is TakeOrderedAndProject — no global sort, no fact-sized join.",
+    "q104_promo_revenue" ->
+      "The Q14 shape: the ship-month filter prunes the lineitem scan (PushedFilters carries both timestamp bounds), part projects to (key, is-promo flag) and BROADCASTS — the fact never shuffles — and the share is two exact decimal sums with ONE final IEEE division. At 100 TB this plan is a single scan-bound pass: no exchange touches fact rows.",
+    "q106_sales_opportunity" ->
+      "The Q22 shape with both correlated subqueries flattened scale-safely: the mean-positive-balance scalar is a 1-ROW aggregate broadcast back via nested-loop (never a per-row recompute), the comparison is CROSS-MULTIPLIED (bal·n > Σbal in exact decimal — no float average exists in the plan), and NOT EXISTS is a LEFT ANTI join carrying only projected 8-byte keys.",
+    "q108_bigram_lm" ->
+      "The CCNet perplexity filter as relational algebra: ONE checkpointed positional-bigram stream (Scan ExistingRDD — built once, read by the pair rollup, the prefix rollup, and the scored join), all three keyed on token strings with map-side partials so hot bigrams collapse before any exchange; the vocab count is a two-phase countDistinct broadcast back as one row. Scores are fixed-point integer ln's of integer counts — the per-doc sum commutes, so the plan hash-matches its oracle at any partitioning.",
+    "q109_gramian" ->
+      "The gramian as MLlib's RowMatrix computes it, in DataFrame clothes: embeddings reach a typed mapPartitions ON THE SCAN PARTITIONS (no exchange below it — shuffling payload bytes to 'spread' d²-FLOP work is the classic mistake), each partition emits its flat-array upper-triangle partials (flush-bounded exact long arithmetic), and the only exchange carries ≤ partitions·d(d+1)/2 rows into one hash aggregation summing in DECIMAL(38,0). Corpus size changes the scan, never the shuffle.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

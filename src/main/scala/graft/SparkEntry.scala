@@ -209,6 +209,11 @@ object SparkEntry {
     "q99_tfidf_cosine_pairs" -> ((s, d) =>
       TextAnalysis.tfidfCosinePairs(Tables.documents(s, d),
         "doc_id", "text", topM = 5, threshold = 0.8)),
+    // q108: corpus-self bigram-LM cross-entropy (the CCNet perplexity
+    // filter, fixed-pointed) — the q72 integer-ln trick keeps the
+    // per-doc sum exact in any association order
+    "q108_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLmScores(Tables.documents(s, d), "doc_id", "text")),
 
     // §7.10 extended surface: similarity search
     "q37_ann_cosine_topk" -> ((s, d) => {
@@ -626,6 +631,34 @@ object SparkEntry {
             TextAnalysis.LangProfiles("en")) * 1000000)
             .cast("long").as("q_ppm")),
         "q_ppm", Seq(0.25, 0.5, 0.75, 0.95))),
+    // q103: customer order-count distribution (TPC-H Q13 shape) — the
+    // fact collapses to per-customer counts BEFORE the outer join;
+    // zero-order customers survive via LEFT + coalesce
+    "q103_customer_distribution" -> ((s, d) =>
+      Analytics.customerOrderDistribution(Tables.customer(s, d),
+        Tables.orders(s, d), "1-URGENT")),
+    // q104: promo revenue share for one ship-month (TPC-H Q14 shape) —
+    // broadcast part flag, two exact decimal sums, one final division
+    "q104_promo_revenue" -> ((s, d) =>
+      Analytics.promoRevenue(Tables.part(s, d), Tables.lineitem(s, d),
+        "PROMO", "1996-03-01", "1996-04-01")),
+    // q105: large-volume customers (TPC-H Q18 shape) — the HAVING
+    // rollup runs on the fact FIRST; joins are qualifying-orders-sized
+    "q105_large_volume_customers" -> ((s, d) =>
+      Analytics.largeVolumeCustomers(Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d), 250.0, k = 20)),
+    // q106: idle high-balance customers by segment (TPC-H Q22 shape) —
+    // 1-row scalar broadcast, cross-multiplied mean compare (no float
+    // average), LEFT ANTI on projected keys
+    "q106_sales_opportunity" -> ((s, d) =>
+      Analytics.salesOpportunity(Tables.customer(s, d), Tables.orders(s, d),
+        "1996-01-01", "1997-01-01")),
+    // q107: small-quantity-order revenue for one brand (TPC-H Q17
+    // shape) — the correlated scalar subquery as a per-part rollup +
+    // cross-multiplied exact-decimal threshold
+    "q107_small_quantity_revenue" -> ((s, d) =>
+      Analytics.smallQuantityRevenue(Tables.part(s, d),
+        Tables.lineitem(s, d), "Brand#4")),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -680,6 +713,12 @@ object SparkEntry {
     "q85_knn_graph" -> ((s, d) =>
       graft.vector.Kmeans.knnGraph(Tables.embeddings(s, d), "vec_id",
         "embedding", ivfCentroids(s, d), k = 3)),
+
+    // q109: fixed-point corpus gramian (MLlib RowMatrix pattern) — the
+    // PCA/whitening input. Per-partition flat-array partials; the
+    // shuffle is ≤ partitions·d²/2 rows regardless of corpus size
+    "q109_gramian" -> ((s, d) =>
+      graft.vector.Gramian.gramianFp(Tables.embeddings(s, d), "embedding")),
 
     // q84: per-domain quality cap (RefinedWeb-style) — each source
     // contributes at most its 25 BEST docs by quality. Map-side
@@ -1015,6 +1054,67 @@ object SparkEntry {
          |UNION ALL SELECT CAST(0.5 AS DOUBLE), v FROM ranked, n WHERE rn = greatest(1, CAST(ceil(0.5 * c) AS BIGINT))
          |UNION ALL SELECT CAST(0.75 AS DOUBLE), v FROM ranked, n WHERE rn = greatest(1, CAST(ceil(0.75 * c) AS BIGINT))
          |UNION ALL SELECT CAST(0.95 AS DOUBLE), v FROM ranked, n WHERE rn = greatest(1, CAST(ceil(0.95 * c) AS BIGINT))""".stripMargin,
+    // q103: Q13 shape — per-customer order counts, LEFT join keeps the
+    // zero-order customers, second rollup is the distribution
+    "q103_customer_distribution" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS n FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT coalesce(n, 0) AS c_count, count(*) AS custdist
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // q104: Q14 shape — month-pruned fact, promo flag from part, two
+    // exact decimal sums, one final division
+    "q104_promo_revenue" ->
+      """WITH l AS (SELECT l_partkey,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS rev
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'),
+        |j AS (SELECT rev, (p_type = 'PROMO') AS promo
+        |  FROM l JOIN part ON l_partkey = p_partkey),
+        |s AS (SELECT sum(CASE WHEN promo THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END) AS pr,
+        |  sum(rev) AS tr FROM j)
+        |SELECT CAST(pr AS DOUBLE) AS promo_revenue,
+        |  CAST(tr AS DOUBLE) AS total_revenue,
+        |  CAST(pr AS DOUBLE) * 100.0 / CAST(tr AS DOUBLE) AS promo_pct
+        |FROM s""".stripMargin,
+    // q105: Q18 shape — HAVING rollup on the fact first, then the
+    // order/customer attributes, quantity tiebreak into the limit
+    "q105_large_volume_customers" ->
+      """WITH q AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice,
+        |  CAST(tq AS DOUBLE) AS total_quantity
+        |FROM q JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_quantity DESC, o_orderkey LIMIT 20""".stripMargin,
+    // q106: Q22 shape — cross-multiplied mean-balance compare (bal·n >
+    // Σbal, exact decimal), NOT EXISTS over the order window
+    "q106_sales_opportunity" ->
+      """WITH ps AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bsum,
+        |    count(*) AS bn FROM customer WHERE c_acctbal > 0.0),
+        |sel AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer, ps
+        |  WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bn > bsum),
+        |idle AS (SELECT * FROM sel WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'))
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM idle GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q107: Q17 shape — per-part rollup replaces the correlated scalar
+    // subquery; the threshold cross-multiplies (5·qty·n < Σqty) so no
+    // float average exists in either engine
+    "q107_small_quantity_revenue" ->
+      """WITH l AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')),
+        |st AS (SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qsum,
+        |    count(*) AS n FROM l GROUP BY 1)
+        |SELECT CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,2))),
+        |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_weekly_revenue
+        |FROM l JOIN st ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n < qsum""".stripMargin,
 
     // q90: postings, per-doc lengths, corpus totals, per-token df, and
     // the query-term table all as CTEs; same fixed-point score as q79
@@ -1526,6 +1626,40 @@ object SparkEntry {
         |  CAST(dp AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
         |FROM dot JOIN n na ON dot.id_a = na.doc_id JOIN n nb ON dot.id_b = nb.doc_id
         |WHERE CAST(dp AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.8""".stripMargin,
+    // q108: the oracle re-derives the positional bigram stream, the
+    // pair/prefix rollups, the vocab count, and the same
+    // integer-argument fixed-point ln as the q72 DSIR oracle
+    "q108_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |px AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+         |  FROM t WHERE len(toks) >= 2),
+         |b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM px),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS vocab
+         |  FROM (SELECT unnest(toks) AS tok FROM t)),
+         |s AS (SELECT b.doc_id,
+         |    CAST(floor(ln(CAST(c1.c1 + v.vocab AS DOUBLE)) * 1000000) AS BIGINT)
+         |  - CAST(floor(ln(CAST(c12.c12 + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS nl
+         |  FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(nl) AS BIGINT) AS nll_fp,
+         |  CAST(CAST(sum(nl) AS BIGINT) AS DOUBLE) / (1000000.0 * count(*)) AS cross_entropy
+         |FROM s GROUP BY doc_id""".stripMargin,
+    // q109: the oracle re-derives the micro-fixed-point components and
+    // sums the upper-triangle products per (i,j) — generate_series is
+    // INCLUSIVE, matching the 1-based dims the engine emits
+    "q109_gramian" ->
+      """WITH e AS (SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xf
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |pi AS (SELECT xf, unnest(generate_series(1, len(xf))) AS i FROM e),
+        |pj AS (SELECT xf, i, unnest(generate_series(i, len(xf))) AS j FROM pi),
+        |p AS (SELECT CAST(i AS INTEGER) AS dim_i, CAST(j AS INTEGER) AS dim_j,
+        |    xf[i] * xf[j] AS pr FROM pj)
+        |SELECT dim_i, dim_j, CAST(sum(pr) AS BIGINT) AS gram_fp,
+        |  CAST(CAST(sum(pr) AS BIGINT) AS DOUBLE) / 1e12 AS gram
+        |FROM p GROUP BY 1, 2""".stripMargin,
     // q48: q36's machinery with the DF cut — shingles present in > 20
     // docs are dropped from BOTH candidate generation and the
     // size/intersection arithmetic on BOTH engines

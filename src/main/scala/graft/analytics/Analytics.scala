@@ -156,6 +156,140 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** Customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed exactly N orders — including the N=0 customers a
+    * plain join would drop. `excludePriority` stands in for Q13's
+    * comment-pattern exclusion (the synthetic schema carries no
+    * comment column). Plan discipline: the fact collapses to one row
+    * per customer BEFORE the outer join (per-custkey hash agg with
+    * map-side partials), so the join is customers × customers-sized;
+    * the second rollup groups on a small-cardinality long. The LEFT
+    * join from customer keeps zero-order customers with a null count
+    * that coalesces to 0 — the distribution's head. */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame,
+      excludePriority: String): DataFrame = {
+    val perCust = orders
+      .filter(col("o_orderpriority") =!= lit(excludePriority))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("__n"))
+    customer.select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("__n"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Promotion revenue share for one ship-month (TPC-H Q14 shape):
+    * what fraction of the month's discounted revenue came from promo
+    * parts. The date filter prunes the lineitem scan; `part` projects
+    * to (key, is-promo flag) and broadcasts — the fact never
+    * shuffles; the ratio is computed from two exact decimal sums with
+    * ONE final IEEE division (engine-reproducible, q2's parity rule).
+    * Output: one row `(promo_revenue, total_revenue, promo_pct)`. */
+  def promoRevenue(part: DataFrame, lineitem: DataFrame, promoType: String,
+      fromDate: String, toDate: String): DataFrame = {
+    val l = lineitem
+      .filter(col("l_shipdate") >= lit(fromDate) &&
+        col("l_shipdate") < lit(toDate))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = broadcast(part.select(col("p_partkey"),
+      (col("p_type") === lit(promoType)).as("__promo")))
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(18, 6))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("__promo"), rev).otherwise(lit(0).cast(DecimalType(18, 6))))
+          .as("__pr"),
+        sum(rev).as("__tr"))
+      .select(col("__pr").cast("double").as("promo_revenue"),
+        col("__tr").cast("double").as("total_revenue"),
+        (col("__pr").cast("double") * lit(100.0) / col("__tr").cast("double"))
+          .as("promo_pct"))
+  }
+
+  /** Large-volume customers (TPC-H Q18 shape): orders whose total line
+    * quantity exceeds `minQuantity`, with their customer and order
+    * attributes. Plan discipline: the HAVING rollup runs on the fact
+    * FIRST (per-orderkey hash agg, map-side partials) and the
+    * threshold prunes it to a handful of keys, so the order/customer
+    * joins are qualifying-orders-sized; quantity sums in exact
+    * decimal; top-k rides TakeOrderedAndProject. */
+  def largeVolumeCustomers(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, minQuantity: Double, k: Int = 20): DataFrame = {
+    val qty = lineitem.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("__q"))
+      .filter(col("__q") > lit(minQuantity))
+    qty.join(orders.select("o_orderkey", "o_custkey", "o_orderdate",
+        "o_totalprice"), col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"),
+        col("__q").cast("double").as("total_quantity"))
+      .orderBy(col("total_quantity").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Small-quantity-order revenue for one brand (TPC-H Q17 shape): the
+    * weekly revenue lost if tiny orders (below 20% of the part's mean
+    * order quantity) were no longer filled. The correlated scalar
+    * subquery becomes a per-part rollup joined back to the fact.
+    * Cross-engine exactness: `l_quantity < 0.2 * avg(...)` is
+    * cross-multiplied to `5 · l_quantity · n < Σ quantity` — all
+    * exact decimal arithmetic, no float average to diverge between
+    * engines. Plan discipline: the brand slice of `part` broadcasts
+    * into BOTH the rollup and the final join, so only that slice of
+    * the fact is ever aggregated; output is one row. */
+  def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame,
+      brand: String): DataFrame = {
+    val p = broadcast(part.filter(col("p_brand") === lit(brand))
+      .select("p_partkey"))
+    val l = lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+    val stats = l.groupBy(col("l_partkey").as("__pk"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("__qsum"),
+        count(lit(1)).as("__n"))
+    l.join(stats, col("l_partkey") === col("__pk"))
+      .filter(col("l_quantity").cast(DecimalType(18, 2)) * lit(5) * col("__n")
+        < col("__qsum"))
+      .agg(coalesce(sum(col("l_extendedprice").cast(DecimalType(18, 2))),
+        lit(0).cast(DecimalType(18, 2))).as("__r"))
+      // exact decimal sum, ONE IEEE division (the dsum parity rule) —
+      // decimal/int division scales differently across engines
+      .select((col("__r").cast("double") / lit(7.0))
+        .as("avg_weekly_revenue"))
+  }
+
+  /** Idle high-balance customers by segment (TPC-H Q22 shape): count
+    * and total balance of customers whose balance beats the mean
+    * positive balance but who placed no orders in the window — the
+    * "sales opportunity" rollup. The scalar subquery is a 1-row
+    * aggregate broadcast via cross join; `NOT EXISTS` is a LEFT ANTI
+    * join on projected 8-byte keys. Cross-engine exactness: the
+    * mean-balance comparison cross-multiplies (`bal · n > Σ bal`) in
+    * exact decimal — no float average. */
+  def salesOpportunity(customer: DataFrame, orders: DataFrame,
+      fromDate: String, toDate: String): DataFrame = {
+    val posStats = customer.filter(col("c_acctbal") > lit(0.0))
+      .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("__bsum"),
+        count(lit(1)).as("__bn"))
+    val active = orders
+      .filter(col("o_orderdate") >= lit(fromDate) &&
+        col("o_orderdate") < lit(toDate))
+      .select("o_custkey")
+    customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+      .crossJoin(broadcast(posStats))
+      .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("__bn")
+        > col("__bsum"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** daily_order_summary MV (init.sql:195-206): GROUP BY day+status with
     * COUNT/SUM/AVG/MIN/MAX of total_amount. */
   def dailyOrderSummary(orders: DataFrame): DataFrame =

@@ -801,6 +801,56 @@ object TextAnalysis {
         col("cf_sum").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** Add-one-smoothed bigram language-model cross-entropy per document
+    * — the CCNet-style (Wenzek et al. 2020) "perplexity filter" with
+    * the corpus itself as the LM: docs of improbable token sequences
+    * (boilerplate soup, scrambled scrapes) score high, fluent docs
+    * low. For each positional bigram (w₁,w₂):
+    *
+    *   nll(w₁,w₂) = ln(c(w₁·) + V) − ln(c(w₁,w₂) + 1)
+    *
+    * (add-1 conditional P(w₂|w₁) = (c₁₂+1)/(c₁+V); V = corpus distinct
+    * tokens, c(w₁·) = bigram-prefix occurrences). Output: `(idCol,
+    * n_bigrams, nll_fp, cross_entropy)` for docs with ≥ 2 tokens,
+    * where `nll_fp` sums `L(c₁+V) − L(c₁₂+1)` with the q72 fixed-point
+    * trick — `L(n) = floor(ln(n)·10⁶)`, every ln on an INTEGER
+    * argument — so the per-doc sum is exact 64-bit arithmetic in any
+    * association order, and `cross_entropy = nll_fp / (10⁶ ·
+    * n_bigrams)` (nats/bigram, one IEEE division).
+    *
+    * Scale shape: the positional bigram stream materializes once
+    * (localCheckpoint) and feeds the pair rollup, the prefix rollup,
+    * and the scored join — all keyed on token strings, hot pairs die
+    * in map-side partials; the vocab count is a 1×1 two-phase
+    * countDistinct broadcast back via cross join. Nothing
+    * corpus-sized reaches the driver. */
+  def bigramLmScores(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    def lfp(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1000000L)).cast("long")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
+    val bi = toks.filter(size(col("__toks")) >= 2)
+      .select(col("__id"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("__bg"))
+      .select(col("__id"), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+      .localCheckpoint() // read 3×: pair rollup, prefix rollup, scored join
+    val c12 = bi.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    val c1 = bi.groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val vocab = toks.select(explode(col("__toks")).as("__t"))
+      .agg(countDistinct(col("__t")).as("__v"))
+    bi.join(c12, Seq("__w1", "__w2")).join(c1, Seq("__w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"),
+        (lfp(col("__c1") + col("__v")) - lfp(col("__c12") + 1)).as("__nl"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("__nl").as("nll_fp"))
+      .withColumn("cross_entropy",
+        col("nll_fp").cast("double") / (lit(1000000.0) * col("n_bigrams")))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how target-domain-like its hashed n-gram profile is,

@@ -1,0 +1,128 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed Gram matrix of an embedding column — Gᵢⱼ = Σ_vecs xᵢ·xⱼ,
+  * the input to PCA / whitening / covariance-shrinkage steps an
+  * embedding-curation pipeline runs before SemDeDup-style clustering
+  * (the reference's analytics views have no dense-algebra analog; this
+  * is corpus infrastructure the 100-TB pipeline needs).
+  *
+  * Shape follows Spark MLlib's `RowMatrix.computeGramianMatrix` (public
+  * Spark source): each partition accumulates its own upper-triangle
+  * partial gramian in a flat primitive array — d(d+1)/2 longs, ZERO
+  * per-row allocation — and emits one partial row per (i,j) per flush;
+  * a hash aggregation then sums partials per (i,j). The shuffle carries
+  * ≤ partitions·d²/2 rows (independent of corpus size); the d²/2
+  * multiply-adds per vector are the gramian's inherent FLOP count.
+  *
+  * Cross-engine exactness: components fix-point to micros BEFORE any
+  * product (`floor(x·10⁶)` — one IEEE multiply, identical in any
+  * engine), so every accumulation is integer arithmetic, exact in any
+  * association order / partitioning. Per-partition partials flush every
+  * `flushEvery` rows so the long accumulator cannot overflow
+  * (|xfp| ≤ ~2·10⁶ ⇒ product ≤ 4·10¹²; 10⁶ rows ⇒ 4·10¹⁸ < 2⁶³); the
+  * cross-partition sum runs in DECIMAL(38,0) — exact at any corpus
+  * size.
+  */
+object Gramian {
+
+  /** Fixed-point upper-triangle gramian: `(dim_i, dim_j, gram_fp,
+    * gram)` for 1 ≤ i ≤ j ≤ d, with `gram_fp = Σ ⌊xᵢ·10⁶⌋·⌊xⱼ·10⁶⌋`
+    * (exact) and `gram = gram_fp / 10¹²` (one IEEE division).
+    * `gram_fp` is surfaced as a long — exact while |Σ| < 2⁶³, i.e.
+    * ~10⁶ billion unit-norm vectors; the internal decimal sum is exact
+    * beyond that (re-cast the output column if you get there). */
+  def gramianFp(df: DataFrame, embCol: String,
+      flushEvery: Int = 1000000): DataFrame = {
+    require(flushEvery > 0, s"flushEvery must be positive, got $flushEvery")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val xf = df.filter(col(embCol).isNotNull)
+      .select(transform(col(embCol),
+        x => floor(x.cast("double") * lit(1000000L)).cast("long")).as("__xf"))
+      .as[Array[Long]]
+    val partials = xf.mapPartitions { it =>
+      var acc: Array[Long] = null
+      var d = 0
+      var rows = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+      def flush(): Unit = {
+        if (acc != null && rows > 0) {
+          var idx = 0
+          var i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              out += ((i + 1, j + 1, acc(idx))) // 1-based dims
+              acc(idx) = 0L
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+        }
+        rows = 0
+      }
+      it.foreach { v =>
+        if (acc == null) { d = v.length; acc = new Array[Long](d * (d + 1) / 2) }
+        require(v.length == d, s"ragged embedding: ${v.length} != $d")
+        var idx = 0
+        var i = 0
+        while (i < d) {
+          val xi = v(i)
+          var j = i
+          while (j < d) {
+            acc(idx) += xi * v(j)
+            idx += 1; j += 1
+          }
+          i += 1
+        }
+        rows += 1
+        if (rows == flushEvery) flush()
+      }
+      flush()
+      out.iterator
+    }
+    partials.toDF("dim_i", "dim_j", "__p")
+      .groupBy("dim_i", "dim_j")
+      .agg(sum(col("__p").cast(DecimalType(38, 0))).cast("long").as("gram_fp"))
+      .withColumn("gram", col("gram_fp").cast("double") / lit(1.0e12))
+  }
+
+  /** One fixed-point power-iteration step `v ← G·v` on a gramian in
+    * [[gramianFp]]'s output layout — the building block of distributed
+    * top-eigenvector extraction (PCA direction, spectral outlier
+    * scoring) when `d` is too large to collect G driver-side. `vFp`
+    * is the current iterate in micros (length d, 1-based dims map to
+    * indices 0..d-1). The product runs entirely as integer arithmetic
+    * on the d² gramian rows (the stored upper triangle mirrors across
+    * the diagonal), aggregated per output dim — exact in any
+    * association order. Output: `(dim, v_fp)` with `v_fp =
+    * Σⱼ ⌊gram_fp(i,j)·vFp(j) / 10¹²⌋`-style scaling collapsed to one
+    * floor division AFTER the exact sum: `⌊Σⱼ gram_fp(i,j)·vFp(j) /
+    * 10¹²⌋` — callers renormalize between steps. */
+  def powerIterationStep(gram: DataFrame, vFp: Seq[Long]): DataFrame = {
+    val spark = gram.sparkSession
+    val d = vFp.length
+    require(d > 0, "vFp must be non-empty")
+    val vDf = broadcast(spark.createDataFrame(
+      vFp.zipWithIndex.map { case (v, i) => (i + 1, v) })
+      .toDF("__dim", "__v"))
+    // mirror the stored upper triangle: (i,j) contributes to row i with
+    // v(j) and — off the diagonal — to row j with v(i)
+    val mirrored = gram.select(col("dim_i").as("dim"), col("dim_j").as("__jj"),
+        col("gram_fp"))
+      .unionAll(gram.filter(col("dim_i") =!= col("dim_j"))
+        .select(col("dim_j").as("dim"), col("dim_i").as("__jj"),
+          col("gram_fp")))
+    val num = mirrored.join(vDf, col("__jj") === col("__dim"))
+      .groupBy("dim")
+      .agg(sum(col("gram_fp").cast(DecimalType(38, 0)) * col("__v")).as("__s"))
+    val den = lit("1000000000000").cast(DecimalType(38, 0))
+    num.select(col("dim"),
+        ((col("__s") - pmod(col("__s"), den)) / den).cast("long").as("v_fp"))
+      .orderBy("dim")
+  }
+}

@@ -379,6 +379,56 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"equi-joins only:\n$p")
   }
 
+  test("q103/q105: fact collapses to per-key counts BEFORE the join") {
+    val p103 = plan("q103_customer_distribution")
+    assert(p103.contains("partial_count"), "per-customer rollup must partial-agg")
+    assert(!p103.contains("CartesianProduct"))
+    val p105 = plan("q105_large_volume_customers")
+    assert(p105.contains("partial_sum"), "HAVING rollup must partial-agg")
+    assert(p105.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p105")
+  }
+
+  test("q104 promo revenue: month filter pushed, part flag broadcast, fact never shuffles") {
+    val p = plan("q104_promo_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"lineitem scan must push the ship-month filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part flag must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the fact must not shuffle for the dim join:\n$p")
+  }
+
+  test("q106/q107: scalar stats broadcast; anti join on keys; no float average") {
+    val p106 = plan("q106_sales_opportunity")
+    assert(p106.contains("LeftAnti"), s"NOT EXISTS must plan as anti join:\n$p106")
+    assert(p106.contains("BroadcastNestedLoopJoin") || p106.contains("BroadcastExchange"),
+      s"the 1-row stats must broadcast:\n$p106")
+    assert(!p106.toLowerCase.contains("avg("), "mean compare must be cross-multiplied")
+    val p107 = plan("q107_small_quantity_revenue")
+    assert(p107.contains("LeftSemi"), s"brand slice must semi-join:\n$p107")
+    assert(!p107.toLowerCase.contains("avg("), "threshold must be cross-multiplied")
+  }
+
+  test("q108 bigram LM: checkpointed bigram stream, partial aggs, equi-joins only") {
+    val p = plan("q108_bigram_lm")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"bigram stream must be checkpointed (read 3x):\n$p")
+    assert(p.contains("partial_count"), "rollups must pre-aggregate map-side")
+    assert(!p.contains("CartesianProduct"), s"vocab attaches via broadcast:\n$p")
+  }
+
+  test("q109 gramian: no payload shuffle before the partial gramian; one (i,j) agg") {
+    val p = plan("q109_gramian")
+    assert(p.contains("HashAggregate"), s"partials must hash-aggregate:\n$p")
+    // the embedding payload reaches mapPartitions on scan partitions —
+    // the only exchange is the d²-bounded partials shuffle ABOVE the
+    // MapPartitions node (plans print root-first, so any Exchange
+    // printed after "MapPartitions" would sit below it, i.e. shuffle
+    // the payload)
+    assert(!p.contains("MapPartitions") ||
+      p.lastIndexOf("Exchange") < p.indexOf("MapPartitions"),
+      s"no exchange may sit below the partial gramian:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

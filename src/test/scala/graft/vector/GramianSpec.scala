@@ -1,0 +1,66 @@
+package graft.vector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GramianSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.5f, -0.25f)),
+    (2L, Seq(0.0f, 2.0f, 1.0f)),
+    (3L, Seq(-1.0f, 0.0f, 0.5f)))
+
+  private def localGramFp: Map[(Int, Int), Long] = {
+    val fp = vecs.map(_._2.map(x => math.floor(x.toDouble * 1e6).toLong))
+    (for {
+      i <- 0 until 3; j <- i until 3
+    } yield (i + 1, j + 1) -> fp.map(v => v(i) * v(j)).sum).toMap
+  }
+
+  test("gramianFp matches the locally computed upper triangle") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Gramian.gramianFp(df, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == localGramFp)
+  }
+
+  test("gramianFp is flush-boundary invariant (partials are exact partial sums)") {
+    val df = vecs.toDF("vec_id", "embedding").repartition(2)
+    val a = Gramian.gramianFp(df, "embedding", flushEvery = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(a == localGramFp)
+  }
+
+  test("gram column is gram_fp / 1e12") {
+    val r = Gramian.gramianFp(vecs.toDF("vec_id", "embedding"), "embedding")
+      .filter(col("dim_i") === 1 && col("dim_j") === 1).head()
+    assert(r.getDouble(3) == r.getLong(2).toDouble / 1.0e12)
+  }
+
+  test("powerIterationStep equals the local mirrored matrix-vector product") {
+    val gram = Gramian.gramianFp(vecs.toDF("vec_id", "embedding"), "embedding")
+    val v = Seq(1000000L, -500000L, 250000L) // micros
+    val got = Gramian.powerIterationStep(gram, v)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val g = localGramFp
+    def at(i: Int, j: Int): Long = if (i <= j) g((i, j)) else g((j, i))
+    val want = (1 to 3).map { i =>
+      val s = (1 to 3).map(j => BigInt(at(i, j)) * BigInt(v(j - 1))).sum
+      // floor division by 10^12 (exact decimal path in the engine)
+      val den = BigInt(10).pow(12)
+      val fl = (s - s.mod(den)) / den
+      i -> fl.toLong
+    }.toMap
+    assert(got == want)
+  }
+
+  test("gramian plan: partial rows feed one hash aggregation") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val p = Gramian.gramianFp(df, "embedding")
+      .queryExecution.executedPlan.toString()
+    // one aggregation on (dim_i, dim_j) partials; never a per-row shuffle
+    // of the embedding payload before the partial gramian
+    assert(p.contains("HashAggregate"))
+  }
+}
