@@ -252,12 +252,31 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scale-bench")
+      // shuffle partitions must scale with the FACTOR, not the core
+      // count: at factor 100 the candidate-pair distinct pushes
+      // billions of rows through the exchange, and 32 partitions means
+      // ~100 M-row spilling sort-fallback aggregates per task (measured:
+      // heap exhaustion in UnsafeSorterSpillReader at 64 g). A cluster
+      // sizes this as data/128 MB tasks; locally,
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS=512 is right for factor 100.
+      // AQE coalesces back when oversized, so erring high is safe.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+          .flatMap(_.toIntOption).filter(_ > 0)
+          .orElse(sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption))
+          .getOrElse(32).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "true"))
+      // at factor 100 the q82 verification join's probe side is ~2 B
+      // candidate pairs while the build side (per-doc shingle arrays)
+      // is a few hundred MB: raising the broadcast threshold turns a
+      // TB-scale pair shuffle (measured: scratch-disk exhaustion) into
+      // a streaming broadcast-hash verify — exactly the decision a
+      // cluster's AQE makes with executor memory to spare
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "10485760"))
       // NOTE: driver heap cannot be set here (JVM already launched) —
       // size it at launch, e.g. `sbt -J-Xmx8g "runMain graft.ScaleBench"`
       .getOrCreate()

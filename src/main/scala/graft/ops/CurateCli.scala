@@ -47,7 +47,7 @@ object CurateCli {
     * [[TextAnalysis.qualityScore]]) — keep the canonical copy, not the
     * first-crawled one.
     *
-    * The nine extended stages default OFF (the classic 4-stage funnel):
+    * The ten extended stages default OFF (the classic 4-stage funnel):
     *  - `piiScrub` rewrites `textCol` through the email→IP→phone
     *    redaction chain ([[TextAnalysis.piiScrub]]);
     *  - `maxRepetitionRatio` < 1.0 drops boilerplate/degenerate docs
@@ -57,6 +57,14 @@ object CurateCli {
     *    ([[TextAnalysis.gopherPass]]) as a straight filter between the
     *    repetition and span-excision stages — pure column expressions
     *    applied on the corpus scan, zero shuffle;
+    *  - `maxBigramXentMicro` > 0 runs the corpus-self bigram-LM
+    *    perplexity gate ([[TextAnalysis.bigramLmScores]] — the CCNet
+    *    filter with the surviving corpus as its own LM): docs whose
+    *    add-1 bigram cross-entropy exceeds that many micro-nats per
+    *    bigram are dropped. The comparison cross-multiplies
+    *    (`nll_fp > max · n_bigrams` — exact integers, no float
+    *    division); docs too short to carry a bigram present no
+    *    evidence and are kept;
     *  - `lineDedupMinDf` >= 2 runs line-wise boilerplate removal
     *    ([[Dedup.removeDuplicatedLines]]): lines whose trimmed form
     *    appears in at least that many distinct surviving docs are cut
@@ -120,6 +128,7 @@ object CurateCli {
       maxRepetitionRatio: Double = 1.0,
       repetitionK: Int = 2,
       gopherRules: Boolean = false,
+      maxBigramXentMicro: Long = 0L,
       lineDedupMinDf: Int = 0,
       exciseSpanK: Int = 0,
       exciseSpanMinDf: Int = 2,
@@ -275,6 +284,20 @@ object CurateCli {
         // rules judge the text the corpus will actually ship
         advance("gopher", cur.filter(TextAnalysis.gopherPass(col(textCol))))
 
+      if (cfg.maxBigramXentMicro > 0L) {
+        // corpus-self perplexity gate: the LM is the SURVIVING corpus at
+        // this point in the funnel (post-dedup, post-scrub — boilerplate
+        // already removed cannot depress scores). The scores table
+        // derives from `cur` and joins back against it, but `cur` is a
+        // checkpointed LogicalRDD leaf, so the join-back adds O(1) plan
+        // nodes — the same discipline as line_dedup/span_excise. Docs
+        // with no bigram carry no evidence and pass.
+        val tooSurprising = TextAnalysis.bigramLmScores(cur, idCol, textCol)
+          .filter(col("nll_fp") > lit(cfg.maxBigramXentMicro) * col("n_bigrams"))
+          .select(col(idCol))
+        advance("perplexity", cur.join(tooSurprising, Seq(idCol), "left_anti"))
+      }
+
       if (cfg.lineDedupMinDf >= 2)
         // line-level boilerplate removal between the whole-doc gates and
         // the k-gram span pass: a rewrite stage (docs constant, tokens
@@ -392,10 +415,10 @@ object CurateCli {
   /** CLI: curate <sfDir> <outDir> [minQuality] [full]. Writes the
     * curated corpus as parquet, a `funnel` stats table, and the run's
     * `datasheet.json`; prints one JSON line per stage plus the
-    * datasheet line. `full` switches on ALL nine extended stages
-    * (mix → scrub → repetition → gopher → line dedup → span excision →
-    * decontaminate vs the `% 37` eval slice → token-budget → pack).
-    * Exit 0. */
+    * datasheet line. `full` switches on ALL ten extended stages
+    * (mix → scrub → repetition → gopher → perplexity → line dedup →
+    * span excision → decontaminate vs the `% 37` eval slice →
+    * token-budget → pack). Exit 0. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/curated")
@@ -412,7 +435,7 @@ object CurateCli {
     val cfg =
       if (full) Config(minQuality = minQ, mixDefaultPpm = 900000L,
         piiScrub = true, maxRepetitionRatio = 0.9, gopherRules = true,
-        lineDedupMinDf = 2, exciseSpanK = 8,
+        maxBigramXentMicro = 3450000L, lineDedupMinDf = 2, exciseSpanK = 8,
         budgetTokens = 1000000000L, packBudget = 512, packBuckets = 8)
       else Config(minQuality = minQ)
     val evalDocs =

@@ -127,6 +127,56 @@ class CurateCliSpec extends SparkSpec {
     assert(ids == Set(1L), s"gopher battery must keep only doc 1, got $ids")
   }
 
+  test("perplexity stage drops the improbable-bigram doc, keeps fluent text") {
+    // doc 1 repeats its own bigrams 10x (every bigram is corpus-common
+    // -> low cross-entropy); doc 2 is a run of once-seen bigrams (every
+    // c12 = c1 = 1 -> NLL per bigram ~ ln(1+V) - ln 2, far above doc
+    // 1's). A threshold between the two separates them; both pass
+    // language + quality at minQuality=0 with the open language set, so
+    // only the perplexity gate can drop doc 2.
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and " * 10),
+      (2L, "zebra quark nimbus oracle vortex plasma glyph ember"))
+      .toDF("doc_id", "text")
+    val open = Set("en", "de", "fr", "es", "zh", "ja", "unknown")
+    val r = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, languages = open,
+        maxBigramXentMicro = 1500000L))
+    assert(r.funnel.map(_.stage).last == "perplexity")
+    val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+    r.unpersist()
+    assert(ids == Set(1L), s"perplexity gate must keep only doc 1, got $ids")
+  }
+
+  test("perplexity gate keeps bigram-less docs (no evidence, no drop)") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and " * 10),
+      (2L, "single-token"))
+      .toDF("doc_id", "text")
+    val open = Set("en", "de", "fr", "es", "zh", "ja", "unknown")
+    val r = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, languages = open,
+        maxBigramXentMicro = 1L)) // drop ANY doc with bigram evidence > 0
+    val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+    r.unpersist()
+    assert(ids == Set(2L),
+      s"doc without bigrams must survive the harshest gate, got $ids")
+  }
+
+  test("perplexity stage runs between gopher and line_dedup") {
+    val sentence = "the cat sat near the mat and the dog ran over the hill while "
+    val corpus = Seq((1L, sentence * 5), (2L, sentence * 6))
+      .toDF("doc_id", "text")
+    val r = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, jaccardThreshold = 0.999,
+        gopherRules = true, maxBigramXentMicro = 99000000L,
+        lineDedupMinDf = 2))
+    assert(r.funnel.map(_.stage).containsSlice(
+      Seq("gopher", "perplexity", "line_dedup")),
+      s"perplexity must sit between gopher and line_dedup: ${r.funnel.map(_.stage)}")
+    r.unpersist()
+  }
+
   test("gopher stage runs between repetition and span_excise") {
     val sentence = "the cat sat near the mat and the dog ran over the hill while "
     val corpus = Seq((1L, sentence * 5), (2L, sentence * 6))
