@@ -46,9 +46,18 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
   // (median, min, max); for even `runs` the upper-middle element is
-  // reported (conservative — never the faster of the two middles)
-  private def stats(name: String)(body: => Unit): (Double, Double, Double) = {
-    val ts = Vector.fill(runs)(timed(name)(body)).sorted
+  // reported (conservative — never the faster of the two middles).
+  // `after` runs OUTSIDE the timed window after every pass — the
+  // between-run storage sweep (leaked internal checkpoints must not
+  // accumulate across runs, and the sweep cost must not be charged to
+  // the query).
+  private def stats(name: String, after: () => Unit = () => ())
+      (body: => Unit): (Double, Double, Double) = {
+    val ts = Vector.fill(runs) {
+      val t = timed(name)(body)
+      after()
+      t
+    }.sorted
     (ts(ts.size / 2), ts.head, ts.last)
   }
 
@@ -90,6 +99,11 @@ object Bench {
   }
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
+
+  /** Total block-manager bytes (memory + disk) currently held by RDD
+    * storage — the leak-telemetry unit for `queries_storage`. */
+  private def storageBytes(spark: SparkSession): Long =
+    spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
 
   /** Aggregate (total, idle+iowait, steal) jiffies from /proc/stat —
     * deltas over the bench window make a stalled round machine-readable
@@ -199,8 +213,19 @@ object Bench {
       case None => SparkEntry.queries
     }
     val queriesJ0 = cpuJiffies()
+    // per-query storage telemetry: block-manager bytes AFTER each
+    // query's runs + sweep. The sweep releases every transient block
+    // the query leaked (internal localCheckpoints its API cannot free
+    // until the action has run — the round-8 q90 mechanism), so this
+    // column stays ~flat at cache-resident bytes across the suite; a
+    // growing value is a machine-readable storage leak.
+    val storageAfter = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = selected.map { case (name, fn) =>
-      name -> stats(name) { fn(spark, sfDir).count(): Unit }
+      val r = stats(name, after = () => SparkEntry.sweepTransientStorage(spark)) {
+        fn(spark, sfDir).count(): Unit
+      }
+      storageAfter += name -> storageBytes(spark)
+      name -> r
     }
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     // CDC-path throughput headline: events through the full transform
@@ -269,11 +294,14 @@ object Bench {
     val sheetField = lastSheet.map(s => s""","funnel_datasheet":$s""").getOrElse("")
     lastSheet.foreach(s =>
       println(s"""{"metric":"datasheet","name":"curate_funnel_full","sheet":$s}"""))
+    val storageJ = storageAfter
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"medians","queries_med":$qsMed}""")
     println(s"""{"metric":"spread","queries_minmax":$spread}""")
+    println(s"""{"metric":"storage","queries_storage_bytes":$storageJ}""")
     try {
       val w = new java.io.PrintWriter("bench_last.json")
-      try w.println(s"""{$scalars,"queries":$qsMin,"queries_med":$qsMed,"queries_minmax":$spread$sheetField}""")
+      try w.println(s"""{$scalars,"queries":$qsMin,"queries_med":$qsMed,"queries_minmax":$spread,"queries_storage":$storageJ$sheetField}""")
       finally w.close()
     } catch { case _: Exception => () } // read-only cwd → stdout still has it
     println(s"""{"queries":$qsMin,$scalars}""")

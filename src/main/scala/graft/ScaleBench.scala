@@ -269,12 +269,17 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "true"))
-      // at factor 100 the q82 verification join's probe side is ~2 B
-      // candidate pairs while the build side (per-doc shingle arrays)
-      // is a few hundred MB: raising the broadcast threshold turns a
-      // TB-scale pair shuffle (measured: scratch-disk exhaustion) into
-      // a streaming broadcast-hash verify — exactly the decision a
-      // cluster's AQE makes with executor memory to spare
+      // the DEFAULT (10 MB) preserves Spark's stock
+      // autoBroadcastJoinThreshold — this config is a no-op unless the
+      // env var raises it. At factor 100 the q82 verification join's
+      // probe side is ~2 B candidate pairs while the build side
+      // (per-doc shingle arrays) is a few hundred MB: setting
+      // SPARK_GRAFT_BROADCAST_THRESHOLD=1073741824 (1 GiB — above the
+      // build side, like SPARK_GRAFT_SHUFFLE_PARTITIONS=512 for the
+      // same factor) turns a TB-scale pair shuffle (measured:
+      // scratch-disk exhaustion) into a streaming broadcast-hash
+      // verify — the decision a cluster's AQE makes with executor
+      // memory to spare
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "10485760"))
       // NOTE: driver heap cannot be set here (JVM already launched) —

@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the query's transient checkpoints (shared caches are
+      // protected) — 100+ queries in one JVM otherwise accumulate
+      // leaked block storage for the whole dump
+      finally SparkEntry.sweepTransientStorage(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

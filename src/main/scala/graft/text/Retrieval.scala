@@ -129,7 +129,17 @@ object Retrieval {
     * while the query set is small, shuffle-on-token at scale); df
     * arrives from a vocabulary rollup of the postings (map-side
     * partials, no count-distinct); corpus totals broadcast as one row.
-    * Nothing is quadratic in queries or corpus. */
+    * Nothing is quadratic in queries or corpus.
+    *
+    * Storage discipline: the postings table materializes via an
+    * internal `localCheckpoint` (read twice — df rollup + scoring
+    * join) whose blocks the API cannot release itself: they must
+    * outlive the caller's terminal action. The result plan carries the
+    * checkpoint as a `LogicalRDD` leaf, so after consuming the result
+    * call [[Dedup.releaseIndex]] on it (or sweep the session with
+    * `getPersistentRDDs` unpersist, as the bench does between
+    * timings); a long-lived JVM that skips this accumulates one
+    * postings copy per invocation. */
   def bm25BatchTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int): DataFrame = {

@@ -22,10 +22,15 @@ import org.apache.spark.sql.types.DecimalType
   * product (`floor(x·10⁶)` — one IEEE multiply, identical in any
   * engine), so every accumulation is integer arithmetic, exact in any
   * association order / partitioning. Per-partition partials flush every
-  * `flushEvery` rows so the long accumulator cannot overflow
-  * (|xfp| ≤ ~2·10⁶ ⇒ product ≤ 4·10¹²; 10⁶ rows ⇒ 4·10¹⁸ < 2⁶³); the
-  * cross-partition sum runs in DECIMAL(38,0) — exact at any corpus
-  * size.
+  * `flushEvery` rows so the long accumulator cannot overflow — and the
+  * bound is ENFORCED, not assumed: every component is checked against
+  * `|xfp| ≤ √(2⁶³/flushEvery)` (≈ 3·10⁶, i.e. |x| ≤ ~3, for the
+  * default), so an out-of-range embedding fails loudly instead of
+  * silently wrapping the accumulator. The cross-partition sum runs in
+  * DECIMAL(38,0) — exact at any corpus size. The dimension `d` is
+  * fixed once driver-side (the `dim` param, else a limit-1 probe) and
+  * validated in every partition, so a corpus ragged only across
+  * partition boundaries cannot merge mismatched triangles.
   */
 object Gramian {
 
@@ -36,21 +41,33 @@ object Gramian {
     * ~10⁶ billion unit-norm vectors; the internal decimal sum is exact
     * beyond that (re-cast the output column if you get there). */
   def gramianFp(df: DataFrame, embCol: String,
-      flushEvery: Int = 1000000): DataFrame = {
+      flushEvery: Int = 1000000, dim: Int = 0): DataFrame = {
     require(flushEvery > 0, s"flushEvery must be positive, got $flushEvery")
     val spark = df.sparkSession
     import spark.implicits._
-    val xf = df.filter(col(embCol).isNotNull)
+    val nn = df.filter(col(embCol).isNotNull)
+    // dimension is fixed ONCE driver-side (param, or a limit-1 probe of
+    // the first row) and validated in EVERY partition — per-partition
+    // inference would silently merge mismatched triangles when a ragged
+    // corpus happens to be ragged only ACROSS partitions
+    val d = if (dim > 0) dim
+      else nn.select(size(col(embCol))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    // overflow bound, enforced instead of assumed: each accumulator cell
+    // gains ≤ one |xfp|² product per row and flushes every `flushEvery`
+    // rows, so |component| ≤ maxAbsFp keeps flushEvery·maxAbsFp² < 2⁶³
+    // — a larger component fails loudly rather than wrapping the long
+    val maxAbsFp = math.sqrt(Long.MaxValue.toDouble / flushEvery).toLong - 1
+    val xf = nn
       .select(transform(col(embCol),
         x => floor(x.cast("double") * lit(1000000L)).cast("long")).as("__xf"))
       .as[Array[Long]]
     val partials = xf.mapPartitions { it =>
-      var acc: Array[Long] = null
-      var d = 0
+      val acc = new Array[Long](d * (d + 1) / 2)
       var rows = 0
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
       def flush(): Unit = {
-        if (acc != null && rows > 0) {
+        if (rows > 0) {
           var idx = 0
           var i = 0
           while (i < d) {
@@ -66,8 +83,16 @@ object Gramian {
         rows = 0
       }
       it.foreach { v =>
-        if (acc == null) { d = v.length; acc = new Array[Long](d * (d + 1) / 2) }
         require(v.length == d, s"ragged embedding: ${v.length} != $d")
+        var c = 0
+        while (c < d) {
+          val x = v(c)
+          if (x > maxAbsFp || x < -maxAbsFp) throw new IllegalArgumentException(
+            s"embedding component fp value $x exceeds |fp| <= $maxAbsFp " +
+              s"(the overflow bound for flushEvery=$flushEvery); lower " +
+              "flushEvery or rescale the embeddings")
+          c += 1
+        }
         var idx = 0
         var i = 0
         while (i < d) {

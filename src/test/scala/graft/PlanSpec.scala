@@ -424,8 +424,9 @@ class PlanSpec extends SparkSpec {
     // MapPartitions node (plans print root-first, so any Exchange
     // printed after "MapPartitions" would sit below it, i.e. shuffle
     // the payload)
-    assert(!p.contains("MapPartitions") ||
-      p.lastIndexOf("Exchange") < p.indexOf("MapPartitions"),
+    assert(p.contains("MapPartitions"),
+      s"the partial gramian must run as mapPartitions on scan partitions:\n$p")
+    assert(p.lastIndexOf("Exchange") < p.indexOf("MapPartitions"),
       s"no exchange may sit below the partial gramian:\n$p")
   }
 
