@@ -87,6 +87,7 @@ object Bench {
       val docs = OrganicCorpus.seedBoilerplate(Tables.documents(spark, sfDir))
       val r = ops.CurateCli.curate(docs, "doc_id", "text",
         ops.CurateCli.Config(mixDefaultPpm = 900000L,
+          containmentThreshold = 0.8, minNovelty = 0.05,
           piiScrub = true, maxRepetitionRatio = 0.9,
           gopherRules = true, lineDedupMinDf = 2,
           exciseSpanK = 8,

@@ -719,6 +719,18 @@ object SparkEntry {
     // shuffle is ≤ partitions·d²/2 rows regardless of corpus size
     "q109_gramian" -> ((s, d) =>
       graft.vector.Gramian.gramianFp(Tables.embeddings(s, d), "embedding")),
+    // q110: ONE fixed-point power-iteration step v ← G·v over the q109
+    // gramian with the deterministic iterate v_fp(j) = 10⁶ + j (unit
+    // micros plus a per-dim tilt so every lane differs) — the integer
+    // arithmetic is closed-form replayable, so the PCA building block
+    // is DuckDB-checked end to end, not just spec-tested
+    "q110_power_iteration" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dim = emb.select(max(size(col("embedding")))).head().getInt(0)
+      graft.vector.Gramian.powerIterationStep(
+        graft.vector.Gramian.gramianFp(emb, "embedding"),
+        (1 to dim).map(j => 1000000L + j))
+    }),
 
     // q84: per-domain quality cap (RefinedWeb-style) — each source
     // contributes at most its 25 BEST docs by quality. Map-side
@@ -1617,16 +1629,20 @@ object SparkEntry {
     // answer EXACTLY — same oracle text as q36
     "q82_jaccard_prefix_filter" -> jaccardAllPairsSql03,
     // q98: q36's shingle CTEs, but DIRECTED pairs normalized by the
-    // contained side's size only
+    // contained side's size only — and (unlike q36) the DF cut is the
+    // containment family's GUARDED DEFAULT (q48's <= 20), applied to
+    // sizes and intersections alike on both engines
     "q98_containment_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(
         |   CASE WHEN len(toks) >= 3
         |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
         |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 20),
+        |shc AS (SELECT doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
         |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
-        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+        |  FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / sa.sz AS containment
         |FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
@@ -1699,6 +1715,26 @@ object SparkEntry {
         |SELECT dim_i, dim_j, CAST(sum(pr) AS BIGINT) AS gram_fp,
         |  CAST(CAST(sum(pr) AS BIGINT) AS DOUBLE) / 1e12 AS gram
         |FROM p GROUP BY 1, 2""".stripMargin,
+    // q110: q109's gramian CTEs, the upper triangle mirrored across the
+    // diagonal, dotted with v_fp(j) = 1000000 + j in HUGEINT, then the
+    // engine's exact floor division (subtract the NONNEGATIVE remainder
+    // first — `//` alone need not floor on negative sums)
+    "q110_power_iteration" ->
+      """WITH e AS (SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xf
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |pi AS (SELECT xf, unnest(generate_series(1, len(xf))) AS i FROM e),
+        |pj AS (SELECT xf, i, unnest(generate_series(i, len(xf))) AS j FROM pi),
+        |g AS (SELECT CAST(i AS INTEGER) AS dim_i, CAST(j AS INTEGER) AS dim_j,
+        |    CAST(sum(xf[i] * xf[j]) AS BIGINT) AS gram_fp FROM pj GROUP BY 1, 2),
+        |m AS (SELECT dim_i AS dim, dim_j AS jj, gram_fp FROM g
+        |  UNION ALL
+        |  SELECT dim_j, dim_i, gram_fp FROM g WHERE dim_i <> dim_j),
+        |sv AS (SELECT dim, sum(CAST(gram_fp AS HUGEINT) * (1000000 + jj)) AS sum_fp
+        |  FROM m GROUP BY 1)
+        |SELECT dim, CAST((sum_fp - ((sum_fp % 1000000000000 + 1000000000000) % 1000000000000))
+        |  // 1000000000000 AS BIGINT) AS v_fp
+        |FROM sv""".stripMargin,
     // q48: q36's machinery with the DF cut — shingles present in > 20
     // docs are dropped from BOTH candidate generation and the
     // size/intersection arithmetic on BOTH engines

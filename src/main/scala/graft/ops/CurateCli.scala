@@ -47,7 +47,18 @@ object CurateCli {
     * [[TextAnalysis.qualityScore]]) — keep the canonical copy, not the
     * first-crawled one.
     *
-    * The ten extended stages default OFF (the classic 4-stage funnel):
+    * The extended stages default OFF (the classic 4-stage funnel):
+    *  - `containmentThreshold` > 0 runs containment (excerpt) dedup
+    *    right after the quality gate: documents whose distinct shingles
+    *    are ≥ that fraction contained in a larger surviving document
+    *    drop ([[Dedup.containmentDropIds]] — quotes, partial re-crawls,
+    *    page-within-page duplication that symmetric near-dedup misses;
+    *    `containmentMaxDf` is the family's guarded hot-shingle cut);
+    *  - `minNovelty` > 0 drops documents whose id-ordered n-gram
+    *    novelty ([[Dedup.ngramNovelty]] — the fraction of their
+    *    shingles first seen in THEM) falls below it: templated /
+    *    re-crawled content whose grams are scattered across many
+    *    predecessors, invisible to pair-wise dedup;
     *  - `piiScrub` rewrites `textCol` through the email→IP→phone
     *    redaction chain ([[TextAnalysis.piiScrub]]);
     *  - `maxRepetitionRatio` < 1.0 drops boilerplate/degenerate docs
@@ -120,6 +131,9 @@ object CurateCli {
       bands: Int = 16,
       maxShingleDf: Long = 0L,
       nearKeepBest: Boolean = false,
+      containmentThreshold: Double = 0.0,
+      containmentMaxDf: Long = 20L,
+      minNovelty: Double = 0.0,
       mixStratumCol: String = "source",
       mixRatesPpm: Map[String, Long] = Map.empty,
       mixDefaultPpm: Long = 1000000L,
@@ -248,6 +262,34 @@ object CurateCli {
         sheet += stageCount(stage, p, textCol)
         release(cur)
         cur = p
+      }
+
+      if (cfg.containmentThreshold > 0) {
+        // excerpt dedup right after the whole-doc gates: quotes and
+        // partial re-crawls of a surviving larger copy drop. The index
+        // is built HERE (not inside dedupByContainment) so its blocks
+        // release as soon as the stage materializes — the drop-id
+        // rollup and the anti join both plan against `cur`'s LogicalRDD
+        // leaf, so the join-back adds O(1) plan nodes like every other
+        // stage
+        val sh = Dedup.shingleIndex(cur, idCol, textCol, cfg.shingleK)
+        advance("containment_dedup", cur.join(
+          Dedup.containmentDropIds(sh, cfg.containmentThreshold,
+            cfg.containmentMaxDf).select(col("id").as(idCol)),
+          Seq(idCol), "left_anti"))
+        Dedup.releaseIndex(sh)
+      }
+
+      if (cfg.minNovelty > 0) {
+        // id-ordered novelty floor: templated/re-crawled content whose
+        // grams are scattered across many predecessors (no single pair
+        // match) drops. Same explicit index + post-materialize release
+        val sh = Dedup.shingleIndex(cur, idCol, textCol, cfg.shingleK)
+        advance("min_novelty", cur.join(
+          Dedup.ngramNoveltyFromIndex(sh, idCol)
+            .filter(col("novelty") < cfg.minNovelty).select(col(idCol)),
+          Seq(idCol), "left_anti"))
+        Dedup.releaseIndex(sh)
       }
 
       if (cfg.mixRatesPpm.nonEmpty || cfg.mixDefaultPpm < 1000000L)
@@ -415,10 +457,10 @@ object CurateCli {
   /** CLI: curate <sfDir> <outDir> [minQuality] [full]. Writes the
     * curated corpus as parquet, a `funnel` stats table, and the run's
     * `datasheet.json`; prints one JSON line per stage plus the
-    * datasheet line. `full` switches on ALL ten extended stages
-    * (mix → scrub → repetition → gopher → perplexity → line dedup →
-    * span excision → decontaminate vs the `% 37` eval slice →
-    * token-budget → pack). Exit 0. */
+    * datasheet line. `full` switches on ALL extended stages
+    * (containment dedup → novelty floor → mix → scrub → repetition →
+    * gopher → perplexity → line dedup → span excision → decontaminate
+    * vs the `% 37` eval slice → token-budget → pack). Exit 0. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/curated")
@@ -434,6 +476,7 @@ object CurateCli {
     val docs = graft.Tables.documents(spark, sfDir)
     val cfg =
       if (full) Config(minQuality = minQ, mixDefaultPpm = 900000L,
+        containmentThreshold = 0.8, minNovelty = 0.05,
         piiScrub = true, maxRepetitionRatio = 0.9, gopherRules = true,
         maxBigramXentMicro = 3450000L, lineDedupMinDf = 2, exciseSpanK = 8,
         budgetTokens = 1000000000L, packBudget = 512, packBuckets = 8)

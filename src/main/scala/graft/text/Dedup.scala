@@ -505,19 +505,28 @@ object Dedup {
     *
     * Same scale shape as [[ngramJaccardPairsFromIndex]]: candidates
     * come only from the shingle-equality join (never all-pairs), the
-    * optional `maxShingleDf` cut guards the hot-shingle blowup, and
-    * the normalizer is the CONTAINED side's size only — one size join
-    * per direction. */
+    * `maxShingleDf` cut guards the hot-shingle blowup, and the
+    * normalizer is the CONTAINED side's size only — one size join per
+    * direction.
+    *
+    * Unlike the Jaccard family (cut opt-in, default 0), the DF cut
+    * here DEFAULTS ON at the q48 cut (20): the containment use-case —
+    * excerpts of popular boilerplate — is biased TOWARD hot shingles,
+    * so the unguarded join's quadratic-in-DF fan-out is the expected
+    * case, not the tail. The trade is the q48 one: a document whose
+    * shingles are ALL corpus-hot (pure boilerplate) presents no rare
+    * evidence and drops out of the pair list — pass `maxShingleDf = 0`
+    * to disable when the corpus is known cold. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame =
+      k: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 20L): DataFrame =
     containmentPairsFromIndex(shingleIndex(df, idCol, textCol, k),
       threshold, maxShingleDf)
 
   /** [[containmentPairs]] against a prebuilt [[shingleIndex]] — shares
     * the index with the Jaccard/prefix-filter queries (the index is
-    * measure-independent). */
+    * measure-independent). Same guarded default (`maxShingleDf = 20`). */
   def containmentPairsFromIndex(shAll: DataFrame, threshold: Double,
-      maxShingleDf: Long = 0L): DataFrame = {
+      maxShingleDf: Long = 20L): DataFrame = {
     val sh = if (maxShingleDf > 0) {
       val rare = shAll.groupBy("shingle")
         .agg(count(lit(1)).as("df"))
@@ -535,6 +544,46 @@ object Dedup {
       .withColumn("containment", col("inter").cast("double") / col("sz_a"))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
+  }
+
+  /** Ids to DROP under containment survivorship, against a prebuilt
+    * [[shingleIndex]]: a document drops when some
+    * [[containmentPairsFromIndex]] row flags it as an excerpt of a
+    * STRICTLY LARGER container (more distinct shingles in the FULL
+    * index — the true doc size, independent of the DF cut), with
+    * smaller id breaking exact ties — so a mutual near-identical pair
+    * keeps exactly its bigger (tie: first) copy. One-hop semantics:
+    * containers are judged independently (in an A⊂B⊂C chain both
+    * excerpts drop — standard excerpt removal, no fixed-point pass);
+    * the pair list is containment-sized, so the rollup never touches
+    * payloads. */
+  def containmentDropIds(sh: DataFrame, threshold: Double,
+      maxShingleDf: Long = 20L): DataFrame = {
+    val pairs = containmentPairsFromIndex(sh, threshold, maxShingleDf)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("__csz"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("__csz").as("__sz_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("__csz").as("__sz_b")),
+        Seq("id_b"))
+      .filter(col("__sz_b") > col("__sz_a") ||
+        (col("__sz_b") === col("__sz_a") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("id")).distinct()
+  }
+
+  /** Containment (excerpt) dedup: the corpus minus every document that
+    * is an excerpt (containment ≥ `threshold`) of a larger surviving
+    * copy — [[containmentDropIds]] applied as one anti join. Same
+    * storage discipline as the other from-scratch pair APIs: the
+    * internal [[shingleIndex]] checkpoint rides the result plan —
+    * release via [[releaseIndex]] after the terminal action. */
+  def dedupByContainment(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Long = 20L): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, k)
+    df.join(containmentDropIds(sh, threshold, maxShingleDf)
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
   }
 
   /** Per-document n-gram NOVELTY against the corpus ordered by id —

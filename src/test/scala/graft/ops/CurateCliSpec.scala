@@ -578,4 +578,55 @@ class CurateCliSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(ids == Set(1L), s"only the first good en doc should land, got $ids")
   }
+
+  test("containment_dedup stage drops the excerpt, keeps container and unrelated") {
+    val big = "the cat sat on the mat while the dog ran in the garden and " +
+      "the bird sang near the tree as the sun rose over the hill and the " +
+      "children played by the river with their friends all day long"
+    // a contiguous 13-word window of `big`: containment 1.0 but Jaccard
+    // far below 0.8, so near-dedup (which runs first) keeps it
+    val excerpt = "the bird sang near the tree as the sun rose over the hill"
+    val other = "completely different text about ships and oceans with " +
+      "many waves crashing on the shore during the storm at night"
+    val docs = Seq((1L, big), (2L, excerpt), (3L, other))
+      .toDF("doc_id", "text")
+    val result = CurateCli.curate(docs, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, containmentThreshold = 0.9))
+    assert(result.funnel.map(_.stage).contains("containment_dedup"))
+    val kept = result.corpus.select("doc_id").as[Long].collect().toSet
+    result.unpersist()
+    assert(kept == Set(1L, 3L), s"excerpt must drop, got $kept")
+  }
+
+  test("min_novelty stage drops the shingle-recombination doc, keeps originals") {
+    val a = "the cat sat on the mat while the dog ran in the garden and " +
+      "the bird sang near the tall green tree all through the day"
+    val b = "many ships crossed the wide blue ocean as the waves crashed " +
+      "over the rocks near the shore during the long winter storm"
+    // doc 3 splices halves of docs 1 and 2: almost every shingle first
+    // appeared in an earlier doc (only the seam shingles are novel), yet
+    // it is no near-dup of either — the signal pair-wise dedup misses
+    val splice = "the cat sat on the mat while the dog ran in the garden " +
+      "over the rocks near the shore during the long winter storm"
+    val docs = Seq((1L, a), (2L, b), (3L, splice)).toDF("doc_id", "text")
+    val result = CurateCli.curate(docs, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, minNovelty = 0.3))
+    assert(result.funnel.map(_.stage).contains("min_novelty"))
+    val kept = result.corpus.select("doc_id").as[Long].collect().toSet
+    result.unpersist()
+    assert(kept == Set(1L, 2L), s"low-novelty splice must drop, got $kept")
+  }
+
+  test("containment/novelty stages keep the corpus plan lineage-cut") {
+    val corpus = (1 to 20).map(i =>
+      (i.toLong, s"the cat number $i sat on the mat and watched bird " +
+        s"number $i in the garden by the house")).toDF("doc_id", "text")
+    val result = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, containmentThreshold = 0.8,
+        minNovelty = 0.01))
+    val nodes = result.corpus.queryExecution.optimizedPlan
+      .collect { case p => p }.size
+    result.unpersist()
+    assert(nodes <= 3, s"corpus plan must stay a checkpoint leaf: $nodes")
+  }
 }

@@ -35,13 +35,32 @@ class SimilarityPairsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     // without the cut the shared footer makes everything contain
     // everything at low threshold; with the cut df>5 shingles vanish
-    // and no pair survives
+    // and no pair survives. maxShingleDf = 0 is the explicit opt-OUT
+    // (the containment default is the guarded q48 cut of 20)
     val cut = Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
       threshold = 0.5, maxShingleDf = 5)
     assert(cut.count() == 0)
     val raw = Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
-      threshold = 0.5)
+      threshold = 0.5, maxShingleDf = 0)
     assert(raw.count() > 0)
+  }
+
+  test("dedupByContainment: excerpt drops, container survives, mutual pair keeps min id") {
+    val big = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val excerpt = (10 to 25).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, big),
+      (2L, excerpt),                     // excerpt of 1 → drops
+      (5L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (9L, "alpha beta gamma delta epsilon zeta eta theta"), // mutual with 5
+      (3L, "unrelated words entirely disjoint from everything else here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupByContainment(docs, "doc_id", "text",
+      k = 3, threshold = 0.9, maxShingleDf = 0)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    Dedup.releaseIndex(out) // the documented internal-index release path
+    // mutual equal-size containment keeps exactly the smaller id
+    assert(kept == Set(1L, 3L, 5L))
   }
 
   test("tfidfCosinePairs: equal-vector docs hit cosine 1.0; disjoint absent") {
