@@ -24,6 +24,10 @@ import graft.observe.{CdcQueryListener, MetricsRegistry}
   *     [--max-per-bucket 1000] [--state-ttl-ms 0] \
   *     [--eval <parquet of eval docs — ingest-time decontamination>] \
   *     [--decontaminate-k 8] [--decontaminate-min-hits 1] \
+  *     [--bigram-model <parquet [[graft.text.TextAnalysis.bigramLmModel]]
+  *       snapshot> --max-bigram-xent-micro <gate, micro-nats/bigram> —
+  *       ingest-time CCNet perplexity filter against the broadcast
+  *       reference LM] \
   *     [--state-store rocksdb|hdfs|<provider class>]
   *
   * NOTE: `--shingle-k` tunes the near-dup LSH shingles only; eval
@@ -36,12 +40,12 @@ import graft.observe.{CdcQueryListener, MetricsRegistry}
   * `--candidates` whenever an arrival is near-identical to a document
   * seen in ANY earlier micro-batch — including earlier RUNS, because
   * the LSH bucket state lives in the checkpoint and restores on
-  * restart. Without `--eval` both queries read the gated input stream;
-  * with `--eval` the landing query decontaminates per micro-batch
-  * (foreachBatch) and the candidate query streams FROM the clean
-  * landing zone (bronze → silver), so decontamination-dropped docs
-  * never enter the LSH state and can never orphan a survivorship
-  * decision. Trigger.AvailableNow (drain-then-stop) makes the same
+  * restart. Without `--eval`/`--bigram-model` both queries read the
+  * gated input stream; with either, the landing query applies that
+  * gate per micro-batch (foreachBatch — decontamination, then the
+  * perplexity gate) and the candidate query streams FROM the clean
+  * landing zone (bronze → silver), so gate-dropped docs never enter
+  * the LSH state and can never orphan a survivorship decision. Trigger.AvailableNow (drain-then-stop) makes the same
   * entry point serve first-load and incremental invocations;
   * re-running after new files arrive processes only the delta (ST3
   * semantics). Batch survivorship ([[graft.text.Dedup.dedupByPairs]])
@@ -62,6 +66,7 @@ object CurateStreamCli {
       maxPerBucket: Int = 1000,
       stateTtlMs: Long = 0L,
       evalPath: Option[String] = None,
+      bigramModelPath: Option[String] = None,
       stateStore: Option[String] = None)
 
   final case class Summary(landed: Long, flagged: Long)
@@ -121,22 +126,26 @@ object CurateStreamCli {
     val fs = outPath.getFileSystem(hconf)
     val hasSinkLog = fs.exists(
       new org.apache.hadoop.fs.Path(outPath, "_spark_metadata"))
+    // --eval and --bigram-model both land through foreachBatch (plain
+    // appends) rather than the streaming file sink
+    val usesBatchSink = cfg.evalPath.isDefined || cfg.bigramModelPath.isDefined
     // switching modes also needs a fresh source checkpoint — the old one
     // has committed the already-ingested files' offsets, so a fresh
     // output alone would silently drain zero rows into it
     val remedy = "Use a fresh --output AND a fresh --checkpoint " +
       "(the old checkpoint has already committed the ingested files, so " +
       "a fresh output alone would stay empty)."
-    if (cfg.evalPath.isDefined && hasSinkLog)
+    if (usesBatchSink && hasSinkLog)
       throw new IllegalStateException(
-        s"${cfg.output} was written by a non---eval run (streaming file " +
-          "sink); --eval appends would be invisible behind its " +
-          s"_spark_metadata log. $remedy")
-    if (cfg.evalPath.isEmpty && !hasSinkLog && fs.exists(outPath) &&
+        s"${cfg.output} was written by a plain run (streaming file " +
+          "sink); --eval/--bigram-model appends would be invisible " +
+          s"behind its _spark_metadata log. $remedy")
+    if (!usesBatchSink && !hasSinkLog && fs.exists(outPath) &&
         fs.listStatus(outPath).exists(_.getPath.getName.endsWith(".parquet")))
       throw new IllegalStateException(
-        s"${cfg.output} holds --eval-mode appends; a streaming file sink " +
-          s"would hide them behind its _spark_metadata log. $remedy")
+        s"${cfg.output} holds --eval/--bigram-model-mode appends; a " +
+          "streaming file sink would hide them behind its " +
+          s"_spark_metadata log. $remedy")
 
     def source() = spark.readStream.schema(inputSchema)
       .option("maxFilesPerTrigger", 1) // backpressure: bounded micro-batches
@@ -144,35 +153,65 @@ object CurateStreamCli {
 
     val gated = CurateCli.curateStream(source(), "text", "ts",
       cfg.curate, cfg.watermark)
+    // batch-side tables built ONCE before the stream starts and released
+    // after the landing drain — maxFilesPerTrigger=1 means one batch per
+    // input file, and rebuilding either per file is pure waste
     var evalCache: Option[org.apache.spark.sql.DataFrame] = None
-    val landingWriter = cfg.evalPath match {
-      case None =>
+    var modelCache: Option[org.apache.spark.sql.DataFrame] = None
+    val landingWriter =
+      if (!usesBatchSink)
         gated.writeStream.format("parquet").option("path", cfg.output)
-      case Some(evalDir) =>
+      else {
         // INGEST-TIME decontamination: doc-level "shares any eval
         // shingle" cannot be one stream-static join (an anti join on
         // exploded shingles drops shingle ROWS, not whole docs), so the
         // idiomatic shape is foreachBatch — each micro-batch runs the
         // batch decontaminate kernel (broadcast eval semi-join, one
-        // pass), then appends. The eval shingle set is built and
-        // persisted ONCE — maxFilesPerTrigger=1 means one batch per
-        // input file, and re-shingling the eval side every file is pure
-        // waste. Source checkpoint still bounds reprocessing; appends
-        // are at-least-once on crash-retry, like any foreachBatch sink.
-        val evalShingles = graft.text.Dedup.evalShingleSet(
-          spark.read.parquet(evalDir), "text", cfg.curate.decontaminateK)
-          .persist()
-        evalShingles.count() // materialize before the stream starts
-        evalCache = Some(evalShingles) // released after the landing drain
+        // pass), then appends. Source checkpoint still bounds
+        // reprocessing; appends are at-least-once on crash-retry, like
+        // any foreachBatch sink.
+        val evalShingles = cfg.evalPath.map { evalDir =>
+          val es = graft.text.Dedup.evalShingleSet(
+            spark.read.parquet(evalDir), "text", cfg.curate.decontaminateK)
+            .persist()
+          es.count() // materialize before the stream starts
+          es
+        }
+        evalCache = evalShingles
+        // INGEST-TIME perplexity gate (the stream-side q108/CCNet
+        // parity): arriving docs score against a broadcast
+        // bigramLmModel SNAPSHOT — a micro-batch is not a corpus, so
+        // the reference LM must come from outside the stream. Same gate
+        // rule as the batch funnel stage: cross-multiplied integers,
+        // bigram-less docs carry no evidence and pass.
+        val model = cfg.bigramModelPath.map { p =>
+          val m = spark.read.parquet(p).persist()
+          m.count()
+          m
+        }
+        modelCache = model
         gated.writeStream.foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
               _: Long) =>
-            graft.text.Dedup.decontaminateAgainst(batch, evalShingles,
-              "doc_id", "text", k = cfg.curate.decontaminateK,
-              minHits = cfg.curate.decontaminateMinHits)
-              .write.mode("append").parquet(cfg.output)
+            val decon = evalShingles match {
+              case Some(es) => graft.text.Dedup.decontaminateAgainst(batch,
+                es, "doc_id", "text", k = cfg.curate.decontaminateK,
+                minHits = cfg.curate.decontaminateMinHits)
+              case None => batch.toDF()
+            }
+            val out = model match {
+              case Some(m) =>
+                val tooSurprising = graft.text.TextAnalysis
+                  .bigramLmScoresAgainstModel(decon, "doc_id", "text", m)
+                  .filter(col("nll_fp") >
+                    lit(cfg.curate.maxBigramXentMicro) * col("n_bigrams"))
+                  .select(col("doc_id"))
+                decon.join(tooSurprising, Seq("doc_id"), "left_anti")
+              case None => decon
+            }
+            out.write.mode("append").parquet(cfg.output)
         }
-    }
+      }
     val landing = landingWriter.queryName("curate-landing")
       .option("checkpointLocation", s"${cfg.checkpoint}/landing")
       .trigger(Trigger.AvailableNow())
@@ -187,18 +226,19 @@ object CurateStreamCli {
     // zone (the standard bronze→silver chaining); it starts after the
     // landing drain so the files exist, and its own checkpoint tracks
     // which landed files it has processed across runs.
-    val candSource: org.apache.spark.sql.DataFrame = cfg.evalPath match {
+    val candSource: org.apache.spark.sql.DataFrame =
       // a streaming DataFrame can back multiple queries (each plans its
       // own source instance) — reuse `gated` rather than duplicating its
       // construction, so the landing zone and the LSH state can never
       // silently diverge about which gates apply
-      case None => gated
-      case Some(_) =>
+      if (!usesBatchSink) gated
+      else {
         landing.awaitTermination()
         evalCache.foreach(_.unpersist(blocking = false))
+        modelCache.foreach(_.unpersist(blocking = false))
         spark.readStream.schema(gated.schema)
           .option("maxFilesPerTrigger", 1).parquet(cfg.output)
-    }
+      }
     val cands = graft.text.StreamingNearDedup.candidates(candSource,
         "doc_id", "text", k = cfg.curate.shingleK,
         numHashes = cfg.curate.numHashes, bands = cfg.curate.bands,
@@ -241,6 +281,7 @@ object CurateStreamCli {
     var curate = CurateCli.Config()
     var watermark = "1 hour"; var maxPerBucket = 1000; var stateTtlMs = 0L
     var evalPath: Option[String] = None
+    var bigramModelPath: Option[String] = None
     var stateStore: Option[String] = None
     var i = 0
     try {
@@ -262,6 +303,9 @@ object CurateStreamCli {
           case "--max-per-bucket" => maxPerBucket = args(i + 1).toInt; i += 2
           case "--state-ttl-ms" => stateTtlMs = args(i + 1).toLong; i += 2
           case "--eval" => evalPath = Some(args(i + 1)); i += 2
+          case "--bigram-model" => bigramModelPath = Some(args(i + 1)); i += 2
+          case "--max-bigram-xent-micro" =>
+            curate = curate.copy(maxBigramXentMicro = args(i + 1).toLong); i += 2
           case "--state-store" => stateStore = Some(args(i + 1)); i += 2
           case "--decontaminate-k" =>
             curate = curate.copy(decontaminateK = args(i + 1).toInt); i += 2
@@ -276,8 +320,13 @@ object CurateStreamCli {
     }
     if (input.isEmpty || output.isEmpty || candidates.isEmpty || checkpoint.isEmpty)
       Left("--input, --output, --candidates, --checkpoint required")
+    else if (bigramModelPath.isDefined && curate.maxBigramXentMicro <= 0L)
+      Left("--bigram-model requires --max-bigram-xent-micro > 0 (the gate threshold)")
+    else if (bigramModelPath.isEmpty && curate.maxBigramXentMicro > 0L)
+      Left("--max-bigram-xent-micro requires --bigram-model (the reference LM snapshot)")
     else Right(StreamConfig(input, output, candidates, checkpoint, curate,
-      watermark, maxPerBucket, stateTtlMs, evalPath, stateStore))
+      watermark, maxPerBucket, stateTtlMs, evalPath, bigramModelPath,
+      stateStore))
   }
 
   def main(args: Array[String]): Unit = {

@@ -851,6 +851,75 @@ object TextAnalysis {
         col("nll_fp").cast("double") / (lit(1000000.0) * col("n_bigrams")))
   }
 
+  /** Bigram-LM model SNAPSHOT — the broadcastable table that lets
+    * [[bigramLmScoresAgainstModel]] score documents the corpus has
+    * never seen (the stream-side half of the CCNet filter): one row
+    * per observed bigram `(w1, w2, c12, c1, vocab)` with the prefix
+    * count and vocab denormalized in. Built from a REFERENCE corpus —
+    * in production the bounded clean corpus the filter calibrates
+    * against (CCNet trains its LM on Wikipedia, not the crawl), which
+    * is what keeps the snapshot broadcast-sized regardless of how much
+    * raw data streams past it. Write it to parquet and hand the path
+    * to the streaming CLI; scoring joins never touch this builder
+    * again. */
+  def bigramLmModel(df: DataFrame, textCol: String): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("__toks"))
+    val bi = toks.filter(size(col("__toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .localCheckpoint() // read twice: pair rollup + prefix rollup
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("__toks")).as("__t"))
+      .agg(countDistinct(col("__t")).as("vocab"))
+    c12.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+  }
+
+  /** Score documents against a PREBUILT [[bigramLmModel]] snapshot —
+    * the ingest-time CCNet perplexity gate: arriving docs are scored
+    * per micro-batch against the broadcast model instead of against
+    * themselves (a micro-batch is not a corpus; self-scoring it would
+    * rate everything typical of itself). Same fixed-point arithmetic
+    * and output schema as [[bigramLmScores]] — `(idCol, n_bigrams,
+    * nll_fp, cross_entropy)` — and add-1 smoothing covers the unseen
+    * cases exactly: an unseen pair scores `L(c1+V) − L(1)` and an
+    * unseen prefix `L(V) − L(1)` (c = 0 both times), so scoring the
+    * model's OWN corpus reproduces [[bigramLmScores]] bit for bit
+    * (spec-pinned). Scale shape: one projection of the batch into
+    * positional bigrams, two broadcast left joins (pairs, prefixes),
+    * one per-doc rollup — no corpus-sized shuffle, which is what makes
+    * it safe inside a foreachBatch. */
+  def bigramLmScoresAgainstModel(df: DataFrame, idCol: String,
+      textCol: String, model: DataFrame): DataFrame = {
+    def lfp(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1000000L)).cast("long")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
+    val bi = toks.filter(size(col("__toks")) >= 2)
+      .select(col("__id"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("__bg"))
+      .select(col("__id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val pairs = model.select(col("w1"), col("w2"), col("c12"))
+    val prefixes = model.select(col("w1"), col("c1")).distinct()
+    val vocab = model.select(max(col("vocab")).as("__v"))
+    bi.join(broadcast(pairs), Seq("w1", "w2"), "left")
+      .join(broadcast(prefixes), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"),
+        (lfp(coalesce(col("c1"), lit(0L)) + col("__v")) -
+          lfp(coalesce(col("c12"), lit(0L)) + 1)).as("__nl"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("__nl").as("nll_fp"))
+      .withColumn("cross_entropy",
+        col("nll_fp").cast("double") / (lit(1000000.0) * col("n_bigrams")))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how target-domain-like its hashed n-gram profile is,

@@ -32,6 +32,68 @@ class CurateStreamCliSpec extends SparkSpec {
       c.maxPerBucket == 10 && c.stateTtlMs == 5000L &&
       c.evalPath.contains("ev") && c.curate.decontaminateK == 6 &&
       c.curate.decontaminateMinHits == 2 && c.stateStore.contains("rocksdb")))
+    // the perplexity gate needs BOTH halves: a model without a
+    // threshold (or vice versa) is a config error, not a silent no-op
+    val req = Array("--input", "a", "--output", "b",
+      "--candidates", "c", "--checkpoint", "d")
+    assert(CurateStreamCli.parseArgs(req :+ "--bigram-model" :+ "m").isLeft)
+    assert(CurateStreamCli.parseArgs(
+      req :+ "--max-bigram-xent-micro" :+ "100").isLeft)
+    val okLm = CurateStreamCli.parseArgs(req ++ Array(
+      "--bigram-model", "m", "--max-bigram-xent-micro", "3450000"))
+    assert(okLm.exists(c => c.bigramModelPath.contains("m") &&
+      c.curate.maxBigramXentMicro == 3450000L))
+  }
+
+  test("e2e with --bigram-model: improbable-bigram doc never lands, fluent doc does") {
+    val in = Files.createTempDirectory("cscli-lm-in").toString
+    val base = Files.createTempDirectory("cscli-lm").toString
+    val fluent = "the cat sat on the mat and the dog ran in the garden"
+    // the reference LM snapshot — a bounded clean corpus, built batch-
+    // side and handed to the stream as parquet
+    (1L to 10L).map(i => (i, fluent)).toDF("doc_id", "text")
+      .write.parquet(s"$base/refmodel_src")
+    graft.text.TextAnalysis.bigramLmModel(
+        spark.read.parquet(s"$base/refmodel_src"), "text")
+      .write.parquet(s"$base/model")
+    val cfg = CurateStreamCli.StreamConfig(
+      input = in, output = s"$base/landing", candidates = s"$base/cands",
+      checkpoint = s"$base/cp",
+      curate = CurateCli.Config(minQuality = 0.0, languages = Set("en"),
+        jaccardThreshold = 0.5, maxBigramXentMicro = 2000000L),
+      bigramModelPath = Some(s"$base/model"))
+    // same vocabulary (so language ID still says en and every PREFIX is
+    // known) but scrambled order: every bigram is unseen → per-bigram
+    // nll ≈ ln(c1+V) − ln(1), far above the fluent doc's
+    val scrambled = "garden the ran and mat dog sat cat the on in the"
+    val b0 = Paths.get(s"$in/b0.json")
+    Files.writeString(b0, Seq(
+      jsonRow(1, fluent, "2024-01-01T10:00:00Z"),
+      jsonRow(2, scrambled, "2024-01-01T10:00:01Z")).mkString("\n"))
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(b0, FileTime.fromMillis(now - 120000))
+    val s1 = CurateStreamCli.run(spark, cfg)
+    assert(s1.landed == 1, s"only the fluent doc may land, got $s1")
+    assert(spark.read.parquet(cfg.output)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    // run 2: a near-dup of the LANDED fluent doc still lands (its two
+    // extra bigrams average away) and flags against doc 1 — while
+    // nothing ever references the gate-dropped doc 2 (it streams from
+    // the landing zone, so it never entered LSH state)
+    val b1 = Paths.get(s"$in/b1.json")
+    Files.writeString(b1, Seq(
+      jsonRow(3, fluent + " again today", "2024-01-01T10:01:00Z")).mkString("\n"))
+    Files.setLastModifiedTime(b1, FileTime.fromMillis(now))
+    val s2 = CurateStreamCli.run(spark, cfg)
+    val landed2 = spark.read.parquet(cfg.output)
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed2 == Set(1L, 3L), s"landing zone after run 2: $landed2")
+    val flagged = spark.read.parquet(cfg.candidates)
+      .select("doc_id", "dup_of").as[(String, String)].collect().toSet
+    assert(!flagged.exists(p => p._1 == "2" || p._2 == "2"),
+      s"the gate-dropped doc must never appear in candidates: $flagged")
+    assert(flagged.contains(("3", "1")),
+      s"the cross-run near-dup among LANDED docs must flag: $flagged")
   }
 
   test("RocksDB state store: cross-run near-dup flagged from restored RocksDB state") {
