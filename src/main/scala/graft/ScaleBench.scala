@@ -167,11 +167,18 @@ object ScaleBench {
       // the line-dedup stage's at-scale prey; with the per-stage
       // lineage cut its join-back is O(1) plan nodes, so the stage must
       // scale like the other rewrite stages
+      // SPARK_GRAFT_SCALE_CHECKPOINT_DIR switches the funnel's stage
+      // lineage cut from localCheckpoint (executor-local blocks) to a
+      // RELIABLE checkpoint written under that directory — the
+      // preemptible-cluster durability trade, priced by running the
+      // same factor with and without it (SCALE.md records the pair)
       val r = ops.CurateCli.curate(docs, "doc_id", "text",
         funnelCfg.copy(mixDefaultPpm = 900000L, piiScrub = true,
           maxRepetitionRatio = 0.9, lineDedupMinDf = 2, exciseSpanK = 8,
           budgetTokens = 1000000000000L, packBudget = 512,
-          packBuckets = 8),
+          packBuckets = 8,
+          checkpointDir = sys.env.get("SPARK_GRAFT_SCALE_CHECKPOINT_DIR")
+            .filter(_.nonEmpty)),
         evalDocs = Some(docs.filter(evalSlice)))
       val n = r.funnel.last.docs
       r.unpersist()
