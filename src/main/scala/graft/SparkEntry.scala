@@ -214,6 +214,24 @@ object SparkEntry {
     // per-doc sum exact in any association order
     "q108_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScores(Tables.documents(s, d), "doc_id", "text")),
+    // q115: exact heavy hitters — Misra-Gries candidates per partition,
+    // then an exact recount of candidates ONLY: the counting shuffle
+    // carries partitions·m rows, never the Zipf-tail vocabulary
+    "q115_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, d), "text",
+        supportPpm = 2000L)),
+    // q116: deterministic stratified sample — k docs per source by md5
+    // of the id (reproducible uniform sampling; map-side
+    // WindowGroupLimit keeps the exchange strata·k-sized)
+    "q116_stratified_sample" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, d), "doc_id",
+        "source", k = 5)),
+    // q117: adjacent-bigram PMI collocations in the fixed-point-ln
+    // frame — marginals derive from the pair-count table, never a
+    // second corpus pass; top-k rides TakeOrderedAndProject
+    "q117_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d), "text",
+        minCount = 3L, topK = 50)),
 
     // §7.10 extended surface: similarity search
     "q37_ann_cosine_topk" -> ((s, d) => {
@@ -659,6 +677,33 @@ object SparkEntry {
     "q107_small_quantity_revenue" -> ((s, d) =>
       Analytics.smallQuantityRevenue(Tables.part(s, d),
         Tables.lineitem(s, d), "Brand#4")),
+    // q111: bilateral shipping volume by year (TPC-H Q7 shape) — both
+    // nation slices broadcast onto the dims; ship-date window prunes
+    // the fact scan; the pair filter runs BEFORE the aggregate
+    "q111_volume_shipping" -> ((s, d) =>
+      Analytics.volumeShipping(Tables.supplier(s, d), Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d),
+        "NATION_1", "NATION_2", "1995-01-01", "1998-01-01")),
+    // q112: national market share within a region (TPC-H Q8 shape) —
+    // conditional decimal sum inside ONE hash agg (no self-join), one
+    // IEEE division per year
+    "q112_market_share" -> ((s, d) =>
+      Analytics.marketShare(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.region(s, d),
+        "NATION_5", "AFRICA", "PROMO", "1995-01-01", "1998-01-01")),
+    // q113: product-line revenue by supplier nation and year (TPC-H Q9
+    // shape minus the partsupp leg this schema doesn't carry)
+    "q113_product_revenue" -> ((s, d) =>
+      Analytics.productRevenueByNation(Tables.part(s, d),
+        Tables.supplier(s, d), Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.nation(s, d), "ring")),
+    // q114: disjunctive bracket revenue (TPC-H Q19 shape) — Catalyst
+    // extracts the common bounds of the OR'd brackets into both scans
+    "q114_bracket_revenue" -> ((s, d) =>
+      Analytics.bracketRevenue(Tables.part(s, d), Tables.lineitem(s, d),
+        Seq(("Brand#4", 1, 15, 1.0, 20.0), ("Brand#2", 10, 30, 5.0, 30.0),
+          ("Brand#19", 20, 50, 10.0, 40.0)))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -731,6 +776,13 @@ object SparkEntry {
         graft.vector.Gramian.gramianFp(emb, "embedding"),
         (1 to dim).map(j => 1000000L + j))
     }),
+    // q118: the Xᵀy moment vector against the label column — with the
+    // q109 gramian these are the ridge normal equations: a linear probe
+    // fits in two corpus passes + a d×d driver solve (Gramian.ridgeSolve),
+    // no iterative training at any corpus size
+    "q118_xty_moments" -> ((s, d) =>
+      graft.vector.Gramian.momentsFp(Tables.embeddings(s, d),
+        "embedding", "label")),
 
     // q84: per-domain quality cap (RefinedWeb-style) — each source
     // contributes at most its 25 BEST docs by quality. Map-side
@@ -1047,6 +1099,72 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY total_revenue DESC, s_suppkey LIMIT 10""".stripMargin,
+    // q111: Q7 shape — both nation legs from one 2-row slice, the
+    // bilateral pair disjunction, ship-year extraction, decimal revenue
+    "q111_volume_shipping" ->
+      """WITH n AS (SELECT n_nationkey, n_name FROM nation
+        |  WHERE n_name IN ('NATION_1', 'NATION_2'))
+        |SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN n ns ON s_nationkey = ns.n_nationkey
+        |JOIN n nc ON c_nationkey = nc.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        |    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q112: Q8 shape — the share as a conditional decimal sum over the
+    // same rows as the total (one aggregate), ONE IEEE division
+    "q112_market_share" ->
+      """WITH rn AS (SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'AFRICA'),
+        |l AS (SELECT year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) AS vol,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE p_type = 'PROMO'
+        |    AND c_nationkey IN (SELECT n_nationkey FROM rn)
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT CAST(o_year AS INTEGER) AS o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+        |      THEN CAST(vol AS DECIMAL(18,6))
+        |      ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(vol AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q113: Q9 shape (no partsupp leg in this schema) — name-contains
+    // part slice, supplier nation, order year, decimal revenue
+    "q113_product_revenue" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE contains(p_name, 'ring')
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // q114: Q19 shape — the OR'd (brand, size, quantity) brackets,
+    // coalesced to 0 when nothing qualifies
+    "q114_bracket_revenue" ->
+      """SELECT COALESCE(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 5 AND 30)
+        |  OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
     // q96: Q3 shape — same pruned scans, segment IN-subquery for the
     // semi-join, decimal revenue, l_orderkey tiebreak into the limit
     "q96_shipping_priority" ->
@@ -1735,6 +1853,60 @@ object SparkEntry {
         |SELECT dim, CAST((sum_fp - ((sum_fp % 1000000000000 + 1000000000000) % 1000000000000))
         |  // 1000000000000 AS BIGINT) AS v_fp
         |FROM sv""".stripMargin,
+    // q118: the Xᵀy moments — q109's micro components dotted against
+    // the fixed-pointed label, summed per dim
+    "q118_xty_moments" ->
+      """WITH e AS (SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xf,
+        |  CAST(floor(CAST(label AS DOUBLE) * 1000000) AS BIGINT) AS yf
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |p AS (SELECT xf, yf, unnest(generate_series(1, len(xf))) AS i FROM e)
+        |SELECT CAST(i AS INTEGER) AS dim, CAST(sum(xf[i] * yf) AS BIGINT) AS xty_fp,
+        |  CAST(CAST(sum(xf[i] * yf) AS BIGINT) AS DOUBLE) / 1e12 AS xty
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q115: heavy hitters — the oracle counts EVERYTHING (it can afford
+    // to at oracle scale); the engine's sketch+recount must agree
+    // exactly, including the cross-multiplied ppm threshold and the
+    // exact floor-divided freq_ppm
+    "q115_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest($tokensSql) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |tt AS (SELECT token FROM tk WHERE token <> ''),
+         |n AS (SELECT count(*) AS total FROM tt)
+         |SELECT token, count(*) AS cnt,
+         |  CAST(count(*) * 1000000 // total AS BIGINT) AS freq_ppm
+         |FROM tt CROSS JOIN n
+         |GROUP BY token, total
+         |HAVING count(*) * 1000000 >= 2000 * total
+         |ORDER BY cnt DESC, token""".stripMargin,
+    // q116: md5-ordered per-stratum row_number — both engines hash the
+    // identical decimal string, so the sample is engine-exact
+    "q116_stratified_sample" ->
+      """SELECT source, doc_id, CAST(rk AS INTEGER) AS sample_rank FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 5 ORDER BY source, sample_rank""".stripMargin,
+    // q117: the oracle re-derives the bigram stream, pair counts,
+    // pair-table marginals, and the same integer-argument fixed-point
+    // ln as q108/q72
+    "q117_collocations" ->
+      s"""WITH t AS (SELECT $tokensSql AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |t2 AS (SELECT toks FROM t WHERE len(toks) >= 2),
+         |px AS (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t2),
+         |b AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM px),
+         |c12 AS (SELECT w1, w2, count(*) AS pair_count FROM b GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(pair_count) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+         |c2 AS (SELECT w2, CAST(sum(pair_count) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+         |n AS (SELECT CAST(sum(pair_count) AS BIGINT) AS n FROM c12)
+         |SELECT w1, w2, pair_count,
+         |  CAST(floor(ln(CAST(pair_count * n.n AS DOUBLE)) * 1000000) AS BIGINT)
+         |  - CAST(floor(ln(CAST(c1.c1 * c2.c2 AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_fp
+         |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+         |WHERE pair_count >= 3
+         |ORDER BY pmi_fp DESC, w1, w2 LIMIT 50""".stripMargin,
     // q48: q36's machinery with the DF cut — shingles present in > 20
     // docs are dropped from BOTH candidate generation and the
     // size/intersection arithmetic on BOTH engines

@@ -290,6 +290,159 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** Bilateral shipping volume between two nations by ship year
+    * (TPC-H Q7 shape): the cross-border trade rollup. Plan
+    * discipline: BOTH nation slices are tiny named-key lists joined
+    * broadcast onto the dims; supplier and customer project to
+    * (key, nation) pairs before touching the fact; the date window
+    * prunes the lineitem scan (`PushedFilters`); the
+    * (supp_nation, cust_nation) pair filter applies right after the
+    * two nation attachments, BEFORE the aggregate, so only qualifying
+    * rows reach the hash agg; revenue sums in exact decimal. The ship
+    * year comes from `l_shipdate` as the spec demands — extracted
+    * post-join, it costs nothing (codegen'd projection). */
+  def volumeShipping(supplier: DataFrame, lineitem: DataFrame,
+      orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      nationA: String, nationB: String,
+      fromDate: String, toDate: String): DataFrame = {
+    val n = nation.filter(col("n_name").isin(nationA, nationB))
+      .select("n_nationkey", "n_name")
+    val s = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val c = customer.select("c_custkey", "c_nationkey")
+      .join(broadcast(n.withColumnRenamed("n_name", "cust_nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "cust_nation")
+    lineitem
+      .filter(col("l_shipdate") >= lit(fromDate) &&
+        col("l_shipdate") < lit(toDate))
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === lit(nationA) &&
+          col("cust_nation") === lit(nationB)) ||
+        (col("supp_nation") === lit(nationB) &&
+          col("cust_nation") === lit(nationA)))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** National market share within a region for one part type by order
+    * year (TPC-H Q8 shape): Σ revenue from nation N / Σ revenue, over
+    * region-R customers buying type-T parts. Plan discipline: the
+    * type-filtered part slice and the region-filtered nation list
+    * broadcast (both dim-sized); the order-date window prunes the
+    * orders scan; the share is computed as two exact-decimal sums per
+    * year — the nation share via a conditional decimal sum inside the
+    * SAME hash agg (one pass, no self-join) — and ONE IEEE division at
+    * the end (the dsum parity rule). */
+  def marketShare(part: DataFrame, supplier: DataFrame,
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame, targetNation: String,
+      regionName: String, pType: String,
+      fromDate: String, toDate: String): DataFrame = {
+    val p = broadcast(part.filter(col("p_type") === lit(pType))
+      .select("p_partkey"))
+    val regNations = broadcast(
+      nation.join(broadcast(region.filter(col("r_name") === lit(regionName))
+          .select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey"))
+    val c = customer.select("c_custkey", "c_nationkey")
+      .join(regNations, col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select("c_custkey")
+    val s = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("__snk"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("__snk"))
+      .select("s_suppkey", "supp_nation")
+    val o = orders
+      .filter(col("o_orderdate") >= lit(fromDate) &&
+        col("o_orderdate") < lit(toDate))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === lit(targetNation), vol)
+          .otherwise(lit(0.0)).cast(DecimalType(18, 6))).as("__nrev"),
+        sum(vol.cast(DecimalType(18, 6))).as("__trev"))
+      .select(col("o_year"),
+        (col("__nrev").cast("double") / col("__trev").cast("double"))
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Product-line revenue by supplier nation and order year (TPC-H Q9
+    * shape, minus the `partsupp` supply-cost leg this schema doesn't
+    * carry): for parts whose name contains a word, where did the
+    * revenue land, by nation and year. Plan discipline: the
+    * name-filtered part slice broadcasts (`contains` can't push to
+    * parquet, but the slice is dim-sized and the semi-join keeps the
+    * fact projection key-only); supplier attaches nation pre-join;
+    * the per-(nation, year) rollup aggregates in exact decimal. */
+  def productRevenueByNation(part: DataFrame, supplier: DataFrame,
+      lineitem: DataFrame, orders: DataFrame, nation: DataFrame,
+      nameWord: String): DataFrame = {
+    val p = broadcast(part.filter(col("p_name").contains(nameWord))
+      .select("p_partkey"))
+    val s = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Bracketed discounted revenue under a disjunction of brand/size/
+    * quantity envelopes (TPC-H Q19 shape, on the columns this schema
+    * carries): Σ revenue over three OR'd (brand, size-range,
+    * quantity-range) brackets. Plan discipline: Catalyst extracts the
+    * common-to-all-branches bounds and pushes them to BOTH scans — the
+    * part scan gets `p_size >= 1` and the lineitem scan the overall
+    * quantity envelope (`l_quantity` between the min low and max high
+    * across brackets) as `PushedFilters`, so each side prunes before
+    * the join; the residual per-bracket disjunction evaluates
+    * post-join inside codegen. The part side broadcasts (dim-sized). */
+  def bracketRevenue(part: DataFrame, lineitem: DataFrame,
+      brackets: Seq[(String, Int, Int, Double, Double)]): DataFrame = {
+    require(brackets.nonEmpty, "at least one bracket")
+    val joined = lineitem
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+    val cond = brackets.map { case (brand, szLo, szHi, qLo, qHi) =>
+      col("p_brand") === lit(brand) &&
+        col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    }.reduce(_ || _)
+    joined.filter(cond)
+      .agg(coalesce(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6),
+        lit(0.0)).as("revenue"))
+  }
+
   /** daily_order_summary MV (init.sql:195-206): GROUP BY day+status with
     * COUNT/SUM/AVG/MIN/MAX of total_amount. */
   def dailyOrderSummary(orders: DataFrame): DataFrame =

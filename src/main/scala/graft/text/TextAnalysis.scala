@@ -1070,6 +1070,137 @@ object TextAnalysis {
           len.cast("int")), " ").as("chunk"))
   }
 
+  /** Exact corpus heavy hitters — every token whose frequency is at
+    * least `supportPpm` parts-per-million of the token stream, with its
+    * EXACT count. Two passes, neither of which shuffles the vocabulary
+    * tail (the thing a plain `groupBy(token)` cannot avoid — at 100 TB
+    * the Zipf tail is billions of distinct near-singleton tokens and
+    * dominates that shuffle):
+    *
+    *  1. per-partition Misra-Gries sketches with `m = ⌈10⁶/supportPpm⌉`
+    *     counters (driver-bounded: each partition emits ≤ m candidate
+    *     tokens). MG guarantees any token with partition-local count
+    *     > nₚ/(m+1) survives its partition's sketch, and a token with
+    *     global count ≥ N·s must have local count ≥ nₚ·s ≥ nₚ/(m+1) in
+    *     at least one partition (pigeonhole) — so the candidate union
+    *     is a SUPERSET of the true answer; no false negatives.
+    *  2. exact recount of candidates only: a broadcast semi-join
+    *     filters the token stream map-side, so the counting hash-agg
+    *     shuffles candidate tokens only — partitions·m rows, not the
+    *     vocabulary.
+    *
+    * The ppm threshold compares in exact integer cross-multiplication
+    * (`cnt·10⁶ ≥ supportPpm·N`), so results are engine-exact. */
+  def heavyHitters(df: DataFrame, textCol: String,
+      supportPpm: Long): DataFrame = {
+    require(supportPpm > 0 && supportPpm <= 1000000L,
+      s"supportPpm in (0, 1e6], got $supportPpm")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = (1000000L / supportPpm).toInt + 1
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    // pass 1: MG candidates + per-partition stream length (null-token
+    // marker rows carry the lengths; their sum is the exact N)
+    val sketch = toks.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { t =>
+        n += 1
+        counts.get(t) match {
+          case Some(c) => counts.update(t, c + 1)
+          case None if counts.size < m => counts.update(t, 1L)
+          case None =>
+            val dead = counts.iterator.flatMap { case (k, c) =>
+              if (c == 1L) Some(k) else { counts.update(k, c - 1); None }
+            }.toList
+            dead.foreach(counts.remove)
+        }
+      }
+      counts.keysIterator.map(t => (t, -1L)) ++ Iterator(((null: String), n))
+    }.toDF("token", "n")
+      .localCheckpoint() // read twice: total + candidates
+    val total = sketch.filter(col("token").isNull)
+      .agg(sum("n").as("__total"))
+    val candidates = sketch.filter(col("token").isNotNull)
+      .select("token").distinct()
+    // pass 2: exact recount, candidates only
+    toks.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(1000000L) >= lit(supportPpm) * col("__total"))
+      // exact floor division (q110's subtract-the-remainder pattern):
+      // a bare double division could round across an integer boundary
+      .select(col("token"), col("cnt"),
+        ((col("cnt") * lit(1000000L) -
+          pmod(col("cnt") * lit(1000000L), col("__total"))) / col("__total"))
+          .cast("long").as("freq_ppm"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** Deterministic stratified uniform sample — `k` documents per
+    * stratum, chosen by md5 of the document id: reproducible across
+    * runs, engines, and partitionings (the property `rand()` sampling
+    * can't give an oracle), and uniform because the hash is
+    * equidistributed over ids. The per-stratum top-k rides Spark's
+    * WindowGroupLimit: each task keeps at most k rows per stratum
+    * BEFORE the shuffle, so the exchange carries strata·k rows per
+    * partition, never the corpus — the training-data subsampling
+    * primitive ("give me 10k docs per domain") at any corpus size. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    df.select(col(strataCol), col(idCol), h.as("__h"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("__h")
+      .orderBy(col(strataCol), col("sample_rank"))
+  }
+
+  /** Corpus collocations — adjacent-bigram PMI in the q72/q108
+    * fixed-point-ln frame: `pmi_fp = L(c₁₂·N) − L(c₁·c₂)` with
+    * `L(n) = ⌊ln(n)·10⁶⌋` on INTEGER arguments (both engines take ln
+    * of the identical double, so scores are bit-exact), where c₁/c₂
+    * are the bigram-position marginals and N the total bigram count.
+    * The phrase-vocabulary induction step (which adjacent pairs behave
+    * as units — the signal a tokenizer or phrase-table build reads).
+    *
+    * Scale shape: one pass builds the (w₁,w₂) count table; the
+    * marginals derive from THAT table (vocab-sized input), never from
+    * a second corpus pass; N is a 1-row broadcast; `minCount` prunes
+    * the singleton tail before the marginal joins; top-k rides
+    * TakeOrderedAndProject (never a global sort). */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1 && topK > 0, s"bad args: $minCount, $topK")
+    def lfp(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1000000L)).cast("long")
+    val toksD = df.filter(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val bi = toksD.select(explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      .localCheckpoint() // read 4×: marginals ×2, N, and the scored join
+    val c1 = c12.groupBy("w1").agg(sum("pair_count").as("__c1"))
+    val c2 = c12.groupBy("w2").agg(sum("pair_count").as("__c2"))
+    val n = c12.agg(sum("pair_count").as("__n"))
+    c12.filter(col("pair_count") >= minCount)
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        (lfp(col("pair_count") * col("__n")) - lfp(col("__c1") * col("__c2")))
+          .as("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Full per-document stats projection used by the stats query. */
   def stats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)

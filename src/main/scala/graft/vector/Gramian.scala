@@ -150,4 +150,84 @@ object Gramian {
         ((col("__s") - pmod(col("__s"), den)) / den).cast("long").as("v_fp"))
       .orderBy("dim")
   }
+
+  /** The moment vector Xᵀy in [[gramianFp]]'s fixed-point frame —
+    * `xty_fp(i) = Σ_rows ⌊xᵢ·10⁶⌋·⌊y·10⁶⌋` — the other half of the
+    * ridge normal equations `(XᵀX + λI)·w = Xᵀy`: with [[gramianFp]]
+    * one corpus pass each, a linear probe / quality-regression fit
+    * over embeddings needs NO iterative training at any corpus size
+    * (collect the d² + d exact sums, solve d×d driver-side via
+    * [[ridgeSolve]]). Unlike the gramian's d²-per-row accumulation,
+    * the per-row work here is linear in d, so plain
+    * posexplode + hash-agg is the right shape: map-side partials
+    * collapse to ≤ d rows per partition before the shuffle, and every
+    * product is integer arithmetic — exact in any association order,
+    * DECIMAL(38,0) across partitions. */
+  def momentsFp(df: DataFrame, embCol: String, yCol: String): DataFrame = {
+    val nn = df.filter(col(embCol).isNotNull && col(yCol).isNotNull)
+    nn.select(
+        posexplode(transform(col(embCol),
+          x => floor(x.cast("double") * lit(1000000L)).cast("long"))),
+        floor(col(yCol).cast("double") * lit(1000000L)).cast("long")
+          .as("__yf"))
+      .select((col("pos") + 1).cast("int").as("dim"),
+        (col("col") * col("__yf")).cast(DecimalType(38, 0)).as("__p"))
+      .groupBy("dim")
+      .agg(sum(col("__p")).cast("long").as("xty_fp"))
+      .withColumn("xty", col("xty_fp").cast("double") / lit(1.0e12))
+      .orderBy("dim")
+  }
+
+  /** Driver-side closed-form ridge solve over collected [[gramianFp]] /
+    * [[momentsFp]] rows: `w = (G + λI)⁻¹·Xᵀy` by Gaussian elimination
+    * with partial pivoting on the d×d system — O(d³) driver work, the
+    * right trade for embedding-sized d (the distributed passes did the
+    * O(N·d²); this touches no executor). `gram` rows are the stored
+    * upper triangle `(dim_i, dim_j, gram)`; `moments` rows `(dim,
+    * xty)`; both 1-based. λ ≥ 0 regularizes (λ > 0 also guarantees the
+    * system is nonsingular for any data). */
+  def ridgeSolve(gram: Seq[(Int, Int, Double)], moments: Seq[(Int, Double)],
+      lambda: Double): Array[Double] = {
+    require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    require(moments.nonEmpty, "empty moment vector")
+    val d = moments.map(_._1).max
+    val a = Array.ofDim[Double](d, d + 1)
+    gram.foreach { case (i, j, g) =>
+      require(i >= 1 && i <= d && j >= i && j <= d, s"bad gram cell ($i,$j)")
+      a(i - 1)(j - 1) = g
+      a(j - 1)(i - 1) = g
+    }
+    (0 until d).foreach(i => a(i)(i) += lambda)
+    moments.foreach { case (i, y) => a(i - 1)(d) = y }
+    var col0 = 0
+    while (col0 < d) {
+      var piv = col0
+      var r = col0 + 1
+      while (r < d) {
+        if (math.abs(a(r)(col0)) > math.abs(a(piv)(col0))) piv = r
+        r += 1
+      }
+      require(math.abs(a(piv)(col0)) > 1e-12,
+        s"singular normal equations at column ${col0 + 1}; raise lambda")
+      if (piv != col0) { val t = a(piv); a(piv) = a(col0); a(col0) = t }
+      r = col0 + 1
+      while (r < d) {
+        val f = a(r)(col0) / a(col0)(col0)
+        var k = col0
+        while (k <= d) { a(r)(k) -= f * a(col0)(k); k += 1 }
+        r += 1
+      }
+      col0 += 1
+    }
+    val w = new Array[Double](d)
+    var i = d - 1
+    while (i >= 0) {
+      var s = a(i)(d)
+      var k = i + 1
+      while (k < d) { s -= a(i)(k) * w(k); k += 1 }
+      w(i) = s / a(i)(i)
+      i -= 1
+    }
+    w
+  }
 }

@@ -430,6 +430,80 @@ class PlanSpec extends SparkSpec {
       s"no exchange may sit below the partial gramian:\n$p")
   }
 
+  test("q111 volume shipping: ship-date pushed to the fact scan; nation legs broadcast") {
+    val p = plan("q111_volume_shipping")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"lineitem scan must push the ship-date window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 2-row nation slices must broadcast onto the dims:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q112 market share: one hash agg computes both sums (no self-join on the fact)") {
+    val p = plan("q112_market_share")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"orders scan must push the date window:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"part-type and region slices must be semi-joins:\n$p")
+    // the nation-share numerator is a conditional sum inside the SAME
+    // aggregate as the total — the fact is scanned once (ReadSchema
+    // prints the column type once per lineitem scan)
+    assert("l_extendedprice:double".r.findAllIn(p).length == 1,
+      s"lineitem must be scanned once, not once per sum:\n$p")
+  }
+
+  test("q113 product revenue: name-filtered part is a broadcast semi-join") {
+    val p = plan("q113_product_revenue")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"part slice must broadcast semi-join the fact:\n$p")
+    assert(p.contains("partial_sum"), "map-side partial aggregation expected")
+  }
+
+  test("q114 bracket revenue: per-side bracket disjunctions pushed whole to both scans") {
+    val p = plan("q114_bracket_revenue")
+    // Catalyst splits the cross-table disjunction into a quantity-only
+    // OR for the lineitem scan and a brand/size OR for the part scan —
+    // BOTH land in PushedFilters as whole disjunctions (the plan
+    // string truncates long filter lists, so match their heads)
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"the quantity bracket disjunction must reach the lineitem scan:\n$p")
+    assert(p.contains("Or(Or(And(EqualTo(p_brand,Brand#4)"),
+      s"the brand/size bracket disjunction must reach the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part side must broadcast:\n$p")
+  }
+
+  test("q115 heavy hitters: candidate recount is a broadcast semi-join, map-side partials") {
+    val p = plan("q115_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"the recount filter must be a broadcast semi-join (map-side):\n$p")
+    assert(p.contains("partial_count"),
+      s"the recount must partial-aggregate before the shuffle:\n$p")
+  }
+
+  test("q116 stratified sample: per-stratum top-k is a map-side WindowGroupLimit") {
+    val p = plan("q116_stratified_sample")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank<=k must prune map-side, before the shuffle:\n$p")
+  }
+
+  test("q117 collocations: top-k is TakeOrderedAndProject; marginals from the pair table") {
+    val p = plan("q117_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be TakeOrderedAndProject, not a global sort:\n$p")
+    // marginals derive from the checkpointed pair-count table: the raw
+    // bigram stream must be scanned into exactly one aggregation
+    assert(p.contains("LogicalRDD") || p.contains("ExistingRDD") ||
+      p.contains("Scan ExistingRDD"),
+      s"pair table must be the checkpointed leaf:\n$p")
+  }
+
+  test("q118 xty moments: map-side partial sums collapse to d rows per partition") {
+    val p = plan("q118_xty_moments")
+    assert(p.contains("partial_sum"),
+      s"per-dim products must partial-aggregate before the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

@@ -1,0 +1,127 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Heavy hitters, stratified sampling, and collocation mining — the
+  * corpus-statistics operators whose correctness claims are EXACTNESS
+  * under adversarial partitioning (the sketch pass must never lose a
+  * qualifying token, the sample must never depend on physical layout). */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- heavy hitters ------------------------------------------------
+
+  private def exactHitters(df: org.apache.spark.sql.DataFrame,
+      supportPpm: Long): Map[String, Long] = {
+    val toks = df.filter(col("text").isNotNull)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(col("t") =!= "").as[String].collect()
+    val n = toks.length.toLong
+    toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter { case (_, c) => c * 1000000L >= supportPpm * n }.toMap
+  }
+
+  test("heavyHitters equals the exact full count, incl. boundary tokens") {
+    // 100 tokens total: "hot" ×10 (exactly 10%), "warm" ×9 (just under),
+    // 81 singletons — threshold 100000 ppm keeps hot, drops warm
+    val text = (Seq.fill(10)("hot") ++ Seq.fill(9)("warm") ++
+      (1 to 81).map(i => s"tail$i")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(df, "text", supportPpm = 100000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hot" -> 10L))
+    // and the ppm column is the exact floor division
+    val ppm = TextAnalysis.heavyHitters(df, "text", supportPpm = 100000L)
+      .head().getLong(2)
+    assert(ppm == 100000L)
+  }
+
+  test("heavyHitters is partitioning-invariant (MG candidates never lose a qualifier)") {
+    // Zipf-ish corpus spread over many docs, then ADVERSARIALLY
+    // partitioned: all copies of each token land in ONE partition via
+    // a skewed repartition — the regime where a per-partition sketch
+    // must still surface every global qualifier
+    val docs = (1 to 200).map { i =>
+      val tok = if (i % 7 == 0) "seven" else if (i % 3 == 0) "three" else s"u$i"
+      (i.toLong, s"$tok filler$i")
+    }
+    val base = docs.toDF("doc_id", "text")
+    val expected = exactHitters(base, supportPpm = 50000L)
+    assert(expected.nonEmpty, "test corpus must have hitters")
+    for (parts <- Seq(1, 3, 13)) {
+      val got = TextAnalysis.heavyHitters(
+        base.repartition(parts, col("doc_id") % 2), "text",
+        supportPpm = 50000L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"mismatch at $parts partitions")
+    }
+  }
+
+  test("heavyHitters: empty result when nothing qualifies; bad support rejected") {
+    val df = (1 to 50).map(i => (i.toLong, s"a$i b$i")).toDF("doc_id", "text")
+    assert(TextAnalysis.heavyHitters(df, "text", 900000L).count() == 0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitters(df, "text", 0L)
+    }
+  }
+
+  // --- stratified sample --------------------------------------------
+
+  test("stratifiedSample: k per full stratum, whole stratum when smaller, md5 order") {
+    val df = ((1 to 20).map(i => (i.toLong, "big")) ++
+      Seq((100L, "small"), (101L, "small"))).toDF("doc_id", "source")
+    val got = TextAnalysis.stratifiedSample(df, "doc_id", "source", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.count(_._1 == "big") == 5)
+    assert(got.count(_._1 == "small") == 2)
+    assert(got.filter(_._1 == "big").map(_._3).sorted.toSeq == (1 to 5))
+    // the picks are exactly the 5 smallest md5(id) strings — computed
+    // locally with the JDK digest, no Spark in the expectation
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (1 to 20).map(_.toLong).sortBy(id => (md5hex(id.toString), id))
+      .take(5).toSet
+    assert(got.filter(_._1 == "big").map(_._2).toSet == want)
+  }
+
+  test("stratifiedSample is partitioning-invariant") {
+    val df = (1 to 60).map(i => (i.toLong, s"s${i % 4}")).toDF("doc_id", "source")
+    val a = TextAnalysis.stratifiedSample(df, "doc_id", "source", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val b = TextAnalysis.stratifiedSample(df.repartition(11), "doc_id",
+      "source", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+  }
+
+  // --- collocations -------------------------------------------------
+
+  test("collocations: a planted phrase outranks incidental pairs, fp-exactly") {
+    // "new york" always adjacent; "the the…" fillers give high-count
+    // low-PMI pairs
+    val docs = (1 to 30).map { i =>
+      (i.toLong, s"new york is the city $i the the the")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val rows = TextAnalysis.collocations(df, "text", minCount = 3, topK = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getLong(3)))
+    assert(rows.head._1 == ("new", "york"),
+      s"planted phrase must rank first: ${rows.toSeq}")
+    // fp-exact expectation for the winner: c12=30, c1=c2=30, N = bigrams
+    val nBigrams = docs.map(_._2.split("\\s+").length - 1).sum.toLong
+    def lfp(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    assert(rows.head._3 == lfp(30L * nBigrams) - lfp(30L * 30L))
+  }
+
+  test("collocations is partitioning-invariant and respects minCount") {
+    val df = (1 to 40).map(i => (i.toLong, s"alpha beta gamma d$i"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.collocations(df, "text", 3, 10).collect().toSeq
+    val b = TextAnalysis.collocations(df.repartition(9), "text", 3, 10)
+      .collect().toSeq
+    assert(a == b)
+    assert(a.forall(_.getLong(2) >= 3))
+  }
+}

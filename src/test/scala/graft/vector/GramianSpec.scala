@@ -55,6 +55,62 @@ class GramianSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("momentsFp matches the locally computed Xᵀy, any partitioning") {
+    val labeled = vecs.zip(Seq(2.0, -1.0, 0.5))
+      .map { case ((id, v), y) => (id, v, y) }
+    val df = labeled.toDF("vec_id", "embedding", "label")
+    val want = (0 until 3).map { i =>
+      (i + 1) -> labeled.map { case (_, v, y) =>
+        math.floor(v(i).toDouble * 1e6).toLong * math.floor(y * 1e6).toLong
+      }.sum
+    }.toMap
+    for (parts <- Seq(1, 3)) {
+      val got = Gramian.momentsFp(df.repartition(parts), "embedding", "label")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == want, s"mismatch at $parts partitions")
+    }
+  }
+
+  test("ridgeSolve recovers generating weights from gramian + moments (λ=0)") {
+    // y = X·w exactly, well-conditioned X → normal equations return w
+    val w = Array(0.5, -1.25, 2.0)
+    val xs = Seq(
+      Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f), Seq(0.0f, 0.0f, 1.0f),
+      Seq(1.0f, 1.0f, 0.0f), Seq(0.0f, 1.0f, 1.0f), Seq(1.0f, 0.5f, -0.5f))
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      val y = x.zip(w).map { case (xi, wi) => xi * wi }.sum
+      (i.toLong, x, y)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val gram = Gramian.gramianFp(df, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(3))).toSeq
+    val mom = Gramian.momentsFp(df, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getDouble(2))).toSeq
+    val got = Gramian.ridgeSolve(gram, mom, lambda = 0.0)
+    got.zip(w).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-4, s"got ${got.toSeq}, want ${w.toSeq}")
+    }
+  }
+
+  test("ridgeSolve: λ shrinks the solution; singular system without λ fails loudly") {
+    // duplicate-direction data: XᵀX is rank-1 → λ=0 must refuse,
+    // λ>0 must return the (unique) regularized solution
+    val xs = Seq(Seq(1.0f, 1.0f), Seq(2.0f, 2.0f), Seq(3.0f, 3.0f))
+    val rows = xs.zipWithIndex.map { case (x, i) => (i.toLong, x, x.head * 2.0) }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val gram = Gramian.gramianFp(df, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(3))).toSeq
+    val mom = Gramian.momentsFp(df, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getDouble(2))).toSeq
+    intercept[IllegalArgumentException] {
+      Gramian.ridgeSolve(gram, mom, lambda = 0.0)
+    }
+    val wr = Gramian.ridgeSolve(gram, mom, lambda = 1.0)
+    // symmetric data → symmetric weights, and the fit direction is
+    // positive (y grows with x)
+    assert(math.abs(wr(0) - wr(1)) < 1e-9 && wr(0) > 0.0)
+  }
+
   test("gramian plan: partial rows feed one hash aggregation") {
     val df = vecs.toDF("vec_id", "embedding")
     val p = Gramian.gramianFp(df, "embedding")
