@@ -705,6 +705,18 @@ object SparkEntry {
         Seq(("Brand#4", 1, 15, 1.0, 20.0), ("Brand#2", 10, 30, 5.0, 30.0),
           ("Brand#19", 20, 50, 10.0, 40.0)))),
 
+    // q119: ordered-sequence funnel (view → click → purchase) — ONE
+    // user-keyed aggregation folds each user's time-sorted events
+    // through a (step, time) state; no k-way self-join, one fact scan
+    "q119_event_funnel" -> ((s, d) =>
+      Analytics.eventFunnel(Tables.events(s, d), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))),
+    // q120: daily retention cohorts — integral microsecond day
+    // arithmetic (exact at any epoch magnitude, where double division
+    // can mis-bucket), (user, day) dedup before any rollup
+    "q120_retention_cohorts" -> ((s, d) =>
+      Analytics.retentionCohorts(Tables.events(s, d), "user_id", "ts")),
+
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
     // query doc must rank itself first — a built-in relevance sanity).
@@ -1907,6 +1919,32 @@ object SparkEntry {
          |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
          |WHERE pair_count >= 3
          |ORDER BY pmi_fp DESC, w1, w2 LIMIT 50""".stripMargin,
+    // q119: the oracle runs the classic min-after-previous-min chain —
+    // the fold's greedy earliest-advance provably equals it
+    "q119_event_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tn FROM events),
+        |s1 AS (SELECT user_id, min(tn) AS t FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.tn) AS t FROM ev e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.tn > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.tn) AS t FROM ev e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.tn > s2.t GROUP BY 1)
+        |SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+        |  (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+    // q120: integral day division on epoch micros in BOTH engines —
+    // never a double (exact at any epoch magnitude)
+    "q120_retention_cohorts" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS c FROM ud GROUP BY 1)
+        |SELECT c AS cohort_day, d - c AS day_offset, count(*) AS users
+        |FROM ud JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q48: q36's machinery with the DF cut — shingles present in > 20
     // docs are dropped from BOTH candidate generation and the
     // size/intersection arithmetic on BOTH engines

@@ -443,6 +443,91 @@ object Analytics {
         lit(0.0)).as("revenue"))
   }
 
+  /** Ordered-sequence funnel conversion: how many users performed
+    * `steps` IN ORDER (each step strictly after the previous one),
+    * reported as users-reached per step. ONE user-keyed aggregation
+    * does the whole funnel: per user the step-relevant events are
+    * collected, time-sorted, and folded left-to-right with a
+    * (step, time) state that advances exactly when the NEXT step's
+    * event appears strictly later — all inside codegen'd higher-order
+    * functions, so the plan is one shuffle by user and zero self-joins
+    * (the k-way self-join formulation scans the fact k times and
+    * re-shuffles per step; this scans once). Greedy earliest-advance
+    * is optimal here, so the fold equals the classic
+    * min-after-previous-min SQL semantics the oracle replays. Per-user
+    * event lists are session-sized — bounded in practice; a pathological
+    * user bounds at that user's event count, not the corpus. */
+  def eventFunnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct, got $steps")
+    val spark = events.sparkSession
+    val stepsArr = array(steps.map(lit): _*)
+    val perUser = events.filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("__u"),
+        struct(tsMicros(events, tsCol).as("t"),
+          array_position(stepsArr, col(typeCol)).as("idx")).as("__e"))
+      .groupBy("__u")
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .select(aggregate(col("__es"),
+        struct(lit(0L).as("step"), lit(Long.MinValue).as("t")),
+        (acc, e) => when(
+          e.getField("idx") === acc.getField("step") + 1 &&
+            e.getField("t") > acc.getField("t"),
+          struct((acc.getField("step") + 1).as("step"),
+            e.getField("t").as("t"))).otherwise(acc))
+        .getField("step").as("__final"))
+    // explode each user's reach into one row per completed step, then
+    // right-join the step list so unreached steps report 0
+    val reached = perUser.filter(col("__final") >= 1)
+      .select(explode(sequence(lit(1L), col("__final"))).as("step"))
+      .groupBy("step").agg(count(lit(1)).as("__n"))
+    spark.range(1, steps.size + 1).select(col("id").as("step"))
+      .join(reached, Seq("step"), "left")
+      .select(col("step").cast("int").as("step"),
+        element_at(stepsArr, col("step").cast("int")).as("step_name"),
+        coalesce(col("__n"), lit(0L)).as("users"))
+      .orderBy("step")
+  }
+
+  /** Epoch-microsecond long from a timestamp OR raw-long column — the
+    * one conversion both event operators share. NTZ timestamps cast
+    * through TimestampType in the (UTC) session zone; long columns
+    * pass through as-is (caller-defined epoch micros). */
+  private def tsMicros(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => col(tsCol)
+      case _ => unix_micros(col(tsCol)
+        .cast(org.apache.spark.sql.types.TimestampType))
+    }
+
+  /** Daily retention cohorts: users grouped by their first active day,
+    * with distinct-user counts at each day offset — the engagement
+    * triangle. Day arithmetic is INTEGRAL floor division of epoch
+    * micros (`div 86,400e6`) — exact at any epoch magnitude, where a
+    * double division would quietly mis-bucket timestamps approaching
+    * 2⁵³ µs. Scale shape: the (user, day) projection dedups FIRST
+    * (map-side partials over the user×day key — bounded by
+    * users·active-days, not events), the cohort rollup is user-keyed,
+    * and the final count groups on (cohort, offset) —
+    * cohort-matrix-sized output. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val userDays = events.select(col(userCol).as("__u"),
+        tsMicros(events, tsCol).as("__tus"))
+      .select(col("__u"), expr("__tus div 86400000000").as("__day"))
+      .distinct()
+      // users·active-days-sized; read twice (cohort rollup + join), so
+      // cut the lineage once rather than re-scanning the event log
+      .localCheckpoint()
+    val first = userDays.groupBy("__u").agg(min("__day").as("__cohort"))
+    userDays.join(first, "__u")
+      .groupBy(col("__cohort").as("cohort_day"),
+        (col("__day") - col("__cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** daily_order_summary MV (init.sql:195-206): GROUP BY day+status with
     * COUNT/SUM/AVG/MIN/MAX of total_amount. */
   def dailyOrderSummary(orders: DataFrame): DataFrame =

@@ -504,6 +504,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q119 funnel: ONE fact scan (no per-step self-joins), fold inside the agg") {
+    val p = plan("q119_event_funnel")
+    assert("events\\.parquet".r.findAllIn(p).length == 1,
+      s"the funnel must scan events exactly once:\n$p")
+    assert(p.contains("partial_count"),
+      s"step counts must partial-aggregate before the shuffle:\n$p")
+  }
+
+  test("q120 retention: both rollups read the checkpointed (user, day) table") {
+    val p = plan("q120_retention_cohorts")
+    // the dedup materializes once (users·active-days-sized); the final
+    // plan must NOT re-scan the event log for either leg
+    assert(!p.contains("events.parquet"),
+      s"the event log must not be re-scanned past the dedup:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"both legs must read the checkpointed (user, day) leaf:\n$p")
+    assert(p.contains("HashAggregate"), s"rollups must be hash aggs:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

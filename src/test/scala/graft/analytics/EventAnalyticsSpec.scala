@@ -1,0 +1,65 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Funnel conversion and retention cohorts — ordered-sequence
+  * semantics pinned against hand-computed fixtures, including the
+  * cases a naive unconditional-min pivot gets wrong. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  test("eventFunnel: order matters, strictly-after matters, repeats don't") {
+    val events = Seq(
+      // u1 completes in order
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2 clicked BEFORE viewing: click must not count; no purchase
+      (2L, "click", 5L), (2L, "view", 10L),
+      // u3 views and clicks at the SAME instant: strict > rejects it
+      (3L, "view", 10L), (3L, "click", 10L),
+      // u4 re-views late, then clicks: the EARLIEST view anchors, so
+      // the click (after first view) counts
+      (4L, "view", 10L), (4L, "view", 100L), (4L, "click", 50L),
+      // u5 irrelevant event types only
+      (5L, "error", 1L), (5L, "signup", 2L))
+      .toDF("user_id", "event_type", "ts")
+    val got = Analytics.eventFunnel(events, "user_id", "event_type", "ts", steps)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("eventFunnel: unreached steps report 0; result is partitioning-invariant") {
+    val events = Seq((1L, "view", 1L), (2L, "view", 2L))
+      .toDF("user_id", "event_type", "ts")
+    val got = Analytics.eventFunnel(events, "user_id", "event_type", "ts", steps)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got == Seq((1, 2L), (2, 0L), (3, 0L)))
+    val big = (1 to 100).flatMap(u => Seq(
+      (u.toLong, "view", u.toLong), (u.toLong, "click", u.toLong + 1),
+      (u.toLong, "purchase", u.toLong + 2)))
+      .toDF("user_id", "event_type", "ts")
+    val a = Analytics.eventFunnel(big, "user_id", "event_type", "ts", steps)
+      .collect().toSeq
+    val b = Analytics.eventFunnel(big.repartition(13), "user_id",
+      "event_type", "ts", steps).collect().toSeq
+    assert(a == b)
+  }
+
+  test("retentionCohorts: integral day arithmetic on epoch micros") {
+    val day = 86400000000L
+    val base = 1704067200000000L // 2024-01-01, representative epoch µs
+    val events = Seq(
+      (1L, base + 1L), (1L, base + day + 5L), (1L, base + 3 * day),
+      (2L, base + day), (2L, base + day + 7L), // same day twice → one row
+      (3L, base + 2 * day))
+      .toDF("user_id", "ts").withColumn("event_type", lit("view"))
+    val got = Analytics.retentionCohorts(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val d0 = base / day
+    assert(got == Seq(
+      (d0, 0L, 1L), (d0, 1L, 1L), (d0, 3L, 1L),
+      (d0 + 1, 0L, 1L), (d0 + 2, 0L, 1L)))
+  }
+}
