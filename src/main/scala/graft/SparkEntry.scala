@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.analytics.Analytics
+import graft.analytics.{Analytics, AsofJoin}
 import graft.analytics.Analytics.{dsum, davg}
 import graft.cdc.{Transforms, Upsert}
 import graft.compare.Comparer.CompareOptions
@@ -716,6 +716,21 @@ object SparkEntry {
     // can mis-bucket), (user, day) dedup before any rollup
     "q120_retention_cohorts" -> ((s, d) =>
       Analytics.retentionCohorts(Tables.events(s, d), "user_id", "ts")),
+
+    // q121: as-of join — each purchase matched to the most recent view
+    // at-or-before it per user, via the union + carry-forward window
+    // (one key shuffle, NARROW rows — never the quadratic range join)
+    "q121_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      AsofJoin.asofJoin(ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", "ts", "ts", "event_id", "event_id")
+        .orderBy("user_id", "event_id")
+    }),
+    // q122: per-customer running revenue — the ordered windowed
+    // aggregate: partitioned cumulative decimal sum, no global sort
+    "q122_running_revenue" -> ((s, d) =>
+      Analytics.runningRevenue(Tables.orders(s, d))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -1945,6 +1960,29 @@ object SparkEntry {
         |SELECT c AS cohort_day, d - c AS day_offset, count(*) AS users
         |FROM ud JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q121: the oracle states the as-of contract directly — greatest
+    // (ts, id) at-or-before, per purchase, left-outer — as an argmax
+    // over the (bounded-at-oracle-scale) range join the engine avoids
+    "q121_asof_join" ->
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (SELECT p.user_id, p.event_id, v.event_id AS matched_event_id,
+        |    p.t - v.t AS lag_us,
+        |    row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |      ORDER BY v.t DESC, v.event_id DESC) AS rn
+        |  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.t <= p.t)
+        |SELECT user_id, event_id, matched_event_id, lag_us FROM m
+        |WHERE rn = 1 ORDER BY user_id, event_id""".stripMargin,
+    // q122: same window, same decimal frame, same (date, key) tiebreak
+    "q122_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     // q48: q36's machinery with the DF cut — shingles present in > 20
     // docs are dropped from BOTH candidate generation and the
     // size/intersection arithmetic on BOTH engines

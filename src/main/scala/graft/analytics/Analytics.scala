@@ -528,6 +528,25 @@ object Analytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Per-customer running revenue — the ordered windowed aggregate
+    * (cumulative lifetime value as of each order). Partitioned by
+    * customer with NO global sort: each task sorts only its customers'
+    * orders, the exact-decimal running sum accumulates inside the
+    * window frame, and ties on order date break by order key so the
+    * series is engine-deterministic. */
+  def runningRevenue(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    orders.select(col("o_custkey"), col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+        .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** daily_order_summary MV (init.sql:195-206): GROUP BY day+status with
     * COUNT/SUM/AVG/MIN/MAX of total_amount. */
   def dailyOrderSummary(orders: DataFrame): DataFrame =

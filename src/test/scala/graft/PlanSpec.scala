@@ -524,6 +524,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q121 as-of join: union + carry-forward window, never a range join") {
+    val p = plan("q121_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan as a range/theta join:\n$p")
+    assert(p.contains("Window") && p.contains("Union"),
+      s"expected the union + carry-forward window formulation:\n$p")
+  }
+
+  test("q122 running revenue: window partitions by customer (no value shuffle beyond the key)") {
+    val p = plan("q122_running_revenue")
+    assert(p.contains("hashpartitioning(o_custkey"),
+      s"the running sum must shuffle on the customer key only:\n$p")
+    assert(p.contains("Window"), s"expected a window operator:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))
