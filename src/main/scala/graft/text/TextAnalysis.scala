@@ -677,16 +677,34 @@ object TextAnalysis {
     * engine at any parallelism. Output: (id_a, id_b, cosine), id_a <
     * id_b, cosine ≥ threshold.
     *
-    * The truncation IS the scale design, not a shortcut: full tf-idf
-    * pair generation via an inverted index fans out Σ_t df(t)² rows —
-    * quadratic in corpus size for ubiquitous terms. Truncating to
-    * rarest-leaning top-m caps the fan-out at m rows per doc per side
-    * (the same reason Bayardo prefix filtering explodes only
-    * prefixes), and the per-term posting join inherits the vocabulary
-    * word-count shape: counts shuffle, never text. */
+    * The truncation caps the per-doc fan-out at m entries per side,
+    * but NOT the per-term posting length: one term landing in the
+    * top-m of F documents still fans the token self-join out to F²
+    * pairs (measured at sf0.1: 25k vector entries → 8.1 M candidate
+    * pairs through the pair-key shuffle). So pair generation is
+    * PREFIX-FILTERED, the cosine analog of the q82 Jaccard plan
+    * (Bayardo 2007 adapted to weighted cosine): per document the
+    * terms sort in the canonical rarest-first order (df asc, token
+    * asc), and only the prefix whose RESIDUAL norm could still reach
+    * the threshold is indexed — position i is indexed iff
+    * `resid²(i)·10¹² ≥ tppm²·‖x‖²` (exact integer/decimal
+    * arithmetic; `tppm = ⌊t·10⁶⌋ ≤ t` only lengthens the prefix,
+    * never drops a true pair). By Cauchy-Schwarz a pair whose shared
+    * terms all sit past that prefix has `dp ≤ resid·‖y‖ < t·‖x‖·‖y‖`
+    * — so every qualifying pair collides on an indexed term, and hot
+    * terms (low tf-idf weight → late in the rarest-first order, tiny
+    * residual) almost never make a prefix: the F² blowup vanishes
+    * while the result stays EXACT. Verification runs per candidate
+    * pair on the compact per-doc term maps — an O(m) codegen'd
+    * integer dot product, candidate-sized work, no pair-key
+    * aggregation at all. */
   def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
       topM: Int = 5, threshold: Double = 0.8): DataFrame = {
     require(topM >= 1, s"topM must be >= 1, got $topM")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val tPpm = math.floor(threshold * 1000000).toLong
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val perDoc = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         explode(tokens(col(textCol))).as("token"))
@@ -697,20 +715,64 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__id")
       .orderBy((col("tf").cast("double") / col("df")).desc, col("token"))
-    val vec = perDoc.join(dfTab, "token")
+    // per-doc sorted (df, token, w) arrays in the canonical
+    // rarest-first order + exact integer norms; read three times
+    // (prefix explode + both verification sides)
+    val docsArr = perDoc.join(dfTab, "token")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topM)
-      .select(col("__id"), col("token"),
+      .select(col("__id"), col("df"), col("token"),
         expr("tf * 1000000L DIV df").as("w"))
-      .localCheckpoint() // read three times: norms + both join sides
-    val norms = vec.groupBy("__id").agg(sum(col("w") * col("w")).as("n2"))
-    val dot = vec.alias("x").join(vec.alias("y"), Seq("token"))
-      .filter(col("x.__id") < col("y.__id"))
-      .groupBy(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-      .agg(sum(col("x.w") * col("y.w")).as("dp"))
-    dot
-      .join(norms.select(col("__id").as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
-      .join(norms.select(col("__id").as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("df"), col("token"), col("w"))))
+        .as("__arr"))
+      .withColumn("__n2", aggregate(col("__arr"), lit(0L),
+        (a, e) => a + e.getField("w") * e.getField("w")))
+      .filter(col("__n2") > 0)
+      .localCheckpoint()
+    // residual-norm prefix: cumulative squares via a per-doc window
+    // over the ≤ topM positions
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val positions = docsArr
+      .select(col("__id"), col("__n2"),
+        posexplode(col("__arr")).as(Seq("pos", "e")))
+      .withColumn("__rsq", col("__n2") -
+        coalesce(sum(col("e.w") * col("e.w")).over(wPos), lit(0L)))
+      .select(col("__id"), col("e").getField("token").as("token"),
+        col("__rsq"), col("__n2"))
+    val prefixes = positions
+      .filter(col("__rsq").cast(dec) * lit(1000000000000L).cast(dec) >=
+        lit(tPpm * tPpm).cast(dec) * col("__n2").cast(dec))
+    val full = positions.select(col("__id").as("__idf"),
+      col("token"), col("__rsq").as("__rsqf"), col("__n2").as("__n2f"))
+    // positional residual filter (L2AP-style): a collision at
+    // positions (i, j) can be a qualifying pair's FIRST shared term
+    // only if resid_x(i)·resid_y(j) ≥ t·‖x‖·‖y‖ — and every true
+    // pair's first-shared-term collision satisfies it, so dropping
+    // the rest is sound. Double arithmetic with a 1e-9 relative
+    // margin: magnitudes can exceed DECIMAL(38,0) and the margin
+    // dwarfs double rounding, so no true collision is lost
+    val cands = prefixes.join(full, "token")
+      .filter(col("__id") =!= col("__idf"))
+      .filter(col("__rsq").cast("double") * col("__rsqf").cast("double") *
+          lit(1.0e12) >=
+        lit(tPpm.toDouble * tPpm) * col("__n2").cast("double") *
+          col("__n2f").cast("double") * lit(1.0 - 1.0e-9))
+      .select(least(col("__id"), col("__idf")).as("id_a"),
+        greatest(col("__id"), col("__idf")).as("id_b"))
+      .distinct()
+    val sideA = docsArr.select(col("__id").as("id_a"),
+      col("__arr").as("__aa"), col("__n2").as("n2_a"))
+    val sideB = docsArr.select(col("__id").as("id_b"),
+      map_from_entries(transform(col("__arr"),
+        e => struct(e.getField("token"), e.getField("w")))).as("__mb"),
+      col("__n2").as("n2_b"))
+    cands.join(sideA, Seq("id_a")).join(sideB, Seq("id_b"))
+      .withColumn("dp", aggregate(col("__aa"), lit(0L),
+        (a, e) => a + e.getField("w") *
+          coalesce(element_at(col("__mb"), e.getField("token")), lit(0L))))
       .withColumn("cosine", col("dp").cast("double") /
         (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
       .filter(col("cosine") >= threshold)

@@ -82,6 +82,46 @@ class SimilarityPairsSpec extends SparkSpec {
       threshold = 0.3).count() == 0)
   }
 
+  test("tfidfCosinePairs prefix + positional filtering equals brute force") {
+    // Zipf-ish corpus: three ubiquitous tokens shared by every doc
+    // (the fan-out the prefix filter must absorb), overlapping mid-df
+    // tokens, and a unique token per doc
+    val corpus = (1 to 60).map { i =>
+      (i.toLong, s"the of and tok${i % 7} tok${(i * 3) % 11} uniq$i")
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    // brute force: replicate the exact weighting locally, all pairs
+    def brute(threshold: Double): Map[(Long, Long), Double] = {
+      val tf = corpus.map { case (id, t) =>
+        id -> t.split("\\s+").toSeq.groupBy(identity).view
+          .mapValues(_.size.toLong).toMap
+      }.toMap
+      val dfC = tf.values.flatMap(_.keys).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val vecs = tf.map { case (id, m) =>
+        id -> m.toSeq
+          .sortBy { case (tok, c) => (-c.toDouble / dfC(tok), tok) }
+          .take(5)
+          .map { case (tok, c) => tok -> c * 1000000L / dfC(tok) }.toMap
+      }
+      (for {
+        a <- vecs.keys; b <- vecs.keys; if a < b
+        dp = vecs(a).map { case (t, w) => w * vecs(b).getOrElse(t, 0L) }.sum
+        na = math.sqrt(vecs(a).values.map(w => w * w).sum.toDouble)
+        nb = math.sqrt(vecs(b).values.map(w => w * w).sum.toDouble)
+        cos = dp.toDouble / (na * nb)
+        if cos >= threshold
+      } yield (a, b) -> cos).toMap
+    }
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      val got = TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text",
+          topM = 5, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(got == brute(t), s"mismatch at threshold $t")
+    }
+  }
+
   test("ngramNovelty: first doc fully novel, exact copy fully stale") {
     val docs = Seq(
       (1L, "one two three four five six"),
