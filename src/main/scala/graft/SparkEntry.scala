@@ -425,6 +425,24 @@ object SparkEntry {
       Dedup.clusterSizeHistogram(
         Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d), threshold = 0.4))
         .orderBy("cluster_size")),
+    // q123: one fixed-point PageRank step over the q74 near-dup graph —
+    // which variant of a duplicate cluster is canonical (survivorship by
+    // centrality); same integral-arithmetic family as CC/power-iteration
+    "q123_pagerank_step" -> ((s, d) =>
+      Dedup.pagerankStep(
+        Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d), threshold = 0.4))),
+    // q124: BPE ENCODING against a fixed merge list (the trainer is q81
+    // + BpeSpec; this is the apply side) — per-doc subword totals, with
+    // a chained merge (t,a → ta,b) exercising merged-symbol reuse
+    "q124_bpe_encode" -> ((s, d) =>
+      graft.text.Bpe.encode(Tables.documents(s, d), "doc_id", "text",
+        Seq(("e", "r"), ("i", "n"), ("s", "t"), ("t", "a"),
+          ("ta", "b"), ("er", "g")))
+        .select(col("doc_id"),
+          size(col("subwords")).cast("long").as("n_subwords"),
+          size(array_distinct(col("subwords"))).cast("long").as("n_distinct"))
+        .orderBy("doc_id")),
+
     // q77: product-quantization ANN (Jégou 2011) — encode the corpus
     // against data-derived codebooks (subspace slices of the first 8
     // vectors, so the oracle can rebuild them from the table alone),
@@ -2291,6 +2309,48 @@ object SparkEntry {
         |csz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
         |SELECT cluster_size, count(*) AS n_clusters
         |FROM csz GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q123: q74's pair CTE, then one integral PageRank step — floor
+    // divisions replayed with // on positive BIGINTs
+    "q123_pagerank_step" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 3
+        |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+        |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON inter.id_a = sa.doc_id
+        |  JOIN sizes sb ON inter.id_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4),
+        |m AS (SELECT id_a AS u, id_b AS v FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |deg AS (SELECT u, count(*) AS deg FROM m GROUP BY 1),
+        |contrib AS (SELECT m.v, CAST(1000000 // deg.deg AS BIGINT) AS c
+        |  FROM m JOIN deg ON m.u = deg.u),
+        |s AS (SELECT v AS doc_id, CAST(sum(c) AS BIGINT) AS sc FROM contrib GROUP BY 1)
+        |SELECT doc_id, 150000 + CAST((85 * sc) // 100 AS BIGINT) AS pr_fp
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // q124: the merge fold as sequential non-overlapping replaces on a
+    // one-guard-each, two-space-separated symbol string — per-symbol
+    // private guards make DuckDB's input-scan replace EQUAL the
+    // engine's left-to-right fold (shared-separator encodings are not
+    // equal: adjacent matches overlap on the shared space)
+    "q124_bpe_encode" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id, word FROM t WHERE word <> ''),
+        |enc AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(
+        |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ',
+        |    ' e  r ', ' er '), ' i  n ', ' in '), ' s  t ', ' st '),
+        |    ' t  a ', ' ta '), ' ta  b ', ' tab '), ' er  g ', ' erg ') AS s
+        |  FROM w),
+        |syms AS (SELECT doc_id, unnest(string_split(trim(s, ' '), '  ')) AS sym FROM enc)
+        |SELECT doc_id, count(*) AS n_subwords, count(DISTINCT sym) AS n_distinct
+        |FROM syms GROUP BY 1 ORDER BY 1""".stripMargin,
     // q76: identical closure, but emitting the labels themselves — the
     // min reachable id IS the converged min-label fixpoint
     "q76_dedup_redirect_map" ->

@@ -369,6 +369,40 @@ object Dedup {
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"))
 
+  /** One fixed-point PageRank step over an undirected pair graph —
+    * centrality inside near-duplicate clusters (which variant of a
+    * duplicated page is the "canonical" one a survivorship policy
+    * should keep: the highest-PR node touches the most neighbors).
+    * From the uniform iterate pr₀ = 10⁶ ppm:
+    * `pr(v) = (100−d)·10⁴ + ⌊d·Σ_{u∼v} ⌊10⁶/deg(u)⌋ / 100⌋` — every
+    * operation integral (floor divisions, order-independent integer
+    * sums), so the step is bit-identical across engines and
+    * partitionings, exactly like the [[connectedComponents]] /
+    * power-iteration / Lloyd family it joins. Scale shape: the edge
+    * list mirrors once (2·|pairs| narrow rows, checkpointed — the
+    * caller's pair plan is usually expensive and must not run twice),
+    * degree and contribution rollups are map-side-partial hash aggs
+    * keyed by node id; nothing is quadratic. Only nodes appearing in
+    * the edge list are ranked (isolated docs keep the teleport score
+    * by definition — emitting them would need the corpus, not the
+    * graph). */
+  def pagerankStep(pairs: DataFrame, dampingPct: Long = 85L): DataFrame = {
+    require(dampingPct >= 0L && dampingPct <= 100L,
+      s"dampingPct in [0,100], got $dampingPct")
+    val m = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint() // read twice: degree rollup + contribution join
+    val deg = m.groupBy("u").agg(count(lit(1)).as("__deg"))
+    m.join(deg, "u")
+      .select(col("v"), expr("1000000L div __deg").as("__c"))
+      .groupBy(col("v").as("doc_id"))
+      .agg(sum("__c").as("__s"))
+      .select(col("doc_id"),
+        (lit((100L - dampingPct) * 10000L) +
+          expr(s"($dampingPct * __s) div 100")).as("pr_fp"))
+      .orderBy("doc_id")
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** Near-duplicate pairs by SimHash: bucket on 4 bands of the 62-bit

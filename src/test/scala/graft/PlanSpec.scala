@@ -369,12 +369,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q99 tf-idf cosine: exact-integer dot with map-side partials, equi-joins only") {
-    // (the top-m window lives BEHIND the vec checkpoint — its
+  test("q99 tf-idf cosine: prefix-filtered candidates, per-pair HOF dot, equi-joins only") {
+    // (the top-m window lives BEHIND the docsArr checkpoint — its
     // WindowGroupLimit pushdown is q63's asserted plan, same code shape)
     val p = plan("q99_tfidf_cosine_pairs")
-    assert(p.contains("partial_sum"),
-      s"dot product must pre-aggregate map-side:\n$p")
+    // the dot product is a per-candidate codegen'd fold — there must be
+    // NO pair-key sum aggregation anywhere in the plan
+    assert(!p.contains("partial_sum"),
+      s"pair-key dot aggregation crept back in:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"candidate/verify legs must read the checkpointed vectors:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"equi-joins only:\n$p")
   }

@@ -126,6 +126,38 @@ class BpeSpec extends SparkSpec {
       "small lists must stay an unmaterialized column fold")
   }
 
+  test("encode applies chained merges in order (a merged symbol re-merges)") {
+    val docs = Seq((1L, "tab stab merge")).toDF("doc_id", "text")
+    val merges = Seq(("e", "r"), ("i", "n"), ("s", "t"), ("t", "a"),
+      ("ta", "b"), ("er", "g"))
+    val sub = Bpe.encode(docs, "doc_id", "text", merges)
+      .head().getSeq[String](1)
+    // tab:  t a b  → (t,a) → [ta, b] → (ta,b) → [tab]
+    // stab: s t a b → (s,t) FIRST consumes the t → [st, a, b]; the
+    //   later (t,a)/(ta,b) find no bare t — merge ORDER is semantics
+    // merge: m e r g e → (e,r) → [m, er, g, e] → (er,g) → [m, erg, e]
+    assert(sub == Seq("tab", "st", "a", "b", "m", "erg", "e"))
+  }
+
+  test("pagerankStep: hand-computed path graph, mass conserved") {
+    // path 1–2–3: deg(1)=deg(3)=1, deg(2)=2
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.pagerankStep(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pr(1) = 150000 + ⌊85·⌊10⁶/2⌋/100⌋ = 575000 (only neighbor 2)
+    // pr(2) = 150000 + ⌊85·(10⁶+10⁶)/100⌋ = 1850000
+    assert(got == Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L))
+    // teleport + damped mass conserve exactly here (no floor loss)
+    assert(got.values.sum == 3000000L)
+    // floor loss appears with deg 3: star 1–2, 1–3, 1–4
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val s = Dedup.pagerankStep(star)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // leaves get ⌊85·⌊10⁶/3⌋/100⌋ = ⌊85·333333/100⌋ = 283333
+    assert(s(2L) == 150000L + 283333L && s(2L) == s(3L) && s(3L) == s(4L))
+    assert(s(1L) == 150000L + (85L * 3000000L) / 100L)
+  }
+
   test("trainMerges stops early when no pairs remain") {
     val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
     val (merges, words) = Bpe.trainMerges(tiny, "text", 10)
