@@ -218,6 +218,12 @@ object ScaleBench {
     bench("q63_distinctive_terms")(
       graft.text.TextAnalysis.distinctiveTerms(docs, "doc_id", "text",
         topK = 3).count())
+    // q99: prefix + positionally filtered cosine AllPairs — the organic
+    // corpus's collision-grown hot terms are exactly what the
+    // rarest-first prefixes must keep OUT of the candidate join
+    bench("q99_tfidf_cosine")(
+      graft.text.TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text",
+        topM = 5, threshold = 0.8).count())
     releaseStorage(spark) // q59's candidate checkpoint + funnel leftovers
     results.toList
   }
