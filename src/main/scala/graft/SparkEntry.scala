@@ -750,6 +750,16 @@ object SparkEntry {
     "q122_running_revenue" -> ((s, d) =>
       Analytics.runningRevenue(Tables.orders(s, d))),
 
+    // q125: datasheet marginals via ROLLUP — (source, lang) cells,
+    // per-source subtotals, grand total, one shared aggregation pass
+    "q125_corpus_rollup" -> ((s, d) =>
+      Analytics.corpusRollup(Tables.documents(s, d))),
+    // q126: per-source language PIVOT with a fixed value list (static
+    // schema, no distinct pre-pass) — empty cells 0
+    "q126_lang_pivot" -> ((s, d) =>
+      Analytics.langPivot(Tables.documents(s, d),
+        Seq("de", "en", "es", "fr", "zh"))),
+
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
     // query doc must rank itself first — a built-in relevance sanity).
@@ -1978,6 +1988,23 @@ object SparkEntry {
         |SELECT c AS cohort_day, d - c AS day_offset, count(*) AS users
         |FROM ud JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q125: DuckDB ROLLUP with GROUPING() matching Spark's grouping_id
+    // bit order; NULLS FIRST pinned (DuckDB defaults NULLS LAST)
+    "q125_corpus_rollup" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(GROUPING(source, lang) AS INTEGER) AS gid
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+    // q126: the pivot as conditional counts — static column set
+    "q126_lang_pivot" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

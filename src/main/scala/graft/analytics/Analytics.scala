@@ -547,6 +547,37 @@ object Analytics {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Corpus datasheet marginals via ROLLUP — per-(source, lang)
+    * counts plus per-source subtotals plus the grand total in ONE
+    * aggregation pass (grouping sets share the scan and the partial
+    * aggregation; three separate groupBys would scan three times).
+    * `grouping_id` disambiguates rollup-nulls from data-nulls so the
+    * output is unambiguous even on corpora where the dimension
+    * columns can be null. */
+  def corpusRollup(docs: DataFrame): DataFrame =
+    docs.rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("source").asc_nulls_first,
+        col("lang").asc_nulls_first)
+
+  /** Per-source language distribution as a PIVOT — one row per
+    * source, one count column per (fixed, caller-supplied) language.
+    * The explicit value list is the scale discipline: pivot with an
+    * inferred value set needs an extra distinct pass AND makes the
+    * output schema data-dependent; fixed values keep it one hash agg
+    * with a static schema. Empty cells are 0, not null. */
+  def langPivot(docs: DataFrame, langs: Seq[String]): DataFrame = {
+    require(langs.nonEmpty && langs.distinct.size == langs.size,
+      s"langs must be non-empty and distinct, got $langs")
+    val p = docs.groupBy("source").pivot("lang", langs)
+      .agg(count(lit(1)))
+    p.select(col("source") +:
+        langs.map(l => coalesce(col(s"`$l`"), lit(0L)).as(l)): _*)
+      .orderBy("source")
+  }
+
   /** daily_order_summary MV (init.sql:195-206): GROUP BY day+status with
     * COUNT/SUM/AVG/MIN/MAX of total_amount. */
   def dailyOrderSummary(orders: DataFrame): DataFrame =

@@ -543,6 +543,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected a window operator:\n$p")
   }
 
+  test("q125 rollup / q126 pivot: one scan, one shared aggregation pass each") {
+    val p125 = plan("q125_corpus_rollup")
+    assert(p125.contains("Expand"),
+      s"rollup must plan as grouping-set Expand, not unioned groupBys:\n$p125")
+    assert("documents\\.parquet".r.findAllIn(p125).length == 1,
+      s"rollup marginals must share one scan:\n$p125")
+    val p126 = plan("q126_lang_pivot")
+    assert("documents\\.parquet".r.findAllIn(p126).length == 1,
+      s"pivot must be one hash agg over one scan:\n$p126")
+    assert(p126.contains("partial_"),
+      s"pivot counts must partial-aggregate map-side:\n$p126")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))
