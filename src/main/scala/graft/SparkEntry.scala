@@ -1979,11 +1979,14 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         |ORDER BY step""".stripMargin,
-    // q120: integral day division on epoch micros in BOTH engines —
-    // never a double (exact at any epoch magnitude)
+    // q120: integral FLOOR day division on epoch micros in BOTH
+    // engines — never a double, and never bare truncation (`//`/`div`
+    // truncate toward zero, mis-bucketing pre-1970 negative micros):
+    // subtract the positive remainder first
     "q120_retention_cohorts" ->
       """WITH ud AS (SELECT DISTINCT user_id,
-        |    epoch_us(ts) // 86400000000 AS d FROM events),
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+        |      % 86400000000)) // 86400000000 AS d FROM events),
         |f AS (SELECT user_id, min(d) AS c FROM ud GROUP BY 1)
         |SELECT c AS cohort_day, d - c AS day_offset, count(*) AS users
         |FROM ud JOIN f USING (user_id)

@@ -504,9 +504,12 @@ object Analytics {
   /** Daily retention cohorts: users grouped by their first active day,
     * with distinct-user counts at each day offset — the engagement
     * triangle. Day arithmetic is INTEGRAL floor division of epoch
-    * micros (`div 86,400e6`) — exact at any epoch magnitude, where a
-    * double division would quietly mis-bucket timestamps approaching
-    * 2⁵³ µs. Scale shape: the (user, day) projection dedups FIRST
+    * micros: `div` alone truncates toward zero (pre-1970 negative
+    * micros would mis-bucket across the day boundary), so the positive
+    * remainder is subtracted first — true floor, exact at any epoch
+    * magnitude and sign, where a double division would quietly
+    * mis-bucket timestamps approaching 2⁵³ µs. Scale shape: the
+    * (user, day) projection dedups FIRST
     * (map-side partials over the user×day key — bounded by
     * users·active-days, not events), the cohort rollup is user-keyed,
     * and the final count groups on (cohort, offset) —
@@ -515,7 +518,9 @@ object Analytics {
       tsCol: String): DataFrame = {
     val userDays = events.select(col(userCol).as("__u"),
         tsMicros(events, tsCol).as("__tus"))
-      .select(col("__u"), expr("__tus div 86400000000").as("__day"))
+      .select(col("__u"),
+        expr("(__tus - pmod(__tus, 86400000000)) div 86400000000")
+          .as("__day"))
       .distinct()
       // users·active-days-sized; read twice (cohort rollup + join), so
       // cut the lineage once rather than re-scanning the event log

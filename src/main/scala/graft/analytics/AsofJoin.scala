@@ -40,6 +40,21 @@ object AsofJoin {
       inclusive: Boolean = true,
       toleranceMicros: Long = Long.MaxValue): DataFrame = {
     require(toleranceMicros >= 0, s"tolerance must be >= 0, got $toleranceMicros")
+    // the id columns ride through the window as longs; a lossy cast
+    // (string/decimal ids -> null) would silently hide every right row
+    // from the carry-forward, so reject non-integral ids loudly —
+    // same fail-fast contract as the tolerance check above
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def requireIntegralId(df: DataFrame, c: String, side: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"$side id column '$c' must be an integral type (it is carried " +
+          s"through the as-of window as a long); got $dt. Map string ids " +
+          "to a surrogate long (e.g. hash or monotonically_increasing_id) " +
+          "before the join.")
+    }
+    requireIntegralId(left, leftId, "left")
+    requireIntegralId(right, rightId, "right")
     def micros(df: DataFrame, c: String): Column =
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.LongType => col(c)

@@ -550,7 +550,12 @@ object Dedup {
     * case, not the tail. The trade is the q48 one: a document whose
     * shingles are ALL corpus-hot (pure boilerplate) presents no rare
     * evidence and drops out of the pair list — pass `maxShingleDf = 0`
-    * to disable when the corpus is known cold. */
+    * to disable when the corpus is known cold.
+    *
+    * NOTE (behavior change): earlier releases defaulted
+    * `maxShingleDf = 0` (unguarded, exact containment). Callers that
+    * relied on boilerplate-only documents appearing in pair lists must
+    * now pass `maxShingleDf = 0` explicitly. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 20L): DataFrame =
     containmentPairsFromIndex(shingleIndex(df, idCol, textCol, k),

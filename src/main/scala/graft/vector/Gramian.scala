@@ -171,7 +171,10 @@ object Gramian {
         floor(col(yCol).cast("double") * lit(1000000L)).cast("long")
           .as("__yf"))
       .select((col("pos") + 1).cast("int").as("dim"),
-        (col("col") * col("__yf")).cast(DecimalType(38, 0)).as("__p"))
+        // widen BEFORE multiplying: a long×long product wraps silently
+        // at |xfp·yfp| >= 2^63 (a label of ~9e6 with unit-scale
+        // embeddings); DECIMAL(38,0)×long never does
+        (col("col").cast(DecimalType(38, 0)) * col("__yf")).as("__p"))
       .groupBy("dim")
       .agg(sum(col("__p")).cast("long").as("xty_fp"))
       .withColumn("xty", col("xty_fp").cast("double") / lit(1.0e12))

@@ -65,6 +65,24 @@ class AsofJoinSpec extends SparkSpec {
     assert(run(inclusive = true, tol = 100L, parts = 7) == got)
   }
 
+  test("non-integral id columns are rejected loudly, not nulled silently") {
+    // a string id would cast to null long, hiding every right row from
+    // the carry-forward — the join must refuse instead
+    val l = trades.toDF("user_id", "ts", "event_id")
+    val rStr = quotes.map { case (k, t, id) => (k, t, s"evt-$id") }
+      .toDF("user_id", "ts", "event_id")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(l, rStr, "user_id", "ts", "ts", "event_id", "event_id")
+    }
+    assert(e.getMessage.contains("integral"))
+    val lStr = trades.map { case (k, t, id) => (k, t, s"t-$id") }
+      .toDF("user_id", "ts", "event_id")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(lStr, quotes.toDF("user_id", "ts", "event_id"),
+        "user_id", "ts", "ts", "event_id", "event_id")
+    }
+  }
+
   test("runningRevenue: cumulative per customer, date-then-key order") {
     val orders = Seq(
       (1L, 101L, "2024-01-01", 10.0), (1L, 103L, "2024-01-01", 5.0),

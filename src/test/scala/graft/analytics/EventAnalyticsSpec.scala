@@ -62,4 +62,14 @@ class EventAnalyticsSpec extends SparkSpec {
       (d0, 0L, 1L), (d0, 1L, 1L), (d0, 3L, 1L),
       (d0 + 1, 0L, 1L), (d0 + 2, 0L, 1L)))
   }
+
+  test("retentionCohorts: pre-1970 timestamps floor, not truncate") {
+    // ts = -1 µs is 1969-12-31 → day -1; bare `div` would truncate it
+    // to day 0, collapsing the cohort boundary
+    val events = Seq((1L, -1L), (1L, 1L))
+      .toDF("user_id", "ts").withColumn("event_type", lit("view"))
+    val got = Analytics.retentionCohorts(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((-1L, 0L, 1L), (-1L, 1L, 1L)))
+  }
 }

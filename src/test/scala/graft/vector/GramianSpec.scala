@@ -71,6 +71,24 @@ class GramianSpec extends SparkSpec {
     }
   }
 
+  test("momentsFp: per-row products past 2^63 do not wrap (decimal widening)") {
+    // xf·yf = 1e6 · 9.3e12 = 9.3e18 > Long.MaxValue (~9.22e18): a
+    // long×long product would wrap silently; the DECIMAL(38,0)
+    // widening keeps each product — and the cross-sign sum — exact
+    val df = Seq(
+      (1L, Seq(1.0f), 9300000.0), // product +9.3e18
+      (2L, Seq(1.0f), -9200000.0) // product -9.2e18; sum 1e17 fits long
+    ).toDF("vec_id", "embedding", "label")
+    val want = (BigInt(1000000L) * BigInt(9300000000000L) +
+      BigInt(1000000L) * BigInt(-9200000000000L)).toLong
+    assert(want == 100000000000000000L)
+    for (parts <- Seq(1, 2)) {
+      val got = Gramian.momentsFp(df.repartition(parts), "embedding", "label")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == Map(1 -> want), s"mismatch at $parts partitions")
+    }
+  }
+
   test("ridgeSolve recovers generating weights from gramian + moments (λ=0)") {
     // y = X·w exactly, well-conditioned X → normal equations return w
     val w = Array(0.5, -1.25, 2.0)
