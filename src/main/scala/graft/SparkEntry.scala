@@ -760,6 +760,62 @@ object SparkEntry {
       Analytics.langPivot(Tables.documents(s, d),
         Seq("de", "en", "es", "fr", "zh"))),
 
+    // q127: exact phrase search over positional postings — "batch batch"
+    // exercises both the repeated-term chain join and OVERLAPPING
+    // occurrence counting ("batch batch batch" = two matches)
+    "q127_phrase_search" -> ((s, d) =>
+      Retrieval.phraseMatches(Tables.documents(s, d), "doc_id", "text",
+        Seq("batch", "batch"))),
+    // q128: one label-propagation step over the q85 kNN graph —
+    // majority neighbor label, ties to the smallest, isolated nodes
+    // keep their own (the label-denoising pass before training)
+    "q128_label_propagation" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.vector.Kmeans.labelPropagationStep(
+        graft.vector.Kmeans.knnGraph(emb, "vec_id", "embedding",
+          ivfCentroids(s, d), k = 3),
+        emb, "vec_id", "label")
+    }),
+    // q129: burst-collapse debounce — first event of each (user, type)
+    // burst (gap ≥ 1 day opens a new burst); ts never emitted raw
+    // (ns-vs-µs), the kept gap rides out as gap_us
+    "q129_event_debounce" -> ((s, d) =>
+      graft.analytics.StreamingAnalytics.debounce(Tables.events(s, d),
+        Seq("user_id", "event_type"), "ts", "event_id", 86400000000L)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("gap_us"))),
+    // q130: per-source quantile normalization of the quality score —
+    // rank-ppm within source, ties share a percentile (rank(), not
+    // row_number), all-integer arithmetic
+    "q130_quantile_norm" -> ((s, d) =>
+      graft.text.TextAnalysis.quantileNormalizeQuality(
+        Tables.documents(s, d), "doc_id", "text", "source")),
+    // q131: character-entropy screen — fixed-point micro-nats, ln only
+    // ever on integer counts, one floor division per doc
+    "q131_char_entropy" -> ((s, d) =>
+      graft.text.TextAnalysis.charEntropy(Tables.documents(s, d),
+        "doc_id", "text")),
+    // q132: PCA projection apply — q110's deterministic power-iteration
+    // direction scored over every embedding as one narrow zip_with/
+    // aggregate expression (no shuffle); completes the gramian → power
+    // iteration → projection pipeline end to end under the oracle
+    "q132_pca_project" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dim = emb.select(max(size(col("embedding")))).head().getInt(0)
+      val v = graft.vector.Gramian.powerIterationStep(
+          graft.vector.Gramian.gramianFp(emb, "embedding"),
+          (1 to dim).map(j => 1000000L + j))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      graft.vector.Gramian.projectFp(emb, "vec_id", "embedding",
+        (1 to dim).map(v))
+    }),
+    // q133: Gini concentration of token mass across sources — the
+    // datasheet's one-number balance check; corpus collapses to one row
+    // per source before any window
+    "q133_source_gini" -> ((s, d) =>
+      graft.text.TextAnalysis.sourceTokenGini(Tables.documents(s, d),
+        "text", "source")),
+
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
     // query doc must rank itself first — a built-in relevance sanity).
@@ -2008,6 +2064,124 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
         |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q127: phrase occurrences by brute list scan — every starting
+    // position checked, so overlapping matches count exactly as the
+    // engine's positional-postings chain join does
+    "q127_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id, len(list_filter(generate_series(1, len(toks)-1),
+         |  i -> toks[i] = 'batch' AND toks[i+1] = 'batch')) AS n FROM t)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
+         |FROM m WHERE n > 0""".stripMargin,
+    // q128: q85's kNN CTEs + the majority vote — count per neighbor
+    // label, argmax by (count desc, label asc), isolated nodes keep
+    // their own label via the left join
+    "q128_label_propagation" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    CAST(label AS BIGINT) AS lab FROM embeddings),
+        |cent AS (SELECT vec_id AS k, emb AS cemb FROM e WHERE vec_id < 8),
+        |assign AS (SELECT v.vec_id, v.emb,
+        |  (SELECT k FROM cent ORDER BY list_cosine_similarity(v.emb, cemb) DESC, k LIMIT 1) AS cell
+        |  FROM e v),
+        |p AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+        |   round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+        | FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |r AS (SELECT src_id, nbr_id,
+        |  row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rn
+        | FROM p),
+        |g AS (SELECT src_id, nbr_id FROM r WHERE rn <= 3),
+        |votes AS (SELECT g.src_id, e2.lab, count(*) AS n
+        |  FROM g JOIN e e2 ON g.nbr_id = e2.vec_id GROUP BY 1, 2),
+        |best AS (SELECT src_id, lab,
+        |  row_number() OVER (PARTITION BY src_id ORDER BY n DESC, lab) AS rn
+        | FROM votes)
+        |SELECT e.vec_id, e.lab AS label, coalesce(b.lab, e.lab) AS new_label
+        |FROM e LEFT JOIN (SELECT src_id, lab FROM best WHERE rn = 1) b
+        |  ON e.vec_id = b.src_id""".stripMargin,
+    // q129: same lag window, same (ts, id) total order, same 1-day gap
+    "q129_event_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS t
+        |  FROM events),
+        |g AS (SELECT user_id, event_type, event_id,
+        |  t - lag(t) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY t, event_id) AS gap FROM e)
+        |SELECT user_id, event_type, event_id, CAST(gap AS BIGINT) AS gap_us
+        |FROM g WHERE gap IS NULL OR gap >= 86400000000""".stripMargin,
+    // q130: q33's integer-ppm quality replayed, then per-source rank()
+    // percentile — ties share, nonnegative // is floor in both engines
+    "q130_quantile_norm" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $tokensSql AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id, source,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  greatest(CAST(len(toks) AS BIGINT), 1) AS toks_n,
+         |  CAST(len(list_filter(toks, x -> x IN ($enStop))) AS BIGINT) AS sw,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio
+         | FROM t),
+         |q AS (SELECT doc_id, source,
+         |  least(n_tokens, 100) * 4000
+         |   + (CASE WHEN punct_ratio < CAST(0.2 AS DOUBLE) THEN 300000 ELSE 90000 END)
+         |   + ((least((sw * 5000000) // toks_n, 1000000) * 3) // 10) AS quality_e6
+         | FROM m),
+         |r AS (SELECT doc_id, source, CAST(quality_e6 AS BIGINT) AS quality_e6,
+         |  rank() OVER (PARTITION BY source ORDER BY quality_e6) AS rk,
+         |  count(*) OVER (PARTITION BY source) AS n FROM q)
+         |SELECT doc_id, source, quality_e6,
+         |  CAST(CASE WHEN n = 1 THEN 1000000
+         |       ELSE ((rk - 1) * 1000000) // greatest(n - 1, 1) END AS BIGINT)
+         |    AS pct_ppm
+         |FROM r""".stripMargin,
+    // q131: per-(doc, char) counts, ln only on integer counts, the
+    // cross term lnfp(N)·N − Σ c·lnfp(c) is ≥ 0 so // is floor
+    "q131_char_entropy" ->
+      """WITH c AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |cc AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
+        |a AS (SELECT doc_id, sum(c) AS n,
+        |  sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS wsum
+        | FROM cc GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
+        |  CAST((CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) * n
+        |    - wsum) // n AS BIGINT) AS entropy_fp
+        |FROM a""".stripMargin,
+    // q132: q110's CTEs compute the direction, then each embedding dots
+    // it in HUGEINT with the engine's nonneg-remainder floor division
+    "q132_pca_project" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xf
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |pi AS (SELECT xf, unnest(generate_series(1, len(xf))) AS i FROM e),
+        |pj AS (SELECT xf, i, unnest(generate_series(i, len(xf))) AS j FROM pi),
+        |g AS (SELECT CAST(i AS INTEGER) AS dim_i, CAST(j AS INTEGER) AS dim_j,
+        |    CAST(sum(xf[i] * xf[j]) AS BIGINT) AS gram_fp FROM pj GROUP BY 1, 2),
+        |m AS (SELECT dim_i AS dim, dim_j AS jj, gram_fp FROM g
+        |  UNION ALL
+        |  SELECT dim_j, dim_i, gram_fp FROM g WHERE dim_i <> dim_j),
+        |sv AS (SELECT dim, sum(CAST(gram_fp AS HUGEINT) * (1000000 + jj)) AS sum_fp
+        |  FROM m GROUP BY 1),
+        |v AS (SELECT dim, CAST((sum_fp - ((sum_fp % 1000000000000 + 1000000000000)
+        |    % 1000000000000)) // 1000000000000 AS BIGINT) AS v_fp FROM sv),
+        |p AS (SELECT vec_id, xf, unnest(generate_series(1, len(xf))) AS i FROM e),
+        |d AS (SELECT p.vec_id, sum(CAST(p.xf[i] AS HUGEINT) * v.v_fp) AS s
+        |  FROM p JOIN v ON v.dim = p.i GROUP BY 1)
+        |SELECT vec_id, CAST((s - ((s % 1000000 + 1000000) % 1000000))
+        |  // 1000000 AS BIGINT) AS proj_fp FROM d""".stripMargin,
+    // q133: one row per source, mass-ascending ranks, the exact integer
+    // Gini fold in HUGEINT (numerator is ≥ 0 by the ascending sort)
+    "q133_source_gini" ->
+      s"""WITH s AS (SELECT source, CAST(sum(len($tokensSql)) AS BIGINT) AS x
+         |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+         |r AS (SELECT source, x, row_number() OVER (ORDER BY x, source) AS i
+         |  FROM s),
+         |a AS (SELECT count(*) AS n, sum(x) AS st,
+         |  sum(CAST(i AS HUGEINT) * x) AS ix FROM r)
+         |SELECT CAST(n AS BIGINT) AS n_sources, CAST(st AS BIGINT) AS total_tokens,
+         |  CAST(((2 * ix - (n + 1) * st) * 1000000) // (n * st) AS BIGINT)
+         |    AS gini_ppm
+         |FROM a""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

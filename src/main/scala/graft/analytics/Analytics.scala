@@ -494,7 +494,7 @@ object Analytics {
     * one conversion both event operators share. NTZ timestamps cast
     * through TimestampType in the (UTC) session zone; long columns
     * pass through as-is (caller-defined epoch micros). */
-  private def tsMicros(df: DataFrame, tsCol: String): Column =
+  private[analytics] def tsMicros(df: DataFrame, tsCol: String): Column =
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType => col(tsCol)
       case _ => unix_micros(col(tsCol)

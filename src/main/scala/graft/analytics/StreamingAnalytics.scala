@@ -48,6 +48,33 @@ object StreamingAnalytics {
         date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Burst-collapse dedup ("debounce"): within each key, keep an event
+    * only when the gap since the PREVIOUS event of that key is at least
+    * `minGapMicros` — so a rapid-fire burst (double-clicks, CDC change
+    * storms, retry echoes) collapses to its first event. Gap semantics
+    * (vs last-KEPT): a maximal chain of sub-gap events is one burst,
+    * the same boundary rule as [[sessionize]] — expressible as one
+    * `lag` window, no running state. Deterministic: ordering ties on
+    * the timestamp break by `idCol`. Returns the kept rows with
+    * `gap_us` (null for each key's first event).
+    *
+    * Scale shape: one shuffle on the key columns, per-key in-partition
+    * sort, narrow lag frame — linear at any history length; the same
+    * plan runs per-micro-batch over streams (apply after a watermark
+    * groupBy or on foreachBatch frames). */
+  def debounce(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      idCol: String, minGapMicros: Long): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(minGapMicros > 0, s"minGapMicros must be > 0, got $minGapMicros")
+    val tus = graft.analytics.Analytics.tsMicros(df, tsCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(tus, col(idCol))
+    df.withColumn("__gap", tus - lag(tus, 1).over(w))
+      .filter(col("__gap").isNull || col("__gap") >= minGapMicros)
+      .withColumn("gap_us", col("__gap")).drop("__gap")
+  }
+
   /** Streaming replication-lag observation (ST9): attach an observe()
     * aggregation that reports max commit timestamp per micro-batch; a
     * QueryListener turns it into the lag gauge. */

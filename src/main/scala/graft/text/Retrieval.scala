@@ -203,6 +203,47 @@ object Retrieval {
     }
   }
 
+  /** Exact phrase search over positional postings: documents where the
+    * query tokens appear CONSECUTIVELY, with the occurrence count
+    * (overlapping occurrences count — each starting position is one
+    * occurrence, so "batch batch batch" holds two "batch batch"-es).
+    * The positional-index counterpart of [[bm25TopK]]'s bag-of-words
+    * probe: targeted decontamination and quote-hunting need "this
+    * exact phrase", not "these terms somewhere".
+    *
+    * Scale shape: the positional postings are filtered to the phrase's
+    * tokens BEFORE any join — per-term posting lists, tiny next to the
+    * corpus — then the K lists chain-join on `(doc, pos − offset)`,
+    * exactly the posting-intersection a search engine runs. Each join
+    * keys on (doc, pos): narrow rows, no fan-out (a (doc, pos) pair is
+    * unique per list). Never a corpus self-join, never a regex scan
+    * per query. The filtered postings materialize once
+    * (`localCheckpoint`) instead of re-tokenizing the corpus K times;
+    * same caller-release discipline as [[bm25BatchTopK]]'s postings. */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(phrase.forall(_.nonEmpty), s"empty token in phrase: $phrase")
+    val post = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(TextAnalysis.tokens(col(textCol))))
+      .filter(col("col").isin(phrase.distinct: _*))
+      .select(col("__id"), col("pos"), col("col").as("__tok"))
+    // single-term phrases never re-read the postings — skip the
+    // checkpoint entirely; multi-term chains read them K times
+    val posted = if (phrase.size > 1) post.localCheckpoint() else post
+    val first = posted.filter(col("__tok") === phrase.head)
+      .select(col("__id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(posted.filter(col("__tok") === t)
+            .select(col("__id"), (col("pos") - i).as("pos")),
+          Seq("__id", "pos"))
+    }
+    matched.groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Point probe of a written postings index: partition-prunes to the
     * term's shard directory. The shard is computed by evaluating the
     * SAME public expression the write path uses (`pmod(hash(token),

@@ -49,7 +49,13 @@ object TextAnalysis {
     * round differently — one doc in 5000 flipped its last digit against
     * the DuckDB oracle at sf0.1. Integer arithmetic is bit-identical
     * everywhere. */
-  def qualityScore(c: Column, stopwords: Seq[String]): Column = {
+  def qualityScore(c: Column, stopwords: Seq[String]): Column =
+    qualityScoreE6(c, stopwords).cast("double") / lit(1000000.0)
+
+  /** [[qualityScore]]'s exact integer parts-per-million — for rank /
+    * threshold composition where the display division would reintroduce
+    * float comparisons. */
+  def qualityScoreE6(c: Column, stopwords: Seq[String]): Column = {
     // exact integer floor-division: (a - a%b)/b with a < 2^53
     def exactDiv(a: Column, b: Column): Column =
       ((a - pmod(a, b)) / b).cast("long")
@@ -59,7 +65,7 @@ object TextAnalysis {
     val punctE6 = when(punctRatio(c) < 0.2, lit(300000L)).otherwise(lit(90000L))
     val swFracE6 = least(exactDiv(sw * lit(5000000L), toks), lit(1000000L))
     val swE6 = exactDiv(swFracE6 * lit(3L), lit(10L))
-    (lenE6 + punctE6 + swE6).cast("double") / lit(1000000.0)
+    lenE6 + punctE6 + swE6
   }
 
   /** Tiny per-language stopword profiles (public common function words). */
@@ -1261,6 +1267,112 @@ object TextAnalysis {
           .as("pmi_fp"))
       .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
       .limit(topK)
+  }
+
+  /** Per-source quantile normalization of the quality score: within
+    * each source, a document's `pct_ppm` is its rank position scaled to
+    * [0, 10⁶] — `(rank − 1) · 10⁶ / (n − 1)` (single-doc sources pin to
+    * 10⁶). Raw quality is NOT comparable across sources (a mid-tier web
+    * page outscores a top-tier forum post on absolute heuristics);
+    * rank-normalizing per source first makes one global threshold mean
+    * the same thing everywhere — the cross-source calibration step
+    * before a corpus-wide quality cut. `rank()` (not row_number) keeps
+    * ties at the same percentile, so equal-quality docs are never split
+    * by an arbitrary id order; all arithmetic is exact integer.
+    *
+    * Scale shape: one shuffle on source, per-source in-partition sort
+    * on the integer score — the same per-key window cost as
+    * [[perDomainCap]]; no global sort, no float ranks. Skew note: a
+    * source holding most of the corpus makes one hot partition — range
+    * -repartition that source's rows first if a single source exceeds
+    * executor memory (same guidance as the domain cap). */
+  def quantileNormalizeQuality(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      stopwords: Seq[String] = LangProfiles("en")): DataFrame = {
+    val scored = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(sourceCol),
+        qualityScoreE6(col(textCol), stopwords).as("quality_e6"))
+    val w = Window.partitionBy(sourceCol).orderBy(col("quality_e6"))
+    val n = Window.partitionBy(sourceCol)
+    scored
+      .withColumn("__rk", rank().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(n))
+      .select(col(idCol), col(sourceCol), col("quality_e6"), {
+        val num = (col("__rk") - 1L) * lit(1000000L)
+        val den = greatest(col("__n") - 1L, lit(1L))
+        when(col("__n") === 1L, lit(1000000L))
+          .otherwise(((num - pmod(num, den)) / den).cast("long"))
+          .as("pct_ppm")
+      })
+  }
+
+  /** Character-level Shannon entropy per document in fixed-point
+    * micro-nats: `H = ln N − (Σ c·ln c)/N` over single-character
+    * counts. The cheap degenerate-text screen (key-mash, base64 blobs,
+    * single-char padding score LOW; natural text sits near its
+    * language's ~3.0-nat character entropy) that runs before any
+    * model-based quality pass. Exact integer contract: `ln` only ever
+    * takes INTEGER counts (`L(n) = ⌊ln(n)·10⁶⌋`, the q72/q108 trick),
+    * the weighted sum is a 64-bit integer exact in any association
+    * order, and the division is one floor division by N — bit-identical
+    * across engines and partitionings.
+    *
+    * Scale shape: explode to single chars, hash-agg on (doc, char) —
+    * alphabet-bounded rows per doc after map-side partials — then a
+    * per-doc rollup. Linear in corpus bytes, no joins. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def lfp(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1000000L)).cast("long")
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit("[\\s\\S]"), lit(0)))
+          .as("__ch"))
+      .groupBy(col(idCol), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(sum("__c").as("__n"),
+        sum(col("__c") * lfp(col("__c"))).as("__wsum"))
+      .select(col(idCol), col("__n").as("n_chars_counted"), {
+        val cross = lfp(col("__n")) * col("__n") - col("__wsum")
+        ((cross - pmod(cross, col("__n"))) / col("__n")).cast("long")
+          .as("entropy_fp")
+      })
+  }
+
+  /** Gini concentration of token mass across sources — the one-number
+    * diversity answer to "is this corpus actually balanced, or is it
+    * 90% one crawl?" for the datasheet ([[corpusDatasheet]] reports
+    * per-source rows; this is the roll-up). Exact integer formula on
+    * mass-ascending source ranks i = 1..n:
+    * `gini_ppm = ⌊(2·Σ i·xᵢ − (n+1)·S) · 10⁶ / (n·S)⌋`, S = Σ xᵢ —
+    * 0 = perfectly uniform, → 10⁶·(n−1)/n as one source dominates.
+    *
+    * Scale shape: the corpus collapses to ONE row per source first
+    * (map-side partials); the rank window and final fold run on that
+    * source-count-sized table — a driver-safe handful of rows at any
+    * corpus size, same posture as [[corpusMix]]. */
+  def sourceTokenGini(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val bySource = df.filter(col(textCol).isNotNull)
+      .groupBy(sourceCol)
+      .agg(sum(tokenCount(col(textCol)).cast("long")).as("__x"))
+    // source-count-sized table: the single-partition window is the
+    // point (global rank over ≤ thousands of sources), not an accident
+    val w = Window.orderBy(col("__x"), col(sourceCol))
+    // DECIMAL(38,0) throughout the fold: total_tokens·10⁶ passes 2^63
+    // at ~10¹³ corpus tokens (exactly the 100-TB regime)
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    bySource.withColumn("__i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum("__x").as("total_tokens"),
+        sum(dec(col("__i")) * dec(col("__x"))).as("__ix"))
+      .select(col("n_sources"), col("total_tokens"), {
+        val num = (dec(lit(2L)) * col("__ix") -
+          dec(col("n_sources") + 1L) * dec(col("total_tokens"))) *
+          dec(lit(1000000L))
+        val den = dec(col("n_sources")) * dec(col("total_tokens"))
+        ((num - pmod(num, den)) / den).cast("long").as("gini_ppm")
+      })
   }
 
   /** Full per-document stats projection used by the stats query. */

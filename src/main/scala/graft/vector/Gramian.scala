@@ -181,6 +181,36 @@ object Gramian {
       .orderBy("dim")
   }
 
+  /** Project every embedding onto a fixed direction in the micro
+    * fixed-point frame: `proj_fp = ⌊Σᵢ ⌊xᵢ·10⁶⌋·vFp(i) / 10⁶⌋` — the
+    * APPLY half of the PCA pipeline ([[gramianFp]] →
+    * [[powerIterationStep]] extracts the direction; this scores the
+    * corpus along it, the 1-D map behind spectral outlier cuts and
+    * curriculum ordering). Exact integer contract: per-component
+    * products widen to DECIMAL(38,0) (no 2^63 wrap at any |vFp|), the
+    * per-row sum is association-free, and the single floor division
+    * subtracts the nonnegative remainder — identical in any engine.
+    *
+    * Scale shape: a NARROW per-row expression — `zip_with` product +
+    * `aggregate` fold, whole-stage-codegen'd, zero shuffle, zero joins;
+    * the direction rides along as a literal array (d ≤ thousands). */
+  def projectFp(df: DataFrame, idCol: String, embCol: String,
+      vFp: Seq[Long]): DataFrame = {
+    require(vFp.nonEmpty, "vFp must be non-empty")
+    val vArr = array(vFp.map(v => lit(v).cast(DecimalType(38, 0))): _*)
+    val xf = transform(col(embCol),
+      x => floor(x.cast("double") * lit(1000000L)).cast("long")
+        .cast(DecimalType(38, 0)))
+    val dot = aggregate(
+      zip_with(xf, vArr, (a, b) => a * b),
+      lit(0).cast(DecimalType(38, 0)),
+      (acc, y) => acc + y)
+    val m = lit(1000000L).cast(DecimalType(38, 0))
+    df.filter(col(embCol).isNotNull && size(col(embCol)) === vFp.length)
+      .select(col(idCol),
+        ((dot - pmod(dot, m)) / m).cast("long").as("proj_fp"))
+  }
+
   /** Driver-side closed-form ridge solve over collected [[gramianFp]] /
     * [[momentsFp]] rows: `w = (G + λI)⁻¹·Xᵀy` by Gaussian elimination
     * with partial pivoting on the d×d system — O(d³) driver work, the

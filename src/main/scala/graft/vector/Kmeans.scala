@@ -90,6 +90,40 @@ object Kmeans {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** One synchronous label-propagation step over a neighbor graph
+    * ([[knnGraph]] rows `(src_id, nbr_id, cosine)`): every node takes
+    * the MAJORITY label among its neighbors — the label-denoising /
+    * semi-supervised-expansion pass a labeled-subset pipeline runs
+    * before training (Zhu & Ghahramani 2002's iterative step,
+    * unweighted vote). Deterministic contract: ties break to the
+    * SMALLEST label; a node with no graph edges keeps its own label.
+    * Returns `(idCol, labelCol, new_label)` for every labeled node, so
+    * `new_label != label` is the denoising diff.
+    *
+    * Scale shape: one join of the edge list against the label table on
+    * `nbr_id` (both id-keyed; broadcast when labels are a small seed
+    * set), a hash-agg on (src, label) — at most k·labels rows per node
+    * before map-side partials — and a per-src `max_by` argmax struct
+    * (no window, no sort). Nothing touches embeddings; the graph is
+    * built once and reused across iterations. */
+  def labelPropagationStep(graph: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
+    val lab = labels.select(col(idCol).as("__lid"),
+      col(labelCol).cast("long").as("__lab"))
+    val votes = graph.select(col("src_id"), col("nbr_id"))
+      .join(lab, col("nbr_id") === col("__lid"))
+      .groupBy(col("src_id"), col("__lab"))
+      .agg(count(lit(1)).as("__n"))
+      // argmax by (count desc, label asc) without a window: max_by over
+      // the struct (count, -label) — both components integral, exact
+      .groupBy("src_id")
+      .agg(max_by(col("__lab"),
+        struct(col("__n"), (-col("__lab")).as("__neg"))).as("__voted"))
+    lab.join(votes, col("__lid") === col("src_id"), "left")
+      .select(col("__lid").as(idCol), col("__lab").as(labelCol),
+        coalesce(col("__voted"), col("__lab")).as("new_label"))
+  }
+
   /** Run `iterations` full-data Lloyd steps from `init`. Returns the
     * refined centroids (empty cells keep their previous centroid). */
   def lloyd(df: DataFrame, idCol: String, embCol: String,

@@ -63,6 +63,28 @@ class EventAnalyticsSpec extends SparkSpec {
       (d0 + 1, 0L, 1L), (d0 + 2, 0L, 1L)))
   }
 
+  test("debounce: burst collapses to its first event; boundary gap kept") {
+    val gap = 1000000L // 1 s
+    val events = Seq(
+      // user 1 / click: burst at 0, +0.4s, +0.8s (chained sub-gap), then
+      // +1.8s (exactly 1s after the last burst member → kept)
+      (1L, "click", 10L, 0L), (1L, "click", 11L, 400000L),
+      (1L, "click", 12L, 800000L), (1L, "click", 13L, 1800000L),
+      // same user, different type: independent chain
+      (1L, "view", 20L, 100000L),
+      // user 2: tie on ts → event id orders; second of the tie dropped
+      (2L, "click", 30L, 0L), (2L, "click", 31L, 0L),
+      (2L, "click", 32L, 5000000L))
+      .toDF("user_id", "event_type", "event_id", "ts")
+    def run(parts: Int) = StreamingAnalytics.debounce(
+        events.repartition(parts), Seq("user_id", "event_type"),
+        "ts", "event_id", gap)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val want = Set((1L, 10L), (1L, 13L), (1L, 20L), (2L, 30L), (2L, 32L))
+    assert(run(1) == want)
+    assert(run(7) == want)
+  }
+
   test("retentionCohorts: pre-1970 timestamps floor, not truncate") {
     // ts = -1 µs is 1969-12-31 → day -1; bare `div` would truncate it
     // to day 0, collapsing the cohort boundary

@@ -133,4 +133,38 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.bm25Scores(docs, "doc_id", "text", Nil)
     }
   }
+
+  test("phraseMatches: consecutive-only, overlaps count, K=1/2/3 paths") {
+    val corpus = Seq(
+      (1L, "the apple tree"),          // "apple tree" x1
+      (2L, "apple apple apple"),       // "apple apple" x2 (overlapping)
+      (3L, "tree apple the apple tree"), // "apple tree" x1, "the apple tree" x1
+      (4L, "apple, tree"),             // punctuation breaks the token — no match
+      (5L, "tree the")                 // terms present, never consecutive in order
+    ).toDF("doc_id", "text")
+    def run(phrase: String*): Map[Long, Long] =
+      Retrieval.phraseMatches(corpus, "doc_id", "text", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run("apple", "tree") == Map(1L -> 1L, 3L -> 1L))
+    assert(run("apple", "apple") == Map(2L -> 2L)) // overlap: 2, not 1
+    assert(run("the", "apple", "tree") == Map(1L -> 1L, 3L -> 1L)) // 3-token chain
+    assert(run("apple") == Map(1L -> 1L, 2L -> 3L, 3L -> 2L)) // K=1, tf
+    assert(run("tree", "apple", "banana").isEmpty)
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseMatches(corpus, "doc_id", "text", Nil)
+    }
+  }
+
+  test("phraseMatches is partitioning-invariant") {
+    val corpus = Seq(
+      (1L, "a b a b a"), (2L, "b a b"), (3L, "a a b b a b")
+    ).toDF("doc_id", "text")
+    val one = Retrieval.phraseMatches(corpus, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val many = Retrieval.phraseMatches(corpus.repartition(5), "doc_id",
+        "text", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == Set((1L, 2L), (2L, 1L), (3L, 2L)))
+    assert(many == one)
+  }
 }

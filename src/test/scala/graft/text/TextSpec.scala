@@ -884,6 +884,58 @@ class TextSpec extends SparkSpec {
     assert(ids == (0L until (ids.max + 1)).toSet)
   }
 
+  test("quantileNormalizeQuality: rank ppm per source, ties share, singleton pins 10⁶") {
+    // hand-computed quality_e6 ("a" is an en stopword, so the stopword
+    // fraction DILUTES with length): doc4 542285 < docs 1,3 (tie,
+    // 612000) < doc2 620000
+    val corpus = Seq(
+      (1L, "s1", "a b c"), (2L, "s1", "a b c d e"), (3L, "s1", "a b c"),
+      (4L, "s1", "a b c d e f g"),
+      (5L, "s2", "x")) // singleton source
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.quantileNormalizeQuality(
+        corpus, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // s1 (n=4): rank 1 → 0; ranks 2,2 (tie) → 1e6//3 = 333333;
+    // rank 4 → 1e6
+    assert(got == Map(4L -> 0L, 1L -> 333333L, 3L -> 333333L,
+      2L -> 1000000L, 5L -> 1000000L))
+  }
+
+  test("charEntropy: 0 for single-char runs, exact ln k for uniform alphabets") {
+    val corpus = Seq(
+      (1L, "aaaa"),                 // H = 0
+      (2L, "abab"),                 // uniform over 2 → ln 2
+      (3L, "abcd"),                 // uniform over 4 → ln 4
+      (4L, ""),                     // dropped (empty)
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def lfp(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+    // H_fp = lfp(N) - floor((Σ c·lfp(c))/N)
+    assert(got == Map(
+      1L -> ((4L, lfp(4) - 4L * lfp(4) / 4L)),          // = 0
+      2L -> ((4L, lfp(4) - 2L * 2L * lfp(2) / 4L)),     // ≈ ln 2
+      3L -> ((4L, lfp(4)))))                            // lfp(1)=0 → ln 4
+    assert(got(1L)._2 == 0L)
+    assert(math.abs(got(2L)._2 - 693147L) <= 1)
+  }
+
+  test("sourceTokenGini: 0 when uniform, → (n−1)/n when one source dominates") {
+    val uniform = Seq((1L, "a", "x y"), (2L, "b", "x y"), (3L, "c", "x y"))
+      .toDF("doc_id", "source", "text")
+    val u = TextAnalysis.sourceTokenGini(uniform, "text", "source").head()
+    assert((u.getLong(0), u.getLong(1), u.getLong(2)) == ((3L, 6L, 0L)))
+    // 1-token sources vs a 998-token source:
+    // (2·(1+2+3·998) − 4·1000)·10⁶ // (3·1000) = 1994·10⁶ // 3000 = 664666
+    val skewed = Seq((1L, "a", "x"), (2L, "b", "x"),
+      (3L, "c", Seq.fill(998)("x").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val s = TextAnalysis.sourceTokenGini(skewed, "text", "source").head()
+    assert(s.getLong(2) == 664666L)
+  }
+
   test("assignShards: deterministic, null text excluded, total tokens conserved") {
     val corpus = Seq(
       (1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, "d e f g h")

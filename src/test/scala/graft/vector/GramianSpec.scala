@@ -89,6 +89,29 @@ class GramianSpec extends SparkSpec {
     }
   }
 
+  test("projectFp matches local BigInt dot, flooring negative sums") {
+    val v = Seq(2000000L, -3000001L) // non-multiple lane forces flooring
+    val fixtures = Seq(
+      (1L, Seq(1.0f, 0.5f)),  // dot = 2e12 − 1500000500000 → floor 499999
+      (2L, Seq(-1.0f, 0.0f)), // dot = −2e12 → −2000000 exact
+      (3L, Seq(0.0f, 0.1f)))  // xf = 100000 (0.1f rounds UP in float);
+                              // dot = −300000100000 → floor −300001
+    val got = Gramian.projectFp(fixtures.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", v)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def local(emb: Seq[Float]): Long = {
+      val dot = emb.zip(v).map { case (x, w) =>
+        BigInt(math.floor(x.toDouble * 1e6).toLong) * BigInt(w)
+      }.sum
+      val m = BigInt(1000000)
+      ((dot - ((dot % m + m) % m)) / m).toLong
+    }
+    assert(got == fixtures.map { case (id, e) => id -> local(e) }.toMap)
+    assert(got(1L) == 499999L)
+    assert(got(2L) == -2000000L)
+    assert(got(3L) == -300001L) // negative non-multiple floors DOWN
+  }
+
   test("ridgeSolve recovers generating weights from gramian + moments (λ=0)") {
     // y = X·w exactly, well-conditioned X → normal equations return w
     val w = Array(0.5, -1.25, 2.0)

@@ -90,6 +90,22 @@ class KmeansSpec extends SparkSpec {
     assert(top1 == out)
   }
 
+  test("labelPropagationStep: majority vote, smallest-label ties, isolated keeps own") {
+    import org.apache.spark.sql.functions.col
+    // hand-built edge list (graph input is any (src_id, nbr_id) frame)
+    val graph = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), // nbr labels 7,7,9 → majority 7
+      (1L, 0L), (1L, 2L),           // nbr labels 5,7 → tie → smaller 5
+      (2L, 3L)                      // single neighbor label 9
+    ).toDF("src_id", "nbr_id").withColumn("cosine", col("src_id") * 0.0)
+    val labels = Seq((0L, 5), (1L, 7), (2L, 7), (3L, 9), (4L, 2))
+      .toDF("vec_id", "label") // node 4 isolated
+    val got = Kmeans.labelPropagationStep(graph, labels, "vec_id", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (0L, 5L, 7L), (1L, 7L, 5L), (2L, 7L, 9L), (3L, 9L, 9L), (4L, 2L, 2L)))
+  }
+
   test("a second step from the step-1 centroids is deterministic") {
     val s1 = Kmeans.lloyd(df, "vec_id", "embedding", init, 1)
     val a = Kmeans.lloydStepFp(df, "vec_id", "embedding", s1).collect().toSet
