@@ -48,6 +48,17 @@ object CurateCli {
     * first-crawled one.
     *
     * The extended stages default OFF (the classic 4-stage funnel):
+    *  - `minQualityPctPpm` > 0 runs the per-source PERCENTILE quality
+    *    floor right after the absolute gate
+    *    ([[TextAnalysis.quantileNormalizeQuality]] on `mixStratumCol`
+    *    strata): each source's own bottom tail drops, so one threshold
+    *    means the same thing across sources with different absolute
+    *    quality registers;
+    *  - `minCharEntropyFp` > 0 screens degenerate text by fixed-point
+    *    character entropy ([[TextAnalysis.charEntropy]], micro-nats):
+    *    key-mash, padding runs, and single-char blobs sit far below
+    *    natural text's ~2.5–3.0 nats and drop before the heavier
+    *    n-gram stages;
     *  - `containmentThreshold` > 0 runs containment (excerpt) dedup
     *    right after the quality gate: documents whose distinct shingles
     *    are ≥ that fraction contained in a larger surviving document
@@ -124,6 +135,8 @@ object CurateCli {
     * deleting the directory after the run). */
   final case class Config(
       minQuality: Double = 0.5,
+      minQualityPctPpm: Long = 0L,
+      minCharEntropyFp: Long = 0L,
       languages: Set[String] = Set("en"),
       jaccardThreshold: Double = 0.8,
       shingleK: Int = 3,
@@ -263,6 +276,32 @@ object CurateCli {
         release(cur)
         cur = p
       }
+
+      if (cfg.minQualityPctPpm > 0)
+        // per-source percentile floor ([[TextAnalysis
+        // .quantileNormalizeQuality]]): absolute quality is not
+        // comparable across sources, so this cuts each source's own
+        // bottom tail instead of nuking whole low-register sources —
+        // the cross-source calibration gate the absolute `minQuality`
+        // cut cannot express. Strata follow `mixStratumCol` (the same
+        // notion of "source" the mix stage balances)
+        advance("quality_pct", cur.join(
+          TextAnalysis.quantileNormalizeQuality(cur, idCol, textCol,
+              cfg.mixStratumCol)
+            .filter(col("pct_ppm") >= cfg.minQualityPctPpm)
+            .select(col(idCol)),
+          Seq(idCol), "left_semi"))
+
+      if (cfg.minCharEntropyFp > 0)
+        // degenerate-text screen ([[TextAnalysis.charEntropy]]):
+        // key-mash, padding runs, and base64-ish blobs sit far below
+        // natural text's character entropy; the fixed-point floor drops
+        // them before the heavier n-gram stages tokenize them
+        advance("char_entropy", cur.join(
+          TextAnalysis.charEntropy(cur, idCol, textCol)
+            .filter(col("entropy_fp") >= cfg.minCharEntropyFp)
+            .select(col(idCol)),
+          Seq(idCol), "left_semi"))
 
       if (cfg.containmentThreshold > 0) {
         // excerpt dedup right after the whole-doc gates: quotes and
@@ -458,9 +497,10 @@ object CurateCli {
     * curated corpus as parquet, a `funnel` stats table, and the run's
     * `datasheet.json`; prints one JSON line per stage plus the
     * datasheet line. `full` switches on ALL extended stages
-    * (containment dedup → novelty floor → mix → scrub → repetition →
-    * gopher → perplexity → line dedup → span excision → decontaminate
-    * vs the `% 37` eval slice → token-budget → pack). Exit 0. */
+    * (quality percentile → char entropy → containment dedup → novelty
+    * floor → mix → scrub → repetition → gopher → perplexity → line
+    * dedup → span excision → decontaminate vs the `% 37` eval slice →
+    * token-budget → pack). Exit 0. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/curated")
@@ -476,6 +516,7 @@ object CurateCli {
     val docs = graft.Tables.documents(spark, sfDir)
     val cfg =
       if (full) Config(minQuality = minQ, mixDefaultPpm = 900000L,
+        minQualityPctPpm = 50000L, minCharEntropyFp = 2600000L,
         containmentThreshold = 0.8, minNovelty = 0.05,
         piiScrub = true, maxRepetitionRatio = 0.9, gopherRules = true,
         maxBigramXentMicro = 3450000L, lineDedupMinDf = 2, exciseSpanK = 8,

@@ -556,6 +556,42 @@ class PlanSpec extends SparkSpec {
       s"pivot counts must partial-aggregate map-side:\n$p126")
   }
 
+  test("q127 phrase search: postings filter before the chain join, no cartesian") {
+    val p = plan("q127_phrase_search")
+    assert(!p.contains("CartesianProduct"), s"chain join must be equi-keyed:\n$p")
+    // the phrase-token filter must run below the checkpoint/join, so the
+    // joined lists are per-term postings, not the whole token stream
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("isin") || p.contains("IN ("),
+      s"expected filtered-postings leaves:\n$p")
+  }
+
+  test("q131 char entropy / q130 quantile norm: map-side partials, one key shuffle") {
+    val p131 = plan("q131_char_entropy")
+    assert(p131.contains("partial_"),
+      s"(doc, char) counts must partial-aggregate map-side:\n$p131")
+    val p130 = plan("q130_quantile_norm")
+    assert(p130.contains("hashpartitioning(source"),
+      s"quantile norm must shuffle on source only:\n$p130")
+    assert("documents\\.parquet".r.findAllIn(p130).length == 1,
+      s"quality + rank + count must share one scan:\n$p130")
+  }
+
+  test("q132 pca projection: narrow plan — zero exchanges, zero joins") {
+    val emb = Tables.embeddings(spark, sf)
+    val proj = graft.vector.Gramian.projectFp(emb, "vec_id", "embedding",
+      Seq.fill(emb.select(size($"embedding")).head().getInt(0))(1000000L))
+    val p = proj.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"projection must not join:\n$p")
+  }
+
+  test("q128 label propagation: vote is aggregate-only, no window sort") {
+    val p = plan("q128_label_propagation")
+    assert(p.contains("max_by") || p.contains("HashAggregate"),
+      s"argmax must be max_by aggregation:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

@@ -629,4 +629,54 @@ class CurateCliSpec extends SparkSpec {
     result.unpersist()
     assert(nodes <= 3, s"corpus plan must stay a checkpoint leaf: $nodes")
   }
+
+  test("quality_pct stage cuts each source's bottom tail, not whole sources") {
+    // quality = 4000·tokens + 600000 here (no punct; stopword fraction
+    // pinned at the cap by one "the" per 5 tokens), so within-source
+    // order follows token count. Source B's BEST doc scores below
+    // source A's WORST — an absolute cut separating A's docs would
+    // drop all of B; the percentile gate keeps each source's top half.
+    def doc(id: Long, src: String, nTok: Int) = (id, src,
+      (0 until nTok).map(i => if (i % 5 == 0) "the" else s"w${id}x$i")
+        .mkString(" "))
+    val docs = Seq(
+      doc(1L, "A", 40), doc(2L, "A", 30), doc(3L, "A", 20), doc(4L, "A", 10),
+      doc(5L, "B", 8), doc(6L, "B", 6), doc(7L, "B", 4), doc(8L, "B", 2))
+      .toDF("doc_id", "source", "text")
+    val result = CurateCli.curate(docs, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, minQualityPctPpm = 500000L))
+    assert(result.funnel.map(_.stage).contains("quality_pct"))
+    val kept = result.corpus.select("doc_id").as[Long].collect().toSet
+    result.unpersist()
+    assert(kept == Set(1L, 2L, 5L, 6L),
+      s"top half of EACH source must survive, got $kept")
+  }
+
+  test("char_entropy stage drops the key-mash doc, keeps natural text") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (2L, "the " + "a" * 60), // one stopword passes lang-id; mash fails entropy
+      (3L, "the ships crossed the wide ocean as waves hit the rocky shore"))
+      .toDF("doc_id", "text")
+    val result = CurateCli.curate(docs, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, minCharEntropyFp = 2000000L))
+    assert(result.funnel.map(_.stage).contains("char_entropy"))
+    val kept = result.corpus.select("doc_id").as[Long].collect().toSet
+    result.unpersist()
+    assert(kept == Set(1L, 3L), s"low-entropy mash must drop, got $kept")
+  }
+
+  test("quality_pct/char_entropy stages keep the corpus plan lineage-cut") {
+    val corpus = (1 to 20).map(i =>
+      (i.toLong, if (i % 2 == 0) "even" else "odd",
+        s"the cat number $i sat on the mat and watched bird " +
+        s"number $i in the garden by the house")).toDF("doc_id", "source", "text")
+    val result = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, minQualityPctPpm = 1L,
+        minCharEntropyFp = 1L))
+    val nodes = result.corpus.queryExecution.optimizedPlan
+      .collect { case p => p }.size
+    result.unpersist()
+    assert(nodes <= 3, s"corpus plan must stay a checkpoint leaf: $nodes")
+  }
 }
