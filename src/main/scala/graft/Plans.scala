@@ -82,7 +82,13 @@ object Plans {
     "q108_bigram_lm" ->
       "The CCNet perplexity filter as relational algebra: ONE checkpointed positional-bigram stream (Scan ExistingRDD — built once, read by the pair rollup, the prefix rollup, and the scored join), all three keyed on token strings with map-side partials so hot bigrams collapse before any exchange; the vocab count is a two-phase countDistinct broadcast back as one row. Scores are fixed-point integer ln's of integer counts — the per-doc sum commutes, so the plan hash-matches its oracle at any partitioning.",
     "q109_gramian" ->
-      "The gramian as MLlib's RowMatrix computes it, in DataFrame clothes: embeddings reach a typed mapPartitions ON THE SCAN PARTITIONS (no exchange below it — shuffling payload bytes to 'spread' d²-FLOP work is the classic mistake), each partition emits its flat-array upper-triangle partials (flush-bounded exact long arithmetic), and the only exchange carries ≤ partitions·d(d+1)/2 rows into one hash aggregation summing in DECIMAL(38,0). Corpus size changes the scan, never the shuffle.")
+      "The gramian as MLlib's RowMatrix computes it, in DataFrame clothes: embeddings reach a typed mapPartitions ON THE SCAN PARTITIONS (no exchange below it — shuffling payload bytes to 'spread' d²-FLOP work is the classic mistake), each partition emits its flat-array upper-triangle partials (flush-bounded exact long arithmetic), and the only exchange carries ≤ partitions·d(d+1)/2 rows into one hash aggregation summing in DECIMAL(38,0). Corpus size changes the scan, never the shuffle.",
+    "q127_phrase_search" ->
+      "Phrase search as posting-list intersection: the token stream filters to the PHRASE's tokens before anything joins (the checkpointed per-term postings are tiny next to the corpus), then the K lists chain-join on (doc, pos − offset) — narrow unique keys, no fan-out, no corpus self-join, and never a per-query regex scan of text. Occurrence counting is one hash aggregate on the surviving start positions.",
+    "q130_quantile_norm" ->
+      "Cross-source quality calibration in ONE shuffle: the integer-ppm quality score computes on the scan, the source-partitioned rank() and count() share the same window exchange, and the percentile is exact integer floor division — no float ranks, no global sort, no second pass. The skew posture matches the domain cap: a source is a partition.",
+    "q132_pca_project" ->
+      "The PCA apply is a ZERO-exchange plan: scan → filter → project, with the fixed-point dot product fused as zip_with + aggregate over the embedding array inside whole-stage codegen. The direction vector rides as a literal; at 100 TB this is pure scan bandwidth — the plan shape every per-row scorer should have.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
