@@ -815,6 +815,13 @@ object SparkEntry {
     "q133_source_gini" -> ((s, d) =>
       graft.text.TextAnalysis.sourceTokenGini(Tables.documents(s, d),
         "text", "source")),
+    // q134: per-dimension moment stats (mean/variance inputs for
+    // feature standardization) — d-row output at any corpus size; the
+    // exact second moment rides as a decimal rendered to string so the
+    // value stays comparable past 2^63
+    "q134_dim_stats" -> ((s, d) =>
+      graft.vector.Gramian.dimStatsFp(Tables.embeddings(s, d), "embedding")
+        .withColumn("sumsq_fp", col("sumsq_fp").cast("string"))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2182,6 +2189,18 @@ object SparkEntry {
          |  CAST(((2 * ix - (n + 1) * st) * 1000000) // (n * st) AS BIGINT)
          |    AS gini_ppm
          |FROM a""".stripMargin,
+    // q134: q109's micro components, per-dim count/sum/sum-of-squares —
+    // the square in HUGEINT, rendered to VARCHAR to match the engine's
+    // decimal-as-string (exact past 2^63 in both engines)
+    "q134_dim_stats" ->
+      """WITH e AS (SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xf
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |p AS (SELECT xf, unnest(generate_series(1, len(xf))) AS i FROM e)
+        |SELECT CAST(i AS INTEGER) AS dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(xf[i]) AS BIGINT) AS sum_fp,
+        |  CAST(sum(CAST(xf[i] AS HUGEINT) * xf[i]) AS VARCHAR) AS sumsq_fp
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

@@ -181,6 +181,53 @@ object Gramian {
       .orderBy("dim")
   }
 
+  /** Per-dimension first and second moments in the micro fixed-point
+    * frame: `(dim, n, sum_fp = Σ⌊xᵢ·10⁶⌋, sumsq_fp = Σ⌊xᵢ·10⁶⌋²)` —
+    * the mean/variance inputs for feature standardization (z-scoring
+    * embeddings before clustering or outlier cuts) and the diagonal
+    * slice of [[gramianFp]] without the d² work. All integer: per-row
+    * squares widen to DECIMAL(38,0) before summing (a long² wraps past
+    * |xf| ≈ 3·10⁹), so results are exact in any association order.
+    *
+    * Scale shape: posexplode → hash-agg on dim — map-side partials
+    * collapse every partition to ≤ d rows before the one exchange;
+    * driver traffic is the d-row stats table at any corpus size. */
+  def dimStatsFp(df: DataFrame, embCol: String): DataFrame = {
+    val nn = df.filter(col(embCol).isNotNull)
+    nn.select(posexplode(transform(col(embCol),
+        x => floor(x.cast("double") * lit(1000000L)).cast("long"))))
+      .select((col("pos") + 1).cast("int").as("dim"), col("col").as("__xf"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum("__xf").as("sum_fp"),
+        sum(col("__xf").cast(DecimalType(38, 0)) * col("__xf"))
+          .cast(DecimalType(38, 0)).as("sumsq_fp"))
+      .orderBy("dim")
+  }
+
+  /** Full fixed-point power iteration: run [[powerIterationStep]]
+    * `iterations` times from the deterministic tilted-unit start
+    * `v₀(j) = 10⁶ + j`, integer-renormalizing between steps so the
+    * iterate stays in the micro frame (divide by ⌊max|v|/10⁶⌋ — floor
+    * division on integers, deterministic at any partitioning). Returns
+    * the final direction as `(dim → v_fp)` — feed it to [[projectFp]]
+    * to score the corpus along the dominant eigenvector. Driver
+    * traffic per iteration is the d-row vector; the distributed work
+    * is one gramian-sized aggregation per step. */
+  def powerIteration(gram: DataFrame, d: Int, iterations: Int): Seq[Long] = {
+    require(d > 0, s"d must be positive, got $d")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    var v: Seq[Long] = (1 to d).map(j => 1000000L + j)
+    for (_ <- 1 to iterations) {
+      val stepped = powerIterationStep(gram, v)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val raw = (1 to d).map(j => stepped.getOrElse(j, 0L))
+      val scale = math.max(raw.map(math.abs).max / 1000000L, 1L)
+      v = raw.map(x => Math.floorDiv(x, scale))
+    }
+    v
+  }
+
   /** Project every embedding onto a fixed direction in the micro
     * fixed-point frame: `proj_fp = ⌊Σᵢ ⌊xᵢ·10⁶⌋·vFp(i) / 10⁶⌋` — the
     * APPLY half of the PCA pipeline ([[gramianFp]] →

@@ -89,6 +89,58 @@ class GramianSpec extends SparkSpec {
     }
   }
 
+  test("dimStatsFp: exact per-dim count/sum/sum-of-squares, any partitioning") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val want = (0 until 3).map { i =>
+      val xs = vecs.map { case (_, v) =>
+        math.floor(v(i).toDouble * 1e6).toLong
+      }
+      (i + 1, xs.size.toLong, xs.sum,
+        xs.map(x => BigInt(x) * BigInt(x)).sum.toString)
+    }
+    for (parts <- Seq(1, 3)) {
+      val got = Gramian.dimStatsFp(df.repartition(parts), "embedding")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getDecimal(3).toBigInteger.toString))
+      assert(got.toSeq == want, s"mismatch at $parts partitions")
+    }
+  }
+
+  test("powerIteration equals an exact BigInt replay of the same algorithm") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val gram = Gramian.gramianFp(df, "embedding")
+    // local replay: mirrored gram·v with nonneg-remainder floor by 1e12,
+    // then integer renormalization — exactly the engine's contract
+    def replay(iters: Int): Seq[Long] = {
+      val g = localGramFp
+      def cell(i: Int, j: Int): BigInt =
+        BigInt(g.getOrElse((math.min(i, j), math.max(i, j)), 0L))
+      var v: Seq[Long] = (1 to 3).map(j => 1000000L + j)
+      val m = BigInt("1000000000000")
+      for (_ <- 1 to iters) {
+        val raw = (1 to 3).map { i =>
+          val s = (1 to 3).map(j => cell(i, j) * BigInt(v(j - 1))).sum
+          ((s - ((s % m + m) % m)) / m).toLong
+        }
+        val scale = math.max(raw.map(math.abs).max / 1000000L, 1L)
+        v = raw.map(x => Math.floorDiv(x, scale))
+      }
+      v
+    }
+    for (iters <- Seq(1, 3, 5)) {
+      val got = Gramian.powerIteration(gram, d = 3, iterations = iters)
+      assert(got == replay(iters), s"divergence at $iters iterations")
+      // renormalization keeps the iterate in the micro frame
+      assert(got.map(math.abs).max >= 500000L &&
+        got.map(math.abs).max <= 2000000L, s"scale drifted: $got")
+    }
+    // the fixture's spectrum peaks on dim 2 (G22 = 4.25 dominates) —
+    // the iterate must point there
+    val v5 = Gramian.powerIteration(gram, d = 3, iterations = 5)
+    assert(v5.map(math.abs).zipWithIndex.maxBy(_._1)._2 == 1,
+      s"dominant component must be dim 2: $v5")
+  }
+
   test("projectFp matches local BigInt dot, flooring negative sums") {
     val v = Seq(2000000L, -3000001L) // non-multiple lane forces flooring
     val fixtures = Seq(
