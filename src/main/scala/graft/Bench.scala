@@ -76,17 +76,19 @@ object Bench {
         Tables.documents(spark, sfDir), "doc_id", "text")
       r.unpersist()
     }
-    // the FULL funnel: all extended stages (domain mix → pii scrub →
-    // repetition filter → gopher rules → line dedup → span excision →
-    // decontaminate vs the q53 eval slice → token-budget selection →
-    // sequence packing) — the everything-enabled curation cost. The
-    // driver corpus is single-line text (line dedup would be all
-    // overhead, no work), so every 7th doc gets the seeded boilerplate
-    // line — the stage's token delta shows up in the datasheet.
+    // the FULL funnel: all extended stages (quality percentile → char
+    // entropy → domain mix → pii scrub → repetition filter → gopher
+    // rules → line dedup → span excision → decontaminate vs the q53
+    // eval slice → token-budget selection → sequence packing) — the
+    // everything-enabled curation cost. The driver corpus is
+    // single-line text (line dedup would be all overhead, no work), so
+    // every 7th doc gets the seeded boilerplate line — the stage's
+    // token delta shows up in the datasheet.
     case _ => stats(name) {
       val docs = OrganicCorpus.seedBoilerplate(Tables.documents(spark, sfDir))
       val r = ops.CurateCli.curate(docs, "doc_id", "text",
         ops.CurateCli.Config(mixDefaultPpm = 900000L,
+          minQualityPctPpm = 50000L, minCharEntropyFp = 2600000L,
           containmentThreshold = 0.8, minNovelty = 0.05,
           piiScrub = true, maxRepetitionRatio = 0.9,
           gopherRules = true, lineDedupMinDf = 2,
