@@ -822,6 +822,23 @@ object SparkEntry {
     "q134_dim_stats" -> ((s, d) =>
       graft.vector.Gramian.dimStatsFp(Tables.embeddings(s, d), "embedding")
         .withColumn("sumsq_fp", col("sumsq_fp").cast("string"))),
+    // q135: sorted-neighborhood (length-blocked) near-dup pairs — the
+    // third blocking family (after LSH bands and prefix filtering):
+    // rank-banded candidates within 10 positions of the length order,
+    // exact-Jaccard verified; N·window pair work, never N²
+    "q135_snm_pairs" -> ((s, d) =>
+      Dedup.sortedNeighborhoodPairs(Tables.documents(s, d), "doc_id",
+        "text", window = 10, threshold = 0.3)),
+    // q136: vocabulary drift between the even/odd snapshot halves —
+    // exact integer ppm rates per side, top-20 by absolute delta (the
+    // between-crawls data-drift monitor)
+    "q136_term_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.TextAnalysis.termDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", minCount = 1L, topK = 20)
+    }),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2201,6 +2218,52 @@ object SparkEntry {
         |  CAST(sum(xf[i]) AS BIGINT) AS sum_fp,
         |  CAST(sum(CAST(xf[i] AS HUGEINT) * xf[i]) AS VARCHAR) AS sumsq_fp
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q135: the oracle ranks with ONE global window (fine at oracle
+    // scale), joins on rank distance directly, and verifies with q36's
+    // string-shingle Jaccard — the engine's bucketed-offset ranks and
+    // hash-shingle arrays must reproduce it exactly
+    "q135_snm_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY len(toks), doc_id) AS rk
+         |  FROM t),
+         |c AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM r a JOIN r b
+         |  ON b.rk > a.rk AND b.rk - a.rk <= 10),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |   CASE WHEN len(toks) >= 3
+         |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+         |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |i AS (SELECT ia, ib, count(*) AS inter FROM c
+         |  JOIN sh x ON x.doc_id = c.ia
+         |  JOIN sh y ON y.doc_id = c.ib AND y.shingle = x.shingle
+         |  GROUP BY 1, 2)
+         |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM i JOIN sz sa ON i.ia = sa.doc_id JOIN sz sb ON i.ib = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3""".stripMargin,
+    // q136: two token-count CTEs over the snapshot halves, full-outer
+    // joined; ppm rates are nonneg integer floor divisions; the top-20
+    // cutoff tiebreaks on token in both engines
+    "q136_term_drift" ->
+      s"""WITH ta AS (SELECT unnest($tokensSql) AS token
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+         |tb AS (SELECT unnest($tokensSql) AS token
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+         |ca AS (SELECT token, count(*) AS c FROM ta WHERE token <> '' GROUP BY 1),
+         |cb AS (SELECT token, count(*) AS c FROM tb WHERE token <> '' GROUP BY 1),
+         |na AS (SELECT sum(c) AS n FROM ca), nb AS (SELECT sum(c) AS n FROM cb),
+         |j AS (SELECT coalesce(ca.token, cb.token) AS token,
+         |    coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+         |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+         |p AS (SELECT token, c_a AS count_a, c_b AS count_b,
+         |    (c_a * 1000000) // na.n AS ppm_a, (c_b * 1000000) // nb.n AS ppm_b
+         |  FROM j CROSS JOIN na CROSS JOIN nb WHERE c_a + c_b >= 1)
+         |SELECT CAST(token AS VARCHAR) AS token,
+         |  CAST(count_a AS BIGINT) AS count_a, CAST(count_b AS BIGINT) AS count_b,
+         |  CAST(ppm_a AS BIGINT) AS ppm_a, CAST(ppm_b AS BIGINT) AS ppm_b,
+         |  CAST(abs(ppm_a - ppm_b) AS BIGINT) AS delta_ppm
+         |FROM p ORDER BY delta_ppm DESC, token LIMIT 20""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

@@ -716,6 +716,68 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995's
+    * merge/purge) with LENGTH blocking: documents sort by (token
+    * count, id) and every pair within `window` positions of that order
+    * is a candidate, verified by exact shingle Jaccard. The third
+    * blocking family next to hash bucketing (MinHash bands) and prefix
+    * filtering: the sort key needs no similarity structure — any key
+    * whose neighborhood correlates with similarity works, and token
+    * length is the classic cheap one (near-dups rarely differ much in
+    * length). Recall is explicitly windowed: a true pair more than
+    * `window` positions apart is missed — the documented SNM trade;
+    * the standard mitigation is multi-pass with different keys.
+    *
+    * Scale shape: the global order is NEVER a single-partition window —
+    * ranks come from per-length bucket counts (token counts are
+    * bounded, so the bucket table is driver-tiny), broadcast offsets,
+    * and a per-bucket row_number; candidates join on rank BANDS of
+    * width `window` (each row probes its own and the previous band),
+    * so the join is equi-keyed and pair work is N·window, never N².
+    * Verification is candidate-sized `array_intersect` on per-doc
+    * distinct shingle-hash arrays computed on the scan. The profile
+    * materializes once (`localCheckpoint`, read by the bucket count,
+    * both band legs); [[releaseIndex]] the result when consumed. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int, threshold: Double, k: Int = 3): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val spark = df.sparkSession
+    val prof = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        graft.text.TextAnalysis.tokenCount(col(textCol)).cast("long").as("__n"),
+        shingleHashes(col(textCol), k, distinct = true).as("__sh"))
+      .localCheckpoint()
+    // bounded driver table: one row per distinct token count
+    val counts = prof.groupBy("__n").agg(count(lit(1)).as("__c"))
+      .orderBy("__n").collect()
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    val offDf = broadcast(spark.createDataFrame(offsets).toDF("__n", "__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__n").orderBy("__id")
+    val wl = lit(window.toLong)
+    val ranked = prof.join(offDf, Seq("__n"))
+      .withColumn("__r", col("__off") + row_number().over(w))
+      .withColumn("__band", expr(s"__r div ${window.toLong}"))
+    val left = ranked.select(col("__id").as("__ia"), col("__r").as("__ra"),
+      col("__sh").as("__sa"), col("__band"))
+    val right = ranked.select(col("__id").as("__ib"), col("__r").as("__rb"),
+      col("__sh").as("__sb"),
+      explode(array(col("__band"), col("__band") - 1L)).as("__band"))
+    left.join(right, Seq("__band"))
+      .filter(col("__rb") > col("__ra") && col("__rb") - col("__ra") <= wl)
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", col("__i").cast("double") /
+        (size(col("__sa")) + size(col("__sb")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
+  }
+
   /** Winnowing-fingerprint near-dup pairs — the pair stage of the MOSS
     * scheme over [[TextAnalysis.winnowingFingerprints]]: documents
     * sharing ≥ `minShared` fingerprints, with the shared count. The

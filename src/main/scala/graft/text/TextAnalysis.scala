@@ -1375,6 +1375,50 @@ object TextAnalysis {
       })
   }
 
+  /** Vocabulary drift between two corpus snapshots: per-token counts
+    * and exact integer ppm rates in each side, ranked by absolute ppm
+    * delta — the data-drift monitor a pipeline runs between crawls
+    * (new jargon and template changes surface at the top; a stable
+    * distribution reports near-zero deltas). `minCount` (summed across
+    * both sides) floors out the noise tail before ranking; rates are
+    * `⌊c·10⁶/n⌋` floor divisions of integer counts — exact, bounded by
+    * 10⁶ at ANY corpus size (no overflow regime, unlike a χ² numerator
+    * which squares count differences past any fixed-width integer).
+    *
+    * Scale shape: each side collapses to its token-count table with
+    * map-side partials (vocabulary-sized, Zipf-hot tokens die in the
+    * partials), the two tables full-outer join on token, and top-k is
+    * TakeOrderedAndProject — never a global sort. */
+  def termDrift(a: DataFrame, b: DataFrame, textCol: String,
+      minCount: Long = 1L, topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def sideCounts(df: DataFrame, cnt: String): DataFrame =
+      df.filter(col(textCol).isNotNull)
+        .select(explode(tokens(col(textCol))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as(cnt))
+    def total(df: DataFrame, cnt: String, tot: String): DataFrame =
+      broadcast(df.agg(sum(cnt).as(tot)))
+    val ca = sideCounts(a, "__ca")
+    val cb = sideCounts(b, "__cb")
+    def ppm(c: Column, n: Column): Column = {
+      val x = c * lit(1000000L)
+      ((x - pmod(x, n)) / n).cast("long")
+    }
+    ca.join(cb, Seq("token"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+      .filter(col("__ca") + col("__cb") >= minCount)
+      .crossJoin(total(ca, "__ca", "__na"))
+      .crossJoin(total(cb, "__cb", "__nb"))
+      .select(col("token"),
+        col("__ca").as("count_a"), col("__cb").as("count_b"),
+        ppm(col("__ca"), col("__na")).as("ppm_a"),
+        ppm(col("__cb"), col("__nb")).as("ppm_b"))
+      .withColumn("delta_ppm", abs(col("ppm_a") - col("ppm_b")))
+      .orderBy(col("delta_ppm").desc, col("token"))
+      .limit(topK)
+  }
+
   /** Full per-document stats projection used by the stats query. */
   def stats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)

@@ -122,6 +122,61 @@ class SimilarityPairsSpec extends SparkSpec {
     }
   }
 
+  test("sortedNeighborhoodPairs: equals brute force within the window; misses beyond it") {
+    // near-dup pair (1, 2) is length-adjacent (found); (1, 8) is an
+    // exact-text twin of 1 pushed far away in the length order by
+    // planting many unique length-spacer docs between them — SNM's
+    // documented windowed-recall trade must show as a MISS
+    val base = "the cat sat on the mat and watched the bird"
+    val spacers = (10L to 30L).map(i =>
+      (i, (1 to (12 + i.toInt % 17)).map(j => s"sp${i}x$j").mkString(" ")))
+    val docs = (Seq(
+      (1L, base),
+      (2L, base + " today"),                      // near-dup, adjacent length
+      (8L, "zz " * 40 + base)) ++ spacers         // same tail, far length
+    ).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"adjacent near-dup must be found: $got")
+    assert(!got.contains((1L, 8L)),
+      s"pair beyond the window must be missed (the SNM trade): $got")
+    // widening the window to cover the whole corpus = brute force
+    val wide = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 30, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(wide == brute, "window >= corpus must equal the full pair set")
+    // partitioning invariance (bucketed-offset ranks, band join)
+    val re = Dedup.sortedNeighborhoodPairs(docs.repartition(7), "doc_id",
+        "text", window = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(re == got)
+  }
+
+  test("termDrift: hand-computed ppm deltas, minCount floor, topK cut") {
+    val a = Seq((1L, "x x x y z"), (2L, "x y w")).toDF("doc_id", "text")
+    val b = Seq((3L, "y y y z q"), (4L, "y z")).toDF("doc_id", "text")
+    // counts: a: x=4, y=2, z=1, w=1 (n=8); b: y=4, z=2, q=1 (n=7)
+    val got = TextAnalysis.termDrift(a, b, "text", minCount = 2L, topK = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    def ppm(c: Long, n: Long) = c * 1000000L / n
+    val want = Seq(
+      "x" -> ((4L, 0L, ppm(4, 8), 0L, ppm(4, 8))),
+      "y" -> ((2L, 4L, ppm(2, 8), ppm(4, 7), ppm(4, 7) - ppm(2, 8))),
+      "z" -> ((1L, 2L, ppm(1, 8), ppm(2, 7), ppm(2, 7) - ppm(1, 8))))
+    // q (1+0 < minCount 2) and w (1+0 < 2) floor out; order by delta desc
+    assert(got.toSeq == want.sortBy { case (t, v) => (-v._5, t) })
+    val top1 = TextAnalysis.termDrift(a, b, "text", minCount = 2L, topK = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq(want.maxBy(_._2._5)._1))
+  }
+
   test("ngramNovelty: first doc fully novel, exact copy fully stale") {
     val docs = Seq(
       (1L, "one two three four five six"),
