@@ -172,8 +172,14 @@ object ScaleBench {
       // RELIABLE checkpoint written under that directory — the
       // preemptible-cluster durability trade, priced by running the
       // same factor with and without it (SCALE.md records the pair)
+      // quality_pct cuts a fixed 5% per source (proportional at both
+      // factors); the entropy floor sits at 1 nat — far below organic
+      // text — so both new stages pay their full compute cost while
+      // volume, not gate selectivity, stays the scale variable
       val r = ops.CurateCli.curate(docs, "doc_id", "text",
-        funnelCfg.copy(mixDefaultPpm = 900000L, piiScrub = true,
+        funnelCfg.copy(mixDefaultPpm = 900000L,
+          minQualityPctPpm = 50000L, minCharEntropyFp = 1000000L,
+          piiScrub = true,
           maxRepetitionRatio = 0.9, lineDedupMinDf = 2, exciseSpanK = 8,
           budgetTokens = 1000000000000L, packBudget = 512,
           packBuckets = 8,
