@@ -28,6 +28,10 @@ import graft.observe.{CdcQueryListener, MetricsRegistry}
   *       snapshot> --max-bigram-xent-micro <gate, micro-nats/bigram> —
   *       ingest-time CCNet perplexity filter against the broadcast
   *       reference LM] \
+  *     [--quality-pct-table <parquet [[graft.text.TextAnalysis
+  *       .qualityPctThresholds]] snapshot> — ingest-time per-source
+  *       percentile quality gate against the batch calibration; docs
+  *       whose source has no calibration row pass] \
   *     [--state-store rocksdb|hdfs|<provider class>]
   *
   * NOTE: `--shingle-k` tunes the near-dup LSH shingles only; eval
@@ -67,15 +71,19 @@ object CurateStreamCli {
       stateTtlMs: Long = 0L,
       evalPath: Option[String] = None,
       bigramModelPath: Option[String] = None,
+      qualityPctTablePath: Option[String] = None,
       stateStore: Option[String] = None)
 
   final case class Summary(landed: Long, flagged: Long)
 
-  /** Envelope schema for the input JSON lines. */
+  /** Envelope schema for the input JSON lines. `source` is optional
+    * (missing → null): it exists for the per-source percentile quality
+    * gate (`--quality-pct-table`); all other gates ignore it. */
   val inputSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("ts", TimestampType),
-    StructField("text", StringType)))
+    StructField("text", StringType),
+    StructField("source", StringType)))
 
   private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
 
@@ -128,7 +136,8 @@ object CurateStreamCli {
       new org.apache.hadoop.fs.Path(outPath, "_spark_metadata"))
     // --eval and --bigram-model both land through foreachBatch (plain
     // appends) rather than the streaming file sink
-    val usesBatchSink = cfg.evalPath.isDefined || cfg.bigramModelPath.isDefined
+    val usesBatchSink = cfg.evalPath.isDefined ||
+      cfg.bigramModelPath.isDefined || cfg.qualityPctTablePath.isDefined
     // switching modes also needs a fresh source checkpoint — the old one
     // has committed the already-ingested files' offsets, so a fresh
     // output alone would silently drain zero rows into it
@@ -138,8 +147,8 @@ object CurateStreamCli {
     if (usesBatchSink && hasSinkLog)
       throw new IllegalStateException(
         s"${cfg.output} was written by a plain run (streaming file " +
-          "sink); --eval/--bigram-model appends would be invisible " +
-          s"behind its _spark_metadata log. $remedy")
+          "sink); --eval/--bigram-model/--quality-pct-table appends " +
+          s"would be invisible behind its _spark_metadata log. $remedy")
     if (!usesBatchSink && !hasSinkLog && fs.exists(outPath) &&
         fs.listStatus(outPath).exists(_.getPath.getName.endsWith(".parquet")))
       throw new IllegalStateException(
@@ -158,6 +167,7 @@ object CurateStreamCli {
     // input file, and rebuilding either per file is pure waste
     var evalCache: Option[org.apache.spark.sql.DataFrame] = None
     var modelCache: Option[org.apache.spark.sql.DataFrame] = None
+    var pctCache: Option[org.apache.spark.sql.DataFrame] = None
     val landingWriter =
       if (!usesBatchSink)
         gated.writeStream.format("parquet").option("path", cfg.output)
@@ -190,6 +200,23 @@ object CurateStreamCli {
           m
         }
         modelCache = model
+        // INGEST-TIME per-source percentile quality gate (the
+        // stream-side quality_pct parity): a micro-batch cannot rank a
+        // doc against the whole corpus, so arriving docs gate against a
+        // batch-calibrated [[graft.text.TextAnalysis
+        // .qualityPctThresholds]] SNAPSHOT — per-source minimum
+        // quality_e6, broadcast. Unknown/null sources carry no
+        // calibration and pass (same no-evidence-no-drop rule as the
+        // perplexity gate).
+        val pctTable = cfg.qualityPctTablePath.map { p =>
+          val t = spark.read.parquet(p)
+            .select(col("source").as("__src"),
+              col("min_quality_e6").cast("long").as("__minq"))
+            .persist()
+          t.count()
+          t
+        }
+        pctCache = pctTable
         gated.writeStream.foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
               _: Long) =>
@@ -199,7 +226,7 @@ object CurateStreamCli {
                 minHits = cfg.curate.decontaminateMinHits)
               case None => batch.toDF()
             }
-            val out = model match {
+            val scored = model match {
               case Some(m) =>
                 val tooSurprising = graft.text.TextAnalysis
                   .bigramLmScoresAgainstModel(decon, "doc_id", "text", m)
@@ -208,6 +235,17 @@ object CurateStreamCli {
                   .select(col("doc_id"))
                 decon.join(tooSurprising, Seq("doc_id"), "left_anti")
               case None => decon
+            }
+            val out = pctTable match {
+              case Some(t) =>
+                scored.join(broadcast(t),
+                    scored("source") === t("__src"), "left")
+                  .filter(col("__minq").isNull ||
+                    graft.text.TextAnalysis.qualityScoreE6(col("text"),
+                      graft.text.TextAnalysis.LangProfiles("en")) >=
+                      col("__minq"))
+                  .drop("__src", "__minq")
+              case None => scored
             }
             out.write.mode("append").parquet(cfg.output)
         }
@@ -236,6 +274,7 @@ object CurateStreamCli {
         landing.awaitTermination()
         evalCache.foreach(_.unpersist(blocking = false))
         modelCache.foreach(_.unpersist(blocking = false))
+        pctCache.foreach(_.unpersist(blocking = false))
         spark.readStream.schema(gated.schema)
           .option("maxFilesPerTrigger", 1).parquet(cfg.output)
       }
@@ -282,6 +321,7 @@ object CurateStreamCli {
     var watermark = "1 hour"; var maxPerBucket = 1000; var stateTtlMs = 0L
     var evalPath: Option[String] = None
     var bigramModelPath: Option[String] = None
+    var qualityPctTablePath: Option[String] = None
     var stateStore: Option[String] = None
     var i = 0
     try {
@@ -304,6 +344,8 @@ object CurateStreamCli {
           case "--state-ttl-ms" => stateTtlMs = args(i + 1).toLong; i += 2
           case "--eval" => evalPath = Some(args(i + 1)); i += 2
           case "--bigram-model" => bigramModelPath = Some(args(i + 1)); i += 2
+          case "--quality-pct-table" =>
+            qualityPctTablePath = Some(args(i + 1)); i += 2
           case "--max-bigram-xent-micro" =>
             curate = curate.copy(maxBigramXentMicro = args(i + 1).toLong); i += 2
           case "--state-store" => stateStore = Some(args(i + 1)); i += 2
@@ -326,7 +368,7 @@ object CurateStreamCli {
       Left("--max-bigram-xent-micro requires --bigram-model (the reference LM snapshot)")
     else Right(StreamConfig(input, output, candidates, checkpoint, curate,
       watermark, maxPerBucket, stateTtlMs, evalPath, bigramModelPath,
-      stateStore))
+      qualityPctTablePath, stateStore))
   }
 
   def main(args: Array[String]): Unit = {

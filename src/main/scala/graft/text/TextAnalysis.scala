@@ -1306,6 +1306,25 @@ object TextAnalysis {
       })
   }
 
+  /** Per-source quality thresholds at a percentile cut — the
+    * CALIBRATION snapshot for stream-side percentile gating: for each
+    * source, the smallest `quality_e6` whose within-source percentile
+    * is ≥ `pctPpm` (i.e. [[quantileNormalizeQuality]]'s gate value,
+    * frozen as a table). A streaming ingest cannot rank an arriving
+    * doc against the whole corpus, so it gates against this broadcast
+    * snapshot instead — the same batch-calibrate → stream-apply split
+    * as the bigram-LM perplexity gate. Source-count-sized output. */
+  def qualityPctThresholds(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, pctPpm: Long,
+      stopwords: Seq[String] = LangProfiles("en")): DataFrame = {
+    require(pctPpm >= 0L && pctPpm <= 1000000L,
+      s"pctPpm must be in [0, 1000000], got $pctPpm")
+    quantileNormalizeQuality(df, idCol, textCol, sourceCol, stopwords)
+      .filter(col("pct_ppm") >= pctPpm)
+      .groupBy(sourceCol)
+      .agg(min("quality_e6").as("min_quality_e6"))
+  }
+
   /** Character-level Shannon entropy per document in fixed-point
     * micro-nats: `H = ln N − (Σ c·ln c)/N` over single-character
     * counts. The cheap degenerate-text screen (key-mash, base64 blobs,

@@ -13,6 +13,58 @@ class CurateStreamCliSpec extends SparkSpec {
   private def jsonRow(id: Long, t: String, ts: String) =
     s"""{"doc_id":$id,"ts":"$ts","text":"$t"}"""
 
+  private def jsonRowSrc(id: Long, src: String, t: String, ts: String) =
+    s"""{"doc_id":$id,"ts":"$ts","text":"$t","source":"$src"}"""
+
+  test("e2e with --quality-pct-table: below-calibration doc dropped, unknown source passes") {
+    val in = Files.createTempDirectory("cscli-pct-in").toString
+    val base = Files.createTempDirectory("cscli-pct").toString
+    // calibration corpus for source A: quality_e6 = 4000·tokens +
+    // 600000 (one "the" per 5 tokens pins the stopword cap; no punct) —
+    // at the 50th percentile the threshold lands at the 30-token doc
+    def calDoc(id: Long, nTok: Int) =
+      (id, "A", (0 until nTok).map(i =>
+        if (i % 5 == 0) "the" else s"c${id}x$i").mkString(" "))
+    Seq(calDoc(101L, 40), calDoc(102L, 30), calDoc(103L, 20), calDoc(104L, 10))
+      .toDF("doc_id", "source", "text").write.parquet(s"$base/cal_src")
+    graft.text.TextAnalysis.qualityPctThresholds(
+        spark.read.parquet(s"$base/cal_src"), "doc_id", "text", "source",
+        pctPpm = 500000L)
+      .write.parquet(s"$base/pct")
+    // threshold for A = quality of the 30-token doc (rank 3 of 4,
+    // pct 666666): 4000·30 + 600000 = 720000
+    val th = spark.read.parquet(s"$base/pct")
+      .as[(String, Long)].collect().toMap
+    assert(th == Map("A" -> 720000L), s"calibration snapshot: $th")
+    val cfg = CurateStreamCli.StreamConfig(
+      input = in, output = s"$base/landing", candidates = s"$base/cands",
+      checkpoint = s"$base/cp",
+      curate = CurateCli.Config(minQuality = 0.0, languages = Set("en"),
+        jaccardThreshold = 0.5),
+      qualityPctTablePath = Some(s"$base/pct"))
+    // arriving docs: source-A doc ABOVE the bar (35 tokens → 740000),
+    // source-A doc BELOW it (12 tokens → 648000), unknown source (no
+    // calibration row → passes regardless of quality)
+    def streamDoc(id: Long, nTok: Int) = (0 until nTok).map(i =>
+      if (i % 5 == 0) "the" else s"s${id}x$i").mkString(" ")
+    val b0 = Paths.get(s"$in/b0.json")
+    Files.writeString(b0, Seq(
+      jsonRowSrc(1, "A", streamDoc(1, 35), "2024-01-01T10:00:00Z"),
+      jsonRowSrc(2, "A", streamDoc(2, 12), "2024-01-01T10:00:01Z"),
+      jsonRowSrc(3, "B", streamDoc(3, 8), "2024-01-01T10:00:02Z")
+    ).mkString("\n"))
+    Files.setLastModifiedTime(b0,
+      FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val s1 = CurateStreamCli.run(spark, cfg)
+    val landed = spark.read.parquet(cfg.output)
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L, 3L),
+      s"above-bar A and unknown-source B land; below-bar A drops: $landed")
+    assert(s1.landed == 2)
+    // the landing zone carries the source column through
+    assert(spark.read.parquet(cfg.output).columns.contains("source"))
+  }
+
   test("parseArgs: contract errors and full round-trip") {
     assert(CurateStreamCli.parseArgs(Array("--input", "a")).isLeft)
     assert(CurateStreamCli.parseArgs(Array("--frobnicate", "x")).isLeft)
