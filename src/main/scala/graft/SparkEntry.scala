@@ -839,6 +839,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         "text", minCount = 1L, topK = 20)
     }),
+    // q137: user-journey transition matrix — first-order Markov counts
+    // of consecutive event-type pairs per user; lag window on the
+    // narrow type column, vocabulary-sized output
+    "q137_event_transitions" -> ((s, d) =>
+      Analytics.eventTransitions(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id")),
+    // q138: daily OHLC of the event value stream — open/close via
+    // min_by/max_by over the (ts, id) struct, ONE hash aggregation, no
+    // window, exact-decimal volume
+    "q138_value_ohlc" -> ((s, d) =>
+      Analytics.ohlc(Tables.events(s, d), "ts", "event_id", "value",
+        bucketMicros = 86400000000L)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2264,6 +2276,40 @@ object SparkEntry {
          |  CAST(ppm_a AS BIGINT) AS ppm_a, CAST(ppm_b AS BIGINT) AS ppm_b,
          |  CAST(abs(ppm_a - ppm_b) AS BIGINT) AS delta_ppm
          |FROM p ORDER BY delta_ppm DESC, token LIMIT 20""".stripMargin,
+    // q137: same lag window, same (ts, id) total order, first events
+    // carry no transition
+    "q137_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS t
+        |  FROM events),
+        |g AS (SELECT user_id, event_type AS to_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |    AS from_type FROM e)
+        |SELECT from_type, to_type, count(*) AS n_transitions
+        |FROM g WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q138: open/close re-derived as rank-1 rows over the same (ts, id)
+    // total order (unique event ids make ties impossible); the bucket
+    // floors epoch micros with the positive-remainder pattern
+    "q138_value_ohlc" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t, event_id, value FROM events
+        |  WHERE value IS NOT NULL),
+        |b AS (SELECT (t - ((t % 86400000000 + 86400000000) % 86400000000))
+        |    // 86400000000 AS bucket, t, event_id, value FROM e),
+        |o AS (SELECT bucket, value AS open,
+        |  row_number() OVER (PARTITION BY bucket ORDER BY t, event_id) AS rn
+        | FROM b),
+        |c AS (SELECT bucket, value AS close,
+        |  row_number() OVER (PARTITION BY bucket ORDER BY t DESC, event_id DESC) AS rn
+        | FROM b),
+        |a AS (SELECT bucket, max(value) AS high, min(value) AS low,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        | FROM b GROUP BY 1)
+        |SELECT CAST(a.bucket AS BIGINT) AS bucket, o.open, a.high, a.low,
+        |  c.close, CAST(a.n_events AS BIGINT) AS n_events, a.volume
+        |FROM a JOIN o ON a.bucket = o.bucket AND o.rn = 1
+        |JOIN c ON a.bucket = c.bucket AND c.rn = 1
+        |ORDER BY 1""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

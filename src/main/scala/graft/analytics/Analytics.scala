@@ -490,6 +490,59 @@ object Analytics {
       .orderBy("step")
   }
 
+  /** User-journey transition matrix: counts of consecutive event-type
+    * pairs per user — the first-order Markov statistics behind flow
+    * diagrams, anomalous-path detection, and next-step prediction
+    * features. Consecutive means adjacent in each user's (ts, id)
+    * total order; a user's first event has no predecessor and feeds no
+    * transition. Output: `(from_type, to_type, n_transitions)`.
+    *
+    * Scale shape: one shuffle on the user key, per-user in-partition
+    * sort, a lag of the NARROW type column, then a hash-agg on the
+    * (from, to) pair — type-vocabulary-sized output, map-side partials
+    * collapse the hot transitions. Same per-key window cost as
+    * [[retentionCohorts]]'s dedup; no self-joins. */
+  def eventTransitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col("__t"), col("__id"))
+    events.select(col(userCol), col(typeCol).as("to_type"),
+        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Time-bucketed OHLC ("candlestick") aggregation of a value stream:
+    * per bucket — open (value at the bucket's earliest (ts, id)), high,
+    * low, close (latest (ts, id)), event count, and exact-decimal
+    * volume. The order-statistics-inside-group shape: open/close are
+    * `min_by`/`max_by` over the (ts, id) struct — ONE hash aggregation,
+    * no window, no sort (the same no-window discipline as
+    * latest-per-key W1). Bucketing floors epoch micros by
+    * `bucketMicros` with the positive-remainder pattern (exact at any
+    * epoch sign). */
+  def ohlc(events: DataFrame, tsCol: String, idCol: String,
+      valueCol: String, bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be > 0, got $bucketMicros")
+    val t = tsMicros(events, tsCol)
+    val key = struct(t.as("t"), col(idCol).cast("long").as("i"))
+    events.filter(col(valueCol).isNotNull)
+      .groupBy(((t - pmod(t, lit(bucketMicros))) / lit(bucketMicros))
+        .cast("long").as("bucket"))
+      .agg(
+        min_by(col(valueCol), key).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), key).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast("double")
+          .as("volume"))
+      .orderBy("bucket")
+  }
+
   /** Epoch-microsecond long from a timestamp OR raw-long column — the
     * one conversion both event operators share. NTZ timestamps cast
     * through TimestampType in the (UTC) session zone; long columns

@@ -85,6 +85,48 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(run(7) == want)
   }
 
+  test("eventTransitions: adjacent pairs per user, first event feeds none") {
+    val events = Seq(
+      (1L, "view", 10L, 100L), (1L, "click", 11L, 200L),
+      (1L, "view", 12L, 300L), (1L, "click", 13L, 400L),
+      (2L, "view", 20L, 100L), (2L, "purchase", 21L, 150L),
+      // user 3: tie on ts → event id orders (view before click)
+      (3L, "view", 30L, 500L), (3L, "click", 31L, 500L),
+      (4L, "view", 40L, 999L)) // single event → no transition
+      .toDF("user_id", "event_type", "event_id", "ts")
+    def run(parts: Int) = Analytics.eventTransitions(
+        events.repartition(parts), "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val want = Map(
+      ("view", "click") -> 3L, ("click", "view") -> 1L,
+      ("view", "purchase") -> 1L)
+    assert(run(1) == want)
+    assert(run(5) == want)
+  }
+
+  test("ohlc: open/close by (ts, id) order, exact volume, day buckets") {
+    val day = 86400000000L
+    val events = Seq(
+      // day 0: open = id-ordered first at the tied earliest ts
+      (10L, day - day, 5.0), (11L, 0L, 3.0),       // both at ts 0; id 10 first
+      (12L, 1000L, 9.5), (13L, 2000L, 1.5),        // high 9.5, low 1.5
+      // day 2 (day 1 empty — absent from output): one event
+      (20L, 2 * day + 5L, 7.25))
+      .map { case (id, t, v) => (id, t, v, "x") }
+      .toDF("event_id", "ts", "value", "event_type")
+    def run(parts: Int) = Analytics.ohlc(events.repartition(parts),
+        "ts", "event_id", "value", day)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getDouble(6))).toMap
+    val want = Map(
+      0L -> ((5.0, 9.5, 1.5, 1.5, 4L, 19.0)),
+      2L -> ((7.25, 7.25, 7.25, 7.25, 1L, 7.25)))
+    assert(run(1) == want)
+    assert(run(6) == want)
+  }
+
   test("retentionCohorts: pre-1970 timestamps floor, not truncate") {
     // ts = -1 µs is 1969-12-31 → day -1; bare `div` would truncate it
     // to day 0, collapsing the cohort boundary
