@@ -592,6 +592,32 @@ class PlanSpec extends SparkSpec {
       s"argmax must be max_by aggregation:\n$p")
   }
 
+  test("q135 SNM: equi-keyed band join, no cartesian, no global-order window") {
+    val p = plan("q135_snm_pairs")
+    assert(!p.contains("CartesianProduct"), s"band join must be equi-keyed:\n$p")
+    // ranks come from per-length buckets — the only window partitions
+    // by the length key, never an empty (global) partition spec
+    assert(!p.contains("windowspecdefinition(__r"),
+      s"no window over the global rank:\n$p")
+    assert(p.contains("hashpartitioning(__n") || p.contains("windowspecdefinition(__n"),
+      s"rank window must partition by the length bucket:\n$p")
+  }
+
+  test("q138 OHLC: one hash aggregation, no window, no sort before the agg") {
+    val p = plan("q138_value_ohlc")
+    assert(!p.contains("Window"), s"open/close must be min_by/max_by, not a window:\n$p")
+    assert(p.contains("partial_"), s"map-side partials expected:\n$p")
+  }
+
+  test("q136/q137: drift top-k is TakeOrderedAndProject; transitions agg after one lag") {
+    val p136 = plan("q136_term_drift")
+    assert(p136.contains("TakeOrderedAndProject"),
+      s"top-k must ride the shuffle, not a global sort:\n$p136")
+    val p137 = plan("q137_event_transitions")
+    assert(p137.contains("partial_"),
+      s"transition counts must partial-aggregate map-side:\n$p137")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))
