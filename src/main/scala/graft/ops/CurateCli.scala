@@ -41,7 +41,11 @@ object CurateCli {
     * (sketch path, the at-scale default); > 0 switches to exact n-gram
     * Jaccard with the document-frequency cut at that cap — the skew
     * guard for corpora where one boilerplate phrase floods the shingle
-    * join ([[Dedup.ngramJaccardPairs]]). `nearKeepBest` switches the
+    * join ([[Dedup.ngramJaccardPairs]]). `snmWindow` > 0 overrides both
+    * with sorted-neighborhood length blocking
+    * ([[Dedup.sortedNeighborhoodPairs]] — candidates within that many
+    * positions of the length order; N·window pair work, windowed
+    * recall). `nearKeepBest` switches the
     * near-dedup survivor rule from min-id components to per-pair
     * best-quality ([[Dedup.dedupByPairsKeepBest]] scored by
     * [[TextAnalysis.qualityScore]]) — keep the canonical copy, not the
@@ -143,6 +147,7 @@ object CurateCli {
       numHashes: Int = 32,
       bands: Int = 16,
       maxShingleDf: Long = 0L,
+      snmWindow: Int = 0,
       nearKeepBest: Boolean = false,
       containmentThreshold: Double = 0.0,
       containmentMaxDf: Long = 20L,
@@ -237,7 +242,14 @@ object CurateCli {
       val afterExact = stageCount("exact_dedup", exact, textCol)
 
       val pairs =
-        if (cfg.maxShingleDf > 0)
+        if (cfg.snmWindow > 0)
+          // sorted-neighborhood blocking: candidates within snmWindow
+          // positions of the length order — the third blocking family;
+          // windowed recall is its documented trade
+          Dedup.sortedNeighborhoodPairs(exact, idCol, textCol,
+            window = cfg.snmWindow, threshold = cfg.jaccardThreshold,
+            k = cfg.shingleK)
+        else if (cfg.maxShingleDf > 0)
           Dedup.ngramJaccardPairs(exact, idCol, textCol, k = cfg.shingleK,
             threshold = cfg.jaccardThreshold, maxShingleDf = cfg.maxShingleDf,
             indexPath = cfg.indexDir.map(_ + "/shingle_index"))

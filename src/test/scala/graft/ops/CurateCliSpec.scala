@@ -630,6 +630,21 @@ class CurateCliSpec extends SparkSpec {
     assert(nodes <= 3, s"corpus plan must stay a checkpoint leaf: $nodes")
   }
 
+  test("snmWindow near-dedup path: length-adjacent dup dropped, min-id survives") {
+    val base = "the quick brown fox jumps over the lazy dog in the warm garden"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " today"),  // near-dup, length-adjacent → SNM catches
+      (3L, "completely different text about ships and storms on the ocean"))
+      .toDF("doc_id", "text")
+    val result = CurateCli.curate(docs, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, snmWindow = 3,
+        jaccardThreshold = 0.5))
+    val kept = result.corpus.select("doc_id").as[Long].collect().toSet
+    result.unpersist()
+    assert(kept == Set(1L, 3L), s"SNM near-dedup must drop doc 2: $kept")
+  }
+
   test("quality_pct stage cuts each source's bottom tail, not whole sources") {
     // quality = 4000·tokens + 600000 here (no punct; stopword fraction
     // pinned at the cap by one "the" per 5 tokens), so within-source
