@@ -140,6 +140,12 @@ object ScaleBench {
         Dedup.ngramJaccardPairsPrefixFromIndex(idx, threshold = 0.8).count())
       releaseStorage(spark) // idx is done; its checkpoint must not pin storage
     }
+    // sorted-neighborhood blocking at the funnel's high threshold:
+    // candidate work is N·window by construction — the linear-scaling
+    // claim of the third blocking family, measured
+    bench("q135_snm_highsim")(
+      Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 10, threshold = 0.8).count())
     // auto-sized blocks (the at-scale path), not the bench-pinned 8
     bench("q39_embedding_neardup")(
       Similarity.exactNearDuplicatePairs(emb, "vec_id", "embedding",
