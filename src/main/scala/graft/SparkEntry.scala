@@ -851,6 +851,23 @@ object SparkEntry {
     "q138_value_ohlc" -> ((s, d) =>
       Analytics.ohlc(Tables.events(s, d), "ts", "event_id", "value",
         bucketMicros = 86400000000L)),
+    // q139: Spearman rank correlation (integer midranks, no sqrt)
+    // between the quality score and document length — do the two
+    // signals agree? Exact ppm at any corpus size
+    "q139_rank_correlation" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(
+          graft.text.TextAnalysis.qualityScoreE6(col("text"),
+            graft.text.TextAnalysis.LangProfiles("en")).as("q"),
+          graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("nt"))
+      Analytics.spearman(docs, "q", "nt")
+    }),
+    // q140: heartbeat-loss report — per-user silences of ≥ 7 days (the
+    // monitoring complement of the q129 debounce)
+    "q140_event_gaps" -> ((s, d) =>
+      Analytics.eventGaps(Tables.events(s, d), "user_id", "ts",
+        "event_id", 604800000000L)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2310,6 +2327,49 @@ object SparkEntry {
         |FROM a JOIN o ON a.bucket = o.bucket AND o.rn = 1
         |JOIN c ON a.bucket = c.bucket AND c.rn = 1
         |ORDER BY 1""".stripMargin,
+    // q139: q33's quality + token count, doubled midranks from
+    // per-value prefix sums, the Σd² fold in HUGEINT — same integer
+    // formula, nonneg // is floor
+    "q139_rank_correlation" ->
+      s"""WITH t AS (SELECT text, $tokensSql AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |m AS (SELECT
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  greatest(CAST(len(toks) AS BIGINT), 1) AS toks_n,
+         |  CAST(len(list_filter(toks, x -> x IN ($enStop))) AS BIGINT) AS sw,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio
+         | FROM t),
+         |s AS (SELECT
+         |  least(n_tokens, 100) * 4000
+         |   + (CASE WHEN punct_ratio < CAST(0.2 AS DOUBLE) THEN 300000 ELSE 90000 END)
+         |   + ((least((sw * 5000000) // toks_n, 1000000) * 3) // 10) AS x,
+         |  n_tokens AS y FROM m),
+         |vx AS (SELECT x AS v, count(*) AS c FROM s GROUP BY 1),
+         |rx AS (SELECT v, 2 * coalesce(sum(c) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+         |  FROM vx),
+         |vy AS (SELECT y AS v, count(*) AS c FROM s GROUP BY 1),
+         |ry AS (SELECT v, 2 * coalesce(sum(c) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+         |  FROM vy),
+         |d AS (SELECT CAST(rx.r2 - ry.r2 AS HUGEINT) AS d
+         |  FROM s JOIN rx ON s.x = rx.v JOIN ry ON s.y = ry.v),
+         |a AS (SELECT count(*) AS n, sum(d * d) AS sd2 FROM d)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  CAST(CASE WHEN n > 1 THEN 1000000 -
+         |    (3 * sd2 * 1000000) // (2 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+         |    ELSE NULL END AS BIGINT) AS rho_ppm
+         |FROM a""".stripMargin,
+    // q140: same lag window, gaps only — the silences, not the events
+    "q140_event_gaps" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |g AS (SELECT user_id, t,
+        |  lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+        | FROM e)
+        |SELECT user_id, prev AS gap_start_us, t AS gap_end_us,
+        |  t - prev AS gap_us
+        |FROM g WHERE prev IS NOT NULL AND t - prev >= 604800000000""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

@@ -543,6 +543,78 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** Spearman rank correlation between two INTEGER score columns, in
+    * exact fixed-point ppm — "do these two quality signals agree?"
+    * without a single float until the final (integer) answer. Midranks
+    * are kept integral by working in DOUBLED units: for a value v with
+    * `prefix` smaller rows and `cnt` ties, `2·midrank = 2·prefix +
+    * cnt + 1`; then `ρ_ppm = 10⁶ − ⌊3·Σd²·10⁶ / (2n(n²−1))⌋` over the
+    * doubled-rank differences d (the classic 6Σd²/4 folded in). This
+    * is the Σd²-with-midranks formulation (exact when ties are absent,
+    * the standard practical estimator when present); n ≤ 1 yields a
+    * null ρ (no ordering to correlate).
+    *
+    * Scale shape: ranks come from per-VALUE counts + a prefix window
+    * over the value table — score domains are bounded (ppm scores,
+    * token counts), so that table is tiny and the deliberate global
+    * window is over values, never rows (the [[sourceTokenGini]]
+    * posture); rank maps broadcast back; Σd² accumulates in
+    * DECIMAL(38,0) (|d| ≤ 2n, so the SUM n·4n² passes 2^63 around 10⁶
+    * rows — the decimal is load-bearing, not defensive). One pass, two
+    * broadcast joins, one 1-row rollup. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val s = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    def rank2(c: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      s.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
+        .withColumn("__r2",
+          lit(2L) * coalesce(sum("__c").over(w), lit(0L)) + col("__c") + 1L)
+        .select(col("__v"), col("__r2"))
+    }
+    val withRanks = s
+      .join(broadcast(rank2("__x")).withColumnRenamed("__r2", "__rx"),
+        col("__x") === col("__v")).drop("__v")
+      .join(broadcast(rank2("__y")).withColumnRenamed("__r2", "__ry"),
+        col("__y") === col("__v")).drop("__v")
+      .select((col("__rx") - col("__ry")).as("__d"))
+    withRanks.agg(count(lit(1)).as("n"),
+        sum(dec(col("__d")) * dec(col("__d"))).as("__sd2"))
+      .select(col("n"), {
+        val num = dec(lit(3L)) * col("__sd2") * dec(lit(1000000L))
+        val den = dec(lit(2L)) * dec(col("n")) *
+          (dec(col("n")) * dec(col("n")) - dec(lit(1L)))
+        when(col("n") > 1L,
+          lit(1000000L) - ((num - pmod(num, den)) / den).cast("long"))
+          .as("rho_ppm")
+      })
+  }
+
+  /** Heartbeat-loss / outage report: per key, every interval with no
+    * events for at least `minGapMicros` — `(key, gap_start_us,
+    * gap_end_us, gap_us)`, one row per silent stretch. The monitoring
+    * complement of [[graft.analytics.StreamingAnalytics.debounce]]
+    * (which keeps the events; this reports the silences): CDC-lag
+    * audits, sensor dropout, churn-risk inactivity windows. Same
+    * single-lag-window scale shape. */
+  def eventGaps(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, minGapMicros: Long): DataFrame = {
+    require(minGapMicros > 0, s"minGapMicros must be > 0, got $minGapMicros")
+    val t = tsMicros(events, tsCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("__t"), col("__id"))
+    events.select(col(keyCol), t.as("__t"), col(idCol).as("__id"))
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .filter(col("__prev").isNotNull &&
+        col("__t") - col("__prev") >= minGapMicros)
+      .select(col(keyCol), col("__prev").as("gap_start_us"),
+        col("__t").as("gap_end_us"),
+        (col("__t") - col("__prev")).as("gap_us"))
+  }
+
   /** Epoch-microsecond long from a timestamp OR raw-long column — the
     * one conversion both event operators share. NTZ timestamps cast
     * through TimestampType in the (UTC) session zone; long columns

@@ -127,6 +127,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(run(6) == want)
   }
 
+  test("spearman: perfect concordance, perfect inversion, ties, degenerate n") {
+    def run(pairs: Seq[(Long, Long)], parts: Int = 1): Option[Long] = {
+      val r = Analytics.spearman(
+        pairs.toDF("x", "y").repartition(parts), "x", "y").head()
+      if (r.isNullAt(1)) None else Some(r.getLong(1))
+    }
+    // monotone (ties aligned) → ρ = 1
+    assert(run(Seq((10L, 1L), (20L, 2L), (20L, 2L), (30L, 4L))) ==
+      Some(1000000L))
+    // strict inversion → ρ = −1
+    assert(run(Seq((10L, 4L), (20L, 3L), (25L, 2L), (30L, 1L))) ==
+      Some(-1000000L))
+    // hand-computed tie case: doubled ranks x (3,3,6), y (2,4,6) →
+    // Σd² = 2 → ρ_ppm = 1e6 − 6e6/48 = 875000
+    assert(run(Seq((1L, 5L), (1L, 6L), (2L, 7L))) == Some(875000L))
+    assert(run(Seq((1L, 5L), (1L, 6L), (2L, 7L)), parts = 4) ==
+      Some(875000L))
+    // n ≤ 1: no ordering to correlate
+    assert(run(Seq((1L, 1L))).isEmpty)
+  }
+
+  test("eventGaps: reports each silence at-or-over the threshold") {
+    val events = Seq(
+      (1L, 10L, 0L), (1L, 11L, 50L), (1L, 12L, 1050L), // gaps 50, 1000
+      (2L, 20L, 0L))                                    // single event
+      .toDF("user_id", "event_id", "ts")
+    val got = Analytics.eventGaps(events, "user_id", "ts", "event_id", 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((1L, 50L, 1050L, 1000L))) // boundary gap included
+  }
+
   test("retentionCohorts: pre-1970 timestamps floor, not truncate") {
     // ts = -1 µs is 1969-12-31 → day -1; bare `div` would truncate it
     // to day 0, collapsing the cohort boundary
