@@ -868,6 +868,14 @@ object SparkEntry {
     "q140_event_gaps" -> ((s, d) =>
       Analytics.eventGaps(Tables.events(s, d), "user_id", "ts",
         "event_id", 604800000000L)),
+    // q141: ANALYZE-style column profile of the orders table — counts,
+    // nulls, exact distincts, native-ordered extrema rendered portably
+    // (timestamps as epoch micros; the double column is skipped — its
+    // shortest-form rendering is engine-specific)
+    "q141_column_profile" -> ((s, d) =>
+      Analytics.columnProfile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority"))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2370,6 +2378,23 @@ object SparkEntry {
         |SELECT user_id, prev AS gap_start_us, t AS gap_end_us,
         |  t - prev AS gap_us
         |FROM g WHERE prev IS NOT NULL AND t - prev >= 604800000000""".stripMargin,
+    // q141: one UNION ALL branch per profiled column; extrema on the
+    // native type, rendered as strings (timestamps via epoch_us)
+    "q141_column_profile" -> {
+      def branch(c: String, isTs: Boolean): String = {
+        val mn = if (isTs) s"CAST(epoch_us(min($c)) AS VARCHAR)"
+          else s"CAST(min($c) AS VARCHAR)"
+        val mx = if (isTs) s"CAST(epoch_us(max($c)) AS VARCHAR)"
+          else s"CAST(max($c) AS VARCHAR)"
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           | count(*) - count($c) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | $mn AS min_value, $mx AS max_value FROM orders""".stripMargin
+      }
+      Seq(branch("o_orderkey", false), branch("o_custkey", false),
+        branch("o_orderstatus", false), branch("o_orderdate", true),
+        branch("o_orderpriority", false)).mkString("\nUNION ALL\n")
+    },
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

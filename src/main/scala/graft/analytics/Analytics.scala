@@ -615,6 +615,55 @@ object Analytics {
         (col("__t") - col("__prev")).as("gap_us"))
   }
 
+  /** Column-level data profile — the ANALYZE-style statistics pass a
+    * validation pipeline runs before trusting a table: per column, row
+    * count, null count, exact distinct count, and min/max rendered as
+    * strings (one schema regardless of column types; timestamps render
+    * in UTC micros via the [[tsMicros]] convention — never raw, the
+    * cross-engine ts rule). Null-only columns report null min/max.
+    *
+    * Scale shape: one aggregation pass computes ALL columns' counts
+    * and extrema (map-side partials, no expand); exact distincts are
+    * one `count(distinct)` aggregation PER column — deliberately
+    * separate jobs rather than one multi-distinct aggregate, because
+    * Catalyst plans k distincts in one agg as a k-way Expand (k× the
+    * scan rows shuffled). k column-profile jobs over one cached narrow
+    * projection is the at-scale shape; callers profile the columns
+    * they care about, not necessarily all. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    // extrema run on the NATIVE type (numeric/ts ordering), then render:
+    // a string-side min would order "100" < "99". Doubles render with
+    // engine-specific shortest-form rules — profile them via an integer
+    // rendering (cents/micros) upstream if cross-engine parity matters
+    def renderAfter(c: String, agg: Column): Column =
+      df.schema(c).dataType match {
+        case TimestampType | TimestampNTZType =>
+          unix_micros(agg.cast(TimestampType)).cast("string")
+        case _ => agg.cast("string")
+      }
+    val base = df.select(cols.map(col): _*)
+      .localCheckpoint() // k distinct jobs re-read this, not the source
+    val aggs = base.agg(count(lit(1)).as("__n"),
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"__nn_$c"),
+        renderAfter(c, min(col(c))).as(s"__min_$c"),
+        renderAfter(c, max(col(c))).as(s"__max_$c"))): _*).head()
+    val n = aggs.getLong(0)
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      val nd = base.select(countDistinct(col(c))).head().getLong(0)
+      val nn = aggs.getLong(1 + i * 3)
+      (c, n, n - nn, nd,
+        Option(aggs.getString(2 + i * 3)).orNull,
+        Option(aggs.getString(3 + i * 3)).orNull)
+    }
+    graft.text.Dedup.releaseIndex(base)
+    spark.createDataFrame(rows).toDF("column", "n_rows", "n_nulls",
+      "n_distinct", "min_value", "max_value")
+  }
+
   /** Epoch-microsecond long from a timestamp OR raw-long column — the
     * one conversion both event operators share. NTZ timestamps cast
     * through TimestampType in the (UTC) session zone; long columns

@@ -159,6 +159,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq((1L, 50L, 1050L, 1000L))) // boundary gap included
   }
 
+  test("columnProfile: counts, nulls, exact distincts, native-ordered extrema") {
+    val df = Seq(
+      (1L, Some("b"), Some(100L)),
+      (2L, Some("a"), None),
+      (3L, None, Some(9L)), // native min 9 would be string-max "9"
+      (4L, Some("a"), Some(100L)))
+      .toDF("id", "s", "v")
+    val got = Analytics.columnProfile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+    // native numeric ordering: min is 9, not "100"
+    assert(got("v") == ((4L, 1L, 2L, "9", "100")))
+  }
+
   test("retentionCohorts: pre-1970 timestamps floor, not truncate") {
     // ts = -1 µs is 1969-12-31 → day -1; bare `div` would truncate it
     // to day 0, collapsing the cohort boundary
