@@ -176,6 +176,70 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got("v") == ((4L, 1L, 2L, "9", "100")))
   }
 
+  test("randomized events: debounce/transitions/gaps/ohlc equal in-memory references") {
+    val rnd = new scala.util.Random(42)
+    val gap = 1000L
+    val bucket = 5000L
+    for (trial <- 1 to 3) {
+      val n = 200 + rnd.nextInt(200)
+      val evs = (0 until n).map { i =>
+        (1L + rnd.nextInt(6), // user
+          Seq("view", "click", "buy")(rnd.nextInt(3)),
+          i.toLong, // unique id
+          rnd.nextInt(50000).toLong, // ts µs
+          math.rint(rnd.nextDouble() * 100) / 100) // 2dp value
+      }
+      val df = evs.toDF("user_id", "event_type", "event_id", "ts", "value")
+        .repartition(7)
+      def byKey[K](key: ((Long, String, Long, Long, Double)) => K) =
+        evs.groupBy(key).map { case (k, g) =>
+          k -> g.sortBy(e => (e._4, e._3))
+        }
+      // transitions reference
+      val refTrans = byKey(_._1).values.flatMap(g =>
+        g.sliding(2).collect { case Seq(a, b) => (a._2, b._2) })
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val gotTrans = Analytics.eventTransitions(df, "user_id",
+          "event_type", "ts", "event_id")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(gotTrans == refTrans, s"transitions diverge (trial $trial)")
+      // debounce reference (gap vs previous event of the key)
+      val refKept = byKey(e => (e._1, e._2)).values.flatMap { g =>
+        g.zip(None +: g.map(Some(_))).collect {
+          case (e, None) => e._3
+          case (e, Some(p)) if e._4 - p._4 >= gap => e._3
+        }
+      }.toSet
+      val gotKept = StreamingAnalytics.debounce(df,
+          Seq("user_id", "event_type"), "ts", "event_id", gap)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(gotKept == refKept, s"debounce diverges (trial $trial)")
+      // gaps reference (per user, any type)
+      val refGaps = byKey(_._1).values.flatMap(g =>
+        g.sliding(2).collect {
+          case Seq(a, b) if b._4 - a._4 >= gap => (a._4, b._4)
+        }).toVector.sorted
+      val gotGaps = Analytics.eventGaps(df, "user_id", "ts", "event_id", gap)
+        .select("gap_start_us", "gap_end_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toVector.sorted
+      assert(gotGaps == refGaps, s"gaps diverge (trial $trial)")
+      // ohlc reference
+      val refOhlc = evs.groupBy(e => e._4 / bucket).map { case (b, g) =>
+        val s = g.sortBy(e => (e._4, e._3))
+        b -> (s.head._5, g.map(_._5).max, g.map(_._5).min, s.last._5,
+          g.size.toLong,
+          g.map(e => BigDecimal(e._5)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      }
+      val gotOhlc = Analytics.ohlc(df, "ts", "event_id", "value", bucket)
+        .collect().map(r => r.getLong(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getLong(5), r.getDouble(6))).toMap
+      assert(gotOhlc == refOhlc, s"ohlc diverges (trial $trial)")
+    }
+  }
+
   test("retentionCohorts: pre-1970 timestamps floor, not truncate") {
     // ts = -1 µs is 1969-12-31 → day -1; bare `div` would truncate it
     // to day 0, collapsing the cohort boundary
