@@ -876,6 +876,10 @@ object SparkEntry {
       Analytics.columnProfile(Tables.orders(s, d),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
           "o_orderpriority"))),
+    // q142: Benford first-digit audit of order totals — the
+    // fabricated-data screen; 9-row output, shared ppm constant table
+    "q142_benford_audit" -> ((s, d) =>
+      Analytics.benfordProfile(Tables.orders(s, d), "o_totalprice")),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2395,6 +2399,27 @@ object SparkEntry {
         branch("o_orderstatus", false), branch("o_orderdate", true),
         branch("o_orderpriority", false)).mkString("\nUNION ALL\n")
     },
+    // q142: digit of the integer part (floor BEFORE the bigint cast —
+    // DuckDB's bare double→int cast rounds where Spark truncates), the
+    // same literal expected-ppm table, nonneg // floor
+    "q142_benford_audit" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS iv
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1),
+        |c AS (SELECT CAST(substr(CAST(iv AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit, count(*) AS n FROM v GROUP BY 1),
+        |t AS (SELECT coalesce(sum(n), 0) AS total FROM c),
+        |d AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+        |  (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+        |  (9, 45757)) AS x(digit, expected_ppm))
+        |SELECT d.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |  CAST(CASE WHEN t.total > 0
+        |    THEN (coalesce(c.n, 0) * 1000000) // t.total ELSE 0 END AS BIGINT)
+        |    AS observed_ppm,
+        |  CAST(d.expected_ppm AS BIGINT) AS expected_ppm,
+        |  CAST(abs(CAST(CASE WHEN t.total > 0
+        |    THEN (coalesce(c.n, 0) * 1000000) // t.total ELSE 0 END AS BIGINT)
+        |    - d.expected_ppm) AS BIGINT) AS delta_ppm
+        |FROM d LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY 1""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

@@ -664,6 +664,48 @@ object Analytics {
       "n_distinct", "min_value", "max_value")
   }
 
+  /** Benford's-law expected first-digit frequencies, ppm
+    * (`⌊log₁₀(1+1/d)·10⁶⌋` — a shared literal table, so both engines
+    * compare against the identical constants). */
+  val BenfordPpm: Map[Int, Long] = Map(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** Benford first-digit audit of a positive value column — the
+    * classic fabricated-data / corrupted-feed screen: naturally
+    * occurring amounts follow log₁₀(1+1/d) first-digit frequencies,
+    * and a synthetic or truncated feed shows up as large `delta_ppm`
+    * rows. Values < 1 are excluded (their first significant digit
+    * lives in engine-specific double rendering); the digit comes from
+    * the INTEGER part rendered as decimal digits — exact in both
+    * engines. All nine digits report even at zero count.
+    *
+    * Scale shape: one narrow projection + a 9-row hash-agg (map-side
+    * partials do all the work); the digit table and total broadcast.
+    * Output is always 9 rows. */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df.filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("__n"))
+    val total = broadcast(counts.agg(
+      coalesce(sum("__n"), lit(0L)).as("__tot")))
+    val digits = broadcast(spark.createDataFrame(
+      (1 to 9).map(d => (d, BenfordPpm(d)))).toDF("digit", "expected_ppm"))
+    digits.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("__n"))
+      .crossJoin(total)
+      .select(col("digit"), col("__n").as("n"), {
+        val num = col("__n") * lit(1000000L)
+        when(col("__tot") > 0L,
+          ((num - pmod(num, col("__tot"))) / col("__tot")).cast("long"))
+          .otherwise(lit(0L)).as("observed_ppm")
+      }, col("expected_ppm"))
+      .withColumn("delta_ppm", abs(col("observed_ppm") - col("expected_ppm")))
+      .orderBy("digit")
+  }
+
   /** Epoch-microsecond long from a timestamp OR raw-long column — the
     * one conversion both event operators share. NTZ timestamps cast
     * through TimestampType in the (UTC) session zone; long columns

@@ -240,6 +240,51 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("randomized spearman equals an independent in-memory midrank model") {
+    val rnd = new scala.util.Random(7)
+    def localRho(pairs: Seq[(Long, Long)]): Long = {
+      def rank2(vs: Seq[Long]): Map[Long, Long] = {
+        val counts = vs.groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+        val sorted = counts.keys.toSeq.sorted
+        var prefix = 0L
+        sorted.map { v =>
+          val r = 2L * prefix + counts(v) + 1L; prefix += counts(v); v -> r
+        }.toMap
+      }
+      val rx = rank2(pairs.map(_._1)); val ry = rank2(pairs.map(_._2))
+      val sd2 = pairs.map { case (x, y) =>
+        val d = BigInt(rx(x) - ry(y)); d * d
+      }.sum
+      val n = BigInt(pairs.size)
+      (BigInt(1000000) - (BigInt(3) * sd2 * 1000000) /
+        (BigInt(2) * n * (n * n - 1))).toLong
+    }
+    for (trial <- 1 to 5) {
+      // small value domains force heavy ties — the midrank path
+      val pairs = (0 until 50 + rnd.nextInt(100)).map(_ =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(8).toLong))
+      val got = Analytics.spearman(
+        pairs.toDF("x", "y").repartition(5), "x", "y").head().getLong(1)
+      assert(got == localRho(pairs), s"spearman diverges (trial $trial)")
+    }
+  }
+
+  test("benfordProfile: digit counts exact, zero-count digits present, sub-1 excluded") {
+    // values 10-19 → digit 1 (x10), 25.5 → 2, 0.3 excluded, null excluded
+    val vals = (10 to 19).map(_.toDouble) ++ Seq(25.5, 0.3)
+    val df = (vals.map(Option(_)) :+ None).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Analytics.benfordProfile(df, "v")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(got.keySet == (1 to 9).toSet) // all digits, even zero-count
+    assert(got(1)._1 == 10L && got(2)._1 == 1L && got(3)._1 == 0L)
+    // observed ppm: 10/11 and 1/11, floor
+    assert(got(1)._2 == 909090L && got(2)._2 == 90909L)
+    assert(got(1)._3 == 909090L - Analytics.BenfordPpm(1)) // delta
+    assert(got(9) == ((0L, 0L, Analytics.BenfordPpm(9))))
+  }
+
   test("retentionCohorts: pre-1970 timestamps floor, not truncate") {
     // ts = -1 µs is 1969-12-31 → day -1; bare `div` would truncate it
     // to day 0, collapsing the cohort boundary
