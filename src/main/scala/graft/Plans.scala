@@ -88,7 +88,13 @@ object Plans {
     "q130_quantile_norm" ->
       "Cross-source quality calibration in ONE shuffle: the integer-ppm quality score computes on the scan, the source-partitioned rank() and count() share the same window exchange, and the percentile is exact integer floor division — no float ranks, no global sort, no second pass. The skew posture matches the domain cap: a source is a partition.",
     "q132_pca_project" ->
-      "The PCA apply is a ZERO-exchange plan: scan → filter → project, with the fixed-point dot product fused as zip_with + aggregate over the embedding array inside whole-stage codegen. The direction vector rides as a literal; at 100 TB this is pure scan bandwidth — the plan shape every per-row scorer should have.")
+      "The PCA apply is a ZERO-exchange plan: scan → filter → project, with the fixed-point dot product fused as zip_with + aggregate over the embedding array inside whole-stage codegen. The direction vector rides as a literal; at 100 TB this is pure scan bandwidth — the plan shape every per-row scorer should have.",
+    "q135_snm_pairs" ->
+      "Sorted-neighborhood blocking without the global sort it textbook-requires: ranks derive from per-length bucket counts (a driver-tiny table — token counts are bounded) broadcast back as offsets, so the only window partitions BY LENGTH BUCKET; candidates meet on rank bands of width `window` (each row probes its own and the previous band — an equi-join, N·window pairs), and Jaccard verifies on per-doc shingle-hash arrays computed in the scan. The third blocking family's plan: never touches shingle document frequency at all.",
+    "q139_rank_correlation" ->
+      "Spearman with NO row-level global window and NO sqrt: per-VALUE counts roll up map-side (score domains are bounded, so the value table is tiny), the prefix window runs over that value table, doubled midranks broadcast back as two joins, and Σd² accumulates in DECIMAL(38,0) into a 1-row result. The ρ is exact integer ppm — a correlation between two corpus-wide signals for the cost of one narrow pass.",
+    "q138_value_ohlc" ->
+      "Order statistics inside a group WITHOUT a window: open/close are min_by/max_by over the (ts, id) struct, so the whole candlestick table is ONE partial-aggregating hash agg over a narrow projection — the same no-window discipline as latest-per-key (W1), applied to first/last semantics. Bucket arithmetic is integer floor division of epoch micros (positive-remainder pattern, exact at any epoch sign).")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -595,7 +595,10 @@ object Analytics {
 
   /** Heartbeat-loss / outage report: per key, every interval with no
     * events for at least `minGapMicros` — `(key, gap_start_us,
-    * gap_end_us, gap_us)`, one row per silent stretch. The monitoring
+    * gap_end_us, gap_us)`, one row per silent stretch (the reference
+    * monitors exactly this signal for CDC lag, `docs/CDC_LAG.md:11-33`,
+    * via heartbeat timestamps; this is the queryable batch form over
+    * any key). The monitoring
     * complement of [[graft.analytics.StreamingAnalytics.debounce]]
     * (which keeps the events; this reports the silences): CDC-lag
     * audits, sensor dropout, churn-risk inactivity windows. Same
@@ -616,7 +619,10 @@ object Analytics {
   }
 
   /** Column-level data profile — the ANALYZE-style statistics pass a
-    * validation pipeline runs before trusting a table: per column, row
+    * validation pipeline runs before trusting a table (the generic form
+    * of the reference's per-table validation views,
+    * `docker/postgres/init.sql:323-488`, which hand-code row counts and
+    * expected extrema per table): per column, row
     * count, null count, exact distinct count, and min/max rendered as
     * strings (one schema regardless of column types; timestamps render
     * in UTC micros via the [[tsMicros]] convention — never raw, the
@@ -672,7 +678,10 @@ object Analytics {
     6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
 
   /** Benford first-digit audit of a positive value column — the
-    * classic fabricated-data / corrupted-feed screen: naturally
+    * classic fabricated-data / corrupted-feed screen (extends the
+    * reference's fixed-expectation validation checks,
+    * `docker/postgres/init.sql:323-488`, with a distributional one):
+    * naturally
     * occurring amounts follow log₁₀(1+1/d) first-digit frequencies,
     * and a synthetic or truncated feed shows up as large `delta_ppm`
     * rows. Values < 1 are excluded (their first significant digit
