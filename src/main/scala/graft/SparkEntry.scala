@@ -880,6 +880,11 @@ object SparkEntry {
     // fabricated-data screen; 9-row output, shared ppm constant table
     "q142_benford_audit" -> ((s, d) =>
       Analytics.benfordProfile(Tables.orders(s, d), "o_totalprice")),
+    // q143: 7-day trailing moving average of daily revenue — RANGE
+    // frame over the day index (calendar gaps shorten the divisor);
+    // the window runs over the day series, never fact rows
+    "q143_moving_revenue" -> ((s, d) =>
+      Analytics.movingDailyRevenue(Tables.orders(s, d), windowDays = 7)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2420,6 +2425,22 @@ object SparkEntry {
         |    THEN (coalesce(c.n, 0) * 1000000) // t.total ELSE 0 END AS BIGINT)
         |    - d.expected_ppm) AS BIGINT) AS delta_ppm
         |FROM d LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY 1""".stripMargin,
+    // q143: same day floor, same RANGE frame, decimal frame sum cast
+    // once, one division by the frame's actual day count
+    "q143_moving_revenue" ->
+      """WITH d AS (SELECT (epoch_us(o_orderdate)
+        |    - ((epoch_us(o_orderdate) % 86400000000 + 86400000000)
+        |      % 86400000000)) // 86400000000 AS day,
+        |  count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        | FROM orders GROUP BY 1)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS order_day,
+        |  CAST(n AS BIGINT) AS n_orders,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w AS ma7
+        |FROM d
+        |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

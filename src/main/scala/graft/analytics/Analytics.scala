@@ -820,6 +820,39 @@ object Analytics {
         min(col("o_totalprice")).as("min_amount"),
         max(col("o_totalprice")).as("max_amount"))
 
+  /** Trailing moving average over the daily revenue series — the
+    * smoothing window every revenue dashboard draws (extends the
+    * reference's `daily_order_summary` MV, `init.sql:195-209`, with
+    * the time-series view). The frame is a RANGE over the integer DAY
+    * index, not ROWS: calendar gaps shorten the window's divisor
+    * instead of silently pulling in older rows. Exactness: daily
+    * revenue is a decimal rollup; the frame sum stays decimal and
+    * casts to double once; the average is that double over the frame's
+    * actual day count — one IEEE division per row.
+    *
+    * Scale shape: the fact collapses to one row per DAY first
+    * (map-side partials); the window then runs over the day series — a
+    * calendar-bounded tiny table, so the deliberate global ordering is
+    * the [[sourceTokenGini]] posture, never a window over fact rows. */
+  def movingDailyRevenue(orders: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    orders.withColumn("__t", tsMicros(orders, "o_orderdate"))
+      .groupBy(expr("(__t - pmod(__t, 86400000000)) div 86400000000")
+        .as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("__rev"))
+      .select(col("day"),
+        date_format(timestamp_micros(col("day") * lit(86400000000L)),
+          "yyyy-MM-dd").as("order_day"),
+        col("n_orders"),
+        col("__rev").cast("double").as("revenue"),
+        (sum(col("__rev")).over(w).cast("double") /
+          count(lit(1)).over(w)).as(s"ma${windowDays}"))
+      .orderBy("day")
+  }
+
   /** product_inventory_status MV (init.sql:211-224): product ⟕ items,
     * grouped counts/sums. Dim side broadcast — fact table never shuffles. */
   def productInventoryStatus(part: DataFrame, lineitem: DataFrame): DataFrame =

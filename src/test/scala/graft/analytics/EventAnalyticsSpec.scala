@@ -285,6 +285,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(9) == ((0L, 0L, Analytics.BenfordPpm(9))))
   }
 
+  test("movingDailyRevenue: RANGE frame honors calendar gaps in the divisor") {
+    val day = 86400000000L
+    val orders = Seq(
+      (1L, 0L, 10.0), (2L, 0L, 20.0),   // day 0: 30
+      (3L, day, 40.0),                  // day 1: 40
+      (4L, 5 * day, 100.0))             // day 5: 100
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = Analytics.movingDailyRevenue(orders, windowDays = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // 3-day frames: day0 [−2..0] → {0}; day1 [−1..1] → {0,1};
+    // day5 [3..5] → {5} only (gap days shrink the frame to 1 day)
+    assert(got == Map(
+      0L -> ((2L, 30.0, 30.0)),
+      1L -> ((1L, 40.0, 35.0)),
+      5L -> ((1L, 100.0, 100.0))))
+  }
+
   test("retentionCohorts: pre-1970 timestamps floor, not truncate") {
     // ts = -1 µs is 1969-12-31 → day -1; bare `div` would truncate it
     // to day 0, collapsing the cohort boundary
