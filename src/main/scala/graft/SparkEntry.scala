@@ -885,6 +885,11 @@ object SparkEntry {
     // the window runs over the day series, never fact rows
     "q143_moving_revenue" -> ((s, d) =>
       Analytics.movingDailyRevenue(Tables.orders(s, d), windowDays = 7)),
+    // q144: market-basket frequent pairs — "bought together" parts in
+    // ≥2 orders, top-50; pair explode quadratic only in basket size
+    "q144_frequent_pairs" -> ((s, d) =>
+      Analytics.frequentItemPairs(Tables.lineitem(s, d), minSupport = 2L,
+        k = 50)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2441,6 +2446,15 @@ object SparkEntry {
         |FROM d
         |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY day""".stripMargin,
+    // q144: same per-order distinct, same canonical a < b pairs, same
+    // (support desc, pair) top-k cut
+    "q144_frequent_pairs" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |c AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_orders
+        |  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_orders FROM c WHERE n_orders >= 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

@@ -853,6 +853,34 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Frequent co-occurring item pairs (market-basket association
+    * mining, the pair level of Apriori): unordered part pairs appearing
+    * together in at least `minSupport` orders, with the co-occurrence
+    * count — "bought together" analytics over the order fact. Items
+    * dedupe within an order first (two lines of the same part are one
+    * basket membership), pairs are canonical (a < b), and ties in the
+    * top-k break by the pair.
+    *
+    * Scale shape: the pair explode is a per-ORDER self-join keyed on
+    * the order id — quadratic only in BASKET SIZE (bounded small in any
+    * real schema), linear in orders; the support floor collapses hot
+    * pairs map-side; top-k rides TakeOrderedAndProject. Never a global
+    * item×item matrix. */
+  def frequentItemPairs(lineitem: DataFrame, minSupport: Long,
+      k: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val items = lineitem.select(col("l_orderkey").as("__o"),
+      col("l_partkey").as("__p")).distinct()
+    items.alias("a").join(items.alias("b"), Seq("__o"))
+      .filter(col("a.__p") < col("b.__p"))
+      .groupBy(col("a.__p").as("part_a"), col("b.__p").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minSupport)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** product_inventory_status MV (init.sql:211-224): product ⟕ items,
     * grouped counts/sums. Dim side broadcast — fact table never shuffles. */
   def productInventoryStatus(part: DataFrame, lineitem: DataFrame): DataFrame =

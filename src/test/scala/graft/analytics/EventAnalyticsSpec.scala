@@ -303,6 +303,21 @@ class EventAnalyticsSpec extends SparkSpec {
       5L -> ((1L, 100.0, 100.0))))
   }
 
+  test("frequentItemPairs: per-order dedup, canonical pairs, support floor") {
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L), // dup line: one basket membership
+      (2L, 20L), (2L, 10L),            // order matters not: pair (10,20)
+      (3L, 10L), (3L, 30L),
+      (4L, 40L))                       // single-item basket: no pairs
+      .toDF("l_orderkey", "l_partkey")
+    val got = Analytics.frequentItemPairs(li, minSupport = 2L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((10L, 20L, 2L))) // (10,30) support 1 floors out
+    val all = Analytics.frequentItemPairs(li, minSupport = 1L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(all == Seq((10L, 20L, 2L), (10L, 30L, 1L)))
+  }
+
   test("retentionCohorts: pre-1970 timestamps floor, not truncate") {
     // ts = -1 µs is 1969-12-31 → day -1; bare `div` would truncate it
     // to day 0, collapsing the cohort boundary
