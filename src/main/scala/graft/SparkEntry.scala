@@ -890,6 +890,12 @@ object SparkEntry {
     "q144_frequent_pairs" -> ((s, d) =>
       Analytics.frequentItemPairs(Tables.lineitem(s, d), minSupport = 2L,
         k = 50)),
+    // q145: 2σ anomaly days on the revenue series — trailing-window
+    // stats EXCLUDE the current day, the σ-test cross-multiplies to
+    // exact integers in cents (no sqrt to flip on a boundary ulp)
+    "q145_revenue_anomalies" -> ((s, d) =>
+      Analytics.revenueAnomalies(Tables.orders(s, d), windowDays = 30,
+        sigmas = 2, minPriorDays = 5)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2455,6 +2461,28 @@ object SparkEntry {
         |  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
         |SELECT part_a, part_b, n_orders FROM c WHERE n_orders >= 2
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin,
+    // q145: same cents rollup, same excluded-current-day frame, the
+    // identical cross-multiplied integer σ-test in HUGEINT
+    "q145_revenue_anomalies" ->
+      """WITH d AS (SELECT (epoch_us(o_orderdate)
+        |    - ((epoch_us(o_orderdate) % 86400000000 + 86400000000)
+        |      % 86400000000)) // 86400000000 AS day,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS x
+        | FROM orders GROUP BY 1),
+        |a AS (SELECT day, x,
+        |  count(*) OVER w AS n, sum(x) OVER w AS s,
+        |  sum(CAST(x AS HUGEINT) * x) OVER w AS s2
+        | FROM d
+        | WINDOW w AS (ORDER BY day RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING))
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS order_day,
+        |  x AS revenue_cents, CAST(n AS BIGINT) AS prior_days,
+        |  CASE WHEN n < 5 THEN 'insufficient_history'
+        |    WHEN (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s)
+        |      > 4 * (CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s)
+        |    THEN 'anomaly' ELSE 'normal' END AS verdict
+        |FROM a ORDER BY day""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

@@ -881,6 +881,59 @@ object Analytics {
       .limit(k)
   }
 
+  /** Statistical anomaly flags over the daily revenue series — days
+    * whose revenue deviates more than `sigmas` standard deviations
+    * from the TRAILING window's mean (the window EXCLUDES the current
+    * day, so a spike can't mask itself), with zero floats in the
+    * decision: the σ-test cross-multiplies to integers in cents —
+    * `(n·x − S)² > k²·(n·Σx² − S²)` with S, Σx² exact decimal window
+    * sums — so the flag is bit-identical in any engine (a sqrt-based
+    * z-score could flip on the boundary ulp). Days with fewer than
+    * `minPriorDays` of history carry the 'insufficient_history' verdict
+    * (the no-evidence-no-flag rule; a three-valued STRING verdict, not
+    * a nullable boolean — null booleans render differently across
+    * engines). Output keeps the evidence columns so the flag is
+    * auditable.
+    *
+    * Scale shape: same as [[movingDailyRevenue]] — the fact collapses
+    * to the calendar-bounded day series before the (deliberately
+    * global) RANGE window; one pass, map-side partials. */
+  def revenueAnomalies(orders: DataFrame, windowDays: Int = 30,
+      sigmas: Int = 2, minPriorDays: Int = 5): DataFrame = {
+    require(windowDays >= 2, s"windowDays must be >= 2, got $windowDays")
+    require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
+    require(minPriorDays >= 2, s"minPriorDays must be >= 2, got $minPriorDays")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    // exclude the current day: frame [-windowDays, -1]
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rangeBetween(-windowDays.toLong, -1L)
+    orders.withColumn("__t", tsMicros(orders, "o_orderdate"))
+      .groupBy(expr("(__t - pmod(__t, 86400000000)) div 86400000000")
+        .as("day"))
+      // integer cents: the series' native exact unit
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("__x"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum("__x").over(w))
+      .withColumn("__s2", sum(dec(col("__x")) * dec(col("__x"))).over(w))
+      .select(col("day"),
+        date_format(timestamp_micros(col("day") * lit(86400000000L)),
+          "yyyy-MM-dd").as("order_day"),
+        col("__x").as("revenue_cents"),
+        col("__n").as("prior_days"), {
+          val lhs = {
+            val d0 = dec(col("__n")) * dec(col("__x")) - dec(col("__s"))
+            d0 * d0
+          }
+          val rhs = dec(lit(sigmas.toLong * sigmas)) *
+            (dec(col("__n")) * col("__s2") - dec(col("__s")) * dec(col("__s")))
+          when(col("__n") < minPriorDays, lit("insufficient_history"))
+            .otherwise(when(lhs > rhs, lit("anomaly")).otherwise(lit("normal")))
+            .as("verdict")
+        })
+      .orderBy("day")
+  }
+
   /** product_inventory_status MV (init.sql:211-224): product ⟕ items,
     * grouped counts/sums. Dim side broadcast — fact table never shuffles. */
   def productInventoryStatus(part: DataFrame, lineitem: DataFrame): DataFrame =

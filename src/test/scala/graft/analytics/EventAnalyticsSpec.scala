@@ -318,6 +318,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(all == Seq((10L, 20L, 2L), (10L, 30L, 1L)))
   }
 
+  test("revenueAnomalies: spike flagged, steady days normal, short history abstains") {
+    val day = 86400000000L
+    // days 0-5 steady at 100.00, day 6 spikes to 200.00; minPriorDays=5
+    val orders = ((0 to 5).map(i => (i.toLong, i * day, 100.0)) :+
+      (6L, 6 * day, 200.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = Analytics.revenueAnomalies(orders, windowDays = 30,
+        sigmas = 2, minPriorDays = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4)))
+      .toMap
+    // days 0-4: < 5 prior days → abstain; day 5: zero-variance window,
+    // x == mean → (nx−S)² = 0 > 0 false → normal; day 6: spike over a
+    // zero-variance window → anomaly
+    (0 to 4).foreach(d =>
+      assert(got(d.toLong)._2 == "insufficient_history", got(d.toLong)))
+    assert(got(5L) == ((5L, "normal")))
+    assert(got(6L) == ((6L, "anomaly")))
+  }
+
   test("retentionCohorts: pre-1970 timestamps floor, not truncate") {
     // ts = -1 µs is 1969-12-31 → day -1; bare `div` would truncate it
     // to day 0, collapsing the cohort boundary
