@@ -896,6 +896,18 @@ object SparkEntry {
     "q145_revenue_anomalies" -> ((s, d) =>
       Analytics.revenueAnomalies(Tables.orders(s, d), windowDays = 30,
         sigmas = 2, minPriorDays = 5)),
+    // q146: reciprocal-rank fusion of two BM25 query variants — ranks,
+    // not scores, enter the sum (⌊1e6/(60+r)⌋ integer contributions),
+    // so runs fuse without calibration; lists-sized work end to end
+    "q146_rrf_fusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.rrfFuse(Seq(
+        Retrieval.bm25Scores(docs, "doc_id", "text",
+          Seq("vector", "hash", "scan")),
+        Retrieval.bm25Scores(docs, "doc_id", "text",
+          Seq("merge", "window", "stream"))),
+        "doc_id", k0 = 60, topN = 100, topK = 20)
+    }),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -1186,20 +1198,42 @@ object SparkEntry {
 
   /** Per-term BM25 oracle fragments: tf/df conditional-agg columns and
     * the fixed-point score term (all-integer; `//` on nonnegative
-    * HUGEINTs is floor division, matching Spark's decimal floor-div). */
-  private def bm25TfColsSql: String =
-    bm25Terms.zipWithIndex.map { case (t, i) =>
+    * HUGEINTs is floor division, matching Spark's decimal floor-div).
+    * Parameterized by term set so multi-ranking queries (q146 RRF) can
+    * instantiate several scorings in one statement. */
+  private def bm25TfColsSqlFor(terms: Seq[String]): String =
+    terms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf$i"
     }.mkString(",\n ")
-  private def bm25DfColsSql: String =
-    bm25Terms.indices.map { i =>
+  private def bm25DfColsSqlFor(terms: Seq[String]): String =
+    terms.indices.map { i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"
     }.mkString(",\n ")
-  private def bm25ScoreSql: String =
-    bm25Terms.indices.map { i =>
+  private def bm25ScoreSqlFor(terms: Seq[String]): String =
+    terms.indices.map { i =>
       s"((CAST(floor(ln(2*n+2)*1000000) AS BIGINT) - CAST(floor(ln(2*df$i+1)*1000000) AS BIGINT))" +
         s" * ((CAST(22 AS HUGEINT)*tf$i*t*1000000) // (CAST(10 AS HUGEINT)*t*tf$i + 3*t + 9*dl*n))) // 1000000"
     }.mkString("\n + ")
+  private def bm25TfColsSql: String = bm25TfColsSqlFor(bm25Terms)
+  private def bm25DfColsSql: String = bm25DfColsSqlFor(bm25Terms)
+  private def bm25ScoreSql: String = bm25ScoreSqlFor(bm25Terms)
+  /** q146's second query-term set (fused with [[bm25Terms]] via RRF). */
+  private val bm25TermsAlt = Seq("merge", "window", "stream")
+  /** One BM25 scoring pipeline as CTE text with a name suffix. */
+  private def bm25RankCtesFor(terms: Seq[String], sfx: String,
+      topN: Int): String =
+    s"""pd$sfx AS (SELECT doc_id, count(*) AS dl,
+       |  ${bm25TfColsSqlFor(terms)}
+       |  FROM b WHERE tok <> '' GROUP BY 1),
+       |st$sfx AS (SELECT count(*) AS n, sum(dl) AS t,
+       |  ${bm25DfColsSqlFor(terms)}
+       |  FROM pd$sfx),
+       |sc$sfx AS (SELECT doc_id, CAST(
+       |  ${bm25ScoreSqlFor(terms)}
+       |  AS BIGINT) AS score_fp FROM pd$sfx, st$sfx),
+       |r$sfx AS (SELECT doc_id, r FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score_fp DESC, doc_id) AS r
+       |  FROM sc$sfx WHERE score_fp > 0) x WHERE r <= $topN)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // q86: same positional poly-hash grams as q44; boundary positions
@@ -2483,6 +2517,19 @@ object SparkEntry {
         |      > 4 * (CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s)
         |    THEN 'anomaly' ELSE 'normal' END AS verdict
         |FROM a ORDER BY day""".stripMargin,
+    // q146: two full BM25 scoring pipelines instantiated from the
+    // shared fragments, ranked, truncated to top-100, fused with the
+    // identical integer contributions
+    "q146_rrf_fusion" ->
+      s"""WITH b AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |${bm25RankCtesFor(bm25Terms, "1", 100)},
+         |${bm25RankCtesFor(bm25TermsAlt, "2", 100)},
+         |u AS (SELECT doc_id, 1000000 // (60 + r) AS c FROM r1
+         |  UNION ALL SELECT doc_id, 1000000 // (60 + r) FROM r2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_fp,
+         |  CAST(count(*) AS BIGINT) AS n_lists
+         |FROM u GROUP BY 1 ORDER BY rrf_fp DESC, doc_id LIMIT 20""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

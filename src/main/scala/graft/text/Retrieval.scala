@@ -203,6 +203,41 @@ object Retrieval {
     }
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    * top-N ranked lists: `rrf_fp(doc) = Σ_lists ⌊10⁶ / (k0 + rank)⌋`
+    * — the standard way to combine retrieval runs (query variants,
+    * BM25 + dense, multi-field) without score calibration, because
+    * only RANKS enter the sum. Exact integer contract: each
+    * contribution is one floor division of positive integers, the sum
+    * is 64-bit exact in any order — rankings fuse bit-identically in
+    * any engine. `n_lists` reports how many lists carried the doc.
+    *
+    * Scale shape: each input ranking is already top-N (bounded — the
+    * practical RRF formulation fuses LISTS, not full scorings), so the
+    * per-list rank window and the fusion hash-agg run on lists-sized
+    * data regardless of corpus size; the final top-k is
+    * TakeOrderedAndProject. Rankings order by (score_fp desc, id) —
+    * the caller's lists must be deterministic for the fusion to be. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k0: Int = 60,
+      topN: Int = 100, topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rankings must be non-empty")
+    require(k0 >= 1 && topN >= 1 && topK >= 1,
+      s"k0/topN/topK must be positive, got $k0/$topN/$topK")
+    val contribs = rankings.map { r =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_fp").desc, col(idCol))
+      r.filter(col("score_fp") > 0L)
+        .orderBy(col("score_fp").desc, col(idCol)).limit(topN)
+        .select(col(idCol), row_number().over(w).as("__r"))
+        .select(col(idCol),
+          expr(s"1000000L div (${k0}L + __r)").as("__c"))
+    }.reduce(_ unionByName _)
+    contribs.groupBy(idCol)
+      .agg(sum("__c").as("rrf_fp"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_fp").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Exact phrase search over positional postings: documents where the
     * query tokens appear CONSECUTIVELY, with the occurrence count
     * (overlapping occurrences count — each starting position is one

@@ -155,6 +155,23 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: exact integer contributions, cross-list sum, topN cut") {
+    // list 1 ranks: a(1), b(2), c(3); list 2: b(1), a(2)
+    val l1 = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("doc_id", "score_fp")
+    val l2 = Seq((2L, 99L), (1L, 5L), (4L, 0L)).toDF("doc_id", "score_fp")
+    def c(r: Int) = 1000000L / (60 + r)
+    val got = Retrieval.rrfFuse(Seq(l1, l2), "doc_id", k0 = 60,
+        topN = 100, topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ((c(1) + c(2), 2L)), 2L -> ((c(2) + c(1), 2L)),
+      3L -> ((c(3), 1L)))) // doc 4 scored 0 → never ranked
+    // topN truncation: with topN=1 only each list's head contributes
+    val top1 = Retrieval.rrfFuse(Seq(l1, l2), "doc_id", topN = 1, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 == Map(1L -> c(1), 2L -> c(1)))
+  }
+
   test("phraseMatches is partitioning-invariant") {
     val corpus = Seq(
       (1L, "a b a b a"), (2L, "b a b"), (3L, "a a b b a b")
