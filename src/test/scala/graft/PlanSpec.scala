@@ -618,6 +618,23 @@ class PlanSpec extends SparkSpec {
       s"transition counts must partial-aggregate map-side:\n$p137")
   }
 
+  test("q144/q145/q146: order-keyed pair join, day-series window, lists-sized fusion") {
+    val p144 = plan("q144_frequent_pairs")
+    assert(!p144.contains("CartesianProduct"),
+      s"pair explode must be the order-keyed self-join:\n$p144")
+    assert(p144.contains("TakeOrderedAndProject"),
+      s"top-k must ride the shuffle:\n$p144")
+    val p145 = plan("q145_revenue_anomalies")
+    assert(p145.contains("partial_"),
+      s"the day rollup must partial-aggregate map-side:\n$p145")
+    val p146 = plan("q146_rrf_fusion")
+    assert(!p146.contains("CartesianProduct") ||
+      p146.contains("BroadcastNestedLoopJoin"),
+      s"fusion must never cross-join rankings:\n$p146")
+    assert(p146.contains("TakeOrderedAndProject"),
+      s"fused top-k must ride the shuffle:\n$p146")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))
