@@ -146,6 +146,7 @@ object ScaleBench {
     bench("q135_snm_highsim")(
       Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
         window = 10, threshold = 0.8).count())
+    releaseStorage(spark) // snm's internal profile checkpoint is done
     // auto-sized blocks (the at-scale path), not the bench-pinned 8
     bench("q39_embedding_neardup")(
       Similarity.exactNearDuplicatePairs(emb, "vec_id", "embedding",

@@ -527,6 +527,17 @@ object Analytics {
   def ohlc(events: DataFrame, tsCol: String, idCol: String,
       valueCol: String, bucketMicros: Long): DataFrame = {
     require(bucketMicros > 0, s"bucketMicros must be > 0, got $bucketMicros")
+    // same hazard (and same loud guard) as AsofJoin: a non-integral id
+    // would silently cast to null and make open/close nondeterministic
+    // on timestamp ties
+    val idType = events.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"id column '$idCol' must be an integral type (it is the (ts, id) " +
+        s"open/close tie-break key, carried as a long); got $idType. Map " +
+        "string ids to a surrogate long before bucketing.")
     val t = tsMicros(events, tsCol)
     val key = struct(t.as("t"), col(idCol).cast("long").as("i"))
     events.filter(col(valueCol).isNotNull)
@@ -652,20 +663,21 @@ object Analytics {
       }
     val base = df.select(cols.map(col): _*)
       .localCheckpoint() // k distinct jobs re-read this, not the source
-    val aggs = base.agg(count(lit(1)).as("__n"),
-      cols.flatMap(c => Seq(
-        count(col(c)).as(s"__nn_$c"),
-        renderAfter(c, min(col(c))).as(s"__min_$c"),
-        renderAfter(c, max(col(c))).as(s"__max_$c"))): _*).head()
-    val n = aggs.getLong(0)
-    val rows = cols.zipWithIndex.map { case (c, i) =>
-      val nd = base.select(countDistinct(col(c))).head().getLong(0)
-      val nn = aggs.getLong(1 + i * 3)
-      (c, n, n - nn, nd,
-        Option(aggs.getString(2 + i * 3)).orNull,
-        Option(aggs.getString(3 + i * 3)).orNull)
-    }
-    graft.text.Dedup.releaseIndex(base)
+    val rows = try {
+      val aggs = base.agg(count(lit(1)).as("__n"),
+        cols.flatMap(c => Seq(
+          count(col(c)).as(s"__nn_$c"),
+          renderAfter(c, min(col(c))).as(s"__min_$c"),
+          renderAfter(c, max(col(c))).as(s"__max_$c"))): _*).head()
+      val n = aggs.getLong(0)
+      cols.zipWithIndex.map { case (c, i) =>
+        val nd = base.select(countDistinct(col(c))).head().getLong(0)
+        val nn = aggs.getLong(1 + i * 3)
+        (c, n, n - nn, nd,
+          Option(aggs.getString(2 + i * 3)).orNull,
+          Option(aggs.getString(3 + i * 3)).orNull)
+      }
+    } finally graft.text.Dedup.releaseIndex(base)
     spark.createDataFrame(rows).toDF("column", "n_rows", "n_nulls",
       "n_distinct", "min_value", "max_value")
   }

@@ -217,12 +217,24 @@ object Retrieval {
     * per-list rank window and the fusion hash-agg run on lists-sized
     * data regardless of corpus size; the final top-k is
     * TakeOrderedAndProject. Rankings order by (score_fp desc, id) —
-    * the caller's lists must be deterministic for the fusion to be. */
+    * the caller's lists must be deterministic for the fusion to be.
+    *
+    * Input contract: every ranking must carry `idCol` and an integer
+    * `score_fp` column (the fixed-point score convention of
+    * [[bm25TopK]] et al.). Rows with `score_fp <= 0` are EXCLUDED
+    * before ranking — a zero/negative fixed-point score means "did not
+    * match", and RRF fuses match lists, not full scorings. */
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, k0: Int = 60,
       topN: Int = 100, topK: Int = 20): DataFrame = {
     require(rankings.nonEmpty, "rankings must be non-empty")
     require(k0 >= 1 && topN >= 1 && topK >= 1,
       s"k0/topN/topK must be positive, got $k0/$topN/$topK")
+    rankings.zipWithIndex.foreach { case (r, i) =>
+      require(r.columns.contains("score_fp") && r.columns.contains(idCol),
+        s"ranking #$i must carry columns '$idCol' and 'score_fp' " +
+          s"(fixed-point score; the bm25TopK convention); got " +
+          r.columns.mkString("[", ", ", "]"))
+    }
     val contribs = rankings.map { r =>
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("score_fp").desc, col(idCol))
