@@ -908,6 +908,35 @@ object SparkEntry {
           Seq("merge", "window", "stream"))),
         "doc_id", k0 = 60, topN = 100, topK = 20)
     }),
+    // q147: TPC-H Q6 — the single-scan promotion forecast; every
+    // predicate pushes to the parquet scan, one 1-row hash agg
+    "q147_forecast_revenue" -> ((s, d) =>
+      Analytics.forecastRevenue(Tables.lineitem(s, d),
+        "1996-01-01", "1997-01-01", 0.05, 24.0)),
+    // q148: TPC-H Q19 shape — OR-of-ANDs revenue; brand+size part
+    // slices broadcast, the disjunction's conjunctive quantity
+    // envelope pushes to the fact scan
+    "q148_disjunctive_revenue" -> ((s, d) =>
+      Analytics.disjunctiveRevenue(Tables.part(s, d), Tables.lineitem(s, d),
+        Seq(("Brand#1", 1, 10, 1.0, 20.0),
+          ("Brand#2", 11, 25, 10.0, 30.0),
+          ("Brand#3", 26, 50, 20.0, 40.0)))),
+    // q149: TPC-H Q21 shape — sole-late-supplier counts via ONE
+    // per-order rollup instead of correlated EXISTS/NOT-EXISTS joins
+    "q149_waiting_suppliers" -> ((s, d) =>
+      Analytics.waitingSuppliers(Tables.supplier(s, d), Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.nation(s, d), "NATION_11", 60, 20)),
+    // q150: association rules over basket pairs — confidence/lift in
+    // exact integer ppm (decimal floor-div, overflow-proof past 2^63)
+    "q150_association_rules" -> ((s, d) =>
+      Analytics.associationRules(Tables.lineitem(s, d), 3L, 50)),
+    // q151: GROUP BY ROLLUP — 3 grouping sets in ONE Expand+agg pass
+    "q151_revenue_rollup" -> ((s, d) =>
+      Analytics.revenueRollup(Tables.lineitem(s, d))),
+    // q152: per-brand Pareto frontier — dominance from the bounded
+    // (brand, price)-domain prefix-max window, never an O(N²) self-join
+    "q152_brand_skyline" -> ((s, d) =>
+      Analytics.brandSkyline(Tables.part(s, d))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2530,6 +2559,98 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_fp,
          |  CAST(count(*) AS BIGINT) AS n_lists
          |FROM u GROUP BY 1 ORDER BY rrf_fp DESC, doc_id LIMIT 20""".stripMargin,
+    // q147: Q6 verbatim — discount band compared in DECIMAL(18,2)
+    // (hundredths domain), revenue the exact-decimal dsum idiom
+    "q147_forecast_revenue" ->
+      """SELECT CAST(coalesce(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,6))), 0) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.04 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    // q148: the OR-of-ANDs stated directly — part slice union, then
+    // the per-branch disjunction over the join
+    "q148_disjunctive_revenue" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_size FROM part
+        |  WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10)
+        |     OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25)
+        |     OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50))
+        |SELECT CAST(coalesce(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))), 0) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN p ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+        |    AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+        |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    // q149: Q21's exists/not-exists stated as the same per-order
+    // rollup (ns/nl counts) the engine plans — late = SLA breach
+    "q149_waiting_suppliers" ->
+      """WITH f AS (SELECT o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |ps AS (SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |      THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN f ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |po AS (SELECT l_orderkey, count(*) AS ns, sum(late) AS nl
+        |  FROM ps GROUP BY 1),
+        |sn AS (SELECT s_suppkey, s_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_11')
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM ps JOIN po USING (l_orderkey) JOIN sn ON l_suppkey = s_suppkey
+        |WHERE late = 1 AND ns > 1 AND nl = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    // q150: confidence/lift in integer ppm — HUGEINT products, //
+    // floor division (all operands positive; matches the engine's
+    // subtract-nonnegative-remainder decimal floor-div)
+    "q150_association_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |t AS (SELECT count(DISTINCT o) AS nb FROM b),
+        |i AS (SELECT p, count(*) AS ni FROM b GROUP BY 1),
+        |pr AS (SELECT a.p AS pa, c.p AS pb, count(*) AS n_both
+        |  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |d AS (SELECT pa AS antecedent, pb AS consequent, n_both FROM pr
+        |  UNION ALL SELECT pb, pa, n_both FROM pr)
+        |SELECT antecedent, consequent, n_both,
+        |  CAST((CAST(n_both AS HUGEINT) * 1000000) // ia.ni
+        |    AS BIGINT) AS confidence_ppm,
+        |  CAST((CAST(n_both AS HUGEINT) * nb * 1000000)
+        |    // (CAST(ia.ni AS HUGEINT) * ic.ni) AS BIGINT) AS lift_ppm
+        |FROM d JOIN i ia ON antecedent = ia.p
+        |JOIN i ic ON consequent = ic.p CROSS JOIN t
+        |ORDER BY confidence_ppm DESC, antecedent, consequent
+        |LIMIT 50""".stripMargin,
+    // q151: GROUP BY ROLLUP with GROUPING() levels; rollup NULLs
+    // rendered 'ALL' (keys non-null by construction)
+    "q151_revenue_rollup" ->
+      """WITH l AS (SELECT CAST(year(l_shipdate) AS VARCHAR) AS y,
+        |    l_returnflag AS f,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS r
+        |  FROM lineitem)
+        |SELECT coalesce(y, 'ALL') AS ship_year,
+        |  coalesce(f, 'ALL') AS return_flag,
+        |  CAST(GROUPING(y) + GROUPING(f) AS BIGINT) AS level,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(r) AS DOUBLE) AS revenue
+        |FROM l GROUP BY ROLLUP(y, f)
+        |ORDER BY level, ship_year, return_flag""".stripMargin,
+    // q152: dominance stated directly as NOT EXISTS (the oracle can
+    // afford the quadratic form); prices compare in integer cents
+    "q152_brand_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name, p_retailprice,
+        |    p_size,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+        |  FROM part)
+        |SELECT p_partkey, p_brand, p_name, p_retailprice, p_size
+        |FROM p r
+        |WHERE NOT EXISTS (SELECT 1 FROM p s WHERE s.p_brand = r.p_brand
+        |  AND ((s.pc < r.pc AND s.p_size >= r.p_size)
+        |    OR (s.pc = r.pc AND s.p_size > r.p_size)))
+        |ORDER BY p_brand, p_retailprice, p_partkey""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

@@ -1027,4 +1027,212 @@ object Analytics {
       (q, picked(r))
     }.toDF("quantile", "value")
   }
+
+  /** Promotion-window forecast revenue (TPC-H Q6): the single-scan
+    * "what would we have earned without these discounts" aggregate —
+    * date window, discount band, quantity cap, `Σ extprice·discount`.
+    * The whole query is a filter + one 1-row hash agg: every predicate
+    * reaches the parquet scan (`PushedFilters`), nothing shuffles but
+    * 1-row partials. The discount band compares in exact DECIMAL(18,2)
+    * (the column holds hundredths; a raw double `BETWEEN` would hinge
+    * on binary-fraction ulps in both engines). Revenue sums in exact
+    * decimal (6dp: price·discount) — the [[dsum]] parity rule. */
+  def forecastRevenue(lineitem: DataFrame, fromDate: String, toDate: String,
+      discount: Double, maxQuantity: Double): DataFrame = {
+    val d = (math.rint(discount * 100) / 100.0)
+    lineitem
+      .filter(col("l_shipdate") >= lit(fromDate) &&
+        col("l_shipdate") < lit(toDate) &&
+        col("l_discount").cast(DecimalType(18, 2))
+          .between(lit(d - 0.01).cast(DecimalType(18, 2)),
+            lit(d + 0.01).cast(DecimalType(18, 2))) &&
+        col("l_quantity") < lit(maxQuantity))
+      .agg(coalesce(dsum(col("l_extendedprice") * col("l_discount"), 6),
+        lit(0.0)).as("revenue"))
+  }
+
+  /** Disjunctive-predicate discounted revenue (TPC-H Q19 shape): the
+    * OR-of-ANDs join — revenue from lineitems matching ANY of several
+    * (brand, size-range, quantity-range) branches. Plan discipline:
+    * `part` pre-filters to the UNION of the branches' brand+size
+    * slices and broadcasts (dim-sized); `lineitem` pre-filters to the
+    * GLOBAL quantity envelope [min lo, max hi] — a conjunctive bound
+    * derived from the disjunction that CAN push to the scan (the OR
+    * itself cannot) — then the exact per-branch disjunction applies
+    * after the join. Same result, but the fact scan reads only the
+    * envelope. Revenue in exact decimal (6dp). */
+  def disjunctiveRevenue(part: DataFrame, lineitem: DataFrame,
+      branches: Seq[(String, Int, Int, Double, Double)]): DataFrame = {
+    require(branches.nonEmpty, "branches must be non-empty")
+    val p = broadcast(part
+      .filter(branches.map { case (b, sLo, sHi, _, _) =>
+        col("p_brand") === lit(b) && col("p_size").between(sLo, sHi)
+      }.reduce(_ || _))
+      .select("p_partkey", "p_brand", "p_size"))
+    val qLo = branches.map(_._4).min
+    val qHi = branches.map(_._5).max
+    lineitem
+      .filter(col("l_quantity").between(lit(qLo), lit(qHi)))
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(branches.map { case (b, sLo, sHi, lo, hi) =>
+        col("p_brand") === lit(b) && col("p_size").between(sLo, sHi) &&
+          col("l_quantity").between(lit(lo), lit(hi))
+      }.reduce(_ || _))
+      .agg(coalesce(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        6), lit(0.0)).as("revenue"))
+  }
+
+  /** Suppliers who alone missed the shipping SLA on multi-supplier
+    * finished orders (TPC-H Q21 shape), for one nation. The classic
+    * double-correlated EXISTS / NOT-EXISTS ("some other supplier in
+    * the order" / "no other LATE supplier in the order") rewritten as
+    * ONE per-order rollup — the at-scale shape: instead of two more
+    * fact-fact joins, each (order, supplier) collapses to a late flag,
+    * each order to (supplier count, late-supplier count), and the
+    * verdict `late ∧ ns > 1 ∧ nl = 1` is a filter. "Late" is
+    * `l_shipdate > o_orderdate + slaDays` (this schema carries no
+    * commit/receipt dates — the SLA stands in, same plan shape).
+    * Plan discipline: orders pre-filters to status 'F' and projects
+    * (key, date) before the one fact-fact shuffle join; the nation's
+    * supplier list joins broadcast AFTER the rollup (counts first,
+    * names last); top-k rides TakeOrderedAndProject. */
+  def waitingSuppliers(supplier: DataFrame, lineitem: DataFrame,
+      orders: DataFrame, nation: DataFrame, nationName: String,
+      slaDays: Int, k: Int = 20): DataFrame = {
+    require(slaDays >= 0, s"slaDays must be >= 0, got $slaDays")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val f = orders.filter(col("o_orderstatus") === lit("F"))
+      .select("o_orderkey", "o_orderdate")
+    val perSupp = lineitem
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(f, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $slaDays DAYS"), 1L)
+        .otherwise(0L)).as("__late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey").as("__o"))
+      .agg(count(lit(1)).as("__ns"), sum(col("__late")).as("__nl"))
+    val s = broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")
+      .join(broadcast(nation.filter(col("n_name") === lit(nationName))
+        .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name"))
+    perSupp.filter(col("__late") === 1L)
+      .join(perOrder, col("l_orderkey") === col("__o"))
+      .filter(col("__ns") > 1L && col("__nl") === 1L)
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
+
+  /** Association rules from market-basket pair counts (the rule level
+    * of Apriori, on top of [[frequentItemPairs]]): for every frequent
+    * unordered pair {a, b} and BOTH directions a→b, b→a — support
+    * count, confidence `n_ab / n_a`, and lift `n_ab · N / (n_a · n_b)`
+    * in exact integer ppm (floor division via the subtract-nonnegative-
+    * remainder pattern on DECIMAL(38,0) — products pass 2^63 long
+    * before any count does at warehouse scale).
+    *
+    * Scale shape: pair counts are per-basket self-joins (quadratic in
+    * basket size only); item counts and the 1-row basket total
+    * broadcast onto the pair table; everything after the pair agg is
+    * rule-table-sized. Top-k by confidence rides
+    * TakeOrderedAndProject. */
+  def associationRules(lineitem: DataFrame, minSupport: Long,
+      k: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(k >= 1, s"k must be >= 1, got $k")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def floorDiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val baskets = lineitem.select(col("l_orderkey").as("__o"),
+      col("l_partkey").as("__p")).distinct()
+    val total = baskets.agg(countDistinct(col("__o")).as("__nb"))
+    val items = baskets.groupBy(col("__p")).agg(count(lit(1)).as("__ni"))
+    val pairs = baskets.alias("a").join(baskets.alias("b"), Seq("__o"))
+      .filter(col("a.__p") < col("b.__p"))
+      .groupBy(col("a.__p").as("__pa"), col("b.__p").as("__pb"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    val directed = pairs.select(col("__pa").as("antecedent"),
+        col("__pb").as("consequent"), col("n_both"))
+      .unionByName(pairs.select(col("__pb").as("antecedent"),
+        col("__pa").as("consequent"), col("n_both")))
+    directed
+      .join(broadcast(items.withColumnRenamed("__p", "antecedent")
+        .withColumnRenamed("__ni", "__na")), Seq("antecedent"))
+      .join(broadcast(items.withColumnRenamed("__p", "consequent")
+        .withColumnRenamed("__ni", "__nc")), Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        floorDiv(dec(col("n_both")) * lit(1000000L), dec(col("__na")))
+          .as("confidence_ppm"),
+        floorDiv(dec(col("n_both")) * dec(col("__nb")) * lit(1000000L),
+          dec(col("__na")) * dec(col("__nc"))).as("lift_ppm"))
+      .orderBy(col("confidence_ppm").desc, col("antecedent"),
+        col("consequent"))
+      .limit(k)
+  }
+
+  /** Hierarchical revenue rollup (GROUP BY ROLLUP): per (ship-year,
+    * return-flag), per year, and grand total in ONE aggregation pass —
+    * the report-cube shape warehouses run nightly. Spark's `rollup`
+    * plans a single Expand + hash agg (3 grouping sets here — NOT one
+    * job per level); the rollup's generated NULLs render as 'ALL'
+    * (both group keys are non-null by construction, so 'ALL' is
+    * unambiguous) and the explicit `level` column (count of rolled-up
+    * keys) pins each row's grouping set. Revenue in exact decimal. */
+  def revenueRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(year(col("l_shipdate")).cast("string").as("__y"),
+        col("l_returnflag").as("__f"),
+        col("l_extendedprice"), col("l_discount"))
+      .rollup("__y", "__f")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"),
+        (grouping(col("__y")) + grouping(col("__f"))).as("level"))
+      .select(coalesce(col("__y"), lit("ALL")).as("ship_year"),
+        coalesce(col("__f"), lit("ALL")).as("return_flag"),
+        col("level").cast("long").as("level"),
+        col("n_items"), col("revenue"))
+      .orderBy("level", "ship_year", "return_flag")
+
+  /** Per-brand 2-D skyline (Pareto frontier): the parts not dominated
+    * within their brand on (price low, size high) — "cheapest for its
+    * size class" catalog analytics. A part r is dominated iff some
+    * same-brand s is strictly cheaper with size ≥ r's, or equal-priced
+    * with size > r's; equal (price, size) rows are mutually
+    * non-dominating and all kept.
+    *
+    * Scale shape: dominance collapses to the per-(brand, price)
+    * max-size table FIRST (bounded domain: price books are small even
+    * when catalogs are not — the [[rankCorrelation]] value-table
+    * discipline), the prefix max runs as a window over that tiny
+    * table partitioned by brand, and parts join back against it
+    * broadcast. Never an O(N²) self-join; prices compare in exact
+    * integer cents. */
+  def brandSkyline(part: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy("__pc2")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val withCents = part.withColumn("__pc",
+      (col("p_retailprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+    val perPrice = withCents
+      .groupBy(col("p_brand").as("__b"), col("__pc").as("__ppc"))
+      .agg(max(col("p_size")).as("__mx"))
+      .withColumnRenamed("__ppc", "__pc2")
+      .withColumn("__runmax", max(col("__mx")).over(w))
+    withCents.join(broadcast(perPrice),
+        col("p_brand") === col("__b") && col("__pc") === col("__pc2"))
+      .filter(col("p_size") === col("__mx") &&
+        (col("__runmax").isNull || col("__mx") > col("__runmax")))
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        col("p_retailprice"), col("p_size"))
+      .orderBy("p_brand", "p_retailprice", "p_partkey")
+  }
 }
