@@ -10,6 +10,11 @@ object Verify {
         "dump for fast iteration; no names = the full driver contract")
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
+    val known = SparkEntry.queries.map(_._1).toSet
+    val unknown = only.diff(known)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        "a typo'd filter would otherwise look like a clean empty run")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,7 +49,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // a name-filtered run dumps oracle SQL for ONLY the selected names:
+    // dumping all 143 would make check_oracle judge queries this run
+    // never produced — and silently PASS stale parquet left in a reused
+    // outDir by an older build, masking regressions during iteration
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1031,18 +1031,27 @@ object Analytics {
   /** Promotion-window forecast revenue (TPC-H Q6): the single-scan
     * "what would we have earned without these discounts" aggregate —
     * date window, discount band, quantity cap, `Σ extprice·discount`.
-    * The whole query is a filter + one 1-row hash agg: every predicate
-    * reaches the parquet scan (`PushedFilters`), nothing shuffles but
-    * 1-row partials. The discount band compares in exact DECIMAL(18,2)
-    * (the column holds hundredths; a raw double `BETWEEN` would hinge
-    * on binary-fraction ulps in both engines). Revenue sums in exact
-    * decimal (6dp: price·discount) — the [[dsum]] parity rule. */
+    * The whole query is a filter + one 1-row hash agg, nothing shuffles
+    * but 1-row partials. The discount band compares in exact
+    * DECIMAL(18,2) (the column holds hundredths; a raw double `BETWEEN`
+    * would hinge on binary-fraction ulps in both engines) — but Spark
+    * will not unwrap a double→decimal cast for parquet pushdown, so a
+    * plain RAW-double ENVELOPE `[d−0.011, d+0.011]` (strictly wider
+    * than the exact band by half a hundredth, so no true row can sit
+    * outside it at any double rounding) goes first: the envelope + date
+    * range + quantity cap all reach `PushedFilters` and drive row-group
+    * skipping; the decimal band then decides exact membership post-scan.
+    * Revenue sums in exact decimal (6dp: price·discount) — the [[dsum]]
+    * parity rule. */
   def forecastRevenue(lineitem: DataFrame, fromDate: String, toDate: String,
       discount: Double, maxQuantity: Double): DataFrame = {
+    require(math.abs(discount * 100 - math.rint(discount * 100)) < 1e-9,
+      s"discount must be a whole number of hundredths, got $discount")
     val d = (math.rint(discount * 100) / 100.0)
     lineitem
       .filter(col("l_shipdate") >= lit(fromDate) &&
         col("l_shipdate") < lit(toDate) &&
+        col("l_discount").between(lit(d - 0.011), lit(d + 0.011)) &&
         col("l_discount").cast(DecimalType(18, 2))
           .between(lit(d - 0.01).cast(DecimalType(18, 2)),
             lit(d + 0.01).cast(DecimalType(18, 2))) &&
@@ -1096,7 +1105,12 @@ object Analytics {
     * Plan discipline: orders pre-filters to status 'F' and projects
     * (key, date) before the one fact-fact shuffle join; the nation's
     * supplier list joins broadcast AFTER the rollup (counts first,
-    * names last); top-k rides TakeOrderedAndProject. */
+    * names last); top-k rides TakeOrderedAndProject. The per-(order,
+    * supplier) rollup feeds BOTH the late-filter side and the per-order
+    * counts — it is localCheckpoint'ed (the [[columnProfile]]
+    * discipline) so the fact-fact join provably runs ONCE rather than
+    * relying on ReuseExchange to dedupe two identical subtrees; the
+    * caller's transient-storage sweep releases the blocks. */
   def waitingSuppliers(supplier: DataFrame, lineitem: DataFrame,
       orders: DataFrame, nation: DataFrame, nationName: String,
       slaDays: Int, k: Int = 20): DataFrame = {
@@ -1111,6 +1125,7 @@ object Analytics {
       .agg(max(when(col("l_shipdate") >
         col("o_orderdate") + expr(s"INTERVAL $slaDays DAYS"), 1L)
         .otherwise(0L)).as("__late"))
+      .localCheckpoint() // consumed twice (late side + per-order counts)
     val perOrder = perSupp.groupBy(col("l_orderkey").as("__o"))
       .agg(count(lit(1)).as("__ns"), sum(col("__late")).as("__nl"))
     val s = broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")
@@ -1136,10 +1151,17 @@ object Analytics {
     * remainder pattern on DECIMAL(38,0) — products pass 2^63 long
     * before any count does at warehouse scale).
     *
-    * Scale shape: pair counts are per-basket self-joins (quadratic in
-    * basket size only); item counts and the 1-row basket total
-    * broadcast onto the pair table; everything after the pair agg is
-    * rule-table-sized. Top-k by confidence rides
+    * Scale shape: classic Apriori support pruning runs BEFORE pairing —
+    * baskets semi-join to the items with `count >= minSupport`, which is
+    * result-invariant (`n_ab <= min(n_a, n_b)`, so an infrequent item
+    * cannot appear in a frequent pair) and is what bounds the pair
+    * fan-out when a warehouse carries millions of one-off SKUs and a
+    * few hot ones. Pair counts are then per-basket self-joins on the
+    * pruned baskets (quadratic in PRUNED basket size only — a single
+    * basket holding many frequent items is still the irreducible
+    * hot-basket cost of pair counting); item counts and the 1-row
+    * basket total broadcast onto the pair table; everything after the
+    * pair agg is rule-table-sized. Top-k by confidence rides
     * TakeOrderedAndProject. */
   def associationRules(lineitem: DataFrame, minSupport: Long,
       k: Int): DataFrame = {
@@ -1148,11 +1170,24 @@ object Analytics {
     def dec(c: Column) = c.cast(DecimalType(38, 0))
     def floorDiv(num: Column, den: Column) =
       ((num - pmod(num, den)) / den).cast("long")
+    // the basket table fans out to FIVE consumers (total, item counts,
+    // and the pair self-join's two sides via the pruned table) — left
+    // lazy, Spark replans the whole distinct per consumer and the fact
+    // scans 7×; materialized once ([[columnProfile]] discipline), the
+    // source is read once and every consumer reads the (much smaller)
+    // distinct (order, part) blocks. Same for the pruned table, which
+    // the self-join consumes twice.
     val baskets = lineitem.select(col("l_orderkey").as("__o"),
       col("l_partkey").as("__p")).distinct()
+      .localCheckpoint()
     val total = baskets.agg(countDistinct(col("__o")).as("__nb"))
     val items = baskets.groupBy(col("__p")).agg(count(lit(1)).as("__ni"))
-    val pairs = baskets.alias("a").join(baskets.alias("b"), Seq("__o"))
+    // Apriori pruning: only frequent items can form frequent pairs
+    val pruned = baskets.join(
+      items.filter(col("__ni") >= minSupport).select("__p"),
+      Seq("__p"), "left_semi")
+      .localCheckpoint()
+    val pairs = pruned.alias("a").join(pruned.alias("b"), Seq("__o"))
       .filter(col("a.__p") < col("b.__p"))
       .groupBy(col("a.__p").as("__pa"), col("b.__p").as("__pb"))
       .agg(count(lit(1)).as("n_both"))
@@ -1214,7 +1249,15 @@ object Analytics {
     * discipline), the prefix max runs as a window over that tiny
     * table partitioned by brand, and parts join back against it
     * broadcast. Never an O(N²) self-join; prices compare in exact
-    * integer cents. */
+    * integer cents.
+    *
+    * CARDINALITY ASSUMPTION (unguarded by design): the explicit
+    * broadcast is sound only while |brands| × |distinct price cents|
+    * stays executor-memory-sized — true for catalog price books (a few
+    * thousand price points per brand), NOT for a continuous-valued
+    * price column. A caller with near-unique prices must drop to the
+    * sort-merge form (remove the hint) — the join key (brand, cents)
+    * still makes it an equi-join, just with a fact-sized shuffle. */
   def brandSkyline(part: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__b").orderBy("__pc2")

@@ -635,6 +635,80 @@ class PlanSpec extends SparkSpec {
       s"fused top-k must ride the shuffle:\n$p146")
   }
 
+  test("q147 forecast revenue: discount envelope + date + quantity reach PushedFilters") {
+    val p = plan("q147_forecast_revenue")
+    // the exact DECIMAL(18,2) band cannot push (double→decimal cast);
+    // the raw-double envelope [d−0.011, d+0.011] in front of it MUST —
+    // it is what drives row-group skipping at scale
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.039"),
+      s"discount envelope lower bound must push to the scan:\n$p")
+    assert(p.contains("LessThanOrEqual(l_discount,0.061"),
+      s"discount envelope upper bound must push to the scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"),
+      s"date range must push:\n$p")
+    assert(p.contains("LessThan(l_quantity,24.0)"),
+      s"quantity cap must push:\n$p")
+    assert(p.contains("partial_sum"), "map-side 1-row partials expected")
+  }
+
+  test("q148 disjunctive revenue: part slice broadcast, quantity envelope pushed") {
+    val p = plan("q148_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the brand+size part slice must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the OR itself cannot push; its conjunctive envelope [1, 40] must
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,40.0)"),
+      s"the disjunction's quantity envelope must reach the fact scan:\n$p")
+  }
+
+  test("q149 waiting suppliers: rollup materialized once, fact never re-scanned") {
+    val p = plan("q149_waiting_suppliers")
+    // perSupp is localCheckpoint'ed: the one fact-fact join ran at
+    // build time; the final plan must read its blocks (ExistingRDD)
+    // and never reach back to the lineitem/orders parquet
+    assert(p.contains("ExistingRDD"),
+      s"per-(order,supplier) rollup must be materialized:\n$p")
+    assert(!p.contains("lineitem.parquet") && !p.contains("orders.parquet"),
+      s"the fact-fact join must not run twice:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must ride the shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the nation's supplier list joins broadcast after the rollup:\n$p")
+  }
+
+  test("q150 association rules: baskets materialized once, top-k rides the shuffle") {
+    val p = plan("q150_association_rules")
+    // baskets + Apriori-pruned baskets are localCheckpoint'ed — the
+    // fact scans once at build time; all five consumers read blocks
+    assert(p.contains("ExistingRDD") && !p.contains("lineitem.parquet"),
+      s"five consumers must read the materialized baskets, not re-scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row basket total may cross-join (broadcast NLJ):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"rule top-k must ride the shuffle:\n$p")
+  }
+
+  test("q151 rollup: ONE scan, ONE Expand, map-side partials") {
+    val p = plan("q151_revenue_rollup")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"rollup must be one pass over one scan, not a job per level:\n$p")
+    assert("\\bExpand\\b".r.findAllIn(p).size == 1,
+      s"3 grouping sets must plan as a single Expand:\n$p")
+    assert(p.contains("partial_"), s"map-side partials expected:\n$p")
+  }
+
+  test("q152 skyline: bounded-domain broadcast, never a catalog self-join") {
+    val p = plan("q152_brand_skyline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dominance must come from the (brand, price) table, not O(N²):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-(brand, price) max-size table must broadcast:\n$p")
+    assert(p.contains("windowspecdefinition(__b"),
+      s"the prefix max must window over the tiny table by brand:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

@@ -346,4 +346,124 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((-1L, 0L, 1L), (-1L, 1L, 1L)))
   }
+
+  test("forecastRevenue: band edges in, strict bounds out, non-hundredth rejected") {
+    val li = Seq(
+      ("1996-06-01", 0.05, 10.0, 1000.0), // in: 50
+      ("1996-06-01", 0.04, 10.0, 1000.0), // band low edge in: 40
+      ("1996-06-01", 0.06, 23.0, 100.0),  // band high edge in: 6
+      ("1996-06-01", 0.03, 10.0, 1000.0), // below band
+      ("1996-06-01", 0.07, 10.0, 1000.0), // above band
+      ("1995-12-31", 0.05, 10.0, 1000.0), // before window
+      ("1997-01-01", 0.05, 10.0, 1000.0), // window end is exclusive
+      ("1996-06-01", 0.05, 24.0, 1000.0)) // quantity cap is strict
+      .toDF("__d", "l_discount", "l_quantity", "l_extendedprice")
+      .withColumn("l_shipdate", to_date(col("__d")))
+    val got = Analytics.forecastRevenue(li, "1996-01-01", "1997-01-01",
+      0.05, 24.0).collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(96.0))
+    // empty match coalesces to 0, not null
+    val none = Analytics.forecastRevenue(li, "1970-01-01", "1971-01-01",
+      0.05, 24.0).collect().map(_.getDouble(0)).toSeq
+    assert(none == Seq(0.0))
+    // a discount off the hundredths grid fails loudly, never silently snaps
+    intercept[IllegalArgumentException] {
+      Analytics.forecastRevenue(li, "1996-01-01", "1997-01-01", 0.055, 24.0)
+    }
+  }
+
+  test("disjunctiveRevenue: per-branch conjunction, not the cross of slices") {
+    val part = Seq(
+      (1L, "B1", 3), (2L, "B2", 8), (3L, "B3", 8))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val li = Seq(
+      (1L, 5.0, 100.0, 0.0),  // branch 1: qty in [1,10] → 100
+      (2L, 12.0, 200.0, 0.5), // branch 2: qty in [5,15] → 100
+      (1L, 12.0, 400.0, 0.0), // B1 slice but branch-2 qty only → OUT
+      (3L, 5.0, 800.0, 0.0))  // qty in envelope, brand in no slice → OUT
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val got = Analytics.disjunctiveRevenue(part, li,
+      Seq(("B1", 1, 5, 1.0, 10.0), ("B2", 6, 10, 5.0, 15.0)))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(200.0))
+  }
+
+  test("waitingSuppliers: sole-late on multi-supplier finished orders only") {
+    val nation = Seq((1, "N1"), (2, "N2")).toDF("n_nationkey", "n_name")
+    val supplier = Seq(
+      (10L, "S10", 1), (11L, "S11", 1), (12L, "S12", 1),
+      (13L, "S13", 2)) // other nation — never reported
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val orders = Seq(
+      (1L, "2024-01-01", "F"), // s10 late alone → counts for S10
+      (2L, "2024-01-01", "F"), // both late → nl=2, nobody counts
+      (3L, "2024-01-01", "F"), // single-supplier order → ns=1, excluded
+      (4L, "2024-01-01", "O"), // not finished → excluded
+      (5L, "2024-01-01", "F")) // s13 (nation 2) late alone → filtered by nation
+      .toDF("o_orderkey", "__d", "o_orderstatus")
+      .withColumn("o_orderdate", to_date(col("__d")))
+    val li = Seq(
+      (1L, 10L, "2024-02-01"), (1L, 11L, "2024-01-05"),
+      (2L, 10L, "2024-02-01"), (2L, 11L, "2024-02-01"),
+      (3L, 10L, "2024-02-01"),
+      (4L, 10L, "2024-02-01"), (4L, 11L, "2024-01-05"),
+      (5L, 13L, "2024-02-01"), (5L, 10L, "2024-01-05"))
+      .toDF("l_orderkey", "l_suppkey", "__d")
+      .withColumn("l_shipdate", to_date(col("__d")))
+    val got = Analytics.waitingSuppliers(supplier, li, orders, nation,
+      "N1", 10, 20).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("S10", 1L)))
+  }
+
+  test("associationRules: Apriori pruning is result-invariant; ppm exact") {
+    // baskets: 1:{A,B} 2:{A,B} 3:{A,B,C,D} 4:{C}; A=1,B=2,C=3,D=4
+    // pair AB appears 3x; AC/BC/AD/BD/CD once — pruned/filtered at
+    // minSupport=2 (D itself is infrequent: the pre-pair semi-join cut)
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 2L), // in-basket duplicate collapses
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 3L), (3L, 4L),
+      (4L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Analytics.associationRules(li, 2L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // conf(A→B) = 3/3 = 1e6 ppm; lift = 3·4/(3·3) = 1333333 ppm (floored)
+    assert(got == Seq(
+      (1L, 2L, 3L, 1000000L, 1333333L),
+      (2L, 1L, 3L, 1000000L, 1333333L)))
+  }
+
+  test("revenueRollup: 3 grouping sets, ALL labels, level column") {
+    val li = Seq(
+      ("1996-03-01", "A", 10.0), ("1996-05-01", "R", 20.0),
+      ("1997-03-01", "A", 30.0))
+      .toDF("__d", "l_returnflag", "l_extendedprice")
+      .withColumn("l_shipdate", to_date(col("__d")))
+      .withColumn("l_discount", lit(0.0))
+    val got = Analytics.revenueRollup(li)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("1996", "A", 0L, 1L, 10.0), ("1996", "R", 0L, 1L, 20.0),
+      ("1997", "A", 0L, 1L, 30.0),
+      ("1996", "ALL", 1L, 2L, 30.0), ("1997", "ALL", 1L, 1L, 30.0),
+      ("ALL", "ALL", 2L, 3L, 60.0)))
+  }
+
+  test("brandSkyline: dominance within brand, equal points co-survive") {
+    val part = Seq(
+      // brand X: 3 and 5 tie on (price 5, size 5) — both kept; they
+      // dominate 1 (cheaper, same size); 1 dominates 2 (same price,
+      // bigger size); 4 survives on size alone
+      (1L, "X", "p1", 10.0, 5), (2L, "X", "p2", 10.0, 3),
+      (3L, "X", "p3", 5.0, 5), (5L, "X", "p5", 5.0, 5),
+      (4L, "X", "p4", 20.0, 9),
+      // brand Y: alone, trivially on the frontier
+      (6L, "Y", "p6", 99.0, 1))
+      .toDF("p_partkey", "p_brand", "p_name", "p_retailprice", "p_size")
+    val got = Analytics.brandSkyline(part)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((3L, "X"), (5L, "X"), (4L, "X"), (6L, "Y")))
+  }
 }
