@@ -225,6 +225,22 @@ object ScaleBench {
       graft.text.Retrieval.bm25BatchTopK(docs, "doc_id", "text",
         docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 3)
         .count())
+    // q90's WORKLOAD check: the (query-term, doc) fan-out — the exact
+    // row count of the scoring join (postings ⋈ distinct query terms),
+    // i.e. the candidate volume the "cost = matching postings, never
+    // queries × corpus" claim bounds. Recorded beside the wall time so
+    // the organic table carries wall-vs-candidate-work for the
+    // retrieval family like it does for the dedup family
+    bench("q90_workload_postings") {
+      val postings = graft.text.Retrieval.postingsIndex(
+        docs, "doc_id", "text")
+      val qTerms = docs.filter(col("doc_id") % 97 === 0)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").as("__qid"),
+          explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "").distinct()
+      postings.join(qTerms, "token").count()
+    }
     // q63: keyword extraction — at 10× the vocab side outgrows the
     // broadcast threshold, so this is the shuffle-join-on-token regime
     // plus the map-side WindowGroupLimit top-k
