@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.text.{Dedup, StreamingNearDedup, TextAnalysis}
+import graft.text.{Dedup, Retrieval, StreamingNearDedup, TextAnalysis}
 
 /** Corpus curation — the standard LLM training-data preparation funnel
   * as ONE composable pipeline over a documents table:
@@ -106,6 +106,12 @@ object CurateCli {
     *  - decontamination runs when the caller passes `evalDocs` to
     *    [[curate]] (`decontaminateK`/`decontaminateMinHits` are its
     *    shingle width and n-of-k evidence threshold);
+    *  - a non-empty `auditPhrases` runs the phrase-audit pass after
+    *    shingle decontamination: survivors carrying ANY of the exact
+    *    quote phrases (token-adjacent, [[Retrieval.phraseMatchesAny]])
+    *    are dropped — the targeted complement of the statistical
+    *    shingle-overlap stage, for the quotes a curator KNOWS must not
+    *    leak (eval answers, canary strings);
     *  - a non-empty `mixRatesPpm` (or `mixDefaultPpm` < 1e6) runs the
     *    domain-mix stage: deterministic per-stratum downsampling on
     *    `mixStratumCol` ([[TextAnalysis.sampleByMix]]) — placed right
@@ -166,6 +172,7 @@ object CurateCli {
       exciseSpanMinDf: Int = 2,
       decontaminateK: Int = 8,
       decontaminateMinHits: Int = 1,
+      auditPhrases: Seq[Seq[String]] = Nil,
       budgetTokens: Long = 0L,
       budgetBuckets: Int = 100,
       packBudget: Int = 0,
@@ -421,6 +428,18 @@ object CurateCli {
             k = cfg.decontaminateK, minHits = cfg.decontaminateMinHits))
       }
 
+      if (cfg.auditPhrases.nonEmpty) {
+        // targeted decontamination: exact-quote audit. The shingle
+        // stage above is statistical (n-of-k overlapping windows); this
+        // one is a hard guarantee for a KNOWN quote list — one
+        // positional-postings pass over the survivors, adjacency-chained
+        // per phrase, matches dropped whole-doc
+        val hits = Retrieval.phraseMatchesAny(cur, idCol, textCol,
+          cfg.auditPhrases).select(idCol).distinct()
+        advance("phrase_audit", cur.join(hits, Seq(idCol), "left_anti"))
+        Dedup.releaseIndex(hits) // the shared quote-postings checkpoint
+      }
+
       if (cfg.budgetTokens > 0L) {
         // selectByBudget emits (id, quality, n_tokens); the funnel keeps
         // full document rows, so restore them with a semi-join on the
@@ -505,19 +524,31 @@ object CurateCli {
       s"""],"final_docs":${fin.docs},"final_tokens":${fin.tokens}}""")
   }
 
-  /** CLI: curate <sfDir> <outDir> [minQuality] [full]. Writes the
-    * curated corpus as parquet, a `funnel` stats table, and the run's
-    * `datasheet.json`; prints one JSON line per stage plus the
-    * datasheet line. `full` switches on ALL extended stages
-    * (quality percentile → char entropy → containment dedup → novelty
-    * floor → mix → scrub → repetition → gopher → perplexity → line
-    * dedup → span excision → decontaminate vs the `% 37` eval slice →
-    * token-budget → pack). Exit 0. */
+  /** CLI: curate <sfDir> <outDir> [minQuality] [full]
+    * [--phrase-audit=<file>]. Writes the curated corpus as parquet, a
+    * `funnel` stats table, and the run's `datasheet.json`; prints one
+    * JSON line per stage plus the datasheet line. `full` switches on
+    * ALL extended stages (quality percentile → char entropy →
+    * containment dedup → novelty floor → mix → scrub → repetition →
+    * gopher → perplexity → line dedup → span excision → decontaminate
+    * vs the `% 37` eval slice → token-budget → pack).
+    * `--phrase-audit=<file>` (one quote per line, whitespace-tokenized;
+    * blank lines skipped) adds the exact-quote audit stage in either
+    * mode. Exit 0. */
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val outDir = args.lift(1).getOrElse("/tmp/curated")
-    val minQ = args.lift(2).map(_.toDouble).getOrElse(0.5)
-    val full = args.lift(3).contains("full")
+    val auditPhrases: Seq[Seq[String]] = args
+      .find(_.startsWith("--phrase-audit="))
+      .map(_.stripPrefix("--phrase-audit="))
+      .map { f =>
+        scala.io.Source.fromFile(f).getLines()
+          .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+          .filter(_.nonEmpty).toSeq
+      }.getOrElse(Nil)
+    val pos = args.filterNot(_.startsWith("--"))
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = pos.lift(1).getOrElse("/tmp/curated")
+    val minQ = pos.lift(2).map(_.toDouble).getOrElse(0.5)
+    val full = pos.lift(3).contains("full")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -532,8 +563,9 @@ object CurateCli {
         containmentThreshold = 0.8, minNovelty = 0.05,
         piiScrub = true, maxRepetitionRatio = 0.9, gopherRules = true,
         maxBigramXentMicro = 3450000L, lineDedupMinDf = 2, exciseSpanK = 8,
-        budgetTokens = 1000000000L, packBudget = 512, packBuckets = 8)
-      else Config(minQuality = minQ)
+        budgetTokens = 1000000000L, packBudget = 512, packBuckets = 8,
+        auditPhrases = auditPhrases)
+      else Config(minQuality = minQ, auditPhrases = auditPhrases)
     val evalDocs =
       if (full) Some(docs.filter(org.apache.spark.sql.functions
         .col("doc_id") % 37 === 0))

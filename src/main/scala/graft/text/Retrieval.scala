@@ -291,6 +291,47 @@ object Retrieval {
       .agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Exact-phrase hits for a LIST of phrases in one corpus pass — the
+    * targeted-decontamination shape ([[phraseMatches]] run per quote
+    * would tokenize the corpus once per phrase). One positional-postings
+    * scan filtered to the union of all phrase tokens, localCheckpoint'ed,
+    * then each phrase's adjacency chain joins against those shared
+    * (bounded: only audit-relevant tokens) postings. Returns one row per
+    * (doc, phrase) with the occurrence count; `phrase_idx` indexes into
+    * `phrases`.
+    *
+    * Scale shape: the corpus-sized stage is the single tokenize+filter
+    * pass; everything after runs on postings for quote vocabulary only.
+    * Docs whose ids land in multiple phrases appear once per phrase —
+    * callers dropping matches anti-join on the distinct ids. */
+  def phraseMatchesAny(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty, "phrases must be non-empty")
+    phrases.foreach(p => require(p.nonEmpty && p.forall(_.nonEmpty),
+      s"every phrase must be non-empty with non-empty tokens: $p"))
+    val vocab = phrases.flatten.distinct
+    val posted = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(TextAnalysis.tokens(col(textCol))))
+      .filter(col("col").isin(vocab: _*))
+      .select(col("__id"), col("pos"), col("col").as("__tok"))
+      .localCheckpoint()
+    phrases.zipWithIndex.map { case (phrase, pi) =>
+      val first = posted.filter(col("__tok") === phrase.head)
+        .select(col("__id"), col("pos"))
+      val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
+        case (acc, (t, i)) =>
+          acc.join(posted.filter(col("__tok") === t)
+              .select(col("__id"), (col("pos") - i).as("pos")),
+            Seq("__id", "pos"))
+      }
+      matched.groupBy(col("__id"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .select(col("__id").as(idCol), lit(pi).as("phrase_idx"),
+          col("n_occurrences"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Point probe of a written postings index: partition-prunes to the
     * term's shard directory. The shard is computed by evaluating the
     * SAME public expression the write path uses (`pmod(hash(token),

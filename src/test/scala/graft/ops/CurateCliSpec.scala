@@ -694,4 +694,30 @@ class CurateCliSpec extends SparkSpec {
     result.unpersist()
     assert(nodes <= 3, s"corpus plan must stay a checkpoint leaf: $nodes")
   }
+
+  test("phrase_audit drops exact-quote carriers, keeps scattered-word docs") {
+    // doc 1 quotes the audited phrase verbatim; doc 2 contains every
+    // word of it but never consecutively (the statistical shingle
+    // stage's false-positive shape — the audit must NOT drop it);
+    // doc 3 carries the second quote; doc 4 is clean. All pass the
+    // upstream gates at minQuality=0, so only phrase_audit can drop.
+    val corpus = Seq(
+      (1L, "the model replied that the secret canary value is blue and moved on"),
+      (2L, "blue is the value the canary secret keeps; is that the answer"),
+      (3L, "we measured exam answer leakage again today in the training run"),
+      (4L, "the cat sat on the mat and watched the garden"))
+      .toDF("doc_id", "text")
+    val r = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0,
+        auditPhrases = Seq(
+          Seq("secret", "canary", "value", "is", "blue"),
+          Seq("exam", "answer", "leakage"))))
+    assert(r.funnel.map(_.stage) ==
+      Seq("input", "exact_dedup", "near_dedup", "language", "quality",
+        "phrase_audit"))
+    val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+    r.unpersist()
+    assert(ids == Set(2L, 4L),
+      s"audit must drop exactly the verbatim carriers, got $ids")
+  }
 }

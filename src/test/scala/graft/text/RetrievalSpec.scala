@@ -172,6 +172,33 @@ class RetrievalSpec extends SparkSpec {
     assert(top1 == Map(1L -> c(1), 2L -> c(1)))
   }
 
+  test("phraseMatchesAny: per-phrase rows, shared postings agree with phraseMatches") {
+    val corpus = Seq(
+      (1L, "the apple tree"),
+      (2L, "apple apple apple"),
+      (3L, "tree apple the apple tree"),
+      (4L, "banana split"),
+      (5L, "tree the")
+    ).toDF("doc_id", "text")
+    val phrases = Seq(Seq("apple", "tree"), Seq("apple", "apple"),
+      Seq("banana", "split"))
+    val got = Retrieval.phraseMatchesAny(corpus, "doc_id", "text", phrases)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // must equal the per-phrase phraseMatches results, tagged by index
+    val want = phrases.zipWithIndex.flatMap { case (p, i) =>
+      Retrieval.phraseMatches(corpus, "doc_id", "text", p)
+        .collect().map(r => (r.getLong(0), i, r.getLong(1)))
+    }.toSet
+    assert(got == want)
+    assert(got == Set((1L, 0, 1L), (3L, 0, 1L), (2L, 1, 2L), (4L, 2, 1L)))
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseMatchesAny(corpus, "doc_id", "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseMatchesAny(corpus, "doc_id", "text", Seq(Seq("a"), Nil))
+    }
+  }
+
   test("phraseMatches is partitioning-invariant") {
     val corpus = Seq(
       (1L, "a b a b a"), (2L, "b a b"), (3L, "a a b b a b")
