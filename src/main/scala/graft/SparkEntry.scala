@@ -937,6 +937,38 @@ object SparkEntry {
     // (brand, price)-domain prefix-max window, never an O(N²) self-join
     "q152_brand_skyline" -> ((s, d) =>
       Analytics.brandSkyline(Tables.part(s, d))),
+    // q153: gap-based sessionization (30-min gap) — one user-keyed
+    // shuffle, lag flag + running session number share one window sort
+    "q153_sessionization" -> ((s, d) =>
+      Analytics.sessionize(Tables.events(s, d), "user_id", "ts",
+        gapUs = 1800000000L)),
+    // q154: longest consecutive-day streak per user (gaps-and-islands);
+    // the fact collapses to distinct (user, day) before any window
+    "q154_activity_streaks" -> ((s, d) =>
+      Analytics.activityStreaks(Tables.events(s, d), "user_id", "ts")),
+    // q155: sweep-line peak concurrency over the 30-min sessions —
+    // the global prefix sum runs bucketed (driver-side base offsets),
+    // never as a single-partition ordered window
+    "q155_peak_concurrency" -> ((s, d) =>
+      Analytics.peakConcurrency(
+        Analytics.sessionize(Tables.events(s, d), "user_id", "ts",
+          gapUs = 1800000000L),
+        "session_start_us", "session_end_us")),
+    // q156: SCD Type-2 intervalization of the event stream — per-user
+    // change collapse + versioned validity ranges, one window sort
+    "q156_scd2_intervals" -> ((s, d) =>
+      Analytics.scd2Intervals(Tables.events(s, d), "user_id", "ts",
+        "value", "event_id")),
+    // q157: RFM segmentation — customer-sized rollup, then three exact
+    // global ntiles via range-repartition + driver prefix offsets
+    "q157_rfm_segments" -> ((s, d) =>
+      Analytics.rfmSegments(Tables.orders(s, d), "o_custkey",
+        "o_orderdate", "o_totalprice", k = 5)),
+    // q158: triangle census of the co-purchase graph — degree-ordered
+    // edge orientation bounds wedge work (hub-proof), support floor
+    // bounds the edge set
+    "q158_triangle_count" -> ((s, d) =>
+      Analytics.coPurchaseTriangles(Tables.lineitem(s, d), minSupport = 2L)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2651,6 +2683,108 @@ object SparkEntry {
         |  AND ((s.pc < r.pc AND s.p_size >= r.p_size)
         |    OR (s.pc = r.pc AND s.p_size > r.p_size)))
         |ORDER BY p_brand, p_retailprice, p_partkey""".stripMargin,
+    // q153: the same lag-flag + running-sum sessionization; window sums
+    // cast to BIGINT (DuckDB integer sums widen to HUGEINT)
+    "q153_sessionization" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT u, t, CASE WHEN lag(t) OVER
+        |      (PARTITION BY u ORDER BY t) IS NULL
+        |    OR t - lag(t) OVER (PARTITION BY u ORDER BY t) > 1800000000
+        |    THEN 1 ELSE 0 END AS nw FROM e),
+        |s AS (SELECT u, t, CAST(sum(nw) OVER (PARTITION BY u ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq FROM m)
+        |SELECT u AS user_id, seq AS session_seq,
+        |  min(t) AS session_start_us, max(t) AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  max(t) - min(t) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q154: gaps-and-islands via day - row_number; best streak by
+    // (len desc, start asc) — the engine's negated-start struct max
+    "q154_activity_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id AS u,
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+        |      % 86400000000)) // 86400000000 AS day FROM events),
+        |i AS (SELECT u, day, day - row_number() OVER
+        |    (PARTITION BY u ORDER BY day) AS isl FROM d),
+        |s AS (SELECT u, min(day) AS strt,
+        |    CAST(count(*) AS BIGINT) AS len FROM i GROUP BY u, isl),
+        |r AS (SELECT u, len, strt, row_number() OVER
+        |    (PARTITION BY u ORDER BY len DESC, strt) AS rn FROM s)
+        |SELECT u AS user_id, len AS streak_days, strt AS streak_start_day
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // q155: the oracle affords the single ordered cumulative sum the
+    // engine decomposes into bucketed prefix sums; end+1 closes the
+    // inclusive interval, per-instant delta collapse kills tie order
+    "q155_peak_concurrency" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT u, t, CASE WHEN lag(t) OVER
+        |      (PARTITION BY u ORDER BY t) IS NULL
+        |    OR t - lag(t) OVER (PARTITION BY u ORDER BY t) > 1800000000
+        |    THEN 1 ELSE 0 END AS nw FROM e),
+        |s AS (SELECT u, t, CAST(sum(nw) OVER (PARTITION BY u ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq FROM m),
+        |sess AS (SELECT u, seq, min(t) AS st, max(t) AS en
+        |  FROM s GROUP BY 1, 2),
+        |del AS (SELECT st AS t, 1 AS d FROM sess
+        |  UNION ALL SELECT en + 1, -1 FROM sess),
+        |g AS (SELECT t, CAST(sum(d) AS BIGINT) AS d FROM del GROUP BY 1),
+        |c AS (SELECT t, CAST(sum(d) OVER (ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM g)
+        |SELECT cum AS peak_concurrency, min(t) AS at_ts_us
+        |FROM c WHERE cum = (SELECT max(cum) FROM c)
+        |GROUP BY 1""".stripMargin,
+    // q156: change collapse via IS DISTINCT FROM lag (the engine's
+    // null-safe <=>); the first row per key is always a version (a bare
+    // lag compare would swallow a leading NULL value)
+    "q156_scd2_intervals" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+        |    event_id AS id, value AS v FROM events),
+        |c AS (SELECT u, t, id, v, (row_number() OVER
+        |      (PARTITION BY u ORDER BY t, id) = 1
+        |    OR v IS DISTINCT FROM lag(v) OVER
+        |      (PARTITION BY u ORDER BY t, id)) AS chg FROM e),
+        |f AS (SELECT u, t, id, v FROM c WHERE chg),
+        |w AS (SELECT u, v AS value, t AS valid_from_us,
+        |    lead(t) OVER (PARTITION BY u ORDER BY t, id) AS valid_to_us,
+        |    CAST(row_number() OVER (PARTITION BY u ORDER BY t, id)
+        |      AS BIGINT) AS version FROM f)
+        |SELECT u AS user_id, value, valid_from_us, valid_to_us, version
+        |FROM w ORDER BY user_id, version""".stripMargin,
+    // q157: native ntile(5) over the identical (metric, custkey) total
+    // orders — pins the engine's rank-derived NTILE formula exactly
+    "q157_rfm_segments" ->
+      """WITH pc AS (SELECT o_custkey AS c,
+        |    max((epoch_us(o_orderdate) - ((epoch_us(o_orderdate)
+        |      % 86400000000 + 86400000000) % 86400000000))
+        |      // 86400000000) AS last_order_day,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT c, last_order_day, frequency, monetary_cents,
+        |    ntile(5) OVER (ORDER BY last_order_day, c) AS r,
+        |    ntile(5) OVER (ORDER BY frequency, c) AS f,
+        |    ntile(5) OVER (ORDER BY monetary_cents, c) AS m FROM pc)
+        |SELECT c AS o_custkey, last_order_day, frequency, monetary_cents,
+        |  CAST(r AS INTEGER) AS r_score, CAST(f AS INTEGER) AS f_score,
+        |  CAST(m AS INTEGER) AS m_score,
+        |  CAST(r * 100 + f * 10 + m AS INTEGER) AS rfm
+        |FROM sc ORDER BY 1""".stripMargin,
+    // q158: triangles in plain a<b<c form (orientation-invariant count
+    // — the engine's degree-ordered census totals the same set)
+    "q158_triangle_count" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT a.p AS x, c.p AS y FROM b a
+        |  JOIN b c ON a.o = c.o AND a.p < c.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |v AS (SELECT CAST(count(DISTINCT q) AS BIGINT) AS n_nodes
+        |  FROM (SELECT x AS q FROM e UNION ALL SELECT y FROM e)),
+        |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.x = e1.y
+        |  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+        |SELECT n_nodes, n_edges, n_triangles FROM v, ec, t""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

@@ -1278,4 +1278,309 @@ object Analytics {
         col("p_retailprice"), col("p_size"))
       .orderBy("p_brand", "p_retailprice", "p_partkey")
   }
+
+  /** Gap-based sessionization: consecutive events of a user belong to
+    * one session while each gap is `<= gapUs` micros; a STRICTLY larger
+    * gap opens a new session. Output is one row per session —
+    * `(user, session_seq, session_start_us, session_end_us, n_events,
+    * duration_us)` with `session_seq` 1-based per user in time order.
+    *
+    * Tie safety: events at the SAME instant always share a session
+    * (their gap is 0) and every tied row receives the same cumulative
+    * session number whichever way a window orders them, so the result
+    * is deterministic without an id tiebreak. Scale shape: ONE shuffle
+    * by user; the lag flag and the running session number share the
+    * same (user, time) window sort, and the per-session rollup groups
+    * on a superset of the window key — no further exchange. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy("__t")
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events.select(col(userCol).as("__u"), tsMicros(events, tsCol).as("__t"))
+      .withColumn("__new",
+        when(lag(col("__t"), 1).over(w).isNull ||
+          col("__t") - lag(col("__t"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__s", sum(col("__new")).over(cum))
+      .groupBy(col("__u"), col("__s"))
+      .agg(min(col("__t")).as("session_start_us"),
+        max(col("__t")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("__u").as(userCol), col("__s").as("session_seq"),
+        col("session_start_us"), col("session_end_us"), col("n_events"),
+        (col("session_end_us") - col("session_start_us")).as("duration_us"))
+      .orderBy(userCol, "session_seq")
+  }
+
+  /** Longest consecutive-day activity streak per user (gaps-and-islands):
+    * distinct active days, islands by the day-minus-row-number identity,
+    * then each user's best island — longest, earliest start on ties.
+    * Day arithmetic is INTEGRAL floor division of epoch micros (the
+    * [[retentionCohorts]] idiom, pre-1970-safe).
+    *
+    * Scale shape: the event log collapses to distinct (user, day)
+    * FIRST (hash agg with partials — the fact never reaches a window);
+    * the island id and per-user best are one window + two hash aggs,
+    * all partitioned by user. The negated-start struct max picks the
+    * tie-broken best inside a plain `max` accumulator — no second
+    * window, no sort. */
+  def activityStreaks(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy("__day")
+    events.select(col(userCol).as("__u"),
+        tsMicros(events, tsCol).as("__tus"))
+      .select(col("__u"),
+        expr("(__tus - pmod(__tus, 86400000000)) div 86400000000")
+          .as("__day"))
+      .distinct()
+      .withColumn("__isl", col("__day") - row_number().over(w))
+      .groupBy(col("__u"), col("__isl"))
+      .agg(count(lit(1)).as("__len"), min(col("__day")).as("__start"))
+      .groupBy(col("__u"))
+      .agg(max(struct(col("__len"), (-col("__start")).as("__negstart")))
+        .as("__best"))
+      .select(col("__u").as(userCol),
+        col("__best.__len").as("streak_days"),
+        (-col("__best.__negstart")).as("streak_start_day"))
+      .orderBy(userCol)
+  }
+
+  /** Peak concurrency over a set of closed intervals `[start, end]`
+    * (micros, end inclusive): the sweep-line maximum — how many
+    * intervals overlap at the busiest instant, and the earliest such
+    * instant. Classic ops question ("peak concurrent sessions") asked
+    * at warehouse scale.
+    *
+    * Scale shape: the global ordered prefix sum — the textbook
+    * single-partition window trap — decomposes exactly like
+    * [[graft.text.TextAnalysis.systematicResample]]: ±1 deltas collapse
+    * per distinct instant (tie-order vanishes BEFORE any ordering),
+    * instants land in fixed-span time-range buckets (order-preserving),
+    * per-bucket totals come back to the driver (`buckets` rows,
+    * bounded), the driver prefix-sums them into per-bucket bases, and
+    * each bucket runs its internal cumulative sum in parallel under
+    * `partitionBy(bucket)`. The peak probe is a 1-row broadcast join.
+    * Nothing ever sorts globally; the sweep table is deltas-sized
+    * (2 rows per interval pre-collapse), never corpus-sized. */
+  def peakConcurrency(intervals: DataFrame, startCol: String,
+      endCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val deltas = intervals
+      .select(col(startCol).cast("long").as("__t"), lit(1L).as("__d"))
+      .unionByName(intervals.select((col(endCol).cast("long") + 1)
+        .as("__t"), lit(-1L).as("__d")))
+      .groupBy("__t").agg(sum(col("__d")).as("__d"))
+      .localCheckpoint() // read twice: bucket totals + the bucketed sweep
+    val range = deltas.agg(min("__t"), max("__t")).collect()(0)
+    if (range.isNullAt(0))
+      return deltas.select(col("__d").as("peak_concurrency"),
+        col("__t").as("at_ts_us")).limit(0)
+    val (minT, maxT) = (range.getLong(0), range.getLong(1))
+    val span = ((BigInt(maxT) - BigInt(minT) + buckets) / buckets)
+      .max(BigInt(1)).toLong
+    val bucketed = deltas.withColumn("__bkt",
+      ((col("__t") - lit(minT)) / lit(span)).cast("int"))
+    val totals = bucketed.groupBy("__bkt").agg(sum("__d").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.map(_._1)
+      .zip(totals.scanLeft(0L)((acc, bt) => acc + bt._2).init)
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    val baseDf = bases.toSeq.toDF("__bkt", "__base")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bkt").orderBy("__t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = bucketed
+      .withColumn("__in", sum(col("__d")).over(win))
+      .join(broadcast(baseDf), "__bkt")
+      .select(col("__t"), (col("__base") + col("__in")).as("__cum"))
+      .localCheckpoint() // read twice: max probe + argmin join
+    cum.crossJoin(broadcast(cum.agg(max(col("__cum")).as("__peak"))))
+      .filter(col("__cum") === col("__peak"))
+      .groupBy(col("__peak").as("peak_concurrency"))
+      .agg(min(col("__t")).as("at_ts_us"))
+  }
+
+  /** SCD Type-2 intervalization of a change stream: per key, collapse
+    * consecutive equal values and emit versioned validity intervals —
+    * `(key, value, valid_from_us, valid_to_us, version)`, `valid_to_us`
+    * NULL on the current version (half-open `[from, to)` semantics).
+    * The CDC-warehouse bridge: an event log becomes the dimension
+    * history a warehouse joins `BETWEEN valid_from AND valid_to`.
+    *
+    * Determinism: rows order by `(ts, idCol)` — the unique id breaks
+    * timestamp ties, value comparison is null-safe (`<=>`). Scale
+    * shape: one shuffle by key; the change filter, the lead, and the
+    * version number all share one (key, ts, id) window sort. */
+  def scd2Intervals(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy("__t", "__id")
+    val base = events.select(col(keyCol).as("__k"),
+      tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"),
+      col(valueCol).as("__v"))
+    base
+      // the first row per key is ALWAYS a version — a bare null-safe
+      // lag compare would swallow a leading NULL value (null <=> null)
+      .withColumn("__chg", row_number().over(w) === 1 ||
+        !(col("__v") <=> lag(col("__v"), 1).over(w)))
+      .filter(col("__chg"))
+      .withColumn("valid_to_us", lead(col("__t"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("__k").as(keyCol), col("__v").as(valueCol),
+        col("__t").as("valid_from_us"), col("valid_to_us"),
+        col("version").cast("long").as("version"))
+      .orderBy(keyCol, "version")
+  }
+
+  /** Total-order global rank WITHOUT a single-partition window: range
+    * repartition by the sort key (Spark's distributed sort layout),
+    * per-partition row numbers under a partition-id window, and
+    * driver-side prefix offsets over the per-partition counts (bounded:
+    * one row per partition — the [[peakConcurrency]] base-offset
+    * discipline). The sort key must be a TOTAL order (add a unique id
+    * tiebreak) or ranks at boundary duplicates would depend on sampled
+    * range boundaries. Returns the frame plus `rankCol` (1-based) and
+    * the total row count. */
+  private[analytics] def withGlobalRank(df: DataFrame,
+      sortCols: Seq[Column], rankCol: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // read twice: partition counts + the rank pass
+    val counts = ranged.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offs = counts.map(_._1)
+      .zip(counts.scanLeft(0L)((a, c) => a + c._2).init)
+    val offDf = offs.toSeq.toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(sortCols: _*)
+    val out = ranged
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(offDf), "__pid")
+      .withColumn(rankCol, col("__off") + col("__rn"))
+      .drop("__pid", "__off", "__rn")
+    (out, n)
+  }
+
+  /** SQL-standard NTILE bucket from a 1-based rank over `n` rows:
+    * the first `n % k` buckets carry `n/k + 1` rows, the rest `n/k` —
+    * exactly the NTILE distribution, so scores hash-match an engine's
+    * native `ntile(k)` under the same total order. */
+  private def ntileFromRank(rank: Column, n: Long, k: Int): Column = {
+    val base = n / k
+    val rem = n % k
+    val cut = (base + 1) * rem
+    // exact floor division on positive longs (the [[associationRules]]
+    // idiom) — a bare `/` would go through doubles
+    def fdiv(num: Column, den: Long): Column =
+      ((num - pmod(num, lit(den))) / lit(den)).cast("long")
+    when(rank <= cut, fdiv(rank - 1, base + 1) + 1)
+      .otherwise(lit(rem) + fdiv(rank - lit(cut) - 1, math.max(base, 1L)) + 1)
+      .cast("int")
+  }
+
+  /** RFM segmentation — the classic customer scoring: per customer
+    * Recency (last order day), Frequency (order count), Monetary
+    * (exact cents), each scored `ntile(k)` ascending (higher = more
+    * recent / more often / more spend), plus the composite `rfm`
+    * (`r·100 + f·10 + m` for k ≤ 9). Ties break on the customer key,
+    * so every ntile runs over a TOTAL order and the scores are
+    * engine-independent.
+    *
+    * Scale shape: the fact collapses to one row per customer FIRST
+    * (hash agg with partials); the three global ntile ranks then run
+    * over that customer-sized table via [[withGlobalRank]] — range
+    * repartition + per-partition windows + driver prefix offsets —
+    * never a single-partition ORDER-BY-everything window. */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+      priceCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 9, s"k must be in [1, 9] for the composite, got $k")
+    val perCust = orders.groupBy(col(custCol).as("__c"))
+      .agg(max(expr(
+        s"(unix_micros(cast($dateCol as timestamp)) - " +
+          s"pmod(unix_micros(cast($dateCol as timestamp)), 86400000000)) " +
+          "div 86400000000")).as("last_order_day"),
+        count(lit(1)).as("frequency"),
+        sum((col(priceCol).cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("monetary_cents"))
+    val (r1, n) = withGlobalRank(perCust,
+      Seq(col("last_order_day"), col("__c")), "__rr")
+    val (r2, _) = withGlobalRank(r1,
+      Seq(col("frequency"), col("__c")), "__rf")
+    val (r3, _) = withGlobalRank(r2,
+      Seq(col("monetary_cents"), col("__c")), "__rm")
+    r3.select(col("__c").as(custCol), col("last_order_day"),
+        col("frequency"), col("monetary_cents"),
+        ntileFromRank(col("__rr"), n, k).as("r_score"),
+        ntileFromRank(col("__rf"), n, k).as("f_score"),
+        ntileFromRank(col("__rm"), n, k).as("m_score"))
+      .withColumn("rfm", (col("r_score") * 100 + col("f_score") * 10 +
+        col("m_score")).cast("int"))
+      .orderBy(custCol)
+  }
+
+  /** Triangle census of the co-purchase graph: nodes are parts, edges
+    * are part pairs sharing at least `minSupport` orders, and the
+    * count is of closed triangles — the clustering signal behind
+    * "bought together" bundles. Output: one row
+    * `(n_nodes, n_edges, n_triangles)`.
+    *
+    * Scale shape: the MapReduce triangle-counting discipline (Suri &
+    * Vassilvitskii 2011): edges ORIENT from the lower-(degree, id)
+    * endpoint to the higher, so every wedge is generated at its
+    * lowest-degree vertex — per-vertex wedge work bounds by the
+    * oriented out-degree (O(√m) on any graph, hub-proof where a
+    * natural-direction self-join is quadratic in the hub degree). The
+    * support floor bounds the edge set itself (the [[associationRules]]
+    * Apriori argument). Wedges close against the oriented edge set by
+    * one equi-join; the total is orientation-invariant, so the oracle
+    * counts the same triangles off the plain `a<b<c` form. Edge and
+    * degree tables are consumed repeatedly → materialized once. */
+  def coPurchaseTriangles(lineitem: DataFrame,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val baskets = lineitem.select(col("l_orderkey").as("__o"),
+        col("l_partkey").as("__p")).distinct()
+      .localCheckpoint() // the pair self-join reads it twice
+    val edges = baskets.alias("a").join(baskets.alias("b"), Seq("__o"))
+      .filter(col("a.__p") < col("b.__p"))
+      .groupBy(col("a.__p").as("__x"), col("b.__p").as("__y"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minSupport)
+      .select("__x", "__y")
+      .localCheckpoint() // degrees + orientation + wedge closure
+    val deg = edges.select(col("__x").as("__v"))
+      .unionByName(edges.select(col("__y").as("__v")))
+      .groupBy("__v").agg(count(lit(1)).as("__deg"))
+    // orient by (degree, id): src is the smaller endpoint in that order
+    def ord(d: Column, v: Column) = struct(d.as("d"), v.as("v"))
+    val xOrd = ord(col("__dx"), col("__x"))
+    val yOrd = ord(col("__dy"), col("__y"))
+    val oriented = edges
+      .join(deg.select(col("__v").as("__x"), col("__deg").as("__dx")), "__x")
+      .join(deg.select(col("__v").as("__y"), col("__deg").as("__dy")), "__y")
+      .select(
+        when(xOrd < yOrd, col("__x")).otherwise(col("__y")).as("__s"),
+        when(xOrd < yOrd, col("__y")).otherwise(col("__x")).as("__d"),
+        when(xOrd < yOrd, yOrd).otherwise(xOrd).as("__dord"))
+      .localCheckpoint() // wedge self-join + closure probe
+    val wedges = oriented.alias("e1").join(oriented.alias("e2"), Seq("__s"))
+      .filter(col("e1.__dord") < col("e2.__dord"))
+      .select(col("e1.__d").as("__ws"), col("e2.__d").as("__wd"))
+    val triangles = wedges.join(oriented
+        .select(col("__s").as("__ws"), col("__d").as("__wd")),
+      Seq("__ws", "__wd"), "left_semi")
+    triangles.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
 }

@@ -709,6 +709,67 @@ class PlanSpec extends SparkSpec {
       s"the prefix max must window over the tiny table by brand:\n$p")
   }
 
+  test("q153/q156: one user-keyed exchange, all windows share its sort") {
+    val p153 = plan("q153_sessionization")
+    assert("Exchange hashpartitioning".r.findAllIn(p153).size == 1,
+      s"sessionize must shuffle by user exactly once:\n$p153")
+    assert(p153.contains("windowspecdefinition(__u"),
+      s"windows must partition by user, never globally:\n$p153")
+    assert(p153.contains("partial_min"),
+      s"the session rollup must partial-aggregate map-side:\n$p153")
+    val p156 = plan("q156_scd2_intervals")
+    assert("Exchange hashpartitioning".r.findAllIn(p156).size == 1,
+      s"scd2 must shuffle by key exactly once:\n$p156")
+    assert(p156.contains("windowspecdefinition(__k"),
+      s"windows must partition by key:\n$p156")
+  }
+
+  test("q154 streaks: fact collapses to distinct (user, day) before any window") {
+    val p = plan("q154_activity_streaks")
+    assert("windowspecdefinition".r.findAllIn(p).size >= 1 &&
+      !("windowspecdefinition\\(__day".r.findFirstIn(p).isDefined),
+      s"the only window partitions by user:\n$p")
+    assert("hashpartitioning\\(__u#\\d+L, __day".r.findFirstIn(p).isDefined,
+      s"distinct (user, day) must aggregate before the window:\n$p")
+    assert(p.contains("windowspecdefinition(__u"),
+      s"island window must partition by user:\n$p")
+  }
+
+  test("q155 peak concurrency: bucketed sweep materialized, probe is broadcast") {
+    val p = plan("q155_peak_concurrency")
+    // the prefix sum ran bucketed at build time — the final plan reads
+    // the checkpointed (t, cum) table, never a corpus-sized sort
+    assert(p.contains("ExistingRDD") && !p.contains("events.parquet"),
+      s"the sweep table must be the materialized bucketed cumsum:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1-row peak probe must broadcast:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no ordered window may survive into the final plan:\n$p")
+  }
+
+  test("q157 RFM: every rank window partitions by range-partition id") {
+    val p = plan("q157_rfm_segments")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"rank windows must run under the partition-id window:\n$p")
+    assert(!"windowspecdefinition\\((last_order_day|frequency|monetary_cents)"
+      .r.findFirstIn(p).isDefined,
+      s"no global ORDER-BY-everything window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"driver prefix offsets must broadcast:\n$p")
+  }
+
+  test("q158 triangles: equi-join wedges, no cartesian, fact never re-scanned") {
+    val p = plan("q158_triangle_count")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge generation must be the oriented equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"wedges join on the shared source vertex:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"triangle closure is a semi-join against the edge set:\n$p")
+    assert(p.contains("ExistingRDD") && !p.contains("lineitem.parquet"),
+      s"edges/degrees materialize once; the fact is never re-scanned:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

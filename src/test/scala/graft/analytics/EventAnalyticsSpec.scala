@@ -451,6 +451,132 @@ class EventAnalyticsSpec extends SparkSpec {
       ("ALL", "ALL", 2L, 3L, 60.0)))
   }
 
+  test("sessionize: gap boundary inclusive, ties share a session, per-user seq") {
+    // gap = 100 µs: a gap of EXACTLY 100 stays in-session, 101 opens one
+    val events = Seq((1L, 0L), (1L, 50L), (1L, 150L), (1L, 251L),
+      (2L, 5L), (3L, 7L), (3L, 7L))
+      .toDF("user_id", "ts")
+    val got = Analytics.sessionize(events, "user_id", "ts", gapUs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L, 150L, 3L, 150L), (1L, 2L, 251L, 251L, 1L, 0L),
+      (2L, 1L, 5L, 5L, 1L, 0L), (3L, 1L, 7L, 7L, 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Analytics.sessionize(events, "user_id", "ts", gapUs = 0L)
+    }
+  }
+
+  test("activityStreaks: islands, tie→earliest, pre-1970 days floor") {
+    val day = 86400000000L
+    val events = Seq(
+      // u1: days 0,1,2 then 5,6 → best 3 from day 0 (dup events collapse)
+      (1L, 0L), (1L, day + 3L), (1L, day + 9L), (1L, 2 * day), (1L, 5 * day),
+      (1L, 6 * day),
+      // u2: two length-2 streaks → tie broken to the EARLIER start
+      (2L, 3 * day), (2L, 4 * day), (2L, 7 * day), (2L, 8 * day),
+      // u3: ts=-1 is day -1 (floor, not truncation) → streak {-1, 0}
+      (3L, -1L), (3L, 1L))
+      .toDF("user_id", "ts")
+    val got = Analytics.activityStreaks(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 0L), (2L, 2L, 3L), (3L, 2L, -1L)))
+  }
+
+  test("peakConcurrency: inclusive ends overlap, adjacent intervals don't") {
+    val iv = Seq((0L, 10L), (5L, 20L), (10L, 12L), (30L, 40L))
+      .toDF("s", "e")
+    val got = Analytics.peakConcurrency(iv, "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((3L, 10L))) // all three overlap at t=10 exactly
+    // end 9 and start 10 are adjacent closed intervals — never concurrent
+    val adj = Seq((0L, 9L), (10L, 20L)).toDF("s", "e")
+    val got2 = Analytics.peakConcurrency(adj, "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((1L, 0L)))
+    assert(Analytics.peakConcurrency(iv.limit(0), "s", "e").count() == 0L)
+  }
+
+  test("scd2Intervals: equal-value collapse, null-safe, id tiebreak, open tail") {
+    val events = Seq(
+      (1L, 1L, 0L, Some(1.0)), (1L, 2L, 10L, Some(1.0)), // collapse
+      (1L, 3L, 20L, Some(2.0)), (1L, 4L, 30L, Some(2.0)),
+      (1L, 5L, 40L, Some(1.0)), // back to 1.0 — a NEW version
+      (2L, 6L, 0L, None), (2L, 7L, 10L, None), // null == null collapses
+      (2L, 8L, 20L, Some(5.0)),
+      // u3: same ts, id order decides: id 9 (3.0) then id 10 (4.0)
+      (3L, 9L, 0L, Some(3.0)), (3L, 10L, 0L, Some(4.0)))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = Analytics.scd2Intervals(events, "user_id", "ts", "value",
+        "event_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        r.getLong(2), if (r.isNullAt(3)) null else r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 1.0, 0L, 20L, 1L), (1L, 2.0, 20L, 40L, 2L),
+      (1L, 1.0, 40L, null, 3L),
+      (2L, null, 0L, 20L, 1L), (2L, 5.0, 20L, null, 2L),
+      (3L, 3.0, 0L, 0L, 1L), (3L, 4.0, 0L, null, 2L)))
+  }
+
+  test("rfmSegments: scores equal Spark's native ntile over the same order") {
+    // 37 customers (non-divisible by 5 → the remainder buckets matter)
+    val orders = (1 to 111).map { i =>
+      val c = (i % 37) + 1L
+      (c, s"2024-0${i % 9 + 1}-1${i % 3}", 100.0 + (i * 7 % 53))
+    }.toDF("o_custkey", "__d", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("__d")))
+    val got = Analytics.rfmSegments(orders, "o_custkey", "o_orderdate",
+        "o_totalprice", k = 5)
+      .collect().map(r => (r.getLong(0), (r.getInt(4), r.getInt(5),
+        r.getInt(6), r.getInt(7)))).toMap
+    // independent model: Spark's own ntile windows over the rollup
+    val w1 = org.apache.spark.sql.expressions.Window
+      .orderBy("last_order_day", "__c")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .orderBy("frequency", "__c")
+    val w3 = org.apache.spark.sql.expressions.Window
+      .orderBy("monetary_cents", "__c")
+    val want = orders.groupBy(col("o_custkey").as("__c"))
+      .agg(max(expr("(unix_micros(cast(o_orderdate as timestamp)) - " +
+        "pmod(unix_micros(cast(o_orderdate as timestamp)), 86400000000)) " +
+        "div 86400000000")).as("last_order_day"),
+        count(lit(1)).as("frequency"),
+        sum((col("o_totalprice").cast(org.apache.spark.sql.types
+          .DecimalType(18, 2)) * 100).cast("long")).as("monetary_cents"))
+      .withColumn("r", ntile(5).over(w1))
+      .withColumn("f", ntile(5).over(w2))
+      .withColumn("m", ntile(5).over(w3))
+      .collect().map(r => (r.getLong(0), (r.getInt(4), r.getInt(5),
+        r.getInt(6), r.getInt(4) * 100 + r.getInt(5) * 10 + r.getInt(6))))
+      .toMap
+    assert(got == want)
+  }
+
+  test("coPurchaseTriangles: support floor, census counts, hub without triangles") {
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L),
+      (4L, 2L), (4L, 3L),
+      (5L, 1L), (5L, 3L),
+      (6L, 3L), (6L, 4L), (7L, 3L), (7L, 4L), // edge 3-4, no closure
+      (8L, 4L), (8L, 5L)) // support 1 → below the floor
+      .toDF("l_orderkey", "l_partkey")
+    val got = Analytics.coPurchaseTriangles(li, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((4L, 4L, 1L))) // nodes {1,2,3,4}, edges {12,13,23,34}
+    // star: hub 1 connected to 2,3,4 with no rim edges → zero triangles
+    val star = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 1L), (4L, 3L),
+      (5L, 1L), (5L, 4L), (6L, 1L), (6L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val got2 = Analytics.coPurchaseTriangles(star, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got2 == Seq((4L, 3L, 0L)))
+  }
+
   test("brandSkyline: dominance within brand, equal points co-survive") {
     val part = Seq(
       // brand X: 3 and 5 tie on (price 5, size 5) — both kept; they
