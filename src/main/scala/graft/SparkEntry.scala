@@ -969,6 +969,32 @@ object SparkEntry {
     // bounds the edge set
     "q158_triangle_count" -> ((s, d) =>
       Analytics.coPurchaseTriangles(Tables.lineitem(s, d), minSupport = 2L)),
+    // q159: Pareto/ABC revenue classes — rank + running share over the
+    // part rollup via range-repartition + driver prefix offsets
+    "q159_pareto_classes" -> ((s, d) =>
+      Analytics.paretoClasses(Tables.lineitem(s, d))),
+    // q160: DAU/WAU — rolling exact distinct via the constant-factor
+    // cover-day explode, never a day×user join
+    "q160_rolling_active_users" -> ((s, d) =>
+      Analytics.rollingActiveUsers(Tables.events(s, d), "user_id", "ts",
+        windowDays = 7)),
+    // q161: month-over-month growth in signed floor-div ppm over the
+    // bounded month series
+    "q161_monthly_growth" -> ((s, d) =>
+      Analytics.monthlyGrowth(Tables.orders(s, d))),
+    // q162: per-segment modal priority — counts first, argmax as a
+    // plain max over an order-reversing proxy struct, no window
+    "q162_modal_priority" -> ((s, d) =>
+      Analytics.modalPriority(Tables.orders(s, d), Tables.customer(s, d))),
+    // q163: segment×priority chi-square — exact integers to the last
+    // two IEEE ops, decimal-summed total
+    "q163_chi_square" -> ((s, d) =>
+      Analytics.chiSquareIndependence(Tables.orders(s, d),
+        Tables.customer(s, d))),
+    // q164: join-key skew profile on the supplier key — the salting
+    // pre-flight report
+    "q164_key_skew" -> ((s, d) =>
+      Analytics.keySkewProfile(Tables.lineitem(s, d), "l_suppkey", k = 20)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2785,6 +2811,112 @@ object SparkEntry {
         |  FROM e e1 JOIN e e2 ON e2.x = e1.y
         |  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
         |SELECT n_nodes, n_edges, n_triangles FROM v, ec, t""".stripMargin,
+    // q159: rank + running share stated as the single ordered window
+    // the engine decomposes; class cut in HUGEINT cross-multiplication
+    "q159_pareto_classes" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_fp
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(revenue_fp) AS BIGINT) AS tot FROM pp),
+        |r AS (SELECT l_partkey, revenue_fp,
+        |    CAST(row_number() OVER (ORDER BY revenue_fp DESC, l_partkey)
+        |      AS BIGINT) AS revenue_rank,
+        |    CAST(sum(revenue_fp) OVER (ORDER BY revenue_fp DESC,
+        |      l_partkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_fp
+        |  FROM pp)
+        |SELECT l_partkey, revenue_fp, revenue_rank, cum_fp,
+        |  CASE WHEN CAST(cum_fp AS HUGEINT) * 100 <=
+        |      CAST(tot AS HUGEINT) * 80 THEN 'A'
+        |    WHEN CAST(cum_fp AS HUGEINT) * 100 <=
+        |      CAST(tot AS HUGEINT) * 95 THEN 'B'
+        |    ELSE 'C' END AS abc_class
+        |FROM r, t ORDER BY revenue_rank""".stripMargin,
+    // q160: the cover-day explode via generate_series; distinct kills
+    // multi-activity inside a window before counting
+    "q160_rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+        |      % 86400000000)) // 86400000000 AS d FROM events),
+        |rg AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        |cov AS (SELECT DISTINCT u, d + off AS cd FROM ud
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off)),
+        |wau AS (SELECT cd, CAST(count(*) AS BIGINT) AS wau
+        |  FROM cov GROUP BY 1)
+        |SELECT d AS day, dau, wau
+        |FROM dau JOIN wau ON d = cd CROSS JOIN rg
+        |WHERE d >= lo AND d <= hi ORDER BY 1""".stripMargin,
+    // q161: signed ppm via the subtract-nonnegative-remainder floor
+    // idiom — exact whatever //'s negative semantics are
+    "q161_monthly_growth" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT month, revenue_cents,
+        |    lag(revenue_cents) OVER (ORDER BY month) AS prev_cents FROM m)
+        |SELECT month, revenue_cents, prev_cents,
+        |  CAST(((CAST(revenue_cents - prev_cents AS HUGEINT) * 1000000)
+        |    - ((CAST(revenue_cents - prev_cents AS HUGEINT) * 1000000)
+        |        % prev_cents + prev_cents) % prev_cents)
+        |    // prev_cents AS BIGINT) AS growth_ppm
+        |FROM g ORDER BY month""".stripMargin,
+    // q162: per-segment mode with the (count desc, priority asc) tie
+    // rule stated as a window rank
+    "q162_modal_priority" ->
+      """WITH c AS (SELECT c_mktsegment, o_orderpriority, count(*) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT c_mktsegment, o_orderpriority, n, row_number()
+        |    OVER (PARTITION BY c_mktsegment
+        |      ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+        |SELECT c_mktsegment, o_orderpriority AS top_priority,
+        |  CAST(n AS BIGINT) AS n_orders
+        |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+    // q163: HUGEINT-exact d and denominator, one double square +
+    // divide per cell (IEEE-identical to the engine), decimal total
+    "q163_chi_square" ->
+      """WITH obs AS (SELECT c_mktsegment AS segment,
+        |    o_orderpriority AS priority,
+        |    CAST(count(*) AS BIGINT) AS observed
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT segment, CAST(sum(observed) AS BIGINT) AS rtv
+        |  FROM obs GROUP BY 1),
+        |ct AS (SELECT priority, CAST(sum(observed) AS BIGINT) AS ctv
+        |  FROM obs GROUP BY 1),
+        |tt AS (SELECT CAST(sum(observed) AS BIGINT) AS nn FROM obs),
+        |cells AS (SELECT segment, priority, observed,
+        |    CAST((CAST(rtv AS HUGEINT) * ctv * 1000000) // nn
+        |      AS BIGINT) AS expected_ppm,
+        |    CAST(CAST(observed AS HUGEINT) * nn
+        |      - CAST(rtv AS HUGEINT) * ctv AS DOUBLE) AS dd,
+        |    CAST(CAST(nn AS HUGEINT) * rtv * ctv AS DOUBLE) AS den
+        |  FROM obs JOIN rt USING (segment) JOIN ct USING (priority)
+        |  CROSS JOIN tt),
+        |c2 AS (SELECT segment, priority, observed, expected_ppm,
+        |    dd * dd / den AS chi_term FROM cells)
+        |SELECT segment, priority, observed, expected_ppm, chi_term
+        |FROM c2
+        |UNION ALL
+        |SELECT 'TOTAL', 'TOTAL', NULL, NULL,
+        |  CAST(sum(CAST(chi_term AS DECIMAL(18,6))) AS DOUBLE) FROM c2
+        |ORDER BY segment, priority""".stripMargin,
+    // q164: per-key counts + two broadcast marginals, HUGEINT ppm
+    "q164_key_skew" ->
+      """WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS rows_,
+        |    CAST(count(*) AS BIGINT) AS keys_ FROM c)
+        |SELECT l_suppkey, cnt,
+        |  CAST((CAST(cnt AS HUGEINT) * 1000000) // rows_
+        |    AS BIGINT) AS share_ppm,
+        |  CAST((CAST(cnt AS HUGEINT) * keys_ * 1000000) // rows_
+        |    AS BIGINT) AS skew_vs_mean_ppm
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, l_suppkey LIMIT 20""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

@@ -1470,6 +1470,264 @@ object Analytics {
     (out, n)
   }
 
+  /** [[withGlobalRank]] plus a running (prefix-inclusive) sum of
+    * `valueCol` over the same total order, same decomposition: range
+    * repartition, per-partition (count, sum) to the driver, broadcast
+    * base offsets, per-partition windows. Returns the frame with
+    * `rankCol` and `cumCol` plus `(n, total)`. */
+  private[analytics] def withGlobalRankAndPrefix(df: DataFrame,
+      sortCols: Seq[Column], valueCol: String, rankCol: String,
+      cumCol: String): (DataFrame, Long, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // read twice: partition totals + the rank pass
+    val parts = ranged.groupBy("__pid")
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n = parts.map(_._2).sum
+    val total = parts.map(_._3).sum
+    val offs = parts.map(_._1)
+      .zip(parts.scanLeft((0L, 0L)) { case ((cn, cs), p) =>
+        (cn + p._2, cs + p._3)
+      }.init)
+      .map { case (pid, (cn, cs)) => (pid, cn, cs) }
+    val offDf = offs.toSeq.toDF("__pid", "__offn", "__offs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(sortCols: _*)
+    val cumW = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val out = ranged
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cs", sum(col(valueCol)).over(cumW))
+      .join(broadcast(offDf), "__pid")
+      .withColumn(rankCol, col("__offn") + col("__rn"))
+      .withColumn(cumCol, col("__offs") + col("__cs"))
+      .drop("__pid", "__offn", "__offs", "__rn", "__cs")
+    (out, n, total)
+  }
+
+  /** Pareto / ABC classification of parts by revenue: rank every part
+    * by exact-cents revenue descending, accumulate the running share,
+    * and classify — 'A' while the cumulative share (inclusive) is
+    * within `aPct`%, 'B' within `bPct`%, else 'C'. The warehouse
+    * 80/15/5 inventory report, decided entirely in integer
+    * cross-multiplication (`cum·100 <= total·pct` — no percentage
+    * division anywhere).
+    *
+    * Scale shape: the fact collapses to per-part cents FIRST; rank and
+    * running sum over the part-sized table run via
+    * [[withGlobalRankAndPrefix]] — range repartition + per-partition
+    * windows + driver base offsets, never a single-partition ordered
+    * window. Ties rank by part id, so the classification is a total
+    * order and engine-independent. Revenue carries in exact integer
+    * MICRO-dollars (the 6dp product is exact at 6dp — no rounding step
+    * anywhere; the long cum saturates around 9·10¹² corpus dollars,
+    * switch the fixed point to cents beyond that). */
+  def paretoClasses(lineitem: DataFrame, aPct: Int = 80,
+      bPct: Int = 95): DataFrame = {
+    require(aPct >= 1 && aPct < bPct && bPct < 100,
+      s"need 1 <= aPct < bPct < 100, got $aPct, $bPct")
+    val perPart = lineitem.groupBy(col("l_partkey"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 6))) * 1000000)
+        .cast("long").as("revenue_fp"))
+    val (ranked, _, total) = withGlobalRankAndPrefix(perPart,
+      Seq(col("revenue_fp").desc, col("l_partkey")),
+      "revenue_fp", "revenue_rank", "cum_fp")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    ranked.withColumn("abc_class",
+        when(dec(col("cum_fp")) * 100 <= dec(lit(total)) * aPct, "A")
+          .otherwise(
+            when(dec(col("cum_fp")) * 100 <= dec(lit(total)) * bPct, "B")
+              .otherwise("C")))
+      .select(col("l_partkey"), col("revenue_fp"), col("revenue_rank"),
+        col("cum_fp"), col("abc_class"))
+      .orderBy("revenue_rank")
+  }
+
+  /** Daily + rolling-window active users (DAU/WAU): for every observed
+    * day, the distinct users active that day and within the trailing
+    * `windowDays` window. Exact — and rolling DISTINCT does not
+    * decompose into partial aggregates, so the classic trick: each
+    * (user, active-day) covers the `windowDays` days it contributes to
+    * (a CONSTANT-factor explode, never a day×user join), then one
+    * distinct + count per covered day. Days outside the observed range
+    * are clipped so the report has no phantom tail.
+    *
+    * Scale shape: the event log collapses to distinct (user, day)
+    * first; the explode multiplies that by `windowDays` (bounded,
+    * chosen by the caller); both counts are hash aggs with partials. */
+  def rollingActiveUsers(events: DataFrame, userCol: String,
+      tsCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val userDays = events.select(col(userCol).as("__u"),
+        tsMicros(events, tsCol).as("__tus"))
+      .select(col("__u"),
+        expr("(__tus - pmod(__tus, 86400000000)) div 86400000000")
+          .as("__day"))
+      .distinct()
+      .localCheckpoint() // read 3×: range, DAU, cover explode
+    val range = userDays.agg(min("__day").as("__lo"), max("__day").as("__hi"))
+    val dau = userDays.groupBy(col("__day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("__u"), explode(sequence(col("__day"),
+        col("__day") + (windowDays - 1))).as("__cday"))
+      .distinct() // a user active twice inside one window counts once
+      .groupBy(col("__cday"))
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("__day") === col("__cday"))
+      .crossJoin(broadcast(range))
+      .filter(col("__day") >= col("__lo") && col("__day") <= col("__hi"))
+      .select(col("__day").as("day"), col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
+  /** Month-over-month revenue growth: exact-cents revenue per calendar
+    * month, previous month's figure, and the growth rate in signed
+    * integer ppm (floor division — consistent with DuckDB's `//`
+    * toward −∞, so a −0.5% month rounds identically in both engines).
+    * Months with no predecessor IN THE SERIES report NULLs (no
+    * zero-filling of absent months — absence is visible, not
+    * interpolated).
+    *
+    * Scale shape: the fact collapses to the month series first (hash
+    * agg with partials); the lag window runs over that bounded
+    * calendar-domain table — the [[movingDailyRevenue]] value-series
+    * discipline. */
+  def monthlyGrowth(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("month")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val monthly = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("revenue_cents"))
+    monthly
+      .withColumn("prev_cents", lag(col("revenue_cents"), 1).over(w))
+      .withColumn("growth_ppm", {
+        val num = dec(col("revenue_cents") - col("prev_cents")) * 1000000
+        val den = dec(col("prev_cents"))
+        ((num - pmod(num, den)) / den).cast("long")
+      })
+      .orderBy("month")
+  }
+
+  /** Modal order priority per market segment — the per-group MODE with
+    * a deterministic tie rule (highest count, then lexicographically
+    * smallest priority). The fact collapses to (segment, priority)
+    * counts FIRST (hash agg with partials — the mode never sees raw
+    * orders), the customer dim joins broadcast, and the argmax runs as
+    * a plain `max` over a (count, reversed-priority) ordering struct —
+    * no window, no sort. The reversal trick: max of the
+    * negated-comparison proxy = min priority; strings reverse via a
+    * per-char 255-complement, order-isomorphic for ASCII codes. */
+  def modalPriority(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val counts = orders
+      .join(broadcast(customer.select(col("c_custkey"),
+        col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("__n"))
+    // max over (count asc, priority desc-proxy): the dominant priority,
+    // ties to the smallest string. The proxy must be order-REVERSING:
+    // pad to fixed width (ASCII space < every printable) then negate
+    // each code point
+    val revProxy = transform(
+      split(rpad(col("o_orderpriority"), 20, " "), ""),
+      ch => lit(255) - ascii(ch))
+    counts.groupBy(col("c_mktsegment"))
+      .agg(max(struct(col("__n").as("n"), revProxy.as("rp"),
+        col("o_orderpriority").as("p"))).as("__best"))
+      .select(col("c_mktsegment"),
+        col("__best.p").as("top_priority"), col("__best.n").as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Chi-square test of independence between market segment and order
+    * priority — the data-quality screen for "is this attribute actually
+    * independent of that one". Emits the contingency table with
+    * per-cell observed counts, expected counts in exact ppm, and the
+    * cell's chi-square contribution, plus the 'TOTAL' row carrying the
+    * statistic.
+    *
+    * Parity discipline: everything stays exact integers until the last
+    * two IEEE operations — `d = obs·N − rowTot·colTot` and the
+    * denominator are DECIMAL(38,0)-exact, each casts to double once
+    * (IEEE nearest, engine-independent), and the cell term is one
+    * multiply + one divide; the total then sums cell terms through the
+    * [[dsum]] decimal idiom so accumulation order can't move the hash.
+    * Scale shape: the contingency table is domain-sized (segments ×
+    * priorities); marginals broadcast onto it; the fact is touched once
+    * by the counting agg. */
+  def chiSquareIndependence(orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val obs = orders
+      .join(broadcast(customer.select(col("c_custkey"),
+        col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("observed"))
+      .localCheckpoint() // marginals + cells read it
+    val rowT = obs.groupBy("segment").agg(sum("observed").as("__rt"))
+    val colT = obs.groupBy("priority").agg(sum("observed").as("__ct"))
+    val tot = obs.agg(sum("observed").as("__n"))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val cells = obs
+      .join(broadcast(rowT), "segment")
+      .join(broadcast(colT), "priority")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected_ppm",
+        fdiv(dec(col("__rt")) * dec(col("__ct")) * 1000000, dec(col("__n"))))
+      .withColumn("chi_term", {
+        val d = (dec(col("observed")) * dec(col("__n")) -
+          dec(col("__rt")) * dec(col("__ct"))).cast("double")
+        val den = (dec(col("__n")) * dec(col("__rt")) * dec(col("__ct")))
+          .cast("double")
+        d * d / den
+      })
+      .localCheckpoint() // cells + the TOTAL rollup
+    cells.select(col("segment"), col("priority"), col("observed"),
+        col("expected_ppm"), col("chi_term"))
+      .unionByName(cells.agg(dsum(col("chi_term"), 6).as("chi_term"))
+        .select(lit("TOTAL").as("segment"), lit("TOTAL").as("priority"),
+          lit(null).cast("long").as("observed"),
+          lit(null).cast("long").as("expected_ppm"), col("chi_term")))
+      .orderBy("segment", "priority")
+  }
+
+  /** Join-key skew profile: the top-`k` hottest values of a key column
+    * with per-key row counts, corpus share in ppm, and the
+    * skew-versus-mean ratio in ppm (`cnt·n_keys·10⁶ / n_rows` — how
+    * many times the uniform share this key carries). The
+    * pre-flight report behind every salting decision
+    * ([[graft.util.Salting]]): a `skew_vs_mean_ppm` in the tens of
+    * millions says the key needs salts before it needs a cluster.
+    *
+    * Scale shape: one hash agg with partials collapses the fact to
+    * per-key counts; the two scalar marginals broadcast; top-k rides
+    * TakeOrderedAndProject. Integer cross-multiplication throughout. */
+  def keySkewProfile(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // totals + top-k read it
+    val totals = counts.agg(sum("cnt").as("__rows"),
+      count(lit(1)).as("__keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("cnt"),
+        fdiv(dec(col("cnt")) * 1000000, dec(col("__rows"))).as("share_ppm"),
+        fdiv(dec(col("cnt")) * dec(col("__keys")) * 1000000,
+          dec(col("__rows"))).as("skew_vs_mean_ppm"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** SQL-standard NTILE bucket from a 1-based rank over `n` rows:
     * the first `n % k` buckets carry `n/k + 1` rows, the rest `n/k` —
     * exactly the NTILE distribution, so scores hash-match an engine's

@@ -770,6 +770,53 @@ class PlanSpec extends SparkSpec {
       s"edges/degrees materialize once; the fact is never re-scanned:\n$p")
   }
 
+  test("q159/q160: rollups materialized once, no global window, no fact re-scan") {
+    val p159 = plan("q159_pareto_classes")
+    assert(p159.contains("windowspecdefinition(__pid"),
+      s"rank+prefix must run under the partition-id window:\n$p159")
+    assert(!"windowspecdefinition\\(revenue_fp".r.findFirstIn(p159).isDefined,
+      s"no ORDER-BY-everything window:\n$p159")
+    assert(p159.contains("ExistingRDD") && !p159.contains("lineitem.parquet"),
+      s"the part rollup materializes once:\n$p159")
+    val p160 = plan("q160_rolling_active_users")
+    assert(p160.contains("ExistingRDD") && !p160.contains("events.parquet"),
+      s"distinct (user, day) materializes once for all three readers:\n$p160")
+    assert(p160.contains("explode(sequence"),
+      s"WAU must be the constant-factor cover-day explode:\n$p160")
+    assert(!p160.contains("windowspecdefinition"),
+      s"no rolling window over fact rows:\n$p160")
+  }
+
+  test("q161/q162: facts collapse before series window / argmax; dims broadcast") {
+    val p161 = plan("q161_monthly_growth")
+    assert(p161.contains("partial_sum"),
+      s"monthly rollup must partial-aggregate map-side:\n$p161")
+    assert("FileScan parquet".r.findAllIn(p161).size == 1,
+      s"one pass over orders:\n$p161")
+    val p162 = plan("q162_modal_priority")
+    assert(p162.contains("BroadcastHashJoin"),
+      s"customer dim must broadcast:\n$p162")
+    assert(p162.contains("partial_count"),
+      s"(segment, priority) counts collapse before the argmax:\n$p162")
+    assert(!p162.contains("windowspecdefinition"),
+      s"the mode is a struct max, not a window rank:\n$p162")
+  }
+
+  test("q163/q164: contingency/counts tables materialized, marginals broadcast") {
+    val p163 = plan("q163_chi_square")
+    // the marginal broadcasts run at checkpoint-build time; the final
+    // plan must be cells-table-sized (the fact is never re-scanned)
+    assert(p163.contains("ExistingRDD") && !p163.contains("orders.parquet"),
+      s"the contingency table materializes once:\n$p163")
+    assert(!p163.contains("CartesianProduct"),
+      s"cells + TOTAL is a union, not a join:\n$p163")
+    val p164 = plan("q164_key_skew")
+    assert(p164.contains("TakeOrderedAndProject"),
+      s"hot-key top-k must ride the shuffle:\n$p164")
+    assert(p164.contains("ExistingRDD") && !p164.contains("lineitem.parquet"),
+      s"per-key counts materialize once for totals + top-k:\n$p164")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

@@ -577,6 +577,97 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got2 == Seq((4L, 3L, 0L)))
   }
 
+  test("paretoClasses: inclusive-cum cuts, revenue ties rank by part id") {
+    val li = Seq(
+      (1L, 80.0), (2L, 10.0), (3L, 5.0), (4L, 5.0)) // 3 and 4 tie
+      .toDF("l_partkey", "l_extendedprice")
+      .withColumn("l_discount", lit(0.0))
+    val got = Analytics.paretoClasses(li, aPct = 80, bPct = 95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      (1L, 80000000L, 1L, 80000000L, "A"), // cum 80% INCLUSIVE is A
+      (2L, 10000000L, 2L, 90000000L, "B"),
+      (3L, 5000000L, 3L, 95000000L, "B"),  // 95% inclusive is B
+      (4L, 5000000L, 4L, 100000000L, "C")))
+  }
+
+  test("rollingActiveUsers: window covers trailing days, user counted once") {
+    val day = 86400000000L
+    val events = Seq(
+      (1L, 0L), (1L, 5L), (1L, 2 * day), // u1 twice on day 0 → once
+      (2L, 1L))
+      .toDF("user_id", "ts")
+    val got = Analytics.rollingActiveUsers(events, "user_id", "ts",
+        windowDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // day 0: both active; day 2: only u1 active, but both in the window
+    assert(got == Seq((0L, 2L, 2L), (2L, 1L, 2L)))
+    // windowDays = 1 degenerates to DAU
+    val got1 = Analytics.rollingActiveUsers(events, "user_id", "ts",
+        windowDays = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got1 == Seq((0L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("monthlyGrowth: signed ppm floors toward -inf, first month null") {
+    val orders = Seq(
+      ("2024-01-15", 100.0), ("2024-02-15", 50.0), ("2024-03-15", 75.0),
+      ("2024-04-15", 33.34)) // (3334-7500)·1e6/7500 = -555466.67 → -555467
+      .toDF("__d", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("__d")))
+    val got = Analytics.monthlyGrowth(orders)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("2024-01", 10000L, null, null),
+      ("2024-02", 5000L, 10000L, -500000L),
+      ("2024-03", 7500L, 5000L, 500000L),
+      ("2024-04", 3334L, 7500L, -555467L)))
+  }
+
+  test("modalPriority: dominant priority, count ties to the smaller string") {
+    val customer = Seq((1L, "SEG_A"), (2L, "SEG_B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (1L, "2-HIGH"), (1L, "2-HIGH"), (1L, "1-URGENT"), (1L, "1-URGENT"),
+      (2L, "3-MEDIUM"), (2L, "3-MEDIUM"), (2L, "3-MEDIUM"), (2L, "1-URGENT"))
+      .toDF("o_custkey", "o_orderpriority")
+    val got = Analytics.modalPriority(orders, customer)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("SEG_A", "1-URGENT", 2L), ("SEG_B", "3-MEDIUM", 3L)))
+  }
+
+  test("chiSquareIndependence: uniform table scores zero, marginals exact") {
+    val customer = Seq((1L, "S1"), (2L, "S2"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = (1 to 5).flatMap(_ => Seq(
+      (1L, "P1"), (1L, "P2"), (2L, "P1"), (2L, "P2")))
+      .toDF("o_custkey", "o_orderpriority")
+    val got = Analytics.chiSquareIndependence(orders, customer)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getDouble(4))).toSeq
+    val cells = got.filter(_._1 != "TOTAL")
+    assert(cells.size == 4)
+    assert(cells.forall { case (_, _, obs, exp, chi) =>
+      obs == 5L && exp == 5000000L && chi == 0.0 })
+    val total = got.filter(_._1 == "TOTAL")
+    assert(total == Seq(("TOTAL", "TOTAL", -1L, -1L, 0.0)))
+  }
+
+  test("keySkewProfile: exact ppm shares and skew-vs-mean, top-k order") {
+    val df = (Seq.fill(8)(("hot")) ++ Seq("b", "c")).toDF("k")
+    val got = Analytics.keySkewProfile(df, "k", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // hot: 8/10 = 800000 ppm; mean = 10/3 → skew = 8·3·1e6/10 = 2400000
+    assert(got == Seq(("hot", 8L, 800000L, 2400000L),
+      ("b", 1L, 100000L, 300000L)))
+  }
+
   test("brandSkyline: dominance within brand, equal points co-survive") {
     val part = Seq(
       // brand X: 3 and 5 tie on (price 5, size 5) — both kept; they
