@@ -995,6 +995,17 @@ object SparkEntry {
     // pre-flight report
     "q164_key_skew" -> ((s, d) =>
       Analytics.keySkewProfile(Tables.lineitem(s, d), "l_suppkey", k = 20)),
+    // q165: Unicode NFC normalization — the codegen'd NfcNormalize
+    // expression over every document, proven byte-exact per doc via
+    // md5 against DuckDB's nfc_normalize
+    "q165_nfc_normalize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nfc = graft.functions.UnicodeExpressions.nfcNormalize(col("text"))
+      docs.select(col("doc_id"),
+        length(nfc).cast("long").as("n_chars_nfc"),
+        md5(nfc.cast("binary")).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2917,6 +2928,13 @@ object SparkEntry {
         |    AS BIGINT) AS skew_vs_mean_ppm
         |FROM c CROSS JOIN t
         |ORDER BY cnt DESC, l_suppkey LIMIT 20""".stripMargin,
+    // q165: DuckDB's native nfc_normalize replays the expression; md5
+    // over the normalized UTF-8 bytes pins byte-exact equivalence
+    "q165_nfc_normalize" ->
+      """SELECT doc_id,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+        |  md5(nfc_normalize(text)) AS nfc_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

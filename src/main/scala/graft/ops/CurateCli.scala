@@ -106,6 +106,9 @@ object CurateCli {
     *  - decontamination runs when the caller passes `evalDocs` to
     *    [[curate]] (`decontaminateK`/`decontaminateMinHits` are its
     *    shingle width and n-of-k evidence threshold);
+    *  - `nfcNormalize` rewrites text to Unicode NFC before ANY other
+    *    stage (a codegen'd [[graft.functions.NfcNormalize]] pass), so
+    *    composed/decomposed spellings of the same document exact-dedup;
     *  - a non-empty `auditPhrases` runs the phrase-audit pass after
     *    shingle decontamination: survivors carrying ANY of the exact
     *    quote phrases (token-adjacent, [[Retrieval.phraseMatchesAny]])
@@ -173,6 +176,7 @@ object CurateCli {
       decontaminateK: Int = 8,
       decontaminateMinHits: Int = 1,
       auditPhrases: Seq[Seq[String]] = Nil,
+      nfcNormalize: Boolean = false,
       budgetTokens: Long = 0L,
       budgetBuckets: Int = 100,
       packBudget: Int = 0,
@@ -239,14 +243,27 @@ object CurateCli {
     try {
       val input = stageCount("input", docs, textCol)
 
+      // optional Unicode NFC rewrite FIRST — canonically-equivalent
+      // spellings (composed vs decomposed accents) become byte-equal
+      // BEFORE any hashing, so exact dedup, shingles, and the phrase
+      // audit see one document, not two. Native codegen expression
+      // ([[graft.functions.NfcNormalize]]), docs count unchanged
+      val (src, nfcStage) =
+        if (cfg.nfcNormalize) {
+          val n = checkpointed(docs.withColumn(textCol,
+            graft.functions.UnicodeExpressions.nfcNormalize(col(textCol))))
+          (n, Some(stageCount("nfc_normalize", n, textCol)))
+        } else (docs, None)
+
       // Each stage: checkpoint (materializes + cuts lineage) → count
       // (a cheap scan of the checkpointed blocks) → build the next
       // stage FROM the checkpoint → release once the successor is
       // materialized. The language filter is counted straight off the
       // checkpointed near-dedup output (a narrow codegen'd scan), so it
       // needs no materialization of its own.
-      val exact = checkpointed(Dedup.dedupExact(docs, idCol, textCol))
+      val exact = checkpointed(Dedup.dedupExact(src, idCol, textCol))
       val afterExact = stageCount("exact_dedup", exact, textCol)
+      if (cfg.nfcNormalize) release(src)
 
       val pairs =
         if (cfg.snmWindow > 0)
@@ -288,7 +305,8 @@ object CurateCli {
       // discipline: checkpoint → count → release predecessor) -----------
       var cur = quality
       val sheet = scala.collection.mutable.ListBuffer(
-        input, afterExact, afterNear, afterLang, afterQuality)
+        Seq(Some(input), nfcStage, Some(afterExact), Some(afterNear),
+          Some(afterLang), Some(afterQuality)).flatten: _*)
       def advance(stage: String, next: DataFrame): Unit = {
         val p = checkpointed(next)
         sheet += stageCount(stage, p, textCol)

@@ -817,6 +817,15 @@ class PlanSpec extends SparkSpec {
       s"per-key counts materialize once for totals + top-k:\n$p164")
   }
 
+  test("q165 NFC normalize: one vectorized scan, expression in the project") {
+    val p = plan("q165_nfc_normalize")
+    assert(p.contains("nfc_normalize("),
+      s"the native expression must drive the projection (no UDF):\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1 &&
+      p.contains("Batched: true"),
+      s"one vectorized pass over documents:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

@@ -695,6 +695,32 @@ class CurateCliSpec extends SparkSpec {
     assert(nodes <= 3, s"corpus plan must stay a checkpoint leaf: $nodes")
   }
 
+  test("nfc_normalize stage makes composed/decomposed spellings exact-dedup") {
+    // identical sentence, one with the composed e-acute, one decomposed —
+    // byte-different, canonically equivalent. Without the stage both
+    // survive exact dedup; with it they collapse to the min-id survivor.
+    val sentence = "the caf\u00e9 on the corner serves the best coffee in town"
+    val sentenceD = "the cafe\u0301 on the corner serves the best coffee in town"
+    val corpus = Seq((1L, sentence), (2L, sentenceD))
+      .toDF("doc_id", "text")
+    val without = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, jaccardThreshold = 0.999))
+    val idsWithout = without.corpus.select("doc_id").as[Long].collect().toSet
+    without.unpersist()
+    assert(idsWithout == Set(1L, 2L),
+      "without the stage the spellings must NOT dedup (byte-different)")
+    val withNfc = CurateCli.curate(corpus, "doc_id", "text",
+      CurateCli.Config(minQuality = 0.0, jaccardThreshold = 0.999,
+        nfcNormalize = true))
+    assert(withNfc.funnel.map(_.stage).take(3) ==
+      Seq("input", "nfc_normalize", "exact_dedup"))
+    val ids = withNfc.corpus.select("doc_id").as[Long].collect().toSet
+    val texts = withNfc.corpus.select("text").as[String].collect().toSet
+    withNfc.unpersist()
+    assert(ids == Set(1L), s"NFC-equal docs must exact-dedup, got $ids")
+    assert(texts == Set(sentence), "survivor text must be the NFC form")
+  }
+
   test("phrase_audit drops exact-quote carriers, keeps scattered-word docs") {
     // doc 1 quotes the audited phrase verbatim; doc 2 contains every
     // word of it but never consecutively (the statistical shingle
