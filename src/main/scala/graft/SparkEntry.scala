@@ -1006,6 +1006,28 @@ object SparkEntry {
         md5(nfc.cast("binary")).as("nfc_md5"))
         .orderBy("doc_id")
     }),
+    // q166: min-cost regional supplier (TPC-H Q2 shape) — one fact
+    // pass to per-(part,supp) min cost, argmin as a struct min, dims
+    // broadcast; the correlated min subquery never re-scans the fact
+    "q166_min_cost_supplier" -> ((s, d) =>
+      Analytics.minCostSupplier(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d), Tables.lineitem(s, d),
+        regionName = "EUROPE", size = 15, partType = "STANDARD")),
+    // q167: supplier count per product class (TPC-H Q16 shape) —
+    // distinct (part,supp) pairs first, deficit suppliers anti-joined
+    // broadcast, class exclusions pushed to the dim scan
+    "q167_supplier_class_count" -> ((s, d) =>
+      Analytics.supplierClassCount(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.lineitem(s, d), excludeBrand = "Brand#13",
+        excludeTypePrefix = "PROMO", sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35))),
+    // q168: dominant suppliers (TPC-H Q20 shape) — date-pruned fact
+    // collapses to (part,supp) decimal qty once; per-part totals via a
+    // window over the AGGREGATED relation; share test cross-multiplied
+    "q168_dominant_suppliers" -> ((s, d) =>
+      Analytics.dominantSuppliers(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.lineitem(s, d), namePrefix = "red",
+        fromDate = "1996-01-01", toDate = "1997-01-01",
+        thresholdPpm = 500000L)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2935,6 +2957,63 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
         |  md5(nfc_normalize(text)) AS nfc_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q166: the oracle states Q2's correlated min directly — per-part
+    // row_number over (cost, suppkey) replays the argmin struct; min
+    // of doubles is exact in both engines
+    "q166_min_cost_supplier" ->
+      """WITH scope AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |parts AS (SELECT p_partkey, p_name, p_brand FROM part
+        |  WHERE p_size = 15 AND p_type = 'STANDARD'),
+        |costs AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (
+        |  SELECT p_partkey, p_name, p_brand, min_cost, l_suppkey,
+        |    row_number() OVER (PARTITION BY p_partkey
+        |      ORDER BY min_cost, l_suppkey) AS rn
+        |  FROM costs JOIN parts ON l_partkey = p_partkey
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM scope))
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, p_brand,
+        |  min_cost
+        |FROM best JOIN scope ON l_suppkey = s_suppkey
+        |WHERE rn = 1
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+    // q167: distinct pairs then count distinct — integer counts, no
+    // float anywhere; NOT IN is safe (s_suppkey is non-null)
+    "q167_supplier_class_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1,5,10,15,20,25,30,35)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1,2,3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // q168: decimal quantity sums and a cross-multiplied share test —
+    // exact on both engines; output columns are keys and strings only
+    "q168_dominant_suppliers" ->
+      """WITH pq AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(38,2))) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |    AND l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  GROUP BY 1,2),
+        |wt AS (SELECT *, sum(qty) OVER (PARTITION BY l_partkey) AS tot
+        |  FROM pq),
+        |dom AS (SELECT DISTINCT l_suppkey FROM wt
+        |  WHERE qty * 1000000 > tot * 500000)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s_suppkey""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids

@@ -1841,4 +1841,127 @@ object Analytics {
       .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** Min-cost supplier per part within a region (TPC-H Q2 shape): for
+    * every part of the given size and type, the cheapest regional
+    * supplier — cost observed from the fact as the minimum
+    * `l_extendedprice` any line ever paid that (part, supplier) pair
+    * (exact double MIN, no division, engine-independent).
+    *
+    * Scale shape — Q2's correlated `= (SELECT min ...)` subquery never
+    * becomes a second fact pass: the fact collapses ONCE to
+    * per-(part, supplier) min cost (hash agg with partials), the
+    * regional supplier scope (supplier ⋈ nation ⋈ region, dim-sized)
+    * broadcast-semi-joins it, and the per-part argmin is a `min` over a
+    * (cost, suppkey) ordering struct — no window, no join-back
+    * self-join. Part and supplier attributes re-attach by broadcast.
+    * Ties break to the smallest supplier key. */
+  def minCostSupplier(part: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame, lineitem: DataFrame,
+      regionName: String, size: Int, partType: String): DataFrame = {
+    val scope = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === lit(regionName))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val parts = part
+      .filter(col("p_size") === lit(size) && col("p_type") === lit(partType))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val costs = lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("__cost"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(scope.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+    costs
+      .groupBy(col("p_partkey"), col("p_name"), col("p_brand"))
+      .agg(min(struct(col("__cost").as("c"), col("l_suppkey").as("k")))
+        .as("__best"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("__best.c").as("min_cost"), col("__best.k").as("s_suppkey"))
+      .join(broadcast(scope), Seq("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("p_brand"),
+        col("min_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+  }
+
+  /** Supplier count per product class (TPC-H Q16 shape): for every
+    * (brand, type, size) outside an excluded brand/type-prefix/size
+    * list, how many DISTINCT suppliers ship the part — suppliers in
+    * deficit (negative account balance, the complaints-exclusion
+    * analog) do not count.
+    *
+    * Scale shape: the fact first collapses to DISTINCT
+    * (part, supplier) pairs (hash agg with partials — raw line volume
+    * never reaches a join), the deficit suppliers anti-join broadcast,
+    * part attributes attach broadcast with the class exclusions pushed
+    * to the dim scan, and the final count-distinct is a hash agg over
+    * the already-deduplicated pairs. */
+  def supplierClassCount(part: DataFrame, supplier: DataFrame,
+      lineitem: DataFrame, excludeBrand: String, excludeTypePrefix: String,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty, "sizes must be non-empty")
+    val classes = part
+      .filter(col("p_brand") =!= lit(excludeBrand) &&
+        !col("p_type").startsWith(excludeTypePrefix) &&
+        col("p_size").isin(sizes.map(Integer.valueOf): _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val deficit = supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(deficit),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(classes), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** Dominant suppliers (TPC-H Q20 shape): suppliers who shipped more
+    * than `thresholdPpm` parts-per-million of some matching part's
+    * total quantity inside a date window — the Q20 "stocked more than
+    * half of what moved" EXISTS, with the share test in exact integer
+    * cross-multiplication over decimal quantities.
+    *
+    * Scale shape — the nested per-part aggregate never re-scans the
+    * fact: one date-pruned pass collapses it to per-(part, supplier)
+    * quantity sums (hash agg with partials, decimal-exact), per-part
+    * totals come from a window over THAT already-aggregated relation
+    * (one partkey shuffle of pair-sized rows), and the surviving
+    * supplier keys semi-join the dim. The part-name scope broadcasts
+    * onto the pair relation before the window, so totals only cover
+    * in-scope parts. */
+  def dominantSuppliers(part: DataFrame, supplier: DataFrame,
+      nation: DataFrame, lineitem: DataFrame, namePrefix: String,
+      fromDate: String, toDate: String, thresholdPpm: Long): DataFrame = {
+    require(thresholdPpm >= 1 && thresholdPpm <= 1000000,
+      s"thresholdPpm must be in [1, 1000000], got $thresholdPpm")
+    def dec(c: Column) = c.cast(DecimalType(38, 2))
+    val scoped = part.filter(col("p_name").startsWith(namePrefix))
+      .select(col("p_partkey"))
+    val pairQty = lineitem
+      .filter(col("l_shipdate") >= lit(fromDate) &&
+        col("l_shipdate") < lit(toDate))
+      .join(broadcast(scoped), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("__qty"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_partkey"))
+    val withTotal = pairQty.withColumn("__tot", sum(col("__qty")).over(w))
+    val dominant = withTotal
+      .filter(col("__qty").cast(DecimalType(38, 2)) * lit(1000000) >
+        col("__tot").cast(DecimalType(38, 2)) * lit(thresholdPpm))
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
 }

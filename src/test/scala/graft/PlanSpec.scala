@@ -817,6 +817,48 @@ class PlanSpec extends SparkSpec {
       s"per-key counts materialize once for totals + top-k:\n$p164")
   }
 
+  test("q166 min-cost supplier: one fact pass, argmin without a window, dims broadcast") {
+    val p = plan("q166_min_cost_supplier")
+    assert("FileScan parquet".r.findAllIn(p).count(_ => true) >= 1 &&
+      "lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"the correlated min must NOT re-scan the fact:\n$p")
+    assert(!p.contains("Window"),
+      s"per-part argmin must be the struct min, not a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part slice and regional scope must broadcast:\n$p")
+    assert(p.contains("EqualTo(p_size,15)") &&
+      p.contains("EqualTo(p_type,STANDARD)"),
+      s"part predicates must reach the dim scan:\n$p")
+    assert(p.contains("partial_min"),
+      s"per-(part,supp) cost must partial-aggregate map-side:\n$p")
+  }
+
+  test("q167 supplier class count: pairs dedup before joins, exclusions pushed") {
+    val p = plan("q167_supplier_class_count")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"one fact pass:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part classes must broadcast onto the deduped pairs:\n$p")
+    assert(p.contains("Not(EqualTo(p_brand,Brand#13))") &&
+      p.contains("In(p_size,"),
+      s"brand/size exclusions must reach the part scan:\n$p")
+    assert(!p.contains("Window"), s"count distinct needs no window:\n$p")
+  }
+
+  test("q168 dominant suppliers: date pushed, window over the aggregated pairs only") {
+    val p = plan("q168_dominant_suppliers")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"the per-part total must come from the aggregated relation, " +
+        s"never a second fact pass:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,") &&
+      p.contains("LessThan(l_shipdate,"),
+      s"the ship-date window must reach the fact scan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"pair quantities must partial-aggregate map-side:\n$p")
+    assert("Window".r.findAllIn(p).size >= 1,
+      s"per-part totals ride one window over pair-sized rows:\n$p")
+  }
+
   test("q165 NFC normalize: one vectorized scan, expression in the project") {
     val p = plan("q165_nfc_normalize")
     assert(p.contains("nfc_normalize("),

@@ -683,4 +683,79 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((3L, "X"), (5L, "X"), (4L, "X"), (6L, "Y")))
   }
+
+  test("minCostSupplier: regional scope, cost ties to smaller suppkey") {
+    val region = Seq((0L, "R1"), (1L, "R2")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10L, "N_IN", 0L), (11L, "N_OUT", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq(
+      (1L, "SA", 10L, 100.0), (2L, "SB", 10L, 50.0),
+      (3L, "SC", 11L, 999.0)) // out of region — its cheap offer must lose
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val part = Seq(
+      (100L, "pn", "B1", 5, "T"), (200L, "pm", "B2", 5, "T"),
+      (300L, "px", "B1", 9, "T")) // wrong size — excluded
+      .toDF("p_partkey", "p_name", "p_brand", "p_size", "p_type")
+    val lineitem = Seq(
+      // part 100: SA min 8.0 across two lines, SB 8.0 → tie, SA (key 1)
+      (100L, 1L, 10.0), (100L, 1L, 8.0), (100L, 2L, 8.0),
+      // SC is cheapest but outside the region
+      (100L, 3L, 1.0),
+      (200L, 2L, 5.0),
+      (300L, 1L, 2.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val got = Analytics.minCostSupplier(part, supplier, nation, region,
+        lineitem, regionName = "R1", size = 5, partType = "T")
+      .collect().map(r => (r.getDouble(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      (100.0, "SA", "N_IN", 100L, 8.0),
+      (50.0, "SB", "N_IN", 200L, 5.0)))
+  }
+
+  test("supplierClassCount: distinct pairs, deficit/brand/type/size exclusions") {
+    val part = Seq(
+      (1L, "B1", "T1", 5), (2L, "B1", "T1", 5),
+      (3L, "BX", "T1", 5),      // excluded brand
+      (4L, "B1", "PROMO-X", 5), // excluded type prefix
+      (5L, "B1", "T1", 9))      // excluded size
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val supplier = Seq((1L, 10.0), (2L, -5.0), (3L, 1.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val lineitem = Seq(
+      (1L, 1L), (1L, 1L), // duplicate line: one distinct pair
+      (1L, 2L),           // deficit supplier — must not count
+      (2L, 1L), (2L, 3L), // class (B1,T1,5) sees suppliers {1, 3}
+      (3L, 1L), (4L, 1L), (5L, 1L))
+      .toDF("l_partkey", "l_suppkey")
+    val got = Analytics.supplierClassCount(part, supplier, lineitem,
+        excludeBrand = "BX", excludeTypePrefix = "PROMO", sizes = Seq(5))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(("B1", "T1", 5, 2L)))
+  }
+
+  test("dominantSuppliers: strict majority share, window and scope pruned") {
+    val part = Seq((1L, "red thing"), (2L, "blue thing"), (3L, "red other"))
+      .toDF("p_partkey", "p_name")
+    val supplier = Seq((1L, "S1", 10L), (2L, "S2", 10L), (3L, "S3", 10L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nation = Seq((10L, "N")).toDF("n_nationkey", "n_name")
+    val lineitem = Seq(
+      // part 1: S1 60%, S2 40% in-window → S1 dominant
+      (1L, 1L, 6.0, "2020-06-01"), (1L, 2L, 4.0, "2020-06-02"),
+      // S3's huge out-of-window shipment must not count
+      (1L, 3L, 100.0, "2019-06-01"),
+      // part 2 is out of the name scope entirely
+      (2L, 2L, 100.0, "2020-06-01"),
+      // part 3: exact 50/50 — strict > keeps both out
+      (3L, 2L, 5.0, "2020-06-01"), (3L, 3L, 5.0, "2020-06-02"))
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      .withColumn("l_shipdate", to_timestamp($"l_shipdate"))
+    val got = Analytics.dominantSuppliers(part, supplier, nation, lineitem,
+        namePrefix = "red", fromDate = "2020-01-01", toDate = "2021-01-01",
+        thresholdPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, "S1", "N")))
+  }
 }
