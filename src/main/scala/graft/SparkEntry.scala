@@ -495,6 +495,14 @@ object SparkEntry {
     "q57_split_assign" -> ((s, d) =>
       TextAnalysis.assignSplits(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("split"))),
+    // q171: leakage-safe splits — q57's split coin thrown on the
+    // near-dup CLUSTER representative (q76's components), so a test
+    // document's twin can never sit in train
+    "q171_leakage_safe_splits" -> ((s, d) =>
+      TextAnalysis.leakageSafeSplits(Tables.documents(s, d), "doc_id",
+        Dedup.ngramJaccardPairsFromIndex(shingleIdx(s, d), threshold = 0.4))
+        .select(col("doc_id"), col("group_id"), col("split"))
+        .orderBy("doc_id")),
     // q58: exact-substring dedup (Lee et al. 2022): maximal token spans
     // whose every 8-gram occurs in >= 2 distinct documents — localizes
     // the boilerplate passage instead of dropping the whole document
@@ -1028,6 +1036,24 @@ object SparkEntry {
         Tables.nation(s, d), Tables.lineitem(s, d), namePrefix = "red",
         fromDate = "1996-01-01", toDate = "1997-01-01",
         thresholdPpm = 500000L)),
+
+    // q169: control/zero-width scrub — the byte-level codegen'd
+    // StripControl expression, proven per doc via md5 against DuckDB's
+    // RE2 replay of the same character class
+    "q169_strip_control" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clean = graft.functions.UnicodeExpressions.stripControl(col("text"))
+      docs.select(col("doc_id"),
+        length(clean).cast("long").as("n_chars_clean"),
+        md5(clean.cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+    // q170: cross-source shingle-overlap matrix — corpus collapses to
+    // distinct (source, shingle) first; pair fan-out bounded by
+    // sources² per shingle; exact integer-ppm Jaccard
+    "q170_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlapMatrix(Tables.documents(s, d),
+        "source", "text", k = 3)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -3014,6 +3040,38 @@ object SparkEntry {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
         |ORDER BY s_suppkey""".stripMargin,
+    // q169: RE2 replays the byte-level scrub as one character class;
+    // md5 over the scrubbed UTF-8 bytes pins byte-exact equivalence
+    "q169_strip_control" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text,
+        |    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{200B}-\x{200D}\x{FEFF}]',
+        |    '', 'g')) AS BIGINT) AS n_chars_clean,
+        |  md5(regexp_replace(text,
+        |    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{200B}-\x{200D}\x{FEFF}]',
+        |    '', 'g')) AS clean_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q170: q98's textual shingle CTEs lifted to the source level —
+    // distinct (source, shingle), pair intersections, HUGEINT ppm
+    "q170_source_overlap" ->
+      """WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT source, shingle FROM (
+        |  SELECT source, unnest(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t)),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+        |  FROM sh GROUP BY 1),
+        |inter AS (SELECT x.source AS src_a, y.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+        |    AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  CAST((CAST(inter AS HUGEINT) * 1000000)
+        |    // (sa.sz + sb.sz - inter) AS BIGINT) AS jaccard_ppm
+        |FROM inter JOIN sizes sa ON src_a = sa.source
+        |JOIN sizes sb ON src_b = sb.source
+        |ORDER BY jaccard_ppm DESC, src_a, src_b""".stripMargin,
     // q121: the oracle states the as-of contract directly — greatest
     // (ts, id) at-or-before, per purchase, left-outer — as an argmax
     // over the (bounded-at-oracle-scale) range join the engine avoids
@@ -3454,6 +3512,36 @@ object SparkEntry {
          |  WHEN coin < 900000 THEN 'val' ELSE 'test' END AS split
          |FROM h""".stripMargin,
     // q61: word-count semantics — df over distinct (token, doc) pairs,
+    // q171: q76's recursive-CTE canonical id feeds q57's split coin —
+    // group members share one coin, so they share one split
+    "q171_leakage_safe_splits" ->
+      s"""WITH RECURSIVE tt AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |   CASE WHEN len(toks) >= 3
+         |     THEN list_transform(generate_series(0, len(toks)-3), i -> array_to_string(toks[i+1:i+3], ' '))
+         |     ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM tt),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON inter.id_a = sa.doc_id
+         |  JOIN sizes sb ON inter.id_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |canon AS (SELECT a AS doc_id, min(b) AS grp FROM reach GROUP BY a),
+         |g AS (SELECT d.doc_id, COALESCE(c.grp, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id),
+         |t AS (SELECT doc_id, group_id,
+         |  CAST(group_id AS VARCHAR) || '#split' AS tok FROM g),
+         |h AS (SELECT doc_id, group_id,
+         |  ($polyAsql + ($polyBsql << 31)) % 1000000 AS coin FROM t)
+         |SELECT doc_id, group_id, CASE WHEN coin < 800000 THEN 'train'
+         |  WHEN coin < 900000 THEN 'val' ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
     // tf over raw occurrences; same tokenizer as q43
     "q61_vocab_df" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

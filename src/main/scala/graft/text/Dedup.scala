@@ -528,6 +528,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-source shingle-overlap matrix: for every pair of sources,
+    * the exact Jaccard similarity of their DISTINCT k-shingle sets, in
+    * integer ppm — the corpus-composition diagnostic behind mixing
+    * decisions ("are these two crawls the same content?") and the
+    * source-level complement of the per-document near-dup family.
+    * Pairs with an empty intersection are omitted.
+    *
+    * Scale shape: the corpus collapses to distinct (source, shingle)
+    * rows FIRST (hash agg with partials — document volume never
+    * reaches the join), so the self-join's per-shingle fan-out is
+    * bounded by the number of SOURCES sharing the shingle, ≤
+    * |sources|² pairs per shingle regardless of corpus size. The
+    * |sources|-sized size table joins broadcast. Jaccard is exact
+    * integer cross-multiplication — no floats. */
+  def sourceOverlapMatrix(df: DataFrame, groupCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val sh = df.select(col(groupCol).as("src"),
+        explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
+      .distinct()
+      .localCheckpoint() // sizes + both sides of the pair join
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("sz"))
+    sh.alias("x").join(sh.alias("y"), Seq("shingle"))
+      .filter(col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("src").as("src_a"),
+        col("sz").as("sz_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("sz").as("sz_b"))), Seq("src_b"))
+      .withColumn("jaccard_ppm", fdiv(dec(col("inter")) * lit(1000000),
+        dec(col("sz_a")) + dec(col("sz_b")) - dec(col("inter"))))
+      .select(col("src_a"), col("src_b"), col("inter"), col("sz_a"),
+        col("sz_b"), col("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("src_a"), col("src_b"))
+  }
+
   /** Directed containment pairs (Broder 1997's second resemblance
     * measure): C(A→B) = |A ∩ B| / |A| ≥ threshold flags document A as
     * an EXCERPT of B — the near-dup family's answer to quotes, partial

@@ -403,6 +403,30 @@ object TextAnalysis {
     df.withColumn("split", label)
   }
 
+  /** Leakage-safe train/val/test splits: [[assignSplits]]' coin thrown
+    * on the NEAR-DUP CLUSTER representative instead of the document id,
+    * so two near-duplicate documents can never land in different
+    * splits — the contamination mode where a test document's twin sits
+    * in train and the eval silently measures memorization. `pairs` is
+    * any near-dup pair list (`id_a`, `id_b`); documents in no pair are
+    * their own group.
+    *
+    * Scale shape: [[Dedup.connectedComponents]]' min-label loop runs
+    * over the PAIR LIST (pair-graph-sized, iterations ≈ cluster
+    * diameter), one left join attaches components to the corpus, and
+    * the split label itself stays a codegen'd projection — no extra
+    * shuffle beyond the component join. */
+  def leakageSafeSplits(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Long)] =
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    val grouped = df.join(cc, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    assignSplits(grouped, "group_id", splits)
+  }
+
   /** Per-stratum quality cap — the RefinedWeb-style per-domain cap: a
     * single domain (mirror farm, crawl loop) may not contribute more
     * than `k` documents, and the `k` kept are its BEST by

@@ -868,6 +868,38 @@ class PlanSpec extends SparkSpec {
       s"one vectorized pass over documents:\n$p")
   }
 
+  test("q169 strip control: one vectorized scan, expression in the project") {
+    val p = plan("q169_strip_control")
+    assert(p.contains("strip_control("),
+      s"the native expression must drive the projection (no UDF):\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1 &&
+      p.contains("Batched: true"),
+      s"one vectorized pass over documents:\n$p")
+  }
+
+  test("q171 leakage-safe splits: one corpus scan, components from the CC checkpoint") {
+    val p = plan("q171_leakage_safe_splits")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"the corpus joins the component map once — CC ran at build time:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"component labels must come from the min-label fixpoint's checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    assert(p.contains("poly_hash62("),
+      s"the split coin must be the codegen'd portable hash:\n$p")
+  }
+
+  test("q170 source overlap: pairs off the materialized shingle set, sizes broadcast") {
+    val p = plan("q170_source_overlap")
+    assert(p.contains("ExistingRDD") && !p.contains("documents.parquet"),
+      s"both join sides must read the checkpointed (source,shingle) set:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must be the shingle-equality join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |sources|-sized size table must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"intersections must partial-aggregate map-side:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

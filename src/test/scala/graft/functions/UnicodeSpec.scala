@@ -37,4 +37,33 @@ class UnicodeSpec extends SparkSpec {
       lit(composed)).select("id").as[Long].collect().toSeq
     assert(hits == Seq(1L))
   }
+
+  test("stripControl: controls and zero-widths go, tab/LF/CR and text stay") {
+    val dirty = "a\u0000b\u0007c\u000bd\u007fe\u200bf\u200cg\u200dh\ufeffi"
+    val kept = "x\ty\nz\rw"
+    val multi = "café 世界 😀" // 2/3/4-byte chars survive
+    val df = Seq((1L, dirty), (2L, kept), (3L, multi), (4L, ""))
+      .toDF("id", "t")
+      .select($"id", UnicodeExpressions.stripControl($"t").as("s"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "abcdefghi")
+    assert(got(2L) == kept)   // fast path: kept verbatim
+    assert(got(3L) == multi)  // multibyte text untouched
+    assert(got(4L) == "")
+  }
+
+  test("stripControl: null passthrough; boundary-truncated lead bytes survive") {
+    val df = Seq((1L, Option("ok")), (2L, None)).toDF("id", "t")
+    val got = df.select($"id", UnicodeExpressions.stripControl($"t").as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "ok" && got(2L) == null)
+    // a string ENDING in the zero-width prefix bytes (invalid UTF-8
+    // tail) must not read past the buffer — exercised via the 2-byte
+    // truncation of U+200B's encoding
+    val tail = org.apache.spark.unsafe.types.UTF8String
+      .fromBytes(Array[Byte](0x61, 0xE2.toByte, 0x80.toByte))
+    assert(graft.functions.StripKernels.strip(tail).toString
+      == tail.toString)
+  }
 }

@@ -190,4 +190,18 @@ class SimilarityPairsSpec extends SparkSpec {
     assert(r(2L) == ((4L, 0L, 0.0)))
     assert(r(3L) == ((4L, 4L, 1.0)))
   }
+
+  test("sourceOverlapMatrix: distinct per-source sets, exact ppm, empty pairs omitted") {
+    val docs = Seq(
+      ("A", "w1 w2 w3 w4"), // shingles {w1w2w3, w2w3w4}
+      ("A", "w1 w2 w3"),    // duplicate shingle within A — counts once
+      ("B", "w1 w2 w3 w5"), // shingles {w1w2w3, w2w3w5}
+      ("C", "x1 x2 x3"))    // disjoint — no pair rows with C
+      .toDF("source", "text")
+    val got = Dedup.sourceOverlapMatrix(docs, "source", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    // A∩B = {w1w2w3} (1), |A| = |B| = 2, union = 3 → floor(1e6/3)
+    assert(got == List(("A", "B", 1L, 2L, 2L, 333333L)))
+  }
 }

@@ -629,6 +629,26 @@ class TextSpec extends SparkSpec {
       TextAnalysis.assignSplits(rows, "id", Seq("a" -> 1L, "b" -> 2L)))
   }
 
+  test("leakageSafeSplits: cluster members share a split, chains included") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (10L, "e"))
+      .toDF("doc_id", "text")
+    // 1~2~3 is a CHAIN (no direct 1~3 pair) — CC must still co-split
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = TextAnalysis.leakageSafeSplits(docs, "doc_id", pairs)
+      .select("doc_id", "group_id", "split")
+      .as[(Long, Long, String)].collect()
+      .map { case (d, g, s) => d -> ((g, s)) }.toMap
+    // whole chain groups under min id 1 and shares ONE split label
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L && got(3L)._1 == 1L)
+    assert(Set(got(1L)._2, got(2L)._2, got(3L)._2).size == 1)
+    // unpaired docs are their own group, with q57's coin for that id
+    assert(got(4L)._1 == 4L && got(10L)._1 == 10L)
+    val solo = TextAnalysis.assignSplits(
+      Seq((4L, "x"), (10L, "y")).toDF("group_id", "t"), "group_id")
+      .select("group_id", "split").as[(Long, String)].collect().toMap
+    assert(got(4L)._2 == solo(4L) && got(10L)._2 == solo(10L))
+  }
+
   test("selectByBudget: null-text docs are not selectable and charge nothing") {
     val corpus = Seq(
       (1L, "the cat sat on the mat and it was a very fine day for all"),
