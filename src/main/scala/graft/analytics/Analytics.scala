@@ -1964,4 +1964,201 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
       .orderBy(col("s_suppkey"))
   }
+
+  /** CUSUM change-point statistic over the daily revenue series — the
+    * sustained-shift detector that complements [[revenueAnomalies]]'
+    * single-day σ-test: a run of slightly-elevated days that never
+    * trips a z-score accumulates here. Uses the max-reset-free
+    * identity `cusum⁺_t = P_t − min_{j≤t} P_j` (and mirrored for
+    * cusum⁻) where `P_t = Σ dev_j`, so the inherently recursive CUSUM
+    * becomes two plain prefix windows. Zero floats in the statistic:
+    * deviations are pre-scaled by the day count — `dev'_t = n·x_t − T`
+    * (exact integers summing to zero) — so no mean division ever
+    * happens; the output statistic divides back to cents by floor at
+    * the very end. Verdict is a three-valued STRING ('shift_up' /
+    * 'shift_down' / 'ok'), never a nullable boolean.
+    *
+    * Scale shape: the fact collapses to the calendar-bounded day
+    * series first (hash agg with partials); the two prefix windows run
+    * over that bounded series — the [[movingDailyRevenue]] global-
+    * window discipline. Scaled sums ride DECIMAL(38,0): `n·prefix`
+    * reaches day_count × total_cents, past 2^63 at warehouse scale. */
+  def cusumShift(orders: DataFrame, thresholdCents: Long): DataFrame = {
+    require(thresholdCents >= 1, s"thresholdCents must be >= 1, got $thresholdCents")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val daily = orders.withColumn("__t", tsMicros(orders, "o_orderdate"))
+      .groupBy(expr("(__t - pmod(__t, 86400000000)) div 86400000000")
+        .as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("x"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // whole (bounded) series: n and T
+    daily
+      .withColumn("__n", count(lit(1)).over(tot))
+      .withColumn("__T", sum(col("x")).over(tot))
+      .withColumn("__P", sum(dec(col("x")) * dec(col("__n"))).over(w) -
+        dec(col("__T")) * dec(count(lit(1)).over(w)))
+      .withColumn("cusum_pos_cents",
+        fdiv(col("__P") - min(col("__P")).over(w), dec(col("__n"))))
+      .withColumn("cusum_neg_cents",
+        fdiv(max(col("__P")).over(w) - col("__P"), dec(col("__n"))))
+      .select(
+        date_format(timestamp_micros(col("day") * lit(86400000000L)),
+          "yyyy-MM-dd").as("order_day"),
+        (col("x").cast(DecimalType(38, 2)) / 100).cast("double")
+          .as("revenue"),
+        col("cusum_pos_cents"), col("cusum_neg_cents"),
+        when(col("cusum_pos_cents") > thresholdCents &&
+             col("cusum_pos_cents") >= col("cusum_neg_cents"), "shift_up")
+          .when(col("cusum_neg_cents") > thresholdCents, "shift_down")
+          .otherwise("ok").as("verdict"))
+      .orderBy("order_day")
+  }
+
+  /** Repeat-purchase intervals per market segment: the gap in days
+    * between a customer's consecutive orders, rolled up per segment as
+    * count / mean / exact lower-median / exact p90 — the
+    * inter-purchase-time table behind churn and replenishment models.
+    * Mean is one IEEE division of exact integers; median and p90 come
+    * from the bounded (segment, gap) HISTOGRAM, not a per-row rank —
+    * the smallest gap whose running count reaches ⌈q·n⌉ (the [[q9
+    * rankQuantiles]] pick, grouped).
+    *
+    * Scale shape: the per-customer lag window partitions on the
+    * customer key (key-partitioned shuffle, no global sort); gaps then
+    * collapse to the (segment, gap_days) histogram — bounded by
+    * |segments| × calendar days regardless of order volume — and every
+    * window after that runs on the histogram. Customer dim joins
+    * broadcast. */
+  def repeatIntervals(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("__day", "o_orderkey")
+    val gaps = orders.withColumn("__t", tsMicros(orders, "o_orderdate"))
+      .withColumn("__day", expr("(__t - pmod(__t, 86400000000)) div 86400000000"))
+      .withColumn("gap", col("__day") - lag(col("__day"), 1).over(wc))
+      .filter(col("gap").isNotNull)
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val hist = gaps.groupBy(col("c_mktsegment").as("segment"), col("gap"))
+      .agg(count(lit(1)).as("cnt"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("segment").orderBy("gap")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wseg = org.apache.spark.sql.expressions.Window.partitionBy("segment")
+    hist
+      .withColumn("__cum", sum(col("cnt")).over(ws))
+      .withColumn("__n", sum(col("cnt")).over(wseg))
+      .withColumn("__sum", sum((col("gap") * col("cnt"))
+        .cast(DecimalType(38, 0))).over(wseg))
+      .groupBy(col("segment"))
+      .agg(
+        max(col("__n")).as("n_intervals"),
+        (max(col("__sum")).cast("double") / max(col("__n")))
+          .as("mean_days"),
+        min(when(col("__cum") * 2 >= col("__n"), col("gap")))
+          .as("median_days"),
+        min(when(col("__cum") * 10 >= col("__n") * 9, col("gap")))
+          .as("p90_days"))
+      .orderBy("segment")
+  }
+
+  /** Degree distribution of the co-purchase graph: how many parts have
+    * exactly `d` distinct "bought together" partners, over the edge
+    * set of [[frequentItemPairs]] (pairs co-occurring in ≥ `minSupport`
+    * orders) — the one-glance shape check (hub-dominated vs uniform)
+    * that decides whether downstream graph ops need skew handling.
+    *
+    * Scale shape: pair generation is the per-order self-join (quadratic
+    * in basket size only); edges collapse to per-part degree counts
+    * (hash agg), degrees to the degree histogram — output is bounded by
+    * the max degree. The fact is never re-scanned after the first
+    * basket dedup. */
+  def coPurchaseDegrees(lineitem: DataFrame, minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val items = lineitem.select(col("l_orderkey").as("__o"),
+      col("l_partkey").as("__p")).distinct()
+    val pairs = items.alias("a").join(items.alias("b"), Seq("__o"))
+      .filter(col("a.__p") < col("b.__p"))
+      .groupBy(col("a.__p").as("pa"), col("b.__p").as("pb"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minSupport)
+    pairs.select(col("pa").as("part")).union(pairs.select(col("pb")))
+      .groupBy("part").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_parts"))
+      .orderBy("degree")
+  }
+
+  /** Equi-depth value deciles of the order book: NTILE(k) over the
+    * total (price, key) order, with per-decile count, min/max price,
+    * and exact-decimal revenue share — the value-segmentation table
+    * ("what does our p90 order look like") and the empirical CDF in k
+    * rows. Prices compare in exact cents; the revenue sum follows the
+    * [[dsum]] parity rule.
+    *
+    * Scale shape: the global rank comes from [[withGlobalRank]] (range
+    * repartition + per-partition windows + driver prefix offsets over
+    * one row per partition) — never a single-partition ORDER BY
+    * window; [[ntileFromRank]] reproduces engine NTILE exactly from
+    * that rank, and the k-row rollup is a plain hash agg. */
+  def valueDeciles(orders: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val priced = orders.select(col("o_orderkey"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("__price"))
+    val (ranked, n) = withGlobalRank(priced,
+      Seq(col("__price"), col("o_orderkey")), "__rank")
+    ranked
+      .withColumn("decile", ntileFromRank(col("__rank"), n, k))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("__price")).cast("double").as("min_price"),
+        max(col("__price")).cast("double").as("max_price"),
+        sum(col("__price")).cast("double").as("total_price"))
+      .orderBy("decile")
+  }
+
+  /** Supplier revenue concentration per nation — Herfindahl–Hirschman
+    * index in exact integer ppm: per-supplier revenue shares (floored
+    * ppm of the nation total), HHI = Σ share² / 10⁶, plus the top
+    * share — the market-structure audit ("is this nation's supply one
+    * vendor in a trench coat"). All arithmetic is integer
+    * cross-multiplication; revenue accumulates in exact DECIMAL(38,6)
+    * micros so shares are partition-order-independent.
+    *
+    * Scale shape: the fact collapses to one row per supplier FIRST
+    * (hash agg with partials — the [[rfmSegments]] discipline), dims
+    * join broadcast, and the per-nation share window runs over the
+    * supplier-sized rollup. Share squares ride DECIMAL(38,0) (ppm² ×
+    * suppliers passes 2^63). */
+  def supplierHhi(supplier: DataFrame, nation: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val perSupp = lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2))))
+        .cast(DecimalType(38, 6))).as("__rev"))
+      .withColumn("__rev_us", (col("__rev") * 1000000).cast(DecimalType(38, 0)))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("n_name")
+    perSupp
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .withColumn("__share_ppm",
+        fdiv(col("__rev_us") * 1000000, sum(col("__rev_us")).over(wn)))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("__rev")).cast("double").as("total_revenue"),
+        max(col("__share_ppm")).as("top_share_ppm"),
+        fdiv(sum(dec(col("__share_ppm")) * dec(col("__share_ppm"))),
+          dec(lit(1000000))).as("hhi_ppm"))
+      .orderBy("n_name")
+  }
 }
