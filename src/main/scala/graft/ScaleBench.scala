@@ -72,6 +72,31 @@ object ScaleBench {
       .drop("rep")
   }
 
+  /** Compounding-basket co-purchase fact for the graph family: replica
+    * `r` of order `o` carries the union of `o`'s base basket and the
+    * basket of the deterministically-shifted order `(o + r·9973) mod
+    * maxKey` — previously-unrelated parts start co-occurring, hot parts
+    * land in more orders, so degrees and wedge work COMPOUND with the
+    * factor (the graph analog of OrganicCorpus' collision-grown
+    * repetition) while the support floor keeps the edge set
+    * result-bounded. Factor 1 is the base fact exactly (the shift is 0
+    * and the distinct collapses the duplicate union arm). */
+  def scaleBaskets(lineitem: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1 && factor <= 16, s"factor in [1,16], got $factor")
+    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().localCheckpoint() // both union arms read it
+    val maxKey = baskets.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    val reps = baskets.sparkSession.range(factor)
+      .select(col("id").as("rep"))
+    val own = baskets.crossJoin(broadcast(reps))
+      .select((col("l_orderkey") * 16 + col("rep")).as("l_orderkey"),
+        col("l_partkey"))
+    val merged = baskets.crossJoin(broadcast(reps))
+      .select((pmod(col("l_orderkey") + col("rep") * lit(9973L),
+        lit(maxKey)) * 16 + col("rep")).as("l_orderkey"), col("l_partkey"))
+    own.unionByName(merged).distinct()
+  }
+
   private def timed(body: => Long): (Double, Long) = {
     val t0 = System.nanoTime()
     val n = body
@@ -99,7 +124,8 @@ object ScaleBench {
     * way). */
   def run(spark: SparkSession, docsPath: String, embPath: String,
       funnelCfg: ops.CurateCli.Config,
-      evalSlice: org.apache.spark.sql.Column): Seq[(String, Double, Long)] = {
+      evalSlice: org.apache.spark.sql.Column,
+      baseDir: String = "", factor: Int = 1): Seq[(String, Double, Long)] = {
     val docs = spark.read.parquet(docsPath)
     val emb = spark.read.parquet(embPath)
     val results = scala.collection.mutable.ListBuffer.empty[(String, Double, Long)]
@@ -253,7 +279,37 @@ object ScaleBench {
     bench("q99_tfidf_cosine")(
       graft.text.TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text",
         topM = 5, threshold = 0.8).count())
+    // q171: leakage-safe splits — near-dup pairs → connected components
+    // → split coin on the representative. The paired WORKLOAD row is
+    // the CC edge count (the pair volume the min-label loop iterates),
+    // so the table carries wall-vs-candidate-work like q90's
+    bench("q171_leakage_splits")(
+      graft.text.TextAnalysis.leakageSafeSplits(docs, "doc_id",
+        Dedup.ngramJaccardPairsFromIndex(
+          Dedup.shingleIndex(docs, "doc_id", "text", k = 3),
+          threshold = 0.4)).count())
+    bench("q171_workload_edges")(
+      Dedup.ngramJaccardPairsFromIndex(
+        Dedup.shingleIndex(docs, "doc_id", "text", k = 3),
+        threshold = 0.4).count())
     releaseStorage(spark) // q59's candidate checkpoint + funnel leftovers
+    // graph family: the compounding-basket fact (scaleBaskets — merged
+    // baskets make degrees and wedge work COMPOUND with the factor).
+    // The census row's `rows` records n_triangles; the paired workload
+    // row records the oriented wedge count the closure join probes —
+    // wall must track wedges, not wedges², or the orientation broke
+    if (baseDir.nonEmpty &&
+        Seq("q158_triangle_census", "q158_workload_wedges").exists(wanted)) {
+      val fact = scaleBaskets(Tables.lineitem(spark, baseDir), factor)
+        .localCheckpoint() // census + workload probe share it
+      bench("q158_triangle_census") {
+        graft.analytics.Analytics.coPurchaseTriangles(fact, minSupport = 2L)
+          .head().getLong(2)
+      }
+      bench("q158_workload_wedges")(
+        graft.analytics.Analytics.coPurchaseWedgeCount(fact, minSupport = 2L))
+      releaseStorage(spark)
+    }
     results.toList
   }
 
@@ -397,7 +453,7 @@ object ScaleBench {
         java.nio.file.Files.writeString(marker.toPath, markerWant)
       }
       println(s"""{"scale_factor":$f,"mode":"${if (organic) "organic" else "replica"}","docs":${spark.read.parquet(dDir).count()}}""")
-      val rs = run(spark, dDir, eDir, funnelCfg, evalSlice)
+      val rs = run(spark, dDir, eDir, funnelCfg, evalSlice, baseDir, f)
       // k ∝ corpus size: 8 centroids per replica-worth of data keeps the
       // expected cell size constant across factors
       val sem =

@@ -1054,6 +1054,37 @@ object SparkEntry {
     "q170_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlapMatrix(Tables.documents(s, d),
         "source", "text", k = 3)),
+    // q172: CUSUM sustained-shift detector on the daily revenue series
+    // — two prefix windows over the calendar-bounded day rollup via the
+    // max-reset-free identity, exact integer statistic (cents)
+    "q172_cusum_shift" -> ((s, d) =>
+      Analytics.cusumShift(Tables.orders(s, d), thresholdCents = 100000000L)),
+    // q173: inter-purchase-time table per market segment — per-customer
+    // lag window, then every quantile off the bounded (segment, gap)
+    // histogram, never a per-row rank
+    "q173_repeat_intervals" -> ((s, d) =>
+      Analytics.repeatIntervals(Tables.orders(s, d), Tables.customer(s, d))),
+    // q174: degree histogram of the co-purchase graph — shares q144/
+    // q158's coPurchaseEdges pair self-join, output bounded by max
+    // degree
+    "q174_copurchase_degrees" -> ((s, d) =>
+      Analytics.coPurchaseDegrees(Tables.lineitem(s, d), minSupport = 2L)),
+    // q175: equi-depth order-value deciles — exact engine NTILE
+    // reproduced from the range-repartition global rank, k-row rollup
+    "q175_value_deciles" -> ((s, d) =>
+      Analytics.valueDeciles(Tables.orders(s, d), k = 10)),
+    // q176: supplier revenue concentration (HHI) per nation — fact
+    // collapses to one row per supplier first, integer-ppm shares
+    "q176_supplier_hhi" -> ((s, d) =>
+      Analytics.supplierHhi(Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.lineitem(s, d))),
+    // q177: SCD2 point-in-time bridge — purchases attributed to the
+    // status version whose validity interval contains them; the
+    // BETWEEN join executes as the as-of carry-forward, never a range
+    // join
+    "q177_scd2_pointintime" -> ((s, d) =>
+      Analytics.scd2PointInTime(Tables.events(s, d), "user_id", "ts",
+        "event_type", "event_id", factType = "purchase")),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -3542,6 +3573,134 @@ object SparkEntry {
          |SELECT doc_id, group_id, CASE WHEN coin < 800000 THEN 'train'
          |  WHEN coin < 900000 THEN 'val' ELSE 'test' END AS split
          |FROM h ORDER BY doc_id""".stripMargin,
+    // q172: the same pre-scaled integer deviations (n·x − T per prefix
+    // step) and the same max-reset-free prefix-min/max identity, in
+    // HUGEINT; floor-div back to cents only at the end
+    "q172_cusum_shift" ->
+      """WITH d AS (SELECT (epoch_us(o_orderdate)
+        |    - ((epoch_us(o_orderdate) % 86400000000 + 86400000000)
+        |      % 86400000000)) // 86400000000 AS day,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS x
+        | FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(x) AS HUGEINT) AS tt FROM d),
+        |p AS (SELECT day, x, n,
+        |  sum(CAST(x AS HUGEINT) * n) OVER w
+        |    - tt * CAST(count(*) OVER w AS HUGEINT) AS pp
+        | FROM d, t
+        | WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        |c AS (SELECT day, x,
+        |  CAST((pp - min(pp) OVER w) // n AS BIGINT) AS cusum_pos_cents,
+        |  CAST((max(pp) OVER w - pp) // n AS BIGINT) AS cusum_neg_cents
+        | FROM p
+        | WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING))
+        |SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d')
+        |    AS order_day,
+        |  CAST(CAST(x AS DECIMAL(38,2)) / 100 AS DOUBLE) AS revenue,
+        |  cusum_pos_cents, cusum_neg_cents,
+        |  CASE WHEN cusum_pos_cents > 100000000
+        |      AND cusum_pos_cents >= cusum_neg_cents THEN 'shift_up'
+        |    WHEN cusum_neg_cents > 100000000 THEN 'shift_down'
+        |    ELSE 'ok' END AS verdict
+        |FROM c ORDER BY order_day""".stripMargin,
+    // q173: same per-customer (day, key) lag, same bounded (segment,
+    // gap) histogram with running-count quantile picks; mean is the
+    // single IEEE division of exact integers
+    "q173_repeat_intervals" ->
+      """WITH o AS (SELECT o_custkey AS c, o_orderkey AS k,
+        |    (epoch_us(o_orderdate) - ((epoch_us(o_orderdate) % 86400000000
+        |      + 86400000000) % 86400000000)) // 86400000000 AS day
+        |  FROM orders),
+        |g AS (SELECT c, day - lag(day) OVER
+        |    (PARTITION BY c ORDER BY day, k) AS gap FROM o),
+        |j AS (SELECT c_mktsegment AS segment, gap FROM g
+        |  JOIN customer ON c = c_custkey WHERE gap IS NOT NULL),
+        |h AS (SELECT segment, gap, count(*) AS cnt FROM j GROUP BY 1, 2),
+        |s AS (SELECT segment, gap, cnt,
+        |    sum(cnt) OVER (PARTITION BY segment ORDER BY gap
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY segment) AS n,
+        |    sum(CAST(gap AS HUGEINT) * cnt) OVER (PARTITION BY segment) AS sm
+        |  FROM h)
+        |SELECT segment, CAST(max(n) AS BIGINT) AS n_intervals,
+        |  CAST(max(sm) AS DOUBLE) / max(n) AS mean_days,
+        |  min(CASE WHEN cum * 2 >= n THEN gap END) AS median_days,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN gap END) AS p90_days
+        |FROM s GROUP BY segment ORDER BY segment""".stripMargin,
+    // q174: q144/q158's edge set (distinct baskets, canonical a < b
+    // pairs, support >= 2), rolled to the per-part degree histogram
+    "q174_copurchase_degrees" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT a.p AS x, c.p AS y FROM b a
+        |  JOIN b c ON a.o = c.o AND a.p < c.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT part, count(*) AS degree FROM
+        |  (SELECT x AS part FROM e UNION ALL SELECT y FROM e) GROUP BY 1)
+        |SELECT CAST(degree AS BIGINT) AS degree,
+        |  CAST(count(*) AS BIGINT) AS n_parts
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q175: native ntile(10) over the identical (price, key) total
+    // order — pins the engine's rank-derived NTILE decomposition
+    "q175_value_deciles" ->
+      """WITH r AS (SELECT o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    ntile(10) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)),
+        |      o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT CAST(decile AS INTEGER) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(price) AS DOUBLE) AS min_price,
+        |  CAST(max(price) AS DOUBLE) AS max_price,
+        |  CAST(sum(price) AS DOUBLE) AS total_price
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q176: same per-supplier exact-micros rollup, same floored ppm
+    // shares against the nation total, HHI in HUGEINT cross-products
+    "q176_supplier_hhi" ->
+      """WITH ps AS (SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,6))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT l_suppkey, rev,
+        |  CAST(rev * 1000000 AS HUGEINT) AS rev_us FROM ps),
+        |j AS (SELECT n_name, rev, rev_us,
+        |    sum(rev_us) OVER (PARTITION BY n_name) AS tot
+        |  FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |sh AS (SELECT n_name, rev,
+        |  CAST((rev_us * 1000000) // tot AS BIGINT) AS share_ppm FROM j)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(rev) AS DOUBLE) AS total_revenue,
+        |  max(share_ppm) AS top_share_ppm,
+        |  CAST(sum(CAST(share_ppm AS HUGEINT) * share_ppm) // 1000000
+        |    AS BIGINT) AS hhi_ppm
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q177: the oracle states the BETWEEN contract directly — q156's
+    // SCD2 CTE over status events, purchases left-joined into the
+    // interval containing them (the engine executes the same match as
+    // an as-of carry-forward, never this range join)
+    "q177_scd2_pointintime" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+        |    event_id AS id, event_type AS v FROM events
+        |  WHERE event_type <> 'purchase'),
+        |c AS (SELECT u, t, id, v, (row_number() OVER
+        |      (PARTITION BY u ORDER BY t, id) = 1
+        |    OR v IS DISTINCT FROM lag(v) OVER
+        |      (PARTITION BY u ORDER BY t, id)) AS chg FROM e),
+        |f AS (SELECT u, t, id, v FROM c WHERE chg),
+        |w AS (SELECT u, v AS status, t AS valid_from_us,
+        |    lead(t) OVER (PARTITION BY u ORDER BY t, id) AS valid_to_us,
+        |    CAST(row_number() OVER (PARTITION BY u ORDER BY t, id)
+        |      AS BIGINT) AS version FROM f),
+        |p AS (SELECT user_id AS u, event_id AS id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.u AS user_id, p.id AS event_id,
+        |  COALESCE(w.status, 'none') AS status,
+        |  w.version AS status_version
+        |FROM p LEFT JOIN w ON p.u = w.u AND p.t >= w.valid_from_us
+        |  AND (w.valid_to_us IS NULL OR p.t < w.valid_to_us)
+        |ORDER BY user_id, event_id""".stripMargin,
     // tf over raw occurrences; same tokenizer as q43
     "q61_vocab_df" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -880,17 +880,38 @@ object Analytics {
     * item×item matrix. */
   def frequentItemPairs(lineitem: DataFrame, minSupport: Long,
       k: Int): DataFrame = {
-    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(k >= 1, s"k must be >= 1, got $k")
-    val items = lineitem.select(col("l_orderkey").as("__o"),
-      col("l_partkey").as("__p")).distinct()
-    items.alias("a").join(items.alias("b"), Seq("__o"))
-      .filter(col("a.__p") < col("b.__p"))
-      .groupBy(col("a.__p").as("part_a"), col("b.__p").as("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= minSupport)
+    coPurchaseEdges(lineitem, minSupport)
+      .select(col("__x").as("part_a"), col("__y").as("part_b"),
+        col("__n").as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(k)
+  }
+
+  /** THE co-purchase edge relation — the one pair self-join every
+    * basket-graph operator ([[frequentItemPairs]],
+    * [[coPurchaseTriangles]], [[coPurchaseDegrees]]) consumes:
+    * canonical (`__x < __y`) unordered part pairs co-occurring in
+    * `__n >= minSupport` distinct orders. Items dedupe within an order
+    * first (two lines of the same part are one basket membership).
+    *
+    * Scale shape: the explode is a per-ORDER self-join keyed on the
+    * order id — quadratic only in BASKET SIZE (bounded small in any
+    * real schema), linear in orders; the support floor collapses hot
+    * pairs map-side (partial hash agg). The deduped basket relation is
+    * localCheckpoint'ed because the self-join reads it twice. Never a
+    * global item×item matrix. */
+  private[analytics] def coPurchaseEdges(lineitem: DataFrame,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val baskets = lineitem.select(col("l_orderkey").as("__o"),
+        col("l_partkey").as("__p")).distinct()
+      .localCheckpoint() // the pair self-join reads it twice
+    baskets.alias("a").join(baskets.alias("b"), Seq("__o"))
+      .filter(col("a.__p") < col("b.__p"))
+      .groupBy(col("a.__p").as("__x"), col("b.__p").as("__y"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minSupport)
   }
 
   /** Statistical anomaly flags over the daily revenue series — days
@@ -1042,7 +1063,16 @@ object Analytics {
     * range + quantity cap all reach `PushedFilters` and drive row-group
     * skipping; the decimal band then decides exact membership post-scan.
     * Revenue sums in exact decimal (6dp: price·discount) — the [[dsum]]
-    * parity rule. */
+    * parity rule.
+    *
+    * DATA CONTRACT: `l_discount` must hold hundredth-aligned values
+    * (the TPC-H domain — 0.00, 0.01, … 0.10). For such data the
+    * envelope strictly contains the decimal band's rounding preimage.
+    * A raw value that is NOT hundredth-aligned but rounds into the
+    * band under DECIMAL(18,2) HALF_UP (e.g. `d + 0.0149`) would pass
+    * the decimal test yet fall outside the ±0.011 envelope and be
+    * pruned at the scan — widen the envelope to ±(0.015 − ulp) if the
+    * column ever carries free-form discounts. */
   def forecastRevenue(lineitem: DataFrame, fromDate: String, toDate: String,
       discount: Double, maxQuantity: Double): DataFrame = {
     require(math.abs(discount * 100 - math.rint(discount * 100)) < 1e-9,
@@ -1438,6 +1468,47 @@ object Analytics {
       .orderBy(keyCol, "version")
   }
 
+  /** Point-in-time attribution of a fact stream against the SCD2
+    * dimension history built from the same event log — the
+    * CDC-to-warehouse bridge (reference semantics:
+    * handle-partial-updates.sql:6-54 keeps per-key status history;
+    * this answers "which status version was current when the fact
+    * happened"): the dimension is [[scd2Intervals]] over every
+    * non-`factType` event (status = the event type), and each
+    * `factType` fact matches the version whose validity interval
+    * contains it — `valid_from_us <= t < valid_to_us`, open current
+    * version — with left-outer semantics (`'none'` before the first
+    * status change; null version).
+    *
+    * Scale shape: the interval join is NEVER executed as a range join
+    * (`fact ⋈ dim ON t BETWEEN from AND to` explodes to every
+    * (fact, interval) pair per key before pruning — quadratic in
+    * history length). Because SCD2 intervals partition time per key,
+    * "the interval containing t" IS "the greatest valid_from
+    * at-or-before t", so attribution rides [[AsofJoin.asofJoin]]'s
+    * union + carry-forward window — one key shuffle of narrow rows,
+    * linear at any history length. The status value re-attaches by an
+    * equi-join on (key, version); the dim is localCheckpoint'ed since
+    * both the as-of probe and the re-attach read it. */
+  def scd2PointInTime(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, idCol: String, factType: String): DataFrame = {
+    val dim = scd2Intervals(events.filter(col(typeCol) =!= factType),
+        keyCol, tsCol, typeCol, idCol)
+      .localCheckpoint() // as-of probe + value re-attach both read it
+    val facts = events.filter(col(typeCol) === factType)
+    val matched = AsofJoin.asofJoin(facts, dim, keyCol,
+      tsCol, "valid_from_us", idCol, "version")
+    val dimVal = dim.select(col(keyCol).as("__dk"),
+      col("version").as("__dv"), col(typeCol).as("__status"))
+    matched
+      .join(dimVal, matched(keyCol) === col("__dk") &&
+        col("matched_version") === col("__dv"), "left")
+      .select(matched(keyCol), col(idCol),
+        coalesce(col("__status"), lit("none")).as("status"),
+        col("matched_version").as("status_version"))
+      .orderBy(keyCol, idCol)
+  }
+
   /** Total-order global rank WITHOUT a single-partition window: range
     * repartition by the sort key (Spark's distributed sort layout),
     * per-partition row numbers under a partition-id window, and
@@ -1804,15 +1875,27 @@ object Analytics {
     * degree tables are consumed repeatedly → materialized once. */
   def coPurchaseTriangles(lineitem: DataFrame,
       minSupport: Long): DataFrame = {
-    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val baskets = lineitem.select(col("l_orderkey").as("__o"),
-        col("l_partkey").as("__p")).distinct()
-      .localCheckpoint() // the pair self-join reads it twice
-    val edges = baskets.alias("a").join(baskets.alias("b"), Seq("__o"))
-      .filter(col("a.__p") < col("b.__p"))
-      .groupBy(col("a.__p").as("__x"), col("b.__p").as("__y"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minSupport)
+    val (edges, deg, oriented) = coPurchaseOriented(lineitem, minSupport)
+    val wedges = orientedWedges(oriented)
+    val triangles = wedges.join(oriented
+        .select(col("__s").as("__ws"), col("__d").as("__wd")),
+      Seq("__ws", "__wd"), "left_semi")
+    triangles.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** Degree-ordered orientation of the [[coPurchaseEdges]] graph —
+    * (edges, degrees, oriented edges `__s → __d` with the destination's
+    * `(degree, id)` ordering struct `__dord`). Both materialized
+    * relations are localCheckpoint'ed: edges feed degrees + orientation
+    * + the census count, oriented feeds the wedge self-join + closure
+    * probe. Shared by [[coPurchaseTriangles]] and the
+    * [[coPurchaseWedgeCount]] workload probe. */
+  private def coPurchaseOriented(lineitem: DataFrame,
+      minSupport: Long): (DataFrame, DataFrame, DataFrame) = {
+    val edges = coPurchaseEdges(lineitem, minSupport)
       .select("__x", "__y")
       .localCheckpoint() // degrees + orientation + wedge closure
     val deg = edges.select(col("__x").as("__v"))
@@ -1830,16 +1913,27 @@ object Analytics {
         when(xOrd < yOrd, col("__y")).otherwise(col("__x")).as("__d"),
         when(xOrd < yOrd, yOrd).otherwise(xOrd).as("__dord"))
       .localCheckpoint() // wedge self-join + closure probe
-    val wedges = oriented.alias("e1").join(oriented.alias("e2"), Seq("__s"))
+    (edges, deg, oriented)
+  }
+
+  /** Wedges generated at the lowest-(degree, id) vertex of each edge —
+    * the Suri–Vassilvitskii candidate set [[coPurchaseTriangles]]
+    * closes against the edge relation. */
+  private def orientedWedges(oriented: DataFrame): DataFrame =
+    oriented.alias("e1").join(oriented.alias("e2"), Seq("__s"))
       .filter(col("e1.__dord") < col("e2.__dord"))
       .select(col("e1.__d").as("__ws"), col("e2.__d").as("__wd"))
-    val triangles = wedges.join(oriented
-        .select(col("__s").as("__ws"), col("__d").as("__wd")),
-      Seq("__ws", "__wd"), "left_semi")
-    triangles.agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
-      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+
+  /** The triangle census' WORKLOAD check: the exact number of oriented
+    * wedges the closure join probes — the candidate volume the
+    * "per-vertex wedge work bounds by the oriented out-degree (O(√m))"
+    * claim bounds. Recorded beside [[coPurchaseTriangles]]' wall time
+    * in ScaleBench so the organic table carries wall-vs-candidate-work
+    * for the graph family like it does for retrieval (q90) and dedup
+    * (q36/q48). */
+  def coPurchaseWedgeCount(lineitem: DataFrame, minSupport: Long): Long = {
+    val (_, _, oriented) = coPurchaseOriented(lineitem, minSupport)
+    orientedWedges(oriented).count()
   }
 
   /** Min-cost supplier per part within a region (TPC-H Q2 shape): for
@@ -2078,15 +2172,9 @@ object Analytics {
     * the max degree. The fact is never re-scanned after the first
     * basket dedup. */
   def coPurchaseDegrees(lineitem: DataFrame, minSupport: Long): DataFrame = {
-    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val items = lineitem.select(col("l_orderkey").as("__o"),
-      col("l_partkey").as("__p")).distinct()
-    val pairs = items.alias("a").join(items.alias("b"), Seq("__o"))
-      .filter(col("a.__p") < col("b.__p"))
-      .groupBy(col("a.__p").as("pa"), col("b.__p").as("pb"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minSupport)
-    pairs.select(col("pa").as("part")).union(pairs.select(col("pb")))
+    val pairs = coPurchaseEdges(lineitem, minSupport)
+      .localCheckpoint() // both endpoints of every edge feed the union
+    pairs.select(col("__x").as("part")).union(pairs.select(col("__y")))
       .groupBy("part").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_parts"))
       .orderBy("degree")

@@ -552,15 +552,22 @@ object CurateCli {
     * vs the `% 37` eval slice → token-budget → pack).
     * `--phrase-audit=<file>` (one quote per line, whitespace-tokenized;
     * blank lines skipped) adds the exact-quote audit stage in either
-    * mode. Exit 0. */
+    * mode. MATCHING CONTRACT: quote tokens compare case- and
+    * punctuation-EXACTLY against the corpus' whitespace tokens — a
+    * quote list cased or punctuated differently from the corpus
+    * silently audits nothing, so normalize quote files to the corpus'
+    * surface form (same case, same punctuation attachment) before
+    * pointing the flag at them. Exit 0. */
   def main(args: Array[String]): Unit = {
     val auditPhrases: Seq[Seq[String]] = args
       .find(_.startsWith("--phrase-audit="))
       .map(_.stripPrefix("--phrase-audit="))
       .map { f =>
-        scala.io.Source.fromFile(f).getLines()
-          .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
-          .filter(_.nonEmpty).toSeq
+        scala.util.Using.resource(scala.io.Source.fromFile(f)) { src =>
+          src.getLines()
+            .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+            .filter(_.nonEmpty).toSeq
+        }
       }.getOrElse(Nil)
     val pos = args.filterNot(_.startsWith("--"))
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.001")

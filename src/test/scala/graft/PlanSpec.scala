@@ -900,6 +900,77 @@ class PlanSpec extends SparkSpec {
       s"intersections must partial-aggregate map-side:\n$p")
   }
 
+  test("q172 cusum: fact collapses to the day series before any window") {
+    val p = plan("q172_cusum_shift")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"one pass over orders:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the day rollup must partial-aggregate map-side:\n$p")
+    // the prefix windows are DELIBERATELY single-partition: they run
+    // over the calendar-bounded day series (the movingDailyRevenue
+    // claim), never over fact rows — the rollup must sit between the
+    // scan and the first windowspecdefinition
+    assert(p.contains("windowspecdefinition") && p.contains("HashAggregate"),
+      s"prefix windows must read the aggregated series:\n$p")
+  }
+
+  test("q173 repeat intervals: customer-keyed lag, histogram rollup, dim broadcast") {
+    val p = plan("q173_repeat_intervals")
+    assert(p.contains("windowspecdefinition(o_custkey"),
+      s"the lag window must partition by customer, never globally:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer dim must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"(segment, gap) histogram must partial-aggregate map-side:\n$p")
+    assert(p.contains("windowspecdefinition(segment"),
+      s"quantile windows run over the bounded histogram, by segment:\n$p")
+  }
+
+  test("q174 co-purchase degrees: edge set materialized once, fact never re-scanned") {
+    val p = plan("q174_copurchase_degrees")
+    assert(p.contains("ExistingRDD") && !p.contains("lineitem.parquet"),
+      s"both degree readers must consume the checkpointed edge set:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation is the per-order equi-self-join:\n$p")
+    assert(p.contains("partial_count"),
+      s"degree and histogram rollups must partial-aggregate:\n$p")
+  }
+
+  test("q175 value deciles: rank windows partition by range-partition id") {
+    val p = plan("q175_value_deciles")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"the global rank must run under the partition-id window:\n$p")
+    assert(!"windowspecdefinition\\(__price".r.findFirstIn(p).isDefined,
+      s"no single-partition ORDER-BY-price window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"driver prefix offsets must broadcast:\n$p")
+    assert(p.contains("ExistingRDD") && !p.contains("orders.parquet"),
+      s"the ranged relation materializes once for counts + rank:\n$p")
+  }
+
+  test("q176 supplier HHI: fact collapses per supplier first, dims broadcast") {
+    val p = plan("q176_supplier_hhi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"supplier and nation dims must broadcast:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-supplier revenue must partial-aggregate map-side:\n$p")
+    assert(p.contains("windowspecdefinition(n_name"),
+      s"the share window runs over the supplier rollup, by nation:\n$p")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"one pass over the fact:\n$p")
+  }
+
+  test("q177 SCD2 point-in-time: as-of carry-forward, never a range join") {
+    val p = plan("q177_scd2_pointintime")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the BETWEEN match must execute as the as-of union window:\n$p")
+    assert(p.contains("windowspecdefinition(__k"),
+      s"the carry-forward window partitions by the join key:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the SCD2 dim materializes once (as-of probe + value re-attach):\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

@@ -758,4 +758,128 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     assert(got == Seq((1L, "S1", "N")))
   }
+
+  test("cusumShift: level shift accumulates, single-day spikes don't flip it") {
+    // six days, 10→22 dollars at day 4 — a sustained +12 shift; two
+    // same-day orders must collapse into one series point first.
+    // Hand-computed: dev' = 6x−9600 → P = −3600,−7200,−10800,−7200,
+    // −3600,0; cusum⁺ = 0,0,0,600,1200,1800; cusum⁻ = 0,600,1200,600,0,0
+    val orders = Seq(
+      ("2024-01-01", 4.0), ("2024-01-01", 6.0), // collapse to $10
+      ("2024-01-02", 10.0), ("2024-01-03", 10.0),
+      ("2024-01-04", 22.0), ("2024-01-05", 22.0), ("2024-01-06", 22.0))
+      .toDF("__d", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("__d")))
+    val got = Analytics.cusumShift(orders, thresholdCents = 1000L)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 10.0, 0L, 0L, "ok"),
+      ("2024-01-02", 10.0, 0L, 600L, "ok"),
+      ("2024-01-03", 10.0, 0L, 1200L, "shift_down"),
+      ("2024-01-04", 22.0, 600L, 600L, "ok"),
+      ("2024-01-05", 22.0, 1200L, 0L, "shift_up"),
+      ("2024-01-06", 22.0, 1800L, 0L, "shift_up")))
+  }
+
+  test("repeatIntervals: histogram quantiles, same-day gap 0, single orders drop") {
+    val customer = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      // cust 1 (A): days 0, 2, 5, 14 → gaps 2, 3, 9
+      (1L, 10L, "2024-01-01"), (1L, 11L, "2024-01-03"),
+      (1L, 12L, "2024-01-06"), (1L, 13L, "2024-01-15"),
+      // cust 2 (A): gap 2
+      (2L, 20L, "2024-01-01"), (2L, 21L, "2024-01-03"),
+      // cust 3 (B): two orders the SAME day → gaps 1 then 0
+      (3L, 30L, "2024-01-01"), (3L, 31L, "2024-01-02"),
+      (3L, 32L, "2024-01-02"),
+      // cust 4 (C): single order → no interval, segment absent
+      (4L, 40L, "2024-01-01"))
+      .toDF("o_custkey", "o_orderkey", "__d")
+      .withColumn("o_orderdate", to_timestamp(col("__d")))
+    val got = Analytics.repeatIntervals(orders, customer)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // A: gaps {2,2,3,9} → mean 4.0, lower-median 2, p90 9
+    // B: gaps {1,0} → mean 0.5, median 0, p90 1
+    assert(got == Seq(("A", 4L, 4.0, 2L, 9L), ("B", 2L, 0.5, 0L, 1L)))
+  }
+
+  test("coPurchaseDegrees: degree histogram over the support-floored edge set") {
+    // edges at support >= 2: {1-2, 1-3, 2-3, 3-4} → degrees 2,2,3,1
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L),
+      (4L, 2L), (4L, 3L),
+      (5L, 1L), (5L, 3L),
+      (6L, 3L), (6L, 4L), (7L, 3L), (7L, 4L),
+      (8L, 4L), (8L, 5L)) // support 1 → below the floor
+      .toDF("l_orderkey", "l_partkey")
+    val got = Analytics.coPurchaseDegrees(li, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+  }
+
+  test("valueDeciles: remainder buckets lead, price ties order by key") {
+    val orders = Seq(
+      (1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 40.0),
+      (5L, 50.0), (6L, 60.0), (7L, 70.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val got = Analytics.valueDeciles(orders, k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // n=7, k=3 → bucket sizes 3,2,2 over (price, key) order
+    assert(got == Seq(
+      (1, 3L, 10.0, 20.0, 50.0),
+      (2, 2L, 40.0, 50.0, 90.0),
+      (3, 2L, 60.0, 70.0, 130.0)))
+  }
+
+  test("supplierHhi: exact ppm shares, discount applied, single-vendor nation") {
+    val supplier = Seq((1L, 10L), (2L, 10L), (3L, 20L))
+      .toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((10L, "N1"), (20L, "N2"))
+      .toDF("n_nationkey", "n_name")
+    val lineitem = Seq(
+      // S1: 50·(1−0.5) + 50·(1−0) = 75; S2: 25 → shares 75/25 ppm-exact
+      (1L, 50.0, 0.5), (1L, 50.0, 0.0), (2L, 25.0, 0.0),
+      (3L, 10.0, 0.0)) // N2's lone supplier → share 1e6, HHI 1e6
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+    val got = Analytics.supplierHhi(supplier, nation, lineitem)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // N1: HHI = (750000² + 250000²)/10⁶ = 625000
+    assert(got == Seq(
+      ("N1", 2L, 100.0, 750000L, 625000L),
+      ("N2", 1L, 10.0, 1000000L, 1000000L)))
+  }
+
+  test("scd2PointInTime: interval containment, boundaries, pre-history 'none'") {
+    val events = Seq(
+      // u1 status history: signup@0 (v1), upgrade@20 (v2; the @30
+      // repeat collapses), error@40 (v3, open tail)
+      (1L, 1L, 0L, "signup"), (1L, 2L, 20L, "upgrade"),
+      (1L, 3L, 30L, "upgrade"), (1L, 4L, 40L, "error"),
+      // u1 purchases: before history, at v1's open, mid-v2, exactly at
+      // v3's valid_from (new version wins), deep in the open tail
+      (1L, 100L, -5L, "purchase"), (1L, 101L, 0L, "purchase"),
+      (1L, 102L, 25L, "purchase"), (1L, 103L, 40L, "purchase"),
+      (1L, 104L, 100L, "purchase"),
+      // u2: no status events at all
+      (2L, 200L, 10L, "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Analytics.scd2PointInTime(events, "user_id", "ts",
+        "event_type", "event_id", factType = "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 100L, "none", null),
+      (1L, 101L, "signup", 1L),
+      (1L, 102L, "upgrade", 2L),
+      (1L, 103L, "error", 3L),
+      (1L, 104L, "error", 3L),
+      (2L, 200L, "none", null)))
+  }
 }
