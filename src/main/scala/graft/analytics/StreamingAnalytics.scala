@@ -1,7 +1,20 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One in-flight gap session of [[StreamingAnalytics.sessionizeStream]]'s
+  * per-key state (bounds: open sessions only — closed ones leave the
+  * store the micro-batch they emit). */
+final case class OpenSession(start: Long, end: Long, n: Long)
+
+/** A closed gap session — emitted once, when the watermark passes the
+  * session's last possible extension (`end + gap`). Column names match
+  * [[Analytics.sessionize]]'s batch output (minus the per-user ordinal,
+  * which has no stable meaning under append-mode emission). */
+final case class ClosedSession(user_id: Long, session_start_us: Long,
+    session_end_us: Long, n_events: Long, duration_us: Long)
 
 /** Streaming materialized-view equivalents (ST12): the daily summary MV
   * (`init.sql:195-206`) as a watermarked tumbling-window aggregation —
@@ -47,6 +60,81 @@ object StreamingAnalytics {
         date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("total_value"))
+
+  /** Streaming gap-based sessionization — [[Analytics.sessionize]]'s
+    * batch semantics (events of one user chain into a session while
+    * consecutive gaps stay ≤ `gapUs`; a strictly larger gap opens a new
+    * session) emitted INCREMENTALLY from an unbounded stream: a session
+    * is emitted exactly once, in the micro-batch whose watermark passes
+    * its last possible extension point (`end + gapUs`) — after that no
+    * in-watermark event can chain into it, so the emission is final
+    * (append-mode exactly-once, the property a retractable aggregation
+    * can't give a downstream sink).
+    *
+    * Built on `flatMapGroupsWithState` with an EVENT-TIME timeout (the
+    * custom-state shape the reference has no analog for — SURVEY §2.9):
+    * per user the state holds only OPEN sessions as (start, end, count)
+    * triples — out-of-order events within the watermark merge interval-
+    * style, so state is bounded by the user's concurrent open sessions
+    * inside the lateness window, never by history length. The timeout
+    * re-arms at the earliest open session's close point, so sessions
+    * close on WATERMARK PROGRESS even when their user goes silent — the
+    * failure mode of a data-triggered-only design (a user who stops
+    * emitting would pin state forever).
+    *
+    * Scale shape: one key shuffle per micro-batch (the groupByKey), a
+    * per-key state lookup against the state store (RocksDB-backed under
+    * the streaming CLI's config), no window over history. `tsCol` must
+    * be a TimestampType column (the watermark anchor). */
+  def sessionizeStream(events: DataFrame, userCol: String, tsCol: String,
+      gapUs: Long, watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the WATERMARKED timestamp column itself must reach the stateful
+    // operator (projecting it to a long would strip the watermark tag
+    // and Spark rejects the event-time timeout); micros conversion
+    // happens inside the function
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(tsCol).as("ts"))
+      .as[(Long, java.time.Instant)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[OpenSession], ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, rows: Iterator[(Long, java.time.Instant)],
+         state: GroupState[List[OpenSession]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.getOrElse(Nil)
+          val incoming = rows.map { r =>
+            val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
+            OpenSession(t, t, 1L)
+          }.toList
+          // interval merge: sessions chain when the next start is within
+          // gap of the running end (<= gap merges — the batch rule)
+          val merged = (prior ++ incoming).sortBy(s => (s.start, s.end))
+            .foldLeft(List.empty[OpenSession]) { (acc, s) =>
+              acc match {
+                case h :: t if s.start - h.end <= gapUs =>
+                  OpenSession(h.start, math.max(h.end, s.end), h.n + s.n) :: t
+                case _ => s :: acc
+              }
+            }.reverse
+          val (closed, open) = merged.partition(_.end + gapUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // earliest possible close, ms-ceiling'd past the µs bound;
+            // clamp above the current watermark (Spark rejects a
+            // timeout at-or-before it)
+            val fire = open.map(_.end + gapUs).min / 1000L + 2L
+            state.setTimeoutTimestamp(
+              math.max(fire, state.getCurrentWatermarkMs() + 1L))
+          }
+          closed.iterator.map(s =>
+            ClosedSession(u, s.start, s.end, s.n, s.end - s.start))
+      }
+  }
 
   /** Burst-collapse dedup ("debounce"): within each key, keep an event
     * only when the gap since the PREVIOUS event of that key is at least

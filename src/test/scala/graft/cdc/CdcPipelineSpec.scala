@@ -289,4 +289,81 @@ class CdcPipelineSpec extends SparkSpec {
       .collect().toSet
     assert(snap1 == snap2 && snap1 == Set(("u1", "alice", "inactive")))
   }
+
+  test("CDC -> SCD2 bridge: upsert stream intervalizes into dimension history, " +
+      "facts join point-in-time (ST7/ST8 + q156/q177 together)") {
+    import graft.analytics.{Analytics, AsofJoin}
+    val in = jsonEvents(Seq(
+      // u1: active → inactive → inactive (repeat must COLLAPSE) → active
+      ev("INSERT", 1000L, "u1", "alice", "active"),
+      ev("UPDATE", 2000L, "u1", null, "inactive"),
+      ev("UPDATE", 3000L, "u1", null, "inactive"),
+      ev("UPDATE", 4000L, "u1", null, "active"),
+      // u2: a PARTIAL update (status absent) must not open a version —
+      // the ST7 coalesce semantics carried into the history
+      ev("INSERT", 1500L, "u2", "bob", "active"),
+      ev("UPDATE", 2500L, "u2", "bobby", null),
+      // u3: deleted — the warehouse drops the row (ST8), the history
+      // keeps every version plus a terminal '__deleted' one
+      ev("INSERT", 1200L, "u3", "carol", "active"),
+      ev("DELETE", 3500L, "u3", null, null)))
+    val wh = tmpDir(); val cp = tmpDir()
+    val pipeline = new CdcPipeline(spark, wh, cp, Map("users" -> Seq("user_id")))
+    val raw = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType)))).text(in).toDF("value")
+    val q = pipeline.start(raw, envSchema, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    spark.streams.active.foreach(_.awaitTermination(60000))
+
+    // SCD2 dimension history from the same change stream: partial
+    // updates forward-fill (a null never opens a version), deletes map
+    // to a terminal status — then q156's intervalizer
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("commit_timestamp")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val changes = spark.read.schema(envSchema).json(s"$in/batch0.json")
+      .withColumn("status_f",
+        when(col("operation") === "DELETE", "__deleted")
+          .otherwise(last(col("status"), ignoreNulls = true).over(w)))
+    val dim = Analytics.scd2Intervals(changes, "user_id",
+      "commit_timestamp", "status_f", "commit_timestamp")
+    val intervals = dim
+      .as[(String, String, Long, Option[Long], Long)].collect().toSet
+    assert(intervals == Set(
+      ("u1", "active", 1000L, Some(2000L), 1L),
+      ("u1", "inactive", 2000L, Some(4000L), 2L), // the 3000 repeat collapsed
+      ("u1", "active", 4000L, None, 3L),
+      ("u2", "active", 1500L, None, 1L), // partial update opened nothing
+      ("u3", "active", 1200L, Some(3500L), 1L),
+      ("u3", "__deleted", 3500L, None, 2L)))
+
+    // bridge consistency: warehouse latest state == the open (null
+    // valid_to) version of the history, and ST8's delete == the
+    // terminal '__deleted' version
+    val latest = pipeline.readTable("users").get
+      .select("user_id", "status").as[(String, String)].collect().toMap
+    val openTail = intervals.filter(_._4.isEmpty)
+      .map(r => r._1 -> r._2).toMap
+    assert(latest == openTail.filter(_._2 != "__deleted"))
+    assert(latest("u2") == "active") // ST7: partial update kept status
+    assert(!latest.contains("u3"))   // ST8: tombstoned out of the warehouse
+
+    // point-in-time fact attribution (q177's engine shape): each fact
+    // matches the version whose [valid_from, valid_to) contains it —
+    // executed as the as-of carry-forward, boundary at 4000 inclusive
+    val facts = Seq(("u1", 500L, 6L), ("u1", 1500L, 1L), ("u1", 2500L, 2L),
+      ("u1", 4000L, 3L), ("u2", 3000L, 4L), ("u3", 9000L, 5L))
+      .toDF("user_id", "commit_timestamp", "fact_id")
+    val matched = AsofJoin.asofJoin(facts, dim, "user_id",
+      "commit_timestamp", "valid_from_us", "fact_id", "version")
+    val got = matched
+      .join(dim.select(col("user_id").as("__dk"),
+        col("version").as("__dv"), col("status_f")),
+        matched("user_id") === col("__dk") &&
+          col("matched_version") === col("__dv"), "left")
+      .select(col("fact_id"), coalesce(col("status_f"), lit("none")))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(6L -> "none", 1L -> "active", 2L -> "inactive",
+      3L -> "active", 4L -> "active", 5L -> "__deleted"))
+  }
 }
