@@ -1085,6 +1085,19 @@ object SparkEntry {
     "q177_scd2_pointintime" -> ((s, d) =>
       Analytics.scd2PointInTime(Tables.events(s, d), "user_id", "ts",
         "event_type", "event_id", factType = "purchase")),
+    // q178: cohort revenue matrix — one customer-keyed window, hash agg
+    // straight to the months×months grid, integral month arithmetic
+    "q178_cohort_revenue" -> ((s, d) =>
+      Analytics.cohortRevenue(Tables.orders(s, d))),
+    // q179: new-vs-returning monthly split — acquisition vs retention
+    // over the same customer-first-month window
+    "q179_new_vs_returning" -> ((s, d) =>
+      Analytics.newVsReturning(Tables.orders(s, d))),
+    // q180: Zipf rank-frequency slope over the top-1000 vocabulary head
+    // — integer-ln fixed point, TakeOrderedAndProject head, k-row fit
+    "q180_zipf_slope" -> ((s, d) =>
+      graft.text.TextAnalysis.zipfSlope(Tables.documents(s, d),
+        "doc_id", "text", topK = 1000)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -3701,6 +3714,64 @@ object SparkEntry {
         |FROM p LEFT JOIN w ON p.u = w.u AND p.t >= w.valid_from_us
         |  AND (w.valid_to_us IS NULL OR p.t < w.valid_to_us)
         |ORDER BY user_id, event_id""".stripMargin,
+    // q178: same integral month index, same per-customer min window,
+    // exact-cents revenue through the decimal render
+    "q178_cohort_revenue" ->
+      """WITH o AS (SELECT o_custkey AS c,
+        |    CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+        |      + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1 AS mi,
+        |    strftime(o_orderdate, '%Y-%m') AS ms,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |w AS (SELECT c, mi, ms, cents,
+        |    min(mi) OVER (PARTITION BY c) AS cmi,
+        |    min(ms) OVER (PARTITION BY c) AS cms FROM o)
+        |SELECT cms AS cohort_month, mi - cmi AS months_since,
+        |  CAST(count(DISTINCT c) AS BIGINT) AS n_customers,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(CAST(sum(cents) AS DECIMAL(38,2)) / 100 AS DOUBLE) AS revenue
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q179: "new" = the order's month equals the customer's first
+    // month, so the two distinct counts are disjoint by construction
+    "q179_new_vs_returning" ->
+      """WITH o AS (SELECT o_custkey AS c,
+        |    strftime(o_orderdate, '%Y-%m') AS m,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |w AS (SELECT c, m, cents,
+        |    (m = min(m) OVER (PARTITION BY c)) AS isnew FROM o)
+        |SELECT m AS month,
+        |  CAST(count(DISTINCT CASE WHEN isnew THEN c END) AS BIGINT)
+        |    AS new_customers,
+        |  CAST(count(DISTINCT CASE WHEN NOT isnew THEN c END) AS BIGINT)
+        |    AS returning_customers,
+        |  CAST(CAST(sum(CASE WHEN isnew THEN cents ELSE 0 END)
+        |    AS DECIMAL(38,2)) / 100 AS DOUBLE) AS new_revenue,
+        |  CAST(CAST(sum(CASE WHEN NOT isnew THEN cents ELSE 0 END)
+        |    AS DECIMAL(38,2)) / 100 AS DOUBLE) AS returning_revenue
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q180: same tokenizer, same (freq desc, token) head cut, same
+    // integer-ln fixed point and HUGEINT cross-products; floor division
+    // via the subtract-nonnegative-remainder idiom (slope is negative)
+    "q180_zipf_slope" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT tok, count(*) AS f FROM t WHERE tok <> ''
+        |  GROUP BY 1 ORDER BY f DESC, tok LIMIT 1000),
+        |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM f),
+        |xy AS (SELECT CAST(floor(ln(r) * 1000000) AS BIGINT) AS x,
+        |  CAST(floor(ln(f) * 1000000) AS BIGINT) AS y FROM r),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_tokens,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+        |    CAST(((n * sxy - sx * sy) * 1000000
+        |      - (((n * sxy - sx * sy) * 1000000) % (n * sxx - sx * sx)
+        |        + (n * sxx - sx * sx)) % (n * sxx - sx * sx))
+        |      // (n * sxx - sx * sx) AS BIGINT) END AS slope_ppm
+        |FROM s""".stripMargin,
     // tf over raw occurrences; same tokenizer as q43
     "q61_vocab_df" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -2249,4 +2249,70 @@ object Analytics {
           dec(lit(1000000))).as("hhi_ppm"))
       .orderBy("n_name")
   }
+
+  /** Cohort revenue matrix — customers grouped by FIRST-order month,
+    * activity tracked by months-since-cohort: the (cohort × age) grid
+    * behind every retention/LTV curve ("do the 1996-03 customers still
+    * buy 14 months in"). Month arithmetic is integral (`year·12 +
+    * month − 1`), so age never touches date subtraction's day-length
+    * traps; revenue follows the exact-cents [[cusumShift]] idiom.
+    *
+    * Scale shape: ONE customer-keyed window (min month per customer —
+    * a single key shuffle of narrow rows) and then a hash agg collapsing
+    * straight to the months × months bounded grid; map-side partials
+    * absorb the fact. The cohort label rides the lexicographic
+    * `yyyy-MM` string (its min IS the min month). */
+  def cohortRevenue(orders: DataFrame): DataFrame = {
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+    orders
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("__mi"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("__ms"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("__cents"))
+      .withColumn("__cmi", min(col("__mi")).over(wc))
+      .withColumn("__cms", min(col("__ms")).over(wc))
+      .groupBy(col("__cms").as("cohort_month"),
+        (col("__mi") - col("__cmi")).as("months_since"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        (sum(col("__cents")).cast(DecimalType(38, 2)) / 100)
+          .cast("double").as("revenue"))
+      .orderBy("cohort_month", "months_since")
+  }
+
+  /** New-vs-returning monthly split: per calendar month, how many
+    * distinct customers placed their FIRST-ever order that month vs
+    * returned, and how the month's revenue divides between them — the
+    * acquisition-vs-retention lens on the same fact [[cohortRevenue]]
+    * grids. A customer is "new" for every order inside their first
+    * month (so the two distinct counts never overlap within a month).
+    *
+    * Scale shape: the same single customer-keyed window as
+    * [[cohortRevenue]], then one hash agg to the calendar-bounded month
+    * series; conditional sums stay exact cents until the final decimal
+    * render. */
+  def newVsReturning(orders: DataFrame): DataFrame = {
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+    def rev(c: Column) =
+      (sum(c).cast(DecimalType(38, 2)) / 100).cast("double")
+    orders
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("__m"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("__cents"))
+      .withColumn("__new", col("__m") === min(col("__m")).over(wc))
+      .groupBy(col("__m").as("month"))
+      .agg(
+        countDistinct(when(col("__new"), col("o_custkey")))
+          .as("new_customers"),
+        countDistinct(when(!col("__new"), col("o_custkey")))
+          .as("returning_customers"),
+        rev(when(col("__new"), col("__cents")).otherwise(0L))
+          .as("new_revenue"),
+        rev(when(!col("__new"), col("__cents")).otherwise(0L))
+          .as("returning_revenue"))
+      .orderBy("month")
+  }
 }

@@ -1475,4 +1475,52 @@ object TextAnalysis {
       stopwordCount(c, LangProfiles("en")).cast("long").as("en_stopwords"),
       fingerprint(c).as("fingerprint"))
   }
+
+  /** Zipf rank–frequency slope of the corpus token distribution — the
+    * one-number naturalness check on a corpus' vocabulary (natural
+    * language sits near −1; template/boilerplate-heavy or synthetic
+    * corpora drift off it; the classic pre-training datasheet stat).
+    * Least-squares fit of `L(freq)` on `L(rank)` over the top-`topK`
+    * head in the `L(n) = ⌊ln(n)·10⁶⌋` fixed-point frame (the
+    * q108/q117/q131 integer-ln trick — ln only ever takes INTEGER
+    * ranks/counts, so both engines agree bit-for-bit); the slope is one
+    * floor division of DECIMAL(38,0) cross-products, negative-safe via
+    * the subtract-nonnegative-remainder idiom. NULL when the head has
+    * fewer than two tokens (no regression exists — the [[q9
+    * rankQuantiles]] no-evidence rule).
+    *
+    * Scale shape: token counts are one explode + hash agg (map-side
+    * partials over the Zipf tail), the head selection is
+    * TakeOrderedAndProject (k·partitions shuffle rows), and the rank
+    * window + fold run over the k-row head — the deliberately-bounded
+    * single-partition window, like q142's 9-row digit table. */
+  def zipfSlope(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 1000): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    def lfp(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1000000L)).cast("long")
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val head = df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy("__tok").agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("__tok")).limit(topK)
+    val w = Window.orderBy(col("__f").desc, col("__tok"))
+    head
+      .withColumn("__r", row_number().over(w))
+      .select(lfp(col("__r")).as("__x"), lfp(col("__f")).as("__y"))
+      .agg(count(lit(1)).as("__n"),
+        sum(dec(col("__x"))).as("__sx"), sum(dec(col("__y"))).as("__sy"),
+        sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"))
+      .select(col("__n").as("n_tokens"), {
+        val den = dec(col("__n")) * col("__sxx") - col("__sx") * col("__sx")
+        val num = (dec(col("__n")) * col("__sxy") -
+          col("__sx") * col("__sy")) * 1000000
+        when(den === 0, lit(null).cast("long"))
+          .otherwise(fdiv(num, den)).as("slope_ppm")
+      })
+  }
 }

@@ -971,6 +971,27 @@ class PlanSpec extends SparkSpec {
       s"the SCD2 dim materializes once (as-of probe + value re-attach):\n$p")
   }
 
+  test("q178/q179 cohort analytics: one customer-keyed window, one fact scan") {
+    for (name <- Seq("q178_cohort_revenue", "q179_new_vs_returning")) {
+      val p = plan(name)
+      assert(p.contains("windowspecdefinition(o_custkey"),
+        s"$name: the first-month window must partition by customer:\n$p")
+      assert("FileScan parquet".r.findAllIn(p).size == 1,
+        s"$name: one pass over orders:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: no joins at all:\n$p")
+    }
+  }
+
+  test("q180 zipf slope: distributed head cut, fit over the k-row head only") {
+    val p = plan("q180_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k head must ride TakeOrderedAndProject, never a full sort:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"one pass over documents:\n$p")
+    assert(p.contains("partial_count"),
+      s"token counts must partial-aggregate map-side:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

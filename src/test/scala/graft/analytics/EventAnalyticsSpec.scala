@@ -882,4 +882,42 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, 104L, "error", 3L),
       (2L, 200L, "none", null)))
   }
+
+  private val cohortOrders = Seq(
+    // c1: first 2024-01 (two orders that month), again 2024-03
+    (1L, "2024-01-05", 10.0), (1L, "2024-01-20", 5.0),
+    (1L, "2024-03-01", 20.0),
+    // c2: single first order 2024-02
+    (2L, "2024-02-10", 7.0),
+    // c3: first 2024-01, returns 2024-02
+    (3L, "2024-01-15", 1.0), (3L, "2024-02-15", 2.0),
+    // c4: first DECEMBER 2023, returns january — the year-boundary
+    // month arithmetic (2024·12+0) − (2023·12+11) = 1
+    (4L, "2023-12-31", 3.0), (4L, "2024-01-01", 4.0))
+    .toDF("o_custkey", "__d", "o_totalprice")
+    .withColumn("o_orderdate", to_timestamp(col("__d")))
+
+  test("cohortRevenue: cohort by first month, age across year boundary") {
+    val got = Analytics.cohortRevenue(cohortOrders)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("2023-12", 0L, 1L, 1L, 3.0),
+      ("2023-12", 1L, 1L, 1L, 4.0),
+      ("2024-01", 0L, 2L, 3L, 16.0), // c1 twice + c3 once
+      ("2024-01", 1L, 1L, 1L, 2.0),
+      ("2024-01", 2L, 1L, 1L, 20.0),
+      ("2024-02", 0L, 1L, 1L, 7.0)))
+  }
+
+  test("newVsReturning: first-month orders count as new, disjoint splits") {
+    val got = Analytics.newVsReturning(cohortOrders)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("2023-12", 1L, 0L, 3.0, 0.0),
+      ("2024-01", 2L, 1L, 16.0, 4.0), // c1+c3 new, c4 returning
+      ("2024-02", 1L, 1L, 7.0, 2.0),
+      ("2024-03", 0L, 1L, 0.0, 20.0)))
+  }
 }

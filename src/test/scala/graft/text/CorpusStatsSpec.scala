@@ -124,4 +124,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(a == b)
     assert(a.forall(_.getLong(2) >= 3))
   }
+
+  // --- zipf slope -----------------------------------------------------
+
+  test("zipfSlope: matches an independent BigInt replay; degenerate → null") {
+    // freq table by construction: a×8, b×4, c×2, d×1 → ranks 1..4
+    val docs = Seq((1L, "a a a a a b b c d"), (2L, "a a a b b c"))
+      .toDF("doc_id", "text")
+    val row = TextAnalysis.zipfSlope(docs, "doc_id", "text", topK = 1000)
+      .head()
+    assert(row.getLong(0) == 4L)
+    // independent model: the same fixed-point least squares in BigInt,
+    // with true floor division (BigInt / truncates toward zero)
+    def lfp(n: Long): BigInt = BigInt(math.floor(math.log(n.toDouble) * 1e6).toLong)
+    def floorDiv(num: BigInt, den: BigInt): BigInt = {
+      val q = num / den
+      if (num % den != 0 && (num.signum != den.signum)) q - 1 else q
+    }
+    val pts = Seq((1L, 8L), (2L, 4L), (3L, 2L), (4L, 1L))
+      .map { case (r, f) => (lfp(r), lfp(f)) }
+    val n = BigInt(pts.size)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val want = floorDiv((n * sxy - sx * sy) * 1000000, n * sxx - sx * sx)
+    assert(BigInt(row.getLong(1)) == want)
+    // geometric frequencies fall FASTER than 1/r, so the fitted
+    // exponent must land clearly below −1 (sanity on the sign/scale)
+    assert(row.getLong(1) < -1000000L && row.getLong(1) > -3000000L)
+    // single-token corpus: no regression exists → NULL, not a crash
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    val r1 = TextAnalysis.zipfSlope(one, "doc_id", "text").head()
+    assert(r1.getLong(0) == 1L && r1.isNullAt(1))
+  }
 }
