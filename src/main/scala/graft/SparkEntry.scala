@@ -1098,6 +1098,17 @@ object SparkEntry {
     "q180_zipf_slope" -> ((s, d) =>
       graft.text.TextAnalysis.zipfSlope(Tables.documents(s, d),
         "doc_id", "text", topK = 1000)),
+    // q181: important parts by value share (TPC-H Q11 shape) — ONE fact
+    // collapse, 1-row total broadcast back, cross-multiplied HAVING
+    "q181_important_parts" -> ((s, d) =>
+      Analytics.importantParts(Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), nationName = "NATION_3",
+        meanMultiple = 3)),
+    // q182: high-vs-low priority lines per return flag (TPC-H Q12
+    // shape) — date window pushed to the scan, one fact⋈orders shuffle
+    "q182_priority_by_flag" -> ((s, d) =>
+      Analytics.priorityByFlag(Tables.orders(s, d), Tables.lineitem(s, d),
+        fromDate = "1996-01-01", toDate = "1998-01-01")),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -3772,6 +3783,37 @@ object SparkEntry {
         |        + (n * sxx - sx * sx)) % (n * sxx - sx * sx))
         |      // (n * sxx - sx * sx) AS BIGINT) END AS slope_ppm
         |FROM s""".stripMargin,
+    // q181: the scalar-total HAVING stated as the cross-multiplied
+    // predicate over the same single per-part rollup, shares in
+    // floored HUGEINT ppm
+    "q181_important_parts" ->
+      """WITH sc AS (SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'),
+        |p AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,6))) AS v
+        |  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM sc)
+        |  GROUP BY 1),
+        |t AS (SELECT sum(v) AS tv, CAST(count(*) AS HUGEINT) AS n FROM p),
+        |u AS (SELECT l_partkey, v,
+        |    CAST(v * 1000000 AS HUGEINT) AS vus,
+        |    CAST(tv * 1000000 AS HUGEINT) AS tus, n FROM p, t)
+        |SELECT l_partkey, CAST(v AS DOUBLE) AS value,
+        |  CAST((vus * 1000000) // tus AS BIGINT) AS share_ppm
+        |FROM u WHERE vus * n > tus * 3
+        |ORDER BY share_ppm DESC, l_partkey""".stripMargin,
+    // q182: the same CASE-sum pivot over the date-windowed join
+    "q182_priority_by_flag" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // tf over raw occurrences; same tokenizer as q43
     "q61_vocab_df" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

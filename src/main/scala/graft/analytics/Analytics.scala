@@ -2250,6 +2250,79 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** Important parts by value share (TPC-H Q11 shape, re-expressed
+    * over the fact since this schema carries no partsupp): per part,
+    * the revenue attributable to the named nation's suppliers, keeping
+    * parts whose share exceeds `meanMultiple` × the MEAN per-part
+    * share — the concentrated-inventory audit, with a threshold that
+    * stays meaningful at any catalog size (Q11's fixed `0.0001/SF`
+    * fraction is this same scaling, hand-tuned). Completes the
+    * 22-shape TPC-H sweep together with [[priorityByFlag]].
+    *
+    * Scale shape — Q11's scalar HAVING subquery never re-scans the
+    * fact: the fact collapses ONCE to per-part exact-decimal value
+    * (suppliers scoped by a broadcast dim semi-join), the (total,
+    * count) is a 1-row aggregate of THAT rollup cross-joined back
+    * broadcast, and the mean test cross-multiplies decimals
+    * (`v·n > K·total` — no division in the predicate). Share renders
+    * in floored integer ppm. */
+  def importantParts(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, nationName: String,
+      meanMultiple: Int): DataFrame = {
+    require(meanMultiple >= 1, s"meanMultiple must be >= 1, got $meanMultiple")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val scope = supplier
+      .join(broadcast(nation.filter(col("n_name") === lit(nationName))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = lineitem
+      .join(broadcast(scope), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2))))
+        .cast(DecimalType(38, 6))).as("__v"))
+      .localCheckpoint() // the 1-row total + the share filter both read it
+    val total = perPart.agg(sum(col("__v")).as("__t"),
+      count(lit(1)).as("__n"))
+    perPart.crossJoin(broadcast(total))
+      .filter(dec(col("__v") * 1000000) * dec(col("__n")) >
+        dec(col("__t") * 1000000) * meanMultiple)
+      .select(col("l_partkey"),
+        col("__v").cast("double").as("value"),
+        fdiv(dec(col("__v") * 1000000) * 1000000,
+          dec(col("__t") * 1000000)).as("share_ppm"))
+      .orderBy(col("share_ppm").desc, col("l_partkey"))
+  }
+
+  /** High-vs-low priority line counts per return flag in a ship-date
+    * window (TPC-H Q12 shape over this schema's columns — the flag
+    * plays shipmode's role): did late/returned shipments skew toward
+    * urgent orders. The CASE-sum pivot runs map-side.
+    *
+    * Scale shape: the date window and the two projected columns push
+    * to the fact scan; the order dim projects to (key, priority)
+    * before the join (the only shuffle — Q12's irreducible
+    * fact ⋈ orders); the flag rollup is a 3-row hash agg with
+    * partials. */
+  def priorityByFlag(orders: DataFrame, lineitem: DataFrame,
+      fromDate: String, toDate: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit(fromDate).cast("timestamp") &&
+        col("l_shipdate") < lit(toDate).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_priority"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_priority"))
+      .orderBy("l_returnflag")
+  }
+
   /** Cohort revenue matrix — customers grouped by FIRST-order month,
     * activity tracked by months-since-cohort: the (cohort × age) grid
     * behind every retention/LTV curve ("do the 1996-03 customers still

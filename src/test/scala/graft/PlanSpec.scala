@@ -992,6 +992,25 @@ class PlanSpec extends SparkSpec {
       s"token counts must partial-aggregate map-side:\n$p")
   }
 
+  test("q181 important parts: one fact collapse, scalar total broadcast back") {
+    val p = plan("q181_important_parts")
+    assert(p.contains("ExistingRDD") && !p.contains("lineitem.parquet"),
+      s"the HAVING total and the share filter must read the checkpointed rollup:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total joins back broadcast, never a cartesian:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the rollup total must partial-aggregate:\n$p")
+  }
+
+  test("q182 priority by flag: date window pushed to the fact scan") {
+    val p = plan("q182_priority_by_flag")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"the ship-date window must reach the parquet scan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the CASE-sum pivot must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"one equi-join only:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

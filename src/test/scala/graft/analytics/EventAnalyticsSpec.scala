@@ -910,6 +910,45 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-02", 0L, 1L, 1L, 7.0)))
   }
 
+  test("importantParts: mean-multiple cut, scope excludes other nations") {
+    val supplier = Seq((1L, 10L), (2L, 10L), (3L, 20L))
+      .toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((10L, "N"), (20L, "OTHER"))
+      .toDF("n_nationkey", "n_name")
+    // part 1 takes 50 of the nation's 95 total; nine tail parts take 5
+    // each; part 99's huge revenue belongs to the OTHER nation
+    val li = (Seq((1L, 1L, 50.0)) ++
+      (2L to 10L).map(p => (p, 2L, 5.0)) ++
+      Seq((99L, 3L, 1000.0)))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+      .withColumn("l_discount", lit(0.0))
+    val got = Analytics.importantParts(li, supplier, nation, "N",
+        meanMultiple = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // v·n > K·t: 50·10 = 500 > 3·95 = 285 for part 1 only; share =
+    // ⌊50e6·10⁶ / 95e6⌋ = 526315 ppm
+    assert(got == Seq((1L, 50.0, 526315L)))
+  }
+
+  test("priorityByFlag: window bounds inclusive/exclusive, CASE split exact") {
+    val orders = Seq((1L, "1-URGENT"), (2L, "2-HIGH"), (3L, "5-LOW"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val li = Seq(
+      (1L, "A", "2020-01-01"), // in-window (inclusive start)
+      (1L, "A", "2020-06-01"),
+      (2L, "A", "2020-12-31"),
+      (3L, "A", "2020-06-01"),
+      (3L, "B", "2020-06-01"),
+      (2L, "B", "2021-01-01"), // exclusive end — out
+      (1L, "B", "2019-12-31")) // before — out
+      .toDF("l_orderkey", "l_returnflag", "__d")
+      .withColumn("l_shipdate", to_timestamp(col("__d")))
+    val got = Analytics.priorityByFlag(orders, li,
+        "2020-01-01", "2021-01-01")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", 3L, 1L), ("B", 0L, 1L)))
+  }
+
   test("newVsReturning: first-month orders count as new, disjoint splits") {
     val got = Analytics.newVsReturning(cohortOrders)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
