@@ -91,6 +91,18 @@ object Plans {
       "The PCA apply is a ZERO-exchange plan: scan → filter → project, with the fixed-point dot product fused as zip_with + aggregate over the embedding array inside whole-stage codegen. The direction vector rides as a literal; at 100 TB this is pure scan bandwidth — the plan shape every per-row scorer should have.",
     "q135_snm_pairs" ->
       "Sorted-neighborhood blocking without the global sort it textbook-requires: ranks derive from per-length bucket counts (a driver-tiny table — token counts are bounded) broadcast back as offsets, so the only window partitions BY LENGTH BUCKET; candidates meet on rank bands of width `window` (each row probes its own and the previous band — an equi-join, N·window pairs), and Jaccard verifies on per-doc shingle-hash arrays computed in the scan. The third blocking family's plan: never touches shingle document frequency at all.",
+    "q158_triangle_count" ->
+      "Degree-ordered triangle census: edges and the oriented relation are checkpointed tables (the plan reads ExistingRDD, never re-scanning the fact); wedge generation is an equi-self-join on the shared source vertex with per-vertex work bounded by the oriented out-degree (hub-proof), and closure is one LeftSemi probe against the edge set — no cartesian anywhere.",
+    "q171_leakage_safe_splits" ->
+      "Leakage-safe splits: connected components ran at build time (the plan reads the min-label fixpoint's checkpoint), the corpus joins the component map ONCE, and the split coin is the codegen'd portable hash over the cluster representative — a test doc's near-dup twin can never sit in train, at one corpus scan.",
+    "q172_cusum_shift" ->
+      "CUSUM change-point: the fact collapses to the calendar-bounded day series via a partial-aggregated hash agg BEFORE any window; the two prefix windows (the max-reset-free identity) run single-partition by design over that bounded series — never over fact rows.",
+    "q175_value_deciles" ->
+      "Exact global NTILE without a global sort: range repartition lays out the total (price, key) order, per-partition row numbers run under windowspecdefinition(__pid), and driver prefix offsets (one row per partition) broadcast back — the k-row rollup then reads the checkpointed ranked relation.",
+    "q177_scd2_pointintime" ->
+      "SCD2 point-in-time attribution: the BETWEEN containment executes as the as-of UNION + carry-forward window (one key shuffle of narrow rows, linear in history) — never the quadratic range join; the dimension materializes once (ExistingRDD) for both the as-of probe and the status re-attach.",
+    "q181_important_parts" ->
+      "TPC-H Q11 shape: the fact collapses ONCE to per-part decimal value (nation scope via broadcast LeftSemi), the scalar HAVING total is a 1-row aggregate of that checkpointed rollup broadcast back, and the mean-multiple cut cross-multiplies decimals — no second fact pass, no division in the predicate.",
     "q139_rank_correlation" ->
       "Spearman with NO row-level global window and NO sqrt: per-VALUE counts roll up map-side (score domains are bounded, so the value table is tiny), the prefix window runs over that value table, doubled midranks broadcast back as two joins, and Σd² accumulates in DECIMAL(38,0) into a 1-row result. The ρ is exact integer ppm — a correlation between two corpus-wide signals for the cost of one narrow pass.",
     "q138_value_ohlc" ->

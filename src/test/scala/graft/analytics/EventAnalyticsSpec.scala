@@ -883,6 +883,39 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, 200L, "none", null)))
   }
 
+  test("round-13 operators: partitioning-invariant on the real sf0.001 tables") {
+    // the determinism claim every oracle depends on, checked the blunt
+    // way: identical results when the FACT arrives in 13 arbitrary
+    // partitions instead of the file layout
+    val orders = graft.Tables.orders(spark, sf)
+    val customer = graft.Tables.customer(spark, sf)
+    val lineitem = graft.Tables.lineitem(spark, sf)
+    val supplier = graft.Tables.supplier(spark, sf)
+    val nation = graft.Tables.nation(spark, sf)
+    val events = graft.Tables.events(spark, sf)
+    def inv(name: String)(f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+        fact: org.apache.spark.sql.DataFrame): Unit = {
+      val a = f(fact).collect().toSeq
+      val b = f(fact.repartition(13)).collect().toSeq
+      assert(a == b, s"$name changed under repartition(13)")
+      assert(a.nonEmpty, s"$name returned nothing at sf0.001")
+    }
+    inv("cusumShift")(Analytics.cusumShift(_, 100000000L), orders)
+    inv("repeatIntervals")(Analytics.repeatIntervals(_, customer), orders)
+    inv("coPurchaseDegrees")(Analytics.coPurchaseDegrees(_, 2L), lineitem)
+    inv("valueDeciles")(Analytics.valueDeciles(_, 10), orders)
+    inv("supplierHhi")(Analytics.supplierHhi(supplier, nation, _), lineitem)
+    inv("scd2PointInTime")(Analytics.scd2PointInTime(_, "user_id", "ts",
+      "event_type", "event_id", "purchase"), events)
+    inv("cohortRevenue")(Analytics.cohortRevenue(_), orders)
+    inv("newVsReturning")(Analytics.newVsReturning(_), orders)
+    inv("importantParts")(Analytics.importantParts(_, supplier, nation,
+      "NATION_3", 3), lineitem)
+    inv("priorityByFlag")(Analytics.priorityByFlag(orders, _,
+      "1996-01-01", "1998-01-01"), lineitem)
+  }
+
   private val cohortOrders = Seq(
     // c1: first 2024-01 (two orders that month), again 2024-03
     (1L, "2024-01-05", 10.0), (1L, "2024-01-20", 5.0),
