@@ -1109,6 +1109,11 @@ object SparkEntry {
     "q182_priority_by_flag" -> ((s, d) =>
       Analytics.priorityByFlag(Tables.orders(s, d), Tables.lineitem(s, d),
         fromDate = "1996-01-01", toDate = "1998-01-01")),
+    // q183: schema-on-read JSON props rollup — codegen'd path
+    // extraction fused into the scan, types-bounded hash agg
+    "q183_props_rollup" -> ((s, d) =>
+      Analytics.propsRollup(Tables.events(s, d), "event_type", "props",
+        field = "k")),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -3814,6 +3819,20 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q183: the same JSON path over DuckDB's json extension; TRY_CAST
+    // mirrors get_json_object's null-on-malformed contract
+    "q183_props_rollup" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS n_with_field,
+        |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_field,
+        |  min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS min_field,
+        |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS max_field
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // tf over raw occurrences; same tokenizer as q43
     "q61_vocab_df" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -2323,6 +2323,30 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Semi-structured property rollup: extract one integer field from a
+    * JSON `props` column (the schema-on-read payload every event
+    * pipeline carries) and roll it up per event type — count, non-null
+    * count, exact sum/min/max. Extraction is the codegen'd
+    * `get_json_object` path expression (no UDF, no full `from_json`
+    * schema materialization for one field); malformed or missing JSON
+    * yields NULL and is counted, not crashed on.
+    *
+    * Scale shape: extraction is a per-row projection fused into the
+    * scan, the rollup a types-bounded hash agg with map-side partials —
+    * scan-bound at any volume. */
+  def propsRollup(events: DataFrame, typeCol: String, propsCol: String,
+      field: String): DataFrame = {
+    val k = get_json_object(col(propsCol), s"$$.$field").cast("long")
+    events
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        count(k).as("n_with_field"),
+        sum(k).as("sum_field"),
+        min(k).as("min_field"),
+        max(k).as("max_field"))
+      .orderBy(typeCol)
+  }
+
   /** Cohort revenue matrix — customers grouped by FIRST-order month,
     * activity tracked by months-since-cohort: the (cohort × age) grid
     * behind every retention/LTV curve ("do the 1996-03 customers still

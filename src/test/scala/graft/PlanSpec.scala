@@ -1011,6 +1011,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"one equi-join only:\n$p")
   }
 
+  test("q183 props rollup: JSON extraction fused into the scan, no UDF") {
+    val p = plan("q183_props_rollup")
+    assert(p.contains("get_json_object"),
+      s"extraction must be the codegen'd path expression:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") &&
+      !p.contains("ScalaUDF"), s"no UDF in the extraction path:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1 &&
+      p.contains("partial_count"),
+      s"one scan, types-bounded hash agg with partials:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

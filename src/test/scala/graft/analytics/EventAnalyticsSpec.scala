@@ -982,6 +982,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq(("A", 3L, 1L), ("B", 0L, 1L)))
   }
 
+  test("propsRollup: exact extraction, null on malformed/missing JSON") {
+    val ev = Seq(
+      (1L, "a", """{"k": 5}"""), (2L, "a", """{"k": 7}"""),
+      (3L, "a", "not json at all"),
+      (4L, "b", null), (5L, "b", """{"other": 1}"""))
+      .toDF("event_id", "event_type", "props")
+    val got = Analytics.propsRollup(ev, "event_type", "props", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4),
+        if (r.isNullAt(5)) null else r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("a", 3L, 2L, 12L, 5L, 7L),
+      ("b", 2L, 0L, null, null, null)))
+  }
+
   test("newVsReturning: first-month orders count as new, disjoint splits") {
     val got = Analytics.newVsReturning(cohortOrders)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
