@@ -1114,6 +1114,13 @@ object SparkEntry {
     "q183_props_rollup" -> ((s, d) =>
       Analytics.propsRollup(Tables.events(s, d), "event_type", "props",
         field = "k")),
+    // q184: hard-negative mining — per query, top-5 similar-but-not-
+    // near-dup vectors; queries broadcast, corpus scanned once,
+    // map-side WindowGroupLimit top-k
+    "q184_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), "vec_id",
+        "embedding", col("vec_id") % 199 === 0, k = 5,
+        minCos = 0.0, maxCos = 0.95)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -3833,6 +3840,23 @@ object SparkEntry {
         |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS max_field
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q184: the dense query×corpus scan stated directly; boundary
+    // tests and rank on the ROUNDED cosine with the id tiebreak —
+    // identical selection on both engines
+    "q184_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+        |  WHERE vec_id % 199 = 0),
+        |c AS (SELECT q.query_id, e.vec_id AS neg_id,
+        |    round(list_cosine_similarity(e.emb, q.qe), 6) AS cosine
+        |  FROM e, q WHERE e.vec_id <> q.query_id),
+        |f AS (SELECT query_id, neg_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neg_id) AS BIGINT) AS rank
+        |  FROM c WHERE cosine >= 0.0 AND cosine <= 0.95)
+        |SELECT query_id, neg_id, rank, cosine FROM f WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // tf over raw occurrences; same tokenizer as q43
     "q61_vocab_df" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -48,6 +48,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive training: for every query
+    * vector, the k most-similar corpus vectors whose cosine stays
+    * UNDER `maxCos` (the near-duplicate ceiling — an accidental twin
+    * labeled negative is the classic contrastive-data bug) and at or
+    * above `minCos` (too-easy negatives teach nothing), excluding the
+    * query itself. Cosines render rounded to 6 dp (the q37
+    * cross-engine convention) and the boundary tests + rank both run
+    * on the ROUNDED value with an id tiebreak, so the selection is
+    * engine-deterministic.
+    *
+    * Scale shape: the query slice broadcasts (the q90 batch
+    * discipline — queries × corpus scans the corpus once and never
+    * shuffles it); the deliberate BroadcastNestedLoopJoin IS the dense
+    * Q×N scan, the native fused cosine kernel keeps it in codegen, and
+    * the per-query top-k runs as a rank window whose map-side
+    * WindowGroupLimit admits ~k rows per query per partition to the
+    * exchange. For query slices too large to broadcast, swap in the
+    * IVF probe path (q45/q78) — the result contract is unchanged. */
+  def hardNegatives(emb: DataFrame, idCol: String, embCol: String,
+      querySlice: Column, k: Int, minCos: Double = 0.0,
+      maxCos: Double = 0.95): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCos < maxCos, s"need minCos < maxCos, got $minCos >= $maxCos")
+    val q = emb.filter(querySlice)
+      .select(col(idCol).as("query_id"), asDouble(col(embCol)).as("__q"))
+    val cand = emb.select(col(idCol).as("neg_id"),
+      asDouble(col(embCol)).as("__e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neg_id"))
+    cand.join(broadcast(q), col("neg_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("__e"), col("__q")), 6))
+      .filter(col("cosine") >= minCos && col("cosine") <= maxCos)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neg_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * a hash of (seed, p, j) mapped into [-1, 1]. Same derivation on
     * index and query side — no state to ship. */

@@ -1022,6 +1022,16 @@ class PlanSpec extends SparkSpec {
       s"one scan, types-bounded hash agg with partials:\n$p")
   }
 
+  test("q184 hard negatives: queries broadcast, map-side top-k bounds the exchange") {
+    val p = plan("q184_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the deliberate Q-by-N scan must broadcast the tiny query slice:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must prune map-side before the rank exchange:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"never an unbroadcast cartesian:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

@@ -126,4 +126,20 @@ class SimilaritySpec extends SparkSpec {
     assert(expected.size >= 35, s"test data should contain ≥35 true pairs, got ${expected.size}")
     assert(got == expected, s"banded recall ${ (got & expected).size}/${expected.size}")
   }
+
+  test("hardNegatives: near-dup ceiling excludes twins, floor keeps zero, self out") {
+    import org.apache.spark.sql.functions.col
+    val emb = Seq(
+      (0L, Seq(1f, 0f)),   // the query
+      (1L, Seq(1f, 0f)),   // exact twin: cos 1.0 > 0.95 ceiling → OUT
+      (2L, Seq(0.8f, 0.6f)), // cos 0.8 → rank 1
+      (3L, Seq(0f, 1f)),   // cos 0.0 → inclusive floor keeps it, rank 2
+      (4L, Seq(-1f, 0f)))  // cos −1 → below floor → OUT
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding",
+        col("vec_id") === 0, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((0L, 2L, 1L, 0.8), (0L, 3L, 2L, 0.0)))
+  }
 }
