@@ -1121,6 +1121,14 @@ object SparkEntry {
       Similarity.hardNegatives(Tables.embeddings(s, d), "vec_id",
         "embedding", col("vec_id") % 199 === 0, k = 5,
         minCos = 0.0, maxCos = 0.95)),
+    // q185: ANN recall@10 — the IVF probe path's top-10 measured
+    // against exact brute force per query, both arms deterministic on
+    // the rounded cosine; queries probe-assign distributed, no driver
+    // loop
+    "q185_ann_recall" -> ((s, d) =>
+      graft.vector.Ivf.annRecall(Tables.embeddings(s, d), "vec_id",
+        "embedding", col("vec_id") % 199 === 0, ivfCentroids(s, d),
+        nProbe = 3, k = 10)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -3857,6 +3865,42 @@ object SparkEntry {
         |  FROM c WHERE cosine >= 0.0 AND cosine <= 0.95)
         |SELECT query_id, neg_id, rank, cosine FROM f WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // q185: q45's fixed-centroid quantizer replayed end-to-end for a
+    // query SET (assignment, per-query probe cells via LATERAL top-3,
+    // in-candidate top-10) against the brute top-10 — recall counted
+    // on the identical rounded-cosine/id ordering
+    "q185_ann_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS c, emb AS cemb FROM e WHERE vec_id < 8),
+        |assign AS (SELECT v.vec_id, v.emb,
+        |  (SELECT c FROM cent ORDER BY list_cosine_similarity(v.emb, cemb)
+        |     DESC, c LIMIT 1) AS cell FROM e v),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+        |  WHERE vec_id % 199 = 0),
+        |probes AS (SELECT query_id, qe, pc.c AS cell FROM q,
+        |  LATERAL (SELECT c FROM cent
+        |    ORDER BY list_cosine_similarity(qe, cemb) DESC, c LIMIT 3) pc),
+        |cand AS (SELECT DISTINCT p.query_id, p.qe, a.vec_id AS cand_id,
+        |    a.emb FROM probes p JOIN assign a ON a.cell = p.cell),
+        |ivfk AS (SELECT query_id, cand_id FROM (
+        |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(emb, qe), 6) DESC,
+        |        cand_id) AS rnk
+        |  FROM cand) WHERE rnk <= 10),
+        |brutek AS (SELECT query_id, cand_id FROM (
+        |  SELECT q.query_id, e.vec_id AS cand_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY round(list_cosine_similarity(e.emb, q.qe), 6) DESC,
+        |        e.vec_id) AS rnk
+        |  FROM e, q) WHERE rnk <= 10),
+        |h AS (SELECT i.query_id, count(*) AS n FROM ivfk i
+        |  JOIN brutek b ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+        |  GROUP BY 1)
+        |SELECT q.query_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(h.n, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
+        |FROM q LEFT JOIN h ON q.query_id = h.query_id
+        |ORDER BY 1""".stripMargin,
     // tf over raw occurrences; same tokenizer as q43
     "q61_vocab_df" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

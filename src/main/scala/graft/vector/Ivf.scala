@@ -1,7 +1,7 @@
 package graft.vector
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN index: partition vectors by nearest centroid
@@ -142,6 +142,64 @@ object Ivf {
         s => s.getField("idx"))))
       .withColumnRenamed("pos", "probe")
       .withColumnRenamed("col", "cell")
+  }
+
+  /** Recall@k harness — the ANN quality measurement every IVF
+    * deployment owes its users: for each query in `querySlice`, the
+    * fixed-centroid probe path's top-k is scored against the exact
+    * brute-force top-k, per query, as `n_hits` and floored
+    * `recall_ppm`. Both arms rank on the ROUNDED cosine with an id
+    * tiebreak (the q37 convention), so the two sets — and therefore the
+    * recall — are engine-deterministic; the query itself appears in
+    * both arms (probe 0 is its own cell) and cancels out of the
+    * comparison.
+    *
+    * Scale shape: the index assigns in one codegen pass and
+    * checkpoints; queries multi-probe-assign DISTRIBUTED (no driver
+    * loop over queries) and broadcast into the cell-keyed candidate
+    * join, so the corpus never shuffles; the brute arm is the q184
+    * broadcast scan. Both top-k windows prune map-side
+    * (WindowGroupLimit), and the hit count is a (queries × k)-bounded
+    * semi-join. At real scale the brute arm runs on a SAMPLED query
+    * slice — recall is a statistic, not a per-corpus pass. */
+  def annRecall(emb: DataFrame, idCol: String, embCol: String,
+      querySlice: Column, centroids: Seq[Seq[Double]], nProbe: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val index = fixedCentroidIndex(emb, idCol, embCol, centroids)
+      .localCheckpoint() // probed per query cell; built once
+    val queries = emb.filter(querySlice)
+    val qCells = fixedCentroidMultiIndex(queries, idCol, embCol,
+        centroids, nProbe)
+      .select(col(idCol).as("query_id"),
+        col(embCol).cast("array<double>").as("__q"), col("cell"))
+    def ranked(scored: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
+      scored.withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") <= k).select("query_id", "cand_id")
+    }
+    val ivfTop = ranked(index.join(broadcast(qCells), Seq("cell"))
+      .select(col("query_id"), col("__q"), col(idCol).as("cand_id"),
+        col(embCol).cast("array<double>").as("__e"))
+      .dropDuplicates("query_id", "cand_id") // a vector in 2 probed cells
+      .withColumn("cosine", round(Similarity.cosine(col("__e"), col("__q")), 6)))
+    val bruteTop = ranked(emb
+      .select(col(idCol).as("cand_id"), col(embCol).cast("array<double>").as("__e"))
+      .crossJoin(broadcast(queries.select(col(idCol).as("query_id"),
+        col(embCol).cast("array<double>").as("__q"))))
+      .withColumn("cosine", round(Similarity.cosine(col("__e"), col("__q")), 6)))
+    val hits = ivfTop
+      .join(bruteTop, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__h"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__h"), lit(0L)).as("n_hits"), {
+          val num = coalesce(col("__h"), lit(0L)) * 1000000L
+          ((num - pmod(num, lit(k.toLong))) / k).cast("long").as("recall_ppm")
+        })
+      .orderBy("query_id")
   }
 
   /** Driver-side probe-cell choice for the fixed-centroid quantizer:

@@ -1032,6 +1032,19 @@ class PlanSpec extends SparkSpec {
       s"never an unbroadcast cartesian:\n$p")
   }
 
+  test("q185 ANN recall: index checkpointed, queries broadcast, no driver loop") {
+    val p = plan("q185_ann_recall")
+    assert(p.contains("ExistingRDD"),
+      s"the cell assignment must materialize once:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the query slice must broadcast into both arms:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"both top-k arms must prune map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"never an unbroadcast cartesian:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

@@ -65,4 +65,25 @@ class IvfSpec extends SparkSpec {
     val a2 = i2.select("vec_id", "cell").as[(Long, Int)].collect().toMap
     assert(a1 == a2)
   }
+
+  test("annRecall: boundary query loses cross-cell neighbors at nProbe 1, " +
+      "probing every cell equals brute") {
+    // two obvious cells; the query sits just on cell 0's side of the
+    // boundary while two of its three true neighbors live in cell 1
+    val vecs = Seq(
+      (0L, Seq(0.71f, 0.70f)), // the query (cell 0 by a whisker)
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.95f, 0.31f)), // cell 0
+      (3L, Seq(0.70f, 0.714f)), (4L, Seq(0.6f, 0.8f)),
+      (5L, Seq(0.0f, 1.0f))) // cell 1
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    def recall(nProbe: Int) = Ivf.annRecall(vecs, "vec_id", "embedding",
+        col("vec_id") === 0, cents, nProbe, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // brute top-3 = {0 (self), 3, 4}; cell 0 holds only {0, 1, 2} → one
+    // hit, recall ⌊10⁶/3⌋
+    assert(recall(1) == Seq((0L, 1L, 333333L)))
+    // probing both cells IS brute force
+    assert(recall(2) == Seq((0L, 3L, 1000000L)))
+  }
 }
