@@ -46,20 +46,29 @@ object Bench {
     * query's MIN across both: one stalled artifact must not raise the
     * guard threshold (the BENCH_r12 lesson — its q103 shipped 14×
     * inflated, so r12 alone would wave the next stall through). */
+  /** Pure extraction half of the guard (unit-tested): every
+    * `"qNNN...":<number>` pair in the artifact text, tolerating the
+    * escaped-quote form the committed artifacts carry (`\"q1\":0.5`
+    * inside the `tail` string). Per query the MIN across all texts. */
+  private[graft] def parseArtifactMins(texts: Seq[String]): Map[String, Double] = {
+    val re = """\\?"(q\d+[A-Za-z0-9_]*)\\?":([0-9]+\.?[0-9]*)""".r
+    texts.flatMap(txt =>
+      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble))
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).filter(_ > 0).minOption.getOrElse(0.0)
+      }.filter(_._2 > 0)
+  }
+
   private lazy val priorMins: Map[String, Double] = try {
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(f => f.getName.stripPrefix("BENCH_r")
         .stripSuffix(".json").toInt)
       .takeRight(2)
-    val re = """\\?"(q\d+[A-Za-z0-9_]*)\\?":([0-9]+\.?[0-9]*)""".r
-    files.flatMap { f =>
+    parseArtifactMins(files.toSeq.map { f =>
       val src = scala.io.Source.fromFile(f)
-      val txt = try src.mkString finally src.close()
-      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
-    }.groupBy(_._1).map { case (k, vs) =>
-      k -> vs.map(_._2).filter(_ > 0).minOption.getOrElse(0.0)
-    }.filter(_._2 > 0)
+      try src.mkString finally src.close()
+    })
   } catch { case e: Exception =>
     System.err.println(s"[bench] prior-artifact parse failed: $e")
     Map.empty

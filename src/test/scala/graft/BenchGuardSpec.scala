@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The per-query stall guard's artifact parser — the piece that decides
+  * whether a bench min gets a rerun. It must read BOTH artifact forms
+  * (plain JSON maps and the escaped-quote `tail` fragments the driver
+  * commits) and take the MIN across artifacts, so one stalled round
+  * cannot raise the guard threshold. */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("parseArtifactMins: escaped + plain forms, min across artifacts") {
+    val plain = """{"queries":{"q1_pricing":0.5,"q90_bm25":12.0},"metric":"total"}"""
+    // the committed-artifact shape: the map survives only inside an
+    // escaped tail string, and this round was stalled (q1 inflated 8x)
+    val escaped = """{"n":12,"tail":"\"q1_pricing\":4.0,\"q90_bm25\":11.5,"}"""
+    val got = Bench.parseArtifactMins(Seq(plain, escaped))
+    assert(got("q1_pricing") == 0.5) // the stalled 4.0 must not win
+    assert(got("q90_bm25") == 11.5) // min picks the faster round
+  }
+
+  test("parseArtifactMins: zeros and non-query keys dropped, junk safe") {
+    val txt = """{"queries":{"q2_x":0.0,"q3_y":1.25},"value":99.0,"runs":5}"""
+    val got = Bench.parseArtifactMins(Seq(txt))
+    assert(got == Map("q3_y" -> 1.25)) // q2's 0 is no reference; scalars ignored
+    assert(Bench.parseArtifactMins(Seq("not json at all")) == Map.empty)
+  }
+
+  test("the committed round artifacts actually parse to usable references") {
+    val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+      .filter(_.getName.matches("BENCH_r\\d+\\.json")).toSeq
+    assume(files.nonEmpty)
+    val texts = files.map { f =>
+      val src = scala.io.Source.fromFile(f)
+      try src.mkString finally src.close()
+    }
+    val mins = Bench.parseArtifactMins(texts)
+    assert(mins.size > 100,
+      s"expected per-query refs for most of the suite, got ${mins.size}")
+    assert(mins.values.forall(v => v > 0 && v < 600))
+  }
+}

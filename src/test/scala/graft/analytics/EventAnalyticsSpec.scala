@@ -914,6 +914,19 @@ class EventAnalyticsSpec extends SparkSpec {
       "NATION_3", 3), lineitem)
     inv("priorityByFlag")(Analytics.priorityByFlag(orders, _,
       "1996-01-01", "1998-01-01"), lineitem)
+    val emb = graft.Tables.embeddings(spark, sf)
+    inv("hardNegatives")(graft.vector.Similarity.hardNegatives(_, "vec_id",
+      "embedding", org.apache.spark.sql.functions.col("vec_id") % 199 === 0,
+      k = 5), emb)
+    val cents = emb.filter(
+        org.apache.spark.sql.functions.col("vec_id") < 8)
+      .orderBy("vec_id")
+      .select(org.apache.spark.sql.functions.col("embedding")
+        .cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    inv("annRecall")(graft.vector.Ivf.annRecall(_, "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("vec_id") % 199 === 0, cents,
+      nProbe = 3, k = 10), emb)
   }
 
   private val cohortOrders = Seq(
