@@ -1129,6 +1129,13 @@ object SparkEntry {
       graft.vector.Ivf.annRecall(Tables.embeddings(s, d), "vec_id",
         "embedding", col("vec_id") % 199 === 0, ivfCentroids(s, d),
         nProbe = 3, k = 10)),
+    // q186: session-scoped funnel — q119's fold inside q153's gap
+    // sessions, counting SESSIONS per step; one user-keyed shuffle
+    // feeds both the session tag and the fold
+    "q186_session_funnel" -> ((s, d) =>
+      Analytics.sessionFunnel(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id",
+        steps = Seq("view", "click", "purchase"), gapUs = 1800000000L)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -3901,6 +3908,30 @@ object SparkEntry {
         |  CAST(COALESCE(h.n, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
         |FROM q LEFT JOIN h ON q.query_id = h.query_id
         |ORDER BY 1""".stripMargin,
+    // q186: q153's session tag feeding q119's chained-min funnel, per
+    // (user, session) — the greedy fold and the chained mins are the
+    // same selection
+    "q186_session_funnel" ->
+      """WITH ev AS (SELECT user_id AS u, event_id AS id, event_type AS ty,
+        |    epoch_us(ts) AS t FROM events),
+        |g AS (SELECT u, id, ty, t, CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+        |  FROM ev WINDOW w AS (PARTITION BY u ORDER BY t, id)),
+        |s AS (SELECT u, id, ty, t, sum(nw) OVER (PARTITION BY u
+        |    ORDER BY t, id ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |s1 AS (SELECT u, sid, min(t) AS t FROM s WHERE ty = 'view'
+        |  GROUP BY 1, 2),
+        |s2 AS (SELECT s.u, s.sid, min(s.t) AS t FROM s
+        |  JOIN s1 ON s.u = s1.u AND s.sid = s1.sid
+        |  WHERE s.ty = 'click' AND s.t > s1.t GROUP BY 1, 2),
+        |s3 AS (SELECT s.u, s.sid, min(s.t) AS t FROM s
+        |  JOIN s2 ON s.u = s2.u AND s.sid = s2.sid
+        |  WHERE s.ty = 'purchase' AND s.t > s2.t GROUP BY 1, 2)
+        |SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+        |  (SELECT count(*) FROM s1) AS sessions
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
     // tf over raw occurrences; same tokenizer as q43
     "q61_vocab_df" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

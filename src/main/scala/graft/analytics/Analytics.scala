@@ -490,6 +490,65 @@ object Analytics {
       .orderBy("step")
   }
 
+  /** Session-scoped conversion funnel — [[eventFunnel]]'s ordered fold
+    * run INSIDE each gap session ([[sessionize]]'s boundary rule,
+    * sessions over ALL the user's events): a view yesterday does not
+    * license today's click. Counts SESSIONS reaching each step, so a
+    * user converting on two separate visits counts twice — the
+    * per-visit metric product analytics actually wants, where
+    * [[eventFunnel]] is the per-lifetime one.
+    *
+    * Scale shape: the session tag (lag + running sum) and the
+    * per-(user, session) fold share ONE user-keyed shuffle — the
+    * session windows sort exactly the order the aggregation consumes;
+    * everything downstream is steps-bounded. Same greedy
+    * earliest-advance fold as [[eventFunnel]], so the oracle's
+    * chained-min formulation is equivalent. */
+  def sessionFunnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, steps: Seq[String],
+      gapUs: Long): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct, got $steps")
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val spark = events.sparkSession
+    val stepsArr = array(steps.map(lit): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy("__t", "__id")
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tagged = events.select(col(userCol).as("__u"),
+        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"),
+        col(typeCol).as("__ty"))
+      .withColumn("__new",
+        when(lag(col("__t"), 1).over(w).isNull ||
+          col("__t") - lag(col("__t"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__s", sum(col("__new")).over(cum))
+    val perSession = tagged.filter(col("__ty").isin(steps: _*))
+      .select(col("__u"), col("__s"),
+        struct(col("__t").as("t"),
+          array_position(stepsArr, col("__ty")).as("idx")).as("__e"))
+      .groupBy("__u", "__s")
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .select(aggregate(col("__es"),
+        struct(lit(0L).as("step"), lit(Long.MinValue).as("t")),
+        (acc, e) => when(
+          e.getField("idx") === acc.getField("step") + 1 &&
+            e.getField("t") > acc.getField("t"),
+          struct((acc.getField("step") + 1).as("step"),
+            e.getField("t").as("t"))).otherwise(acc))
+        .getField("step").as("__final"))
+    val reached = perSession.filter(col("__final") >= 1)
+      .select(explode(sequence(lit(1L), col("__final"))).as("step"))
+      .groupBy("step").agg(count(lit(1)).as("__n"))
+    spark.range(1, steps.size + 1).select(col("id").as("step"))
+      .join(reached, Seq("step"), "left")
+      .select(col("step").cast("int").as("step"),
+        element_at(stepsArr, col("step").cast("int")).as("step_name"),
+        coalesce(col("__n"), lit(0L)).as("sessions"))
+      .orderBy("step")
+  }
+
   /** User-journey transition matrix: counts of consecutive event-type
     * pairs per user — the first-order Markov statistics behind flow
     * diagrams, anomalous-path detection, and next-step prediction

@@ -1045,6 +1045,15 @@ class PlanSpec extends SparkSpec {
       s"never an unbroadcast cartesian:\n$p")
   }
 
+  test("q186 session funnel: one user-keyed exchange feeds tag + fold") {
+    val p = plan("q186_session_funnel")
+    assert("Exchange hashpartitioning\\(__u".r.findAllIn(p).size == 1,
+      s"session tag and fold must share ONE user shuffle:\n$p")
+    assert(p.contains("windowspecdefinition(__u"),
+      s"the session windows partition by user, never globally:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no step self-joins:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

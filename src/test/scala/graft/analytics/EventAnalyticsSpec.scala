@@ -995,6 +995,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq(("A", 3L, 1L), ("B", 0L, 1L)))
   }
 
+  test("sessionFunnel: steps reset at session boundaries, per-visit counts") {
+    val gap = 100L
+    val events = Seq(
+      // u1 session A completes the funnel; session B (new gap) only views
+      (1L, "view", 10L, 0L), (1L, "click", 11L, 5L),
+      (1L, "purchase", 12L, 10L), (1L, "view", 13L, 1000L),
+      // u2: the click lands in a NEW session (gap 200 > 100) with no
+      // view — a lifetime funnel would credit it, the session one must not
+      (2L, "view", 20L, 0L), (2L, "click", 21L, 200L),
+      // u3: click BEFORE the view inside one session — order matters
+      (3L, "click", 30L, 0L), (3L, "view", 31L, 5L))
+      .toDF("user_id", "event_type", "event_id", "ts")
+    val got = Analytics.sessionFunnel(events, "user_id", "event_type",
+        "ts", "event_id", Seq("view", "click", "purchase"), gapUs = gap)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // view sessions: u1-A, u1-B, u2-s1, u3 → 4; click/purchase: u1-A only
+    assert(got == Seq((1, "view", 4L), (2, "click", 1L),
+      (3, "purchase", 1L)))
+  }
+
   test("propsRollup: exact extraction, null on malformed/missing JSON") {
     val ev = Seq(
       (1L, "a", """{"k": 5}"""), (2L, "a", """{"k": 7}"""),
