@@ -132,9 +132,16 @@ object Bench {
           gopherRules = true, lineDedupMinDf = 2,
           exciseSpanK = 8,
           nfcNormalize = true,
+          // quotes drawn from the corpus' own token vocabulary so the
+          // match path does real work (exact-token matching — an
+          // off-corpus quote list makes the stage a silent no-op and
+          // prices only its scan side; the seeded boilerplate line
+          // would be excised by line-dedup BEFORE this stage runs).
+          // ~10 sf0.1 docs each: nonzero drops, negligible survivor
+          // shift
           auditPhrases = Seq(
-            Seq("unsubscribe", "from", "this", "newsletter"),
-            Seq("all", "rights", "reserved", "worldwide")),
+            Seq("table", "scan", "merge"),
+            Seq("batch", "stream", "spark")),
           budgetTokens = 2000000L,
           packBudget = 512, packBuckets = 8),
         evalDocs = Some(docs.filter(col("doc_id") % 37 === 0)))
@@ -284,7 +291,10 @@ object Bench {
             "one extra pass")
           val t = timed(name) { fn(spark, sfDir).count(): Unit }
           sweep()
-          if (t < r0._2) (r0._1, t, r0._3) else r0
+          // a FAILED rerun must not become the record: timed() swallows
+          // the exception and returns time-to-failure, which would
+          // publish a fabricated fast minimum
+          if (t < r0._2 && !failed(name)) (r0._1, t, r0._3) else r0
         case _ => r0
       }
       storageAfter += name -> storageBytes(spark)

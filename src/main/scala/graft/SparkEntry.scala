@@ -3841,20 +3841,21 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q183: the same JSON path over DuckDB's json extension; TRY_CAST
-    // mirrors get_json_object's null-on-malformed contract
+    // q183: the same JSON path over DuckDB's json extension; floor of
+    // a TRY_CAST double mirrors the engine's explicit-floor contract
+    // (null on malformed, FLOOR on non-integral — never a cast's
+    // engine-specific truncate/round)
     "q183_props_rollup" ->
-      """SELECT event_type,
+      """WITH x AS (SELECT event_type,
+        |  CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+        |    AS BIGINT) AS k FROM events)
+        |SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-        |    AS BIGINT) AS n_with_field,
-        |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-        |    AS BIGINT) AS sum_field,
-        |  min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-        |    AS min_field,
-        |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-        |    AS max_field
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  CAST(count(k) AS BIGINT) AS n_with_field,
+        |  CAST(sum(k) AS BIGINT) AS sum_field,
+        |  min(k) AS min_field,
+        |  max(k) AS max_field
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     // q184: the dense query×corpus scan stated directly; boundary
     // tests and rank on the ROUNDED cosine with the id tiebreak —
     // identical selection on both engines
@@ -3889,7 +3890,8 @@ object SparkEntry {
         |  LATERAL (SELECT c FROM cent
         |    ORDER BY list_cosine_similarity(qe, cemb) DESC, c LIMIT 3) pc),
         |cand AS (SELECT DISTINCT p.query_id, p.qe, a.vec_id AS cand_id,
-        |    a.emb FROM probes p JOIN assign a ON a.cell = p.cell),
+        |    a.emb FROM probes p JOIN assign a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.query_id),
         |ivfk AS (SELECT query_id, cand_id FROM (
         |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
         |      ORDER BY round(list_cosine_similarity(emb, qe), 6) DESC,
@@ -3900,7 +3902,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q.query_id
         |      ORDER BY round(list_cosine_similarity(e.emb, q.qe), 6) DESC,
         |        e.vec_id) AS rnk
-        |  FROM e, q) WHERE rnk <= 10),
+        |  FROM e, q WHERE e.vec_id <> q.query_id) WHERE rnk <= 10),
         |h AS (SELECT i.query_id, count(*) AS n FROM ivfk i
         |  JOIN brutek b ON i.query_id = b.query_id AND i.cand_id = b.cand_id
         |  GROUP BY 1)

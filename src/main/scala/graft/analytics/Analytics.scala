@@ -461,7 +461,6 @@ object Analytics {
       tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"steps must be non-empty and distinct, got $steps")
-    val spark = events.sparkSession
     val stepsArr = array(steps.map(lit): _*)
     val perUser = events.filter(col(typeCol).isin(steps: _*))
       .select(col(userCol).as("__u"),
@@ -469,24 +468,40 @@ object Analytics {
           array_position(stepsArr, col(typeCol)).as("idx")).as("__e"))
       .groupBy("__u")
       .agg(sort_array(collect_list(col("__e"))).as("__es"))
-      .select(aggregate(col("__es"),
-        struct(lit(0L).as("step"), lit(Long.MinValue).as("t")),
-        (acc, e) => when(
-          e.getField("idx") === acc.getField("step") + 1 &&
-            e.getField("t") > acc.getField("t"),
-          struct((acc.getField("step") + 1).as("step"),
-            e.getField("t").as("t"))).otherwise(acc))
-        .getField("step").as("__final"))
-    // explode each user's reach into one row per completed step, then
-    // right-join the step list so unreached steps report 0
-    val reached = perUser.filter(col("__final") >= 1)
+      .select(funnelFold(col("__es")).as("__final"))
+    funnelReport(perUser, stepsArr, steps.size, "users")
+  }
+
+  /** The greedy earliest-advance funnel fold over a sorted (t, idx)
+    * event array — shared by [[eventFunnel]] (per user) and
+    * [[sessionFunnel]] (per session), so a boundary/tie-rule change
+    * lands in both or neither: the furthest step whose events appear
+    * in step order with strictly increasing timestamps. Equivalent to
+    * the oracles' chained-min formulation. */
+  private def funnelFold(es: Column): Column =
+    aggregate(es,
+      struct(lit(0L).as("step"), lit(Long.MinValue).as("t")),
+      (acc, e) => when(
+        e.getField("idx") === acc.getField("step") + 1 &&
+          e.getField("t") > acc.getField("t"),
+        struct((acc.getField("step") + 1).as("step"),
+          e.getField("t").as("t"))).otherwise(acc))
+      .getField("step")
+
+  /** Explode each group's furthest step (`__final`) into one row per
+    * completed step, right-joined to the step list so unreached steps
+    * report 0 under `countName`. */
+  private def funnelReport(perGroup: DataFrame, stepsArr: Column,
+      nSteps: Int, countName: String): DataFrame = {
+    val spark = perGroup.sparkSession
+    val reached = perGroup.filter(col("__final") >= 1)
       .select(explode(sequence(lit(1L), col("__final"))).as("step"))
       .groupBy("step").agg(count(lit(1)).as("__n"))
-    spark.range(1, steps.size + 1).select(col("id").as("step"))
+    spark.range(1, nSteps + 1).select(col("id").as("step"))
       .join(reached, Seq("step"), "left")
       .select(col("step").cast("int").as("step"),
         element_at(stepsArr, col("step").cast("int")).as("step_name"),
-        coalesce(col("__n"), lit(0L)).as("users"))
+        coalesce(col("__n"), lit(0L)).as(countName))
       .orderBy("step")
   }
 
@@ -510,7 +525,6 @@ object Analytics {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"steps must be non-empty and distinct, got $steps")
     require(gapUs > 0, s"gapUs must be positive, got $gapUs")
-    val spark = events.sparkSession
     val stepsArr = array(steps.map(lit): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__u").orderBy("__t", "__id")
@@ -530,23 +544,8 @@ object Analytics {
           array_position(stepsArr, col("__ty")).as("idx")).as("__e"))
       .groupBy("__u", "__s")
       .agg(sort_array(collect_list(col("__e"))).as("__es"))
-      .select(aggregate(col("__es"),
-        struct(lit(0L).as("step"), lit(Long.MinValue).as("t")),
-        (acc, e) => when(
-          e.getField("idx") === acc.getField("step") + 1 &&
-            e.getField("t") > acc.getField("t"),
-          struct((acc.getField("step") + 1).as("step"),
-            e.getField("t").as("t"))).otherwise(acc))
-        .getField("step").as("__final"))
-    val reached = perSession.filter(col("__final") >= 1)
-      .select(explode(sequence(lit(1L), col("__final"))).as("step"))
-      .groupBy("step").agg(count(lit(1)).as("__n"))
-    spark.range(1, steps.size + 1).select(col("id").as("step"))
-      .join(reached, Seq("step"), "left")
-      .select(col("step").cast("int").as("step"),
-        element_at(stepsArr, col("step").cast("int")).as("step_name"),
-        coalesce(col("__n"), lit(0L)).as("sessions"))
-      .orderBy("step")
+      .select(funnelFold(col("__es")).as("__final"))
+    funnelReport(perSession, stepsArr, steps.size, "sessions")
   }
 
   /** User-journey transition matrix: counts of consecutive event-type
@@ -2360,7 +2359,11 @@ object Analytics {
   /** High-vs-low priority line counts per return flag in a ship-date
     * window (TPC-H Q12 shape over this schema's columns — the flag
     * plays shipmode's role): did late/returned shipments skew toward
-    * urgent orders. The CASE-sum pivot runs map-side.
+    * urgent orders. The CASE-sum pivot runs map-side. A NULL priority
+    * counts as LOW (the `otherwise` arm — pinned explicitly, because
+    * `when(!high, 1)` would send NULL to neither bucket while SQL's
+    * `CASE ... ELSE` sends it to low: every row lands in exactly one
+    * bucket on both engines).
     *
     * Scale shape: the date window and the two projected columns push
     * to the fact scan; the order dim projects to (key, priority)
@@ -2378,7 +2381,7 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(sum(when(high, 1L).otherwise(0L)).as("high_priority"),
-        sum(when(!high, 1L).otherwise(0L)).as("low_priority"))
+        sum(when(high, 0L).otherwise(1L)).as("low_priority"))
       .orderBy("l_returnflag")
   }
 
@@ -2388,14 +2391,18 @@ object Analytics {
     * count, exact sum/min/max. Extraction is the codegen'd
     * `get_json_object` path expression (no UDF, no full `from_json`
     * schema materialization for one field); malformed or missing JSON
-    * yields NULL and is counted, not crashed on.
+    * yields NULL and is counted, not crashed on. Non-integral numeric
+    * values FLOOR (via an explicit double floor — a bare string→long
+    * cast truncates in one engine and rounds in another, the latent
+    * cross-engine divergence this pins shut).
     *
     * Scale shape: extraction is a per-row projection fused into the
     * scan, the rollup a types-bounded hash agg with map-side partials —
     * scan-bound at any volume. */
   def propsRollup(events: DataFrame, typeCol: String, propsCol: String,
       field: String): DataFrame = {
-    val k = get_json_object(col(propsCol), s"$$.$field").cast("long")
+    val k = floor(get_json_object(col(propsCol), s"$$.$field")
+      .cast("double")).cast("long")
     events
       .groupBy(col(typeCol))
       .agg(count(lit(1)).as("n_events"),

@@ -150,9 +150,11 @@ object Ivf {
     * brute-force top-k, per query, as `n_hits` and floored
     * `recall_ppm`. Both arms rank on the ROUNDED cosine with an id
     * tiebreak (the q37 convention), so the two sets — and therefore the
-    * recall — are engine-deterministic; the query itself appears in
-    * both arms (probe 0 is its own cell) and cancels out of the
-    * comparison.
+    * recall — are engine-deterministic. The query itself is EXCLUDED
+    * from both arms: a self-hit is guaranteed (probe 0 is its own
+    * cell), so leaving it in would pad every recall@k by 1/k — a probe
+    * configuration retrieving zero true neighbors would still read 10%
+    * at k=10, a false floor baked into the published statistic.
     *
     * Scale shape: the index assigns in one codegen pass and
     * checkpoints; queries multi-probe-assign DISTRIBUTED (no driver
@@ -182,12 +184,14 @@ object Ivf {
     val ivfTop = ranked(index.join(broadcast(qCells), Seq("cell"))
       .select(col("query_id"), col("__q"), col(idCol).as("cand_id"),
         col(embCol).cast("array<double>").as("__e"))
+      .filter(col("cand_id") =!= col("query_id"))
       .dropDuplicates("query_id", "cand_id") // a vector in 2 probed cells
       .withColumn("cosine", round(Similarity.cosine(col("__e"), col("__q")), 6)))
     val bruteTop = ranked(emb
       .select(col(idCol).as("cand_id"), col(embCol).cast("array<double>").as("__e"))
       .crossJoin(broadcast(queries.select(col(idCol).as("query_id"),
         col(embCol).cast("array<double>").as("__q"))))
+      .filter(col("cand_id") =!= col("query_id"))
       .withColumn("cosine", round(Similarity.cosine(col("__e"), col("__q")), 6)))
     val hits = ivfTop
       .join(bruteTop, Seq("query_id", "cand_id"), "left_semi")

@@ -50,7 +50,7 @@ object Similarity {
 
   /** Hard-negative mining for contrastive training: for every query
     * vector, the k most-similar corpus vectors whose cosine stays
-    * UNDER `maxCos` (the near-duplicate ceiling — an accidental twin
+    * AT OR BELOW `maxCos` (the inclusive near-duplicate ceiling — an accidental twin
     * labeled negative is the classic contrastive-data bug) and at or
     * above `minCos` (too-easy negatives teach nothing), excluding the
     * query itself. Cosines render rounded to 6 dp (the q37

@@ -80,8 +80,9 @@ class IvfSpec extends SparkSpec {
     def recall(nProbe: Int) = Ivf.annRecall(vecs, "vec_id", "embedding",
         col("vec_id") === 0, cents, nProbe, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    // brute top-3 = {0 (self), 3, 4}; cell 0 holds only {0, 1, 2} → one
-    // hit, recall ⌊10⁶/3⌋
+    // self EXCLUDED from both arms: brute top-3 = {3, 4, 2}; cell 0
+    // offers only {1, 2} → one hit (2), recall ⌊10⁶/3⌋ — no self-hit
+    // floor padding the statistic
     assert(recall(1) == Seq((0L, 1L, 333333L)))
     // probing both cells IS brute force
     assert(recall(2) == Seq((0L, 3L, 1000000L)))
