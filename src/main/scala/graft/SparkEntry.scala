@@ -1136,6 +1136,11 @@ object SparkEntry {
       Analytics.sessionFunnel(Tables.events(s, d), "user_id",
         "event_type", "ts", "event_id",
         steps = Seq("view", "click", "purchase"), gapUs = 1800000000L)),
+    // q187: funnel time-to-convert — per fully-converted user, anchor
+    // to completing event; q119's fold carrying the first-advance time
+    "q187_funnel_latency" -> ((s, d) =>
+      Analytics.funnelLatency(Tables.events(s, d), "user_id",
+        "event_type", "ts", steps = Seq("view", "click", "purchase"))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -3934,6 +3939,23 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         |ORDER BY step""".stripMargin,
+    // q187: the chained-min anchors state duration directly — earliest
+    // view, earliest strictly-after click, earliest strictly-after
+    // purchase; duration = purchase_t − view_t for completers
+    "q187_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tn
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(tn) AS t FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.tn) AS t FROM ev e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.tn > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.tn) AS t FROM ev e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.tn > s2.t GROUP BY 1)
+        |SELECT s3.user_id, s3.t - s1.t AS duration_us
+        |FROM s3 JOIN s1 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // tf over raw occurrences; same tokenizer as q43
     "q61_vocab_df" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

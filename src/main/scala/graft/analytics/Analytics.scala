@@ -468,25 +468,60 @@ object Analytics {
           array_position(stepsArr, col(typeCol)).as("idx")).as("__e"))
       .groupBy("__u")
       .agg(sort_array(collect_list(col("__e"))).as("__es"))
-      .select(funnelFold(col("__es")).as("__final"))
+      .select(funnelFold(col("__es")).getField("step").as("__final"))
     funnelReport(perUser, stepsArr, steps.size, "users")
   }
 
   /** The greedy earliest-advance funnel fold over a sorted (t, idx)
-    * event array — shared by [[eventFunnel]] (per user) and
-    * [[sessionFunnel]] (per session), so a boundary/tie-rule change
-    * lands in both or neither: the furthest step whose events appear
-    * in step order with strictly increasing timestamps. Equivalent to
-    * the oracles' chained-min formulation. */
+    * event array — shared by [[eventFunnel]] (per user),
+    * [[sessionFunnel]] (per session), and [[funnelLatency]], so a
+    * boundary/tie-rule change lands in all or none: the furthest step
+    * whose events appear in step order with strictly increasing
+    * timestamps, plus the times of the first and latest advance.
+    * Equivalent to the oracles' chained-min formulation. Returns a
+    * struct `(step, t, t0)`. */
   private def funnelFold(es: Column): Column =
     aggregate(es,
-      struct(lit(0L).as("step"), lit(Long.MinValue).as("t")),
+      struct(lit(0L).as("step"), lit(Long.MinValue).as("t"),
+        lit(Long.MinValue).as("t0")),
       (acc, e) => when(
         e.getField("idx") === acc.getField("step") + 1 &&
           e.getField("t") > acc.getField("t"),
         struct((acc.getField("step") + 1).as("step"),
-          e.getField("t").as("t"))).otherwise(acc))
-      .getField("step")
+          e.getField("t").as("t"),
+          when(acc.getField("step") === 0, e.getField("t"))
+            .otherwise(acc.getField("t0")).as("t0"))).otherwise(acc))
+
+  /** Funnel time-to-convert: for every user who completes the WHOLE
+    * funnel, the time from their first-step anchor to the completing
+    * event — the latency distribution behind "median time to purchase"
+    * dashboards (derive quantiles downstream; the per-user rows are the
+    * deterministic ground truth). Same greedy fold as [[eventFunnel]]
+    * (the anchor is the EARLIEST first-step event, each later step the
+    * earliest strictly-after advance), so duration equals the oracle's
+    * chained-min `t_lastStep − t_firstStep`.
+    *
+    * Scale shape: identical to [[eventFunnel]] — one user-keyed
+    * aggregation, no per-step self-joins; converted users project to
+    * (user, duration) rows. */
+  def funnelLatency(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2 && steps.distinct.size == steps.size,
+      s"need >= 2 distinct steps, got $steps")
+    val stepsArr = array(steps.map(lit): _*)
+    events.filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("__u"),
+        struct(tsMicros(events, tsCol).as("t"),
+          array_position(stepsArr, col(typeCol)).as("idx")).as("__e"))
+      .groupBy("__u")
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .select(col("__u"), funnelFold(col("__es")).as("__f"))
+      .filter(col("__f").getField("step") === steps.size)
+      .select(col("__u").as(userCol),
+        (col("__f").getField("t") - col("__f").getField("t0"))
+          .as("duration_us"))
+      .orderBy(userCol)
+  }
 
   /** Explode each group's furthest step (`__final`) into one row per
     * completed step, right-joined to the step list so unreached steps
@@ -544,7 +579,7 @@ object Analytics {
           array_position(stepsArr, col("__ty")).as("idx")).as("__e"))
       .groupBy("__u", "__s")
       .agg(sort_array(collect_list(col("__e"))).as("__es"))
-      .select(funnelFold(col("__es")).as("__final"))
+      .select(funnelFold(col("__es")).getField("step").as("__final"))
     funnelReport(perSession, stepsArr, steps.size, "sessions")
   }
 

@@ -1015,6 +1015,26 @@ class EventAnalyticsSpec extends SparkSpec {
       (3, "purchase", 1L)))
   }
 
+  test("funnelLatency: earliest anchors, strict-after ties, non-completers absent") {
+    val events = Seq(
+      // u1: clean completion → 20
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2: pre-anchor click ignored; purchase TIED with the click is
+      // rejected (strict >), the later one completes → 40 − 10 = 30
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "click", 15L),
+      (2L, "purchase", 15L), (2L, "purchase", 40L),
+      // u3: never completes → no row
+      (3L, "view", 10L), (3L, "click", 20L),
+      // u4: the EARLIEST view anchors even though a later one exists
+      (4L, "view", 10L), (4L, "view", 100L), (4L, "click", 50L),
+      (4L, "purchase", 60L))
+      .toDF("user_id", "event_type", "ts")
+    val got = Analytics.funnelLatency(events, "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 20L), (2L, 30L), (4L, 50L)))
+  }
+
   test("propsRollup: exact extraction, null on malformed/missing JSON") {
     val ev = Seq(
       (1L, "a", """{"k": 5}"""), (2L, "a", """{"k": 7}"""),
