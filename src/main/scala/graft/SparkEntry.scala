@@ -1141,6 +1141,15 @@ object SparkEntry {
     "q187_funnel_latency" -> ((s, d) =>
       Analytics.funnelLatency(Tables.events(s, d), "user_id",
         "event_type", "ts", steps = Seq("view", "click", "purchase"))),
+    // q188: MATCH_RECOGNIZE-style sequence cohorts — each user's full
+    // ordered journey string matched against named regexes, all
+    // patterns priced as conditional sums over ONE user-keyed pass
+    "q188_sequence_match" -> ((s, d) =>
+      Analytics.sequenceMatch(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id", Seq(
+          "error_storm" -> "error error error",
+          "recovered" -> "error.*purchase",
+          "view_to_purchase" -> "view.*purchase"))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -3956,6 +3965,22 @@ object SparkEntry {
         |SELECT s3.user_id, s3.t - s1.t AS duration_us
         |FROM s3 JOIN s1 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // q188: the same (t, id)-ordered journey string via string_agg,
+    // the same unanchored regexes (basic classes only — identical in
+    // Java and RE2)
+    "q188_sequence_match" ->
+      """WITH s AS (SELECT user_id,
+        |    string_agg(event_type, ' ' ORDER BY epoch_us(ts), event_id)
+        |      AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT 'error_storm' AS pattern, CAST(count(*) FILTER (
+        |  WHERE regexp_matches(seq, 'error error error')) AS BIGINT)
+        |  AS n_users FROM s
+        |UNION ALL SELECT 'recovered', CAST(count(*) FILTER (
+        |  WHERE regexp_matches(seq, 'error.*purchase')) AS BIGINT) FROM s
+        |UNION ALL SELECT 'view_to_purchase', CAST(count(*) FILTER (
+        |  WHERE regexp_matches(seq, 'view.*purchase')) AS BIGINT) FROM s
+        |ORDER BY pattern""".stripMargin,
     // tf over raw occurrences; same tokenizer as q43
     "q61_vocab_df" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -583,6 +583,44 @@ object Analytics {
     funnelReport(perSession, stepsArr, steps.size, "sessions")
   }
 
+  /** Event-sequence pattern matching — the COUNT shape of SQL
+    * MATCH_RECOGNIZE (which Spark does not ship): each user's complete
+    * (ts, id)-ordered event-type sequence renders as one
+    * space-delimited string, and each named regex pattern counts the
+    * users whose journey matches — "viewed then eventually purchased",
+    * "error storm", any order-sensitive cohort a transition matrix
+    * (which only sees adjacent pairs) cannot express. Patterns match
+    * UNANCHORED; type names must not be substrings of one another
+    * (true of any sane event vocabulary — document the contract).
+    *
+    * Scale shape: ONE user-keyed aggregation builds every journey
+    * string (sequence length = the user's event count, the same bound
+    * [[eventFunnel]]'s sorted array carries); all patterns evaluate as
+    * conditional sums over that single pass — adding a pattern adds a
+    * projection, never a scan; output is |patterns| rows. */
+  def sequenceMatch(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String,
+      patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty &&
+      patterns.map(_._1).distinct.size == patterns.size,
+      s"patterns must be non-empty with distinct names, got $patterns")
+    val seqs = events.select(col(userCol).as("__u"),
+        struct(tsMicros(events, tsCol).as("t"), col(idCol).as("id"),
+          col(typeCol).as("ty")).as("__e"))
+      .groupBy("__u")
+      .agg(array_join(transform(sort_array(collect_list(col("__e"))),
+        e => e.getField("ty")), " ").as("__seq"))
+    val aggs = patterns.map { case (name, p) =>
+      sum(when(col("__seq").rlike(p), 1L).otherwise(0L)).as(name)
+    }
+    val counts = seqs.agg(aggs.head, aggs.tail: _*)
+    counts.select(expr(
+      s"stack(${patterns.size}, " +
+        patterns.map { case (name, _) => s"'$name', `$name`" }
+          .mkString(", ") + ") as (pattern, n_users)"))
+      .orderBy("pattern")
+  }
+
   /** User-journey transition matrix: counts of consecutive event-type
     * pairs per user — the first-order Markov statistics behind flow
     * diagrams, anomalous-path detection, and next-step prediction

@@ -1035,6 +1035,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq((1L, 20L), (2L, 30L), (4L, 50L)))
   }
 
+  test("sequenceMatch: order-sensitive journeys, zero-match patterns report 0") {
+    val events = Seq(
+      (1L, "view", 10L, 1L), (1L, "click", 11L, 2L),
+      (1L, "purchase", 12L, 3L),
+      (2L, "error", 20L, 1L), (2L, "error", 21L, 2L),
+      (2L, "error", 22L, 3L), (2L, "purchase", 23L, 4L),
+      // u4's purchase PRECEDES the view — an adjacency-pair matrix
+      // can't see this; the journey regex must reject it
+      (4L, "purchase", 40L, 1L), (4L, "view", 41L, 2L))
+      .toDF("user_id", "event_type", "event_id", "ts")
+    val got = Analytics.sequenceMatch(events, "user_id", "event_type",
+        "ts", "event_id", Seq(
+          "error_storm" -> "error error error",
+          "recovered" -> "error.*purchase",
+          "view_to_purchase" -> "view.*purchase",
+          "never" -> "signup signup"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("error_storm", 1L), ("never", 0L),
+      ("recovered", 1L), ("view_to_purchase", 1L)))
+  }
+
   test("propsRollup: exact extraction, null on malformed/missing JSON") {
     val ev = Seq(
       (1L, "a", """{"k": 5}"""), (2L, "a", """{"k": 7}"""),
