@@ -77,7 +77,12 @@ object Bench {
   private val failed = scala.collection.mutable.Set.empty[String]
   private def timed(name: String)(body: => Unit): Double = {
     val t0 = System.nanoTime()
-    try body catch { case _: Throwable => failed += name }
+    try body catch { case e: Throwable =>
+      // loud per-failure line: the returned number is time-to-FAILURE,
+      // and the headline's `failed` list marks it machine-readably
+      System.err.println(s"[bench] $name FAILED: ${e.toString.take(200)}")
+      failed += name
+    }
     (System.nanoTime() - t0) / 1e9
   }
   // (median, min, max); for even `runs` the upper-middle element is
@@ -379,6 +384,13 @@ object Bench {
     val onlyField = only.map(n =>
       "\"only\":[" + n.toSeq.sorted.map("\"" + _ + "\"").mkString(",") + "],")
       .getOrElse("")
+    // a failing query otherwise publishes its time-to-FAILURE as a
+    // plausible fast minimum (timed() swallows the throw) — the
+    // artifact must say which timings are not timings at all
+    val failedField =
+      if (failed.isEmpty) ""
+      else "\"failed\":[" + failed.toSeq.sorted
+        .map("\"" + _ + "\"").mkString(",") + "],"
     // headline `value`/`queries` are per-run MINIMA ("stat":"min") —
     // the round-over-round signal; the medians line keeps the
     // contention-sensitive statistic visible. The headline is the LAST
@@ -388,7 +400,7 @@ object Bench {
     // where it can never be lost. Both full per-query maps do NOT fit
     // in one line — medians go on their own earlier line, and the whole
     // report lands in bench_last.json.
-    val scalars = s""""metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","runs":$runs,$onlyField"events_per_sec":$eventsPerSec,"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel._2)},"curate_funnel_med":${r3(funnel._1)},"curate_funnel_full_sec":${r3(funnelFull._2)},"curate_funnel_full_med":${r3(funnelFull._1)},$phaseBusy${hostBusyJson("host_busy", jiffies0, cpuJiffies())}"sf":"$sfDir""""
+    val scalars = s""""metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","runs":$runs,$onlyField$failedField"events_per_sec":$eventsPerSec,"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel._2)},"curate_funnel_med":${r3(funnel._1)},"curate_funnel_full_sec":${r3(funnelFull._2)},"curate_funnel_full_med":${r3(funnelFull._1)},$phaseBusy${hostBusyJson("host_busy", jiffies0, cpuJiffies())}"sf":"$sfDir""""
     val sheetField = lastSheet.map(s => s""","funnel_datasheet":$s""").getOrElse("")
     lastSheet.foreach(s =>
       println(s"""{"metric":"datasheet","name":"curate_funnel_full","sheet":$s}"""))

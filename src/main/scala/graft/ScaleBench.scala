@@ -81,12 +81,16 @@ object ScaleBench {
     * repetition) while the support floor keeps the edge set
     * result-bounded. Factor 1 is the base fact exactly (the shift is 0
     * and the distinct collapses the duplicate union arm). Factors above
-    * 16 cap at 16 — the [[scaleEmbeddings]] convention: the graph
-    * family saturates there and an organic text run at factor 32 must
-    * not abort the whole factor's measurements. */
+    * 16 CAP at 16, loudly — like run()'s clamp around
+    * [[scaleEmbeddings]] (which itself still throws past 16): the
+    * graph family saturates there and an organic text run at factor 32
+    * must not abort the whole factor's measurements; the stderr line
+    * keeps the scaling curve honestly labeled. */
   def scaleBaskets(lineitem: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val f = math.min(factor, 16)
+    if (factor > 16) System.err.println(
+      s"[scale] graph family caps the basket factor at 16 (requested $factor)")
     val baskets = lineitem.select(col("l_orderkey"), col("l_partkey"))
       .distinct().localCheckpoint() // both union arms read it
     val maxKey = baskets.agg(max(col("l_orderkey"))).head().getLong(0) + 1

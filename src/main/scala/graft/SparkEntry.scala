@@ -3858,10 +3858,14 @@ object SparkEntry {
     // q183: the same JSON path over DuckDB's json extension; floor of
     // a TRY_CAST double mirrors the engine's explicit-floor contract
     // (null on malformed, FLOOR on non-integral — never a cast's
-    // engine-specific truncate/round)
+    // engine-specific truncate/round). The OUTER cast is TRY too: a
+    // payload past BIGINT range or NaN must degrade to NULL, never
+    // abort the whole oracle query (parity is guaranteed for
+    // integral-range numerics; out-of-range behavior is engine-
+    // specific and out of contract)
     "q183_props_rollup" ->
       """WITH x AS (SELECT event_type,
-        |  CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+        |  TRY_CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
         |    AS BIGINT) AS k FROM events)
         |SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

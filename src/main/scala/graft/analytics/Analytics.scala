@@ -462,15 +462,25 @@ object Analytics {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"steps must be non-empty and distinct, got $steps")
     val stepsArr = array(steps.map(lit): _*)
-    val perUser = events.filter(col(typeCol).isin(steps: _*))
+    val perUser = funnelUserArrays(events, userCol, typeCol, tsCol,
+        steps, stepsArr)
+      .select(funnelFold(col("__es")).getField("step").as("__final"))
+    funnelReport(perUser, stepsArr, steps.size, "users")
+  }
+
+  /** Per-user sorted (t, idx) step-event arrays — the shared front half
+    * of [[eventFunnel]] and [[funnelLatency]] (one user-keyed
+    * aggregation; [[sessionFunnel]] builds the session-keyed analog
+    * from its tagged frame). */
+  private def funnelUserArrays(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
+      stepsArr: Column): DataFrame =
+    events.filter(col(typeCol).isin(steps: _*))
       .select(col(userCol).as("__u"),
         struct(tsMicros(events, tsCol).as("t"),
           array_position(stepsArr, col(typeCol)).as("idx")).as("__e"))
       .groupBy("__u")
       .agg(sort_array(collect_list(col("__e"))).as("__es"))
-      .select(funnelFold(col("__es")).getField("step").as("__final"))
-    funnelReport(perUser, stepsArr, steps.size, "users")
-  }
 
   /** The greedy earliest-advance funnel fold over a sorted (t, idx)
     * event array — shared by [[eventFunnel]] (per user),
@@ -509,12 +519,7 @@ object Analytics {
     require(steps.size >= 2 && steps.distinct.size == steps.size,
       s"need >= 2 distinct steps, got $steps")
     val stepsArr = array(steps.map(lit): _*)
-    events.filter(col(typeCol).isin(steps: _*))
-      .select(col(userCol).as("__u"),
-        struct(tsMicros(events, tsCol).as("t"),
-          array_position(stepsArr, col(typeCol)).as("idx")).as("__e"))
-      .groupBy("__u")
-      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+    funnelUserArrays(events, userCol, typeCol, tsCol, steps, stepsArr)
       .select(col("__u"), funnelFold(col("__es")).as("__f"))
       .filter(col("__f").getField("step") === steps.size)
       .select(col("__u").as(userCol),
@@ -604,14 +609,21 @@ object Analytics {
     require(patterns.nonEmpty &&
       patterns.map(_._1).distinct.size == patterns.size,
       s"patterns must be non-empty with distinct names, got $patterns")
+    // names are spliced into a stack() SQL expression — identifier
+    // characters only, or a quote/backtick would break (or alter) it
+    patterns.map(_._1).foreach(n =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"pattern name must match [A-Za-z0-9_]+, got '$n'"))
     val seqs = events.select(col(userCol).as("__u"),
         struct(tsMicros(events, tsCol).as("t"), col(idCol).as("id"),
           col(typeCol).as("ty")).as("__e"))
       .groupBy("__u")
       .agg(array_join(transform(sort_array(collect_list(col("__e"))),
         e => e.getField("ty")), " ").as("__seq"))
+    // count(non-null) not sum(1/0): a global sum over ZERO rows is
+    // NULL where the oracle's FILTER count is 0
     val aggs = patterns.map { case (name, p) =>
-      sum(when(col("__seq").rlike(p), 1L).otherwise(0L)).as(name)
+      count(when(col("__seq").rlike(p), lit(1))).as(name)
     }
     val counts = seqs.agg(aggs.head, aggs.tail: _*)
     counts.select(expr(
