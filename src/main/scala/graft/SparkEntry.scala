@@ -1150,6 +1150,10 @@ object SparkEntry {
           "error_storm" -> "error error error",
           "recovered" -> "error.*purchase",
           "view_to_purchase" -> "view.*purchase"))),
+    // q189: order-to-ship latency trend — monthly fulfilment-SLA
+    // quantiles off the bounded (month, gap-days) histogram
+    "q189_ship_latency" -> ((s, d) =>
+      Analytics.shipLatency(Tables.orders(s, d), Tables.lineitem(s, d))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -3985,6 +3989,27 @@ object SparkEntry {
         |UNION ALL SELECT 'view_to_purchase', CAST(count(*) FILTER (
         |  WHERE regexp_matches(seq, 'view.*purchase')) AS BIGINT) FROM s
         |ORDER BY pattern""".stripMargin,
+    // q189: q173's histogram-quantile SQL keyed by order month over
+    // the ship-minus-order day gap
+    "q189_ship_latency" ->
+      """WITH g AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    (epoch_us(l_shipdate) - ((epoch_us(l_shipdate) % 86400000000
+        |      + 86400000000) % 86400000000)) // 86400000000
+        |    - (epoch_us(o_orderdate) - ((epoch_us(o_orderdate) % 86400000000
+        |      + 86400000000) % 86400000000)) // 86400000000 AS gap
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h AS (SELECT month, gap, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |s AS (SELECT month, gap, cnt,
+        |    sum(cnt) OVER (PARTITION BY month ORDER BY gap
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY month) AS n,
+        |    sum(CAST(gap AS HUGEINT) * cnt) OVER (PARTITION BY month) AS sm
+        |  FROM h)
+        |SELECT month, CAST(max(n) AS BIGINT) AS n_lines,
+        |  CAST(max(sm) AS DOUBLE) / max(n) AS mean_days,
+        |  min(CASE WHEN cum * 2 >= n THEN gap END) AS median_days,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN gap END) AS p90_days
+        |FROM s GROUP BY month ORDER BY month""".stripMargin,
     // tf over raw occurrences; same tokenizer as q43
     "q61_vocab_df" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

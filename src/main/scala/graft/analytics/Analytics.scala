@@ -2470,6 +2470,55 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Order-to-ship latency trend: per order month, the distribution of
+    * days between order date and line ship date — count, exact mean,
+    * exact lower-median and p90 — the fulfilment-SLA dashboard
+    * ([[repeatIntervals]]' histogram-quantile discipline keyed by
+    * month). Mean is one IEEE division of exact integers; the
+    * quantiles come from the bounded (month, gap) histogram via
+    * running-count picks, never a per-row rank.
+    *
+    * Scale shape: the only line-level work is the fact ⋈ orders
+    * equi-join (Q12's irreducible shuffle; both sides project to two
+    * columns first) and a hash agg collapsing straight to the
+    * months × gap-days-bounded histogram; every window after runs on
+    * the histogram. */
+  def shipLatency(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val oday = (unix_micros(col("o_orderdate").cast("timestamp")) -
+      pmod(unix_micros(col("o_orderdate").cast("timestamp")),
+        lit(86400000000L))) / 86400000000L
+    val sday = (unix_micros(col("l_shipdate").cast("timestamp")) -
+      pmod(unix_micros(col("l_shipdate").cast("timestamp")),
+        lit(86400000000L))) / 86400000000L
+    val gaps = lineitem.select(col("l_orderkey"), sday.cast("long").as("__sd"))
+      .join(orders.select(col("o_orderkey"),
+        oday.cast("long").as("__od"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("__m")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("__m"), (col("__sd") - col("__od")).as("gap"))
+    val hist = gaps.groupBy(col("__m").as("month"), col("gap"))
+      .agg(count(lit(1)).as("cnt"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("month").orderBy("gap")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wm = org.apache.spark.sql.expressions.Window.partitionBy("month")
+    hist
+      .withColumn("__cum", sum(col("cnt")).over(ws))
+      .withColumn("__n", sum(col("cnt")).over(wm))
+      .withColumn("__sum", sum((col("gap") * col("cnt"))
+        .cast(DecimalType(38, 0))).over(wm))
+      .groupBy(col("month"))
+      .agg(
+        max(col("__n")).as("n_lines"),
+        (max(col("__sum")).cast("double") / max(col("__n")))
+          .as("mean_days"),
+        min(when(col("__cum") * 2 >= col("__n"), col("gap")))
+          .as("median_days"),
+        min(when(col("__cum") * 10 >= col("__n") * 9, col("gap")))
+          .as("p90_days"))
+      .orderBy("month")
+  }
+
   /** Semi-structured property rollup: extract one integer field from a
     * JSON `props` column (the schema-on-read payload every event
     * pipeline carries) and roll it up per event type — count, non-null

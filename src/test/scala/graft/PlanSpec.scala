@@ -1054,6 +1054,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no step self-joins:\n$p")
   }
 
+  test("q189 ship latency: narrow join projections, histogram before windows") {
+    val p = plan("q189_ship_latency")
+    assert(p.contains("partial_count"),
+      s"the (month, gap) histogram must partial-aggregate map-side:\n$p")
+    assert(p.contains("windowspecdefinition(month"),
+      s"quantile windows run over the bounded histogram, by month:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"one equi-join between two projected sides:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

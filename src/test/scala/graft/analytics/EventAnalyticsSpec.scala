@@ -1056,6 +1056,32 @@ class EventAnalyticsSpec extends SparkSpec {
       ("recovered", 1L), ("view_to_purchase", 1L)))
   }
 
+  test("shipLatency: histogram quantiles per month, month from the order date") {
+    val orders = Seq(
+      (1L, "2024-01-10"), (2L, "2024-01-20"),
+      // order in january, shipped in february — the month bucket
+      // follows the ORDER date
+      (3L, "2024-01-31"),
+      (4L, "2024-02-05"))
+      .toDF("o_orderkey", "__d")
+      .withColumn("o_orderdate", to_timestamp(col("__d")))
+    val li = Seq(
+      (1L, "2024-01-12"), // gap 2
+      (1L, "2024-01-13"), // gap 3 (two lines of one order both count)
+      (2L, "2024-01-29"), // gap 9
+      (3L, "2024-02-02"), // gap 2, bucketed to 2024-01
+      (4L, "2024-02-05")) // gap 0
+      .toDF("l_orderkey", "__s")
+      .withColumn("l_shipdate", to_timestamp(col("__s")))
+    val got = Analytics.shipLatency(orders, li)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // 2024-01 gaps {2,2,3,9}: mean 4.0, lower-median 2, p90 9
+    assert(got == Seq(
+      ("2024-01", 4L, 4.0, 2L, 9L),
+      ("2024-02", 1L, 0.0, 0L, 0L)))
+  }
+
   test("propsRollup: exact extraction, null on malformed/missing JSON") {
     val ev = Seq(
       (1L, "a", """{"k": 5}"""), (2L, "a", """{"k": 7}"""),
