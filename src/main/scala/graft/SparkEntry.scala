@@ -1154,6 +1154,10 @@ object SparkEntry {
     // quantiles off the bounded (month, gap-days) histogram
     "q189_ship_latency" -> ((s, d) =>
       Analytics.shipLatency(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // q190: monthly returned-revenue rate — one scan, exact-micros
+    // conditional sums, floored integer-ppm rate
+    "q190_return_rate" -> ((s, d) =>
+      Analytics.returnRate(Tables.lineitem(s, d))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -4010,6 +4014,22 @@ object SparkEntry {
         |  min(CASE WHEN cum * 2 >= n THEN gap END) AS median_days,
         |  min(CASE WHEN cum * 10 >= n * 9 THEN gap END) AS p90_days
         |FROM s GROUP BY month ORDER BY month""".stripMargin,
+    // q190: same exact-micros conditional sums, HUGEINT floored ppm
+    "q190_return_rate" ->
+      """WITH m AS (SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,6))) AS tot,
+        |    sum(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS ret
+        |  FROM lineitem GROUP BY 1)
+        |SELECT month, CAST(tot AS DOUBLE) AS total_revenue,
+        |  CAST(ret AS DOUBLE) AS returned_revenue,
+        |  CAST((CAST(ret * 1000000 AS HUGEINT) * 1000000)
+        |    // CAST(tot * 1000000 AS HUGEINT) AS BIGINT)
+        |    AS return_rate_ppm
+        |FROM m ORDER BY month""".stripMargin,
     // tf over raw occurrences; same tokenizer as q43
     "q61_vocab_df" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

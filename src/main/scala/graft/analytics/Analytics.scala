@@ -2470,6 +2470,36 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Monthly returned-revenue rate: per ship month, total revenue,
+    * revenue on returned lines (`l_returnflag = 'R'`), and the return
+    * rate in floored integer ppm — the quality-of-sales trend line.
+    * Revenue accumulates in exact micros (the [[supplierHhi]] fixed
+    * point) so the rate is partition-order-independent.
+    *
+    * Scale shape: ONE fact scan, both legs of the split as conditional
+    * sums inside one hash agg with map-side partials, output bounded by
+    * the calendar. */
+  def returnRate(lineitem: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) -
+        col("l_discount").cast(DecimalType(18, 2))))
+      .cast(DecimalType(38, 6))
+    lineitem
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum(rev).as("__tot"),
+        sum(when(col("l_returnflag") === "R", rev)
+          .otherwise(lit(0).cast(DecimalType(38, 6)))).as("__ret"))
+      .select(col("month"),
+        col("__tot").cast("double").as("total_revenue"),
+        col("__ret").cast("double").as("returned_revenue"),
+        fdiv(dec(col("__ret") * 1000000) * 1000000,
+          dec(col("__tot") * 1000000)).as("return_rate_ppm"))
+      .orderBy("month")
+  }
+
   /** Order-to-ship latency trend: per order month, the distribution of
     * days between order date and line ship date — count, exact mean,
     * exact lower-median and p90 — the fulfilment-SLA dashboard

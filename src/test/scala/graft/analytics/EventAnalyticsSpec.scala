@@ -914,6 +914,15 @@ class EventAnalyticsSpec extends SparkSpec {
       "NATION_3", 3), lineitem)
     inv("priorityByFlag")(Analytics.priorityByFlag(orders, _,
       "1996-01-01", "1998-01-01"), lineitem)
+    inv("shipLatency")(Analytics.shipLatency(orders, _), lineitem)
+    inv("returnRate")(Analytics.returnRate(_), lineitem)
+    inv("funnelLatency")(Analytics.funnelLatency(_, "user_id",
+      "event_type", "ts", Seq("view", "click", "purchase")), events)
+    inv("sequenceMatch")(Analytics.sequenceMatch(_, "user_id",
+      "event_type", "ts", "event_id",
+      Seq("v2p" -> "view.*purchase")), events)
+    inv("propsRollup")(Analytics.propsRollup(_, "event_type", "props",
+      "k"), events)
     val emb = graft.Tables.embeddings(spark, sf)
     inv("hardNegatives")(graft.vector.Similarity.hardNegatives(_, "vec_id",
       "embedding", org.apache.spark.sql.functions.col("vec_id") % 199 === 0,
