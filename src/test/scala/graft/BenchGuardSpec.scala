@@ -26,6 +26,20 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.parseArtifactMins(Seq("not json at all")) == Map.empty)
   }
 
+  test("parseFunnelMins: headline fields + bare keys, min across texts") {
+    // round-artifact headline form (the _sec scalars)...
+    val artifact = """{"curate_funnel_sec":3.1,"curate_funnel_full_sec":14.5}"""
+    // ...and BENCH_QUERIES.json's bare keys; also the escaped-tail form
+    val queries = """{"curate_funnel":2.8,"curate_funnel_full":9.7}"""
+    val escaped = """{"tail":"\"curate_funnel_sec\":3.6,"}"""
+    val got = Bench.parseFunnelMins(Seq(artifact, queries, escaped))
+    assert(got == Map("curate_funnel" -> 2.8, "curate_funnel_full" -> 9.7))
+    // the _med fields must NOT feed the min (they are not minima)
+    val med = """{"curate_funnel_med":1.0}"""
+    assert(Bench.parseFunnelMins(Seq(med)) == Map.empty)
+    assert(Bench.parseFunnelMins(Seq("junk")) == Map.empty)
+  }
+
   test("the committed round artifacts actually parse to usable references") {
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
       .filter(_.getName.matches("BENCH_r\\d+\\.json")).toSeq
