@@ -3870,10 +3870,15 @@ object SparkEntry {
     // payload past BIGINT range or NaN must degrade to NULL, never
     // abort the whole oracle query (parity is guaranteed for
     // integral-range numerics; out-of-range behavior is engine-
-    // specific and out of contract)
+    // specific and out of contract). The EXTRACTION is guarded as
+    // well: DuckDB's json_extract_string RAISES on malformed JSON
+    // where Spark's get_json_object yields NULL — a json_valid gate
+    // makes the oracle degrade to NULL (and count the row) exactly
+    // like the engine's documented malformed-props contract
     "q183_props_rollup" ->
       """WITH x AS (SELECT event_type,
-        |  TRY_CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+        |  TRY_CAST(floor(TRY_CAST(CASE WHEN json_valid(props)
+        |      THEN json_extract_string(props, '$.k') END AS DOUBLE))
         |    AS BIGINT) AS k FROM events)
         |SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
@@ -4026,8 +4031,9 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1)
         |SELECT month, CAST(tot AS DOUBLE) AS total_revenue,
         |  CAST(ret AS DOUBLE) AS returned_revenue,
-        |  CAST((CAST(ret * 1000000 AS HUGEINT) * 1000000)
-        |    // CAST(tot * 1000000 AS HUGEINT) AS BIGINT)
+        |  CASE WHEN tot = 0 THEN NULL ELSE
+        |    CAST((CAST(ret * 1000000 AS HUGEINT) * 1000000)
+        |      // CAST(tot * 1000000 AS HUGEINT) AS BIGINT) END
         |    AS return_rate_ppm
         |FROM m ORDER BY month""".stripMargin,
     // tf over raw occurrences; same tokenizer as q43

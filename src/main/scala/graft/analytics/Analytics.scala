@@ -595,17 +595,28 @@ object Analytics {
     * users whose journey matches — "viewed then eventually purchased",
     * "error storm", any order-sensitive cohort a transition matrix
     * (which only sees adjacent pairs) cannot express. Patterns match
-    * UNANCHORED; type names must not be substrings of one another
-    * (true of any sane event vocabulary — document the contract).
+    * UNANCHORED; type names must not be substrings of one another —
+    * and that contract is ENFORCED, not just documented: a vocabulary
+    * with `view` and `view_item` silently corrupts every pattern count
+    * (the regex `view.*purchase` matches the `view_item` prefix), so
+    * by default the builder validates the bounded type vocabulary with
+    * one map-side-partial distinct agg and fails loud on substring
+    * collisions or whitespace-bearing types (whitespace breaks the
+    * space-delimited journey encoding the same way). Pass
+    * `validateVocabulary = false` when the vocabulary is known-clean
+    * and the extra narrow-column pass matters.
     *
     * Scale shape: ONE user-keyed aggregation builds every journey
     * string (sequence length = the user's event count, the same bound
     * [[eventFunnel]]'s sorted array carries); all patterns evaluate as
     * conditional sums over that single pass — adding a pattern adds a
-    * projection, never a scan; output is |patterns| rows. */
+    * projection, never a scan; output is |patterns| rows. The
+    * validation collect is vocabulary-bounded (distinct event TYPES,
+    * not events). */
   def sequenceMatch(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, idCol: String,
-      patterns: Seq[(String, String)]): DataFrame = {
+      patterns: Seq[(String, String)],
+      validateVocabulary: Boolean = true): DataFrame = {
     require(patterns.nonEmpty &&
       patterns.map(_._1).distinct.size == patterns.size,
       s"patterns must be non-empty with distinct names, got $patterns")
@@ -614,6 +625,20 @@ object Analytics {
     patterns.map(_._1).foreach(n =>
       require(n.matches("[A-Za-z0-9_]+"),
         s"pattern name must match [A-Za-z0-9_]+, got '$n'"))
+    if (validateVocabulary) {
+      val types = events.select(col(typeCol).cast("string").as("t"))
+        .na.drop().distinct().collect().map(_.getString(0))
+      val spaced = types.filter(_.exists(_.isWhitespace))
+      require(spaced.isEmpty, "sequenceMatch: event types must not " +
+        s"contain whitespace (breaks the journey encoding): " +
+        spaced.map(t => s"'$t'").mkString(", "))
+      val collisions = for {
+        a <- types; b <- types if a != b && b.contains(a)
+      } yield s"'$a' is a substring of '$b'"
+      require(collisions.isEmpty, "sequenceMatch: event-type vocabulary " +
+        "violates the no-substring contract (pattern counts would be " +
+        s"silently corrupted): ${collisions.sorted.mkString("; ")}")
+    }
     val seqs = events.select(col(userCol).as("__u"),
         struct(tsMicros(events, tsCol).as("t"), col(idCol).as("id"),
           col(typeCol).as("ty")).as("__e"))
@@ -2495,8 +2520,13 @@ object Analytics {
       .select(col("month"),
         col("__tot").cast("double").as("total_revenue"),
         col("__ret").cast("double").as("returned_revenue"),
-        fdiv(dec(col("__ret") * 1000000) * 1000000,
-          dec(col("__tot") * 1000000)).as("return_rate_ppm"))
+        // zero-total months (all-zero prices / fully discounted) pin to
+        // NULL explicitly: Spark's pmod-based floor-div yields NULL on
+        // /0 while SQL integer `//` raises — the degenerate case must
+        // not diverge across engines
+        when(col("__tot") === 0, lit(null).cast("long"))
+          .otherwise(fdiv(dec(col("__ret") * 1000000) * 1000000,
+            dec(col("__tot") * 1000000))).as("return_rate_ppm"))
       .orderBy("month")
   }
 

@@ -1065,6 +1065,52 @@ class EventAnalyticsSpec extends SparkSpec {
       ("recovered", 1L), ("view_to_purchase", 1L)))
   }
 
+  test("sequenceMatch: substring-colliding vocabulary fails loud, not silent") {
+    // `view` is a substring of `view_item`: the journey regex
+    // `view.*purchase` would match the view_item prefix and corrupt
+    // every count — the contract check must throw BEFORE any counting
+    val events = Seq(
+      (1L, "view_item", 10L, 1L), (1L, "purchase", 11L, 2L),
+      (2L, "view", 20L, 1L))
+      .toDF("user_id", "event_type", "event_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.sequenceMatch(events, "user_id", "event_type",
+        "ts", "event_id", Seq("v2p" -> "view.*purchase")).collect()
+    }
+    assert(e.getMessage.contains("substring"))
+    // whitespace inside a type breaks the space-delimited encoding
+    val spaced = Seq((1L, "add to cart", 10L, 1L))
+      .toDF("user_id", "event_type", "event_id", "ts")
+    val e2 = intercept[IllegalArgumentException] {
+      Analytics.sequenceMatch(spaced, "user_id", "event_type",
+        "ts", "event_id", Seq("p" -> "cart")).collect()
+    }
+    assert(e2.getMessage.contains("whitespace"))
+    // opting out (known-clean vocabulary) skips the validation pass
+    val clean = Analytics.sequenceMatch(events, "user_id", "event_type",
+      "ts", "event_id", Seq("v2p" -> "view_item.*purchase"),
+      validateVocabulary = false).collect()
+    assert(clean.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("v2p", 1L)))
+  }
+
+  test("returnRate: zero-revenue month pins the rate to NULL, not an error") {
+    val li = Seq(
+      // normal month: 100.00 total, 25.00 returned -> 250000 ppm
+      ("2024-01-05", "N", 50.0, 0.0), ("2024-01-06", "R", 25.0, 0.0),
+      ("2024-01-07", "N", 25.0, 0.0),
+      // degenerate month: fully discounted -> total 0, rate NULL
+      ("2024-02-01", "R", 40.0, 1.0))
+      .toDF("__s", "l_returnflag", "l_extendedprice", "l_discount")
+      .withColumn("l_shipdate", to_timestamp(col("__s")))
+    val got = Analytics.returnRate(li)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("2024-01", 100.0, 25.0, 250000L),
+      ("2024-02", 0.0, 0.0, null)))
+  }
+
   test("shipLatency: histogram quantiles per month, month from the order date") {
     val orders = Seq(
       (1L, "2024-01-10"), (2L, "2024-01-20"),
