@@ -1054,6 +1054,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no step self-joins:\n$p")
   }
 
+  test("q187 funnel latency: one fact scan, fold inside the user agg") {
+    val p = plan("q187_funnel_latency")
+    assert("events\\.parquet".r.findAllIn(p).length == 1,
+      s"the latency fold must scan events exactly once (no per-step " +
+        s"self-joins):\n$p")
+    assert("Exchange hashpartitioning\\(__u".r.findAllIn(p).size == 1,
+      s"exactly one user-keyed exchange feeds the fold:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q188 sequence match: all patterns priced over ONE user-keyed pass") {
+    val p = plan("q188_sequence_match")
+    assert("events\\.parquet".r.findAllIn(p).length == 1,
+      s"adding a pattern must add a projection, never a scan:\n$p")
+    assert("Exchange hashpartitioning\\(__u".r.findAllIn(p).size == 1,
+      s"one user-keyed exchange builds every journey string:\n$p")
+    assert(!p.contains("Window"),
+      s"journeys come from a hash agg (collect_list), not a window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q190 return rate: one fact scan, partials before the month agg") {
+    val p = plan("q190_return_rate")
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1,
+      s"both revenue legs are conditional sums over ONE scan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the month rollup must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join"), s"no joins in a single-table rollup:\n$p")
+  }
+
   test("q189 ship latency: narrow join projections, histogram before windows") {
     val p = plan("q189_ship_latency")
     assert(p.contains("partial_count"),
