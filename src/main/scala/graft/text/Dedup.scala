@@ -717,9 +717,25 @@ object Dedup {
     * The prefix length uses `⌈t'·s⌉` with `t' = floor(t·10⁶)/10⁶ ≤ t`
     * in exact integer arithmetic — a float `ceil(0.4·5)` can land on
     * 3 where exact lands on 2, silently SHORTENING the prefix and
-    * dropping true pairs; rounding t DOWN only lengthens it (safe). */
+    * dropping true pairs; rounding t DOWN only lengthens it (safe).
+    *
+    * The VERIFY join carries its own broadcast decision: at 100× the
+    * candidate-pair stream joined against both sides' shingle arrays
+    * is a TB-scale shuffle that exhausted scratch disk under Spark's
+    * stock 10 MB threshold, while broadcasting the per-doc array table
+    * (a few hundred MB) turns verification into a streaming
+    * broadcast-hash probe with NO pair exchange at all (SCALE.md,
+    * round-13 100× finding). The engine now auto-sizes that decision
+    * instead of relying on session config: the per-doc table's bytes
+    * are estimated from its (row count, total shingle count) — both
+    * one cheap agg over the already-checkpointed table — and the
+    * verify legs take an explicit `broadcast()` hint whenever the
+    * estimate fits `verifyBroadcastMaxBytes` (default 2 GiB, the
+    * executor-memory class where AQE would make the same call; pass 0
+    * to force the shuffle plan). */
   def ngramJaccardPairsPrefixFromIndex(shAll: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      verifyBroadcastMaxBytes: Long = 2L << 30): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val tPpm = math.floor(threshold * 1000000).toLong
@@ -744,11 +760,22 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // auto-sized verify-broadcast decision: ~8 bytes per shingle hash
+    // plus per-row array/offset overhead — a deliberate overestimate
+    // (UnsafeArrayData headers, row pointers), so the hint only fires
+    // with real headroom. One narrow agg over the checkpointed table.
+    val hintBroadcast = verifyBroadcastMaxBytes > 0 && {
+      val st = docs.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__sz").cast("long")), lit(0L)).as("tot")).head()
+      st.getLong(0) * 64L + st.getLong(1) * 8L <= verifyBroadcastMaxBytes
+    }
+    def verifySide(df: DataFrame): DataFrame =
+      if (hintBroadcast) broadcast(df) else df
     cands
-      .join(docs.select(col("id").as("id_a"), col("__syms").as("__sa"),
-        col("__sz").as("sz_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("__syms").as("__sb"),
-        col("__sz").as("sz_b")), Seq("id_b"))
+      .join(verifySide(docs.select(col("id").as("id_a"),
+        col("__syms").as("__sa"), col("__sz").as("sz_a"))), Seq("id_a"))
+      .join(verifySide(docs.select(col("id").as("id_b"),
+        col("__syms").as("__sb"), col("__sz").as("sz_b"))), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))

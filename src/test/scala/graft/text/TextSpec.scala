@@ -854,6 +854,27 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("prefix filter verify join broadcasts under the auto-sized hint") {
+    val corpus = (1L to 50L).map { i =>
+      (i, s"shared stem ${i % 6} with common phrasing and unique tail $i")
+    }.toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(corpus, "doc_id", "text", k = 3)
+    // default cap (2 GiB): the per-doc array table is tiny here, so the
+    // verify legs must carry the explicit broadcast hint — the 100×
+    // configuration that keeps the candidate-pair stream out of any
+    // exchange must not depend on the session's 10 MB threshold
+    val hinted = Dedup.ngramJaccardPairsPrefixFromIndex(idx, 0.5)
+    val p = hinted.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"),
+      s"verify legs must broadcast the per-doc array table:\n$p")
+    // cap 0 forces the shuffle plan; results identical either way
+    val shuffled = Dedup.ngramJaccardPairsPrefixFromIndex(idx, 0.5,
+      verifyBroadcastMaxBytes = 0L)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(hinted) == pairs(shuffled))
+  }
+
   test("prefix filter explodes strictly fewer rows than the full index at high t") {
     val corpus = (1L to 40L).map { i =>
       (i, s"a long document body number $i with plenty of shared vocabulary " +
