@@ -307,15 +307,29 @@ object ScaleBench {
     // row records the oriented wedge count the closure join probes —
     // wall must track wedges, not wedges², or the orientation broke
     if (baseDir.nonEmpty &&
-        Seq("q158_triangle_census", "q158_workload_wedges").exists(wanted)) {
+        Seq("q158_triangle_census", "q158_workload_wedges",
+          "q174_degree_census", "q174_workload_edges").exists(wanted)) {
       val fact = scaleBaskets(Tables.lineitem(spark, baseDir), factor)
-        .localCheckpoint() // census + workload probe share it
+        .localCheckpoint() // census + workload probes share it
+      // the artifact — not just a stderr notice — must carry the basket
+      // cap: rows = the factor the graph measurements actually ran at
+      // (scaleBaskets clamps past 16), so a factor-32 run can never be
+      // misread as factor-32 graph data
+      println(s"""{"scale_query":"graph_basket_factor","sec":0.0,"rows":${
+        math.min(factor, 16)}}""")
       bench("q158_triangle_census") {
         graft.analytics.Analytics.coPurchaseTriangles(fact, minSupport = 2L)
           .head().getLong(2)
       }
       bench("q158_workload_wedges")(
         graft.analytics.Analytics.coPurchaseWedgeCount(fact, minSupport = 2L))
+      // q174's per-part degree rollup has its own skew profile (hot
+      // parts): measured with its true input volume (edges) alongside
+      bench("q174_degree_census")(
+        graft.analytics.Analytics.coPurchaseDegrees(fact, minSupport = 2L)
+          .count())
+      bench("q174_workload_edges")(
+        graft.analytics.Analytics.coPurchaseEdgeCount(fact, minSupport = 2L))
       releaseStorage(spark)
     }
     results.toList

@@ -2104,6 +2104,14 @@ object Analytics {
     orientedWedges(oriented).count()
   }
 
+  /** Workload probe for the degree family: the EDGE count of the shared
+    * co-purchase relation — [[coPurchaseDegrees]]' true input volume
+    * (each edge feeds exactly two endpoint increments), recorded beside
+    * its wall time in ScaleBench so the scale table shows wall tracking
+    * edges, not parts². */
+  def coPurchaseEdgeCount(lineitem: DataFrame, minSupport: Long): Long =
+    coPurchaseEdges(lineitem, minSupport).count()
+
   /** Min-cost supplier per part within a region (TPC-H Q2 shape): for
     * every part of the given size and type, the cheapest regional
     * supplier — cost observed from the fact as the minimum
