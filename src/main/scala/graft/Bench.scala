@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
 /** Benchmark harness. Emits ONE compact headline JSON line (last on
@@ -201,6 +201,86 @@ object Bench {
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 
+  /** CDC replication END-TO-END at bench scale — the number
+    * BASELINE.md's SLA actually names (required ≥10,000 events/s;
+    * 50,000 prod-baseline): the full `CdcPipeline.start` loop — JSON
+    * envelope parse → DLQ split (a poison line every 9973 events keeps
+    * that path priced, not a no-op) → SMT chain → watermark → per-batch
+    * latest-per-key collapse → idempotent monotonic merge into the
+    * BUCKETED copy-on-write warehouse — driven as micro-batches
+    * (8 files, 2 per trigger → 4 merge batches) via AvailableNow.
+    * The q20/q21-based `events_per_sec` headline prices only the
+    * transform+collapse PLAN; this one prices the replication LOOP
+    * with its checkpointing and warehouse writes. Returns
+    * (med, min, max) of per-run events/s over `SPARK_GRAFT_CDC_RUNS`
+    * (default 3) runs — each run gets fresh checkpoint + warehouse
+    * dirs (a shared checkpoint would no-op later runs); the envelope
+    * corpus is written ONCE outside the timed window. watermarkDelay
+    * spans the corpus (the events table covers months and files split
+    * randomly, so a realtime-sized delay would quarantine most rows —
+    * this benches throughput, not lateness policy; CdcPipelineSpec
+    * owns that). */
+  private def runCdcReplicate(spark: SparkSession,
+      sfDir: String): (Double, Double, Double) = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val cdcRuns = math.max(1, sys.env.get("SPARK_GRAFT_CDC_RUNS")
+      .flatMap(_.toIntOption).getOrElse(3))
+    // sustained-throughput measurement: the sf0.1 events table is only
+    // 100 k rows, so a single pass is dominated by per-micro-batch
+    // fixed cost (checkpoint fsyncs, per-table COW commits) and
+    // understates the loop's events/s by ~10×. Replicating the corpus
+    // (distinct event ids, same users/timestamps) amortizes the fixed
+    // cost the way a sustained SLA is actually measured.
+    val replicas = math.max(1, sys.env.get("SPARK_GRAFT_CDC_REPLICAS")
+      .flatMap(_.toIntOption).getOrElse(10))
+    val base = java.nio.file.Files.createTempDirectory("graft-cdcbench")
+    val inDir = s"$base/in"
+    val ev0 = Tables.events(spark, sfDir)
+    val maxId = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
+    val ev = ev0
+      .crossJoin(broadcast(spark.range(replicas).select(col("id").as("__rep"))))
+      .withColumn("event_id", col("event_id") + col("__rep") * maxId)
+      .drop("__rep")
+    val json = to_json(struct(
+      when(col("event_id") % 50 === 0, lit("heartbeat.events"))
+        .otherwise(concat(lit("scylla-cluster.app_data."), col("event_type")))
+        .as("topic"),
+      when(col("event_type") === "error", lit(cdc.ChangeEvent.Delete))
+        .otherwise(lit(cdc.ChangeEvent.Update)).as("operation"),
+      unix_micros(col("ts").cast("timestamp")).as("commit_timestamp"),
+      col("user_id"), col("event_id"), col("value"), col("props")))
+    ev.select(when(col("event_id") % 9973 === 0, lit("{truncated envelope"))
+        .otherwise(json).as("value"))
+      .repartition(8)
+      .write.mode("overwrite").text(inDir)
+    val n = ev.count()
+    val tables = ev.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSeq // type-vocabulary-bounded
+    val envSchema = StructType(Seq(
+      StructField("topic", StringType),
+      StructField("operation", StringType),
+      StructField("commit_timestamp", LongType)) ++
+      Seq("user_id", "event_id", "value", "props").map(f =>
+        ev.schema(f).copy(name = f)))
+    val secs = Vector.fill(cdcRuns) {
+      val runDir = java.nio.file.Files.createTempDirectory("graft-cdcrun")
+      timed("cdc_replicate") {
+        val pipeline = new cdc.CdcPipeline(spark, s"$runDir/wh", s"$runDir/ck",
+          keysByTable = tables.map(_ -> Seq("user_id")).toMap,
+          watermarkDelay = "3650 days", warehouseBuckets = 8)
+        val raw = pipeline.readJsonStream(inDir, maxFilesPerTrigger = 2)
+        pipeline.start(raw, envSchema).awaitTermination()
+        // the DLQ stream is fire-and-forget; AvailableNow drains it —
+        // its work belongs inside the priced window
+        spark.streams.active.foreach(_.awaitTermination())
+      }
+    }.sorted
+    // per-run events/s; med/min/max follow the protocol (the fastest
+    // run — max events/s — is the clean-window signal, like minima)
+    val eps = secs.map(s => if (s > 0) n / s else 0.0)
+    (eps(eps.size / 2), eps.min, eps.max)
+  }
+
   /** Total block-manager bytes (memory + disk) currently held by RDD
     * storage — the leak-telemetry unit for `queries_storage`. */
   private def storageBytes(spark: SparkSession): Long =
@@ -248,7 +328,9 @@ object Bench {
     */
   private def childMain(name: String, sfDir: String): Unit = {
     val spark = buildSpark()
-    val (med, lo, hi) = runFunnel(spark, sfDir, name)
+    val (med, lo, hi) =
+      if (name == "cdc_replicate") runCdcReplicate(spark, sfDir)
+      else runFunnel(spark, sfDir, name)
     spark.stop()
     lastSheet.foreach(s =>
       println(s"""{"metric":"datasheet","name":"$name","sheet":$s}"""))
@@ -425,6 +507,19 @@ object Bench {
     }.toMap
     val funnel = funnels("curate_funnel")
     val funnelFull = funnels("curate_funnel_full")
+    // CDC replication loop — fresh child JVM like the funnels (a JVM
+    // that has run the 181-query suite carries allocator/GC state that
+    // is not the loop's cost); values are events/s, not seconds
+    val cdcJ0 = cpuJiffies()
+    val cdcEps: (Double, Double, Double) =
+      if (!wanted("cdc_replicate")) zero
+      else spawnChild("cdc_replicate").getOrElse {
+        val s2 = buildSpark()
+        val rr = try runCdcReplicate(s2, sfDir) finally s2.stop()
+        rr
+      }
+    if (wanted("cdc_replicate"))
+      phaseBusy ++= hostBusyJson("host_busy_cdc_replicate", cdcJ0, cpuJiffies())
 
     def jmap(sel: ((Double, Double, Double)) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + r3(sel(v)) }
@@ -455,7 +550,7 @@ object Bench {
     // where it can never be lost. Both full per-query maps do NOT fit
     // in one line — medians go on their own earlier line, and the whole
     // report lands in bench_last.json.
-    val scalars = s""""metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","runs":$runs,$onlyField$failedField"events_per_sec":$eventsPerSec,"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel._2)},"curate_funnel_med":${r3(funnel._1)},"curate_funnel_full_sec":${r3(funnelFull._2)},"curate_funnel_full_med":${r3(funnelFull._1)},$phaseBusy${hostBusyJson("host_busy", jiffies0, cpuJiffies())}"sf":"$sfDir""""
+    val scalars = s""""metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","runs":$runs,$onlyField$failedField"events_per_sec":$eventsPerSec,"cdc_replicate_events_per_sec":${cdcEps._3.toLong},"cdc_replicate_eps_med":${cdcEps._1.toLong},"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel._2)},"curate_funnel_med":${r3(funnel._1)},"curate_funnel_full_sec":${r3(funnelFull._2)},"curate_funnel_full_med":${r3(funnelFull._1)},$phaseBusy${hostBusyJson("host_busy", jiffies0, cpuJiffies())}"sf":"$sfDir""""
     val sheetField = lastSheet.map(s => s""","funnel_datasheet":$s""").getOrElse("")
     lastSheet.foreach(s =>
       println(s"""{"metric":"datasheet","name":"curate_funnel_full","sheet":$s}"""))
