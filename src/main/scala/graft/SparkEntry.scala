@@ -1158,6 +1158,44 @@ object SparkEntry {
     // conditional sums, floored integer-ppm rate
     "q190_return_rate" -> ((s, d) =>
       Analytics.returnRate(Tables.lineitem(s, d))),
+    // q191: last-touch attribution — preceding-touch lookup as an
+    // ignore-nulls window over ONE user-keyed shuffle, never a self-join
+    "q191_attribution_last" -> ((s, d) =>
+      Analytics.attributionLastTouch(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id", "value")),
+    // q192: linear multi-touch attribution — running conditional count
+    // tags conversion segments; per-touch credit in exact floored micros
+    "q192_attribution_linear" -> ((s, d) =>
+      Analytics.attributionLinear(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id", "value")),
+    // q193: gap-filled daily order series — calendar spine from the
+    // 1-row bounds agg, fact collapsed to day partials first
+    "q193_daily_spine" -> ((s, d) =>
+      Analytics.dailyOrderSpine(Tables.orders(s, d))),
+    // q194: brand-month VWAP — broadcast dim join, exact decimal sums,
+    // one final IEEE division
+    "q194_brand_vwap" -> ((s, d) =>
+      Analytics.brandVwap(Tables.part(s, d), Tables.lineitem(s, d))),
+    // q195: per-source n-gram diversity (type-token ratio) — corpus
+    // self-repetition signal; word-count shape on (source, gram) keys
+    "q195_ngram_diversity" -> ((s, d) =>
+      TextAnalysis.ngramDiversity(Tables.documents(s, d), "source", "text")),
+    // q196: per-source unigram KL vs the pooled corpus — integer
+    // fixed-point logs on counts (the zipfSlope discipline)
+    "q196_source_kl" -> ((s, d) =>
+      TextAnalysis.sourceKlDivergence(Tables.documents(s, d), "source",
+        "text")),
+    // q197: top-k session journey paths — session tag + path build on
+    // ONE user-keyed shuffle, TakeOrdered top-k
+    "q197_session_paths" -> ((s, d) =>
+      Analytics.sessionPaths(Tables.events(s, d), "user_id", "event_type",
+        "ts", "event_id", gapUs = 1800000000L, k = 20)),
+    // q198: MAD-based robust outlier census — per-type exact medians
+    // via the range-repartition global rank, never per-type windows
+    // over the raw fact
+    "q198_mad_outliers" -> ((s, d) =>
+      Analytics.madOutliers(Tables.events(s, d), "event_type", "value",
+        "event_id")),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -4036,6 +4074,138 @@ object SparkEntry {
         |      // CAST(tot * 1000000 AS HUGEINT) AS BIGINT) END
         |    AS return_rate_ppm
         |FROM m ORDER BY month""".stripMargin,
+    // q191: the preceding-touch lookup as the same ignore-nulls
+    // last_value over a [-inf, -1] frame; 'direct' for touchless
+    // conversions on both engines
+    "q191_attribution_last" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+        |    event_id, value FROM events),
+        |a AS (SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e)
+        |SELECT coalesce(touch, 'direct') AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS attributed_value
+        |FROM a WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q192: identical segment tagging (conversions strictly before the
+    // row), identical exact floored-micros per-touch credit — the
+    // nonneg-remainder floor division on both engines
+    "q192_attribution_linear" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_us(ts) AS t,
+        |    event_id AS id, value AS v FROM events),
+        |s AS (SELECT u, ty, v, id,
+        |    coalesce(sum(CASE WHEN ty = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY u ORDER BY t, id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        |  FROM e),
+        |tc AS (SELECT u, seg, ty, count(*) AS c FROM s
+        |  WHERE ty <> 'purchase' GROUP BY 1, 2, 3),
+        |tn AS (SELECT u, seg, sum(c) AS n FROM tc GROUP BY 1, 2),
+        |p AS (SELECT u, seg, CAST(floor(v * 1000000) AS BIGINT) AS vmic
+        |  FROM s WHERE ty = 'purchase')
+        |SELECT tc.ty AS touch_type,
+        |  CAST(sum(tc.c) AS BIGINT) AS n_touches,
+        |  CAST(sum(tc.c * ((p.vmic - ((p.vmic % tn.n + tn.n) % tn.n))
+        |    // tn.n)) AS BIGINT) AS attributed_value_micros
+        |FROM p JOIN tn USING (u, seg) JOIN tc USING (u, seg)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q193: generate_series spine between the same 1-row bounds;
+    // zero-fill via the same coalesce
+    "q193_daily_spine" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS dd, count(*) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(dd) AS lo, max(dd) AS hi FROM d),
+        |s AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+        |    AS DATE) AS dd FROM b)
+        |SELECT strftime(s.dd, '%Y-%m-%d') AS day,
+        |  CAST(coalesce(d.n, 0) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(d.rev, 0) AS DOUBLE) AS revenue
+        |FROM s LEFT JOIN d USING (dd) ORDER BY 1""".stripMargin,
+    // q194: exact decimal sums, ONE final IEEE division (davg parity)
+    "q194_brand_vwap" ->
+      """SELECT p_brand, strftime(l_shipdate, '%Y-%m') AS month,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) /
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS vwap
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q195: same q43-family tokenizer, grams by index arithmetic;
+    // plain // is floor here (both operands nonnegative)
+    "q195_ngram_diversity" ->
+      """WITH a AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS a
+        |    FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT source, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+        |  FROM a, unnest(generate_series(1, len(a) - 2)) AS t(i)
+        |  WHERE len(a) >= 3),
+        |c AS (SELECT source, g, count(*) AS c FROM g WHERE g <> ''
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS total_ngrams,
+        |  CAST(count(*) AS BIGINT) AS distinct_ngrams,
+        |  CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS ttr_ppm
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q196: the L(n)=floor(ln(n)*1e6) integer fixed point on counts,
+    // nonneg-remainder floor division (terms can be negative)
+    "q196_source_kl" ->
+      """WITH t AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT source, tok, count(*) AS cs FROM t WHERE tok <> ''
+        |  GROUP BY 1, 2),
+        |ct AS (SELECT tok, sum(cs) AS c FROM st GROUP BY 1),
+        |ns AS (SELECT source, sum(cs) AS ns FROM st GROUP BY 1),
+        |g AS (SELECT sum(cs) AS n FROM st),
+        |j AS (SELECT st.source, ns.ns,
+        |    CAST(cs AS HUGEINT) * CAST(
+        |      CAST(floor(ln(cs) * 1000000) AS BIGINT)
+        |      - CAST(floor(ln(ns) * 1000000) AS BIGINT)
+        |      - CAST(floor(ln(c) * 1000000) AS BIGINT)
+        |      + CAST(floor(ln(n) * 1000000) AS BIGINT) AS HUGEINT) AS term
+        |  FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN g)
+        |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+        |  CAST((sum(term) - ((sum(term) % max(ns) + max(ns)) % max(ns)))
+        |    // max(ns) AS BIGINT) AS kl_micro_nats
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q197: q153's session tag with the (t, id) total order, path via
+    // ordered string_agg, same (count desc, path) top-k
+    "q197_session_paths" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_us(ts) AS t,
+        |    event_id AS id FROM events),
+        |m AS (SELECT u, ty, t, id, CASE WHEN lag(t) OVER w IS NULL
+        |    OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY u ORDER BY t, id)),
+        |s AS (SELECT u, ty, t, id, sum(nw) OVER (PARTITION BY u
+        |    ORDER BY t, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS sid FROM m),
+        |p AS (SELECT u, sid, string_agg(ty, '>' ORDER BY t, id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+    // q198: identical lower-median rank picks on the (value, id) and
+    // (deviation, id) total orders; every output is a data value
+    "q198_mad_outliers" ->
+      """WITH e AS (SELECT event_type AS ty, value AS v, event_id AS id
+        |    FROM events),
+        |r AS (SELECT ty, v, id,
+        |    row_number() OVER (PARTITION BY ty ORDER BY v, id) AS rk,
+        |    count(*) OVER (PARTITION BY ty) AS n FROM e),
+        |med AS (SELECT ty, v AS med, n FROM r WHERE rk = (n + 1) // 2),
+        |d AS (SELECT e.ty, abs(e.v - med.med) AS dv, e.id, med.med, med.n
+        |  FROM e JOIN med USING (ty)),
+        |r2 AS (SELECT ty, dv, id, med, n,
+        |    row_number() OVER (PARTITION BY ty ORDER BY dv, id) AS rk FROM d),
+        |mad AS (SELECT ty, dv AS mad FROM r2 WHERE rk = (n + 1) // 2)
+        |SELECT d.ty AS event_type, CAST(max(d.n) AS BIGINT) AS n_events,
+        |  max(d.med) AS median_value, max(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.dv > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (ty) GROUP BY 1 ORDER BY 1""".stripMargin,
     // tf over raw occurrences; same tokenizer as q43
     "q61_vocab_df" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -2680,4 +2680,222 @@ object Analytics {
           .as("returning_revenue"))
       .orderBy("month")
   }
+
+  /** Last-touch marketing attribution: each conversion event's value is
+    * attributed to the user's most recent strictly-preceding
+    * non-conversion event type (the "touch"); conversions with no
+    * preceding touch attribute to `'direct'`. Output:
+    * `(touch_type, n_conversions, attributed_value)` — the
+    * which-channel-closes table. The preceding-touch lookup is
+    * `last(..., ignoreNulls)` over a `[-∞, -1]` row frame, never a
+    * self-join.
+    *
+    * Scale shape: ONE user-keyed shuffle for the window (the same
+    * per-key cost every journey operator here carries), then a
+    * type-vocabulary-bounded hash agg with map-side partials; value
+    * sums stay exact decimal until the final render. */
+  def attributionLastTouch(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, valueCol: String,
+      convType: String = "purchase"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__t"), col("__id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"),
+        col(valueCol).as("__v"))
+      .withColumn("__touch",
+        last(when(col("__ty") =!= convType, col("__ty")),
+          ignoreNulls = true).over(w))
+      .filter(col("__ty") === convType)
+      .groupBy(coalesce(col("__touch"), lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("__v").cast(DecimalType(18, 6))).cast("double")
+          .as("attributed_value"))
+      .orderBy("touch_type")
+  }
+
+  /** Linear multi-touch attribution: each conversion's value splits
+    * EQUALLY across all touch events since the user's previous
+    * conversion (exclusive) — the credit-the-whole-path counterpart of
+    * [[attributionLastTouch]]. Per touch the credited amount is
+    * `floor(value_micros / n_touches)` in exact integers (the
+    * engine-independent split — an IEEE `value/n` would make the
+    * rollup's sum order-dependent); conversions with no preceding
+    * touch in their segment are dropped (they have no path to credit).
+    * Output: `(touch_type, n_touches, attributed_value_micros)`.
+    *
+    * Scale shape: one user-keyed window tags each event with its
+    * conversion-segment ordinal (a running conditional count — no
+    * self-join to find segment boundaries); touches then collapse to
+    * (user, segment, type) counts BEFORE joining the segment's single
+    * conversion row, so the join carries segment-bounded cardinality,
+    * never raw events × events. */
+  def attributionLinear(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, valueCol: String,
+      convType: String = "purchase"): DataFrame = {
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val wSeg = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__t"), col("__id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val base = events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"),
+        col(valueCol).as("__v"))
+      // segment = conversions strictly before this row: the touches
+      // between conversion k and k+1 share segment k with conversion k+1
+      .withColumn("__seg", coalesce(
+        sum(when(col("__ty") === convType, 1L).otherwise(0L)).over(wSeg),
+        lit(0L)))
+      .localCheckpoint() // touch rollup + conversion slice both read it
+    val touchCounts = base.filter(col("__ty") =!= convType)
+      .groupBy("__u", "__seg", "__ty").agg(count(lit(1)).as("__c"))
+    val segSizes = touchCounts.groupBy("__u", "__seg")
+      .agg(sum(col("__c")).as("__n"))
+    val convs = base.filter(col("__ty") === convType)
+      .select(col("__u"), col("__seg"),
+        floor(col("__v") * 1000000d).cast("long").as("__vmic"))
+    convs.join(segSizes, Seq("__u", "__seg"))
+      .join(touchCounts, Seq("__u", "__seg"))
+      .select(col("__ty").as("touch_type"), col("__c"),
+        (col("__c") * fdiv(col("__vmic"), col("__n"))).as("__amt"))
+      .groupBy("touch_type")
+      .agg(sum(col("__c")).as("n_touches"),
+        sum(col("__amt")).as("attributed_value_micros"))
+      .orderBy("touch_type")
+  }
+
+  /** Gap-filled daily order series (time-series densification): every
+    * calendar day from the first to the last order date appears, with
+    * zero counts/revenue on orderless days — the dense spine a
+    * forecasting or anomaly model trains on (a sparse series silently
+    * teaches "weekends don't exist"). Output:
+    * `(day, n_orders, revenue)`.
+    *
+    * Scale shape: the fact collapses to per-day partials FIRST (hash
+    * agg, calendar-bounded output); the spine generates from the 1-row
+    * (min, max) agg via `sequence` and joins calendar-sized frames —
+    * the fact is scanned once and never joined at row grain. */
+  def dailyOrderSpine(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("__d"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("__rev"))
+      .localCheckpoint() // calendar-bounded; bounds agg + join read it
+    val spine = daily.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"),
+        expr("interval 1 day"))).as("__d"))
+    spine.join(daily, Seq("__d"), "left")
+      .select(date_format(col("__d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("__n"), lit(0L)).as("n_orders"),
+        coalesce(col("__rev"), lit(0).cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy("day")
+  }
+
+  /** Volume-weighted average price per (brand, ship month): VWAP =
+    * Σ(extended price) / Σ(quantity) — the what-did-a-unit-actually-
+    * sell-for trend, robust to mix shifts that corrupt a plain price
+    * mean. Both sums accumulate exact decimal; the rate is ONE final
+    * IEEE division (the [[dsum]]/davg parity discipline). Output:
+    * `(p_brand, month, n_lines, total_qty, vwap)`.
+    *
+    * Scale shape: the fact projects to three columns, the part dim
+    * projects to (key, brand) and BROADCASTS (dim-sized); the rollup
+    * is a brands × calendar-bounded hash agg with map-side partials. */
+  def brandVwap(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    lineitem.select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("__q"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("__p"))
+      .select(col("p_brand"), col("month"), col("n_lines"),
+        col("__q").cast("double").as("total_qty"),
+        (col("__p").cast("double") / col("__q").cast("double")).as("vwap"))
+      .orderBy("p_brand", "month")
+  }
+
+  /** Top-k session journey paths: gap-sessionize ([[sessionize]]'s
+    * boundary rule), render each session's ordered event-type path as
+    * one delimited string, and count sessions per distinct path — the
+    * clickstream table behind "what do visits actually look like".
+    * Output: `(path, n_sessions)`, ties broken by path.
+    *
+    * Scale shape: session tag (lag + running sum) and the per-session
+    * path build share ONE user-keyed shuffle; paths collapse by hash
+    * agg with map-side partials (hot paths combine early) and the
+    * top-k is TakeOrdered — no global sort materializes. Path length
+    * is bounded by session length, the same bound every journey
+    * operator here carries. */
+  def sessionPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, gapUs: Long, k: Int = 20): DataFrame = {
+    require(gapUs > 0 && k >= 1, s"need gapUs > 0 and k >= 1, got $gapUs, $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__t"), col("__id"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"))
+      .withColumn("__new",
+        when(lag(col("__t"), 1).over(w).isNull ||
+          col("__t") - lag(col("__t"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(cum))
+      .groupBy("__u", "__sid")
+      .agg(array_join(transform(sort_array(collect_list(
+        struct(col("__t"), col("__id"), col("__ty")))),
+        e => e.getField("__ty")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
+  }
+
+  /** Robust per-group outlier census via median absolute deviation:
+    * per event type — count, exact lower-median of the value, MAD
+    * (lower-median of |value − median|), and how many events sit more
+    * than `cutoff`×MAD from the median. The robust alternative to
+    * z-scores (one fat-finger event corrupts a stddev cutoff; it moves
+    * a median by at most one rank). Medians are ACTUAL data values
+    * (rank picks), so every output number is engine-independent.
+    *
+    * Scale shape: per-group exact ranks come from [[withGlobalRank]]
+    * over the (type, value, id) total order — range repartition,
+    * per-partition windows, broadcast offsets — with per-type rank =
+    * global rank − the type's broadcast min-rank offset; NEVER a
+    * per-type window over the raw fact (5 types would mean 5 hot
+    * single-threaded sort partitions). Two rank passes (value, then
+    * deviation), each group-count-bounded at the pick. */
+  def madOutliers(events: DataFrame, typeCol: String, valueCol: String,
+      idCol: String, cutoff: Double = 3.0): DataFrame = {
+    def medianByType(df: DataFrame, vCol: String): DataFrame = {
+      val (ranked, _) = withGlobalRank(
+        df.select(col("__ty"), col(vCol).as("__mv"), col("__id")),
+        Seq(col("__ty"), col("__mv"), col("__id")), "__gr")
+      val offs = ranked.groupBy("__ty")
+        .agg(min(col("__gr")).as("__off"), count(lit(1)).as("__n"))
+      ranked.join(broadcast(offs), "__ty")
+        // lower median: rank (n+1)/2 in integer division
+        .filter(col("__gr") - col("__off") + 1 ===
+          (col("__n") + 1 - pmod(col("__n") + 1, lit(2L))) / 2)
+        .select(col("__ty"), col("__mv").as("__med"), col("__n"))
+    }
+    val base = events.select(col(typeCol).as("__ty"),
+        col(valueCol).as("__v"), col(idCol).as("__id"))
+      .localCheckpoint() // two rank passes + the outlier count read it
+    val med = medianByType(base, "__v")
+    val dev = base.join(broadcast(med.drop("__n")), "__ty")
+      .withColumn("__d", abs(col("__v") - col("__med")))
+      .localCheckpoint() // MAD rank pass + outlier count
+    val mad = medianByType(dev.select(col("__ty"), col("__d"), col("__id")), "__d")
+      .select(col("__ty"), col("__med").as("__mad"))
+    dev.join(broadcast(mad), "__ty")
+      .groupBy(col("__ty").as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("__med")).as("median_value"),
+        max(col("__mad")).as("mad"),
+        sum(when(col("__d") > lit(cutoff) * col("__mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
 }

@@ -1523,4 +1523,88 @@ object TextAnalysis {
           .otherwise(fdiv(num, den)).as("slope_ppm")
       })
   }
+
+  /** Per-source n-gram diversity (type-token ratio over token
+    * n-grams): total n-gram occurrences, distinct n-grams, and
+    * `ttr_ppm = ⌊distinct·10⁶ / total⌋` — the corpus-level
+    * self-repetition signal (templated/boilerplate-heavy sources score
+    * low even when no single document flags on per-doc repetition
+    * q51). Documents shorter than `n` tokens contribute nothing.
+    * Output: `(source, total_ngrams, distinct_ngrams, ttr_ppm)`.
+    *
+    * Scale shape: word-count on (source, gram) keys — hot grams
+    * collapse in map-side partials BEFORE the shuffle; the per-source
+    * rollup is source-vocabulary-bounded. Grams materialize from the
+    * token array by index arithmetic on the scan (no self-join of
+    * token positions). */
+  def ngramDiversity(df: DataFrame, srcCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val grams = df.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("source"), tokens(col(textCol)).as("__a"))
+      // docs shorter than n tokens contribute nothing — and the filter
+      // keeps the index sequence ascending (Spark's sequence(1, 0)
+      // would DESCEND and feed slice an illegal 0 start)
+      .filter(size(col("__a")) >= n)
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("__a")) - (n - 1)),
+        i => array_join(slice(col("__a"), i, lit(n)), " "))).as("__g"))
+      .filter(col("__g") =!= "")
+    grams.groupBy("source", "__g").agg(count(lit(1)).as("__c"))
+      .groupBy("source")
+      .agg(sum(col("__c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .select(col("source"), col("total_ngrams"), col("distinct_ngrams"),
+        fdiv(dec(col("distinct_ngrams")) * 1000000, dec(col("total_ngrams")))
+          .as("ttr_ppm"))
+      .orderBy("source")
+  }
+
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * `KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/q(t))` — the
+    * distribution-shift ranking behind domain-mix decisions ("which
+    * source is least like the blend"). All logs are the integer
+    * fixed-point `L(n) = ⌊ln(n)·10⁶⌋` on COUNTS (the [[zipfSlope]]
+    * discipline — both engines agree on floored integer logs, never on
+    * raw double ratios), so
+    * `kl_micro_nats = ⌊Σ_t c_s(t)·(L(c_s)−L(N_s)−L(c)+L(N)) / N_s⌋`
+    * is engine-independent end to end. Every source token exists in
+    * the corpus by construction (q = the pooled distribution), so no
+    * zero-ratio guard is needed. Output:
+    * `(source, n_tokens, kl_micro_nats)`.
+    *
+    * Scale shape: one token-keyed rollup to (source, token) counts
+    * (map-side partials), corpus token totals derive from THAT rollup
+    * (vocabulary-sized, not a second fact scan) and broadcast back;
+    * the 1-row grand total and per-source totals are k-sized
+    * broadcasts. */
+  def sourceKlDivergence(df: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    def lfp(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1000000L)).cast("long")
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val st = df.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy("source", "__t").agg(count(lit(1)).as("__cs"))
+      .localCheckpoint() // token totals + source totals + the join read it
+    val tokTotals = st.groupBy("__t").agg(sum(col("__cs")).as("__c"))
+    val srcTotals = st.groupBy("source").agg(sum(col("__cs")).as("__ns"))
+    val grand = st.agg(sum(col("__cs")).as("__n"))
+    st.join(broadcast(tokTotals), "__t")
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("__ns"),
+        (dec(col("__cs")) * dec(lfp(col("__cs")) - lfp(col("__ns")) -
+          lfp(col("__c")) + lfp(col("__n")))).as("__term"))
+      .groupBy("source")
+      .agg(max(col("__ns")).as("n_tokens"),
+        fdiv(sum(col("__term")), dec(max(col("__ns")))).as("kl_micro_nats"))
+      .orderBy("source")
+  }
 }

@@ -1084,6 +1084,85 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no joins in a single-table rollup:\n$p")
   }
 
+  test("q191 last-touch attribution: one scan, one user exchange, no self-join") {
+    val p = plan("q191_attribution_last")
+    assert("events\\.parquet".r.findAllIn(p).length == 1,
+      s"the touch lookup is a window, never a self-join:\n$p")
+    assert("Exchange hashpartitioning\\(__u".r.findAllIn(p).size == 1,
+      s"exactly one user-keyed exchange:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q192 linear attribution: segment-tagged base materializes once") {
+    val p = plan("q192_attribution_linear")
+    assert(!p.contains("events.parquet"),
+      s"touch rollup + conversion slice read the checkpointed base:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the tagged base must be a materialized leaf:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"touch counts partial-aggregate before the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q193 daily spine: calendar-sized frames only past the day rollup") {
+    val p = plan("q193_daily_spine")
+    assert(!p.contains("orders.parquet"),
+      s"bounds + join must read the checkpointed day rollup:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the day rollup materializes once:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q194 brand VWAP: part dim broadcast, one fact scan, partials") {
+    val p = plan("q194_brand_vwap")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (key, brand) dim projection must broadcast:\n$p")
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("partial_sum"),
+      s"the brand-month rollup must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q195 ngram diversity: word-count shape, one documents scan") {
+    val p = plan("q195_ngram_diversity")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1,
+      s"grams come from index arithmetic on ONE scan:\n$p")
+    assert(p.contains("partial_count"),
+      s"hot grams must collapse in map-side partials:\n$p")
+    assert(!p.contains("Window"), s"no windows in a word-count:\n$p")
+  }
+
+  test("q196 source KL: totals derive from the rollup and broadcast back") {
+    val p = plan("q196_source_kl")
+    assert(!p.contains("documents.parquet"),
+      s"token/source/grand totals read the checkpointed rollup:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary-sized totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing here is big enough to sort-merge:\n$p")
+  }
+
+  test("q197 session paths: tag + path build share one user exchange") {
+    val p = plan("q197_session_paths")
+    assert("events\\.parquet".r.findAllIn(p).length == 1)
+    assert("Exchange hashpartitioning\\(__u".r.findAllIn(p).size == 1,
+      s"the (user, session) agg must reuse the window's exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k paths must never global-sort:\n$p")
+  }
+
+  test("q198 MAD outliers: ranks under the partition-id window, never global") {
+    val p = plan("q198_mad_outliers")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"per-type ranks come from the range-partition decomposition:\n$p")
+    assert(!"windowspecdefinition\\(__ty".r.findFirstIn(p).isDefined,
+      s"never a per-type window over the raw fact (hot types):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets/medians are k-sized broadcasts:\n$p")
+    assert(!p.contains("events.parquet"),
+      s"both rank passes read checkpointed leaves:\n$p")
+  }
+
   test("q189 ship latency: narrow join projections, histogram before windows") {
     val p = plan("q189_ship_latency")
     assert(p.contains("partial_count"),

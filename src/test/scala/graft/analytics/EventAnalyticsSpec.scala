@@ -1065,6 +1065,138 @@ class EventAnalyticsSpec extends SparkSpec {
       ("recovered", 1L), ("view_to_purchase", 1L)))
   }
 
+  test("attributionLastTouch: preceding touch wins, touchless goes direct") {
+    val events = Seq(
+      // u1: view -> click -> purchase(10): click gets the credit
+      (1L, "view", 10L, 1L, 0.0), (1L, "click", 11L, 2L, 0.0),
+      (1L, "purchase", 12L, 3L, 10.0),
+      // u1 second purchase(4) right after: still last-touch = click
+      (1L, "purchase", 13L, 4L, 4.0),
+      // u2: purchase with no preceding event at all -> direct
+      (2L, "purchase", 20L, 1L, 7.5),
+      // u3: touch AFTER the purchase must not count (frame ends at -1)
+      (3L, "purchase", 30L, 1L, 2.0), (3L, "view", 31L, 2L, 0.0))
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val got = Analytics.attributionLastTouch(events, "user_id",
+        "event_type", "ts", "event_id", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("click", 2L, 14.0), ("direct", 2L, 9.5)))
+  }
+
+  test("attributionLinear: equal split in floored micros per segment") {
+    val events = Seq(
+      // u1 segment 0: view, view, click then purchase(10.0)
+      // -> 3 touches, each floor(10e6/3) = 3333333 micros
+      (1L, "view", 10L, 1L, 0.0), (1L, "view", 11L, 2L, 0.0),
+      (1L, "click", 12L, 3L, 0.0), (1L, "purchase", 13L, 4L, 10.0),
+      // u1 segment 1: one click then purchase(2.0) -> click +2000000
+      (1L, "click", 14L, 5L, 0.0), (1L, "purchase", 15L, 6L, 2.0),
+      // u2: purchase with no touches -> contributes nothing
+      (2L, "purchase", 20L, 1L, 9.0),
+      // u3: trailing touches with no purchase -> nothing
+      (3L, "view", 30L, 1L, 0.0))
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val got = Analytics.attributionLinear(events, "user_id",
+        "event_type", "ts", "event_id", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("click", 2L, 3333333L + 2000000L),
+      ("view", 2L, 2L * 3333333L)))
+  }
+
+  test("dailyOrderSpine: orderless days appear with zeros") {
+    val orders = Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 5.0),
+      // Jan 2 and 3 have no orders
+      (3L, "2024-01-04", 2.5))
+      .toDF("o_orderkey", "__d", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("__d")))
+    val got = Analytics.dailyOrderSpine(orders)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 2L, 15.0),
+      ("2024-01-02", 0L, 0.0),
+      ("2024-01-03", 0L, 0.0),
+      ("2024-01-04", 1L, 2.5)))
+  }
+
+  test("brandVwap: quantity-weighted, not a mean of prices") {
+    val part = Seq((1L, "B1"), (2L, "B1")).toDF("p_partkey", "p_brand")
+    val li = Seq(
+      // 1 unit at 10 and 9 units at 100 (extended prices): VWAP
+      // = 110/10 = 11.0, where a mean of unit prices would say 55
+      (1L, "2024-01-05", 1.0, 10.0),
+      (2L, "2024-01-20", 9.0, 100.0))
+      .toDF("l_partkey", "__s", "l_quantity", "l_extendedprice")
+      .withColumn("l_shipdate", to_timestamp(col("__s")))
+    val got = Analytics.brandVwap(part, li)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("B1", "2024-01", 2L, 10.0, 11.0)))
+  }
+
+  test("sessionPaths: gap splits paths; counts collapse identical journeys") {
+    val gap = 1800000000L // 30 min in micros
+    def us(min: Long) = min * 60000000L
+    val events = Seq(
+      // u1 session 1: view>click ; session 2 (90 min later): view>click
+      (1L, "view", us(0), 1L), (1L, "click", us(10), 2L),
+      (1L, "view", us(100), 3L), (1L, "click", us(110), 4L),
+      // u2: one session view>click
+      (2L, "view", us(0), 1L), (2L, "click", us(20), 2L),
+      // u3: single-event session
+      (3L, "signup", us(0), 1L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Analytics.sessionPaths(events, "user_id", "event_type",
+        "ts", "event_id", gapUs = gap, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("view>click", 3L), ("signup", 1L)))
+  }
+
+  test("madOutliers: rank-pick medians, MAD cutoff counts the spike") {
+    val events = (1L to 9L).map(i => ("a", i.toDouble, i)) ++
+      Seq(("a", 1000.0, 10L)) // the fat-finger event
+    val df = events.toDF("event_type", "value", "event_id")
+    val got = Analytics.madOutliers(df, "event_type", "value", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    // n=10 -> lower median rank 5 -> 5.0; deviations sorted:
+    // {0,1,1,2,2,3,3,4,4,995} -> MAD rank 5 -> 2.0; cutoff 3*2=6 ->
+    // only the 1000.0 event (dev 995) is an outlier — the robust
+    // property: one spike cannot drag the boundary
+    assert(got == Seq(("a", 10L, 5.0, 2.0, 1L)))
+  }
+
+  test("round-14 operators: partitioning-invariant on the real sf0.001 tables") {
+    val orders = graft.Tables.orders(spark, sf)
+    val part = graft.Tables.part(spark, sf)
+    val lineitem = graft.Tables.lineitem(spark, sf)
+    val events = graft.Tables.events(spark, sf)
+    def inv(name: String)(f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+        fact: org.apache.spark.sql.DataFrame): Unit = {
+      val a = f(fact).collect().toSeq
+      val b = f(fact.repartition(13)).collect().toSeq
+      assert(a == b, s"$name changed under repartition(13)")
+      assert(a.nonEmpty, s"$name returned nothing at sf0.001")
+    }
+    inv("attributionLastTouch")(Analytics.attributionLastTouch(_,
+      "user_id", "event_type", "ts", "event_id", "value"), events)
+    inv("attributionLinear")(Analytics.attributionLinear(_,
+      "user_id", "event_type", "ts", "event_id", "value"), events)
+    inv("dailyOrderSpine")(Analytics.dailyOrderSpine(_), orders)
+    inv("brandVwap")(Analytics.brandVwap(part, _), lineitem)
+    inv("sessionPaths")(Analytics.sessionPaths(_, "user_id", "event_type",
+      "ts", "event_id", gapUs = 1800000000L, k = 20), events)
+    inv("madOutliers")(Analytics.madOutliers(_, "event_type", "value",
+      "event_id"), events)
+    val docs = graft.Tables.documents(spark, sf)
+    inv("ngramDiversity")(graft.text.TextAnalysis.ngramDiversity(_,
+      "source", "text"), docs)
+    inv("sourceKlDivergence")(graft.text.TextAnalysis.sourceKlDivergence(_,
+      "source", "text"), docs)
+  }
+
   test("sequenceMatch: substring-colliding vocabulary fails loud, not silent") {
     // `view` is a substring of `view_item`: the journey regex
     // `view.*purchase` would match the view_item prefix and corrupt

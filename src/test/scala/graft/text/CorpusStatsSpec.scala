@@ -157,4 +157,46 @@ class CorpusStatsSpec extends SparkSpec {
     val r1 = TextAnalysis.zipfSlope(one, "doc_id", "text").head()
     assert(r1.getLong(0) == 1L && r1.isNullAt(1))
   }
+
+  test("ngramDiversity: repeated trigrams depress the ratio; short docs skip") {
+    val docs = Seq(
+      // srcA: "a b c a b c" -> trigrams {abc, bca, cab, abc}: 4 total,
+      // 3 distinct -> ttr = floor(3e6/4) = 750000
+      (1L, "srcA", "a b c a b c"),
+      // srcB: all-distinct trigrams -> ttr = 1000000
+      (2L, "srcB", "x y z w"),
+      // 2-token doc contributes nothing anywhere
+      (3L, "srcB", "p q"),
+      (4L, "srcC", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.ngramDiversity(docs, "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(("srcA", 4L, 3L, 750000L), ("srcB", 2L, 2L, 1000000L)))
+  }
+
+  test("sourceKlDivergence: corpus-identical source scores 0, skewed scores > 0") {
+    // one source IS the corpus: every ΔL term is exactly 0
+    val solo = Seq((1L, "s1", "a a b c")).toDF("doc_id", "source", "text")
+    val r0 = TextAnalysis.sourceKlDivergence(solo, "source", "text").head()
+    assert(r0.getString(0) == "s1" && r0.getLong(1) == 4L && r0.getLong(2) == 0L)
+    // a source concentrated on one token diverges from the blend; the
+    // balanced source sits much closer
+    val two = Seq(
+      (1L, "skew", "a a a a a a a a"),
+      (2L, "flat", "a b c d e f g h"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceKlDivergence(two, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(got("skew") > 0L, s"skewed source must diverge, got $got")
+    assert(got("skew") > got("flat"),
+      s"concentration must out-diverge balance, got $got")
+    // hand-check the skew side in the same fixed point: every one of
+    // its 8 'a' tokens contributes L(8)-L(8)-L(9)+L(16) (c_s=8, N_s=8,
+    // corpus a-count 9, N=16)
+    def lfp(x: Long) = math.floor(math.log(x.toDouble) * 1000000L).toLong
+    val term = lfp(8) - lfp(8) - lfp(9) + lfp(16)
+    val want = math.floorDiv(8L * term, 8L)
+    assert(got("skew") == want, s"expected $want, got ${got("skew")}")
+  }
 }
