@@ -1196,6 +1196,29 @@ object SparkEntry {
     "q198_mad_outliers" -> ((s, d) =>
       Analytics.madOutliers(Tables.events(s, d), "event_type", "value",
         "event_id")),
+    // q199: top-3 parts per brand by exact revenue — the windowed
+    // top-k-per-group shape over the AGGREGATED relation, never facts
+    "q199_brand_top_parts" -> ((s, d) =>
+      Analytics.brandTopParts(Tables.part(s, d), Tables.lineitem(s, d),
+        k = 3)),
+    // q200: daily status panel with LOCF — per-user day spine carrying
+    // the latest event type forward (the feature-store materialization)
+    "q200_status_locf" -> ((s, d) =>
+      Analytics.dailyStatusLocf(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id")),
+    // q201: language-id confusion matrix — the q32 heuristic evaluated
+    // against the labeled lang column, one hash agg
+    "q201_lang_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_pred")),
+    // q202: quantity-weighted median price per return flag — exact
+    // weighted quantile off the distributed prefix sum
+    "q202_weighted_median" -> ((s, d) =>
+      Analytics.weightedMedian(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", "l_quantity")),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -2143,22 +2166,7 @@ object SparkEntry {
          | len(list_filter(toks, x -> x IN ($enStop))) AS en_stopwords,
          | $fingerprintSql AS fingerprint
          |FROM t""".stripMargin,
-    "q32_lang_id" ->
-      s"""WITH t AS (SELECT doc_id, lang, text,
-         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
-         |s AS (SELECT doc_id, lang, text,
-         |  len(list_filter(toks, x -> x IN ($enStop))) AS s_en,
-         |  len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','un','una','es','los'))) AS s_es,
-         |  len(list_filter(toks, x -> x IN ('le','la','de','et','que','en','un','une','est','les'))) AS s_fr,
-         |  len(list_filter(toks, x -> x IN ('der','die','das','und','zu','in','ein','eine','ist','von'))) AS s_de
-         | FROM t)
-         |SELECT doc_id, lang,
-         | CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
-         |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-         |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-         |      WHEN s_es >= s_fr THEN 'es'
-         |      ELSE 'fr' END AS lang_pred
-         |FROM s""".stripMargin,
+    "q32_lang_id" -> langIdOracleSql,
     "q33_quality_score" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
          |m AS (SELECT doc_id,
@@ -4187,6 +4195,56 @@ object SparkEntry {
         |  FROM s GROUP BY 1, 2)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |FROM p GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+    // q199: same rank-on-aggregated-revenue with the part-key tiebreak
+    "q199_brand_top_parts" ->
+      """WITH r AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT p_brand, l_partkey, rev,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY rev DESC, l_partkey) AS rk
+        |  FROM r JOIN part ON l_partkey = p_partkey)
+        |SELECT p_brand, CAST(rk AS BIGINT) AS rk, l_partkey,
+        |  CAST(rev AS DOUBLE) AS revenue
+        |FROM j WHERE rk <= 3 ORDER BY 1, 2""".stripMargin,
+    // q200: per-user generate_series spine, latest-of-day by the same
+    // (t, id) order, ignore-nulls carry-forward
+    "q200_status_locf" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS id,
+        |    event_type AS ty,
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+        |      % 86400000000)) // 86400000000 AS d FROM events),
+        |daily AS (SELECT u, d AS day_num, ty FROM (SELECT u, d, ty,
+        |    row_number() OVER (PARTITION BY u, d ORDER BY t DESC, id DESC)
+        |      AS rk FROM e) WHERE rk = 1),
+        |span AS (SELECT u, min(day_num) AS lo, max(day_num) AS hi
+        |  FROM daily GROUP BY 1),
+        |spine AS (SELECT u, unnest(generate_series(lo, hi)) AS day_num
+        |  FROM span)
+        |SELECT spine.u AS user_id, spine.day_num,
+        |  last_value(daily.ty IGNORE NULLS) OVER (PARTITION BY spine.u
+        |    ORDER BY spine.day_num
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS status
+        |FROM spine LEFT JOIN daily ON spine.u = daily.u
+        |  AND spine.day_num = daily.day_num
+        |ORDER BY 1, 2""".stripMargin,
+    // q201: the shared q32 heuristic rolled to a confusion matrix
+    "q201_lang_confusion" ->
+      s"""WITH p AS ($langIdOracleSql)
+         |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q202: RANGE-frame cumulative (every tied value carries the
+    // value-inclusive total) — provably the same lower-weighted-median
+    // pick as the engine's row-frame prefix sum
+    "q202_weighted_median" ->
+      """WITH e AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |c AS (SELECT g, v, w,
+        |    sum(w) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(w) OVER (PARTITION BY g) AS tot FROM e)
+        |SELECT g AS l_returnflag, CAST(max(tot) AS BIGINT) AS total_weight,
+        |  min(v) FILTER (WHERE cum * 2 >= tot) AS weighted_median
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->
@@ -4507,4 +4565,23 @@ object SparkEntry {
   private val tokensSql = "regexp_split_to_array(trim(text), '\\s+')"
   private val fingerprintSql =
     "sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+  /** The q32 language-id heuristic replayed in SQL — shared between the
+    * per-doc oracle (q32) and the confusion-matrix rollup (q201). */
+  private lazy val langIdOracleSql =
+    s"""WITH t AS (SELECT doc_id, lang, text,
+       |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |s AS (SELECT doc_id, lang, text,
+       |  len(list_filter(toks, x -> x IN ($enStop))) AS s_en,
+       |  len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','un','una','es','los'))) AS s_es,
+       |  len(list_filter(toks, x -> x IN ('le','la','de','et','que','en','un','une','est','les'))) AS s_fr,
+       |  len(list_filter(toks, x -> x IN ('der','die','das','und','zu','in','ein','eine','ist','von'))) AS s_de
+       | FROM t)
+       |SELECT doc_id, lang,
+       | CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+       |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |      WHEN s_es >= s_fr THEN 'es'
+       |      ELSE 'fr' END AS lang_pred
+       |FROM s""".stripMargin
 }

@@ -2851,6 +2851,101 @@ object Analytics {
       .orderBy(col("n_sessions").desc, col("path")).limit(k)
   }
 
+  /** Top-k parts per brand by exact revenue — the windowed
+    * top-k-per-group shape (every "best N per category" report). Ranks
+    * break ties on the part key, so the selection is total-order
+    * deterministic. Output: `(p_brand, rk, l_partkey, revenue)`.
+    *
+    * Scale shape: the fact collapses to per-part revenue FIRST (hash
+    * agg with partials — the window never sees fact rows), the brand
+    * dim broadcasts onto the part-sized rollup, and the rank window
+    * partitions by brand over that bounded relation; `row_number ≤ k`
+    * prunes map-side via WindowGroupLimit. */
+  def brandTopParts(part: DataFrame, lineitem: DataFrame,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rev = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("__rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_brand").orderBy(col("__rev").desc, col("l_partkey"))
+    rev.join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("p_brand"), col("rk"), col("l_partkey"),
+        col("__rev").cast("double").as("revenue"))
+      .orderBy("p_brand", "rk")
+  }
+
+  /** Per-user daily status series with last-observation-carried-forward
+    * — the OTHER half of time-series densification next to
+    * [[dailyOrderSpine]]'s zero fill: each user's day spine (first to
+    * last active day) carries the latest event type as of that day, so
+    * a state column becomes a dense daily panel (the feature-store
+    * as-of materialization). Days are integral day numbers
+    * (`⌊epoch_micros / 86.4e9⌋` — the [[retentionCohorts]] arithmetic,
+    * exact at any epoch sign). Output: `(user_id, day_num, status)`.
+    *
+    * Scale shape: the fact collapses to one row per (user, day) by
+    * struct-max (hash agg, no window) BEFORE any spine work; the spine
+    * explodes per-user bounded spans from the per-user (min, max) agg;
+    * the carry-forward is an ignore-nulls window over the user-keyed
+    * day panel — panel-sized, never event-sized. */
+  def dailyStatusLocf(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    def dayNum(t: Column) =
+      (t - pmod(t, lit(86400000000L))) / lit(86400000000L)
+    val daily = events.select(col(userCol).as("__u"),
+        dayNum(tsMicros(events, tsCol)).cast("long").as("day_num"),
+        struct(tsMicros(events, tsCol).as("t"), col(idCol).as("id"),
+          col(typeCol).as("ty")).as("__e"))
+      .groupBy("__u", "day_num")
+      .agg(max(col("__e")).getField("ty").as("__ty"))
+      .localCheckpoint() // span agg + panel join read it
+    val spine = daily.groupBy("__u")
+      .agg(min(col("day_num")).as("__lo"), max(col("day_num")).as("__hi"))
+      .select(col("__u"), explode(sequence(col("__lo"), col("__hi"))).as("day_num"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy("day_num")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("__u", "day_num"), "left")
+      .withColumn("status", last(col("__ty"), ignoreNulls = true).over(w))
+      .select(col("__u").as(userCol), col("day_num"), col("status"))
+      .orderBy(userCol, "day_num")
+  }
+
+  /** Exact weighted median of `valueCol` under integer weights, per
+    * group — "the price at which half the QUANTITY traded" (weighted
+    * quantiles are what pricing/inventory dashboards actually need;
+    * the unweighted median over-counts small lines). Lower weighted
+    * median: the smallest value whose value-inclusive cumulative
+    * weight reaches half the group total — a pick that is provably
+    * independent of the order among equal values (the v-inclusive
+    * cumulative decides), so no unique row id is required. Output:
+    * `(group, total_weight, weighted_median)`.
+    *
+    * Scale shape: the global cumulative comes from
+    * [[withGlobalRankAndPrefix]] over the (group, value) order — range
+    * repartition, per-partition windows, driver prefix offsets — never
+    * a single-partition window; per-group cumulatives subtract the
+    * group's broadcast start offset (its minimum exclusive prefix). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"),
+      col(weightCol).cast("long").as("__w"))
+    val (ranked, _, _) = withGlobalRankAndPrefix(base,
+      Seq(col("__g"), col("__v")), "__w", "__r", "__cum")
+    val offs = ranked.groupBy("__g")
+      .agg(min(col("__cum") - col("__w")).as("__off"),
+        sum(col("__w")).as("__tot"))
+    ranked.join(broadcast(offs), "__g")
+      .filter((col("__cum") - col("__off")) * 2 >= col("__tot"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("__tot")).as("total_weight"),
+        min(col("__v")).as("weighted_median"))
+      .orderBy(groupCol)
+  }
+
   /** Robust per-group outlier census via median absolute deviation:
     * per event type — count, exact lower-median of the value, MAD
     * (lower-median of |value − median|), and how many events sit more

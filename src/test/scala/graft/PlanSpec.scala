@@ -1163,6 +1163,47 @@ class PlanSpec extends SparkSpec {
       s"both rank passes read checkpointed leaves:\n$p")
   }
 
+  test("q199 brand top parts: window over the aggregated relation, pruned map-side") {
+    val p = plan("q199_brand_top_parts")
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("partial_sum"),
+      s"the fact collapses to per-part revenue before any window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the brand dim must broadcast onto the rollup:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number <= k must prune map-side:\n$p")
+  }
+
+  test("q200 status LOCF: panel-sized work past the checkpointed day collapse") {
+    val p = plan("q200_status_locf")
+    assert(!p.contains("events.parquet"),
+      s"span agg + panel join read the checkpointed (user, day) table:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(p.contains("windowspecdefinition(__u"),
+      s"the carry-forward window partitions by user, never globally:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q201 lang confusion: one scan, one hash agg, no joins") {
+    val p = plan("q201_lang_confusion")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("partial_count"),
+      s"the matrix rollup must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join"), s"a confusion matrix needs no join:\n$p")
+  }
+
+  test("q202 weighted median: prefix sums under the partition-id window") {
+    val p = plan("q202_weighted_median")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"the cumulative weight comes from the range-partition decomposition:\n$p")
+    assert(!"windowspecdefinition\\(__g".r.findFirstIn(p).isDefined,
+      s"never a per-group window over the raw fact:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"group offsets/totals are k-sized broadcasts:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"the ranged relation materializes once for counts + prefix:\n$p")
+  }
+
   test("q189 ship latency: narrow join projections, histogram before windows") {
     val p = plan("q189_ship_latency")
     assert(p.contains("partial_count"),

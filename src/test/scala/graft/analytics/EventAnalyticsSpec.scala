@@ -1167,6 +1167,54 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq(("a", 10L, 5.0, 2.0, 1L)))
   }
 
+  test("brandTopParts: rank over aggregated revenue, part-key tiebreak") {
+    val part = Seq((1L, "B1"), (2L, "B1"), (3L, "B1"), (4L, "B2"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (1L, 10.0), (1L, 10.0), // part 1: 20
+      (2L, 20.0),             // part 2: 20 — ties part 1, key breaks it
+      (3L, 5.0),              // part 3: 5
+      (4L, 1.0))
+      .toDF("l_partkey", "l_extendedprice")
+    val got = Analytics.brandTopParts(part, li, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("B1", 1L, 1L, 20.0), ("B1", 2L, 2L, 20.0),
+      ("B2", 1L, 4L, 1.0)))
+  }
+
+  test("dailyStatusLocf: inactive days carry the latest prior status") {
+    def us(day: Long, h: Long = 0) = day * 86400000000L + h * 3600000000L
+    val events = Seq(
+      // u1: day 0 ends 'active' (latest of day), days 1-2 silent,
+      // day 3 'churned'
+      (1L, "signup", us(0, 1), 1L), (1L, "active", us(0, 5), 2L),
+      (1L, "churned", us(3, 2), 3L),
+      // u2: single day
+      (2L, "signup", us(10), 1L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Analytics.dailyStatusLocf(events, "user_id", "event_type",
+        "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, 0L, "active"), (1L, 1L, "active"), (1L, 2L, "active"),
+      (1L, 3L, "churned"), (2L, 10L, "signup")))
+  }
+
+  test("weightedMedian: half the WEIGHT decides, not half the rows") {
+    val df = Seq(
+      // group a: value 1 carries weight 9 of 12 -> median 1 even
+      // though 3 of 4 rows have higher values
+      ("a", 1.0, 9L), ("a", 5.0, 1L), ("a", 7.0, 1L), ("a", 9.0, 1L),
+      // group b: exact half at the boundary -> lower pick (2*5 >= 10)
+      ("b", 2.0, 5L), ("b", 4.0, 5L))
+      .toDF("g", "v", "w")
+    val got = Analytics.weightedMedian(df, "g", "v", "w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 12L, 1.0), ("b", 10L, 2.0)))
+  }
+
   test("round-14 operators: partitioning-invariant on the real sf0.001 tables") {
     val orders = graft.Tables.orders(spark, sf)
     val part = graft.Tables.part(spark, sf)
@@ -1190,6 +1238,11 @@ class EventAnalyticsSpec extends SparkSpec {
       "ts", "event_id", gapUs = 1800000000L, k = 20), events)
     inv("madOutliers")(Analytics.madOutliers(_, "event_type", "value",
       "event_id"), events)
+    inv("brandTopParts")(Analytics.brandTopParts(part, _, 3), lineitem)
+    inv("dailyStatusLocf")(Analytics.dailyStatusLocf(_, "user_id",
+      "event_type", "ts", "event_id"), events)
+    inv("weightedMedian")(Analytics.weightedMedian(_, "l_returnflag",
+      "l_extendedprice", "l_quantity"), lineitem)
     val docs = graft.Tables.documents(spark, sf)
     inv("ngramDiversity")(graft.text.TextAnalysis.ngramDiversity(_,
       "source", "text"), docs)
