@@ -1219,6 +1219,11 @@ object SparkEntry {
     "q202_weighted_median" -> ((s, d) =>
       Analytics.weightedMedian(Tables.lineitem(s, d), "l_returnflag",
         "l_extendedprice", "l_quantity")),
+    // q203: per-vertex local clustering coefficient — triangles from
+    // the shared degree-ordered wedge closure, exploded to vertices
+    "q203_clustering_coeff" -> ((s, d) =>
+      Analytics.coPurchaseClustering(Tables.lineitem(s, d),
+        minSupport = 2L)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -4245,6 +4250,28 @@ object SparkEntry {
         |SELECT g AS l_returnflag, CAST(max(tot) AS BIGINT) AS total_weight,
         |  min(v) FILTER (WHERE cum * 2 >= tot) AS weighted_median
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q203: the q158 edge/triangle CTEs per vertex — each enumerated
+    // triangle unnests to its 3 corners; cc in HUGEINT floor division
+    // (nonnegative numerator, so plain // is floor)
+    "q203_clustering_coeff" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT a.p AS x, c.p AS y FROM b a
+        |  JOIN b c ON a.o = c.o AND a.p < c.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v, count(*) AS degree FROM
+        |  (SELECT x AS v FROM e UNION ALL SELECT y FROM e) GROUP BY 1),
+        |tv AS (SELECT unnest([e1.x, e1.y, e2.y]) AS v
+        |  FROM e e1 JOIN e e2 ON e2.x = e1.y
+        |  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |tc AS (SELECT v, count(*) AS t FROM tv GROUP BY 1)
+        |SELECT deg.v AS l_partkey, CAST(degree AS BIGINT) AS degree,
+        |  CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
+        |  CAST((CAST(coalesce(t, 0) AS HUGEINT) * 2000000)
+        |    // (CAST(degree AS HUGEINT) * (degree - 1)) AS BIGINT)
+        |    AS clustering_ppm
+        |FROM deg LEFT JOIN tc ON deg.v = tc.v
+        |WHERE degree >= 2 ORDER BY 1""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

@@ -2104,6 +2104,46 @@ object Analytics {
     orientedWedges(oriented).count()
   }
 
+  /** Per-vertex local clustering coefficient of the co-purchase graph:
+    * for each part with degree ≥ 2, the fraction of its neighbor pairs
+    * that are themselves connected — `2·t(v) / (deg(v)·(deg(v)−1))` in
+    * floored integer ppm — the are-my-neighbors-a-community signal
+    * that separates hub parts (low cc) from bundle parts (high cc).
+    * Output: `(l_partkey, degree, n_triangles, clustering_ppm)`.
+    *
+    * Scale shape: triangles enumerate ONCE via the same degree-ordered
+    * Suri–Vassilvitskii wedge closure as [[coPurchaseTriangles]]
+    * (wedge work bounded by oriented out-degree, hub-proof), then
+    * explode to their 3 vertices — 3·t rows, triangle-bounded; the cc
+    * arithmetic is exact integer cross-multiplication. */
+  def coPurchaseClustering(lineitem: DataFrame,
+      minSupport: Long): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val (_, deg, oriented) = coPurchaseOriented(lineitem, minSupport)
+    val wedges = oriented.alias("e1").join(oriented.alias("e2"), Seq("__s"))
+      .filter(col("e1.__dord") < col("e2.__dord"))
+      .select(col("__s"), col("e1.__d").as("__ws"), col("e2.__d").as("__wd"))
+    // the closing edge, if present, is oriented __ws → __wd (the wedge
+    // orders its endpoints by the same (degree, id) key the
+    // orientation uses) — the coPurchaseTriangles closure, kept inner
+    // so each triangle row explodes to its 3 vertices exactly once
+    val triVerts = wedges
+      .join(oriented.select(col("__s").as("__ws"), col("__d").as("__wd")),
+        Seq("__ws", "__wd"))
+      .select(explode(array(col("__s"), col("__ws"), col("__wd"))).as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("n_triangles"))
+    deg.filter(col("__deg") >= 2)
+      .join(triVerts, Seq("__v"), "left")
+      .select(col("__v").as("l_partkey"), col("__deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_ppm",
+        fdiv(dec(col("n_triangles")) * 2000000,
+          dec(col("degree")) * dec(col("degree") - 1)))
+      .orderBy("l_partkey")
+  }
+
   /** Workload probe for the degree family: the EDGE count of the shared
     * co-purchase relation — [[coPurchaseDegrees]]' true input volume
     * (each edge feeds exactly two endpoint increments), recorded beside

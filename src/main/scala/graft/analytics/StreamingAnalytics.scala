@@ -16,6 +16,23 @@ final case class OpenSession(start: Long, end: Long, n: Long)
 final case class ClosedSession(user_id: Long, session_start_us: Long,
     session_end_us: Long, n_events: Long, duration_us: Long)
 
+/** One buffered event of [[StreamingAnalytics.attributionStream]]'s
+  * per-user state (events newer than the watermark — an earlier event
+  * could still arrive and change what "preceding touch" means). */
+final case class PendingEvent(t: Long, id: Long, ty: String, value: Double)
+
+/** [[StreamingAnalytics.attributionStream]] state: the last touch type
+  * at-or-below the watermark frontier, plus the not-yet-ripe buffer. */
+final case class AttributionState(lastTouch: Option[String],
+    pending: List[PendingEvent])
+
+/** One attributed conversion — emitted exactly once, when the watermark
+  * passes the conversion's event time (so no earlier touch can still
+  * arrive). Matches [[Analytics.attributionLastTouch]]'s credit rule at
+  * per-conversion grain. */
+final case class AttributedConversion(user_id: Long, event_id: Long,
+    touch_type: String, value: Double)
+
 /** Streaming materialized-view equivalents (ST12): the daily summary MV
   * (`init.sql:195-206`) as a watermarked tumbling-window aggregation —
   * the same GROUP BY shape the batch variant uses, but incremental.
@@ -133,6 +150,73 @@ object StreamingAnalytics {
           }
           closed.iterator.map(s =>
             ClosedSession(u, s.start, s.end, s.n, s.end - s.start))
+      }
+  }
+
+  /** Streaming last-touch attribution — the incremental counterpart of
+    * [[Analytics.attributionLastTouch]]: per user, conversions are
+    * credited to the most recent strictly-preceding non-conversion
+    * event type ('direct' when none exists), emitted append-mode at
+    * per-conversion grain, EXACTLY ONCE, and only when the watermark
+    * passes the conversion's event time — in-watermark disorder cannot
+    * mis-credit, because an event stays buffered until nothing earlier
+    * can still arrive. The emitted set over any prefix equals the
+    * batch operator's per-conversion credits on the same ripe events.
+    *
+    * State per user: one optional touch type + the sub-watermark
+    * buffer (bounded by the user's events inside the lateness window —
+    * the same bound every watermarked stateful operator here carries;
+    * the one-row carry itself is the durable part, which is exactly
+    * what attribution needs across sessions). An event-time timeout at
+    * the earliest buffered time ripens the buffer even when the user
+    * goes silent. */
+  def attributionStream(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, valueCol: String,
+      convType: String = "purchase",
+      watermark: String = "10 minutes"): Dataset[AttributedConversion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermarked TimestampType column itself must reach the
+    // stateful operator (a long projection strips the watermark tag)
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"), col(typeCol).cast("string").as("ty"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, java.time.Instant, Long, String, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AttributionState, AttributedConversion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, rows: Iterator[(Long, java.time.Instant, Long, String, Double)],
+         state: GroupState[AttributionState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.getOrElse(AttributionState(None, Nil))
+          val incoming = rows.map { r =>
+            val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
+            PendingEvent(t, r._3, r._4, r._5)
+          }.toList
+          // ripe = strictly below the watermark: nothing earlier can
+          // still arrive, so the (t, id) fold order is final
+          val (ripe, hold) = (prior.pending ++ incoming)
+            .partition(_.t < wmUs)
+          var touch = prior.lastTouch
+          val out = scala.collection.mutable.ListBuffer.empty[AttributedConversion]
+          ripe.sortBy(e => (e.t, e.id)).foreach { e =>
+            if (e.ty == convType)
+              out += AttributedConversion(u, e.id,
+                touch.getOrElse("direct"), e.value)
+            else touch = Some(e.ty)
+          }
+          state.update(AttributionState(touch, hold))
+          if (hold.nonEmpty) {
+            // wake when the watermark can ripen the earliest held event
+            // (ms ceiling past the µs bound; clamped above the current
+            // watermark — Spark rejects a timeout at-or-before it)
+            val fire = hold.map(_.t).min / 1000L + 2L
+            state.setTimeoutTimestamp(
+              math.max(fire, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
       }
   }
 

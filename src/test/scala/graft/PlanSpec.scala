@@ -1204,6 +1204,16 @@ class PlanSpec extends SparkSpec {
       s"the ranged relation materializes once for counts + prefix:\n$p")
   }
 
+  test("q203 clustering coefficient: triangle-bounded work off checkpointed edges") {
+    val p = plan("q203_clustering_coeff")
+    assert(!p.contains("lineitem.parquet"),
+      s"wedges + degrees read the checkpointed edge relations:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(p.contains("Generate explode"),
+      s"triangles explode to their 3 corners (3t rows, never deg²):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q189 ship latency: narrow join projections, histogram before windows") {
     val p = plan("q189_ship_latency")
     assert(p.contains("partial_count"),

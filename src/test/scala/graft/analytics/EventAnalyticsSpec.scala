@@ -1215,6 +1215,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq(("a", 12L, 1.0), ("b", 10L, 2.0)))
   }
 
+  test("coPurchaseClustering: triangle corners vs open wedges, pendants out") {
+    // orders o1, o2 both carry {1,2,3} (every pair at support 2 — one
+    // triangle); o3, o4 both carry {1,4} (a pendant edge off vertex 1)
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 4L),
+      (4L, 1L), (4L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Analytics.coPurchaseClustering(li, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      // v1: degree 3, 1 triangle -> 2e6/(3*2) = 333333 (floor)
+      (1L, 3L, 1L, 333333L),
+      // v2, v3: degree 2, their one neighbor pair IS connected -> 1e6
+      (2L, 2L, 1L, 1000000L),
+      (3L, 2L, 1L, 1000000L)))
+    // degree-1 vertex 4 is excluded (cc undefined), not reported as 0
+  }
+
   test("round-14 operators: partitioning-invariant on the real sf0.001 tables") {
     val orders = graft.Tables.orders(spark, sf)
     val part = graft.Tables.part(spark, sf)
@@ -1243,6 +1264,8 @@ class EventAnalyticsSpec extends SparkSpec {
       "event_type", "ts", "event_id"), events)
     inv("weightedMedian")(Analytics.weightedMedian(_, "l_returnflag",
       "l_extendedprice", "l_quantity"), lineitem)
+    inv("coPurchaseClustering")(Analytics.coPurchaseClustering(_, 2L),
+      lineitem)
     val docs = graft.Tables.documents(spark, sf)
     inv("ngramDiversity")(graft.text.TextAnalysis.ngramDiversity(_,
       "source", "text"), docs)
