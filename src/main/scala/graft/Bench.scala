@@ -275,6 +275,10 @@ object Bench {
         spark.streams.active.foreach(_.awaitTermination())
       }
     }.sorted
+    // a failed run's duration is time-to-FAILURE (timed() swallows the
+    // throw) — publishing n/that would fabricate a fast events/s; zero
+    // the metric instead and let the headline's failed list tell why
+    if (failed("cdc_replicate")) return (0.0, 0.0, 0.0)
     // per-run events/s; med/min/max follow the protocol (the fastest
     // run — max events/s — is the clean-window signal, like minima)
     val eps = secs.map(s => if (s > 0) n / s else 0.0)
