@@ -106,7 +106,25 @@ object Plans {
     "q139_rank_correlation" ->
       "Spearman with NO row-level global window and NO sqrt: per-VALUE counts roll up map-side (score domains are bounded, so the value table is tiny), the prefix window runs over that value table, doubled midranks broadcast back as two joins, and Σd² accumulates in DECIMAL(38,0) into a 1-row result. The ρ is exact integer ppm — a correlation between two corpus-wide signals for the cost of one narrow pass.",
     "q138_value_ohlc" ->
-      "Order statistics inside a group WITHOUT a window: open/close are min_by/max_by over the (ts, id) struct, so the whole candlestick table is ONE partial-aggregating hash agg over a narrow projection — the same no-window discipline as latest-per-key (W1), applied to first/last semantics. Bucket arithmetic is integer floor division of epoch micros (positive-remainder pattern, exact at any epoch sign).")
+      "Order statistics inside a group WITHOUT a window: open/close are min_by/max_by over the (ts, id) struct, so the whole candlestick table is ONE partial-aggregating hash agg over a narrow projection — the same no-window discipline as latest-per-key (W1), applied to first/last semantics. Bucket arithmetic is integer floor division of epoch micros (positive-remainder pattern, exact at any epoch sign).",
+    "q191_attribution_last" ->
+      "Last-touch attribution: the preceding-touch lookup is last(..., ignoreNulls) over a [-inf, -1] row frame inside ONE user-keyed window exchange — never a self-join of conversions against touches — and the credit rollup is a type-vocabulary-bounded hash agg with map-side partials. Value sums stay exact decimal to the final render.",
+    "q192_attribution_linear" ->
+      "Linear multi-touch: a running conditional count under the same user window tags conversion segments (no join to find boundaries), the tagged base materializes ONCE (ExistingRDD — touch rollup and conversion slice both read it), touches collapse to (user, segment, type) counts BEFORE meeting the segment's single conversion row, and per-touch credit is exact floored micros — the rollup is partition-order-independent by construction.",
+    "q193_daily_spine" ->
+      "Gap-filled series: the fact collapses to the calendar-bounded day rollup once (checkpoint, read by the 1-row bounds agg AND the join), the spine explodes from sequence() over those bounds, and the zero-fill join moves calendar-sized frames only. At 100 TB the plan's cost is the one fact scan inside the day rollup; densification itself is free.",
+    "q196_source_kl" ->
+      "Distribution divergence without a second corpus pass: the (source, token) rollup materializes once, token totals and source totals DERIVE from it (vocabulary-sized aggregates) and broadcast back, the grand total rides a 1-row nested-loop — and every log is the integer fixed point L(n)=floor(ln(n)*1e6) on counts, so the statistic hash-matches at any partitioning.",
+    "q197_session_paths" ->
+      "Clickstream paths: session tag (lag + running sum) and the per-session path build share ONE user-keyed exchange (hashpartitioning(u) satisfies the (u, session) clustering), path counting is a hash agg whose map-side partials collapse hot paths early, and the top-k is TakeOrderedAndProject — no global sort at any corpus size.",
+    "q198_mad_outliers" ->
+      "Robust outliers with NO per-group window over the fact: per-type exact ranks come from the range-repartition decomposition (windowspecdefinition(__pid) only), per-type offsets are k-row broadcasts, and the two medians (value, then deviation) are rank picks over checkpointed relations — 5 hot event types never become 5 single-threaded sort partitions.",
+    "q199_brand_top_parts" ->
+      "Top-k per group the cheap way round: the fact collapses to per-part revenue FIRST (partial-aggregated hash agg), the brand dim broadcasts onto that parts-sized rollup, and the rank window — with its PARTIAL WindowGroupLimit pruning map-side — never sees a fact row.",
+    "q202_weighted_median" ->
+      "Exact weighted quantiles: cumulative weights come from the range-repartition prefix-sum decomposition (per-partition windows + driver base offsets, never a single-partition ORDER BY), group start offsets and totals broadcast as k rows, and the pick (smallest value whose inclusive cumulative crosses half) is provably independent of order among equal values — no unique row id needed.",
+    "q203_clustering_coeff" ->
+      "Local clustering coefficient at triangle cost: the shared degree-ordered wedge closure enumerates each triangle once (checkpointed edge relations — the plan reads ExistingRDD), triangles explode to their 3 corners (3t rows, never degree² per vertex), and the coefficient is exact integer cross-multiplication over the degree table.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
