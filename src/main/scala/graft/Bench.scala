@@ -515,12 +515,20 @@ object Bench {
     // that has run the 181-query suite carries allocator/GC state that
     // is not the loop's cost); values are events/s, not seconds
     val cdcJ0 = cpuJiffies()
+    // a cdc SETUP failure (corpus write, schema read — outside timed())
+    // must not abort the whole bench: the other 190+ numbers are the
+    // round artifact; cdc reports 0 and the stderr line says why
     val cdcEps: (Double, Double, Double) =
       if (!wanted("cdc_replicate")) zero
-      else spawnChild("cdc_replicate").getOrElse {
-        val s2 = buildSpark()
-        val rr = try runCdcReplicate(s2, sfDir) finally s2.stop()
-        rr
+      else try {
+        spawnChild("cdc_replicate").getOrElse {
+          val s2 = buildSpark()
+          try runCdcReplicate(s2, sfDir) finally s2.stop()
+        }
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] cdc_replicate failed: $e")
+        failed += "cdc_replicate"
+        zero
       }
     if (wanted("cdc_replicate"))
       phaseBusy ++= hostBusyJson("host_busy_cdc_replicate", cdcJ0, cpuJiffies())

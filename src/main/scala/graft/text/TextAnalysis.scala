@@ -1578,9 +1578,12 @@ object TextAnalysis {
     *
     * Scale shape: one token-keyed rollup to (source, token) counts
     * (map-side partials), corpus token totals derive from THAT rollup
-    * (vocabulary-sized, not a second fact scan) and broadcast back;
-    * the 1-row grand total and per-source totals are k-sized
-    * broadcasts. */
+    * (vocabulary-sized, not a second fact scan); the token join stays
+    * DECLARATIVE — Catalyst broadcasts a small vocabulary and shuffles
+    * on the token key when a web-scale vocabulary outgrows the
+    * threshold (forcing a broadcast there would OOM at 100 TB). The
+    * 1-row grand total and the sources-bounded per-source totals are
+    * explicit broadcasts. */
   def sourceKlDivergence(df: DataFrame, srcCol: String,
       textCol: String): DataFrame = {
     def lfp(c: Column): Column =
@@ -1596,7 +1599,7 @@ object TextAnalysis {
     val tokTotals = st.groupBy("__t").agg(sum(col("__cs")).as("__c"))
     val srcTotals = st.groupBy("source").agg(sum(col("__cs")).as("__ns"))
     val grand = st.agg(sum(col("__cs")).as("__n"))
-    st.join(broadcast(tokTotals), "__t")
+    st.join(tokTotals, "__t")
       .join(broadcast(srcTotals), "source")
       .crossJoin(broadcast(grand))
       .select(col("source"), col("__ns"),

@@ -1132,14 +1132,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no windows in a word-count:\n$p")
   }
 
-  test("q196 source KL: totals derive from the rollup and broadcast back") {
+  test("q196 source KL: totals derive from the rollup, no second scan") {
     val p = plan("q196_source_kl")
     assert(!p.contains("documents.parquet"),
       s"token/source/grand totals read the checkpointed rollup:\n$p")
     assert(p.contains("BroadcastHashJoin"),
-      s"vocabulary-sized totals must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"nothing here is big enough to sort-merge:\n$p")
+      s"the sources-bounded totals must broadcast:\n$p")
+    // the token-keyed join is deliberately DECLARATIVE: Catalyst
+    // broadcasts this corpus' tiny vocabulary, but a forced hint would
+    // OOM on a web-scale one — so the pin is absence-of-cartesian, not
+    // presence-of-broadcast, for that leg
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("q197 session paths: tag + path build share one user exchange") {
