@@ -88,16 +88,41 @@ object Bench {
       try src.mkString finally src.close()
     }
 
+  /** One resolution for every baseline read AND the end-of-run write —
+    * a CWD-relative write with an artifactDir-relative read would fork
+    * the committed baseline from the file being updated. */
+  private lazy val artifactDir = new java.io.File(
+    sys.props.getOrElse("graft.bench.artifactDir", "."))
+
+  /** The scale dir this process runs at — resolved once, shared by the
+    * baseline sf gate and main. */
+  private lazy val sfDir =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** The `"sf":"..."` tag of a baseline/artifact text, if present. */
+  private[graft] def fileSf(text: String): Option[String] =
+    """"sf":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1))
+
   private lazy val priorTexts: Seq[String] = try {
-    val dir = new java.io.File(
-      sys.props.getOrElse("graft.bench.artifactDir", "."))
+    val dir = artifactDir
     val artifacts = Option(dir.listFiles()).getOrElse(Array())
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(f => f.getName.stripPrefix("BENCH_r")
         .stripSuffix(".json").toInt)
       .takeRight(2)
+    // the baseline file only counts when it was measured at THIS run's
+    // scale factor: one sf0.01 diagnostic run would otherwise poison
+    // the merged-by-min map with ~10x-faster minima that can never be
+    // raised again, tripping the guard on every query of every
+    // subsequent sf0.1 round
     val queriesFile = Option(new java.io.File(dir, QueriesFile))
       .filter(_.isFile).toSeq
+      .filter { f =>
+        val sfOk = fileSf(readTexts(Seq(f)).head).forall(_ == sfDir)
+        if (!sfOk) System.err.println(s"[bench] $QueriesFile was measured " +
+          s"at a different sf - ignoring it as a guard baseline")
+        sfOk
+      }
     if (artifacts.isEmpty && queriesFile.isEmpty)
       // listFiles succeeds in any CWD, so an empty result is silent —
       // and a silently-empty baseline disables the stall guard entirely
@@ -262,9 +287,14 @@ object Bench {
       StructField("commit_timestamp", LongType)) ++
       Seq("user_id", "event_id", "value", "props").map(f =>
         ev.schema(f).copy(name = f)))
+    def rmTree(p: java.nio.file.Path): Unit = try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    } catch { case _: Exception => () }
     val secs = Vector.fill(cdcRuns) {
       val runDir = java.nio.file.Files.createTempDirectory("graft-cdcrun")
-      timed("cdc_replicate") {
+      val t = timed("cdc_replicate") {
         val pipeline = new cdc.CdcPipeline(spark, s"$runDir/wh", s"$runDir/ck",
           keysByTable = tables.map(_ -> Seq("user_id")).toMap,
           watermarkDelay = "3650 days", warehouseBuckets = 8)
@@ -274,7 +304,12 @@ object Bench {
         // its work belongs inside the priced window
         spark.streams.active.foreach(_.awaitTermination())
       }
+      // per-run warehouse + checkpoint (hundreds of MB each across
+      // repeated bench invocations) must not accumulate in /tmp
+      rmTree(runDir)
+      t
     }.sorted
+    rmTree(base) // the replicated JSON corpus
     // a failed run's duration is time-to-FAILURE (timed() swallows the
     // throw) — publishing n/that would fabricate a fast events/s; zero
     // the metric instead and let the headline's failed list tell why
@@ -338,6 +373,11 @@ object Bench {
     spark.stop()
     lastSheet.foreach(s =>
       println(s"""{"metric":"datasheet","name":"$name","sheet":$s}"""))
+    // failures inside the child are otherwise invisible to the parent
+    // (rc stays 0, stderr is only half-forwarded): one machine-readable
+    // line per failed unit lets the parent's headline carry them
+    failed.toSeq.sorted.foreach(f =>
+      println(s"""{"metric":"child_failed","name":"$f"}"""))
     println(s"""{"metric":"child","name":"$name","med":${r3(med)},"min":${r3(lo)},"max":${r3(hi)}}""")
   }
 
@@ -367,6 +407,13 @@ object Bench {
         val i = l.indexOf(p)
         if (i >= 0) lastSheet = Some(l.substring(i + p.length).stripSuffix("}"))
       }
+    // absorb the child's failure markers into the parent's failed set —
+    // the artifact's failed list must cover child-side breakage too
+    """\{"metric":"child_failed","name":"([^"]+)"\}""".r
+      .findAllMatchIn(out).foreach { m =>
+        System.err.println(s"[bench] child $name reported failure: ${m.group(1)}")
+        failed += m.group(1)
+      }
     val re = ("""\{"metric":"child","name":"""" + name +
       """","med":([0-9.]+),"min":([0-9.]+),"max":([0-9.]+)\}""").r
     re.findFirstMatchIn(out) match {
@@ -382,7 +429,6 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.env.get("SPARK_GRAFT_BENCH_CHILD") match {
       case Some(name) => childMain(name, sfDir); return
       case None => ()
@@ -583,11 +629,21 @@ object Bench {
     // (a crash must not plant a fabricated fast min). Partial runs
     // ("only" filter) merge their subset; untouched entries persist.
     try {
+      val qf = new java.io.File(artifactDir, QueriesFile)
       val prior = {
-        val f = new java.io.File(QueriesFile)
-        if (f.isFile) parseArtifactMins(readTexts(Seq(f))) ++
-          parseFunnelMins(readTexts(Seq(f)))
-        else Map.empty[String, Double]
+        // merge only a SAME-SF baseline: an sf0.01 diagnostic file must
+        // neither feed nor survive an sf0.1 round's write (and vice
+        // versa) — minima across scale factors are not comparable
+        if (qf.isFile) {
+          val txt = readTexts(Seq(qf)).head
+          if (fileSf(txt).forall(_ == sfDir))
+            parseArtifactMins(Seq(txt)) ++ parseFunnelMins(Seq(txt))
+          else {
+            System.err.println(s"[bench] $QueriesFile carries a different " +
+              "sf - rewriting it from this run alone")
+            Map.empty[String, Double]
+          }
+        } else Map.empty[String, Double]
       }
       val funnelMins = (
         (if (wanted("curate_funnel") && funnel._2 > 0)
@@ -600,10 +656,11 @@ object Bench {
       } ++ funnelMins
       val merged = (prior.toSeq ++ current.toSeq).groupBy(_._1)
         .map { case (k, vs) => k -> vs.map(_._2).min }
-      val w = new java.io.PrintWriter(QueriesFile)
+      val w = new java.io.PrintWriter(qf)
       try w.println(merged.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"$k\":${r3(v)}" }
-        .mkString("{\"metric\":\"query_mins\",", ",", "}"))
+        .mkString("{\"metric\":\"query_mins\",\"sf\":\"" + sfDir + "\",",
+          ",", "}"))
       finally w.close()
     } catch { case e: Exception =>
       System.err.println(s"[bench] $QueriesFile write failed: $e")

@@ -2086,11 +2086,13 @@ object Analytics {
 
   /** Wedges generated at the lowest-(degree, id) vertex of each edge —
     * the Suri–Vassilvitskii candidate set [[coPurchaseTriangles]]
-    * closes against the edge relation. */
+    * closes against the edge relation. Keeps the apex `__s` (the
+    * clustering family needs all three triangle corners); count/semi
+    * consumers are unaffected by the extra column. */
   private def orientedWedges(oriented: DataFrame): DataFrame =
     oriented.alias("e1").join(oriented.alias("e2"), Seq("__s"))
       .filter(col("e1.__dord") < col("e2.__dord"))
-      .select(col("e1.__d").as("__ws"), col("e2.__d").as("__wd"))
+      .select(col("__s"), col("e1.__d").as("__ws"), col("e2.__d").as("__wd"))
 
   /** The triangle census' WORKLOAD check: the exact number of oriented
     * wedges the closure join probes — the candidate volume the
@@ -2122,9 +2124,7 @@ object Analytics {
     def fdiv(num: Column, den: Column) =
       ((num - pmod(num, den)) / den).cast("long")
     val (_, deg, oriented) = coPurchaseOriented(lineitem, minSupport)
-    val wedges = oriented.alias("e1").join(oriented.alias("e2"), Seq("__s"))
-      .filter(col("e1.__dord") < col("e2.__dord"))
-      .select(col("__s"), col("e1.__d").as("__ws"), col("e2.__d").as("__wd"))
+    val wedges = orientedWedges(oriented)
     // the closing edge, if present, is oriented __ws → __wd (the wedge
     // orders its endpoints by the same (degree, id) key the
     // orientation uses) — the coPurchaseTriangles closure, kept inner
@@ -2975,6 +2975,19 @@ object Analytics {
       col(weightCol).cast("long").as("__w"))
     val (ranked, _, _) = withGlobalRankAndPrefix(base,
       Seq(col("__g"), col("__v")), "__w", "__r", "__cum")
+    // the pick's correctness needs a MONOTONE cumulative: a negative
+    // (or null) weight silently breaks the group-start offset and the
+    // half-total crossing — fail loud instead (one cheap agg over the
+    // already-checkpointed ranked relation)
+    val wCheck = ranked.agg(
+      min(col("__w")).as("mn"),
+      coalesce(sum(when(col("__w").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("nulls")).head()
+    require(wCheck.getLong(1) == 0 &&
+      (wCheck.isNullAt(0) || wCheck.getLong(0) >= 0),
+      s"weightedMedian: weights must be nonnegative and non-null " +
+        s"(min=${if (wCheck.isNullAt(0)) "null" else wCheck.getLong(0)}, " +
+        s"nulls=${wCheck.getLong(1)})")
     val offs = ranked.groupBy("__g")
       .agg(min(col("__cum") - col("__w")).as("__off"),
         sum(col("__w")).as("__tot"))

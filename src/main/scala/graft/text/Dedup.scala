@@ -730,12 +730,16 @@ object Dedup {
     * are estimated from its (row count, total shingle count) — both
     * one cheap agg over the already-checkpointed table — and the
     * verify legs take an explicit `broadcast()` hint whenever the
-    * estimate fits `verifyBroadcastMaxBytes` (default 2 GiB, the
-    * executor-memory class where AQE would make the same call; pass 0
-    * to force the shuffle plan). */
+    * estimate fits `verifyBroadcastMaxBytes`. The default is 512 MiB:
+    * BOTH verify legs broadcast (≈2× the estimate resident), and the
+    * hint must be safe on a DEFAULT driver heap — the measured 100×
+    * build side (a few hundred MB) fits, while a corpus past the cap
+    * falls back to the shuffle plan instead of OOMing the driver.
+    * Raise it (with driver memory to match) for bigger corpora; pass 0
+    * to force the shuffle plan. */
   def ngramJaccardPairsPrefixFromIndex(shAll: DataFrame,
       threshold: Double,
-      verifyBroadcastMaxBytes: Long = 2L << 30): DataFrame = {
+      verifyBroadcastMaxBytes: Long = 1L << 29): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val tPpm = math.floor(threshold * 1000000).toLong

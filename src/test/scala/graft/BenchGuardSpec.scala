@@ -40,6 +40,17 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.parseFunnelMins(Seq("junk")) == Map.empty)
   }
 
+  test("fileSf: sf tag extracted; untagged legacy files pass the gate") {
+    assert(Bench.fileSf("""{"metric":"query_mins","sf":"/root/testdata/sf0.1","q1":0.5}""")
+      .contains("/root/testdata/sf0.1"))
+    // legacy (pre-tag) baseline: no sf field → None → forall(_ == sf)
+    // treats it as usable, which is right for the transition round
+    assert(Bench.fileSf("""{"metric":"query_mins","q1":0.5}""").isEmpty)
+    // the round artifacts' headline sf field parses the same way
+    assert(Bench.fileSf(""","host_busy":{},"sf":"/root/testdata/sf0.1"}""")
+      .contains("/root/testdata/sf0.1"))
+  }
+
   test("the committed round artifacts actually parse to usable references") {
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
       .filter(_.getName.matches("BENCH_r\\d+\\.json")).toSeq

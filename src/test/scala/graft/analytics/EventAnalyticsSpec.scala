@@ -1213,6 +1213,14 @@ class EventAnalyticsSpec extends SparkSpec {
     val got = Analytics.weightedMedian(df, "g", "v", "w")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == Seq(("a", 12L, 1.0), ("b", 10L, 2.0)))
+    // a negative weight breaks the monotone-cumulative invariant the
+    // pick depends on — it must fail loud, never return a quiet wrong
+    // median
+    val bad = Seq(("a", 1.0, 5L), ("a", 2.0, -1L)).toDF("g", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.weightedMedian(bad, "g", "v", "w").collect()
+    }
+    assert(e.getMessage.contains("nonnegative"))
   }
 
   test("coPurchaseClustering: triangle corners vs open wedges, pendants out") {
