@@ -308,7 +308,8 @@ object ScaleBench {
     // wall must track wedges, not wedges², or the orientation broke
     if (baseDir.nonEmpty &&
         Seq("q158_triangle_census", "q158_workload_wedges",
-          "q174_degree_census", "q174_workload_edges").exists(wanted)) {
+          "q174_degree_census", "q174_workload_edges",
+          "q203_clustering_census").exists(wanted)) {
       val fact = scaleBaskets(Tables.lineitem(spark, baseDir), factor)
         .localCheckpoint() // census + workload probes share it
       // the artifact — not just a stderr notice — must carry the basket
@@ -330,6 +331,38 @@ object ScaleBench {
           .count())
       bench("q174_workload_edges")(
         graft.analytics.Analytics.coPurchaseEdgeCount(fact, minSupport = 2L))
+      // q203 consumes the same relations but pays the triangle explode
+      // on top of the wedge closure — wall must track wedges/triangles
+      bench("q203_clustering_census")(
+        graft.analytics.Analytics.coPurchaseClustering(fact, minSupport = 2L)
+          .count())
+      releaseStorage(spark)
+    }
+    // rank family (round 14): the range-repartition global-rank
+    // machinery under q198 (two rank passes over events) and q202 (one
+    // prefix-sum pass over the fact) — replicated rows with distinct
+    // ids, workload = input rows, wall must track rows (the
+    // decomposition's claim: never a single-partition sort)
+    if (baseDir.nonEmpty &&
+        Seq("q198_mad_census", "q202_wmedian_census",
+          "q198_workload_rows").exists(wanted)) {
+      val f = math.min(factor, 16)
+      val ev0 = Tables.events(spark, baseDir)
+      val maxId = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
+      val ev = ev0.crossJoin(broadcast(spark.range(f).select(col("id").as("__r"))))
+        .withColumn("event_id", col("event_id") + col("__r") * maxId)
+        .drop("__r").localCheckpoint()
+      bench("q198_workload_rows")(ev.count())
+      bench("q198_mad_census")(
+        graft.analytics.Analytics.madOutliers(ev, "event_type", "value",
+          "event_id").count())
+      val li = Tables.lineitem(spark, baseDir)
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+        .crossJoin(broadcast(spark.range(f).select(col("id").as("__r"))))
+        .drop("__r").localCheckpoint()
+      bench("q202_wmedian_census")(
+        graft.analytics.Analytics.weightedMedian(li, "l_returnflag",
+          "l_extendedprice", "l_quantity").count())
       releaseStorage(spark)
     }
     results.toList
