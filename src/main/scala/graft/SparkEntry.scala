@@ -1224,6 +1224,11 @@ object SparkEntry {
     "q203_clustering_coeff" -> ((s, d) =>
       Analytics.coPurchaseClustering(Tables.lineitem(s, d),
         minSupport = 2L)),
+    // q204: per-user time-weighted average value — interval weighting
+    // via one lead window, exact integer products, one final division
+    "q204_twap" -> ((s, d) =>
+      Analytics.timeWeightedAverage(Tables.events(s, d), "user_id",
+        "value", "ts", "event_id")),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -4272,6 +4277,23 @@ object SparkEntry {
         |    AS clustering_ppm
         |FROM deg LEFT JOIN tc ON deg.v = tc.v
         |WHERE degree >= 2 ORDER BY 1""".stripMargin,
+    // q204: identical lead-interval weighting; the TWAP is the floored
+    // HUGEINT division (the numerator passes 2^53 — a double ratio
+    // diverges by an ulp across engines, measured), nonneg-remainder
+    // pattern for negative-value safety
+    "q204_twap" ->
+      """WITH e AS (SELECT user_id AS u,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vmic,
+        |    epoch_us(ts) AS t, event_id AS id FROM events),
+        |d AS (SELECT u, vmic,
+        |    lead(t) OVER (PARTITION BY u ORDER BY t, id) - t AS dur FROM e),
+        |s AS (SELECT u, sum(dur) AS sp,
+        |    sum(CAST(vmic AS HUGEINT) * dur) AS num
+        |  FROM d WHERE dur IS NOT NULL GROUP BY 1 HAVING sum(dur) > 0)
+        |SELECT u AS user_id, CAST(sp AS BIGINT) AS span_us,
+        |  CAST((num - ((num % sp + sp) % sp)) // sp AS BIGINT)
+        |    AS twap_micros
+        |FROM s ORDER BY 1""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

@@ -2999,6 +2999,46 @@ object Analytics {
       .orderBy(groupCol)
   }
 
+  /** Per-user time-weighted average value (TWAP): each event's value
+    * holds from its timestamp until the user's NEXT event, and the
+    * average weights by that holding duration — the correct mean for
+    * irregularly-sampled state (a plain mean over-counts bursty
+    * updates; a balance sampled 100× in one hour must not dominate a
+    * month at one reading). Each user's last event has no successor
+    * and contributes no interval; single-event users are excluded
+    * (zero total span — no interval to average). Exactness: values
+    * fix-point to floored micros, every (value_micros × duration)
+    * product accumulates in DECIMAL(38,0), and the TWAP itself is the
+    * FLOORED integer division `⌊Σ(v_micros·dur) / Σdur⌋` — the
+    * numerator passes 2⁵³, where a double division diverges across
+    * engines by an ulp (measured), so no double exists anywhere in
+    * the statistic. Output: `(user_id, span_us, twap_micros)` with
+    * twap_micros = the time-weighted mean in value-micros.
+    *
+    * Scale shape: one user-keyed window (the lead is a narrow frame
+    * over the same shuffle every journey operator pays) and one hash
+    * agg with map-side partials — linear at any history length. */
+  def timeWeightedAverage(events: DataFrame, userCol: String,
+      valueCol: String, tsCol: String, idCol: String): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__t"), col("__id"))
+    events.select(col(userCol).as("__u"),
+        floor(col(valueCol) * 1000000d).cast("long").as("__vmic"),
+        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"))
+      .withColumn("__dur", lead(col("__t"), 1).over(w) - col("__t"))
+      .filter(col("__dur").isNotNull)
+      .groupBy(col("__u").as(userCol))
+      .agg(sum(col("__dur")).as("span_us"),
+        sum(dec(col("__vmic")) * dec(col("__dur"))).as("__num"))
+      .filter(col("span_us") > 0)
+      .select(col(userCol), col("span_us"),
+        fdiv(col("__num"), dec(col("span_us"))).as("twap_micros"))
+      .orderBy(userCol)
+  }
+
   /** Robust per-group outlier census via median absolute deviation:
     * per event type — count, exact lower-median of the value, MAD
     * (lower-median of |value − median|), and how many events sit more

@@ -1217,6 +1217,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q204 TWAP: one user window, one hash agg, no joins") {
+    val p = plan("q204_twap")
+    assert("events\\.parquet".r.findAllIn(p).length == 1)
+    assert("Exchange hashpartitioning\\(__u".r.findAllIn(p).size == 1,
+      s"the lead window is the only exchange:\n$p")
+    assert(!p.contains("Join"), s"interval weighting needs no join:\n$p")
+  }
+
   test("q189 ship latency: narrow join projections, histogram before windows") {
     val p = plan("q189_ship_latency")
     assert(p.contains("partial_count"),

@@ -1244,6 +1244,23 @@ class EventAnalyticsSpec extends SparkSpec {
     // degree-1 vertex 4 is excluded (cc undefined), not reported as 0
   }
 
+  test("timeWeightedAverage: duration weighting, not event counting") {
+    val events = Seq(
+      // u1: value 10 held for 9 µs, then value 100 held for 1 µs, then
+      // a last event (no successor -> no interval):
+      // TWAP = (10*9 + 100*1)/10 = 19.0 — a plain mean would say 55+
+      (1L, 10.0, 0L, 1L), (1L, 100.0, 9L, 2L), (1L, 7.0, 10L, 3L),
+      // u2: single event -> no interval -> excluded entirely
+      (2L, 42.0, 5L, 1L),
+      // u3: two events at the SAME timestamp (zero span) -> excluded
+      (3L, 1.0, 7L, 1L), (3L, 2.0, 7L, 2L))
+      .toDF("user_id", "value", "ts", "event_id")
+    val got = Analytics.timeWeightedAverage(events, "user_id", "value",
+        "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 10L, 19000000L)))
+  }
+
   test("round-14 operators: partitioning-invariant on the real sf0.001 tables") {
     val orders = graft.Tables.orders(spark, sf)
     val part = graft.Tables.part(spark, sf)
@@ -1274,6 +1291,8 @@ class EventAnalyticsSpec extends SparkSpec {
       "l_extendedprice", "l_quantity"), lineitem)
     inv("coPurchaseClustering")(Analytics.coPurchaseClustering(_, 2L),
       lineitem)
+    inv("timeWeightedAverage")(Analytics.timeWeightedAverage(_, "user_id",
+      "value", "ts", "event_id"), events)
     val docs = graft.Tables.documents(spark, sf)
     inv("ngramDiversity")(graft.text.TextAnalysis.ngramDiversity(_,
       "source", "text"), docs)
