@@ -124,7 +124,9 @@ object Plans {
     "q202_weighted_median" ->
       "Exact weighted quantiles: cumulative weights come from the range-repartition prefix-sum decomposition (per-partition windows + driver base offsets, never a single-partition ORDER BY), group start offsets and totals broadcast as k rows, and the pick (smallest value whose inclusive cumulative crosses half) is provably independent of order among equal values — no unique row id needed.",
     "q203_clustering_coeff" ->
-      "Local clustering coefficient at triangle cost: the shared degree-ordered wedge closure enumerates each triangle once (checkpointed edge relations — the plan reads ExistingRDD), triangles explode to their 3 corners (3t rows, never degree² per vertex), and the coefficient is exact integer cross-multiplication over the degree table.")
+      "Local clustering coefficient at triangle cost: the shared degree-ordered wedge closure enumerates each triangle once (checkpointed edge relations — the plan reads ExistingRDD), triangles explode to their 3 corners (3t rows, never degree² per vertex), and the coefficient is exact integer cross-multiplication over the degree table.",
+    "q204_twap" ->
+      "Time-weighted averaging in ONE user-keyed exchange: the lead window prices each value's holding interval, products accumulate in DECIMAL(38,0), and the statistic is a floored integer division end to end — the numerator passes 2^53, where a double ratio measurably diverges across engines by an ulp, so no double exists anywhere in the plan's arithmetic. No joins; the rollup partial-aggregates map-side.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
