@@ -51,6 +51,25 @@ class BenchGuardSpec extends AnyFunSuite {
       .contains("/root/testdata/sf0.1"))
   }
 
+  test("the committed BENCH_QUERIES.json covers the whole suite") {
+    val f = new java.io.File("BENCH_QUERIES.json")
+    assume(f.isFile)
+    val src = scala.io.Source.fromFile(f)
+    val txt = try src.mkString finally src.close()
+    val mins = Bench.parseArtifactMins(Seq(txt))
+    // the r13 failure mode: the guard's baseline covered only the ~51
+    // queries surviving in artifact tails and q111 shipped 6.4x
+    // inflated — the committed full map must cover (almost) every
+    // registered query, not a truncated subset
+    val missing = SparkEntry.queries.keySet -- mins.keySet
+    assert(missing.size <= 3,
+      s"baseline must cover the suite; missing: $missing")
+    val funnels = Bench.parseFunnelMins(Seq(txt))
+    assert(funnels.contains("curate_funnel") &&
+      funnels.contains("curate_funnel_full"),
+      s"funnel stall refs must derive from the committed file: $funnels")
+  }
+
   test("the committed round artifacts actually parse to usable references") {
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
       .filter(_.getName.matches("BENCH_r\\d+\\.json")).toSeq
