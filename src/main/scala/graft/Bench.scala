@@ -105,32 +105,38 @@ object Bench {
 
   private lazy val priorTexts: Seq[String] = try {
     val dir = artifactDir
-    val artifacts = Option(dir.listFiles()).getOrElse(Array())
+    val artifactFiles = Option(dir.listFiles()).getOrElse(Array())
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(f => f.getName.stripPrefix("BENCH_r")
         .stripSuffix(".json").toInt)
       .takeRight(2)
-    // the baseline file only counts when it was measured at THIS run's
+    // a baseline text only counts when it was measured at THIS run's
     // scale factor: one sf0.01 diagnostic run would otherwise poison
     // the merged-by-min map with ~10x-faster minima that can never be
     // raised again, tripping the guard on every query of every
-    // subsequent sf0.1 round
-    val queriesFile = Option(new java.io.File(dir, QueriesFile))
-      .filter(_.isFile).toSeq
-      .filter { f =>
-        val sfOk = fileSf(readTexts(Seq(f)).head).forall(_ == sfDir)
-        if (!sfOk) System.err.println(s"[bench] $QueriesFile was measured " +
-          s"at a different sf - ignoring it as a guard baseline")
-        sfOk
+    // subsequent sf0.1 round. The gate applies to the round artifacts
+    // AND the committed baseline file — a different-sf BENCH_r*.json
+    // poisons priorMins (and the funnel refs) the same way.
+    def sfGate(named: Seq[(String, String)]): Seq[String] =
+      named.flatMap { case (name, txt) =>
+        val sfOk = fileSf(txt).forall(_ == sfDir)
+        if (!sfOk) System.err.println(s"[bench] $name was measured at a " +
+          "different sf - ignoring it as a guard baseline")
+        if (sfOk) Some(txt) else None
       }
+    val artifacts = sfGate(artifactFiles.toSeq
+      .map(f => f.getName -> readTexts(Seq(f)).head))
+    val queriesFile = sfGate(Option(new java.io.File(dir, QueriesFile))
+      .filter(_.isFile).toSeq
+      .map(f => f.getName -> readTexts(Seq(f)).head))
     if (artifacts.isEmpty && queriesFile.isEmpty)
       // listFiles succeeds in any CWD, so an empty result is silent —
       // and a silently-empty baseline disables the stall guard entirely
-      System.err.println(s"[bench] WARNING: no BENCH_r*.json or " +
+      System.err.println(s"[bench] WARNING: no same-sf BENCH_r*.json or " +
         s"$QueriesFile under ${dir.getAbsolutePath} - per-query stall " +
         "guard is running BLIND (launch from the repo root or set " +
         "-Dgraft.bench.artifactDir)")
-    readTexts(artifacts.toSeq ++ queriesFile)
+    artifacts ++ queriesFile
   } catch { case e: Exception =>
     System.err.println(s"[bench] prior-artifact read failed: $e")
     Seq.empty

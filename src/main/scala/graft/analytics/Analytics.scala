@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.util.GlobalRank.{withGlobalRank, withGlobalRankAndPrefix}
+
 /** Warehouse-side analytics: the reference's materialized views and
   * validation suite re-expressed as DataFrame queries
   * (reference: `docker/postgres/init.sql:195-239,323-539`;
@@ -1582,21 +1584,12 @@ object Analytics {
       .max(BigInt(1)).toLong
     val bucketed = deltas.withColumn("__bkt",
       ((col("__t") - lit(minT)) / lit(span)).cast("int"))
-    val totals = bucketed.groupBy("__bkt").agg(sum("__d").as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val bases = totals.map(_._1)
-      .zip(totals.scanLeft(0L)((acc, bt) => acc + bt._2).init)
-    val spark = intervals.sparkSession
-    import spark.implicits._
-    val baseDf = bases.toSeq.toDF("__bkt", "__base")
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("__bkt").orderBy("__t")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    val cum = bucketed
-      .withColumn("__in", sum(col("__d")).over(win))
-      .join(broadcast(baseDf), "__bkt")
-      .select(col("__t"), (col("__base") + col("__in")).as("__cum"))
+    // the global sweep prefix-sum rides the shared bucketed-offset
+    // machinery (deltas is checkpointed; the cheap bucket projection
+    // recomputes for the util's two reads)
+    val (swept, _) = graft.util.GlobalRank.bucketedPrefix(bucketed,
+      "__bkt", Seq(col("__t")), "__d", "__cum")
+    val cum = swept.select(col("__t"), col("__cum"))
       .localCheckpoint() // read twice: max probe + argmin join
     cum.crossJoin(broadcast(cum.agg(max(col("__cum")).as("__peak"))))
       .filter(col("__cum") === col("__peak"))
@@ -1677,76 +1670,10 @@ object Analytics {
       .orderBy(keyCol, idCol)
   }
 
-  /** Total-order global rank WITHOUT a single-partition window: range
-    * repartition by the sort key (Spark's distributed sort layout),
-    * per-partition row numbers under a partition-id window, and
-    * driver-side prefix offsets over the per-partition counts (bounded:
-    * one row per partition — the [[peakConcurrency]] base-offset
-    * discipline). The sort key must be a TOTAL order (add a unique id
-    * tiebreak) or ranks at boundary duplicates would depend on sampled
-    * range boundaries. Returns the frame plus `rankCol` (1-based) and
-    * the total row count. */
-  private[analytics] def withGlobalRank(df: DataFrame,
-      sortCols: Seq[Column], rankCol: String): (DataFrame, Long) = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ranged = df.repartitionByRange(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // read twice: partition counts + the rank pass
-    val counts = ranged.groupBy("__pid").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val n = counts.map(_._2).sum
-    val offs = counts.map(_._1)
-      .zip(counts.scanLeft(0L)((a, c) => a + c._2).init)
-    val offDf = offs.toSeq.toDF("__pid", "__off")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(sortCols: _*)
-    val out = ranged
-      .withColumn("__rn", row_number().over(w))
-      .join(broadcast(offDf), "__pid")
-      .withColumn(rankCol, col("__off") + col("__rn"))
-      .drop("__pid", "__off", "__rn")
-    (out, n)
-  }
-
-  /** [[withGlobalRank]] plus a running (prefix-inclusive) sum of
-    * `valueCol` over the same total order, same decomposition: range
-    * repartition, per-partition (count, sum) to the driver, broadcast
-    * base offsets, per-partition windows. Returns the frame with
-    * `rankCol` and `cumCol` plus `(n, total)`. */
-  private[analytics] def withGlobalRankAndPrefix(df: DataFrame,
-      sortCols: Seq[Column], valueCol: String, rankCol: String,
-      cumCol: String): (DataFrame, Long, Long) = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ranged = df.repartitionByRange(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // read twice: partition totals + the rank pass
-    val parts = ranged.groupBy("__pid")
-      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val n = parts.map(_._2).sum
-    val total = parts.map(_._3).sum
-    val offs = parts.map(_._1)
-      .zip(parts.scanLeft((0L, 0L)) { case ((cn, cs), p) =>
-        (cn + p._2, cs + p._3)
-      }.init)
-      .map { case (pid, (cn, cs)) => (pid, cn, cs) }
-    val offDf = offs.toSeq.toDF("__pid", "__offn", "__offs")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(sortCols: _*)
-    val cumW = w.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val out = ranged
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__cs", sum(col(valueCol)).over(cumW))
-      .join(broadcast(offDf), "__pid")
-      .withColumn(rankCol, col("__offn") + col("__rn"))
-      .withColumn(cumCol, col("__offs") + col("__cs"))
-      .drop("__pid", "__offn", "__offs", "__rn", "__cs")
-    (out, n, total)
-  }
+  // Global rank / prefix-sum machinery: promoted to the shared
+  // [[graft.util.GlobalRank]] util (it is the engine's signature scale
+  // trick — one tested home, four variants). The imports at the top of
+  // this file keep the call sites below textually unchanged.
 
   /** Pareto / ABC classification of parts by revenue: rank every part
     * by exact-cents revenue descending, accumulate the running share,
@@ -2964,30 +2891,42 @@ object Analytics {
     * cumulative decides), so no unique row id is required. Output:
     * `(group, total_weight, weighted_median)`.
     *
+    * Weights fixed-point by an explicit FLOOR (never a bare long cast,
+    * which truncates toward zero where SQL casts round — integral
+    * weights are unaffected; fractional callers should fix-point
+    * upstream). Negative or null weights break the monotone cumulative
+    * the pick depends on, so by default one narrow agg validates them
+    * BEFORE the rank pass and fails loud; pass
+    * `validateWeights = false` on a known-clean hot path (the
+    * [[sequenceMatch]] `validateVocabulary` API symmetry) — garbage
+    * weights then produce garbage medians silently.
+    *
     * Scale shape: the global cumulative comes from
-    * [[withGlobalRankAndPrefix]] over the (group, value) order — range
-    * repartition, per-partition windows, driver prefix offsets — never
-    * a single-partition window; per-group cumulatives subtract the
-    * group's broadcast start offset (its minimum exclusive prefix). */
+    * [[graft.util.GlobalRank.withGlobalRankAndPrefix]] over the
+    * (group, value) order — range repartition, per-partition windows,
+    * driver prefix offsets — never a single-partition window;
+    * per-group cumulatives subtract the group's broadcast start offset
+    * (its minimum exclusive prefix). */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
-      weightCol: String): DataFrame = {
+      weightCol: String, validateWeights: Boolean = true): DataFrame = {
     val base = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"),
-      col(weightCol).cast("long").as("__w"))
+      floor(col(weightCol)).cast("long").as("__w"))
+    // validation runs BEFORE the rank pass: an all-null partition would
+    // otherwise NPE inside the prefix machinery's partition-sum read,
+    // masking the friendly error this require exists to give
+    if (validateWeights) {
+      val wCheck = base.agg(
+        min(col("__w")).as("mn"),
+        coalesce(sum(when(col("__w").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("nulls")).head()
+      require(wCheck.getLong(1) == 0 &&
+        (wCheck.isNullAt(0) || wCheck.getLong(0) >= 0),
+        s"weightedMedian: weights must be nonnegative and non-null " +
+          s"(min=${if (wCheck.isNullAt(0)) "null" else wCheck.getLong(0)}, " +
+          s"nulls=${wCheck.getLong(1)})")
+    }
     val (ranked, _, _) = withGlobalRankAndPrefix(base,
       Seq(col("__g"), col("__v")), "__w", "__r", "__cum")
-    // the pick's correctness needs a MONOTONE cumulative: a negative
-    // (or null) weight silently breaks the group-start offset and the
-    // half-total crossing — fail loud instead (one cheap agg over the
-    // already-checkpointed ranked relation)
-    val wCheck = ranked.agg(
-      min(col("__w")).as("mn"),
-      coalesce(sum(when(col("__w").isNull, 1L).otherwise(0L)), lit(0L))
-        .as("nulls")).head()
-    require(wCheck.getLong(1) == 0 &&
-      (wCheck.isNullAt(0) || wCheck.getLong(0) >= 0),
-      s"weightedMedian: weights must be nonnegative and non-null " +
-        s"(min=${if (wCheck.isNullAt(0)) "null" else wCheck.getLong(0)}, " +
-        s"nulls=${wCheck.getLong(1)})")
     val offs = ranked.groupBy("__g")
       .agg(min(col("__cum") - col("__w")).as("__off"),
         sum(col("__w")).as("__tot"))

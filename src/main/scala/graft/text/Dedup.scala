@@ -729,17 +729,18 @@ object Dedup {
     * instead of relying on session config: the per-doc table's bytes
     * are estimated from its (row count, total shingle count) — both
     * one cheap agg over the already-checkpointed table — and the
-    * verify legs take an explicit `broadcast()` hint whenever the
-    * estimate fits `verifyBroadcastMaxBytes`. The default is 512 MiB:
-    * BOTH verify legs broadcast (≈2× the estimate resident), and the
-    * hint must be safe on a DEFAULT driver heap — the measured 100×
-    * build side (a few hundred MB) fits, while a corpus past the cap
-    * falls back to the shuffle plan instead of OOMing the driver.
+    * verify legs take an explicit `broadcast()` hint whenever BOTH
+    * legs' combined residency (2× the estimate — each leg broadcasts
+    * the same table) fits `verifyBroadcastMaxBytes`. The default is
+    * 1 GiB of TOTAL broadcast residency (so ≤512 MiB per leg), and
+    * the hint must be safe on a DEFAULT driver heap — the measured
+    * 100× build side (a few hundred MB) fits, while a corpus past the
+    * cap falls back to the shuffle plan instead of OOMing the driver.
     * Raise it (with driver memory to match) for bigger corpora; pass 0
     * to force the shuffle plan. */
   def ngramJaccardPairsPrefixFromIndex(shAll: DataFrame,
       threshold: Double,
-      verifyBroadcastMaxBytes: Long = 1L << 29): DataFrame = {
+      verifyBroadcastMaxBytes: Long = 1L << 30): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val tPpm = math.floor(threshold * 1000000).toLong
@@ -768,10 +769,12 @@ object Dedup {
     // plus per-row array/offset overhead — a deliberate overestimate
     // (UnsafeArrayData headers, row pointers), so the hint only fires
     // with real headroom. One narrow agg over the checkpointed table.
+    // The cap is a TOTAL residency budget: both legs broadcast the same
+    // table, so the decision charges 2× the estimate against it.
     val hintBroadcast = verifyBroadcastMaxBytes > 0 && {
       val st = docs.agg(count(lit(1)).as("n"),
         coalesce(sum(col("__sz").cast("long")), lit(0L)).as("tot")).head()
-      st.getLong(0) * 64L + st.getLong(1) * 8L <= verifyBroadcastMaxBytes
+      2L * (st.getLong(0) * 64L + st.getLong(1) * 8L) <= verifyBroadcastMaxBytes
     }
     def verifySide(df: DataFrame): DataFrame =
       if (hintBroadcast) broadcast(df) else df
@@ -814,25 +817,17 @@ object Dedup {
     require(window >= 1, s"window must be >= 1, got $window")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    val spark = df.sparkSession
     val prof = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         graft.text.TextAnalysis.tokenCount(col(textCol)).cast("long").as("__n"),
         shingleHashes(col(textCol), k, distinct = true).as("__sh"))
       .localCheckpoint()
-    // bounded driver table: one row per distinct token count
-    val counts = prof.groupBy("__n").agg(count(lit(1)).as("__c"))
-      .orderBy("__n").collect()
-    var acc = 0L
-    val offsets = counts.map { r =>
-      val o = (r.getLong(0), acc); acc += r.getLong(1); o
-    }.toSeq
-    val offDf = broadcast(spark.createDataFrame(offsets).toDF("__n", "__off"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__n").orderBy("__id")
+    // global (length, id) rank via the shared bucketed-offset machinery
+    // (token counts are a bounded driver table: one row per distinct
+    // length; prof is checkpointed for the util's two reads)
     val wl = lit(window.toLong)
-    val ranked = prof.join(offDf, Seq("__n"))
-      .withColumn("__r", col("__off") + row_number().over(w))
+    val ranked = graft.util.GlobalRank.bucketedRank(prof, "__n",
+        Seq(col("__id")), "__r")
       .withColumn("__band", expr(s"__r div ${window.toLong}"))
     val left = ranked.select(col("__id").as("__ia"), col("__r").as("__ra"),
       col("__sh").as("__sa"), col("__band"))

@@ -489,18 +489,13 @@ object TextAnalysis {
       .withColumn("__bkt",
         exactDiv(col("__coin") * lit(buckets.toLong), lit(1000000L)).cast("int"))
       .localCheckpoint() // read twice: bucket totals + laid-out assignment
-    val totals = scored.groupBy("__bkt").agg(sum("n_tokens").as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val bases = totals.scanLeft(0L)((acc, bt) => acc + bt._2).init
-    val baseDf = totals.map(_._1).zip(bases).toSeq.toDF("__bkt", "__base")
-    val win = Window.partitionBy("__bkt").orderBy("__coin", "__id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    scored
-      .withColumn("__before", coalesce(sum("n_tokens").over(win), lit(0L)))
-      .join(broadcast(baseDf), "__bkt")
-      .select(col("__id").as(idCol), col("n_tokens"),
-        exactDiv(col("__base") + col("__before"), lit(targetTokens))
-          .as("shard_id"))
+    // exclusive prefix (each doc's START offset) over the coin order —
+    // the shared bucketed-offset machinery
+    val (laid, _) = graft.util.GlobalRank.bucketedPrefix(scored, "__bkt",
+      Seq(col("__coin"), col("__id")), "n_tokens", "__start",
+      inclusive = false)
+    laid.select(col("__id").as(idCol), col("n_tokens"),
+      exactDiv(col("__start"), lit(targetTokens)).as("shard_id"))
   }
 
   /** Quality-ranked corpus selection under a token budget: keep the
@@ -612,20 +607,12 @@ object TextAnalysis {
       .max(BigInt(1)).toLong
     val bucketed = w.withColumn("__bkt",
       ((col("__id") - lit(minId)) / lit(span)).cast("int"))
-    val totals = bucketed.groupBy("__bkt").agg(sum("__w").as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val total = totals.map(t => BigInt(t._2)).sum
-    require(total.isValidLong,
-      s"total weight $total overflows 64-bit — rescale the fixed point")
-    val bases = totals.scanLeft(0L)((acc, bt) => acc + bt._2).init
-    val baseDf = totals.map(_._1).zip(bases).toSeq.toDF("__bkt", "__base")
-    val win = Window.partitionBy("__bkt").orderBy("__id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val laid = bucketed
-      .withColumn("__hi_in", sum("__w").over(win))
-      .join(broadcast(baseDf), "__bkt")
-      .select(col("__id"), col("__w"),
-        (col("__base") + col("__hi_in")).as("__hi"))
+    // inclusive prefix over the id order via the shared bucketed-offset
+    // machinery (which owns the 64-bit overflow guard on the total)
+    val (laid0, totalL) = graft.util.GlobalRank.bucketedPrefix(bucketed,
+      "__bkt", Seq(col("__id")), "__w", "__hi")
+    val laid = laid0.select(col("__id"), col("__w"), col("__hi"))
+    val total = BigInt(totalL)
     val thresholds = (0 until k)
       .map(j => (total * (2 * j + 1) / (2 * k)).toLong).toDF("__t")
     laid.join(broadcast(thresholds),

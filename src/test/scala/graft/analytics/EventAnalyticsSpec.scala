@@ -1221,6 +1221,21 @@ class EventAnalyticsSpec extends SparkSpec {
       Analytics.weightedMedian(bad, "g", "v", "w").collect()
     }
     assert(e.getMessage.contains("nonnegative"))
+    // validation fires BEFORE the rank pass (an all-null weight column
+    // must hit the friendly require, not an NPE inside the prefix
+    // machinery's partition-sum read)
+    val allNull = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+      .withColumn("w", lit(null).cast("long"))
+    val e2 = intercept[IllegalArgumentException] {
+      Analytics.weightedMedian(allNull, "g", "v", "w").collect()
+    }
+    assert(e2.getMessage.contains("non-null"))
+    // validateWeights = false: the extra narrow agg is skipped on a
+    // known-clean hot path; same result as the default
+    val got2 = Analytics.weightedMedian(df, "g", "v", "w",
+        validateWeights = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got2 == Seq(("a", 12L, 1.0), ("b", 10L, 2.0)))
   }
 
   test("coPurchaseClustering: triangle corners vs open wedges, pendants out") {

@@ -859,7 +859,8 @@ class TextSpec extends SparkSpec {
       (i, s"shared stem ${i % 6} with common phrasing and unique tail $i")
     }.toDF("doc_id", "text")
     val idx = Dedup.shingleIndex(corpus, "doc_id", "text", k = 3)
-    // default cap (2 GiB): the per-doc array table is tiny here, so the
+    // default cap (1 GiB TOTAL residency across both verify legs, i.e.
+    // ≤512 MiB per leg): the per-doc array table is tiny here, so the
     // verify legs must carry the explicit broadcast hint — the 100×
     // configuration that keeps the candidate-pair stream out of any
     // exchange must not depend on the session's 10 MB threshold
