@@ -33,6 +33,38 @@ final case class AttributionState(lastTouch: Option[String],
 final case class AttributedConversion(user_id: Long, event_id: Long,
     touch_type: String, value: Double)
 
+/** [[StreamingAnalytics.attributionLinearStream]] state: the OPEN
+  * segment's per-touch-type counts (touches since the user's last ripe
+  * conversion), plus the not-yet-ripe buffer. */
+final case class LinearAttributionState(touchCounts: Map[String, Long],
+    pending: List[PendingEvent])
+
+/** One (conversion, touch type) credit of linear multi-touch
+  * attribution — emitted exactly once when the conversion ripens.
+  * `credit_micros` = `n_touches × ⌊value_micros / segment_size⌋`, the
+  * batch [[Analytics.attributionLinear]] split at per-conversion
+  * grain. */
+final case class LinearCredit(user_id: Long, conv_event_id: Long,
+    touch_type: String, n_touches: Long, credit_micros: Long)
+
+/** The last ripe sample of [[StreamingAnalytics.twapStream]]'s per-user
+  * state — the open interval's left endpoint. */
+final case class LastSample(t: Long, id: Long, vmic: Long)
+
+/** [[StreamingAnalytics.twapStream]] state: the open interval's left
+  * endpoint plus the not-yet-ripe buffer. */
+final case class TwapState(last: Option[LastSample],
+    pending: List[PendingEvent])
+
+/** One CLOSED holding interval of the time-weighted average — emitted
+  * exactly once, when its right endpoint ripens: the value
+  * `value_micros` held from `start_us` for `duration_us`. Summing
+  * `value_micros × duration_us` (decimal) over a user's intervals and
+  * floor-dividing by `Σ duration_us` reproduces
+  * [[Analytics.timeWeightedAverage]] exactly. */
+final case class TwapInterval(user_id: Long, start_us: Long,
+    value_micros: Long, duration_us: Long)
+
 /** Streaming materialized-view equivalents (ST12): the daily summary MV
   * (`init.sql:195-206`) as a watermarked tumbling-window aggregation —
   * the same GROUP BY shape the batch variant uses, but incremental.
@@ -212,6 +244,144 @@ object StreamingAnalytics {
             // wake when the watermark can ripen the earliest held event
             // (ms ceiling past the µs bound; clamped above the current
             // watermark — Spark rejects a timeout at-or-before it)
+            val fire = hold.map(_.t).min / 1000L + 2L
+            state.setTimeoutTimestamp(
+              math.max(fire, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
+  /** Streaming linear multi-touch attribution — the incremental
+    * counterpart of [[Analytics.attributionLinear]]: each conversion's
+    * value splits equally (floored integer micros — the same
+    * order-independent `⌊value_micros / n⌋` split) across every touch
+    * since the user's previous conversion, emitted append-mode at
+    * (conversion, touch type) grain, EXACTLY ONCE, when the watermark
+    * passes the conversion's event time. At that instant the segment
+    * is provably complete: every touch of the segment PRECEDES the
+    * conversion in event time, so it sits below the watermark too and
+    * nothing can still join the segment. Conversions whose segment has
+    * no touches are dropped (no path to credit — the batch rule).
+    * Rolling the emitted credits up by touch type reproduces the batch
+    * operator on the same ripe prefix.
+    *
+    * State per user: the OPEN segment's touch-type counts (bounded by
+    * the type vocabulary — the durable carry) plus the sub-watermark
+    * buffer (bounded by the user's events inside the lateness window).
+    * An event-time timeout at the earliest buffered time ripens the
+    * buffer even when the user goes silent. */
+  def attributionLinearStream(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, valueCol: String,
+      convType: String = "purchase",
+      watermark: String = "10 minutes"): Dataset[LinearCredit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermarked TimestampType column itself must reach the
+    // stateful operator (a long projection strips the watermark tag)
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"), col(typeCol).cast("string").as("ty"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, java.time.Instant, Long, String, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[LinearAttributionState, LinearCredit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, rows: Iterator[(Long, java.time.Instant, Long, String, Double)],
+         state: GroupState[LinearAttributionState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption
+            .getOrElse(LinearAttributionState(Map.empty, Nil))
+          val incoming = rows.map { r =>
+            val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
+            PendingEvent(t, r._3, r._4, r._5)
+          }.toList
+          // ripe = strictly below the watermark: the fold order is final
+          val (ripe, hold) = (prior.pending ++ incoming)
+            .partition(_.t < wmUs)
+          var counts = prior.touchCounts
+          val out = scala.collection.mutable.ListBuffer.empty[LinearCredit]
+          ripe.sortBy(e => (e.t, e.id)).foreach { e =>
+            if (e.ty == convType) {
+              val n = counts.valuesIterator.sum
+              if (n > 0) {
+                // the batch split: per-touch credit is the FLOORED
+                // integer division (order-independent across engines)
+                val vmic = math.floor(e.value * 1000000d).toLong
+                val per = Math.floorDiv(vmic, n)
+                counts.toSeq.sortBy(_._1).foreach { case (ty, c) =>
+                  out += LinearCredit(u, e.id, ty, c, c * per)
+                }
+              }
+              counts = Map.empty // the conversion closes its segment
+            } else counts = counts.updated(e.ty, counts.getOrElse(e.ty, 0L) + 1L)
+          }
+          state.update(LinearAttributionState(counts, hold))
+          if (hold.nonEmpty) {
+            // wake when the watermark can ripen the earliest held event
+            // (ms ceiling past the µs bound; clamped above the current
+            // watermark — Spark rejects a timeout at-or-before it)
+            val fire = hold.map(_.t).min / 1000L + 2L
+            state.setTimeoutTimestamp(
+              math.max(fire, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
+  /** Streaming time-weighted average — the incremental counterpart of
+    * [[Analytics.timeWeightedAverage]]: each event's value holds until
+    * the user's next event; the CLOSED interval (left endpoint's value
+    * held for `next.t − t`) is emitted append-mode, EXACTLY ONCE, when
+    * the right endpoint ripens — at that instant nothing can still
+    * land between the two endpoints (both sit below the watermark), so
+    * the interval is final. Each user's latest ripe sample stays in
+    * state as the next interval's open left endpoint — exactly the
+    * batch rule that a user's last event contributes no interval
+    * (yet). Summing `value_micros × duration_us` in decimal and
+    * floor-dividing by `Σ duration_us` downstream reproduces the batch
+    * TWAP on the same ripe prefix — the emitted increments ARE its
+    * numerator/denominator terms.
+    *
+    * State per user: ONE (t, id, value-micros) sample plus the
+    * sub-watermark buffer; event-time timeout at the earliest buffered
+    * time closes intervals even when the user goes silent. */
+  def twapStream(events: DataFrame, userCol: String, valueCol: String,
+      tsCol: String, idCol: String,
+      watermark: String = "10 minutes"): Dataset[TwapInterval] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, java.time.Instant, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[TwapState, TwapInterval](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, rows: Iterator[(Long, java.time.Instant, Long, Double)],
+         state: GroupState[TwapState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.getOrElse(TwapState(None, Nil))
+          val incoming = rows.map { r =>
+            val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
+            PendingEvent(t, r._3, "", r._4)
+          }.toList
+          val (ripe, hold) = (prior.pending ++ incoming)
+            .partition(_.t < wmUs)
+          var last = prior.last
+          val out = scala.collection.mutable.ListBuffer.empty[TwapInterval]
+          ripe.sortBy(e => (e.t, e.id)).foreach { e =>
+            // the batch fixed point: floored micros, no double survives
+            val vmic = math.floor(e.value * 1000000d).toLong
+            last.foreach(l =>
+              out += TwapInterval(u, l.t, l.vmic, e.t - l.t))
+            last = Some(LastSample(e.t, e.id, vmic))
+          }
+          state.update(TwapState(last, hold))
+          if (hold.nonEmpty) {
             val fire = hold.map(_.t).min / 1000L + 2L
             state.setTimeoutTimestamp(
               math.max(fire, state.getCurrentWatermarkMs() + 1L))

@@ -118,4 +118,95 @@ class StreamingAttributionSpec extends SparkSpec {
     assert(got() == Set((1L, 2L, "signup", 3.0)))
     q.stop()
   }
+
+  test("attributionLinearStream: segment credits equal the batch operator on the ripe prefix") {
+    val (input, events) = stream()
+    val q = StreamingAnalytics.attributionLinearStream(events, "user_id",
+        "event_type", "ts", "event_id", "value", watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("linear_test").start()
+    def got(): Set[(Long, Long, String, Long, Long)] =
+      spark.table("linear_test")
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+
+    // batch 1: u1 builds a 3-touch segment (2 views + 1 click) and
+    // converts at value 10.0 -> per-touch floor(10e6/3) = 3333333;
+    // u2 converts touchless (dropped — no path to credit). An in-batch
+    // DISORDERED view (arrives after the conversion, timestamped
+    // before) must still join the segment. Sentinel u99 ripens all.
+    input.addData(
+      (1L, B + 1 * s, 1L, "view", 0.0),
+      (1L, B + 5 * s, 3L, "click", 0.0),
+      (1L, B + 9 * s, 4L, "purchase", 10.0),
+      (1L, B + 2 * s, 2L, "view", 0.0), // disordered: before the click
+      (2L, B + 3 * s, 1L, "purchase", 7.5),
+      (99L, B + 50 * s, 1L, "view", 0.0))
+    q.processAllAvailable()
+    val seg1 = Set(
+      (1L, 4L, "view", 2L, 2L * 3333333L),
+      (1L, 4L, "click", 1L, 3333333L))
+    assert(got() == seg1,
+      "3-way floored split; touchless conversion dropped")
+
+    // batch 2: the next segment STARTS FRESH (batch 1's touches were
+    // consumed by conversion 4) and carries across micro-batches — one
+    // touch here, conversion in batch 3
+    input.addData(
+      (1L, B + 60 * s, 5L, "signup", 0.0),
+      (99L, B + 100 * s, 2L, "view", 0.0))
+    q.processAllAvailable()
+    assert(got() == seg1, "an open segment emits nothing")
+
+    input.addData(
+      (1L, B + 120 * s, 6L, "purchase", 4.0),
+      (99L, B + 200 * s, 3L, "view", 0.0))
+    q.processAllAvailable()
+    val want = seg1 + ((1L, 6L, "signup", 1L, 4000000L))
+    assert(got() == want, "the carried touch credits the new conversion")
+
+    // exactly-once: a further watermark advance re-emits nothing
+    input.addData((99L, B + 201 * s, 4L, "view", 0.0))
+    q.processAllAvailable()
+    assert(got() == want)
+
+    // batch parity: rolling the streamed credits up by touch type
+    // equals Analytics.attributionLinear over the same ripe events
+    val batch = Analytics.attributionLinear(
+      Seq((1L, B + 1 * s, 1L, "view", 0.0), (1L, B + 2 * s, 2L, "view", 0.0),
+        (1L, B + 5 * s, 3L, "click", 0.0), (1L, B + 9 * s, 4L, "purchase", 10.0),
+        (2L, B + 3 * s, 1L, "purchase", 7.5),
+        (1L, B + 60 * s, 5L, "signup", 0.0),
+        (1L, B + 120 * s, 6L, "purchase", 4.0))
+        .toDF("user_id", "__us", "event_id", "event_type", "value")
+        .select(col("user_id"), timestamp_micros(col("__us")).as("ts"),
+          col("event_id"), col("event_type"), col("value")),
+      "user_id", "event_type", "ts", "event_id", "value")
+      .as[(String, Long, Long)].collect().toSet
+    val rollup = got().toSeq.groupBy(_._3).map { case (ty, rows) =>
+      (ty, rows.map(_._4).sum, rows.map(_._5).sum)
+    }.toSet
+    assert(rollup == batch)
+    q.stop()
+  }
+
+  test("attributionLinearStream: silent user's segment ripens by timeout") {
+    val (input, events) = stream()
+    val q = StreamingAnalytics.attributionLinearStream(events, "user_id",
+        "event_type", "ts", "event_id", "value", watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("linear_timeout_test").start()
+    def got(): Set[(Long, Long, String, Long, Long)] =
+      spark.table("linear_timeout_test")
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+
+    input.addData(
+      (1L, B + 1 * s, 1L, "view", 0.0),
+      (1L, B + 2 * s, 2L, "purchase", 3.0))
+    q.processAllAvailable()
+    assert(got().isEmpty, "nothing ripens before the watermark moves")
+    input.addData((99L, B + 60 * s, 1L, "view", 0.0))
+    q.processAllAvailable()
+    assert(got() == Set((1L, 2L, "view", 1L, 3000000L)))
+    q.stop()
+  }
 }
