@@ -49,6 +49,26 @@ class BenchGuardSpec extends AnyFunSuite {
     // the round artifacts' headline sf field parses the same way
     assert(Bench.fileSf(""","host_busy":{},"sf":"/root/testdata/sf0.1"}""")
       .contains("/root/testdata/sf0.1"))
+    // the driver-committed wrapper form: the headline survives only as
+    // an ESCAPED tail string (its own "sf" is a bare number, not the
+    // scale dir) — the gate must read the escaped tag or a
+    // different-sf artifact silently feeds the guard minima
+    assert(Bench.fileSf(
+      """{"n":14,"sf": 0.1,"tail":"...,\"sf\":\"/root/testdata/sf0.1\"}"}""")
+      .contains("/root/testdata/sf0.1"))
+  }
+
+  test("fileSf gate: the committed round artifacts carry a readable sf tag") {
+    val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+      .filter(_.getName.matches("BENCH_r\\d+\\.json")).toSeq
+      .sortBy(_.getName).takeRight(2)
+    assume(files.nonEmpty)
+    files.foreach { f =>
+      val src = scala.io.Source.fromFile(f)
+      val txt = try src.mkString finally src.close()
+      assert(Bench.fileSf(txt).exists(_.contains("sf0.1")),
+        s"${f.getName}: the sf gate must see the escaped headline tag")
+    }
   }
 
   test("the committed BENCH_QUERIES.json covers the whole suite") {
