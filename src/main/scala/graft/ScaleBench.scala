@@ -342,10 +342,17 @@ object ScaleBench {
     // machinery under q198 (two rank passes over events) and q202 (one
     // prefix-sum pass over the fact) — replicated rows with distinct
     // ids, workload = input rows, wall must track rows (the
-    // decomposition's claim: never a single-partition sort)
+    // decomposition's claim: never a single-partition sort).
+    // Round 15 adds the attribution/panel family on the same replicated
+    // events: q191/q192 carry the one-user-shuffle + segment-bounded
+    // claims (workload = event rows — replicas keep each user's journey
+    // shape but multiply its volume, so per-user windows see f× rows),
+    // and q200's census row's OWN rows count IS the panel-cell workload
+    // (the LOCF output is the panel).
     if (baseDir.nonEmpty &&
         Seq("q198_mad_census", "q202_wmedian_census",
-          "q198_workload_rows").exists(wanted)) {
+          "q198_workload_rows", "q191_attribution_census",
+          "q192_linear_census", "q200_locf_census").exists(wanted)) {
       val f = math.min(factor, 16)
       val ev0 = Tables.events(spark, baseDir)
       val maxId = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
@@ -356,6 +363,15 @@ object ScaleBench {
       bench("q198_mad_census")(
         graft.analytics.Analytics.madOutliers(ev, "event_type", "value",
           "event_id").count())
+      bench("q191_attribution_census")(
+        graft.analytics.Analytics.attributionLastTouch(ev, "user_id",
+          "event_type", "ts", "event_id", "value").count())
+      bench("q192_linear_census")(
+        graft.analytics.Analytics.attributionLinear(ev, "user_id",
+          "event_type", "ts", "event_id", "value").count())
+      bench("q200_locf_census")(
+        graft.analytics.Analytics.dailyStatusLocf(ev, "user_id",
+          "event_type", "ts", "event_id").count())
       val li = Tables.lineitem(spark, baseDir)
         .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
         .crossJoin(broadcast(spark.range(f).select(col("id").as("__r"))))
