@@ -1229,6 +1229,51 @@ object SparkEntry {
     "q204_twap" -> ((s, d) =>
       Analytics.timeWeightedAverage(Tables.events(s, d), "user_id",
         "value", "ts", "event_id")),
+    // q205: header-vs-lines billing audit — exact-decimal recompute per
+    // order, status-bounded reconciliation census
+    "q205_order_price_audit" -> ((s, d) =>
+      Analytics.orderPriceAudit(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // q206: per-type inter-arrival median — one (user,type) lag window,
+    // exact median via the shared global-rank pass
+    "q206_interarrival_median" -> ((s, d) =>
+      Analytics.interArrivalMedian(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id")),
+    // q207: Tukey IQR fence census — exact quartile picks, fences in
+    // the cross-multiplied integer form
+    "q207_iqr_fences" -> ((s, d) =>
+      Analytics.iqrOutliers(Tables.events(s, d), "event_type", "value",
+        "event_id")),
+    // q208: weekday seasonality profile — epoch-day arithmetic (no
+    // engine dayofweek convention), ppm shares vs the broadcast total
+    "q208_weekday_profile" -> ((s, d) =>
+      Analytics.weekdayProfile(Tables.orders(s, d))),
+    // q209: equi-width price histogram in exact cents — 1-row bounds
+    // agg broadcast, bucket-bounded hash agg
+    "q209_price_histogram" -> ((s, d) =>
+      Analytics.priceHistogram(Tables.lineitem(s, d), buckets = 16)),
+    // q210: within-session type co-occurrence — session tag shares the
+    // one user shuffle, pairs explode off DISTINCT per-session type sets
+    "q210_session_cooccurrence" -> ((s, d) =>
+      Analytics.sessionCooccurrence(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id", gapUs = 1800000000L)),
+    // q211: per-source hapax legomena ratio — word-count shape, exact
+    // integer ppm
+    "q211_hapax_ratio" -> ((s, d) =>
+      TextAnalysis.hapaxRatio(Tables.documents(s, d), "source", "text")),
+    // q212: winsorized mean per type — exact percentile picks off the
+    // global rank, clip + floored-micros mean
+    "q212_winsorized_mean" -> ((s, d) =>
+      Analytics.winsorizedMean(Tables.events(s, d), "event_type", "value",
+        "event_id")),
+    // q213: month-over-month revenue bridge — new/retained/churned
+    // cents off the (customer, month) rollup self-join
+    "q213_revenue_bridge" -> ((s, d) =>
+      Analytics.revenueBridge(Tables.orders(s, d))),
+    // q214: first-touch vs last-touch attribution side by side — two
+    // ignore-nulls lookups over ONE user window
+    "q214_attribution_compare" -> ((s, d) =>
+      Analytics.attributionCompare(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id", "value")),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -4294,6 +4339,180 @@ object SparkEntry {
         |  CAST((num - ((num % sp + sp) % sp)) // sp AS BIGINT)
         |    AS twap_micros
         |FROM s ORDER BY 1""".stripMargin,
+    // q205: the same exact-decimal recompute (2dp factors -> exact 6dp
+    // product, no IEEE multiply); NULL diff (no lines) feeds neither
+    // matched nor mismatched on either engine
+    "q205_order_price_audit" ->
+      """WITH c AS (SELECT l_orderkey AS ok,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |      * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS comp
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT o.o_orderstatus AS st, c.comp,
+        |    CAST((c.comp - CAST(o.o_totalprice AS DECIMAL(18,2))) * 1000000
+        |      AS BIGINT) AS dm
+        |  FROM orders o LEFT JOIN c ON o.o_orderkey = c.ok)
+        |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN dm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN dm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+        |  CAST(sum(CASE WHEN comp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+        |  CAST(coalesce(max(abs(dm)), 0) AS BIGINT) AS max_abs_diff_micros
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q206: same (user,type) lag gaps, same lower-median rank pick
+    "q206_interarrival_median" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_us(ts) AS t,
+        |    event_id AS id FROM events),
+        |g AS (SELECT ty, t - lag(t) OVER (PARTITION BY u, ty ORDER BY t, id)
+        |    AS gap, id FROM e),
+        |f AS (SELECT ty, gap, id FROM g WHERE gap IS NOT NULL),
+        |r AS (SELECT ty, gap,
+        |    row_number() OVER (PARTITION BY ty ORDER BY gap, id) AS rk,
+        |    count(*) OVER (PARTITION BY ty) AS n FROM f)
+        |SELECT ty AS event_type, CAST(n AS BIGINT) AS n_gaps,
+        |  gap AS median_gap_us
+        |FROM r WHERE rk = (n + 1) // 2 ORDER BY 1""".stripMargin,
+    // q207: quartile PICKS at ceil(n/4)/ceil(3n/4); fences decided by
+    // the identical cross-multiplied IEEE expression on both engines
+    "q207_iqr_fences" ->
+      """WITH e AS (SELECT event_type AS ty, value AS v, event_id AS id
+        |    FROM events),
+        |r AS (SELECT ty, v,
+        |    row_number() OVER (PARTITION BY ty ORDER BY v, id) AS rk,
+        |    count(*) OVER (PARTITION BY ty) AS n FROM e),
+        |p AS (SELECT ty, max(n) AS n,
+        |    max(CASE WHEN rk = (n + 3) // 4 THEN v END) AS q1,
+        |    max(CASE WHEN rk = (3 * n + 3) // 4 THEN v END) AS q3
+        |  FROM r GROUP BY 1)
+        |SELECT e.ty AS event_type, CAST(max(p.n) AS BIGINT) AS n_events,
+        |  max(p.q1) AS q1, max(p.q3) AS q3,
+        |  CAST(sum(CASE WHEN e.v * 2 < p.q1 * 5 - p.q3 * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN e.v * 2 > p.q3 * 5 - p.q1 * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_high
+        |FROM e JOIN p USING (ty) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q208: epoch-day weekday (0 = Sunday) — no engine dayofweek enters;
+    // cents are nonnegative so // is the floor division
+    "q208_weekday_profile" ->
+      """WITH o AS (SELECT
+        |    ((CAST(o_orderdate AS DATE) - DATE '1970-01-01') + 4) % 7 AS wd,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |d AS (SELECT wd, count(*) AS n, sum(cents) AS c FROM o GROUP BY 1),
+        |t AS (SELECT sum(c) AS tot FROM d)
+        |SELECT CAST(wd AS BIGINT) AS weekday, CAST(n AS BIGINT) AS n_orders,
+        |  CAST(CAST(c AS DECIMAL(38,2)) / 100 AS DOUBLE) AS revenue,
+        |  CAST((CAST(c AS HUGEINT) * 1000000) // tot AS BIGINT)
+        |    AS revenue_share_ppm
+        |FROM d, t ORDER BY 1""".stripMargin,
+    // q209: same integer width/bucket arithmetic (16 buckets)
+    "q209_price_histogram" ->
+      """WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS c FROM lineitem),
+        |b AS (SELECT min(c) AS lo, max(c) AS hi FROM c),
+        |w AS (SELECT lo, greatest((hi - lo + 16) // 16, 1) AS w FROM b),
+        |x AS (SELECT (c.c - w.lo) // w.w AS bucket, w.lo, w.w FROM c, w)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(min(lo + bucket * w) AS BIGINT) AS lo_cents,
+        |  CAST(min(lo + (bucket + 1) * w - 1) AS BIGINT) AS hi_cents,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q210: q153's session tag, DISTINCT per-session types, a < b pairs
+    "q210_session_cooccurrence" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_us(ts) AS t,
+        |    event_id AS id FROM events),
+        |m AS (SELECT u, ty, t, id, CASE WHEN lag(t) OVER
+        |      (PARTITION BY u ORDER BY t, id) IS NULL
+        |    OR t - lag(t) OVER (PARTITION BY u ORDER BY t, id) > 1800000000
+        |    THEN 1 ELSE 0 END AS nw FROM e),
+        |s AS (SELECT u, ty, sum(nw) OVER (PARTITION BY u ORDER BY t, id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |d AS (SELECT DISTINCT u, sid, ty FROM s)
+        |SELECT a.ty AS type_a, b.ty AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM d a JOIN d b ON a.u = b.u AND a.sid = b.sid AND a.ty < b.ty
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q211: same tokenizer as q61; nonnegative counts so // floors
+    "q211_hapax_ratio" ->
+      """WITH t AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT source, tok, count(*) AS tf FROM t
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |a AS (SELECT source, count(*) AS nt,
+        |    sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS nh FROM p GROUP BY 1)
+        |SELECT source, CAST(nt AS BIGINT) AS n_token_types,
+        |  CAST(nh AS BIGINT) AS n_hapax,
+        |  CAST((nh * 1000000) // nt AS BIGINT) AS hapax_ppm
+        |FROM a ORDER BY 1""".stripMargin,
+    // q212: percentile picks at ceil(n*p/100); clip then floored micros,
+    // mean as the nonnegative-remainder floor division (sum may be
+    // negative, where // truncates)
+    "q212_winsorized_mean" ->
+      """WITH e AS (SELECT event_type AS ty, value AS v, event_id AS id
+        |    FROM events),
+        |r AS (SELECT ty, v,
+        |    row_number() OVER (PARTITION BY ty ORDER BY v, id) AS rk,
+        |    count(*) OVER (PARTITION BY ty) AS n FROM e),
+        |p AS (SELECT ty, max(n) AS n,
+        |    max(CASE WHEN rk = (n * 5 + 99) // 100 THEN v END) AS plo,
+        |    max(CASE WHEN rk = (n * 95 + 99) // 100 THEN v END) AS phi
+        |  FROM r GROUP BY 1),
+        |s AS (SELECT e.ty, max(p.n) AS n, max(p.plo) AS plo,
+        |    max(p.phi) AS phi,
+        |    CAST(sum(CAST(floor(least(greatest(e.v, p.plo), p.phi) * 1000000)
+        |      AS BIGINT)) AS HUGEINT) AS sm
+        |  FROM e JOIN p USING (ty) GROUP BY 1)
+        |SELECT ty AS event_type, CAST(n AS BIGINT) AS n_events,
+        |  plo AS p_lo, phi AS p_hi,
+        |  CAST((sm - ((sm % n + n) % n)) // n AS BIGINT)
+        |    AS winsorized_mean_micros
+        |FROM s ORDER BY 1""".stripMargin,
+    // q213: same (customer, month) cents rollup and month+1 shift;
+    // observed-months clip keeps the phantom churn month out
+    "q213_revenue_bridge" ->
+      """WITH r AS (SELECT o_custkey AS c,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT c, m + 1 AS m, cents AS pcents FROM r),
+        |j AS (SELECT coalesce(r.c, p.c) AS c, coalesce(r.m, p.m) AS m,
+        |    r.cents, p.pcents
+        |  FROM r FULL OUTER JOIN p ON r.c = p.c AND r.m = p.m),
+        |mm AS (SELECT DISTINCT m FROM r)
+        |SELECT CAST(j.m AS BIGINT) AS month_num,
+        |  CAST(coalesce(sum(CASE WHEN pcents IS NULL THEN cents END), 0)
+        |    AS BIGINT) AS new_cents,
+        |  CAST(coalesce(sum(CASE WHEN pcents IS NOT NULL THEN cents END), 0)
+        |    AS BIGINT) AS retained_cents,
+        |  CAST(coalesce(sum(CASE WHEN cents IS NULL THEN pcents END), 0)
+        |    AS BIGINT) AS churned_cents
+        |FROM j JOIN mm ON j.m = mm.m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q214: first_value/last_value IGNORE NULLS over the same [-inf,-1]
+    // frame; the two rollups meet in a vocabulary-sized outer join
+    "q214_attribution_compare" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_us(ts) AS t,
+        |    event_id AS id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vmic FROM events),
+        |a AS (SELECT ty, vmic,
+        |    first_value(CASE WHEN ty <> 'purchase' THEN ty END IGNORE NULLS)
+        |      OVER (PARTITION BY u ORDER BY t, id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+        |    last_value(CASE WHEN ty <> 'purchase' THEN ty END IGNORE NULLS)
+        |      OVER (PARTITION BY u ORDER BY t, id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM e),
+        |f AS (SELECT coalesce(ft, 'direct') AS touch_type, count(*) AS nf,
+        |    sum(vmic) AS vf FROM a WHERE ty = 'purchase' GROUP BY 1),
+        |l AS (SELECT coalesce(lt, 'direct') AS touch_type, count(*) AS nl,
+        |    sum(vmic) AS vl FROM a WHERE ty = 'purchase' GROUP BY 1)
+        |SELECT coalesce(f.touch_type, l.touch_type) AS touch_type,
+        |  CAST(coalesce(nf, 0) AS BIGINT) AS n_first,
+        |  CAST(coalesce(vf, 0) AS BIGINT) AS value_first_micros,
+        |  CAST(coalesce(nl, 0) AS BIGINT) AS n_last,
+        |  CAST(coalesce(vl, 0) AS BIGINT) AS value_last_micros
+        |FROM f FULL OUTER JOIN l ON f.touch_type = l.touch_type
+        |ORDER BY 1""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

@@ -3025,4 +3025,358 @@ object Analytics {
           .as("n_outliers"))
       .orderBy("event_type")
   }
+
+  /** Cross-table billing audit: per order, the header total
+    * (`o_totalprice`) against the amount recomputed from its lines —
+    * `Σ extendedprice·(1−discount)·(1+tax)` in EXACT decimal (2dp
+    * factors, so the 6dp product is exact; no IEEE multiply anywhere) —
+    * rolled up per order status: how many orders reconcile to the
+    * cent, how many drift, the worst absolute drift, and how many
+    * headers have no lines at all. The warehouse's
+    * invoices-vs-line-items trust check (same family as the
+    * reconciliation engine, pointed at an intra-schema invariant).
+    *
+    * Scale shape: the fact collapses to one decimal sum per order
+    * FIRST (hash agg with partials); the header join is then
+    * order-key-equi on two order-sized relations (shuffle join on the
+    * key — both sides big, no broadcast pretense); the census is a
+    * status-vocabulary-bounded rollup. */
+  def orderPriceAudit(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val d2 = DecimalType(18, 2)
+    val comp = lineitem.groupBy(col("l_orderkey").as("__ok"))
+      .agg(sum(col("l_extendedprice").cast(d2) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))) *
+        (lit(1).cast(DecimalType(4, 2)) + col("l_tax").cast(DecimalType(4, 2))))
+        .as("__comp"))
+    orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(d2).as("__tot"))
+      .join(comp, col("o_orderkey") === col("__ok"), "left")
+      .withColumn("__diff_mic",
+        ((col("__comp") - col("__tot")) * 1000000).cast("long"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("__diff_mic") === 0L, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("__diff_mic") =!= 0L, 1L).otherwise(0L))
+          .as("n_mismatched"),
+        sum(when(col("__comp").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+        coalesce(max(abs(col("__diff_mic"))), lit(0L))
+          .as("max_abs_diff_micros"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Per-type inter-arrival statistics: for each event type, the exact
+    * lower median of the gaps between a user's CONSECUTIVE events of
+    * that type — the empirical cadence behind retry tuning, heartbeat
+    * thresholds, and anomalous-silence alerts (q140's threshold is
+    * exactly what this calibrates). A user's first event of a type has
+    * no predecessor and feeds no gap. Output:
+    * `(event_type, n_gaps, median_gap_us)`.
+    *
+    * Scale shape: gaps come from one (user, type)-keyed lag window
+    * (narrow columns); the per-type exact median rides
+    * [[graft.util.GlobalRank.withGlobalRank]] over the
+    * (type, gap, id) total order with broadcast per-type rank offsets
+    * — NEVER a per-type window over the raw gap rows (the q198
+    * discipline). */
+  def interArrivalMedian(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u", "__ty").orderBy(col("__t"), col("__id"))
+    val gaps = events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"))
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .select(col("__ty"), col("__gap"), col("__id"))
+    val (ranked, _) = withGlobalRank(gaps,
+      Seq(col("__ty"), col("__gap"), col("__id")), "__gr")
+    val offs = ranked.groupBy("__ty")
+      .agg(min(col("__gr")).as("__off"), count(lit(1)).as("__n"))
+    ranked.join(broadcast(offs), "__ty")
+      // lower median: local rank (n+1)/2 in integer division
+      .filter(col("__gr") - col("__off") + 1 ===
+        (col("__n") + 1 - pmod(col("__n") + 1, lit(2L))) / 2)
+      .select(col("__ty").as(typeCol), col("__n").as("n_gaps"),
+        col("__gap").as("median_gap_us"))
+      .orderBy(typeCol)
+  }
+
+  /** Tukey IQR fence census per event type: exact quartile PICKS
+    * (q1 at rank ⌈n/4⌉, q3 at ⌈3n/4⌉ — actual data values, never
+    * interpolated) and how many events fall below `q1 − 1.5·IQR` or
+    * above `q3 + 1.5·IQR`. The box-plot sibling of [[madOutliers]];
+    * fences decide by the cross-multiplied integer form
+    * (`2v < 5·q1 − 3·q3`), so the comparison is the same IEEE
+    * expression on both engines with no intermediate the optimizer
+    * could re-associate. Output:
+    * `(event_type, n_events, q1, q3, n_low, n_high)`.
+    *
+    * Scale shape: one [[graft.util.GlobalRank.withGlobalRank]] pass
+    * over the (type, value, id) total order; quartile picks and fence
+    * counts ride broadcast type-bounded offset/pick tables — never a
+    * per-type window over raw facts. */
+  def iqrOutliers(events: DataFrame, typeCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    def ceilDiv(a: Column, b: Long): Column =
+      (a + (b - 1) - pmod(a + (b - 1), lit(b))) / b
+    val base = events.select(col(typeCol).as("__ty"),
+      col(valueCol).as("__v"), col(idCol).as("__id"))
+    val (ranked, _) = withGlobalRank(base,
+      Seq(col("__ty"), col("__v"), col("__id")), "__gr")
+    val ranked2 = ranked.localCheckpoint() // picks + fence count read it
+    val offs = ranked2.groupBy("__ty")
+      .agg(min(col("__gr")).as("__off"), count(lit(1)).as("__n"))
+    val picks = ranked2.join(broadcast(offs), "__ty")
+      .withColumn("__lr", col("__gr") - col("__off") + 1)
+      .withColumn("__q1r", ceilDiv(col("__n"), 4L))
+      .withColumn("__q3r", ceilDiv(col("__n") * 3, 4L))
+      .groupBy("__ty")
+      .agg(max(col("__n")).as("n_events"),
+        max(when(col("__lr") === col("__q1r"), col("__v"))).as("q1"),
+        max(when(col("__lr") === col("__q3r"), col("__v"))).as("q3"))
+    ranked2.join(broadcast(picks), "__ty")
+      .groupBy(col("__ty").as(typeCol))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        sum(when(col("__v") * 2 < col("q1") * 5 - col("q3") * 3, 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("__v") * 2 > col("q3") * 5 - col("q1") * 3, 1L)
+          .otherwise(0L)).as("n_high"))
+      .orderBy(typeCol)
+  }
+
+  /** Weekday order/revenue profile — calendar seasonality off pure
+    * epoch-day arithmetic (`(days_since_1970 + 4) mod 7`, 0 = Sunday:
+    * no engine `dayofweek` convention enters — Spark's is 1-based
+    * Sunday, DuckDB's 0-based, and both disagree with ISO). Revenue
+    * share in floored integer ppm against the broadcast 1-row total.
+    * Output: `(weekday, n_orders, revenue, revenue_share_ppm)`.
+    *
+    * Scale shape: one scan, one 7-row hash agg with partials, a 1-row
+    * total agg broadcast back — no window, no sort beyond 7 rows. */
+  def weekdayProfile(orders: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val daily = orders.select(
+        pmod(datediff(to_date(col("o_orderdate")), lit("1970-01-01")) + 4,
+          lit(7)).cast("long").as("weekday"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("__cents"))
+      .groupBy("weekday")
+      .agg(count(lit(1)).as("n_orders"), sum(col("__cents")).as("__c"))
+      .localCheckpoint() // 7 rows; total agg + share render read it
+    daily.crossJoin(broadcast(daily.agg(sum(col("__c")).as("__tot"))))
+      .select(col("weekday"), col("n_orders"),
+        (col("__c").cast(DecimalType(38, 2)) / 100).cast("double")
+          .as("revenue"),
+        fdiv(dec(col("__c")) * 1000000, dec(col("__tot")))
+          .as("revenue_share_ppm"))
+      .orderBy("weekday")
+  }
+
+  /** Equi-width price histogram in exact cents: `buckets` fixed-width
+    * bins spanning the observed [min, max] (bounds from the 1-row
+    * global agg; width = ⌈span/buckets⌉ in integers, so the last bin
+    * absorbs the remainder and every boundary is engine-exact).
+    * Output: `(bucket, lo_cents, hi_cents, n_lines)` — the
+    * distribution profile behind pricing dashboards and partition-size
+    * planning. Only observed buckets appear.
+    *
+    * Scale shape: one fact scan to cents, a broadcast 1-row bounds
+    * agg, then a bucket-count-bounded hash agg with map-side partials
+    * — no window, no sort beyond `buckets` rows. */
+  def priceHistogram(lineitem: DataFrame, buckets: Int = 16): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // floor division via the nonnegative-remainder idiom throughout —
+    // a bare `/` is IEEE double division in Spark and must not decide
+    // bucket boundaries
+    def exactDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val cents = lineitem.select(
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("__c"))
+    val bounds = cents.agg(min(col("__c")).as("__lo"), max(col("__c")).as("__hi"))
+    cents.crossJoin(broadcast(bounds))
+      // width = ⌈(hi − lo + 1) / buckets⌉, all-integer
+      .withColumn("__w", greatest(exactDiv(
+        col("__hi") - col("__lo") + buckets, lit(buckets.toLong)), lit(1L)))
+      .withColumn("bucket", exactDiv(col("__c") - col("__lo"), col("__w")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("__lo") + col("bucket") * col("__w")).as("lo_cents"),
+        min(col("__lo") + (col("bucket") + 1) * col("__w") - 1)
+          .as("hi_cents"))
+      .select(col("bucket"), col("lo_cents"), col("hi_cents"), col("n_lines"))
+      .orderBy("bucket")
+  }
+
+  /** Within-session event-type co-occurrence: unordered type pairs
+    * counted by the number of gap sessions containing BOTH — the
+    * which-actions-happen-together matrix behind feature bundling and
+    * next-action candidates (the unordered complement of
+    * [[eventTransitions]], which only sees adjacency). Output:
+    * `(type_a, type_b, n_sessions)` with `type_a < type_b`.
+    *
+    * Scale shape: the session tag shares the one user-keyed shuffle
+    * every journey operator pays; each session collapses to its
+    * DISTINCT type set (vocabulary-bounded, ≤ |types| per session)
+    * before the pair explode, so pair volume is sessions × C(|types|,2)
+    * at worst — never events²; the rollup is vocabulary²-bounded. */
+  def sessionCooccurrence(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__t"), col("__id"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"))
+      .withColumn("__new",
+        when(lag(col("__t"), 1).over(w).isNull ||
+          col("__t") - lag(col("__t"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(cum))
+      .groupBy("__u", "__sid")
+      .agg(array_sort(collect_set(col("__ty"))).as("__tys"))
+      .select(explode(col("__tys")).as("type_a"), col("__tys"))
+      .select(col("type_a"), explode(col("__tys")).as("type_b"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Winsorized mean per event type: values clipped to the exact
+    * [p`loPct`, p`hiPct`] rank PICKS (⌈n·p/100⌉, actual data values)
+    * before averaging — the robust mean that survives fat-finger
+    * outliers without discarding rows (trimming changes n; winsorizing
+    * keeps it). The mean itself is exact: clipped values fix-point to
+    * floored micros and the statistic is the floored integer division
+    * `⌊Σ clipped_micros / n⌋` — no double average anywhere. Output:
+    * `(event_type, n_events, p_lo, p_hi, winsorized_mean_micros)`.
+    *
+    * Scale shape: one [[graft.util.GlobalRank.withGlobalRank]] pass
+    * over the (type, value, id) total order; the percentile picks ride
+    * the broadcast type-bounded offset table and the clip+mean is one
+    * vocabulary-bounded hash agg — never a per-type window over raw
+    * facts. */
+  def winsorizedMean(events: DataFrame, typeCol: String, valueCol: String,
+      idCol: String, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(loPct >= 1 && loPct < hiPct && hiPct <= 100,
+      s"need 1 <= loPct < hiPct <= 100, got $loPct, $hiPct")
+    def ceilDiv(a: Column, b: Long): Column =
+      (a + (b - 1) - pmod(a + (b - 1), lit(b))) / b
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val base = events.select(col(typeCol).as("__ty"),
+      col(valueCol).as("__v"), col(idCol).as("__id"))
+    val (ranked, _) = withGlobalRank(base,
+      Seq(col("__ty"), col("__v"), col("__id")), "__gr")
+    val ranked2 = ranked.localCheckpoint() // picks + clip pass read it
+    val offs = ranked2.groupBy("__ty")
+      .agg(min(col("__gr")).as("__off"), count(lit(1)).as("__n"))
+    val picks = ranked2.join(broadcast(offs), "__ty")
+      .withColumn("__lr", col("__gr") - col("__off") + 1)
+      .groupBy("__ty")
+      .agg(max(col("__n")).as("n_events"),
+        max(when(col("__lr") === ceilDiv(col("__n") * loPct, 100L),
+          col("__v"))).as("p_lo"),
+        max(when(col("__lr") === ceilDiv(col("__n") * hiPct, 100L),
+          col("__v"))).as("p_hi"))
+    ranked2.join(broadcast(picks), "__ty")
+      .withColumn("__clip",
+        least(greatest(col("__v"), col("p_lo")), col("p_hi")))
+      .withColumn("__mic", floor(col("__clip") * 1000000d).cast("long"))
+      .groupBy(col("__ty").as(typeCol))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("p_lo")).as("p_lo"), max(col("p_hi")).as("p_hi"),
+        fdiv(dec(sum(col("__mic"))), dec(max(col("n_events"))))
+          .as("winsorized_mean_micros"))
+      .orderBy(typeCol)
+  }
+
+  /** Month-over-month revenue bridge: each month's exact-cents revenue
+    * decomposed into NEW (customer absent the previous month —
+    * acquisition plus resurrection), RETAINED (present both months),
+    * and CHURNED (the previous month's revenue of customers absent
+    * now, booked against the month they vanished) — the
+    * where-did-growth-come-from decomposition every revenue review
+    * opens with. Months are integral `year·12 + month − 1` (exact
+    * across year boundaries); only observed months report (no phantom
+    * churn month after the series ends). Output:
+    * `(month_num, new_cents, retained_cents, churned_cents)`.
+    *
+    * Scale shape: the fact collapses to one exact-cents row per
+    * (customer, month) FIRST (hash agg with partials); the bridge is
+    * one full-outer self-join of that rollup against its month+1 shift
+    * (customer-month-keyed — rollup-sized, never fact-sized), and the
+    * month report is a calendar-bounded hash agg. */
+  def revenueBridge(orders: DataFrame): DataFrame = {
+    val r = orders.select(col("o_custkey").as("__c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("__m"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("__cents"))
+      .groupBy("__c", "__m").agg(sum(col("__cents")).as("__cents"))
+      .localCheckpoint() // both bridge arms + the month spine read it
+    val prev = r.select(col("__c"), (col("__m") + 1).as("__m"),
+      col("__cents").as("__prev_cents"))
+    val months = r.select(col("__m")).distinct()
+    r.join(prev, Seq("__c", "__m"), "full")
+      // clip to observed months: the shift would otherwise fabricate a
+      // phantom all-churn month after the series ends
+      .join(months, Seq("__m"), "left_semi")
+      .groupBy(col("__m").as("month_num"))
+      .agg(
+        coalesce(sum(when(col("__prev_cents").isNull, col("__cents"))),
+          lit(0L)).as("new_cents"),
+        coalesce(sum(when(col("__prev_cents").isNotNull, col("__cents"))),
+          lit(0L)).as("retained_cents"),
+        coalesce(sum(when(col("__cents").isNull, col("__prev_cents"))),
+          lit(0L)).as("churned_cents"))
+      .orderBy("month_num")
+  }
+
+  /** First-touch vs last-touch attribution, side by side: every
+    * conversion credited twice — to the EARLIEST and to the LATEST
+    * strictly-preceding touch in the user's journey ('direct' when
+    * none) — so the two models' disagreement per channel is one table
+    * (first-touch rewards discovery channels, last-touch closers; the
+    * gap IS the funnel-position signal). Values in exact floored
+    * micros. Output: `(touch_type, n_first, value_first_micros,
+    * n_last, value_last_micros)`.
+    *
+    * Scale shape: both lookups are ignore-nulls window functions over
+    * the SAME `[-∞, -1]` frame of the one user-keyed shuffle — adding
+    * the second model adds a projection, never a shuffle; the rollups
+    * are vocabulary-bounded and meet in a vocabulary-sized outer
+    * join. */
+  def attributionCompare(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, valueCol: String,
+      convType: String = "purchase"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__t"), col("__id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touch = when(col("__ty") =!= convType, col("__ty"))
+    val convs = events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"),
+        floor(col(valueCol) * 1000000d).cast("long").as("__vmic"))
+      .withColumn("__first", first(touch, ignoreNulls = true).over(w))
+      .withColumn("__last", last(touch, ignoreNulls = true).over(w))
+      .filter(col("__ty") === convType)
+      .localCheckpoint() // both model rollups read it
+    def rollup(c: Column, nCol: String, vCol: String) = convs
+      .groupBy(coalesce(c, lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as(nCol), sum(col("__vmic")).as(vCol))
+    rollup(col("__first"), "n_first", "value_first_micros")
+      .join(rollup(col("__last"), "n_last", "value_last_micros"),
+        Seq("touch_type"), "full")
+      .select(col("touch_type"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("value_first_micros"), lit(0L)).as("value_first_micros"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        coalesce(col("value_last_micros"), lit(0L)).as("value_last_micros"))
+      .orderBy("touch_type")
+  }
 }

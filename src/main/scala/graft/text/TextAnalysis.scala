@@ -1597,4 +1597,33 @@ object TextAnalysis {
         fdiv(sum(col("__term")), dec(max(col("__ns")))).as("kl_micro_nats"))
       .orderBy("source")
   }
+
+  /** Per-source hapax legomena ratio: the share of a source's token
+    * TYPES that occur exactly once within it, in floored integer ppm —
+    * the classic lexical-richness/noise signal (natural prose sits in a
+    * band; OCR garbage and ID-heavy logs spike it, templated boilerplate
+    * collapses it), read per source so one bad feed shows up before it
+    * pollutes the mix. Output:
+    * `(source, n_token_types, n_hapax, hapax_ppm)`.
+    *
+    * Scale shape: word-count — the (source, token) rollup runs with
+    * map-side partials (a hot token reaches the reducer as partial
+    * counts, never raw rows), then a sources-bounded second agg; the
+    * ratio is one exact integer division. No `count(distinct)`
+    * anywhere. */
+  def hapaxRatio(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    df.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy("source", "__t").agg(count(lit(1)).as("__tf"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_token_types"),
+        sum(when(col("__tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_token_types"), col("n_hapax"),
+        fdiv(col("n_hapax") * 1000000L, col("n_token_types"))
+          .as("hapax_ppm"))
+      .orderBy("source")
+  }
 }

@@ -1242,6 +1242,114 @@ class PlanSpec extends SparkSpec {
       s"one equi-join between two projected sides:\n$p")
   }
 
+  test("q205 order price audit: fact collapses per order BEFORE the header join") {
+    val p = plan("q205_order_price_audit")
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1,
+      s"one fact scan feeds the per-order decimal sum:\n$p")
+    assert("orders\\.parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("partial_sum"),
+      s"the per-order recompute must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the header join is order-key-equi:\n$p")
+  }
+
+  test("q206 inter-arrival median: ranks under the partition-id window, never per-type") {
+    val p = plan("q206_interarrival_median")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"the median rank comes from the range-partition decomposition:\n$p")
+    assert(!"windowspecdefinition\\(__ty".r.findFirstIn(p).isDefined,
+      s"never a per-type window over the raw gaps (hot types):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type offsets are a k-sized broadcast:\n$p")
+    assert(!p.contains("events.parquet"),
+      s"the rank pass reads the checkpointed ranged relation:\n$p")
+  }
+
+  test("q207 IQR fences: rank decomposition, type-bounded broadcast picks") {
+    val p = plan("q207_iqr_fences")
+    // the global-rank pass (windowspecdefinition(__pid — pinned on
+    // q198/q202) materializes ONCE here because picks and fence counts
+    // both read it: the final plan's leaf carries the rank column
+    assert("ExistingRDD\\[[^\\]]*__gr".r.findFirstIn(p).isDefined,
+      s"quartile picks read the materialized global-rank relation:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"never a per-type window over the raw fact:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets and picks are k-sized broadcasts:\n$p")
+    assert(!p.contains("events.parquet"),
+      s"picks + fence count read the checkpointed ranked relation:\n$p")
+  }
+
+  test("q208 weekday profile: 7-row rollup materializes once, 1-row total broadcast") {
+    val p = plan("q208_weekday_profile")
+    assert(!p.contains("orders.parquet"),
+      s"total agg + share render read the checkpointed 7-row rollup:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the grand total attaches as a broadcast 1-row cross join:\n$p")
+    assert(p.contains("ExistingRDD"))
+  }
+
+  test("q209 price histogram: 2-column pruned scans, bucket-bounded agg") {
+    val p = plan("q209_price_histogram")
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
+      s"only the price column reaches either scan:\n$p")
+    assert(p.contains("partial_count"),
+      s"bucket counts partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row bounds agg attaches as a broadcast cross join:\n$p")
+  }
+
+  test("q210 session co-occurrence: one scan, session tag on the user window") {
+    val p = plan("q210_session_cooccurrence")
+    assert("events\\.parquet".r.findAllIn(p).length == 1,
+      s"the tag, type sets, and pairs all derive from ONE scan:\n$p")
+    assert(p.contains("windowspecdefinition(__u"),
+      s"the session tag partitions by user, never globally:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pairs explode from per-session type SETS, not a self-join:\n$p")
+  }
+
+  test("q211 hapax ratio: word-count shape with map-side partials, no joins") {
+    val p = plan("q211_hapax_ratio")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("partial_count"),
+      s"the (source, token) rollup must partial-aggregate:\n$p")
+    assert(!p.contains("Join"), s"no joins in a two-level rollup:\n$p")
+  }
+
+  test("q212 winsorized mean: rank decomposition, clip off broadcast picks") {
+    val p = plan("q212_winsorized_mean")
+    // same shape as q207: the rank pass materializes once (picks +
+    // clip both read it), so the leaf carries the rank column
+    assert("ExistingRDD\\[[^\\]]*__gr".r.findFirstIn(p).isDefined,
+      s"percentile picks read the materialized global-rank relation:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"never a per-type window over the raw fact:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets and picks are k-sized broadcasts:\n$p")
+    assert(!p.contains("events.parquet"),
+      s"picks + clip pass read the checkpointed ranked relation:\n$p")
+  }
+
+  test("q213 revenue bridge: both arms read the checkpointed rollup") {
+    val p = plan("q213_revenue_bridge")
+    assert(!p.contains("orders.parquet"),
+      s"bridge arms + month spine read the (cust, month) rollup leaf:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(!p.contains("CartesianProduct"),
+      s"the bridge is a keyed full-outer self-join of the rollup:\n$p")
+  }
+
+  test("q214 attribution compare: both model rollups read one materialized pass") {
+    val p = plan("q214_attribution_compare")
+    assert(!p.contains("events.parquet"),
+      s"first/last rollups read the checkpointed windowed pass:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(p.contains("partial_count"),
+      s"both rollups partial-aggregate before their shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

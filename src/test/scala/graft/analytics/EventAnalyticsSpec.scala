@@ -1413,4 +1413,152 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-02", 1L, 1L, 7.0, 2.0),
       ("2024-03", 0L, 1L, 0.0, 20.0)))
   }
+
+  test("orderPriceAudit: exact-cent reconcile, drift census, headless lines") {
+    // o1 reconciles exactly: 100 * (1-0.10) * (1+0.10) = 99.00
+    // o2 drifts by +0.50 against its recompute (2.00)
+    // o3 has NO lines at all
+    val orders = Seq(
+      (1L, "O", 99.0), (2L, "O", 2.5), (3L, "F", 7.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val lines = Seq(
+      (1L, 100.0, 0.10, 0.10),
+      (2L, 2.0, 0.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val got = Analytics.orderPriceAudit(orders, lines)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("F", 1L, 0L, 0L, 1L, 0L),          // headless: neither bucket
+      ("O", 2L, 1L, 1L, 0L, 500000L)))    // drift = 0.50 = 500000 micros
+  }
+
+  test("interArrivalMedian: gaps within (user, type) only, lower median") {
+    val events = Seq(
+      // u1 'a': gaps 10, 30 -> contributes both; u1's 'b' between them
+      // must NOT split the 'a' chain (per-type cadence)
+      (1L, "a", 0L, 1L), (1L, "b", 5L, 2L), (1L, "a", 10L, 3L),
+      (1L, "a", 40L, 4L),
+      // u2 'a': single event, no gap
+      (2L, "a", 7L, 5L),
+      // u2 'b': gap 20
+      (2L, "b", 0L, 6L), (2L, "b", 20L, 7L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Analytics.interArrivalMedian(events, "user_id", "event_type",
+        "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // 'a' gaps {10, 30}: lower median 10; 'b' gaps {20}
+    assert(got == Seq(("a", 2L, 10L), ("b", 1L, 20L)))
+  }
+
+  test("iqrOutliers: quartile picks are data values, fences catch the tails") {
+    // n=8 values 1..8 plus outliers -100 and 100 (n=10):
+    // q1 at rank ceil(10/4)=3, q3 at rank ceil(30/4)=8
+    val vals = Seq(-100.0) ++ (1 to 8).map(_.toDouble) ++ Seq(100.0)
+    val events = vals.zipWithIndex
+      .map { case (v, i) => ("t", v, i.toLong) }
+      .toDF("event_type", "value", "event_id")
+    val got = Analytics.iqrOutliers(events, "event_type", "value", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).head
+    // sorted: -100,1..8,100 -> rank3 = 2, rank8 = 7; IQR = 5
+    // fences: lo = 2 - 7.5 = -5.5, hi = 7 + 7.5 = 14.5
+    assert(got == (("t", 10L, 2.0, 7.0, 1L, 1L)))
+  }
+
+  test("priceHistogram: integer widths, remainder bins, degenerate span") {
+    // cents 100..115 (16 values) in 4 buckets -> width ceil(16/4)=4
+    val li = (100 to 115).map(c => c / 100.0).toDF("l_extendedprice")
+    val got = Analytics.priceHistogram(li, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((0L, 100L, 103L, 4L), (1L, 104L, 107L, 4L),
+      (2L, 108L, 111L, 4L), (3L, 112L, 115L, 4L)))
+    // all-equal prices: width clamps to 1, single bucket
+    val flat = Seq(2.0, 2.0, 2.0).toDF("l_extendedprice")
+    val g2 = Analytics.priceHistogram(flat, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(g2 == Seq((0L, 3L)))
+  }
+
+  test("sessionCooccurrence: distinct types per session, gap splits pairs") {
+    val gap = 1000L
+    val events = Seq(
+      // u1 session 1: a, b, a (pair (a,b) counted ONCE despite repeat)
+      (1L, "a", 0L, 1L), (1L, "b", 10L, 2L), (1L, "a", 20L, 3L),
+      // u1 session 2 (past the gap): a, c
+      (1L, "a", 5000L, 4L), (1L, "c", 5010L, 5L),
+      // u2: b then c in one session
+      (2L, "c", 0L, 6L), (2L, "b", 1L, 7L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Analytics.sessionCooccurrence(events, "user_id", "event_type",
+        "ts", "event_id", gapUs = gap)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
+
+  test("winsorizedMean: clipping tames the outlier, picks are exact") {
+    // values 1..9 plus 1000: p10 pick at rank 1 (=1), p90 at rank 9 (=9)
+    val vals = (1 to 9).map(_.toDouble) ++ Seq(1000.0)
+    val events = vals.zipWithIndex.map { case (v, i) => ("t", v, i.toLong) }
+      .toDF("event_type", "value", "event_id")
+    val got = Analytics.winsorizedMean(events, "event_type", "value",
+        "event_id", loPct = 10, hiPct = 90)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).head
+    // clipped: 1..9 stay, 1000 -> 9; mean = 54/10 = 5.4 -> 5400000
+    assert(got == (("t", 10L, 1.0, 9.0, 5400000L)))
+  }
+
+  test("revenueBridge: new vs retained vs churned, phantom month clipped") {
+    val orders = Seq(
+      // month M: c1 30.00, c2 10.00 (both new)
+      (1L, "2024-01-15", 30.0), (2L, "2024-01-20", 10.0),
+      // month M+1: c1 retained 20.00, c3 new 5.00; c2 churned (10.00)
+      (1L, "2024-02-10", 20.0), (3L, "2024-02-11", 5.0))
+      .toDF("o_custkey", "__d", "o_totalprice")
+      .select(col("o_custkey"), col("__d").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+    val got = Analytics.revenueBridge(orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val m = 2024 * 12 + 0 // 2024-01
+    // no third row: the month after the series end must not appear
+    assert(got == Seq(
+      (m.toLong, 4000L, 0L, 0L),
+      (m.toLong + 1, 500L, 2000L, 1000L)))
+  }
+
+  test("attributionCompare: discovery vs closer credit, direct fallback") {
+    val events = Seq(
+      // u1: view ... click ... purchase 10 -> first=view, last=click
+      (1L, "view", 0L, 1L, 0.0), (1L, "click", 10L, 2L, 0.0),
+      (1L, "purchase", 20L, 3L, 10.0),
+      // u2: touchless purchase -> both models credit 'direct'
+      (2L, "purchase", 5L, 1L, 4.0))
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val got = Analytics.attributionCompare(events, "user_id", "event_type",
+        "ts", "event_id", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("click", 0L, 0L, 1L, 10000000L),
+      ("direct", 1L, 4000000L, 1L, 4000000L),
+      ("view", 1L, 10000000L, 0L, 0L)))
+  }
+
+  test("weekdayProfile: epoch-day arithmetic, 0 = Sunday") {
+    val orders = Seq(
+      ("2024-01-07", 10.0), // a Sunday -> 0
+      ("2024-01-08", 20.0), // Monday -> 1
+      ("2024-01-15", 30.0)) // Monday -> 1
+      .toDF("__d", "o_totalprice")
+      .select(col("__d").cast("date").as("o_orderdate"), col("o_totalprice"))
+    val got = Analytics.weekdayProfile(orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0L, 1L, 10.0, 166666L),   // 10/60 -> floored ppm
+      (1L, 2L, 50.0, 833333L)))
+  }
 }

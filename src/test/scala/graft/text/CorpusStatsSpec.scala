@@ -199,4 +199,20 @@ class CorpusStatsSpec extends SparkSpec {
     val want = math.floorDiv(8L * term, 8L)
     assert(got("skew") == want, s"expected $want, got ${got("skew")}")
   }
+
+  test("hapaxRatio: once-per-SOURCE decides, cross-doc repeats disqualify") {
+    val docs = Seq(
+      // srcA: 'x' twice (once per doc — still tf=2 within the source,
+      // NOT a hapax), 'y' and 'z' once each -> 2 of 3 types
+      (1L, "srcA", "x y"), (2L, "srcA", "x z"),
+      // srcB: every token repeated -> 0 hapax
+      (3L, "srcB", "p p q q"),
+      // null text contributes nothing
+      (4L, "srcB", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.hapaxRatio(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(("srcA", 3L, 2L, 666666L), ("srcB", 2L, 0L, 0L)))
+  }
 }
