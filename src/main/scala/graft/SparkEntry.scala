@@ -1274,6 +1274,33 @@ object SparkEntry {
     "q214_attribution_compare" -> ((s, d) =>
       Analytics.attributionCompare(Tables.events(s, d), "user_id",
         "event_type", "ts", "event_id", "value")),
+    // q215: n-gram head coverage — the templatedness number: share of
+    // occurrences the top-k types absorb, TakeOrdered head
+    "q215_ngram_head_coverage" -> ((s, d) =>
+      TextAnalysis.ngramHeadCoverage(Tables.documents(s, d), "text",
+        n = 3, k = 1000)),
+    // q216: longest consecutive-month streak histogram — q154's
+    // gaps-and-islands at month grain over orders
+    "q216_month_streaks" -> ((s, d) =>
+      Analytics.monthStreakHistogram(Tables.orders(s, d))),
+    // q217: daily p50/p90/p99 panel — exact rank picks per (type, day)
+    // off one global-rank pass, panel-bounded broadcast offsets
+    "q217_daily_quantiles" -> ((s, d) =>
+      Analytics.dailyValueQuantiles(Tables.events(s, d), "event_type",
+        "ts", "value", "event_id")),
+    // q218: session pair lift — support/confidence/lift in exact ppm
+    // over the distinct (session, type) relation
+    "q218_session_pair_lift" -> ((s, d) =>
+      Analytics.sessionPairLift(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id", gapUs = 1800000000L)),
+    // q219: daily growth accounting — new/retained/resurrected/churned
+    // users off ONE user window over the distinct (user, day) panel
+    "q219_growth_accounting" -> ((s, d) =>
+      Analytics.growthAccounting(Tables.events(s, d), "user_id", "ts")),
+    // q220: hour-of-day profile — integer epoch-hour arithmetic, exact
+    // floored-micros mean per hour
+    "q220_hourly_profile" -> ((s, d) =>
+      Analytics.hourlyProfile(Tables.events(s, d), "ts", "value")),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -4513,6 +4540,118 @@ object SparkEntry {
         |  CAST(coalesce(vl, 0) AS BIGINT) AS value_last_micros
         |FROM f FULL OUTER JOIN l ON f.touch_type = l.touch_type
         |ORDER BY 1""".stripMargin,
+    // q215: q195's gram builder; head = top-1000 types by (count desc,
+    // gram); nonnegative counts so // floors
+    "q215_ngram_head_coverage" ->
+      """WITH a AS (SELECT regexp_split_to_array(trim(text), '\s+') AS a
+        |    FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+        |  FROM a, unnest(generate_series(1, len(a) - 2)) AS t(i)
+        |  WHERE len(a) >= 3),
+        |c AS (SELECT g, count(*) AS c FROM g WHERE g <> '' GROUP BY 1),
+        |tot AS (SELECT count(*) AS nt, coalesce(sum(c), 0) AS occ FROM c),
+        |h AS (SELECT coalesce(sum(c), 0) AS hd FROM
+        |  (SELECT c FROM c ORDER BY c DESC, g LIMIT 1000))
+        |SELECT CAST(1000 AS BIGINT) AS k, CAST(nt AS BIGINT) AS n_gram_types,
+        |  CAST(occ AS BIGINT) AS total_occurrences,
+        |  CAST(hd AS BIGINT) AS head_occurrences,
+        |  CASE WHEN occ = 0 THEN NULL
+        |    ELSE CAST((hd * 1000000) // occ AS BIGINT) END AS coverage_ppm
+        |FROM tot, h""".stripMargin,
+    // q216: gaps-and-islands at month grain (month - row_number is
+    // constant within a run), best streak per customer, histogram
+    "q216_month_streaks" ->
+      """WITH d AS (SELECT DISTINCT o_custkey AS c,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m FROM orders),
+        |i AS (SELECT c, m, m - row_number() OVER
+        |    (PARTITION BY c ORDER BY m) AS isl FROM d),
+        |s AS (SELECT c, count(*) AS len FROM i GROUP BY c, isl),
+        |b AS (SELECT c, max(len) AS streak FROM s GROUP BY 1)
+        |SELECT CAST(streak AS BIGINT) AS streak_months,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q217: exact rank picks at ceil(n*p/100) per (type, day)
+    "q217_daily_quantiles" ->
+      """WITH e AS (SELECT event_type AS ty,
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+        |      % 86400000000)) // 86400000000 AS day,
+        |    value AS v, event_id AS id FROM events),
+        |r AS (SELECT ty, day, v,
+        |    row_number() OVER (PARTITION BY ty, day ORDER BY v, id) AS rk,
+        |    count(*) OVER (PARTITION BY ty, day) AS n FROM e)
+        |SELECT ty AS event_type, CAST(day AS BIGINT) AS day_num,
+        |  CAST(max(n) AS BIGINT) AS n_events,
+        |  max(CASE WHEN rk = (n * 50 + 99) // 100 THEN v END) AS p50,
+        |  max(CASE WHEN rk = (n * 90 + 99) // 100 THEN v END) AS p90,
+        |  max(CASE WHEN rk = (n * 99 + 99) // 100 THEN v END) AS p99
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q218: q210's distinct (session, type) relation; all ratios in
+    // HUGEINT cross-multiplied floored ppm (nonnegative, // floors)
+    "q218_session_pair_lift" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_us(ts) AS t,
+        |    event_id AS id FROM events),
+        |m AS (SELECT u, ty, t, id, CASE WHEN lag(t) OVER
+        |      (PARTITION BY u ORDER BY t, id) IS NULL
+        |    OR t - lag(t) OVER (PARTITION BY u ORDER BY t, id) > 1800000000
+        |    THEN 1 ELSE 0 END AS nw FROM e),
+        |s AS (SELECT u, ty, sum(nw) OVER (PARTITION BY u ORDER BY t, id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |d AS (SELECT DISTINCT u, sid, ty FROM s),
+        |p AS (SELECT a.ty AS type_a, b.ty AS type_b, count(*) AS nab
+        |  FROM d a JOIN d b ON a.u = b.u AND a.sid = b.sid AND a.ty < b.ty
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT ty, count(*) AS nt FROM d GROUP BY 1),
+        |ns AS (SELECT count(*) AS ns FROM
+        |  (SELECT DISTINCT u, sid FROM d))
+        |SELECT type_a, type_b, CAST(nab AS BIGINT) AS n_sessions,
+        |  CAST((CAST(nab AS HUGEINT) * 1000000) // ns AS BIGINT)
+        |    AS support_ppm,
+        |  CAST((CAST(nab AS HUGEINT) * 1000000) // pa.nt AS BIGINT)
+        |    AS conf_a_to_b_ppm,
+        |  CAST((CAST(nab AS HUGEINT) * 1000000) // pb.nt AS BIGINT)
+        |    AS conf_b_to_a_ppm,
+        |  CAST((CAST(nab AS HUGEINT) * ns * 1000000)
+        |    // (CAST(pa.nt AS HUGEINT) * pb.nt) AS BIGINT) AS lift_ppm
+        |FROM p JOIN pt pa ON p.type_a = pa.ty
+        |  JOIN pt pb ON p.type_b = pb.ty, ns
+        |ORDER BY 1, 2""".stripMargin,
+    // q219: lag/lead over the distinct (user, day) panel; churn booked
+    // to day+1 and clipped to observed days
+    "q219_growth_accounting" ->
+      """WITH d AS (SELECT DISTINCT user_id AS u,
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+        |      % 86400000000)) // 86400000000 AS day FROM events),
+        |p AS (SELECT u, day,
+        |    lag(day) OVER (PARTITION BY u ORDER BY day) AS prev,
+        |    lead(day) OVER (PARTITION BY u ORDER BY day) AS nxt FROM d),
+        |cls AS (SELECT day,
+        |    sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+        |    sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS n_retained,
+        |    sum(CASE WHEN prev IS NOT NULL AND prev < day - 1
+        |      THEN 1 ELSE 0 END) AS n_resurrected
+        |  FROM p GROUP BY 1),
+        |ch AS (SELECT day + 1 AS day, count(*) AS n_churned FROM p
+        |  WHERE nxt IS NULL OR nxt > day + 1 GROUP BY 1),
+        |dd AS (SELECT DISTINCT day FROM d)
+        |SELECT CAST(coalesce(cls.day, ch.day) AS BIGINT) AS day_num,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        |  CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM cls FULL OUTER JOIN ch ON cls.day = ch.day
+        |JOIN dd ON coalesce(cls.day, ch.day) = dd.day
+        |ORDER BY 1""".stripMargin,
+    // q220: integer epoch-hour arithmetic (ts nonnegative); mean as
+    // the nonneg-remainder floor division (value sums can be negative)
+    "q220_hourly_profile" ->
+      """WITH e AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vmic FROM events),
+        |a AS (SELECT hour, count(*) AS n,
+        |    CAST(sum(vmic) AS HUGEINT) AS sm FROM e GROUP BY 1)
+        |SELECT CAST(hour AS BIGINT) AS hour, CAST(n AS BIGINT) AS n_events,
+        |  CAST((sm - ((sm % n + n) % n)) // n AS BIGINT)
+        |    AS mean_value_micros
+        |FROM a ORDER BY 1""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

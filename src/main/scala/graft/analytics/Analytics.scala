@@ -3379,4 +3379,201 @@ object Analytics {
         coalesce(col("value_last_micros"), lit(0L)).as("value_last_micros"))
       .orderBy("touch_type")
   }
+
+  /** Longest consecutive-active-month streak per customer, rolled to a
+    * histogram `(streak_months, n_customers)` — the engagement-depth
+    * distribution ("how many customers have ever stayed N months
+    * straight"), [[activityStreaks]]' gaps-and-islands at month grain
+    * over orders instead of day grain over events. Months are integral
+    * `year·12 + month − 1` (exact across year boundaries).
+    *
+    * Scale shape: the fact collapses to DISTINCT (customer, month)
+    * first (hash agg); islands come from one customer-keyed window
+    * over that months-bounded panel (`month − row_number` is constant
+    * within a run); the histogram is a bounded rollup — no fact-sized
+    * window anywhere. */
+  def monthStreakHistogram(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__c").orderBy("__m")
+    orders.select(col("o_custkey").as("__c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("__m"))
+      .distinct()
+      .withColumn("__isl", col("__m") - row_number().over(w))
+      .groupBy("__c", "__isl").agg(count(lit(1)).as("__len"))
+      .groupBy("__c").agg(max(col("__len")).as("streak_months"))
+      .groupBy("streak_months").agg(count(lit(1)).as("n_customers"))
+      .orderBy("streak_months")
+  }
+
+  /** Daily value-quantile panel: per (event type, day), the event
+    * count and exact p50/p90/p99 PICKS (rank ⌈n·p/100⌉ — actual data
+    * values) — the latency/value dashboard panel every SLO review
+    * reads, computed exactly where the usual t-digest approximates.
+    *
+    * Scale shape: one
+    * [[graft.util.GlobalRank.withGlobalRank]] pass over the
+    * (type, day, value, id) total order; per-(type, day) offsets are a
+    * panel-bounded broadcast (types × observed days), and the picks
+    * are one hash agg over the ranked relation — never a per-group
+    * window over raw facts (a hot (type, day) cell would serialize). */
+  def dailyValueQuantiles(events: DataFrame, typeCol: String,
+      tsCol: String, valueCol: String, idCol: String): DataFrame = {
+    def ceilDiv(a: Column, b: Long): Column =
+      (a + (b - 1) - pmod(a + (b - 1), lit(b))) / b
+    def dayNum(t: Column) =
+      ((t - pmod(t, lit(86400000000L))) / lit(86400000000L)).cast("long")
+    val base = events.select(col(typeCol).as("__ty"),
+      dayNum(tsMicros(events, tsCol)).as("__day"),
+      col(valueCol).as("__v"), col(idCol).as("__id"))
+    val (ranked, _) = withGlobalRank(base,
+      Seq(col("__ty"), col("__day"), col("__v"), col("__id")), "__gr")
+    val offs = ranked.groupBy("__ty", "__day")
+      .agg(min(col("__gr")).as("__off"), count(lit(1)).as("__n"))
+    ranked.join(broadcast(offs), Seq("__ty", "__day"))
+      .withColumn("__lr", col("__gr") - col("__off") + 1)
+      .groupBy(col("__ty").as(typeCol), col("__day").as("day_num"))
+      .agg(max(col("__n")).as("n_events"),
+        max(when(col("__lr") === ceilDiv(col("__n") * 50, 100L),
+          col("__v"))).as("p50"),
+        max(when(col("__lr") === ceilDiv(col("__n") * 90, 100L),
+          col("__v"))).as("p90"),
+        max(when(col("__lr") === ceilDiv(col("__n") * 99, 100L),
+          col("__v"))).as("p99"))
+      .orderBy(typeCol, "day_num")
+  }
+
+  /** Association statistics for within-session event-type pairs:
+    * [[sessionCooccurrence]]'s counts extended with support,
+    * confidence (both directions), and lift — all in floored integer
+    * ppm with DECIMAL(38,0) cross-multiplication (the q150 discipline,
+    * lifted from baskets to sessions). `lift > 1e6` means the pair
+    * co-occurs more than independence predicts. Output:
+    * `(type_a, type_b, n_sessions, support_ppm, conf_a_to_b_ppm,
+    * conf_b_to_a_ppm, lift_ppm)`.
+    *
+    * Scale shape: everything derives from the DISTINCT
+    * (user, session, type) relation — one user-keyed session tag, a
+    * vocabulary-bounded pair rollup, per-type session counts as a
+    * broadcast, and the 1-row session total — never events². */
+  def sessionPairLift(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__t"), col("__id"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val st = events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"))
+      .withColumn("__new",
+        when(lag(col("__t"), 1).over(w).isNull ||
+          col("__t") - lag(col("__t"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(cum))
+      .select(col("__u"), col("__sid"), col("__ty")).distinct()
+      .localCheckpoint() // pairs, per-type counts, total all read it
+    val pairs = st.select(col("__u"), col("__sid"), col("__ty").as("type_a"))
+      .join(st.select(col("__u"), col("__sid"), col("__ty").as("type_b")),
+        Seq("__u", "__sid"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_sessions"))
+    val perType = st.groupBy(col("__ty")).agg(count(lit(1)).as("__nt"))
+    val total = st.select(col("__u"), col("__sid")).distinct()
+      .agg(count(lit(1)).as("__ns"))
+    pairs
+      .join(broadcast(perType.select(col("__ty").as("type_a"),
+        col("__nt").as("__na"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("__ty").as("type_b"),
+        col("__nt").as("__nb"))), Seq("type_b"))
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_sessions"),
+        fdiv(dec(col("n_sessions")) * 1000000, dec(col("__ns")))
+          .as("support_ppm"),
+        fdiv(dec(col("n_sessions")) * 1000000, dec(col("__na")))
+          .as("conf_a_to_b_ppm"),
+        fdiv(dec(col("n_sessions")) * 1000000, dec(col("__nb")))
+          .as("conf_b_to_a_ppm"),
+        fdiv(dec(col("n_sessions")) * dec(col("__ns")) * 1000000,
+          dec(col("__na")) * dec(col("__nb"))).as("lift_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Daily growth accounting of active users: each (user, active day)
+    * classifies as NEW (first day ever), RETAINED (active the previous
+    * day too), or RESURRECTED (active before, but not yesterday); a
+    * user CHURNS on day d+1 when active on d but not d+1 — churn is
+    * booked against observed days only (no phantom day trails the
+    * series). The DAU waterfall (`new + retained + resurrected = DAU`;
+    * `DAU_d = DAU_{d-1} + new + resurrected − churned` on consecutive
+    * days) behind every growth review. Output:
+    * `(day_num, n_new, n_retained, n_resurrected, n_churned)`.
+    *
+    * Scale shape: the event log collapses to DISTINCT (user, day)
+    * FIRST; lag and lead share ONE user-keyed window over that panel;
+    * the churn arm is a day-shifted projection of the same pass
+    * semi-joined to observed days; the report is a calendar-bounded
+    * hash agg. */
+  def growthAccounting(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    def dayNum(t: Column) =
+      ((t - pmod(t, lit(86400000000L))) / lit(86400000000L)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy("__day")
+    val panel = events.select(col(userCol).as("__u"),
+        dayNum(tsMicros(events, tsCol)).as("__day"))
+      .distinct()
+      .withColumn("__prev", lag(col("__day"), 1).over(w))
+      .withColumn("__next", lead(col("__day"), 1).over(w))
+      .localCheckpoint() // class rollup + churn arm + day spine read it
+    val classes = panel.groupBy(col("__day"))
+      .agg(
+        sum(when(col("__prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__prev") === col("__day") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("__prev").isNotNull &&
+          col("__prev") < col("__day") - 1, 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churn = panel
+      .filter(col("__next").isNull || col("__next") > col("__day") + 1)
+      .select((col("__day") + 1).as("__day"))
+      .groupBy("__day").agg(count(lit(1)).as("n_churned"))
+    val days = panel.select(col("__day")).distinct()
+    classes.join(churn, Seq("__day"), "full")
+      .join(days, Seq("__day"), "left_semi")
+      .select(col("__day").as("day_num"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("day_num")
+  }
+
+  /** Hour-of-day activity profile: event count and exact mean value
+    * (floored integer micros) per UTC hour — the diurnal-load shape
+    * behind capacity planning and anomaly baselines ("is 3 a.m.
+    * traffic normal for 3 a.m."). Hour = `⌊epoch_µs/3600e6⌋ mod 24`,
+    * pure integer arithmetic (no engine hour() timezone semantics).
+    * Output: `(hour, n_events, mean_value_micros)`.
+    *
+    * Scale shape: one scan, one 24-row hash agg with map-side
+    * partials; the mean is an exact integer division per row of the
+    * bounded output. */
+  def hourlyProfile(events: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val t = tsMicros(events, tsCol)
+    events.select(
+        pmod((t - pmod(t, lit(3600000000L))) / lit(3600000000L), lit(24L))
+          .cast("long").as("hour"),
+        floor(col(valueCol) * 1000000d).cast("long").as("__vmic"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n_events"),
+        fdiv(dec(sum(col("__vmic"))), dec(count(lit(1))))
+          .as("mean_value_micros"))
+      .orderBy("hour")
+  }
 }

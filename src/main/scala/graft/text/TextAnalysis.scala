@@ -1626,4 +1626,48 @@ object TextAnalysis {
           .as("hapax_ppm"))
       .orderBy("source")
   }
+
+  /** N-gram head coverage: what share of all n-gram OCCURRENCES the
+    * top-`k` most frequent n-gram TYPES account for (ties broken by
+    * gram text) — the how-templated-is-this-corpus number: natural
+    * prose concentrates far less mass in its head than boilerplate or
+    * log spam, so a coverage jump between crawls is a contamination
+    * alarm; it also prices how much a k-entry phrase cache/dedup table
+    * would absorb. One row out:
+    * `(k, n_gram_types, total_occurrences, head_occurrences,
+    * coverage_ppm)`.
+    *
+    * Scale shape: grams materialize by index arithmetic on the scan
+    * ([[ngramDiversity]]'s builder) and collapse in ONE word-count agg
+    * with map-side partials; the head is TakeOrdered over the type
+    * table (never a global sort materializes) and the coverage is two
+    * 1-row aggregates — the corpus is scanned once. */
+  def ngramHeadCoverage(df: DataFrame, textCol: String, n: Int = 3,
+      k: Int = 1000): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got $n, $k")
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val counts = df.filter(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("__a"))
+      .filter(size(col("__a")) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__a")) - (n - 1)),
+        i => array_join(slice(col("__a"), i, lit(n)), " "))).as("__g"))
+      .filter(col("__g") =!= "")
+      .groupBy("__g").agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // totals + head both read the type table
+    val totals = counts.agg(count(lit(1)).as("n_gram_types"),
+      coalesce(sum(col("__c")), lit(0L)).as("total_occurrences"))
+    val head = counts.orderBy(col("__c").desc, col("__g")).limit(k)
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("head_occurrences"))
+    totals.crossJoin(head)
+      .select(lit(k.toLong).as("k"), col("n_gram_types"),
+        col("total_occurrences"), col("head_occurrences"),
+        // NULL on an empty corpus (0/0 has no coverage), same pin as
+        // q190's zero-total months
+        when(col("total_occurrences") === 0L, lit(null).cast("long"))
+          .otherwise(fdiv(dec(col("head_occurrences")) * 1000000,
+            dec(col("total_occurrences")))).as("coverage_ppm"))
+  }
 }

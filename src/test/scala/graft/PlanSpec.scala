@@ -1350,6 +1350,67 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q215 n-gram head coverage: one word-count pass, TakeOrdered head") {
+    val p = plan("q215_ngram_head_coverage")
+    assert(!p.contains("documents.parquet"),
+      s"totals + head both read the checkpointed gram-type table:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the head is TakeOrdered, never a global sort:\n$p")
+    assert(p.contains("ExistingRDD"))
+  }
+
+  test("q216 month streaks: distinct panel first, customer-keyed islands") {
+    val p = plan("q216_month_streaks")
+    assert("orders\\.parquet".r.findAllIn(p).length == 1,
+      s"the fact collapses to distinct (customer, month) off ONE scan:\n$p")
+    assert(p.contains("windowspecdefinition(__c"),
+      s"islands come from a customer-keyed window, never global:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q217 daily quantiles: rank decomposition, panel-bounded offsets") {
+    val p = plan("q217_daily_quantiles")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"per-(type, day) ranks come from the range-partition decomposition:\n$p")
+    assert(!"windowspecdefinition\\(__ty".r.findFirstIn(p).isDefined,
+      s"never a per-cell window over the raw fact:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell offsets are a panel-bounded broadcast:\n$p")
+    assert(!p.contains("events.parquet"),
+      s"the pick pass reads the checkpointed ranged relation:\n$p")
+  }
+
+  test("q218 session pair lift: everything derives from one materialized relation") {
+    val p = plan("q218_session_pair_lift")
+    assert(!p.contains("events.parquet"),
+      s"pairs, type counts, and the total read the checkpointed " +
+        s"(session, type) relation:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type session counts attach as vocabulary-sized broadcasts:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row session total attaches as a broadcast cross join:\n$p")
+  }
+
+  test("q219 growth accounting: one windowed panel pass feeds all arms") {
+    val p = plan("q219_growth_accounting")
+    assert(!p.contains("events.parquet"),
+      s"class rollup, churn arm, and day spine read the checkpointed panel:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"the day rollups partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q220 hourly profile: single scan, 24-row agg, no window, no join") {
+    val p = plan("q220_hourly_profile")
+    assert("events\\.parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("partial_count"),
+      s"the hour rollup must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"one hash agg, nothing else:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

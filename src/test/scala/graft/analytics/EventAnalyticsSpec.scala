@@ -1547,6 +1547,91 @@ class EventAnalyticsSpec extends SparkSpec {
       ("view", 1L, 10000000L, 0L, 0L)))
   }
 
+  test("monthStreakHistogram: islands at month grain, best streak per customer") {
+    val orders = Seq(
+      // c1: Jan, Feb, Apr 2024 -> streaks {2, 1}, best 2
+      (1L, "2024-01-05"), (1L, "2024-02-07"), (1L, "2024-04-01"),
+      // duplicate month must not break the island run
+      (1L, "2024-02-20"),
+      // c2: Dec 2023, Jan 2024 -> the year boundary is consecutive
+      (2L, "2023-12-30"), (2L, "2024-01-02"),
+      // c3: one month
+      (3L, "2024-06-15"))
+      .toDF("o_custkey", "__d")
+      .select(col("o_custkey"), col("__d").cast("date").as("o_orderdate"),
+        lit(1.0).as("o_totalprice"))
+    val got = Analytics.monthStreakHistogram(orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("dailyValueQuantiles: exact picks per (type, day) cell") {
+    val day = 86400000000L
+    val events = ((1 to 10).map(i => ("a", i.toDouble, i.toLong, 0L)) ++
+      Seq(("a", 100.0, 11L, day), ("a", 200.0, 12L, day)) ++
+      Seq(("b", 5.0, 13L, 0L)))
+      .map { case (ty, v, id, t) => (ty, v, id, t + 1) } // past epoch 0
+      .toDF("event_type", "value", "event_id", "ts")
+    val got = Analytics.dailyValueQuantiles(events, "event_type", "ts",
+        "value", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      // day 0, type a, n=10: p50 at rank 5, p90 at 9, p99 at 10
+      ("a", 0L, 10L, 5.0, 9.0, 10.0),
+      // day 1, n=2: picks at rank 1, 2, 2
+      ("a", 1L, 2L, 100.0, 200.0, 200.0),
+      ("b", 0L, 1L, 5.0, 5.0, 5.0)))
+  }
+
+  test("sessionPairLift: lift from independent vs co-occurring types") {
+    val gap = 1000L
+    // 4 sessions (distinct users): {a,b} x2, {a} x1, {b} x1
+    // n_a = 3, n_b = 3, n_ab = 2, N = 4
+    val events = Seq(
+      (1L, "a", 0L, 1L), (1L, "b", 1L, 2L),
+      (2L, "a", 0L, 3L), (2L, "b", 1L, 4L),
+      (3L, "a", 0L, 5L),
+      (4L, "b", 0L, 6L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Analytics.sessionPairLift(events, "user_id", "event_type",
+        "ts", "event_id", gapUs = gap)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // support 2/4 = 500000; conf 2/3 = 666666; lift 2*4/(3*3) = 888888
+    assert(got == Seq(("a", "b", 2L, 500000L, 666666L, 666666L, 888888L)))
+  }
+
+  test("growthAccounting: classes per day, churn booked to observed days only") {
+    val day = 86400000000L
+    val events = Seq(
+      // u1: days 1, 2, 4 -> new@1, retained@2, resurrected@4;
+      // churn@3 (observed via u2) and churn@5 (UNOBSERVED -> clipped)
+      (1L, 1 * day), (1L, 2 * day), (1L, 4 * day),
+      // u2: day 3 only -> new@3, churn@4
+      (2L, 3 * day))
+      .toDF("user_id", "ts")
+    val got = Analytics.growthAccounting(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L, 0L, 0L),
+      (2L, 0L, 1L, 0L, 0L),
+      (3L, 1L, 0L, 0L, 1L),   // u1 churned on 3 (active 2, not 3)
+      (4L, 0L, 0L, 1L, 1L)))  // u1 resurrected; u2 churned
+  }
+
+  test("hourlyProfile: epoch-hour buckets, floored integer mean") {
+    val hour = 3600000000L
+    val events = Seq(
+      (1L * hour + 5, 1.0), (1L * hour + 9, 2.0),  // hour 1: mean 1.5
+      (26L * hour + 1, 7.0))                       // 26 mod 24 = hour 2
+      .toDF("ts", "value")
+    val got = Analytics.hourlyProfile(events, "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1500000L), (2L, 1L, 7000000L)))
+  }
+
   test("weekdayProfile: epoch-day arithmetic, 0 = Sunday") {
     val orders = Seq(
       ("2024-01-07", 10.0), // a Sunday -> 0

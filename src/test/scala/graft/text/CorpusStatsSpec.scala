@@ -215,4 +215,23 @@ class CorpusStatsSpec extends SparkSpec {
         r.getLong(3))).toSeq
     assert(got == Seq(("srcA", 3L, 2L, 666666L), ("srcB", 2L, 0L, 0L)))
   }
+
+  test("ngramHeadCoverage: top-k types absorb their exact occurrence share") {
+    val docs = Seq(
+      // trigram 'a b c' appears 3x (twice in doc 1 via overlap-free
+      // repeats, once in doc 2); the other trigrams once each
+      (1L, "a b c x a b c"),  // grams: abc, bcx, cxa, xab, abc
+      (2L, "a b c"),          // gram: abc
+      (3L, "q r"))            // too short: contributes nothing
+      .toDF("doc_id", "text")
+    // 6 occurrences over 4 types; head k=1 is 'a b c' with 3
+    val got = TextAnalysis.ngramHeadCoverage(docs, "text", n = 3, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 4L, 6L, 3L, 500000L)))
+    // k covering everything -> ppm = 1e6 exactly
+    val all = TextAnalysis.ngramHeadCoverage(docs, "text", n = 3, k = 10)
+      .head()
+    assert(all.getLong(4) == 1000000L)
+  }
 }
