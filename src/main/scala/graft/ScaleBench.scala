@@ -352,7 +352,8 @@ object ScaleBench {
     if (baseDir.nonEmpty &&
         Seq("q198_mad_census", "q202_wmedian_census",
           "q198_workload_rows", "q191_attribution_census",
-          "q192_linear_census", "q200_locf_census").exists(wanted)) {
+          "q192_linear_census", "q200_locf_census",
+          "q217_quantile_census").exists(wanted)) {
       val f = math.min(factor, 16)
       val ev0 = Tables.events(spark, baseDir)
       val maxId = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
@@ -372,6 +373,13 @@ object ScaleBench {
       bench("q200_locf_census")(
         graft.analytics.Analytics.dailyStatusLocf(ev, "user_id",
           "event_type", "ts", "event_id").count())
+      // q217 rides the same global-rank machinery as q198 but with a
+      // panel-bounded (type × day) offset table instead of a
+      // type-bounded one — the census rows column records the panel
+      // cells (invariant across factors: same types, same days)
+      bench("q217_quantile_census")(
+        graft.analytics.Analytics.dailyValueQuantiles(ev, "event_type",
+          "ts", "value", "event_id").count())
       val li = Tables.lineitem(spark, baseDir)
         .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
         .crossJoin(broadcast(spark.range(f).select(col("id").as("__r"))))
