@@ -378,12 +378,11 @@ object Bench {
       end: Option[(Long, Long, Long)]): String = {
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val pcts = for {
-      (t0, i0, s0) <- start; (t1, i1, s1) <- end
-      dt = t1 - t0 if dt > 0
-    } yield (100.0 * (dt - (i1 - i0)) / dt, 100.0 * (s1 - s0) / dt)
-    pcts match {
-      case Some((cpu, steal)) =>
+    // ONE jiffies-delta computation (stealCpu) feeds both the phase
+    // rows and the per-child/per-run telemetry they are adjudicated
+    // against — a field fix applied to one copy must not skew the other
+    stealCpu(start, end) match {
+      case Some((steal, cpu)) =>
         s""""$key":{"cpu_pct":${r3(cpu)},"steal_pct":${r3(steal)},"load1":${r3(load1)}},"""
       case None => ""
     }
@@ -623,7 +622,19 @@ object Bench {
             System.err.println(f"[bench] $name min ${best.lo}%.1f s > " +
               f"1.5x clean ref $ref%.1f s - suspected host stall, " +
               f"retry $extra/3")
-            oneChild().foreach(c => if (c.lo < best.lo) best = c)
+            // a FAILED retry's min is time-to-FAILURE — adopting it
+            // would ship a fabricated fast funnel AND poison next
+            // round's parseFunnelMins-derived refs. Only the FIRST
+            // child decides failure status (the per-query guard's
+            // rule): a clean-first-run name is un-branded after a
+            // transient retry throw, and the failed retry's numbers
+            // are discarded.
+            val hadFailed = failed(name)
+            oneChild().foreach { c =>
+              val retryFailed = !hadFailed && failed(name)
+              if (retryFailed) failed -= name
+              if (!retryFailed && c.lo < best.lo) best = c
+            }
           }
         }
         best
@@ -642,7 +653,11 @@ object Bench {
         phaseBusy ++= hostBusyJson(
           name.replace("curate_", "host_busy_"), f0, cpuJiffies())
       }
-      name -> r
+      // a funnel whose OFFICIAL run failed publishes zeros, not its
+      // time-to-failure (the cdc_replicate rule): parseFunnelMins
+      // drops zeros, so a crashed round can never become next round's
+      // guard reference; the headline's failed list says why
+      name -> (if (failed(name)) zero else r)
     }.toMap
     // per-attempt rows (chronological): each child's min/med plus its
     // OWN steal/cpu window — the artifact adjudicates a stall-retried

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.util.GlobalRank.{withGlobalRank, withGlobalRankAndPrefix}
+import graft.util.GlobalRank.{withGlobalRank, withGlobalRankAndPrefix, withGroupLocalRank}
 
 /** Warehouse-side analytics: the reference's materialized views and
   * validation suite re-expressed as DataFrame queries
@@ -561,27 +561,42 @@ object Analytics {
     * everything downstream is steps-bounded. Same greedy
     * earliest-advance fold as [[eventFunnel]], so the oracle's
     * chained-min formulation is equivalent. */
+  /** Gap-session tag shared by every session-scoped journey operator
+    * ([[sessionFunnel]], [[sessionPaths]], [[sessionCooccurrence]],
+    * [[sessionPairLift]]): `(__u, __ty, __t, __id)` plus `__sid` — the
+    * running count of over-gap boundaries under ONE user-keyed
+    * (ts, id) window sort. The boundary rule (a gap STRICTLY greater
+    * than `gapUs` opens a session) lives here ONCE — forked copies
+    * would let the operators' session definitions silently diverge.
+    * ([[sessionize]] keeps its own tag: it orders by ts alone and
+    * documents why that stays deterministic for its rollup.) */
+  private def gapSessionTag(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__t"), col("__id"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"))
+      .withColumn("__new",
+        when(lag(col("__t"), 1).over(w).isNull ||
+          col("__t") - lag(col("__t"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(cum))
+      .drop("__new")
+  }
+
   def sessionFunnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, idCol: String, steps: Seq[String],
       gapUs: Long): DataFrame = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"steps must be non-empty and distinct, got $steps")
-    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
     val stepsArr = array(steps.map(lit): _*)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__u").orderBy("__t", "__id")
-    val cum = w.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val tagged = events.select(col(userCol).as("__u"),
-        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"),
-        col(typeCol).as("__ty"))
-      .withColumn("__new",
-        when(lag(col("__t"), 1).over(w).isNull ||
-          col("__t") - lag(col("__t"), 1).over(w) > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("__s", sum(col("__new")).over(cum))
+    val tagged = gapSessionTag(events, userCol, typeCol, tsCol, idCol, gapUs)
     val perSession = tagged.filter(col("__ty").isin(steps: _*))
-      .select(col("__u"), col("__s"),
+      .select(col("__u"), col("__sid").as("__s"),
         struct(col("__t").as("t"),
           array_position(stepsArr, col("__ty")).as("idx")).as("__e"))
       .groupBy("__u", "__s")
@@ -2799,17 +2814,8 @@ object Analytics {
     * operator here carries. */
   def sessionPaths(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, idCol: String, gapUs: Long, k: Int = 20): DataFrame = {
-    require(gapUs > 0 && k >= 1, s"need gapUs > 0 and k >= 1, got $gapUs, $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__u").orderBy(col("__t"), col("__id"))
-    val cum = w.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
-        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"))
-      .withColumn("__new",
-        when(lag(col("__t"), 1).over(w).isNull ||
-          col("__t") - lag(col("__t"), 1).over(w) > gapUs, 1L).otherwise(0L))
-      .withColumn("__sid", sum(col("__new")).over(cum))
+    require(k >= 1, s"k must be >= 1, got $k")
+    gapSessionTag(events, userCol, typeCol, tsCol, idCol, gapUs)
       .groupBy("__u", "__sid")
       .agg(array_join(transform(sort_array(collect_list(
         struct(col("__t"), col("__id"), col("__ty")))),
@@ -2894,39 +2900,35 @@ object Analytics {
     * Weights fixed-point by an explicit FLOOR (never a bare long cast,
     * which truncates toward zero where SQL casts round — integral
     * weights are unaffected; fractional callers should fix-point
-    * upstream). Negative or null weights break the monotone cumulative
-    * the pick depends on, so by default one narrow agg validates them
-    * BEFORE the rank pass and fails loud; pass
-    * `validateWeights = false` on a known-clean hot path (the
-    * [[sequenceMatch]] `validateVocabulary` API symmetry) — garbage
-    * weights then produce garbage medians silently.
+    * upstream). NULL weights fail loud inside the prefix machinery
+    * itself ([[graft.util.GlobalRank.withGlobalRankAndPrefix]] guards
+    * its partition sums — nulls are never acceptable there for ANY
+    * caller); NEGATIVE weights break the monotone cumulative the pick
+    * depends on, so by default one cheap agg over the
+    * already-materialized ranked relation validates them and fails
+    * loud — pass `validateWeights = false` on a known-clean hot path
+    * (the [[sequenceMatch]] `validateVocabulary` API symmetry), where
+    * negative weights then produce garbage medians silently.
     *
     * Scale shape: the global cumulative comes from
     * [[graft.util.GlobalRank.withGlobalRankAndPrefix]] over the
     * (group, value) order — range repartition, per-partition windows,
     * driver prefix offsets — never a single-partition window;
     * per-group cumulatives subtract the group's broadcast start offset
-    * (its minimum exclusive prefix). */
+    * (its minimum exclusive prefix). The input is scanned ONCE (the
+    * validation agg reads the rank pass's checkpoint, not the fact). */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
       weightCol: String, validateWeights: Boolean = true): DataFrame = {
     val base = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"),
       floor(col(weightCol)).cast("long").as("__w"))
-    // validation runs BEFORE the rank pass: an all-null partition would
-    // otherwise NPE inside the prefix machinery's partition-sum read,
-    // masking the friendly error this require exists to give
-    if (validateWeights) {
-      val wCheck = base.agg(
-        min(col("__w")).as("mn"),
-        coalesce(sum(when(col("__w").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("nulls")).head()
-      require(wCheck.getLong(1) == 0 &&
-        (wCheck.isNullAt(0) || wCheck.getLong(0) >= 0),
-        s"weightedMedian: weights must be nonnegative and non-null " +
-          s"(min=${if (wCheck.isNullAt(0)) "null" else wCheck.getLong(0)}, " +
-          s"nulls=${wCheck.getLong(1)})")
-    }
     val (ranked, _, _) = withGlobalRankAndPrefix(base,
       Seq(col("__g"), col("__v")), "__w", "__r", "__cum")
+    if (validateWeights) {
+      val wCheck = ranked.agg(min(col("__w")).as("mn")).head()
+      require(wCheck.isNullAt(0) || wCheck.getLong(0) >= 0,
+        s"weightedMedian: weights must be nonnegative " +
+          s"(min=${wCheck.getLong(0)})")
+    }
     val offs = ranked.groupBy("__g")
       .agg(min(col("__cum") - col("__w")).as("__off"),
         sum(col("__w")).as("__tot"))
@@ -2995,18 +2997,14 @@ object Analytics {
     * deviation), each group-count-bounded at the pick. */
   def madOutliers(events: DataFrame, typeCol: String, valueCol: String,
       idCol: String, cutoff: Double = 3.0): DataFrame = {
-    def medianByType(df: DataFrame, vCol: String): DataFrame = {
-      val (ranked, _) = withGlobalRank(
+    def medianByType(df: DataFrame, vCol: String): DataFrame =
+      withGroupLocalRank(
         df.select(col("__ty"), col(vCol).as("__mv"), col("__id")),
-        Seq(col("__ty"), col("__mv"), col("__id")), "__gr")
-      val offs = ranked.groupBy("__ty")
-        .agg(min(col("__gr")).as("__off"), count(lit(1)).as("__n"))
-      ranked.join(broadcast(offs), "__ty")
+        Seq("__ty"), Seq(col("__mv"), col("__id")), "__lr", "__n")
         // lower median: rank (n+1)/2 in integer division
-        .filter(col("__gr") - col("__off") + 1 ===
+        .filter(col("__lr") ===
           (col("__n") + 1 - pmod(col("__n") + 1, lit(2L))) / 2)
         .select(col("__ty"), col("__mv").as("__med"), col("__n"))
-    }
     val base = events.select(col(typeCol).as("__ty"),
         col(valueCol).as("__v"), col(idCol).as("__id"))
       .localCheckpoint() // two rank passes + the outlier count read it
@@ -3087,13 +3085,10 @@ object Analytics {
       .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
       .filter(col("__gap").isNotNull)
       .select(col("__ty"), col("__gap"), col("__id"))
-    val (ranked, _) = withGlobalRank(gaps,
-      Seq(col("__ty"), col("__gap"), col("__id")), "__gr")
-    val offs = ranked.groupBy("__ty")
-      .agg(min(col("__gr")).as("__off"), count(lit(1)).as("__n"))
-    ranked.join(broadcast(offs), "__ty")
+    withGroupLocalRank(gaps, Seq("__ty"),
+        Seq(col("__gap"), col("__id")), "__lr", "__n")
       // lower median: local rank (n+1)/2 in integer division
-      .filter(col("__gr") - col("__off") + 1 ===
+      .filter(col("__lr") ===
         (col("__n") + 1 - pmod(col("__n") + 1, lit(2L))) / 2)
       .select(col("__ty").as(typeCol), col("__n").as("n_gaps"),
         col("__gap").as("median_gap_us"))
@@ -3120,13 +3115,10 @@ object Analytics {
       (a + (b - 1) - pmod(a + (b - 1), lit(b))) / b
     val base = events.select(col(typeCol).as("__ty"),
       col(valueCol).as("__v"), col(idCol).as("__id"))
-    val (ranked, _) = withGlobalRank(base,
-      Seq(col("__ty"), col("__v"), col("__id")), "__gr")
-    val ranked2 = ranked.localCheckpoint() // picks + fence count read it
-    val offs = ranked2.groupBy("__ty")
-      .agg(min(col("__gr")).as("__off"), count(lit(1)).as("__n"))
-    val picks = ranked2.join(broadcast(offs), "__ty")
-      .withColumn("__lr", col("__gr") - col("__off") + 1)
+    val ranked2 = withGroupLocalRank(base, Seq("__ty"),
+        Seq(col("__v"), col("__id")), "__lr", "__n")
+      .localCheckpoint() // picks + fence count read it
+    val picks = ranked2
       .withColumn("__q1r", ceilDiv(col("__n"), 4L))
       .withColumn("__q3r", ceilDiv(col("__n") * 3, 4L))
       .groupBy("__ty")
@@ -3225,17 +3217,7 @@ object Analytics {
   def sessionCooccurrence(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, idCol: String,
       gapUs: Long): DataFrame = {
-    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__u").orderBy(col("__t"), col("__id"))
-    val cum = w.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
-        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"))
-      .withColumn("__new",
-        when(lag(col("__t"), 1).over(w).isNull ||
-          col("__t") - lag(col("__t"), 1).over(w) > gapUs, 1L).otherwise(0L))
-      .withColumn("__sid", sum(col("__new")).over(cum))
+    gapSessionTag(events, userCol, typeCol, tsCol, idCol, gapUs)
       .groupBy("__u", "__sid")
       .agg(array_sort(collect_set(col("__ty"))).as("__tys"))
       .select(explode(col("__tys")).as("type_a"), col("__tys"))
@@ -3271,13 +3253,10 @@ object Analytics {
       ((num - pmod(num, den)) / den).cast("long")
     val base = events.select(col(typeCol).as("__ty"),
       col(valueCol).as("__v"), col(idCol).as("__id"))
-    val (ranked, _) = withGlobalRank(base,
-      Seq(col("__ty"), col("__v"), col("__id")), "__gr")
-    val ranked2 = ranked.localCheckpoint() // picks + clip pass read it
-    val offs = ranked2.groupBy("__ty")
-      .agg(min(col("__gr")).as("__off"), count(lit(1)).as("__n"))
-    val picks = ranked2.join(broadcast(offs), "__ty")
-      .withColumn("__lr", col("__gr") - col("__off") + 1)
+    val ranked2 = withGroupLocalRank(base, Seq("__ty"),
+        Seq(col("__v"), col("__id")), "__lr", "__n")
+      .localCheckpoint() // picks + clip pass read it
+    val picks = ranked2
       .groupBy("__ty")
       .agg(max(col("__n")).as("n_events"),
         max(when(col("__lr") === ceilDiv(col("__n") * loPct, 100L),
@@ -3426,12 +3405,8 @@ object Analytics {
     val base = events.select(col(typeCol).as("__ty"),
       dayNum(tsMicros(events, tsCol)).as("__day"),
       col(valueCol).as("__v"), col(idCol).as("__id"))
-    val (ranked, _) = withGlobalRank(base,
-      Seq(col("__ty"), col("__day"), col("__v"), col("__id")), "__gr")
-    val offs = ranked.groupBy("__ty", "__day")
-      .agg(min(col("__gr")).as("__off"), count(lit(1)).as("__n"))
-    ranked.join(broadcast(offs), Seq("__ty", "__day"))
-      .withColumn("__lr", col("__gr") - col("__off") + 1)
+    withGroupLocalRank(base, Seq("__ty", "__day"),
+        Seq(col("__v"), col("__id")), "__lr", "__n")
       .groupBy(col("__ty").as(typeCol), col("__day").as("day_num"))
       .agg(max(col("__n")).as("n_events"),
         max(when(col("__lr") === ceilDiv(col("__n") * 50, 100L),
@@ -3458,20 +3433,10 @@ object Analytics {
     * broadcast, and the 1-row session total — never events². */
   def sessionPairLift(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, idCol: String, gapUs: Long): DataFrame = {
-    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
     def dec(c: Column) = c.cast(DecimalType(38, 0))
     def fdiv(num: Column, den: Column) =
       ((num - pmod(num, den)) / den).cast("long")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__u").orderBy(col("__t"), col("__id"))
-    val cum = w.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val st = events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
-        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"))
-      .withColumn("__new",
-        when(lag(col("__t"), 1).over(w).isNull ||
-          col("__t") - lag(col("__t"), 1).over(w) > gapUs, 1L).otherwise(0L))
-      .withColumn("__sid", sum(col("__new")).over(cum))
+    val st = gapSessionTag(events, userCol, typeCol, tsCol, idCol, gapUs)
       .select(col("__u"), col("__sid"), col("__ty")).distinct()
       .localCheckpoint() // pairs, per-type counts, total all read it
     val pairs = st.select(col("__u"), col("__sid"), col("__ty").as("type_a"))

@@ -81,7 +81,15 @@ private[graft] object GlobalRank {
       .localCheckpoint() // read twice: partition totals + the rank pass
     val parts = ranged.groupBy("__pid")
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .collect().map { r =>
+        // fail loud, not NPE: a partition whose values are ALL null
+        // sums to null, and a silent 0 would corrupt every downstream
+        // offset
+        require(!r.isNullAt(2), s"withGlobalRankAndPrefix: '$valueCol' " +
+          "contains nulls (a partition sum is null) — filter or " +
+          "validate upstream")
+        (r.getInt(0), r.getLong(1), r.getLong(2))
+      }
       .sortBy(_._1)
     val n = parts.map(_._2).sum
     val total = parts.map(_._3).sum
@@ -101,6 +109,31 @@ private[graft] object GlobalRank {
       .withColumn(cumCol, col("__offs") + col("__cs"))
       .drop("__pid", "__offn", "__offs", "__rn", "__cs")
     (out, n, total)
+  }
+
+  /** Per-GROUP 1-based local ranks WITHOUT per-group windows: one
+    * [[withGlobalRank]] pass over the `(groupCols, sortCols)` total
+    * order, per-group (min rank, count) as a group-bounded BROADCAST,
+    * local rank = global rank − the group's offset. This is the
+    * exact-quantile/median pick stage shared by the median/IQR/
+    * winsorize/panel family — a per-group window over the raw fact
+    * would serialize every hot group into one sort task. Returns the
+    * frame plus `rankCol` (1-based within group) and `countCol` (the
+    * group size on every row). `sortCols` must totalize WITHIN groups
+    * (unique id tiebreak). Callers that read the result more than once
+    * should `localCheckpoint` it (the rank window otherwise recomputes
+    * from the internally materialized ranged frame — cheap but not
+    * free). */
+  def withGroupLocalRank(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], rankCol: String,
+      countCol: String): DataFrame = {
+    val (ranked, _) = withGlobalRank(df,
+      groupCols.map(col) ++ sortCols, "__ggr")
+    val offs = ranked.groupBy(groupCols.map(col): _*)
+      .agg(min(col("__ggr")).as("__goff"), count(lit(1)).as(countCol))
+    ranked.join(broadcast(offs), groupCols)
+      .withColumn(rankCol, col("__ggr") - col("__goff") + 1)
+      .drop("__ggr", "__goff")
   }
 
   /** Per-bucket stats to the driver in bucket order — the one collect
@@ -148,7 +181,11 @@ private[graft] object GlobalRank {
     import spark.implicits._
     val totals = bucketStats(df, bucketCol,
         Seq(sum(col(valueCol)).as("t")))
-      .map(r => r.getLong(0) -> r.getLong(1))
+      .map { r =>
+        require(!r.isNullAt(1), s"bucketedPrefix: '$valueCol' contains " +
+          "nulls (a bucket total is null) — filter or validate upstream")
+        r.getLong(0) -> r.getLong(1)
+      }
     val total = totals.map(t => BigInt(t._2)).sum
     require(total.isValidLong,
       s"global prefix total $total overflows 64-bit — rescale the fixed point")

@@ -1270,7 +1270,7 @@ class PlanSpec extends SparkSpec {
     // the global-rank pass (windowspecdefinition(__pid — pinned on
     // q198/q202) materializes ONCE here because picks and fence counts
     // both read it: the final plan's leaf carries the rank column
-    assert("ExistingRDD\\[[^\\]]*__gr".r.findFirstIn(p).isDefined,
+    assert("ExistingRDD\\[[^\\]]*__lr".r.findFirstIn(p).isDefined,
       s"quartile picks read the materialized global-rank relation:\n$p")
     assert(!p.contains("windowspecdefinition"),
       s"never a per-type window over the raw fact:\n$p")
@@ -1321,7 +1321,7 @@ class PlanSpec extends SparkSpec {
     val p = plan("q212_winsorized_mean")
     // same shape as q207: the rank pass materializes once (picks +
     // clip both read it), so the leaf carries the rank column
-    assert("ExistingRDD\\[[^\\]]*__gr".r.findFirstIn(p).isDefined,
+    assert("ExistingRDD\\[[^\\]]*__lr".r.findFirstIn(p).isDefined,
       s"percentile picks read the materialized global-rank relation:\n$p")
     assert(!p.contains("windowspecdefinition"),
       s"never a per-type window over the raw fact:\n$p")

@@ -1221,15 +1221,15 @@ class EventAnalyticsSpec extends SparkSpec {
       Analytics.weightedMedian(bad, "g", "v", "w").collect()
     }
     assert(e.getMessage.contains("nonnegative"))
-    // validation fires BEFORE the rank pass (an all-null weight column
-    // must hit the friendly require, not an NPE inside the prefix
-    // machinery's partition-sum read)
+    // null weights fail loud INSIDE the shared prefix machinery (the
+    // guard protects every GlobalRank caller, not just this one) — a
+    // friendly require, never an NPE on the null partition sum
     val allNull = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
       .withColumn("w", lit(null).cast("long"))
     val e2 = intercept[IllegalArgumentException] {
       Analytics.weightedMedian(allNull, "g", "v", "w").collect()
     }
-    assert(e2.getMessage.contains("non-null"))
+    assert(e2.getMessage.contains("contains nulls"))
     // validateWeights = false: the extra narrow agg is skipped on a
     // known-clean hot path; same result as the default
     val got2 = Analytics.weightedMedian(df, "g", "v", "w",
