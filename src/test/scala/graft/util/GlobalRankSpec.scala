@@ -87,6 +87,26 @@ class GlobalRankSpec extends SparkSpec {
     assert(e.getMessage.contains("overflows 64-bit"))
   }
 
+  test("withGroupLocalRank equals per-group row_number, group sizes exact") {
+    val got = GlobalRank.withGroupLocalRank(base, Seq("w"),
+      Seq(col("v"), col("id")), "lr", "n")
+    val expected = base
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("w").orderBy(col("v"), col("id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("w")))
+    assert(got.select("id", "lr", "n").as[(Long, Long, Long)]
+        .collect().toSet ==
+      expected.select("id", "lr", "n").as[(Long, Long, Long)]
+        .collect().toSet)
+    // the decomposition itself: a partition-id window, never one over
+    // the group column
+    val p = got.queryExecution.executedPlan.toString()
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"group-local ranks must ride the range-partition decomposition:\n$p")
+    assert(!p.contains("windowspecdefinition(w"),
+      s"never a per-group window over the raw frame:\n$p")
+  }
+
   test("empty input: rank and prefix return empty frames, zero totals") {
     val empty = base.filter(col("id") < 0)
     val (r, n) = GlobalRank.withGlobalRank(empty, Seq(col("id")), "rk")
