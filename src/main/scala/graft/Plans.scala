@@ -126,7 +126,17 @@ object Plans {
     "q203_clustering_coeff" ->
       "Local clustering coefficient at triangle cost: the shared degree-ordered wedge closure enumerates each triangle once (checkpointed edge relations — the plan reads ExistingRDD), triangles explode to their 3 corners (3t rows, never degree² per vertex), and the coefficient is exact integer cross-multiplication over the degree table.",
     "q204_twap" ->
-      "Time-weighted averaging in ONE user-keyed exchange: the lead window prices each value's holding interval, products accumulate in DECIMAL(38,0), and the statistic is a floored integer division end to end — the numerator passes 2^53, where a double ratio measurably diverges across engines by an ulp, so no double exists anywhere in the plan's arithmetic. No joins; the rollup partial-aggregates map-side.")
+      "Time-weighted averaging in ONE user-keyed exchange: the lead window prices each value's holding interval, products accumulate in DECIMAL(38,0), and the statistic is a floored integer division end to end — the numerator passes 2^53, where a double ratio measurably diverges across engines by an ulp, so no double exists anywhere in the plan's arithmetic. No joins; the rollup partial-aggregates map-side.",
+    "q205_order_price_audit" ->
+      "Cross-table billing audit with the fact collapsed FIRST: the per-order decimal recompute partial-aggregates map-side (2dp factors make the 6dp product exact — no IEEE multiply anywhere), then ONE order-key equi-join against the header (both sides order-sized — no broadcast pretense) and a status-vocabulary-bounded census.",
+    "q206_interarrival_median" ->
+      "Per-type cadence medians without per-type windows: gaps come from one (user, type)-keyed lag window over narrow columns; the exact lower median rides the shared group-local-rank stage — range-repartition ranks under a partition-id window, per-type (offset, count) as a k-row broadcast, the pick a filter. A hot type never funnels into a single sort task.",
+    "q217_daily_quantiles" ->
+      "The SLO dashboard computed exactly: p50/p90/p99 PICKS per (type, day) off ONE global-rank pass, with the (type × day) offset table broadcast (panel-bounded — 150 cells at sf0.1, invariant under the 10× decade run). The alternative per-cell window would serialize each hot cell into one task; here every partition ranks in parallel and the picks are a vocabulary-bounded hash agg.",
+    "q218_session_pair_lift" ->
+      "Association statistics over sessions: the shared gap-session tag pays the one user-keyed exchange, the DISTINCT (session, type) relation materializes once (ExistingRDD leaf), and pairs/type-counts/total all derive from it — pair volume is sessions × C(|types|, 2), never events². Lift is DECIMAL(38,0) cross-multiplied floored ppm.",
+    "q219_growth_accounting" ->
+      "The DAU waterfall from ONE windowed pass: lag and lead share the user-keyed window over the distinct (user, day) panel (checkpointed — class rollup, churn arm, and day spine all read the leaf), churn books to day+1 clipped to observed days, and every rollup partial-aggregates into a calendar-bounded report.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
