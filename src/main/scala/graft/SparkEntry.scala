@@ -1301,6 +1301,22 @@ object SparkEntry {
     // floored-micros mean per hour
     "q220_hourly_profile" -> ((s, d) =>
       Analytics.hourlyProfile(Tables.events(s, d), "ts", "value")),
+    // q221: duplication trend over crawl order — exact-dup rate per
+    // id-order decile (global-rank bands, hash-keyed first-id rollup)
+    "q221_duplication_trend" -> ((s, d) =>
+      TextAnalysis.duplicationTrend(Tables.documents(s, d), "doc_id",
+        "text", buckets = 10)),
+    // q222: basket-size distribution — two count rollups, no window
+    "q222_basket_size_dist" -> ((s, d) =>
+      Analytics.basketSizeHistogram(Tables.lineitem(s, d))),
+    // q223: token-length distribution — tokenizer calibration curve,
+    // word-count shape
+    "q223_token_length_dist" -> ((s, d) =>
+      TextAnalysis.tokenLengthHistogram(Tables.documents(s, d), "text")),
+    // q224: customer recency histogram — days since last order vs the
+    // corpus max, 30-day buckets, integral epoch days
+    "q224_recency_histogram" -> ((s, d) =>
+      Analytics.recencyHistogram(Tables.orders(s, d))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -4652,6 +4668,49 @@ object SparkEntry {
         |  CAST((sm - ((sm % n + n) % n)) // n AS BIGINT)
         |    AS mean_value_micros
         |FROM a ORDER BY 1""".stripMargin,
+    // q221: same md5 digest, same first-id rule, same all-integer
+    // decile bands ((rank-1)*10 // n + 1); counts nonnegative so //
+    // floors
+    "q221_duplication_trend" ->
+      """WITH h AS (SELECT doc_id AS id, md5(text) AS h FROM documents
+        |  WHERE text IS NOT NULL),
+        |f AS (SELECT h, min(id) AS first FROM h GROUP BY 1),
+        |d AS (SELECT h.id, h.id > f.first AS dup,
+        |    row_number() OVER (ORDER BY h.id) AS r,
+        |    count(*) OVER () AS n
+        |  FROM h JOIN f USING (h))
+        |SELECT CAST(((r - 1) * 10) // n + 1 AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  CAST((sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1000000) // count(*)
+        |    AS BIGINT) AS dup_ppm
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q222: two count rollups
+    "q222_basket_size_dist" ->
+      """WITH b AS (SELECT l_orderkey, count(*) AS basket_size
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(basket_size AS BIGINT) AS basket_size,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q223: same tokenizer as q61; types then lengths
+    "q223_token_length_dist" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS tok FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT tok, count(*) AS tf FROM t WHERE tok <> '' GROUP BY 1)
+        |SELECT CAST(length(tok) AS BIGINT) AS token_len,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(tf) AS BIGINT) AS n_occurrences
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q224: integral epoch days; nonnegative recency so // floors
+    "q224_recency_histogram" ->
+      """WITH c AS (SELECT o_custkey,
+        |    max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS last
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT max(last) AS mx FROM c)
+        |SELECT CAST((mx - last) // 30 AS BIGINT) AS recency_bucket,
+        |  CAST(((mx - last) // 30) * 30 AS BIGINT) AS lo_day,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM c, m GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

@@ -3541,4 +3541,50 @@ object Analytics {
           .as("mean_value_micros"))
       .orderBy("hour")
   }
+
+  /** Basket-size distribution: how many orders carry exactly N line
+    * items — the order-shape histogram behind join-fanout estimates,
+    * co-purchase feasibility (pair work is Σ basket²), and packaging
+    * analytics. Output: `(basket_size, n_orders)`.
+    *
+    * Scale shape: the fact collapses to one count per order (hash agg
+    * with partials), then a basket-size-bounded second agg — two
+    * shuffles of count columns, no window, no join. */
+  def basketSizeHistogram(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("basket_size"))
+      .groupBy("basket_size").agg(count(lit(1)).as("n_orders"))
+      .orderBy("basket_size")
+
+  /** Customer recency distribution: days since each customer's LAST
+    * order, measured against the corpus's latest order date and rolled
+    * into 30-day buckets — the at-risk/lapsed funnel (the "R" of RFM
+    * as a population histogram instead of a per-customer rank).
+    * `lo_day` is each bucket's inclusive lower bound in days. Output:
+    * `(recency_bucket, lo_day, n_customers)`.
+    *
+    * Scale shape: the fact collapses to one max-date row per customer
+    * (hash agg with partials); the corpus max is a broadcast 1-row
+    * agg; the histogram is buckets-bounded. All date arithmetic is
+    * integral epoch days. */
+  def recencyHistogram(orders: DataFrame, bucketDays: Int = 30): DataFrame = {
+    require(bucketDays >= 1, s"bucketDays must be >= 1, got $bucketDays")
+    def exactDiv(a: Column, b: Long): Column =
+      ((a - pmod(a, lit(b))) / b).cast("long")
+    val perCust = orders.select(col("o_custkey").as("__c"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("__d"))
+      .groupBy("__c").agg(max(col("__d")).as("__last"))
+      .localCheckpoint() // corpus max + histogram read it
+    val maxD = perCust.agg(max(col("__last")).as("__max"))
+    perCust.crossJoin(broadcast(maxD))
+      .withColumn("recency_bucket",
+        exactDiv(col("__max") - col("__last"), bucketDays.toLong))
+      .groupBy("recency_bucket")
+      .agg(count(lit(1)).as("n_customers"))
+      .select(col("recency_bucket"),
+        (col("recency_bucket") * bucketDays).as("lo_day"),
+        col("n_customers"))
+      .orderBy("recency_bucket")
+  }
 }

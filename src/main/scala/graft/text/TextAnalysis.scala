@@ -1670,4 +1670,66 @@ object TextAnalysis {
           .otherwise(fdiv(dec(col("head_occurrences")) * 1000000,
             dec(col("total_occurrences")))).as("coverage_ppm"))
   }
+
+  /** Duplication trend over crawl order: documents land in `buckets`
+    * equal-count deciles of their id order (ids ≈ ingestion time), and
+    * each decile reports how many of its documents are EXACT
+    * duplicates of an earlier document (same md5, smaller id) — the
+    * is-my-crawl-saturating curve (a rising tail says new crawl
+    * batches mostly re-fetch; the datasheet number behind
+    * stop-crawling decisions). Output:
+    * `(decile, n_docs, n_dups, dup_ppm)`, floored integer ppm.
+    *
+    * Scale shape: duplicate flags come from a hash-keyed min-id rollup
+    * joined back on the digest (hash-sized shuffle of 32-byte keys);
+    * the decile assignment rides
+    * [[graft.util.GlobalRank.withGlobalRank]] over the id order —
+    * never a single-partition NTILE; the report is buckets-bounded. */
+  def duplicationTrend(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val hashed = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), md5(col(textCol)).as("__h"))
+      .localCheckpoint() // first-id rollup + the flag join read it
+    val firsts = hashed.groupBy("__h").agg(min(col("__id")).as("__first"))
+    val flagged = hashed.join(firsts, "__h")
+      .select(col("__id"), (col("__id") > col("__first")).as("__dup"))
+    val (ranked, n) = graft.util.GlobalRank.withGlobalRank(flagged,
+      Seq(col("__id")), "__r")
+    if (n == 0)
+      return ranked.select(lit(0L).as("decile"), lit(0L).as("n_docs"),
+        lit(0L).as("n_dups"), lit(0L).as("dup_ppm")).limit(0)
+    ranked
+      // decile = ((rank − 1) · buckets) div n + 1: equal-count bands,
+      // all-integer, remainder docs spread over the leading bands
+      .withColumn("decile",
+        fdiv((col("__r") - 1) * buckets, lit(n)) + 1)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dups"))
+      .select(col("decile"), col("n_docs"), col("n_dups"),
+        fdiv(col("n_dups") * 1000000L, col("n_docs")).as("dup_ppm"))
+      .orderBy("decile")
+  }
+
+  /** Token-length distribution: occurrences and distinct token TYPES
+    * per character length — the tokenizer-calibration curve (length
+    * spikes expose unsplit URLs/IDs; the type-vs-occurrence gap at
+    * each length says whether long tokens are a vocabulary problem or
+    * a frequency problem). Output:
+    * `(token_len, n_types, n_occurrences)`.
+    *
+    * Scale shape: word-count — the (token) rollup collapses raw
+    * occurrences with map-side partials, then a length-bounded second
+    * agg; lengths ship as ints, tokens never shuffle twice. */
+  def tokenLengthHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy("__t").agg(count(lit(1)).as("__tf"))
+      .groupBy(length(col("__t")).cast("long").as("token_len"))
+      .agg(count(lit(1)).as("n_types"), sum(col("__tf")).as("n_occurrences"))
+      .orderBy("token_len")
 }

@@ -1411,6 +1411,43 @@ class PlanSpec extends SparkSpec {
       s"one hash agg, nothing else:\n$p")
   }
 
+  test("q221 duplication trend: hash-keyed first-id rollup, rank-band deciles") {
+    val p = plan("q221_duplication_trend")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"decile bands come from the range-partition rank, never a " +
+        s"global NTILE:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"first-id rollup and flag join read the checkpointed digest " +
+        s"relation:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q222 basket sizes: two count rollups, partials, nothing else") {
+    val p = plan("q222_basket_size_dist")
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("partial_count"))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"two hash aggs only:\n$p")
+  }
+
+  test("q223 token lengths: word-count shape, lengths never reshuffle tokens") {
+    val p = plan("q223_token_length_dist")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("partial_count"),
+      s"the token rollup must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join"), s"no joins in a two-level rollup:\n$p")
+  }
+
+  test("q224 recency histogram: customer rollup materializes once, 1-row max broadcast") {
+    val p = plan("q224_recency_histogram")
+    assert(!p.contains("orders.parquet"),
+      s"corpus max + histogram read the checkpointed per-customer " +
+        s"rollup:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the corpus max attaches as a broadcast 1-row cross join:\n$p")
+    assert(p.contains("ExistingRDD"))
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

@@ -1632,6 +1632,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1500000L), (2L, 1L, 7000000L)))
   }
 
+  test("basketSizeHistogram: orders roll to their line counts") {
+    val li = Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1), (3L, 1), (3L, 2))
+      .toDF("l_orderkey", "l_linenumber")
+    val got = Analytics.basketSizeHistogram(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("recencyHistogram: last order vs corpus max, 30-day buckets") {
+    val orders = Seq(
+      // corpus max = 2024-03-31; c1 last = max (bucket 0 despite the
+      // older order), c2 last = 35 days before (bucket 1),
+      // c3 last = 60 days before (bucket 2)
+      (1L, "2024-01-01"), (1L, "2024-03-31"),
+      (2L, "2024-02-25"),
+      (3L, "2024-01-31"))
+      .toDF("o_custkey", "__d")
+      .select(col("o_custkey"), col("__d").cast("date").as("o_orderdate"))
+    val got = Analytics.recencyHistogram(orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 0L, 1L), (1L, 30L, 1L), (2L, 60L, 1L)))
+  }
+
   test("weekdayProfile: epoch-day arithmetic, 0 = Sunday") {
     val orders = Seq(
       ("2024-01-07", 10.0), // a Sunday -> 0

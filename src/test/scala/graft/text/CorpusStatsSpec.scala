@@ -234,4 +234,26 @@ class CorpusStatsSpec extends SparkSpec {
       .head()
     assert(all.getLong(4) == 1000000L)
   }
+
+  test("duplicationTrend: earlier id owns the text, deciles are equal-count bands") {
+    // 10 docs, 2 deciles of 5: ids 6..8 repeat ids 1..3's texts, so
+    // the first band is all-novel and the second carries 3 dups
+    val docs = ((1L to 5L).map(i => (i, s"text $i")) ++
+      Seq((6L, "text 1"), (7L, "text 2"), (8L, "text 3"),
+        (9L, "text 9"), (10L, "text 10")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.duplicationTrend(docs, "doc_id", "text",
+        buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((1L, 5L, 0L, 0L), (2L, 5L, 3L, 600000L)))
+  }
+
+  test("tokenLengthHistogram: types vs occurrences per length") {
+    val docs = Seq((1L, "aa bb aa c"), (2L, "ddd aa")).toDF("doc_id", "text")
+    // len 1: {c} 1 occ; len 2: {aa, bb} 4 occ; len 3: {ddd} 1 occ
+    val got = TextAnalysis.tokenLengthHistogram(docs, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 2L, 4L), (3L, 1L, 1L)))
+  }
 }
