@@ -136,7 +136,11 @@ object Plans {
     "q218_session_pair_lift" ->
       "Association statistics over sessions: the shared gap-session tag pays the one user-keyed exchange, the DISTINCT (session, type) relation materializes once (ExistingRDD leaf), and pairs/type-counts/total all derive from it — pair volume is sessions × C(|types|, 2), never events². Lift is DECIMAL(38,0) cross-multiplied floored ppm.",
     "q219_growth_accounting" ->
-      "The DAU waterfall from ONE windowed pass: lag and lead share the user-keyed window over the distinct (user, day) panel (checkpointed — class rollup, churn arm, and day spine all read the leaf), churn books to day+1 clipped to observed days, and every rollup partial-aggregates into a calendar-bounded report.")
+      "The DAU waterfall from ONE windowed pass: lag and lead share the user-keyed window over the distinct (user, day) panel (checkpointed — class rollup, churn arm, and day spine all read the leaf), churn books to day+1 clipped to observed days, and every rollup partial-aggregates into a calendar-bounded report.",
+    "q226_readability" ->
+      "Readability inputs with ZERO explode: token counts, token-char sums, and sentence-ender counts all fold inside the array via higher-order functions (one projection, no Generate in the plan), so the shuffle carries three longs per document into a source-bounded hash agg — the cheapest possible shape for a corpus-wide census at 100 TB.",
+    "q228_type_daily_corr" ->
+      "A correlation matrix that touches the fact ONCE: events collapse to the (type, day) panel (checkpointed — span, per-type moments, and the Σxy self-join all read the ExistingRDD leaf), zero-count days enter through the population algebra instead of a densified spine, and the vocabulary-bounded pair frame assembles by EXPLICIT broadcasts — a stats misestimate can never turn types² into a shuffled cartesian. The statistic is signed r² in floored integer ppm: every division an integer floor both engines take identically, no sqrt anywhere.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

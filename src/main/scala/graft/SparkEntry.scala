@@ -1317,6 +1317,40 @@ object SparkEntry {
     // corpus max, 30-day buckets, integral epoch days
     "q224_recency_histogram" -> ((s, d) =>
       Analytics.recencyHistogram(Tables.orders(s, d))),
+    // q225: repurchase-gap survival CDF — share of between-active-day
+    // gaps closing within each horizon, off one (gap, count) rollup
+    "q225_repurchase_survival" -> ((s, d) =>
+      Analytics.repurchaseSurvival(Tables.orders(s, d))),
+    // q226: readability census — words/sentence + chars/word in exact
+    // floored micros, pure column arithmetic into a source hash agg
+    "q226_readability" -> ((s, d) =>
+      TextAnalysis.readabilityCensus(Tables.documents(s, d), "source",
+        "text")),
+    // q227: Gopher dup-n-gram census — within-doc duplicate-bigram
+    // occurrence mass + repetitive-doc counts per source
+    "q227_dup_ngram_census" -> ((s, d) =>
+      TextAnalysis.dupNgramCensus(Tables.documents(s, d), "source",
+        "doc_id", "text")),
+    // q228: daily-volume correlation matrix — signed r² ppm between
+    // type pairs' daily-count series, zero-fill handled algebraically
+    "q228_type_daily_corr" -> ((s, d) =>
+      Analytics.typeDailyCorrelation(Tables.events(s, d), "event_type",
+        "ts")),
+    // q229: cross-source duplicate-leakage matrix — shared distinct
+    // texts per source pair off ONE checkpointed (source, md5) relation
+    "q229_cross_source_leakage" -> ((s, d) =>
+      TextAnalysis.crossSourceLeakage(Tables.documents(s, d), "source",
+        "text")),
+    // q230: PSI value drift per type — first vs second half of the
+    // calendar, Laplace-smoothed equal-width bins, fixed-point ln
+    "q230_psi_drift" -> ((s, d) =>
+      Analytics.psiDrift(Tables.events(s, d), "event_type", "ts",
+        "value")),
+    // q231: sampled intra-source semantic dispersion — mean pairwise
+    // rounded cosine per source over the deterministic id-sample
+    "q231_source_dispersion" -> ((s, d) =>
+      Similarity.sourceDispersion(Tables.embeddings(s, d), "vec_id",
+        "embedding", Tables.documents(s, d), "doc_id", "source")),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -4711,6 +4745,161 @@ object SparkEntry {
         |  CAST(((mx - last) // 30) * 30 AS BIGINT) AS lo_day,
         |  CAST(count(*) AS BIGINT) AS n_customers
         |FROM c, m GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // q225: distinct active days per customer; DuckDB // floors
+    "q225_repurchase_survival" ->
+      """WITH d AS (SELECT DISTINCT o_custkey AS c,
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d FROM orders),
+        |g AS (SELECT d - lag(d) OVER (PARTITION BY c ORDER BY d) AS gap
+        |  FROM d),
+        |gc AS (SELECT gap, count(*) AS n FROM g WHERE gap IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM gc),
+        |h AS (SELECT unnest([7, 14, 30, 60, 90, 180]) AS horizon_days)
+        |SELECT CAST(horizon_days AS BIGINT) AS horizon_days,
+        |  CAST(tot AS BIGINT) AS n_gaps,
+        |  CAST(coalesce(sum(CASE WHEN gap <= horizon_days THEN n END), 0)
+        |    AS BIGINT) AS n_gaps_le,
+        |  CAST((coalesce(sum(CASE WHEN gap <= horizon_days THEN n END), 0)
+        |    * 1000000) // tot AS BIGINT) AS cum_ppm
+        |FROM h, gc, t GROUP BY 1, tot ORDER BY 1""".stripMargin,
+    // q226: same tokenizer as q61/q195; sentence = '[.!?]+' run count
+    // floored at 1; corpus-level floored-micro ratios
+    "q226_readability" ->
+      """WITH d AS (SELECT source,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t <> '') AS a,
+        |    len(regexp_split_to_array(text, '[.!?]+')) - 1 AS e
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT source, len(a) AS w,
+        |    CAST(coalesce(list_sum(list_transform(a, t -> length(t))), 0)
+        |      AS BIGINT) AS ch,
+        |    greatest(e, 1) AS s
+        |  FROM d WHERE len(a) > 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(s) AS BIGINT) AS n_sentences,
+        |  CAST((sum(w) * 1000000) // sum(s) AS BIGINT)
+        |    AS words_per_sentence_micro,
+        |  CAST((sum(ch) * 1000000) // sum(w) AS BIGINT)
+        |    AS chars_per_word_micro
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q227: q195's gram stream carried per doc; dup mass = occurrences
+    // of gram types with count >= 2 within the doc
+    "q227_dup_ngram_census" ->
+      """WITH a AS (SELECT source, doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT source, doc_id, a[i] || ' ' || a[i+1] AS g
+        |  FROM a, unnest(generate_series(1, len(a) - 1)) AS t(i)
+        |  WHERE len(a) >= 2),
+        |c AS (SELECT source, doc_id, g, count(*) AS c FROM g
+        |  WHERE g <> '' GROUP BY 1, 2, 3),
+        |p AS (SELECT source, doc_id, sum(c) AS tot,
+        |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup,
+        |    (sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1000000)
+        |      // sum(c) AS ppm
+        |  FROM c GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN ppm > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repetitive,
+        |  CAST((sum(dup) * 1000000) // sum(tot) AS BIGINT) AS dup_mass_ppm
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q228: population-form moments in HUGEINT; signed r² via the
+    // two-quotient floor sequence (Cauchy-Schwarz bounds each <= 1e6)
+    "q228_type_daily_corr" ->
+      """WITH e AS (SELECT event_type AS ty,
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+        |      % 86400000000)) // 86400000000 AS day FROM events),
+        |d AS (SELECT ty, day, count(*) AS n FROM e GROUP BY 1, 2),
+        |sp AS (SELECT max(day) - min(day) + 1 AS nd FROM d),
+        |s AS (SELECT ty, sum(n) AS sx,
+        |    sum(CAST(n AS HUGEINT) * n) AS sxx FROM d GROUP BY 1),
+        |xy AS (SELECT a.ty AS ta, b.ty AS tb,
+        |    sum(CAST(a.n AS HUGEINT) * b.n) AS sxy
+        |  FROM d a JOIN d b ON a.day = b.day AND a.ty < b.ty GROUP BY 1, 2),
+        |f AS (SELECT sa.ty AS ta, sb.ty AS tb, nd,
+        |    CAST(nd AS HUGEINT) * coalesce(sxy, 0)
+        |      - CAST(sa.sx AS HUGEINT) * sb.sx AS num,
+        |    CAST(nd AS HUGEINT) * sa.sxx
+        |      - CAST(sa.sx AS HUGEINT) * sa.sx AS dena,
+        |    CAST(nd AS HUGEINT) * sb.sxx
+        |      - CAST(sb.sx AS HUGEINT) * sb.sx AS denb
+        |  FROM s sa JOIN s sb ON sa.ty < sb.ty
+        |  LEFT JOIN xy ON xy.ta = sa.ty AND xy.tb = sb.ty
+        |  CROSS JOIN sp)
+        |SELECT ta AS type_a, tb AS type_b, CAST(nd AS BIGINT) AS n_days,
+        |  CASE WHEN dena = 0 OR denb = 0 THEN NULL
+        |    ELSE CAST((CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+        |        ELSE 0 END)
+        |      * ((((abs(num) * 1000000) // dena)
+        |        * ((abs(num) * 1000000) // denb)) // 1000000)
+        |      AS BIGINT) END AS r2_signed_ppm
+        |FROM f ORDER BY 1, 2""".stripMargin,
+    // q229: same md5 digest as q221; distinct (source, hash) first so
+    // shared texts count once per pair
+    "q229_cross_source_leakage" ->
+      """WITH hs AS (SELECT DISTINCT source AS s, md5(text) AS h
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT a.s AS source_a, b.s AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_texts
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.s < b.s
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q230: identical midpoint/width/Laplace arithmetic; terms are
+    // >= 0 by L-monotonicity so the final // needs no remainder idiom
+    "q230_psi_drift" ->
+      """WITH e AS (SELECT event_type AS ty,
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+        |      % 86400000000)) // 86400000000 AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+        |b AS (SELECT ty, min(vm) AS lo, max(vm) AS hi,
+        |    min(day) AS dlo, max(day) AS dhi FROM e GROUP BY 1),
+        |m AS (SELECT min(dlo) + (max(dhi) - min(dlo) + 2) // 2 AS mid
+        |  FROM b),
+        |c AS (SELECT e.ty, CASE WHEN e.day < mid THEN 0 ELSE 1 END AS half,
+        |    (e.vm - lo) // greatest((hi - lo + 10) // 10, 1) AS bin,
+        |    count(*) AS c
+        |  FROM e JOIN b USING (ty) CROSS JOIN m GROUP BY 1, 2, 3),
+        |f AS (SELECT ty, i AS bin, h AS half FROM b,
+        |    unnest(generate_series(0, 9)) AS t(i),
+        |    unnest([0, 1]) AS u(h)),
+        |d AS (SELECT f.ty, f.bin, f.half, coalesce(c.c, 0) + 1 AS c1
+        |  FROM f LEFT JOIN c ON c.ty = f.ty AND c.bin = f.bin
+        |    AND c.half = f.half),
+        |cell AS (SELECT ty, bin,
+        |    sum(CASE WHEN half = 0 THEN c1 ELSE 0 END) AS p,
+        |    sum(CASE WHEN half = 1 THEN c1 ELSE 0 END) AS q
+        |  FROM d GROUP BY 1, 2),
+        |tot AS (SELECT ty, sum(p) AS np, sum(q) AS nq FROM cell
+        |  GROUP BY 1),
+        |term AS (SELECT cell.ty, np, nq,
+        |    (CAST(p AS HUGEINT) * nq - CAST(q AS HUGEINT) * np) *
+        |    CAST(CAST(floor(ln(CAST(p AS HUGEINT) * nq) * 1000000)
+        |        AS BIGINT)
+        |      - CAST(floor(ln(CAST(q AS HUGEINT) * np) * 1000000)
+        |        AS BIGINT) AS HUGEINT) AS term
+        |  FROM cell JOIN tot USING (ty))
+        |SELECT ty AS event_type, CAST(max(np) - 10 AS BIGINT) AS n_first,
+        |  CAST(max(nq) - 10 AS BIGINT) AS n_second,
+        |  CAST(sum(term) // (CAST(max(np) AS HUGEINT) * max(nq))
+        |    AS BIGINT) AS psi_micro_nats
+        |FROM term GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q231: q37's rounded-6dp cosine convention; exact decimal sum,
+    // one floored division to micros (nonneg-remainder idiom — means
+    // can be negative)
+    "q231_source_dispersion" ->
+      """WITH s AS (SELECT d.source AS src, e.vec_id AS id,
+        |    CAST(e.embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |  WHERE e.vec_id % 4 = 0),
+        |p AS (SELECT a.src,
+        |    CAST(round(list_cosine_similarity(a.emb, b.emb), 6)
+        |      AS DECIMAL(18,6)) AS c
+        |  FROM s a JOIN s b ON a.src = b.src AND a.id < b.id),
+        |g AS (SELECT src, count(*) AS n,
+        |    CAST(sum(c) * 1000000 AS HUGEINT) AS sm FROM p GROUP BY 1)
+        |SELECT src AS source, CAST(n AS BIGINT) AS n_pairs,
+        |  CAST((sm - ((sm % n + n) % n)) // n AS BIGINT) AS mean_cos_micro
+        |FROM g ORDER BY 1""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

@@ -3587,4 +3587,219 @@ object Analytics {
         col("n_customers"))
       .orderBy("recency_bucket")
   }
+
+  /** Repurchase-gap survival curve: the cumulative share of
+    * between-active-day gaps that close within each horizon — "what
+    * fraction of repeat purchases happen within 7/30/90 days" — the
+    * re-engagement-window number behind churn-definition and
+    * win-back-campaign timing decisions. Gaps are measured between a
+    * customer's consecutive DISTINCT order days (same-day repeat
+    * orders are one active day, so every gap is ≥ 1 day). Output one
+    * row per horizon: `(horizon_days, n_gaps, n_gaps_le, cum_ppm)`
+    * with `cum_ppm = ⌊n_gaps_le·10⁶/n_gaps⌋` (floored integer ppm,
+    * engine-exact). No gaps at all (every customer ordered on a
+    * single day) → empty output on both engines.
+    *
+    * Scale shape: one customer-keyed shuffle (the lag window over the
+    * distinct (customer, day) panel), then gaps collapse to a
+    * calendar-span-bounded (gap, count) rollup with map-side partials
+    * — the horizon census and the 1-row total both read THAT rollup
+    * (localCheckpoint, never a second fact pass), and the horizon
+    * explode multiplies gap-DISTINCT rows, never order rows. */
+  def repurchaseSurvival(orders: DataFrame,
+      horizons: Seq[Int] = Seq(7, 14, 30, 60, 90, 180)): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_ >= 1),
+      s"horizons must be >= 1, got $horizons")
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__c").orderBy("__d")
+    val gaps = orders.select(col("o_custkey").as("__c"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("__d"))
+      .distinct()
+      .withColumn("__gap", col("__d") - lag(col("__d"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy("__gap").agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // span-bounded; total agg + horizon census read it
+    val tot = gaps.agg(sum(col("__n")).as("__tot"))
+    val hs = array(horizons.sorted.map(h => lit(h.toLong)): _*)
+    gaps.crossJoin(broadcast(tot))
+      .select(explode(hs).as("horizon_days"), col("__gap"), col("__n"),
+        col("__tot"))
+      .groupBy("horizon_days", "__tot")
+      .agg(sum(when(col("__gap") <= col("horizon_days"), col("__n"))
+        .otherwise(0L)).as("n_gaps_le"))
+      .select(col("horizon_days"), col("__tot").as("n_gaps"),
+        col("n_gaps_le"),
+        fdiv(dec(col("n_gaps_le")) * 1000000, dec(col("__tot")))
+          .as("cum_ppm"))
+      .orderBy("horizon_days")
+  }
+
+  /** Population Stability Index per event type: the standard ML-ops
+    * drift number between the value distribution of the FIRST half of
+    * the observed calendar and the SECOND —
+    * `PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)` — "did this feature's
+    * distribution move between training time and now" (rule of thumb:
+    * < 0.1 stable, > 0.25 drifted). Complements [[termDrift]] (q136),
+    * which reports top-k token deltas, with a single distributional
+    * distance; and [[revenueAnomalies]] (q145), which flags days, with
+    * a regime-level comparison. Values bin equal-width per type over
+    * the type's GLOBAL micro bounds ([[priceHistogram]]'s ceil-width
+    * integer idiom — engine-exact boundaries); Laplace +1 smoothing on
+    * every bin keeps empty bins finite on both engines. The statistic
+    * is exact fixed-point:
+    * `psi_micro = ⌊Σ (p·N_q − q·N_p)·(L(p·N_q) − L(q·N_p)) / (N_p·N_q)⌋`
+    * with `L(n) = ⌊ln(n)·10⁶⌋` on INTEGER arguments (the q196/q72
+    * discipline) — every term is ≥ 0 because L is monotone, so PSI
+    * can never go negative on a floor artifact. Output:
+    * `(event_type, n_first, n_second, psi_micro_nats)` (raw
+    * pre-smoothing counts).
+    *
+    * Scale shape: two narrow fact scans — one collapses to the
+    * types-bounded (type, value/day bounds) relation (checkpointed;
+    * the global midpoint derives from IT, not a third scan), one bins
+    * against those broadcast bounds into a (type × 2 × bins) hash agg
+    * with map-side partials. Everything after the second scan is
+    * types×bins-bounded; the dense smoothing frame explodes off the
+    * bounds relation, never the fact. */
+  def psiDrift(events: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def exactDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def lnMicro(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1000000L)).cast("long")
+    val DAY = 86400000000L
+    val t = tsMicros(events, tsCol)
+    val vm = events.select(col(typeCol).as("__ty"),
+      exactDiv(t, lit(DAY)).as("__day"),
+      floor(col(valueCol) * 1000000d).cast("long").as("__vm"))
+    val bounds = vm.groupBy("__ty").agg(
+        min(col("__vm")).as("__lo"), max(col("__vm")).as("__hi"),
+        min(col("__day")).as("__tdlo"), max(col("__day")).as("__tdhi"))
+      .localCheckpoint() // types-bounded; midpoint + bin join read it
+    val mid = bounds.agg((min(col("__tdlo")) +
+      exactDiv(max(col("__tdhi")) - min(col("__tdlo")) + 2L, lit(2L)))
+      .as("__mid"))
+    val counts = vm.join(broadcast(bounds.drop("__tdlo", "__tdhi")), "__ty")
+      .crossJoin(broadcast(mid))
+      .withColumn("__half",
+        when(col("__day") < col("__mid"), 0L).otherwise(1L))
+      .withColumn("__w", greatest(exactDiv(
+        col("__hi") - col("__lo") + bins, lit(bins.toLong)), lit(1L)))
+      .withColumn("__b", exactDiv(col("__vm") - col("__lo"), col("__w")))
+      .groupBy("__ty", "__half", "__b").agg(count(lit(1)).as("__c"))
+    val frame = bounds.select(col("__ty"),
+        explode(sequence(lit(0L), lit((bins - 1).toLong))).as("__b"))
+      .select(col("__ty"), col("__b"),
+        explode(array(lit(0L), lit(1L))).as("__half"))
+    val cells = frame.join(counts, Seq("__ty", "__half", "__b"), "left")
+      .withColumn("__c1", coalesce(col("__c"), lit(0L)) + 1L)
+      .groupBy("__ty", "__b").agg(
+        sum(when(col("__half") === 0L, col("__c1")).otherwise(0L)).as("__p"),
+        sum(when(col("__half") === 1L, col("__c1")).otherwise(0L)).as("__q"))
+      .localCheckpoint() // types×bins; totals + term fold read it
+    val totals = cells.groupBy("__ty")
+      .agg(sum(col("__p")).as("__np"), sum(col("__q")).as("__nq"))
+    cells.join(broadcast(totals), "__ty")
+      .withColumn("__term",
+        (dec(col("__p")) * dec(col("__nq")) - dec(col("__q")) * dec(col("__np"))) *
+          dec(lnMicro(dec(col("__p")) * dec(col("__nq"))) -
+            lnMicro(dec(col("__q")) * dec(col("__np")))))
+      .groupBy(col("__ty").as("event_type"))
+      .agg((max(col("__np")) - bins).cast("long").as("n_first"),
+        (max(col("__nq")) - bins).cast("long").as("n_second"),
+        fdiv(sum(col("__term")), max(dec(col("__np")) * dec(col("__nq"))))
+          .as("psi_micro_nats"))
+      .orderBy("event_type")
+  }
+
+  /** Pairwise correlation of daily event-type volumes: for every type
+    * pair, the signed square of the Pearson correlation between the
+    * two types' daily-count series over the SHARED observed calendar
+    * (zero-filled days included via the algebra, never materialized) —
+    * the do-these-signals-move-together matrix behind metric-redundancy
+    * and leading-indicator checks. The statistic is
+    * `sign(cov)·r²` in floored integer ppm: with
+    * `num = n·Σxy − Σx·Σy`, `denₐ = n·Σx² − (Σx)²` (population forms,
+    * n = calendar span in days), it evaluates as
+    * `sign(num) · ⌊⌊|num|·10⁶/denₐ⌋·⌊|num|·10⁶/den_b⌋ / 10⁶⌋` — every
+    * step an integer floor division both engines perform identically
+    * (r itself needs a sqrt, which is IEEE-rounding territory; r² is
+    * not). By Cauchy–Schwarz `num² ≤ denₐ·den_b`, so the PRODUCT of
+    * the two inner quotients is ≤ ~10¹² (each alone may exceed 10⁶
+    * when one variance is small) — comfortably inside exact decimal
+    * range. A constant series (zero variance) yields NULL for its
+    * pairs. Output:
+    * `(type_a, type_b, n_days, r2_signed_ppm)` with `type_a < type_b`.
+    *
+    * Scale shape: ONE fact scan collapses to the (type, day) daily
+    * panel (map-side partials; localCheckpoint — three readers). The
+    * cross-moment Σxy comes from the panel's self-join on day (days
+    * where either count is zero contribute nothing to Σxy, so the
+    * zero-filled algebra is exact without densifying), the per-type
+    * moments and the 1-row span agg come from the same panel, and the
+    * vocabulary²-bounded pair frame assembles by broadcast joins —
+    * the fact is never touched twice and nothing scales beyond
+    * (types × active days). Moments accumulate in DECIMAL(38,0):
+    * |num|·10⁶ stays inside 38 digits up to ~10¹⁰ events/day over a
+    * ~30-year calendar. */
+  def typeDailyCorrelation(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast(DecimalType(38, 0))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val DAY = 86400000000L
+    val t = tsMicros(events, tsCol)
+    val daily = events.select(col(typeCol).as("__ty"),
+        (((t - pmod(t, lit(DAY))) / DAY).cast("long")).as("__day"))
+      .groupBy("__ty", "__day").agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // (types × active days); span + moments + Σxy
+    val span = daily.agg((max(col("__day")) - min(col("__day")) + 1L)
+      .as("__nd"))
+    val moments = daily.groupBy("__ty").agg(
+      sum(col("__n")).as("__sx"),
+      sum(dec(col("__n")) * dec(col("__n"))).as("__sxx"))
+    val sxy = daily.as("a")
+      .join(daily.as("b"),
+        col("a.__day") === col("b.__day") && col("a.__ty") < col("b.__ty"))
+      .groupBy(col("a.__ty").as("__ta"), col("b.__ty").as("__tb"))
+      .agg(sum(dec(col("a.__n")) * dec(col("b.__n"))).as("__sxy"))
+    val ma = moments.select(col("__ty").as("__ta"), col("__sx").as("__sxa"),
+      col("__sxx").as("__sxxa"))
+    val mb = moments.select(col("__ty").as("__tb"), col("__sx").as("__sxb"),
+      col("__sxx").as("__sxxb"))
+    // every frame relation is vocabulary-bounded: the non-equi pair
+    // expansion and the Σxy attach both broadcast EXPLICITLY (a stats
+    // misestimate must never turn types² into a shuffled cartesian)
+    val frame = ma.join(broadcast(mb), col("__ta") < col("__tb"))
+      .join(broadcast(sxy), Seq("__ta", "__tb"), "left")
+      .crossJoin(broadcast(span))
+      .select(col("__ta"), col("__tb"), col("__nd"),
+        (dec(col("__nd")) * coalesce(col("__sxy"), lit(0).cast(
+          DecimalType(38, 0))) - dec(col("__sxa")) * dec(col("__sxb")))
+          .as("__num"),
+        (dec(col("__nd")) * col("__sxxa") - dec(col("__sxa")) *
+          dec(col("__sxa"))).as("__dena"),
+        (dec(col("__nd")) * col("__sxxb") - dec(col("__sxb")) *
+          dec(col("__sxb"))).as("__denb"))
+    frame.select(col("__ta").as("type_a"), col("__tb").as("type_b"),
+        col("__nd").cast("long").as("n_days"),
+        when(col("__dena") === 0 || col("__denb") === 0,
+          lit(null).cast("long"))
+          .otherwise((when(col("__num") > 0, 1L).when(col("__num") < 0, -1L)
+            .otherwise(0L) *
+            fdiv(fdiv(abs(col("__num")) * 1000000, col("__dena")) *
+              fdiv(abs(col("__num")) * 1000000, col("__denb")),
+              lit(1000000).cast(DecimalType(38, 0))).cast("long"))
+            .cast("long"))
+          .as("r2_signed_ppm"))
+      .orderBy("type_a", "type_b")
+  }
 }

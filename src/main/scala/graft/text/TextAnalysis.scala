@@ -1732,4 +1732,129 @@ object TextAnalysis {
       .groupBy(length(col("__t")).cast("long").as("token_len"))
       .agg(count(lit(1)).as("n_types"), sum(col("__tf")).as("n_occurrences"))
       .orderBy("token_len")
+
+  /** Cross-source duplicate-leakage matrix: for every source pair, how
+    * many DISTINCT texts appear verbatim in both — the
+    * which-crawl-copies-which report behind dedup-order and
+    * source-provenance decisions (a high cell between a "curated" set
+    * and a crawl means the curated set leaks into pretraining data
+    * through the crawl, the classic eval-contamination vector). Texts
+    * are keyed by md5 (the [[duplicationTrend]] digest), sources
+    * dedup per text first, and each shared text counts ONCE per pair
+    * regardless of copy counts. Output:
+    * `(source_a, source_b, n_shared_texts)` with `source_a <
+    * source_b`; pairs with nothing shared are absent.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT (source,
+    * digest) relation (hash agg, map-side partials) which materializes
+    * once (both self-join sides read the checkpoint); the digest-keyed
+    * self-join fans out at most sources² per digest — vocabulary-
+    * bounded, never copies² — and the matrix is sources²-bounded. */
+  def crossSourceLeakage(df: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val hs = df.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("__s"), md5(col(textCol)).as("__h"))
+      .distinct()
+      .localCheckpoint() // both self-join sides read it
+    hs.as("a").join(hs.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__s") < col("b.__s"))
+      .groupBy(col("a.__s").as("source_a"), col("b.__s").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Readability census per source: aggregate words-per-sentence and
+    * chars-per-word — the two inputs every classic readability formula
+    * (Flesch, ARI, Coleman–Liau) is built from, reported as exact
+    * floored integer MICROS so both engines agree bit-for-bit. A
+    * sentence is a run of `[.!?]` enders (split count), floored at 1
+    * per document so ender-free fragments count as one sentence; words
+    * are the corpus-standard whitespace tokens and chars are the sum
+    * of token lengths (whitespace never counts). Ratios are
+    * corpus-level (`Σwords/Σsentences`), not means of per-doc ratios —
+    * the convention that keeps a one-word doc from dominating. Output:
+    * `(source, n_docs, n_words, n_sentences, words_per_sentence_micro,
+    * chars_per_word_micro)`.
+    *
+    * Scale shape: pure per-row column arithmetic (no explode — token
+    * counts and char sums fold inside the array) into one
+    * source-bounded hash agg with map-side partials; nothing shuffles
+    * but the narrow per-doc count triple. */
+  def readabilityCensus(df: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val perDoc = df.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("source"),
+        filter(tokens(col(textCol)), t => t =!= "").as("__a"),
+        (size(split(col(textCol), "[.!?]+")) - 1).cast("long").as("__e"))
+      .select(col("source"),
+        size(col("__a")).cast("long").as("__w"),
+        aggregate(col("__a"), lit(0L), (acc, tk) => acc + length(tk))
+          .as("__ch"),
+        greatest(col("__e"), lit(1L)).as("__s"))
+      .filter(col("__w") > 0)
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__s")).as("n_sentences"), sum(col("__ch")).as("__chars"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"),
+        fdiv(dec(col("n_words")) * 1000000, dec(col("n_sentences")))
+          .as("words_per_sentence_micro"),
+        fdiv(dec(col("__chars")) * 1000000, dec(col("n_words")))
+          .as("chars_per_word_micro"))
+      .orderBy("source")
+  }
+
+  /** Duplicate-n-gram census per source — the Gopher §A1.1 repetition
+    * gate's aggregate view (Rae et al. 2021): for each document, the
+    * share of n-gram OCCURRENCES that belong to n-gram types appearing
+    * ≥ 2 times in that document (the within-doc self-repetition mass —
+    * boilerplate loops, keyword stuffing, decode glitches); the census
+    * reports per source how many documents exceed `flagPpm` and the
+    * corpus-mass duplicate share. Distinct from [[repetitionStats]]
+    * (q51), which reports only the TOP gram's share — a doc repeating
+    * many different bigrams twice sails under a top-gram threshold but
+    * not under this one. Output: `(source, n_docs, n_repetitive,
+    * dup_mass_ppm)` in exact floored integer ppm.
+    *
+    * Scale shape: the word-count shape on (doc, gram) — grams build by
+    * index arithmetic on the token array (no shingle materialization
+    * beyond the explode), collapse with map-side partials, then fold
+    * doc-wise and source-wise; every relation after the explode is
+    * bounded by corpus tokens, and the census output by sources. */
+  def dupNgramCensus(df: DataFrame, srcCol: String, idCol: String,
+      textCol: String, n: Int = 2, flagPpm: Long = 300000L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(flagPpm >= 0 && flagPpm <= 1000000L,
+      s"flagPpm must be in [0, 1000000], got $flagPpm")
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val grams = df.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("source"), col(idCol).as("__id"),
+        tokens(col(textCol)).as("__a"))
+      // the ascending-sequence guard from [[ngramDiversity]]
+      .filter(size(col("__a")) >= n)
+      .select(col("source"), col("__id"), explode(transform(
+        sequence(lit(1), size(col("__a")) - (n - 1)),
+        i => array_join(slice(col("__a"), i, lit(n)), " "))).as("__g"))
+      .filter(col("__g") =!= "")
+    val perDoc = grams.groupBy("source", "__id", "__g")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("source", "__id")
+      .agg(sum(col("__c")).as("__tot"),
+        sum(when(col("__c") >= 2, col("__c")).otherwise(0L)).as("__dup"))
+      .withColumn("__ppm",
+        fdiv(dec(col("__dup")) * 1000000, dec(col("__tot"))))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__ppm") > flagPpm, 1L).otherwise(0L))
+          .as("n_repetitive"),
+        sum(col("__dup")).as("__d"), sum(col("__tot")).as("__t"))
+      .select(col("source"), col("n_docs"), col("n_repetitive"),
+        fdiv(dec(col("__d")) * 1000000, dec(col("__t"))).as("dup_mass_ppm"))
+      .orderBy("source")
+  }
 }

@@ -1448,6 +1448,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"))
   }
 
+  test("q225 repurchase survival: horizon census reads the checkpointed gap rollup") {
+    val p = plan("q225_repurchase_survival")
+    assert(!p.contains("orders.parquet"),
+      s"total + horizon census read the checkpointed (gap, count) " +
+        s"rollup, never the fact:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total attaches as a broadcast cross join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q226 readability: one scan, no explode, source-bounded agg only") {
+    val p = plan("q226_readability")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1)
+    assert(!p.contains("Generate"),
+      s"token counts fold INSIDE the array — no explode:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"per-row arithmetic into one hash agg:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the source rollup must partial-aggregate map-side:\n$p")
+  }
+
+  test("q227 dup-ngram census: word-count shape, one scan, no join") {
+    val p = plan("q227_dup_ngram_census")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("Generate"), s"grams explode once:\n$p")
+    assert(p.contains("partial_count"),
+      s"the (doc, gram) rollup must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"three-level rollup, nothing else:\n$p")
+  }
+
+  test("q228 daily correlation: panel materializes once, pair frame broadcast") {
+    val p = plan("q228_type_daily_corr")
+    assert(!p.contains("events.parquet"),
+      s"span, moments, and Σxy all read the checkpointed daily panel:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(!p.contains("CartesianProduct"),
+      s"the non-equi pair expansion must broadcast, never a shuffled " +
+        s"cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"type-pair expansion + 1-row span attach by broadcast:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

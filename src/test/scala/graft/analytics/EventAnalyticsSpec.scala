@@ -1669,4 +1669,64 @@ class EventAnalyticsSpec extends SparkSpec {
       (0L, 1L, 10.0, 166666L),   // 10/60 -> floored ppm
       (1L, 2L, 50.0, 833333L)))
   }
+
+  test("repurchaseSurvival: same-day orders collapse, horizons cumulative") {
+    val orders = Seq(
+      // c1: active days 0, 5, 40 (the second day-5 order is the SAME
+      // active day) -> gaps {5, 35}
+      (1L, "1970-01-01"), (1L, "1970-01-06"), (1L, "1970-01-06"),
+      (1L, "1970-02-10"),
+      // c2: a single active day -> contributes no gap
+      (2L, "1970-03-01"))
+      .toDF("o_custkey", "__d")
+      .select(col("o_custkey"), col("__d").cast("date").as("o_orderdate"))
+    val got = Analytics.repurchaseSurvival(orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (7L, 2L, 1L, 500000L), (14L, 2L, 1L, 500000L),
+      (30L, 2L, 1L, 500000L), (60L, 2L, 2L, 1000000L),
+      (90L, 2L, 2L, 1000000L), (180L, 2L, 2L, 1000000L)))
+  }
+
+  test("typeDailyCorrelation: perfect +/-, constant series NULL") {
+    val day = 86400000000L
+    // daily counts over span {0,1,2} (nd = 3):
+    //   a: 1,2,3   b: 2,4,6 (= 2a, r = +1)   c: 1,1,1 (constant)
+    //   d: 3,2,1 (= reversed a, r = -1)
+    def rows(ty: String, perDay: Seq[Int]): Seq[(String, Long)] =
+      perDay.zipWithIndex.flatMap { case (n, d) =>
+        (0 until n).map(i => (ty, d * day + i + 1)) }
+    val events = (rows("a", Seq(1, 2, 3)) ++ rows("b", Seq(2, 4, 6)) ++
+      rows("c", Seq(1, 1, 1)) ++ rows("d", Seq(3, 2, 1)))
+      .toDF("event_type", "ts")
+    val got = Analytics.typeDailyCorrelation(events, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got == Seq(
+      ("a", "b", 3L, Some(1000000L)),
+      ("a", "c", 3L, None),
+      ("a", "d", 3L, Some(-1000000L)),
+      ("b", "c", 3L, None),
+      ("b", "d", 3L, Some(-1000000L)),
+      ("c", "d", 3L, None)))
+  }
+
+  test("typeDailyCorrelation: disjoint active days still correlate (zero overlap)") {
+    val day = 86400000000L
+    // a active on days {0,1}, b only on day 2: spans align to nd = 3,
+    // sxy = 0 via the left join, num = 3*0 - 3*5 = -15 -> negative
+    val events = (Seq(("a", 1L), ("a", 2L), ("a", day + 1))
+      ++ Seq(("b", 2 * day + 1), ("b", 2 * day + 2), ("b", 2 * day + 3),
+        ("b", 2 * day + 4), ("b", 2 * day + 5)))
+      .toDF("event_type", "ts")
+    val got = Analytics.typeDailyCorrelation(events, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // a: counts 2,1,0 -> sx=3 sxx=5 dena=3*5-9=6
+    // b: counts 0,0,5 -> sx=5 sxx=25 denb=3*25-25=50
+    // num=-15; ra=floor(15e6/6)=2500000; rb=floor(15e6/50)=300000
+    // r2=floor(2.5e6*3e5/1e6)=750000, signed -750000
+    assert(got == Seq(("a", "b", 3L, -750000L)))
+  }
 }

@@ -256,4 +256,43 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 1L, 1L), (2L, 2L, 4L), (3L, 1L, 1L)))
   }
+
+  test("readabilityCensus: ender runs, sentence floor, corpus-level ratios") {
+    val docs = Seq(
+      // A: 3 words, 12 token chars, 2 ender runs
+      (1L, "A", "Hi there. Bye."),
+      // A: no enders -> floors to 1 sentence; 3 words, 12 chars
+      (2L, "A", "no enders here"),
+      // B: '!' '?' and '.' all end sentences -> 3; 3 words, 14 chars
+      (3L, "B", "One! Two? Three."),
+      // B: zero words -> excluded entirely (n_docs must stay 1)
+      (4L, "B", "   "),
+      (5L, "B", null))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.readabilityCensus(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      // A: 6 words / 3 sentences = 2.0; 24 chars / 6 words = 4.0
+      ("A", 2L, 6L, 3L, 2000000L, 4000000L),
+      // B: 3/3 = 1.0; floor(14e6/3) = 4666666
+      ("B", 1L, 3L, 3L, 1000000L, 4666666L)))
+  }
+
+  test("dupNgramCensus: repeated bigram mass flags the doc, short docs skip") {
+    val docs = Seq(
+      // "a b","b a","a b","b a" -> every occurrence duplicated:
+      // ppm 1000000 > 300000 -> repetitive
+      (1L, "A", "a b a b a"),
+      // all-distinct bigrams -> dup 0
+      (2L, "A", "x y z"),
+      // single token: no bigram -> source B absent from the census
+      (3L, "B", "hello"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.dupNgramCensus(docs, "source", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // A mass: dup 4 / total 6 -> floor = 666666
+    assert(got == Seq(("A", 2L, 1L, 666666L)))
+  }
 }
