@@ -139,6 +139,8 @@ object Plans {
       "The DAU waterfall from ONE windowed pass: lag and lead share the user-keyed window over the distinct (user, day) panel (checkpointed — class rollup, churn arm, and day spine all read the leaf), churn books to day+1 clipped to observed days, and every rollup partial-aggregates into a calendar-bounded report.",
     "q226_readability" ->
       "Readability inputs with ZERO explode: token counts, token-char sums, and sentence-ender counts all fold inside the array via higher-order functions (one projection, no Generate in the plan), so the shuffle carries three longs per document into a source-bounded hash agg — the cheapest possible shape for a corpus-wide census at 100 TB.",
+    "q230_psi_drift" ->
+      "Drift scoring that touches the fact twice and nothing more: scan one collapses to the types-bounded bounds relation (checkpointed — the calendar midpoint derives from IT, not a third scan), scan two bins against those BROADCAST bounds into a types×2×bins hash agg with map-side partials. The dense smoothing frame explodes off the bounds relation, never the fact; the PSI fold is fixed-point-ln integer arithmetic whose terms are provably nonnegative under floored L — a floor artifact can never report negative drift.",
     "q228_type_daily_corr" ->
       "A correlation matrix that touches the fact ONCE: events collapse to the (type, day) panel (checkpointed — span, per-type moments, and the Σxy self-join all read the ExistingRDD leaf), zero-count days enter through the population algebra instead of a densified spine, and the vocabulary-bounded pair frame assembles by EXPLICIT broadcasts — a stats misestimate can never turn types² into a shuffled cartesian. The statistic is signed r² in floored integer ppm: every division an integer floor both engines take identically, no sqrt anywhere.")
 

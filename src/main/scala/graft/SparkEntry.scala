@@ -1337,10 +1337,11 @@ object SparkEntry {
       Analytics.typeDailyCorrelation(Tables.events(s, d), "event_type",
         "ts")),
     // q229: cross-source duplicate-leakage matrix — shared distinct
-    // texts per source pair off ONE checkpointed (source, md5) relation
+    // opening passages (160-char prefix digest) per source pair off
+    // ONE checkpointed (source, md5) relation
     "q229_cross_source_leakage" -> ((s, d) =>
       TextAnalysis.crossSourceLeakage(Tables.documents(s, d), "source",
-        "text")),
+        "text", prefixChars = 160)),
     // q230: PSI value drift per type — first vs second half of the
     // calendar, Laplace-smoothed equal-width bins, fixed-point ln
     "q230_psi_drift" -> ((s, d) =>
@@ -1351,6 +1352,11 @@ object SparkEntry {
     "q231_source_dispersion" -> ((s, d) =>
       Similarity.sourceDispersion(Tables.embeddings(s, d), "vec_id",
         "embedding", Tables.documents(s, d), "doc_id", "source")),
+    // q232: source vocabulary Jaccard — pairwise type-set overlap off
+    // one (source, token) rollup, minCount prunes hapax noise
+    "q232_vocab_overlap" -> ((s, d) =>
+      TextAnalysis.sourceVocabularyOverlap(Tables.documents(s, d),
+        "source", "text", minCount = 2L)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -4835,10 +4841,11 @@ object SparkEntry {
         |        * ((abs(num) * 1000000) // denb)) // 1000000)
         |      AS BIGINT) END AS r2_signed_ppm
         |FROM f ORDER BY 1, 2""".stripMargin,
-    // q229: same md5 digest as q221; distinct (source, hash) first so
-    // shared texts count once per pair
+    // q229: same md5 digest as q221 over the 160-char opening prefix;
+    // distinct (source, hash) first so shared passages count once/pair
     "q229_cross_source_leakage" ->
-      """WITH hs AS (SELECT DISTINCT source AS s, md5(text) AS h
+      """WITH hs AS (SELECT DISTINCT source AS s,
+        |    md5(substr(text, 1, 160)) AS h
         |  FROM documents WHERE text IS NOT NULL)
         |SELECT a.s AS source_a, b.s AS source_b,
         |  CAST(count(*) AS BIGINT) AS n_shared_texts
@@ -4900,6 +4907,24 @@ object SparkEntry {
         |SELECT src AS source, CAST(n AS BIGINT) AS n_pairs,
         |  CAST((sm - ((sm % n + n) % n)) // n AS BIGINT) AS mean_cos_micro
         |FROM g ORDER BY 1""".stripMargin,
+    // q232: same tokenizer; count >= 2 prunes hapax; all pairs kept
+    // (zero overlap -> 0 ppm)
+    "q232_vocab_overlap" ->
+      """WITH t AS (SELECT source AS s,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT s, t FROM t WHERE t <> '' GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |sz AS (SELECT s, count(*) AS n FROM st GROUP BY 1),
+        |i AS (SELECT a.s AS sa, b.s AS sb, count(*) AS i
+        |  FROM st a JOIN st b ON a.t = b.t AND a.s < b.s GROUP BY 1, 2)
+        |SELECT x.s AS source_a, y.s AS source_b,
+        |  CAST(coalesce(i, 0) AS BIGINT) AS n_common,
+        |  CAST((coalesce(i, 0) * 1000000)
+        |    // (x.n + y.n - coalesce(i, 0)) AS BIGINT) AS jaccard_ppm
+        |FROM sz x JOIN sz y ON x.s < y.s
+        |LEFT JOIN i ON i.sa = x.s AND i.sb = y.s
+        |ORDER BY 1, 2""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

@@ -3705,19 +3705,110 @@ object Analytics {
         sum(when(col("__half") === 0L, col("__c1")).otherwise(0L)).as("__p"),
         sum(when(col("__half") === 1L, col("__c1")).otherwise(0L)).as("__q"))
       .localCheckpoint() // types×bins; totals + term fold read it
-    val totals = cells.groupBy("__ty")
+    psiFold(cells, Seq("__ty"), bins)
+      .select(col("__ty").as("event_type"), col("n_p").as("n_first"),
+        col("n_q").as("n_second"), col("psi_micro_nats"))
+      .orderBy("event_type")
+  }
+
+  /** The shared PSI fold: given a DENSE Laplace-smoothed cell relation
+    * `(keys..., __b, __p, __q)` (every key × bin present, both counts
+    * ≥ 1), computes the exact fixed-point PSI per key group (the
+    * [[psiDrift]] arithmetic — see there for the formula and why
+    * terms are provably ≥ 0). Output: `(keys..., n_p, n_q,
+    * psi_micro_nats)` with `n_p`/`n_q` the PRE-smoothing totals.
+    * Shared by the batch drift operator and the streaming monitor's
+    * [[psiAgainstBaseline]] finisher — one tested home for the fold
+    * (the global-rank consolidation rule). */
+  private[graft] def psiFold(cells: DataFrame, keys: Seq[String],
+      bins: Int): DataFrame = {
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def lnMicro(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1000000L)).cast("long")
+    val keyCols = keys.map(col)
+    val totals = cells.groupBy(keyCols: _*)
       .agg(sum(col("__p")).as("__np"), sum(col("__q")).as("__nq"))
-    cells.join(broadcast(totals), "__ty")
+    cells.join(broadcast(totals), keys)
       .withColumn("__term",
         (dec(col("__p")) * dec(col("__nq")) - dec(col("__q")) * dec(col("__np"))) *
           dec(lnMicro(dec(col("__p")) * dec(col("__nq"))) -
             lnMicro(dec(col("__q")) * dec(col("__np")))))
-      .groupBy(col("__ty").as("event_type"))
-      .agg((max(col("__np")) - bins).cast("long").as("n_first"),
-        (max(col("__nq")) - bins).cast("long").as("n_second"),
+      .groupBy(keyCols: _*)
+      .agg((max(col("__np")) - bins).cast("long").as("n_p"),
+        (max(col("__nq")) - bins).cast("long").as("n_q"),
         fdiv(sum(col("__term")), max(dec(col("__np")) * dec(col("__nq"))))
           .as("psi_micro_nats"))
-      .orderBy("event_type")
+  }
+
+  /** Equal-width integer bin spec per type, frozen off a BASELINE
+    * relation — the calibration snapshot a streaming drift monitor
+    * carries (the [[quantileNormalizeQuality]]-threshold pattern:
+    * train-time bounds travel to serving time as a tiny broadcast
+    * table). Width uses [[priceHistogram]]'s ceil idiom. Output:
+    * `(event_type, lo_micro, width_micro)`. */
+  def psiBinSpec(baseline: DataFrame, typeCol: String, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    def exactDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    baseline.select(col(typeCol).as("event_type"),
+        floor(col(valueCol) * 1000000d).cast("long").as("__vm"))
+      .groupBy("event_type")
+      .agg(min(col("__vm")).as("lo_micro"),
+        greatest(exactDiv(max(col("__vm")) - min(col("__vm")) + bins,
+          lit(bins.toLong)), lit(1L)).as("width_micro"))
+  }
+
+  /** Bin counts against a frozen [[psiBinSpec]], CLAMPED to [0, bins)
+    * — serving-time values outside the baseline's range land in the
+    * edge bins instead of inventing new ones (the convention that
+    * keeps train/serve cell frames congruent). Output:
+    * `(event_type, __b, n)`. */
+  def psiBinCounts(df: DataFrame, typeCol: String, valueCol: String,
+      spec: DataFrame, bins: Int = 10): DataFrame = {
+    def exactDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    df.select(col(typeCol).as("event_type"),
+        floor(col(valueCol) * 1000000d).cast("long").as("__vm"))
+      .join(broadcast(spec), "event_type")
+      .withColumn("__b", least(greatest(exactDiv(
+        col("__vm") - col("lo_micro"), col("width_micro")), lit(0L)),
+        lit((bins - 1).toLong)))
+      .groupBy("event_type", "__b").agg(count(lit(1)).as("n"))
+  }
+
+  /** PSI of CURRENT bin counts against a frozen BASELINE — the
+    * finisher behind the streaming drift monitor
+    * ([[graft.analytics.StreamingAnalytics.psiDriftStream]] emits
+    * windowed bin counts; this scores each window). `extraKeys`
+    * (e.g. the window column) key the current side; the baseline
+    * broadcasts onto every group. Dense frames + Laplace smoothing
+    * happen here so sparse windows are well-defined. Output:
+    * `(event_type, extraKeys..., n_baseline, n_current,
+    * psi_micro_nats)`. PSI is symmetric, so baseline/current
+    * orientation affects only the column names. */
+  def psiAgainstBaseline(current: DataFrame, baseline: DataFrame,
+      bins: Int = 10, extraKeys: Seq[String] = Nil): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val keys = "event_type" +: extraKeys
+    // every (type, extraKeys) group present in CURRENT gets the full
+    // dense bin frame; baseline-only types score nothing (no traffic)
+    val groups = current.select(keys.map(col): _*).distinct()
+    val frame = groups.select(col("*"),
+      explode(sequence(lit(0L), lit((bins - 1).toLong))).as("__b"))
+    val cells = frame
+      .join(current.withColumnRenamed("n", "__cq"),
+        keys :+ "__b", "left")
+      .join(broadcast(baseline.withColumnRenamed("n", "__cp")),
+        Seq("event_type", "__b"), "left")
+      .withColumn("__p", coalesce(col("__cp"), lit(0L)) + 1L)
+      .withColumn("__q", coalesce(col("__cq"), lit(0L)) + 1L)
+    psiFold(cells, keys, bins)
+      .select((keys.map(col) :+ col("n_p").as("n_baseline") :+
+        col("n_q").as("n_current") :+ col("psi_micro_nats")): _*)
+      .orderBy(keys.map(col): _*)
   }
 
   /** Pairwise correlation of daily event-type volumes: for every type

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -425,4 +425,44 @@ object StreamingAnalytics {
     stream.observe(name,
       max(col(tsCol)).as("max_commit_ts"),
       count(lit(1)).as("batch_rows"))
+
+  /** Streaming PSI drift monitor — the serving-time arm of
+    * [[Analytics.psiDrift]]: arriving events bin against a FROZEN
+    * [[Analytics.psiBinSpec]] calibration snapshot (train-time bounds
+    * travel as a broadcast table — the `quality_pct` pattern) and
+    * emit per-(type, event-time window) bin counts in APPEND mode,
+    * exactly once per closed window (watermark-gated, cross-batch
+    * counts merged by the streaming agg). Values outside the baseline
+    * range clamp into the edge bins — the same convention as
+    * [[Analytics.psiBinCounts]], so the streaming counts are
+    * bit-identical to a batch re-bin of the same ripe events. Score
+    * each window with [[Analytics.psiAgainstBaseline]] at the sink
+    * (the PSI fold is a tiny bins-bounded batch transform per window
+    * — it does not belong inside the streaming agg, which would need
+    * a second aggregation stage append mode forbids). Output:
+    * `(event_type, window_start, window_end, __b, n)`.
+    *
+    * Scale shape: one stream-static broadcast join (the spec is
+    * types-bounded), one windowed hash agg keyed (type, window, bin)
+    * — state is types × open-windows × bins rows, independent of
+    * event volume; no per-key custom state at all. */
+  def psiDriftStream(events: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String, spec: DataFrame, bins: Int = 10,
+      windowDur: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    def exactDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    events.withWatermark(tsCol, watermark)
+      .select(col(typeCol).as("event_type"), col(tsCol).as("__t"),
+        floor(col(valueCol) * 1000000d).cast("long").as("__vm"))
+      .join(broadcast(spec), "event_type")
+      .withColumn("__b", least(greatest(exactDiv(
+        col("__vm") - col("lo_micro"), col("width_micro")), lit(0L)),
+        lit((bins - 1).toLong)))
+      .groupBy(col("event_type"), window(col("__t"), windowDur), col("__b"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("__b"), col("n"))
+  }
 }

@@ -1739,11 +1739,18 @@ object TextAnalysis {
     * source-provenance decisions (a high cell between a "curated" set
     * and a crawl means the curated set leaks into pretraining data
     * through the crawl, the classic eval-contamination vector). Texts
-    * are keyed by md5 (the [[duplicationTrend]] digest), sources
-    * dedup per text first, and each shared text counts ONCE per pair
-    * regardless of copy counts. Output:
-    * `(source_a, source_b, n_shared_texts)` with `source_a <
-    * source_b`; pairs with nothing shared are absent.
+    * are keyed by md5 (the [[duplicationTrend]] digest) over either
+    * the whole text (`prefixChars = 0`) or the opening `prefixChars`
+    * characters — the prefix mode catches shared templates/headers
+    * (syndicated openings, boilerplate intros) that whole-text
+    * equality misses once bodies diverge. Sources dedup per digest
+    * first, and each shared digest counts ONCE per pair regardless of
+    * copy counts. Complements [[graft.text.Dedup.nearDupSourceMatrix]]
+    * (q73), which attributes an EXISTING near-dup pair list to source
+    * pairs — this operator needs no candidate generation, counts
+    * digest CLUSTERS (not pairwise edges), and carries the prefix
+    * mode. Output: `(source_a, source_b, n_shared_texts)` with
+    * `source_a < source_b`; pairs with nothing shared are absent.
     *
     * Scale shape: the corpus collapses to the DISTINCT (source,
     * digest) relation (hash agg, map-side partials) which materializes
@@ -1751,15 +1758,64 @@ object TextAnalysis {
     * self-join fans out at most sources² per digest — vocabulary-
     * bounded, never copies² — and the matrix is sources²-bounded. */
   def crossSourceLeakage(df: DataFrame, srcCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, prefixChars: Int = 0): DataFrame = {
+    require(prefixChars >= 0, s"prefixChars must be >= 0, got $prefixChars")
+    val keyed = if (prefixChars == 0) col(textCol)
+      else substring(col(textCol), 1, prefixChars)
     val hs = df.filter(col(textCol).isNotNull)
-      .select(col(srcCol).as("__s"), md5(col(textCol)).as("__h"))
+      .select(col(srcCol).as("__s"), md5(keyed).as("__h"))
       .distinct()
       .localCheckpoint() // both self-join sides read it
     hs.as("a").join(hs.as("b"),
         col("a.__h") === col("b.__h") && col("a.__s") < col("b.__s"))
       .groupBy(col("a.__s").as("source_a"), col("b.__s").as("source_b"))
       .agg(count(lit(1)).as("n_shared_texts"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Source vocabulary-overlap matrix: Jaccard similarity between the
+    * token TYPE sets of every source pair — the register/topic
+    * proximity map behind domain-mix design (two sources with 0.6
+    * vocabulary Jaccard are near-substitutes; upweighting both buys
+    * less diversity than the token counts suggest). Complements
+    * [[sourceKlDivergence]] (q196), which measures distribution shift
+    * against the pooled corpus with frequencies, by comparing PAIRS on
+    * set membership alone; `minCount` prunes hapax noise before the
+    * set algebra. Output: `(source_a, source_b, n_common,
+    * jaccard_ppm)` for ALL pairs (zero-overlap pairs report 0), exact
+    * floored ppm.
+    *
+    * Scale shape: the corpus collapses once to the (source, token,
+    * count) rollup (map-side partials); the token-keyed self-join on
+    * the pruned type sets fans out at most sources² per token; vocab
+    * sizes and the pair frame are sources-bounded broadcasts. */
+  def sourceVocabularyOverlap(df: DataFrame, srcCol: String,
+      textCol: String, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val st = df.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("__s"), explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy("__s", "__t").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("__s"), col("__t"))
+      .localCheckpoint() // sizes + both self-join sides read it
+    val sizes = st.groupBy("__s").agg(count(lit(1)).as("__n"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__s") < col("b.__s"))
+      .groupBy(col("a.__s").as("__sa"), col("b.__s").as("__sb"))
+      .agg(count(lit(1)).as("__i"))
+    sizes.select(col("__s").as("__sa"), col("__n").as("__na"))
+      .join(broadcast(sizes.select(col("__s").as("__sb"),
+        col("__n").as("__nb"))), col("__sa") < col("__sb"))
+      .join(broadcast(inter), Seq("__sa", "__sb"), "left")
+      .select(col("__sa").as("source_a"), col("__sb").as("source_b"),
+        coalesce(col("__i"), lit(0L)).as("n_common"),
+        fdiv(dec(coalesce(col("__i"), lit(0L))) * 1000000,
+          dec(col("__na") + col("__nb") - coalesce(col("__i"), lit(0L))))
+          .as("jaccard_ppm"))
       .orderBy("source_a", "source_b")
   }
 

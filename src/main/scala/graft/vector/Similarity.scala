@@ -48,6 +48,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sampled intra-source semantic dispersion: for each source, the
+    * mean pairwise cosine among a deterministic id-sample of its
+    * documents' embeddings — the corpus-diversity datasheet number
+    * ("is this source 10k paraphrases of one page or genuinely
+    * varied?") that SemDeDup-style pruning decisions read before
+    * picking per-source thresholds. Cosines use the q37 rounded-6dp
+    * cross-engine convention; the mean is an exact DECIMAL(18,6) sum
+    * of the rounded values with ONE final floored integer division to
+    * micros, so the statistic is engine- and partitioning-exact.
+    * Sources with fewer than two sampled vectors are absent. Output:
+    * `(source, n_pairs, mean_cos_micro)`.
+    *
+    * Scale shape: the sample (`vec_id % sampleMod == 0` — the
+    * deterministic coin every sampler here uses) joins its source
+    * label once and checkpoints; the source-keyed self-join is
+    * quadratic ONLY in the per-source sample (sampleMod is the scale
+    * knob: pair work ≈ (n/mod)²/|sources|·…, sized to hold the
+    * per-source sample at ~10³ regardless of corpus size), and the
+    * census output is sources-bounded. The cosine kernel is the
+    * codegen'd native fused loop. */
+  def sourceDispersion(emb: DataFrame, idCol: String, embCol: String,
+      docs: DataFrame, docIdCol: String, srcCol: String,
+      sampleMod: Long = 4L): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val sampled = emb.filter(pmod(col(idCol), lit(sampleMod)) === 0L)
+      .join(docs.select(col(docIdCol).as("__did"),
+        col(srcCol).as("__src")), col(idCol) === col("__did"))
+      .select(col("__src"), col(idCol).as("__id"),
+        asDouble(col(embCol)).as("__e"))
+      .localCheckpoint() // both self-join sides read it
+    sampled.as("a").join(sampled.as("b"),
+        col("a.__src") === col("b.__src") && col("a.__id") < col("b.__id"))
+      .select(col("a.__src").as("source"),
+        round(cosine(col("a.__e"), col("b.__e")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("__c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        fdiv((sum(col("__c")) * 1000000)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+          count(lit(1)).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("mean_cos_micro"))
+      .orderBy("source")
+  }
+
   /** Hard-negative mining for contrastive training: for every query
     * vector, the k most-similar corpus vectors whose cosine stays
     * AT OR BELOW `maxCos` (the inclusive near-duplicate ceiling — an accidental twin

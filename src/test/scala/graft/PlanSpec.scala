@@ -1492,6 +1492,49 @@ class PlanSpec extends SparkSpec {
       s"type-pair expansion + 1-row span attach by broadcast:\n$p")
   }
 
+  test("q229 cross-source leakage: digest relation materializes once, equi self-join") {
+    val p = plan("q229_cross_source_leakage")
+    assert(!p.contains("documents.parquet"),
+      s"both self-join sides read the checkpointed (source, digest) " +
+        s"relation:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the digest join must be an equi-join:\n$p")
+  }
+
+  test("q230 PSI drift: everything after the checkpointed cells is broadcast") {
+    val p = plan("q230_psi_drift")
+    assert(!p.contains("events.parquet"),
+      s"the PSI fold reads the checkpointed types×bins cell relation, " +
+        s"never the fact:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type totals attach by broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("q231 source dispersion: sampled slice materializes once, source equi-join") {
+    val p = plan("q231_source_dispersion")
+    assert(!p.contains("embeddings.parquet") &&
+      !p.contains("documents.parquet"),
+      s"both pair-join sides read the checkpointed sampled slice:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(!p.contains("CartesianProduct"),
+      s"pairs expand through the source-keyed equi-join only:\n$p")
+  }
+
+  test("q232 vocab overlap: one rollup materializes, sizes and inter broadcast") {
+    val p = plan("q232_vocab_overlap")
+    assert(!p.contains("documents.parquet"),
+      s"sizes and both self-join sides read the checkpointed (source, " +
+        s"token) relation:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(!p.contains("CartesianProduct"),
+      s"the sources² pair frame must broadcast:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

@@ -1729,4 +1729,29 @@ class EventAnalyticsSpec extends SparkSpec {
     // r2=floor(2.5e6*3e5/1e6)=750000, signed -750000
     assert(got == Seq(("a", "b", 3L, -750000L)))
   }
+
+  test("psiDrift: identical halves score exactly 0, a regime shift scores > 0") {
+    val day = 86400000000L
+    // span {0, 1}: mid = 0 + (1-0+2)//2 = 1 -> day 0 first, day 1 second
+    // type a: the SAME four values in both halves -> every bin has
+    // p = q, every term is exactly 0 (no ln rounding can leak in)
+    val a = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.flatMap { case (v, i) =>
+      Seq(("a", i.toLong + 1, v), ("a", day + i + 1, v)) }
+    // type b: all mass in bin 0 first, all in bin 9 second
+    val b = (1 to 4).map(i => ("b", i.toLong, 0.0)) ++
+      (1 to 4).map(i => ("b", day + i, 40.0))
+    val events = (a ++ b).toDF("event_type", "ts", "value")
+    val rows = Analytics.psiDrift(events, "event_type", "ts", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(rows.map(t => (t._1, t._2, t._3)) ==
+      Seq(("a", 4L, 4L), ("b", 4L, 4L)))
+    val psi = rows.map(t => t._1 -> t._4).toMap
+    assert(psi("a") == 0L, s"identical distributions must score 0: $psi")
+    // true PSI here is unbounded (disjoint support) but +1 smoothing on
+    // 4-event halves flattens both sides toward uniform: the exact
+    // smoothed value is ~0.92 nats — still far past the 0.25 threshold
+    assert(psi("b") > 250000L,
+      s"a total regime shift must clear the 0.25 drift threshold: $psi")
+  }
 }

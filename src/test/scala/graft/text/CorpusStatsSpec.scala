@@ -295,4 +295,50 @@ class CorpusStatsSpec extends SparkSpec {
     // A mass: dup 4 / total 6 -> floor = 666666
     assert(got == Seq(("A", 2L, 1L, 666666L)))
   }
+
+  test("crossSourceLeakage: shared distinct texts once per pair, copies collapse") {
+    val docs = Seq(
+      // "x" lives in A (twice), B, C; "y" in A and B; "z" only in A
+      (1L, "A", "x"), (2L, "A", "x"), (3L, "B", "x"), (4L, "C", "x"),
+      (5L, "A", "y"), (6L, "B", "y"),
+      (7L, "A", "z"), (8L, "C", null))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.crossSourceLeakage(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).toSeq
+    assert(got == Seq(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L)))
+    // prefix mode: shared 4-char opening, diverging bodies
+    val pdocs = Seq((1L, "A", "blahblah one"), (2L, "B", "blahblah two"),
+      (3L, "C", "other"))
+      .toDF("doc_id", "source", "text")
+    assert(TextAnalysis.crossSourceLeakage(pdocs, "source", "text")
+      .count() == 0)
+    val pgot = TextAnalysis.crossSourceLeakage(pdocs, "source", "text",
+        prefixChars = 8)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).toSeq
+    assert(pgot == Seq(("A", "B", 1L)))
+  }
+
+  test("sourceVocabularyOverlap: type-set Jaccard, zero pairs kept, minCount prunes") {
+    val docs = Seq(
+      (1L, "A", "x x y y z"),   // A types: {x, y, z}
+      (2L, "B", "x x y q"),     // B types: {x, y, q}
+      (3L, "C", "z"))           // C types: {z}
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceVocabularyOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("A", "B", 2L, 500000L),   // {x,y} / {x,y,z,q}
+      ("A", "C", 1L, 333333L),   // {z} / {x,y,z}
+      ("B", "C", 0L, 0L)))       // disjoint pair still reported
+    // minCount = 2: only tokens occurring >= 2 times per source remain
+    val pruned = TextAnalysis.sourceVocabularyOverlap(docs, "source",
+        "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // A -> {x, y}; B -> {x}; C -> {} (C vanishes: no qualifying types)
+    assert(pruned == Seq(("A", "B", 1L, 500000L)))
+  }
 }

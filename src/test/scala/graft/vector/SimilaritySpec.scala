@@ -142,4 +142,21 @@ class SimilaritySpec extends SparkSpec {
         r.getDouble(3))).toSeq
     assert(got == Seq((0L, 2L, 1L, 0.8), (0L, 3L, 2L, 0.0)))
   }
+
+  test("sourceDispersion: sampled pairs per source, unsampled/single excluded") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // X, sampled
+      (4L, Seq(1.0f, 0.0f)),   // X, sampled (twin of 0)
+      (8L, Seq(0.0f, 1.0f)),   // X, sampled (orthogonal)
+      (5L, Seq(1.0f, 1.0f)),   // X, NOT sampled (5 % 4 != 0)
+      (12L, Seq(1.0f, 0.0f)))  // Y, sampled but alone -> absent
+      .toDF("vec_id", "embedding")
+    val docs = Seq((0L, "X"), (4L, "X"), (8L, "X"), (5L, "X"), (12L, "Y"))
+      .toDF("doc_id", "source")
+    val got = Similarity.sourceDispersion(emb, "vec_id", "embedding",
+        docs, "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // pairs (0,4)=1.0, (0,8)=0.0, (4,8)=0.0 -> mean floor(1e6/3)
+    assert(got == Seq(("X", 3L, 333333L)))
+  }
 }
