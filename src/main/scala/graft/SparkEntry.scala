@@ -1357,6 +1357,15 @@ object SparkEntry {
     "q232_vocab_overlap" -> ((s, d) =>
       TextAnalysis.sourceVocabularyOverlap(Tables.documents(s, d),
         "source", "text", minCount = 2L)),
+    // q233: language-mix entropy per source — q131's fixed-point fold
+    // at (source, lang) grain, the language-purity datasheet number
+    "q233_lang_entropy" -> ((s, d) =>
+      TextAnalysis.languageEntropy(Tables.documents(s, d), "source",
+        "lang")),
+    // q234: seasonal-naive forecast backtest — lag-7 alignment on the
+    // checkpointed day panel, WMAPE in exact floored ppm
+    "q234_seasonal_backtest" -> ((s, d) =>
+      Analytics.seasonalNaiveBacktest(Tables.orders(s, d))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -4925,6 +4934,36 @@ object SparkEntry {
         |FROM sz x JOIN sz y ON x.s < y.s
         |LEFT JOIN i ON i.sa = x.s AND i.sb = y.s
         |ORDER BY 1, 2""".stripMargin,
+    // q233: q131's integer-ln entropy fold at (source, lang) grain
+    "q233_lang_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS c FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT source, sum(c) AS n, count(*) AS k,
+        |    sum(c * CAST(floor(ln(c) * 1000000) AS BIGINT)) AS wsum
+        |  FROM c GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(k AS BIGINT) AS n_langs,
+        |  CAST((CAST(floor(ln(n) * 1000000) AS BIGINT) * n - wsum) // n
+        |    AS BIGINT) AS lang_entropy_micro_nats
+        |FROM s ORDER BY 1""".stripMargin,
+    // q234: exact-cents day panel self-aligned at lag 7; WMAPE =
+    // ratio-of-sums floored ppm; errs nonneg so // floors
+    "q234_seasonal_backtest" ->
+      """WITH p AS (SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |      AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |      AS BIGINT) AS a
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT act.d, act.a, abs(act.a - f.a) AS err
+        |  FROM p act JOIN p f ON act.d = f.d + 7)
+        |SELECT strftime(make_timestamp(d * 86400000000), '%Y-%m')
+        |    AS month,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(err) // count(*) AS BIGINT) AS mae_cents,
+        |  CASE WHEN sum(a) = 0 THEN NULL
+        |    ELSE CAST((sum(err) * 1000000) // sum(a) AS BIGINT) END
+        |    AS wmape_ppm
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

@@ -3711,6 +3711,50 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Seasonal-naive forecast backtest: score the forecast
+    * "revenue(d) ≈ revenue(d − 7)" (same weekday last week — the
+    * baseline every real forecasting system must beat) over the
+    * observed daily-revenue panel, reporting per month the evaluated
+    * days, MAE in cents, and WMAPE in floored ppm
+    * (`⌊Σ|a−f|·10⁶ / Σa⌋` — the ratio-of-sums form, integer-exact and
+    * robust to near-zero days where a per-day MAPE explodes). Only
+    * days whose d−7 is also an observed order day are scored (no
+    * zero-fill — absent days are unknowns, not zeros). A month whose
+    * actuals sum to 0 pins WMAPE NULL (the q190 rule). Output:
+    * `(month, n_days, mae_cents, wmape_ppm)`.
+    *
+    * Scale shape: the fact collapses ONCE to the calendar-bounded
+    * (day, cents) panel (hash agg, map-side partials; checkpointed —
+    * both self-join sides read it); the lag-7 alignment is a
+    * panel-sized equi-join, and the report is months-bounded. */
+  def seasonalNaiveBacktest(orders: DataFrame, lagDays: Int = 7): DataFrame = {
+    require(lagDays >= 1, s"lagDays must be >= 1, got $lagDays")
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val panel = orders.select(
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("__d"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("__cents"))
+      .groupBy("__d").agg(sum(col("__cents")).as("__a"))
+      .localCheckpoint() // calendar-bounded; both alignment sides read it
+    val f = panel.select((col("__d") + lagDays).as("__d"),
+      col("__a").as("__f"))
+    panel.join(f, "__d")
+      .select(
+        date_format(timestamp_micros(col("__d") * lit(86400000000L)),
+          "yyyy-MM").as("month"),
+        col("__a"), abs(col("__a") - col("__f")).as("__err"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_days"),
+        fdiv(dec(sum(col("__err"))), dec(count(lit(1)))).as("mae_cents"),
+        when(sum(col("__a")) === 0L, lit(null).cast("long"))
+          .otherwise(fdiv(dec(sum(col("__err"))) * 1000000,
+            dec(sum(col("__a"))))).as("wmape_ppm"))
+      .orderBy("month")
+  }
+
   /** The shared PSI fold: given a DENSE Laplace-smoothed cell relation
     * `(keys..., __b, __p, __q)` (every key × bin present, both counts
     * ≥ 1), computes the exact fixed-point PSI per key group (the

@@ -1819,6 +1819,36 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** Language-mix entropy per source: Shannon entropy (micro-nats) of
+    * the document-language distribution within each source — the
+    * language-purity datasheet number (0 = monolingual source; high
+    * entropy on a supposedly-English crawl means the lang-id gate is
+    * leaking). Same fixed-point fold as [[charEntropy]] (q131):
+    * `H = L(N) − ⌊Σ c·L(c)/N⌋` with `L(n) = ⌊ln(n)·10⁶⌋` on INTEGER
+    * counts — engine-exact. Output:
+    * `(source, n_docs, n_langs, lang_entropy_micro_nats)`.
+    *
+    * Scale shape: one scan collapses to the (source, lang) rollup
+    * (map-side partials, vocabulary-bounded), then a sources-bounded
+    * fold — nothing else. */
+  def languageEntropy(df: DataFrame, srcCol: String,
+      langCol: String): DataFrame = {
+    def lfp(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1000000L)).cast("long")
+    df.filter(col(langCol).isNotNull)
+      .groupBy(col(srcCol).as("source"), col(langCol).as("__l"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("source")
+      .agg(sum(col("__c")).as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("__c") * lfp(col("__c"))).as("__wsum"))
+      .select(col("source"), col("n_docs"), col("n_langs"), {
+        val cross = lfp(col("n_docs")) * col("n_docs") - col("__wsum")
+        ((cross - pmod(cross, col("n_docs"))) / col("n_docs")).cast("long")
+          .as("lang_entropy_micro_nats")
+      })
+      .orderBy("source")
+  }
+
   /** Readability census per source: aggregate words-per-sentence and
     * chars-per-word — the two inputs every classic readability formula
     * (Flesch, ARI, Coleman–Liau) is built from, reported as exact

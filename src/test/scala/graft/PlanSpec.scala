@@ -1535,6 +1535,25 @@ class PlanSpec extends SparkSpec {
       s"the sources² pair frame must broadcast:\n$p")
   }
 
+  test("q233 language entropy: one scan, two rollups, nothing else") {
+    val p = plan("q233_lang_entropy")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("partial_count"),
+      s"the (source, lang) rollup must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"two-level rollup only:\n$p")
+    assert(p.contains("ReadSchema: struct<lang:string,source:string>"),
+      s"column pruning must reach the scan:\n$p")
+  }
+
+  test("q234 seasonal backtest: day panel materializes once, panel-sized align") {
+    val p = plan("q234_seasonal_backtest")
+    assert(!p.contains("orders.parquet"),
+      s"both lag-alignment sides read the checkpointed day panel:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

@@ -1754,4 +1754,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(psi("b") > 250000L,
       s"a total regime shift must clear the 0.25 drift threshold: $psi")
   }
+
+  test("seasonalNaiveBacktest: lag-7 alignment, same-day collapse, WMAPE") {
+    val orders = Seq(
+      // day 0 has TWO orders (must collapse to 150.00 before scoring)
+      ("1970-01-01", 100.0), ("1970-01-01", 50.0),
+      ("1970-01-02", 200.0),
+      ("1970-01-08", 110.0),   // vs d0=150 -> err 4000c
+      ("1970-01-09", 150.0),   // vs d1=200 -> err 5000c
+      ("1970-01-15", 100.0),   // vs d7=110 -> err 1000c
+      ("1970-01-25", 100.0),   // d17 unobserved -> NOT scored
+      ("1970-02-01", 50.0))    // vs d24=100 -> err 5000c (February)
+      .toDF("__d", "o_totalprice")
+      .select(col("__d").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+    val got = Analytics.seasonalNaiveBacktest(orders)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // Jan: errs {4000, 5000, 1000}, actuals {11000, 15000, 10000}
+    //   mae = 10000 // 3; wmape = 10000e6 // 36000
+    assert(got == Seq(
+      ("1970-01", 3L, 3333L, 277777L),
+      ("1970-02", 1L, 5000L, 1000000L)))
+  }
 }

@@ -341,4 +341,17 @@ class CorpusStatsSpec extends SparkSpec {
     // A -> {x, y}; B -> {x}; C -> {} (C vanishes: no qualifying types)
     assert(pruned == Seq(("A", "B", 1L, 500000L)))
   }
+
+  test("languageEntropy: fixed-point fold, monolingual source scores 0") {
+    val docs = Seq(
+      (1L, "A", "en"), (2L, "A", "en"), (3L, "A", "fr"), (4L, "A", "de"),
+      (5L, "B", "en"), (6L, "B", "en"), (7L, "B", "en"),
+      (8L, "B", null))
+      .toDF("doc_id", "source", "lang")
+    val got = TextAnalysis.languageEntropy(docs, "source", "lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // A: L(4)=1386294, L(2)=693147 -> (1386294*4 - 2*693147) // 4
+    assert(got == Seq(("A", 4L, 3L, 1039720L), ("B", 3L, 1L, 0L)))
+  }
 }
