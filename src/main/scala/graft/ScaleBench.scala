@@ -353,7 +353,8 @@ object ScaleBench {
         Seq("q198_mad_census", "q202_wmedian_census",
           "q198_workload_rows", "q191_attribution_census",
           "q192_linear_census", "q200_locf_census",
-          "q217_quantile_census").exists(wanted)) {
+          "q217_quantile_census", "q228_corr_census",
+          "q230_psi_census").exists(wanted)) {
       val f = math.min(factor, 16)
       val ev0 = Tables.events(spark, baseDir)
       val maxId = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
@@ -380,6 +381,18 @@ object ScaleBench {
       bench("q217_quantile_census")(
         graft.analytics.Analytics.dailyValueQuantiles(ev, "event_type",
           "ts", "value", "event_id").count())
+      // q228's claims: the fact collapses ONCE to the (type, day)
+      // panel, and the panel — NOT the fact — pays the self-join; the
+      // panel's cell count is invariant under replication (same types,
+      // same days), so wall must track the scan, never pair work
+      bench("q228_corr_census")(
+        graft.analytics.Analytics.typeDailyCorrelation(ev, "event_type",
+          "ts").count())
+      // q230's claims: two narrow fact scans (bounds, then binning),
+      // then everything is types×bins-bounded — wall tracks the scans
+      bench("q230_psi_census")(
+        graft.analytics.Analytics.psiDrift(ev, "event_type", "ts",
+          "value").count())
       val li = Tables.lineitem(spark, baseDir)
         .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
         .crossJoin(broadcast(spark.range(f).select(col("id").as("__r"))))
