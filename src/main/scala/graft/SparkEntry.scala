@@ -1366,6 +1366,15 @@ object SparkEntry {
     // checkpointed day panel, WMAPE in exact floored ppm
     "q234_seasonal_backtest" -> ((s, d) =>
       Analytics.seasonalNaiveBacktest(Tables.orders(s, d))),
+    // q235: brand-pair co-purchase lift — q218's association stats at
+    // basket/brand grain, distinct (order, brand) checkpointed once
+    "q235_brand_pair_lift" -> ((s, d) =>
+      Analytics.brandPairLift(Tables.part(s, d), Tables.lineitem(s, d))),
+    // q236: session bounce rate by entry type — shared gap-session tag,
+    // struct-min entry pick, vocabulary-bounded census
+    "q236_bounce_rate" -> ((s, d) =>
+      Analytics.sessionBounceRate(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id", gapUs = 1800000000L)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -4964,6 +4973,44 @@ object SparkEntry {
         |    ELSE CAST((sum(err) * 1000000) // sum(a) AS BIGINT) END
         |    AS wmape_ppm
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q235: distinct (order, brand) baskets; lift cross-multiplied
+    "q235_brand_pair_lift" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT o) AS n FROM ob),
+        |m AS (SELECT b, count(*) AS m FROM ob GROUP BY 1),
+        |pr AS (SELECT a.b AS ba, x.b AS bb, count(*) AS nb
+        |  FROM ob a JOIN ob x ON a.o = x.o AND a.b < x.b GROUP BY 1, 2)
+        |SELECT ba AS brand_a, bb AS brand_b,
+        |  CAST(nb AS BIGINT) AS n_both,
+        |  CAST((nb * 1000000) // n AS BIGINT) AS support_ppm,
+        |  CAST((CAST(nb AS HUGEINT) * n * 1000000)
+        |    // (CAST(ma.m AS HUGEINT) * mb.m) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN m ma ON ma.b = pr.ba JOIN m mb ON mb.b = pr.bb
+        |CROSS JOIN n ORDER BY 1, 2""".stripMargin,
+    // q236: q197's session tag; entry = first (t, id) of the session
+    "q236_bounce_rate" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty, epoch_us(ts)
+        |    AS t, event_id AS id FROM events),
+        |m AS (SELECT u, ty, t, id, CASE WHEN lag(t) OVER w IS NULL
+        |    OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY u ORDER BY t, id)),
+        |s AS (SELECT u, ty, t, id, sum(nw) OVER (PARTITION BY u
+        |    ORDER BY t, id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS sid FROM m),
+        |p AS (SELECT u, sid,
+        |    count(*) OVER (PARTITION BY u, sid) AS n,
+        |    first_value(ty) OVER (PARTITION BY u, sid ORDER BY t, id)
+        |      AS entry,
+        |    row_number() OVER (PARTITION BY u, sid ORDER BY t, id) AS rn
+        |  FROM s)
+        |SELECT entry AS entry_type, CAST(count(*) AS BIGINT)
+        |    AS n_sessions,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  CAST((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS bounce_ppm
+        |FROM p WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

@@ -3711,6 +3711,82 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Brand-pair co-purchase lift — market-basket association rules at
+    * BRAND grain over orders (the [[sessionPairLift]] statistics on
+    * the commerce relation: q218 asks "which actions co-occur in a
+    * session", this asks "which brands co-occur in a basket"). For
+    * every unordered brand pair: baskets containing both, support,
+    * and lift (`n_both·N / (n_a·n_b)`) in exact cross-multiplied
+    * floored ppm — lift > 10⁶ means the pair attracts. Output:
+    * `(brand_a, brand_b, n_both, support_ppm, lift_ppm)`.
+    *
+    * Scale shape: the brand dim broadcasts onto the fact, baskets
+    * collapse to DISTINCT (order, brand) first (hash agg) and
+    * checkpoint ONCE (pair join + marginals + total all read it);
+    * pair volume is Σ basket-brand-count² — bounded by baskets ×
+    * brands-per-basket², never lines²; the report is brands²-bounded. */
+  def brandPairLift(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val ob = lineitem.select(col("l_orderkey").as("__o"),
+        col("l_partkey").as("__p"))
+      .join(broadcast(part.select(col("p_partkey").as("__p"),
+        col("p_brand").as("__b"))), "__p")
+      .select(col("__o"), col("__b")).distinct()
+      .localCheckpoint() // pair join + marginals + total read it
+    val total = ob.select(col("__o")).distinct().agg(count(lit(1)).as("__n"))
+    val marg = ob.groupBy("__b").agg(count(lit(1)).as("__m"))
+    val pairs = ob.as("a").join(ob.as("b"),
+        col("a.__o") === col("b.__o") && col("a.__b") < col("b.__b"))
+      .groupBy(col("a.__b").as("brand_a"), col("b.__b").as("brand_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("__b").as("brand_a"),
+        col("__m").as("__ma"))), "brand_a")
+      .join(broadcast(marg.select(col("__b").as("brand_b"),
+        col("__m").as("__mb"))), "brand_b")
+      .crossJoin(broadcast(total))
+      .select(col("brand_a"), col("brand_b"), col("n_both"),
+        fdiv(dec(col("n_both")) * 1000000, dec(col("__n")))
+          .as("support_ppm"),
+        fdiv(dec(col("n_both")) * dec(col("__n")) * 1000000,
+          dec(col("__ma")) * dec(col("__mb"))).as("lift_ppm"))
+      .orderBy("brand_a", "brand_b")
+  }
+
+  /** Session bounce rate by entry type: the share of gap sessions that
+    * end after their very first event, keyed by what that first event
+    * was — the landing-quality number behind "which entry points lose
+    * people immediately". Shares [[gapSessionTag]]'s boundary rule;
+    * the entry event is the (ts, id)-least of the session (struct-min,
+    * deterministic under ties). Output:
+    * `(entry_type, n_sessions, n_bounces, bounce_ppm)`, floored ppm.
+    *
+    * Scale shape: the ONE user-keyed shuffle every journey operator
+    * pays (the tag window), then sessions collapse by hash agg
+    * (struct-min entry + count — no second window), and the census is
+    * vocabulary-bounded. */
+  def sessionBounceRate(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      gapUs: Long): DataFrame = {
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val tagged = gapSessionTag(events, userCol, typeCol, tsCol, idCol, gapUs)
+    tagged.groupBy("__u", "__sid")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("__t"), col("__id"), col("__ty"))).as("__first"))
+      .select(col("__first.__ty").as("entry_type"), col("__n"))
+      .groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("__n") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        fdiv(dec(col("n_bounces")) * 1000000, dec(col("n_sessions")))
+          .as("bounce_ppm"))
+      .orderBy("entry_type")
+  }
+
   /** Seasonal-naive forecast backtest: score the forecast
     * "revenue(d) ≈ revenue(d − 7)" (same weekday last week — the
     * baseline every real forecasting system must beat) over the

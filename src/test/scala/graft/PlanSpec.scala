@@ -1554,6 +1554,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q235 brand pair lift: basket relation materializes once, marginals broadcast") {
+    val p = plan("q235_brand_pair_lift")
+    assert(!p.contains("lineitem.parquet") && !p.contains("part.parquet"),
+      s"pair join, marginals, and total all read the checkpointed " +
+        s"(order, brand) relation:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the brand marginals attach by broadcast:\n$p")
+  }
+
+  test("q236 bounce rate: one user-keyed exchange, no second window") {
+    val p = plan("q236_bounce_rate")
+    assert("events\\.parquet".r.findAllIn(p).length == 1)
+    assert("Window".r.findAllIn(p).length <= 2,
+      s"the tag's lag + running-sum share ONE user window spec:\n$p")
+    assert(!p.contains("Join"), s"tag + two rollups, no join:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

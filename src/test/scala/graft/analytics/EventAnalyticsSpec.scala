@@ -1777,4 +1777,77 @@ class EventAnalyticsSpec extends SparkSpec {
       ("1970-01", 3L, 3333L, 277777L),
       ("1970-02", 1L, 5000L, 1000000L)))
   }
+
+  test("brandPairLift: distinct brands per basket, cross-multiplied lift") {
+    val part = Seq((1L, "B1"), (2L, "B2"), (3L, "B3"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (1L, 1L), (1L, 2L),            // o1: {B1, B2}
+      (2L, 1L), (2L, 2L), (2L, 1L),  // o2: duplicate part collapses
+      (3L, 1L),                      // o3: {B1}
+      (4L, 3L))                      // o4: {B3}
+      .toDF("l_orderkey", "l_partkey")
+    val got = Analytics.brandPairLift(part, li)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // N=4, n_B1=3, n_B2=2, both=2: support 2/4, lift 2*4/(3*2)
+    assert(got == Seq(("B1", "B2", 2L, 500000L, 1333333L)))
+  }
+
+  test("sessionBounceRate: single-event sessions count, entry by (ts, id)") {
+    val gap = 1000L
+    val events = Seq(
+      (1L, "home", 0L, 1L), (1L, "view", 1L, 2L), // session of 2
+      (1L, "home", 5000L, 3L),                    // bounce
+      (2L, "search", 0L, 4L),                     // bounce
+      (3L, "a", 10L, 5L), (3L, "b", 10L, 6L))     // tie: id picks "a"
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Analytics.sessionBounceRate(events, "user_id", "event_type",
+        "ts", "event_id", gapUs = gap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("a", 1L, 0L, 0L),
+      ("home", 2L, 1L, 500000L),
+      ("search", 1L, 1L, 1000000L)))
+  }
+
+  test("revenueAutocorrelation: exact signed r² at each lag, zero-fill algebra") {
+    // observed days 0..3 with cents 100, 200, 100, 200 (strict
+    // alternation): lag-1 is perfectly ANTI-correlated, lag-2
+    // perfectly correlated; day 5 unobserved on purpose is omitted —
+    // keep the span dense so the hand numbers stay small
+    val orders = Seq(
+      ("1970-01-01", 1.0), ("1970-01-02", 2.0),
+      ("1970-01-03", 1.0), ("1970-01-04", 2.0))
+      .toDF("__d", "o_totalprice")
+      .select(col("__d").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+    val got = Analytics.revenueAutocorrelation(orders, lags = Seq(1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    // lag 1: x side = days 1..3 (200,100,200), y side = days 0..2
+    //   (100,200,100), n = 3: num = 3*(2+2+2)*10000 - 500*400 (in
+    //   cents²): perfectly alternating -> r = -1 exactly
+    // lag 2: x = days 2..3 (100,200), y = days 0..1 (100,200), n = 2:
+    //   identical series -> r = +1 exactly
+    assert(got == Seq((1L, 3L, Some(-1000000L)), (2L, 2L, Some(1000000L))))
+  }
+
+  test("revenueAutocorrelation: unobserved days are zeros, constants NULL") {
+    // observed days 0 and 2 only (day 1 is a true zero-revenue day):
+    // lag 1 pairs (1,0), (2,1) -> sxy = 0 via the join algebra
+    val orders = Seq(("1970-01-01", 1.0), ("1970-01-03", 1.0))
+      .toDF("__d", "o_totalprice")
+      .select(col("__d").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+    val got = Analytics.revenueAutocorrelation(orders, lags = Seq(1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    // lag 1: x = {0, 100}, y = {100, 0}, n = 2: num = 2*0 - 100*100 < 0,
+    //   dena = denb = 2*10000 - 10000 = 10000 -> r = -1 exactly
+    // lag 2: single pair (2,0): both sides constant-1-point -> both
+    //   variances 0 -> NULL
+    assert(got == Seq((1L, 2L, Some(-1000000L)), (2L, 1L, None)))
+  }
 }
