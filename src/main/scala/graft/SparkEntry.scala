@@ -1375,6 +1375,12 @@ object SparkEntry {
     "q236_bounce_rate" -> ((s, d) =>
       Analytics.sessionBounceRate(Tables.events(s, d), "user_id",
         "event_type", "ts", "event_id", gapUs = 1800000000L)),
+    // q237: lag-k autocorrelation of daily revenue — q228's signed-r²
+    // algebra against the series' own shift, zeros via edge-trimmed
+    // conditional moments
+    "q237_revenue_acf" -> ((s, d) =>
+      Analytics.revenueAutocorrelation(Tables.orders(s, d),
+        lags = Seq(1, 7, 30))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -5011,6 +5017,41 @@ object SparkEntry {
         |  CAST((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000)
         |    // count(*) AS BIGINT) AS bounce_ppm
         |FROM p WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q237: q228's signed-r² floor sequence; edge-trimmed HUGEINT
+    // moments, shifted equi-join for sxy
+    "q237_revenue_acf" ->
+      """WITH p AS (SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |      AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |      AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM p),
+        |l AS (SELECT unnest([1, 7, 30]) AS lag),
+        |m AS (SELECT lag, max(hi - lo + 1 - lag) AS n,
+        |    sum(CASE WHEN d >= lo + lag THEN x ELSE 0 END) AS xs,
+        |    sum(CASE WHEN d >= lo + lag THEN CAST(x AS HUGEINT) * x
+        |      ELSE 0 END) AS xss,
+        |    sum(CASE WHEN d <= hi - lag THEN x ELSE 0 END) AS ys,
+        |    sum(CASE WHEN d <= hi - lag THEN CAST(x AS HUGEINT) * x
+        |      ELSE 0 END) AS yss
+        |  FROM p CROSS JOIN b CROSS JOIN l GROUP BY 1),
+        |s AS (SELECT l.lag, sum(CAST(a.x AS HUGEINT) * y.x) AS sxy
+        |  FROM p a CROSS JOIN l JOIN p y ON a.d = y.d + l.lag
+        |  GROUP BY 1),
+        |f AS (SELECT m.lag, n,
+        |    CAST(n AS HUGEINT) * coalesce(sxy, 0)
+        |      - CAST(xs AS HUGEINT) * ys AS num,
+        |    CAST(n AS HUGEINT) * xss - CAST(xs AS HUGEINT) * xs AS dena,
+        |    CAST(n AS HUGEINT) * yss - CAST(ys AS HUGEINT) * ys AS denb
+        |  FROM m LEFT JOIN s ON s.lag = m.lag WHERE n >= 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+        |  CASE WHEN dena = 0 OR denb = 0 THEN NULL
+        |    ELSE CAST((CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+        |        ELSE 0 END)
+        |      * ((((abs(num) * 1000000) // dena)
+        |        * ((abs(num) * 1000000) // denb)) // 1000000)
+        |      AS BIGINT) END AS r2_signed_ppm
+        |FROM f ORDER BY 1""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

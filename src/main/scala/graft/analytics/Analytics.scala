@@ -4002,15 +4002,90 @@ object Analytics {
           dec(col("__sxb"))).as("__denb"))
     frame.select(col("__ta").as("type_a"), col("__tb").as("type_b"),
         col("__nd").cast("long").as("n_days"),
-        when(col("__dena") === 0 || col("__denb") === 0,
-          lit(null).cast("long"))
-          .otherwise((when(col("__num") > 0, 1L).when(col("__num") < 0, -1L)
-            .otherwise(0L) *
-            fdiv(fdiv(abs(col("__num")) * 1000000, col("__dena")) *
-              fdiv(abs(col("__num")) * 1000000, col("__denb")),
-              lit(1000000).cast(DecimalType(38, 0))).cast("long"))
-            .cast("long"))
+        signedR2Ppm(col("__num"), col("__dena"), col("__denb"))
           .as("r2_signed_ppm"))
       .orderBy("type_a", "type_b")
+  }
+
+  /** The shared signed-r² render: given the population-form Pearson
+    * numerator and the two variance denominators (all exact
+    * DECIMAL(38,0)), evaluates `sign(num) · ⌊⌊|num|·10⁶/denₐ⌋ ·
+    * ⌊|num|·10⁶/den_b⌋ / 10⁶⌋` — see [[typeDailyCorrelation]] for why
+    * r² (no sqrt) and why the two-quotient floor sequence is
+    * engine-exact. NULL when either variance is 0. One home for the
+    * idiom ([[typeDailyCorrelation]] q228 and
+    * [[revenueAutocorrelation]] q237 both render through it). */
+  private def signedR2Ppm(num: Column, dena: Column,
+      denb: Column): Column = {
+    def fdiv(n: Column, d: Column) =
+      ((n - pmod(n, d)) / d).cast(DecimalType(38, 0))
+    when(dena === 0 || denb === 0, lit(null).cast("long"))
+      .otherwise((when(num > 0, 1L).when(num < 0, -1L).otherwise(0L) *
+        fdiv(fdiv(abs(num) * 1000000, dena) *
+          fdiv(abs(num) * 1000000, denb),
+          lit(1000000).cast(DecimalType(38, 0))).cast("long"))
+        .cast("long"))
+  }
+
+  /** Lag-k autocorrelation of the daily revenue series — "does today
+    * predict next week": the signed r² (the q228 convention — exact,
+    * no sqrt) between the series and itself shifted by each lag, with
+    * UNOBSERVED days correctly treated as zero-revenue days through
+    * the same algebra (moments use edge-trimmed conditional sums over
+    * the observed panel; Σxy pairs only observed×observed days — zero
+    * terms vanish). n at lag k is the calendar span minus k; lags at
+    * or past the span are absent. A constant (or single-point) side
+    * yields NULL. Output: `(lag, n_days, r2_signed_ppm)`.
+    *
+    * Scale shape: the fact collapses ONCE to the calendar-bounded
+    * (day, cents) panel (checkpointed — moments, bounds, and the
+    * shifted join all read it); per-lag moments are conditional sums
+    * over panel × |lags| rows; the shifted alignment is a panel-sized
+    * equi-join per lag; the report is lags-bounded. */
+  def revenueAutocorrelation(orders: DataFrame,
+      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"lags must be >= 1, got $lags")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val zero = lit(0).cast(DecimalType(38, 0))
+    val panel = orders.select(
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("__d"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("__x"))
+      .groupBy("__d").agg(sum(col("__x")).as("__x"))
+      .localCheckpoint() // calendar-bounded; moments + both join sides
+    val bounds = panel.agg(min(col("__d")).as("__lo"),
+      max(col("__d")).as("__hi"))
+    val lagsArr = array(lags.sorted.map(k => lit(k.toLong)): _*)
+    val m = panel.crossJoin(broadcast(bounds))
+      .select(col("__d"), col("__x"), col("__lo"), col("__hi"),
+        explode(lagsArr).as("lag"))
+      .groupBy("lag")
+      .agg(max(col("__hi") - col("__lo") + 1 - col("lag")).as("__n"),
+        sum(when(col("__d") >= col("__lo") + col("lag"), col("__x"))
+          .otherwise(0L)).as("__xs"),
+        sum(when(col("__d") >= col("__lo") + col("lag"),
+          dec(col("__x")) * dec(col("__x"))).otherwise(zero)).as("__xss"),
+        sum(when(col("__d") <= col("__hi") - col("lag"), col("__x"))
+          .otherwise(0L)).as("__ys"),
+        sum(when(col("__d") <= col("__hi") - col("lag"),
+          dec(col("__x")) * dec(col("__x"))).otherwise(zero)).as("__yss"))
+    val shifted = panel.select(col("__d").as("__ds"), col("__x").as("__y"))
+    val sxy = panel
+      .select(col("__d"), col("__x"), explode(lagsArr).as("lag"))
+      .join(shifted, col("__d") === col("__ds") + col("lag"))
+      .groupBy("lag").agg(sum(dec(col("__x")) * dec(col("__y")))
+        .as("__sxy"))
+    m.join(broadcast(sxy), Seq("lag"), "left")
+      .filter(col("__n") >= 1)
+      .select(col("lag"), col("__n").cast("long").as("n_days"),
+        signedR2Ppm(
+          dec(col("__n")) * coalesce(col("__sxy"), zero) -
+            dec(col("__xs")) * dec(col("__ys")),
+          dec(col("__n")) * col("__xss") - dec(col("__xs")) * dec(col("__xs")),
+          dec(col("__n")) * col("__yss") - dec(col("__ys")) * dec(col("__ys")))
+          .as("r2_signed_ppm"))
+      .orderBy("lag")
   }
 }

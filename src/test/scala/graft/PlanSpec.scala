@@ -1573,6 +1573,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"tag + two rollups, no join:\n$p")
   }
 
+  test("q237 revenue ACF: day panel materializes once, lags-bounded report") {
+    val p = plan("q237_revenue_acf")
+    assert(!p.contains("orders.parquet"),
+      s"moments, bounds, and the shifted join all read the " +
+        s"checkpointed day panel:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))
