@@ -1381,6 +1381,17 @@ object SparkEntry {
     "q237_revenue_acf" -> ((s, d) =>
       Analytics.revenueAutocorrelation(Tables.orders(s, d),
         lags = Seq(1, 7, 30))),
+    // q238: per-customer spend-trend census — OLS slope SIGN from 5
+    // exact accumulators in one hash agg, no window, no division
+    "q238_trend_census" -> ((s, d) =>
+      Analytics.customerTrendCensus(Tables.orders(s, d),
+        Tables.customer(s, d))),
+    // q239: distinctive vocabulary per source — within-source vs corpus
+    // rate lift, top-k over the aggregated relation, q196's one-rollup
+    // totals rule
+    "q239_distinctive_tokens" -> ((s, d) =>
+      TextAnalysis.distinctiveTokens(Tables.documents(s, d), "source",
+        "text", k = 10, minCount = 5L)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -5052,6 +5063,55 @@ object SparkEntry {
         |        * ((abs(num) * 1000000) // denb)) // 1000000)
         |      AS BIGINT) END AS r2_signed_ppm
         |FROM f ORDER BY 1""".stripMargin,
+    // q238: slope-sign classes from the same 5 HUGEINT accumulators
+    "q238_trend_census" ->
+      """WITH p AS (SELECT o_custkey AS c, count(*) AS n,
+        |    sum(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |      AS HUGEINT)) AS st,
+        |    sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS HUGEINT)) AS sy,
+        |    sum(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |        AS HUGEINT)
+        |      * CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT) AS HUGEINT)) AS sty,
+        |    sum(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |        AS HUGEINT)
+        |      * (CAST(o_orderdate AS DATE) - DATE '1970-01-01')) AS stt
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT c,
+        |    CASE WHEN n = 1 THEN 'single'
+        |      WHEN n * stt - st * st = 0 OR n * sty - st * sy = 0
+        |        THEN 'flat'
+        |      WHEN n * sty - st * sy > 0 THEN 'improving'
+        |      ELSE 'declining' END AS trend
+        |  FROM p)
+        |SELECT c_mktsegment AS segment, trend,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM t JOIN customer ON c = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q239: q196's one-rollup totals; lift cross-multiplied; ties
+    // token-ascending
+    "q239_distinctive_tokens" ->
+      """WITH t AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT source, t, count(*) AS cs FROM t WHERE t <> ''
+        |  GROUP BY 1, 2),
+        |ct AS (SELECT t, sum(cs) AS c FROM st GROUP BY 1),
+        |ns AS (SELECT source, sum(cs) AS ns FROM st GROUP BY 1),
+        |g AS (SELECT sum(cs) AS n FROM st),
+        |s AS (SELECT st.source, st.t, cs,
+        |    (CAST(cs AS HUGEINT) * n * 1000000)
+        |      // (CAST(ns AS HUGEINT) * c) AS lift
+        |  FROM st JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN g
+        |  WHERE cs >= 5),
+        |r AS (SELECT source, t, cs, lift, row_number() OVER
+        |    (PARTITION BY source ORDER BY lift DESC, t) AS rank
+        |  FROM s)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, t AS token,
+        |  CAST(cs AS BIGINT) AS n_in_source,
+        |  CAST(lift AS BIGINT) AS lift_ppm
+        |FROM r WHERE rank <= 10 ORDER BY 1, 2""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

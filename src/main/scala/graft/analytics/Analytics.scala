@@ -4027,6 +4027,54 @@ object Analytics {
         .cast("long"))
   }
 
+  /** Per-customer spend-trend census: each customer's order-value
+    * trajectory classified by the SIGN of its OLS slope over time
+    * (improving / declining / flat), rolled up per market segment —
+    * the account-health mix behind expansion-vs-churn forecasts. The
+    * sign needs only the slope NUMERATOR `n·Σty − Σt·Σy` (the
+    * denominator is a positive variance), evaluated in exact
+    * DECIMAL(38,0) cross-multiplication — no regression solve, no
+    * division, no float anywhere. Classes: `improving` (num > 0),
+    * `declining` (num < 0), `flat` (num = 0 OR all orders on one day —
+    * zero time variance), `single` (one order — no trend exists).
+    * Output: `(segment, trend, n_customers)`.
+    *
+    * Scale shape: the fact collapses to 5 accumulators per customer in
+    * ONE hash agg with map-side partials (no window — a per-customer
+    * ORDER BY would shuffle-sort the fact for nothing); the segment
+    * attach is an equi-join of two customers-sized relations (left to
+    * Catalyst/AQE — the customer table is NOT a broadcastable dim at
+    * warehouse scale, unlike part/nation); the census is
+    * segments×4-bounded. Σty ≤ days·cents·orders stays far inside
+    * DECIMAL(38,0) at any realistic scale. */
+  def customerTrendCensus(orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val per = orders.select(col("o_custkey").as("__c"),
+        dec(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long")).as("__t"),
+        dec((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("__y"))
+      .groupBy("__c")
+      .agg(count(lit(1)).as("__n"), sum(col("__t")).as("__st"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__t") * col("__y")).as("__sty"),
+        sum(col("__t") * col("__t")).as("__stt"))
+    val num = dec(col("__n")) * col("__sty") - col("__st") * col("__sy")
+    val dent = dec(col("__n")) * col("__stt") - col("__st") * col("__st")
+    per
+      .withColumn("trend",
+        when(col("__n") === 1L, "single")
+          .when(dent === 0 || num === 0, "flat")
+          .when(num > 0, "improving")
+          .otherwise("declining"))
+      .join(customer.select(col("c_custkey").as("__c"),
+        col("c_mktsegment").as("segment")), "__c")
+      .groupBy("segment", "trend")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("segment", "trend")
+  }
+
   /** Lag-k autocorrelation of the daily revenue series — "does today
     * predict next week": the signed r² (the q228 convention — exact,
     * no sqrt) between the series and itself shifted by each lag, with

@@ -1819,6 +1819,53 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** Distinctive vocabulary per source: the top-k tokens whose
+    * WITHIN-source rate most exceeds their corpus rate (lift =
+    * `(c_s/N_s)/(c/N)` in exact cross-multiplied floored ppm) — the
+    * "what characterizes this feed" datasheet view ([[sourceKlDivergence]]
+    * scores the shift in one number; this names the tokens driving
+    * it). `minCount` floors the within-source count so one lucky rare
+    * token can't top the list. Ties break token-ascending. Output:
+    * `(source, rank, token, n_in_source, lift_ppm)`.
+    *
+    * Scale shape: ONE (source, token) rollup (map-side partials);
+    * corpus token totals derive from THAT rollup (the q196 rule — no
+    * second scan), source totals broadcast; the rank window runs over
+    * the minCount-pruned AGGREGATED relation with map-side
+    * WindowGroupLimit pruning, never over occurrences. */
+  def distinctiveTokens(df: DataFrame, srcCol: String, textCol: String,
+      k: Int = 10, minCount: Long = 5L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val st = df.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol)))
+        .as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy("source", "__t").agg(count(lit(1)).as("__cs"))
+      .localCheckpoint() // token totals + source totals + candidates
+    val tokTotals = st.groupBy("__t").agg(sum(col("__cs")).as("__c"))
+    val srcTotals = st.groupBy("source").agg(sum(col("__cs")).as("__ns"))
+    val grand = st.agg(sum(col("__cs")).as("__n"))
+    val scored = st.filter(col("__cs") >= minCount)
+      .join(tokTotals, "__t")
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("__t"), col("__cs"),
+        fdiv(dec(col("__cs")) * dec(col("__n")) * 1000000,
+          dec(col("__ns")) * dec(col("__c"))).as("lift_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("lift_ppm").desc, col("__t"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("__t").as("token"), col("__cs").as("n_in_source"),
+        col("lift_ppm"))
+      .orderBy("source", "rank")
+  }
+
   /** Language-mix entropy per source: Shannon entropy (micro-nats) of
     * the document-language distribution within each source — the
     * language-purity datasheet number (0 = monolingual source; high

@@ -1582,6 +1582,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q238 trend census: one fact hash agg, no window, no cartesian") {
+    val p = plan("q238_trend_census")
+    assert(!p.contains("Window"),
+      s"slope sign comes from 5 accumulators, never an ordered " +
+        s"window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the per-customer rollup must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q239 distinctive tokens: one rollup, WindowGroupLimit top-k") {
+    val p = plan("q239_distinctive_tokens")
+    assert(!p.contains("documents.parquet"),
+      s"token totals, source totals, and candidates all read the " +
+        s"checkpointed (source, token) rollup:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-source top-k must prune map-side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

@@ -1850,4 +1850,29 @@ class EventAnalyticsSpec extends SparkSpec {
     //   variances 0 -> NULL
     assert(got == Seq((1L, 2L, Some(-1000000L)), (2L, 1L, None)))
   }
+
+  test("customerTrendCensus: slope sign classes, zero-variance day is flat") {
+    val customer = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      // c1 improving: 100 then 200
+      (1L, "1970-01-01", 100.0), (1L, "1970-01-10", 200.0),
+      // c2 declining: 200 then 100
+      (2L, "1970-01-01", 200.0), (2L, "1970-01-10", 100.0),
+      // c3 single order
+      (3L, "1970-01-05", 50.0),
+      // c4 flat: both orders the SAME day (zero time variance)
+      (4L, "1970-01-03", 10.0), (4L, "1970-01-03", 99.0),
+      // c5 flat: equal values across days (zero numerator)
+      (5L, "1970-01-01", 75.0), (5L, "1970-01-09", 75.0))
+      .toDF("o_custkey", "__d", "o_totalprice")
+      .select(col("o_custkey"), col("__d").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+    val got = Analytics.customerTrendCensus(orders, customer)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("A", "declining", 1L), ("A", "improving", 1L), ("A", "single", 1L),
+      ("B", "flat", 2L)))
+  }
 }

@@ -354,4 +354,32 @@ class CorpusStatsSpec extends SparkSpec {
     // A: L(4)=1386294, L(2)=693147 -> (1386294*4 - 2*693147) // 4
     assert(got == Seq(("A", 4L, 3L, 1039720L), ("B", 3L, 1L, 0L)))
   }
+
+  test("distinctiveTokens: lift vs corpus rate, minCount floor, tie order") {
+    // corpus: A = 8 tokens (xx xx xx xx yy yy zz zz), B = 8 tokens
+    // (yy yy yy yy yy yy zz zz): N = 16
+    // A: xx cs=4 c=4 -> lift = 4*16e6/(8*4)  = 2,000,000
+    //    yy cs=2 c=8 -> lift = 2*16e6/(8*8)  =   500,000
+    //    zz cs=2 c=4 -> lift = 2*16e6/(8*4)  = 1,000,000
+    val docs = Seq(
+      (1L, "A", "xx xx xx xx yy yy zz zz"),
+      (2L, "B", "yy yy yy yy yy yy zz zz"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.distinctiveTokens(docs, "source", "text",
+        k = 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("A", 1L, "xx", 4L, 2000000L), ("A", 2L, "zz", 2L, 1000000L),
+      // B: yy lift = 6*16e6/(8*8) = 1,500,000; zz = 1,000,000
+      ("B", 1L, "yy", 6L, 1500000L), ("B", 2L, "zz", 2L, 1000000L)))
+    // minCount floors the within-source count: a 1-occurrence token
+    // can't chart even with infinite lift
+    val docs2 = Seq((1L, "A", "rare aa aa"), (2L, "B", "aa aa aa"))
+      .toDF("doc_id", "source", "text")
+    val top = TextAnalysis.distinctiveTokens(docs2, "source", "text",
+        k = 1, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(top == Seq(("A", "aa"), ("B", "aa")))
+  }
 }
