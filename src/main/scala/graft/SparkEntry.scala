@@ -1392,6 +1392,16 @@ object SparkEntry {
     "q239_distinctive_tokens" -> ((s, d) =>
       TextAnalysis.distinctiveTokens(Tables.documents(s, d), "source",
         "text", k = 10, minCount = 5L)),
+    // q240: stream-freshness census — last ts + staleness vs the corpus
+    // frontier, frontier derived from the one types-bounded rollup
+    "q240_type_freshness" -> ((s, d) =>
+      Analytics.typeFreshness(Tables.events(s, d), "event_type", "ts")),
+    // q241: abandonment census — view not followed by purchase within
+    // 1 day; forward min-over-following window, never a range join
+    "q241_abandonment" -> ((s, d) =>
+      Analytics.abandonmentCensus(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id", fromType = "view",
+        toType = "purchase", windowUs = 86400000000L)),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -5112,6 +5122,37 @@ object SparkEntry {
         |  CAST(cs AS BIGINT) AS n_in_source,
         |  CAST(lift AS BIGINT) AS lift_ppm
         |FROM r WHERE rank <= 10 ORDER BY 1, 2""".stripMargin,
+    // q240: frontier from the same rollup; staleness floored seconds
+    "q240_type_freshness" ->
+      """WITH p AS (SELECT event_type, count(*) AS n,
+        |    max(epoch_us(ts)) AS last FROM events GROUP BY 1),
+        |m AS (SELECT max(last) AS mx FROM p)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |  CAST(last AS BIGINT) AS last_epoch_us,
+        |  CAST((mx - last) // 1000000 AS BIGINT) AS staleness_sec
+        |FROM p, m ORDER BY 1""".stripMargin,
+    // q241: strictly-(t, id)-after next-purchase via the same forward
+    // frame; 1-day budget
+    "q241_abandonment" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty,
+        |    epoch_us(ts) AS t, event_id AS id FROM events
+        |  WHERE event_type IN ('view', 'purchase')),
+        |n AS (SELECT u, ty, t,
+        |    min(CASE WHEN ty = 'purchase' THEN t END) OVER
+        |      (PARTITION BY u ORDER BY t, id
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM e),
+        |a AS (SELECT u,
+        |    count(*) AS nf,
+        |    sum(CASE WHEN nb IS NULL OR nb > t + 86400000000
+        |      THEN 1 ELSE 0 END) AS na
+        |  FROM n WHERE ty = 'view' GROUP BY 1)
+        |SELECT CAST(sum(nf) AS BIGINT) AS n_from_events,
+        |  CAST(sum(na) AS BIGINT) AS n_abandoned,
+        |  CAST((sum(na) * 1000000) // sum(nf) AS BIGINT) AS abandon_ppm,
+        |  CAST(sum(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_users_abandoning
+        |FROM a""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

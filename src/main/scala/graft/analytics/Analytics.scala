@@ -4027,6 +4027,84 @@ object Analytics {
         .cast("long"))
   }
 
+  /** Stream-freshness census: per event type, the last observed event
+    * time and its staleness against the corpus frontier — the
+    * "which feeds went quiet" monitor every ingestion dashboard leads
+    * with (a type whose staleness grows while others stay at zero is
+    * a dead producer, not a quiet day). Staleness is exact integer
+    * seconds (floored micros division). Output:
+    * `(event_type, n_events, last_epoch_us, staleness_sec)`.
+    *
+    * Scale shape: ONE fact scan collapses to the types-bounded
+    * (type, count, max-ts) rollup (map-side partials, checkpointed);
+    * the corpus frontier derives from THAT rollup as a broadcast
+    * 1-row agg — never a second scan. */
+  def typeFreshness(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val per = events.select(col(typeCol).as("event_type"),
+        tsMicros(events, tsCol).as("__t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max(col("__t")).as("last_epoch_us"))
+      .localCheckpoint() // frontier + render read it
+    per.crossJoin(broadcast(per.agg(max(col("last_epoch_us")).as("__mx"))))
+      .select(col("event_type"), col("n_events"), col("last_epoch_us"),
+        fdiv(col("__mx") - col("last_epoch_us"), lit(1000000L))
+          .as("staleness_sec"))
+      .orderBy("event_type")
+  }
+
+  /** Abandonment census: of all `fromType` events, how many were NOT
+    * followed by a `toType` event from the same user within `windowUs`
+    * — the cart-abandonment number (funnels count who converts; this
+    * counts the structured failure the funnel can't see, with its
+    * time budget). "Followed" means strictly after in the (ts, id)
+    * total order and within `(t, t + windowUs]`. Output one row:
+    * `(n_from_events, n_abandoned, abandon_ppm, n_users_abandoning)`.
+    *
+    * Scale shape: the ONE user-keyed shuffle (a forward-looking
+    * min-over-following window carries each event's next `toType`
+    * time — the as-of carry trick reversed, one window, never a range
+    * join); the census is a two-level rollup (per-user, then 1 row).
+    * Only the two relevant types enter the window sort. */
+  def abandonmentCensus(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, fromType: String,
+      toType: String, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(fromType != toType, "fromType and toType must differ")
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__t"), col("__id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val perUser = events
+      .select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        tsMicros(events, tsCol).as("__t"), col(idCol).as("__id"))
+      .filter(col("__ty").isin(fromType, toType))
+      // the frame includes the current row, but a fromType row is null
+      // there, so "next toType" is strictly-(t, id)-after by the same
+      // convention the funnels use
+      .withColumn("__nb",
+        min(when(col("__ty") === toType, col("__t"))).over(w))
+      .filter(col("__ty") === fromType)
+      .withColumn("__abd",
+        when(col("__nb").isNull || col("__nb") > col("__t") + windowUs,
+          1L).otherwise(0L))
+      .groupBy("__u")
+      .agg(count(lit(1)).as("__nf"), sum(col("__abd")).as("__na"))
+    perUser.agg(sum(col("__nf")).as("n_from_events"),
+        sum(col("__na")).as("n_abandoned"),
+        sum(when(col("__na") > 0, 1L).otherwise(0L))
+          .as("n_users_abandoning"))
+      .select(col("n_from_events"), col("n_abandoned"),
+        fdiv(dec(col("n_abandoned")) * 1000000, dec(col("n_from_events")))
+          .as("abandon_ppm"),
+        col("n_users_abandoning"))
+  }
+
   /** Per-customer spend-trend census: each customer's order-value
     * trajectory classified by the SIGN of its OLS slope over time
     * (improving / declining / flat), rolled up per market segment —

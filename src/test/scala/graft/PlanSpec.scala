@@ -1603,6 +1603,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q240 type freshness: frontier derives from the rollup, not a second scan") {
+    val p = plan("q240_type_freshness")
+    assert(!p.contains("events.parquet"),
+      s"frontier + render read the checkpointed types rollup:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row frontier attaches as a broadcast cross join:\n$p")
+  }
+
+  test("q241 abandonment: type filter pushed to the scan, one user window") {
+    val p = plan("q241_abandonment")
+    assert("events\\.parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("In(event_type") || p.contains("event_type IN"),
+      s"the two-type filter must push to the parquet scan:\n$p")
+    assert(!p.contains("Join"), s"one window + rollups, no join:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

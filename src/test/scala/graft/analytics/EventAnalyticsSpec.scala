@@ -1875,4 +1875,39 @@ class EventAnalyticsSpec extends SparkSpec {
       ("A", "declining", 1L), ("A", "improving", 1L), ("A", "single", 1L),
       ("B", "flat", 2L)))
   }
+
+  test("typeFreshness: staleness vs the corpus frontier, exact seconds") {
+    val events = Seq(
+      ("a", 10000000L), ("a", 5000000L),  // a: last = 10 s (frontier)
+      ("b", 4000000L))                    // b: 6 s stale
+      .toDF("event_type", "ts")
+    val got = Analytics.typeFreshness(events, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("a", 2L, 10000000L, 0L), ("b", 1L, 4000000L, 6L)))
+  }
+
+  test("abandonmentCensus: time budget, strict-after ties, no-purchase users") {
+    val events = Seq(
+      // u1: converted view (purchase 500 µs later), then an abandoned
+      // view (next purchase past the 1000 µs budget)
+      (1L, "view", 0L, 1L), (1L, "purchase", 500L, 2L),
+      (1L, "view", 2000L, 3L), (1L, "purchase", 4000L, 4L),
+      // u2: view with no purchase ever
+      (2L, "view", 0L, 5L),
+      // u3: same-ts purchase with HIGHER id counts (strict (t, id)
+      // order); the later view has no following purchase
+      (3L, "view", 0L, 6L), (3L, "purchase", 0L, 7L),
+      (3L, "purchase", 5L, 9L), (3L, "view", 10L, 8L),
+      // noise type must not enter the window sort
+      (1L, "click", 100L, 10L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Analytics.abandonmentCensus(events, "user_id", "event_type",
+        "ts", "event_id", "view", "purchase", windowUs = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // 5 views; abandoned: u1's second, u2's, u3's second -> 3/5
+    assert(got == Seq((5L, 3L, 600000L, 3L)))
+  }
 }
