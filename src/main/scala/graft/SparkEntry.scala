@@ -1402,6 +1402,16 @@ object SparkEntry {
       Analytics.abandonmentCensus(Tables.events(s, d), "user_id",
         "event_type", "ts", "event_id", fromType = "view",
         toType = "purchase", windowUs = 86400000000L)),
+    // q242: exact-dedup savings report — the keep-one-copy business
+    // case per source, one (source, digest) rollup
+    "q242_dedup_savings" -> ((s, d) =>
+      TextAnalysis.dedupSavings(Tables.documents(s, d), "source",
+        "text")),
+    // q243: quality-threshold token-budget curve — q33's exact score,
+    // global-rank deciles, cumulative retention in floored ppm
+    "q243_quality_budget" -> ((s, d) =>
+      TextAnalysis.qualityBudgetCurve(Tables.documents(s, d), "doc_id",
+        "text", TextAnalysis.LangProfiles("en"))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -5153,6 +5163,53 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_users_abandoning
         |FROM a""".stripMargin,
+    // q242: same md5 digest; copies are byte-identical so max(len)
+    // per cluster is exact
+    "q242_dedup_savings" ->
+      """WITH h AS (SELECT source, md5(text) AS h,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT source, h, count(*) AS n, max(len) AS len
+        |  FROM h GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(n * len) AS BIGINT) AS total_chars,
+        |  CAST(sum(len) AS BIGINT) AS unique_chars,
+        |  CAST(((sum(n * len) - sum(len)) * 1000000)
+        |    // sum(n * len) AS BIGINT) AS savings_ppm
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q243: q33's integer score replayed; same (rank-1)*10//n + 1
+    // banding as q221; cumulative window over the 10-row decile table
+    "q243_quality_budget" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tk,
+         |    least(CAST(len(toks) AS BIGINT), 100) * 4000
+         |    + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+         |          AS DOUBLE) / greatest(length(text), 1)
+         |        < CAST(0.2 AS DOUBLE) THEN 300000 ELSE 90000 END)
+         |    + ((least((CAST(len(list_filter(toks, x -> x IN ($enStop)))
+         |          AS BIGINT) * 5000000)
+         |        // greatest(CAST(len(toks) AS BIGINT), 1), 1000000)
+         |      * 3) // 10) AS q
+         |  FROM t),
+         |r AS (SELECT doc_id, tk, q,
+         |    row_number() OVER (ORDER BY q, doc_id) AS rk,
+         |    count(*) OVER () AS n FROM m),
+         |d AS (SELECT ((rk - 1) * 10) // n + 1 AS decile, tk, q FROM r),
+         |p AS (SELECT decile, count(*) AS n_docs, sum(tk) AS n_tokens,
+         |    min(q) AS minq FROM d GROUP BY 1),
+         |c AS (SELECT decile, n_docs, n_tokens, minq,
+         |    sum(n_tokens) OVER (ORDER BY decile DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(n_tokens) OVER () AS tot FROM p)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(minq AS BIGINT) AS min_quality_e6,
+         |  CAST(cum AS BIGINT) AS cum_tokens_retained,
+         |  CAST((cum * 1000000) // tot AS BIGINT) AS retained_ppm
+         |FROM c ORDER BY 1""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

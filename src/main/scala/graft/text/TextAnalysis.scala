@@ -1819,6 +1819,95 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** Exact-dedup savings report per source: documents vs distinct
+    * texts, and the character mass a keep-one-copy exact dedup would
+    * reclaim — the storage/compute business case every dedup proposal
+    * leads with ("source X is 40% repeats; dedup before anything
+    * else"). Texts key by md5 (the q221/q229 digest); duplicate
+    * copies are byte-identical, so the reclaimed mass is exact.
+    * Output: `(source, n_docs, n_unique, total_chars, unique_chars,
+    * savings_ppm)`, floored ppm.
+    *
+    * Scale shape: ONE scan to the (source, digest) rollup (map-side
+    * partials carry count + length); the report is sources-bounded. */
+  def dedupSavings(df: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    df.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("source"), md5(col(textCol)).as("__h"),
+        length(col(textCol)).cast("long").as("__len"))
+      .groupBy("source", "__h")
+      .agg(count(lit(1)).as("__n"), max(col("__len")).as("__len"))
+      .groupBy("source")
+      .agg(sum(col("__n")).as("n_docs"), count(lit(1)).as("n_unique"),
+        sum(col("__n") * col("__len")).as("total_chars"),
+        sum(col("__len")).as("unique_chars"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        col("total_chars"), col("unique_chars"),
+        fdiv(dec(col("total_chars") - col("unique_chars")) * 1000000,
+          dec(col("total_chars"))).as("savings_ppm"))
+      .orderBy("source")
+  }
+
+  /** Quality-threshold token-budget curve: documents band into
+    * equal-count quality deciles (decile 1 = worst), and each decile
+    * reports how many TOKENS survive if the cut discards everything
+    * below it — the curve a curation-policy owner actually reads when
+    * choosing `minQuality` ("cutting the bottom 30% of documents
+    * keeps 81% of tokens"). Quality is the exact integer
+    * [[qualityScoreE6]] (q33's score), deciles ride
+    * [[graft.util.GlobalRank.withGlobalRank]] over (score, id) —
+    * never a single-partition NTILE — and retention is exact floored
+    * ppm of corpus tokens. Output: `(decile, n_docs, n_tokens,
+    * min_quality_e6, cum_tokens_retained, retained_ppm)`.
+    *
+    * Scale shape: one narrow projection (id, score, token count) into
+    * the range-partitioned rank; the decile rollup is 10 rows — the
+    * cumulative window over it is a DELIBERATE single-partition
+    * window over a buckets-sized relation (the [[sourceTokenGini]]
+    * posture), not an accident. */
+  def qualityBudgetCurve(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val scored = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        qualityScoreE6(col(textCol), stopwords).as("__q"),
+        tokenCount(col(textCol)).cast("long").as("__tk"))
+    val (ranked, n) = graft.util.GlobalRank.withGlobalRank(scored,
+      Seq(col("__q"), col("__id")), "__r")
+    if (n == 0)
+      return ranked.select(lit(0L).as("decile"), lit(0L).as("n_docs"),
+        lit(0L).as("n_tokens"), lit(0L).as("min_quality_e6"),
+        lit(0L).as("cum_tokens_retained"), lit(0L).as("retained_ppm"))
+        .limit(0)
+    val perDecile = ranked
+      .withColumn("decile",
+        fdiv((col("__r") - 1) * buckets, lit(n)) + 1)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("n_tokens"),
+        min(col("__q")).as("min_quality_e6"))
+      .localCheckpoint() // buckets rows; cumulative + total read it
+    // buckets-sized relation: the single-partition window is the
+    // point, not an accident (the sourceTokenGini posture)
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    perDecile
+      .withColumn("cum_tokens_retained", sum(col("n_tokens")).over(wDesc))
+      .crossJoin(broadcast(perDecile.agg(sum(col("n_tokens")).as("__tot"))))
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        col("min_quality_e6"), col("cum_tokens_retained"),
+        fdiv(dec(col("cum_tokens_retained")) * 1000000,
+          dec(col("__tot"))).as("retained_ppm"))
+      .orderBy("decile")
+  }
+
   /** Distinctive vocabulary per source: the top-k tokens whose
     * WITHIN-source rate most exceeds their corpus rate (lift =
     * `(c_s/N_s)/(c/N)` in exact cross-multiplied floored ppm) — the

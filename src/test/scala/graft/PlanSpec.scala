@@ -1620,6 +1620,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"one window + rollups, no join:\n$p")
   }
 
+  test("q242 dedup savings: one scan, two rollups with partials") {
+    val p = plan("q242_dedup_savings")
+    assert("documents\\.parquet".r.findAllIn(p).length == 1)
+    assert(p.contains("partial_count"),
+      s"the (source, digest) rollup must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"two-level rollup only:\n$p")
+  }
+
+  test("q243 quality budget: cumulative fold reads the buckets-sized rollup only") {
+    val p = plan("q243_quality_budget")
+    assert(!p.contains("documents.parquet"),
+      s"the cumulative window + total read the checkpointed decile " +
+        s"rollup (the rank pass ran at checkpoint time):\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total attaches as a broadcast cross join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

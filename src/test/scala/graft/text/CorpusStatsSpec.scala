@@ -382,4 +382,37 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(2))).toSeq
     assert(top == Seq(("A", "aa"), ("B", "aa")))
   }
+
+  test("dedupSavings: copies collapse, reclaimed mass exact") {
+    val docs = Seq(
+      (1L, "A", "aaaa"), (2L, "A", "aaaa"), (3L, "A", "aaaa"),
+      (4L, "A", "bb"),
+      (5L, "B", "cc"), (6L, "B", null))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.dedupSavings(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // A: 4 docs, 2 unique, 14 chars total, 6 unique -> 8e6 // 14
+    assert(got == Seq(
+      ("A", 4L, 2L, 14L, 6L, 571428L),
+      ("B", 1L, 1L, 2L, 2L, 0L)))
+  }
+
+  test("qualityBudgetCurve: rank bands, cumulative retention from the top") {
+    // no punctuation, no stopwords: q = tokens*4000 + 300000, so the
+    // quality order IS the token-count order: 1 < 2 < 3 tokens
+    val docs = Seq((1L, "x"), (2L, "x y"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityBudgetCurve(docs, "doc_id", "text",
+        TextAnalysis.LangProfiles("en"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      // cut nothing -> keep all 6 tokens
+      (1L, 1L, 1L, 304000L, 6L, 1000000L),
+      // cut the worst doc -> keep 5 of 6
+      (4L, 1L, 2L, 308000L, 5L, 833333L),
+      // keep only the best -> 3 of 6
+      (7L, 1L, 3L, 312000L, 3L, 500000L)))
+  }
 }
