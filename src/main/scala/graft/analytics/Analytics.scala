@@ -3668,13 +3668,8 @@ object Analytics {
   def psiDrift(events: DataFrame, typeCol: String, tsCol: String,
       valueCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    def fdiv(num: Column, den: Column) =
-      ((num - pmod(num, den)) / den).cast("long")
     def exactDiv(a: Column, b: Column): Column =
       ((a - pmod(a, b)) / b).cast("long")
-    def dec(c: Column) = c.cast(DecimalType(38, 0))
-    def lnMicro(c: Column): Column =
-      floor(log(c.cast("double")) * lit(1000000L)).cast("long")
     val DAY = 86400000000L
     val t = tsMicros(events, tsCol)
     val vm = events.select(col(typeCol).as("__ty"),
@@ -3691,8 +3686,7 @@ object Analytics {
       .crossJoin(broadcast(mid))
       .withColumn("__half",
         when(col("__day") < col("__mid"), 0L).otherwise(1L))
-      .withColumn("__w", greatest(exactDiv(
-        col("__hi") - col("__lo") + bins, lit(bins.toLong)), lit(1L)))
+      .withColumn("__w", ceilBinWidth(col("__lo"), col("__hi"), bins))
       .withColumn("__b", exactDiv(col("__vm") - col("__lo"), col("__w")))
       .groupBy("__ty", "__half", "__b").agg(count(lit(1)).as("__c"))
     val frame = bounds.select(col("__ty"),
@@ -3862,42 +3856,63 @@ object Analytics {
           .as("psi_micro_nats"))
   }
 
+  /** The shared equal-width bin geometry ([[priceHistogram]]'s ceil
+    * idiom): `⌈(hi − lo + 1)/bins⌉` in integers, floored at 1 — ONE
+    * home so [[psiDrift]]'s inline widths and [[psiBinSpec]]'s frozen
+    * widths can never diverge. */
+  private[analytics] def ceilBinWidth(lo: Column, hi: Column,
+      bins: Int): Column = {
+    def exactDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    greatest(exactDiv(hi - lo + bins, lit(bins.toLong)), lit(1L))
+  }
+
+  /** The shared clamped bin assignment: `(vm − lo) div width` clamped
+    * into `[0, bins)` — serving-time values outside the calibration
+    * range land in the edge bins. ONE home so
+    * [[graft.analytics.StreamingAnalytics.psiDriftStream]]'s streaming
+    * counts stay bit-identical to [[psiBinCounts]]'s batch re-bin (the
+    * congruence both docstrings advertise). */
+  private[graft] def clampedBin(vm: Column, lo: Column, width: Column,
+      bins: Int): Column = {
+    def exactDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    least(greatest(exactDiv(vm - lo, width), lit(0L)),
+      lit((bins - 1).toLong))
+  }
+
   /** Equal-width integer bin spec per type, frozen off a BASELINE
     * relation — the calibration snapshot a streaming drift monitor
     * carries (the [[quantileNormalizeQuality]]-threshold pattern:
     * train-time bounds travel to serving time as a tiny broadcast
-    * table). Width uses [[priceHistogram]]'s ceil idiom. Output:
+    * table). Width uses the shared [[ceilBinWidth]]. Output:
     * `(event_type, lo_micro, width_micro)`. */
   def psiBinSpec(baseline: DataFrame, typeCol: String, valueCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    def exactDiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
     baseline.select(col(typeCol).as("event_type"),
         floor(col(valueCol) * 1000000d).cast("long").as("__vm"))
       .groupBy("event_type")
       .agg(min(col("__vm")).as("lo_micro"),
-        greatest(exactDiv(max(col("__vm")) - min(col("__vm")) + bins,
-          lit(bins.toLong)), lit(1L)).as("width_micro"))
+        ceilBinWidth(min(col("__vm")), max(col("__vm")), bins)
+          .as("width_micro"))
   }
 
-  /** Bin counts against a frozen [[psiBinSpec]], CLAMPED to [0, bins)
-    * — serving-time values outside the baseline's range land in the
-    * edge bins instead of inventing new ones (the convention that
-    * keeps train/serve cell frames congruent). Output:
-    * `(event_type, __b, n)`. */
+  /** Bin counts against a frozen [[psiBinSpec]]: in-range values take
+    * the shared [[clampedBin]]; types the baseline has NEVER SEEN
+    * (no spec row) land in the sentinel overflow bin `bins` — a novel
+    * serving-time type is the loudest drift there is and must never
+    * be silently dropped by the spec join. Output:
+    * `(event_type, __b, n)` with `__b ∈ [0, bins]`. */
   def psiBinCounts(df: DataFrame, typeCol: String, valueCol: String,
-      spec: DataFrame, bins: Int = 10): DataFrame = {
-    def exactDiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
+      spec: DataFrame, bins: Int = 10): DataFrame =
     df.select(col(typeCol).as("event_type"),
         floor(col(valueCol) * 1000000d).cast("long").as("__vm"))
-      .join(broadcast(spec), "event_type")
-      .withColumn("__b", least(greatest(exactDiv(
-        col("__vm") - col("lo_micro"), col("width_micro")), lit(0L)),
-        lit((bins - 1).toLong)))
+      .join(broadcast(spec), Seq("event_type"), "left")
+      .withColumn("__b", when(col("lo_micro").isNull, lit(bins.toLong))
+        .otherwise(clampedBin(col("__vm"), col("lo_micro"),
+          col("width_micro"), bins)))
       .groupBy("event_type", "__b").agg(count(lit(1)).as("n"))
-  }
 
   /** PSI of CURRENT bin counts against a frozen BASELINE — the
     * finisher behind the streaming drift monitor
@@ -3905,7 +3920,10 @@ object Analytics {
     * windowed bin counts; this scores each window). `extraKeys`
     * (e.g. the window column) key the current side; the baseline
     * broadcasts onto every group. Dense frames + Laplace smoothing
-    * happen here so sparse windows are well-defined. Output:
+    * happen here so sparse windows are well-defined; the frame spans
+    * `[0, bins]` INCLUSIVE — bin `bins` is [[psiBinCounts]]'s
+    * never-seen-type sentinel, so a type absent from the calibration
+    * scores loudly instead of vanishing. Output:
     * `(event_type, extraKeys..., n_baseline, n_current,
     * psi_micro_nats)`. PSI is symmetric, so baseline/current
     * orientation affects only the column names. */
@@ -3913,11 +3931,14 @@ object Analytics {
       bins: Int = 10, extraKeys: Seq[String] = Nil): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val keys = "event_type" +: extraKeys
+    // [0, bins-1] plus psiBinCounts' never-seen-type sentinel bin: a
+    // novel serving-time type must score maximal drift, never vanish
+    val cellsPerGroup = bins + 1
     // every (type, extraKeys) group present in CURRENT gets the full
     // dense bin frame; baseline-only types score nothing (no traffic)
     val groups = current.select(keys.map(col): _*).distinct()
     val frame = groups.select(col("*"),
-      explode(sequence(lit(0L), lit((bins - 1).toLong))).as("__b"))
+      explode(sequence(lit(0L), lit(bins.toLong))).as("__b"))
     val cells = frame
       .join(current.withColumnRenamed("n", "__cq"),
         keys :+ "__b", "left")
@@ -3925,7 +3946,7 @@ object Analytics {
         Seq("event_type", "__b"), "left")
       .withColumn("__p", coalesce(col("__cp"), lit(0L)) + 1L)
       .withColumn("__q", coalesce(col("__cq"), lit(0L)) + 1L)
-    psiFold(cells, keys, bins)
+    psiFold(cells, keys, cellsPerGroup)
       .select((keys.map(col) :+ col("n_p").as("n_baseline") :+
         col("n_q").as("n_current") :+ col("psi_micro_nats")): _*)
       .orderBy(keys.map(col): _*)
@@ -3963,8 +3984,6 @@ object Analytics {
     * ~30-year calendar. */
   def typeDailyCorrelation(events: DataFrame, typeCol: String,
       tsCol: String): DataFrame = {
-    def fdiv(num: Column, den: Column) =
-      ((num - pmod(num, den)) / den).cast(DecimalType(38, 0))
     def dec(c: Column) = c.cast(DecimalType(38, 0))
     val DAY = 86400000000L
     val t = tsMicros(events, tsCol)

@@ -432,10 +432,14 @@ object StreamingAnalytics {
     * travel as a broadcast table — the `quality_pct` pattern) and
     * emit per-(type, event-time window) bin counts in APPEND mode,
     * exactly once per closed window (watermark-gated, cross-batch
-    * counts merged by the streaming agg). Values outside the baseline
-    * range clamp into the edge bins — the same convention as
-    * [[Analytics.psiBinCounts]], so the streaming counts are
-    * bit-identical to a batch re-bin of the same ripe events. Score
+    * counts merged by the streaming agg). Bin geometry is the SHARED
+    * [[Analytics.clampedBin]]: out-of-range values clamp into the
+    * edge bins and types the calibration has never seen land in the
+    * sentinel bin `bins` (a novel serving-time type is the loudest
+    * drift there is — it must never be dropped by the spec join), so
+    * the streaming counts are bit-identical to
+    * [[Analytics.psiBinCounts]]'s batch re-bin of the same ripe
+    * events. Score
     * each window with [[Analytics.psiAgainstBaseline]] at the sink
     * (the PSI fold is a tiny bins-bounded batch transform per window
     * — it does not belong inside the streaming agg, which would need
@@ -451,15 +455,13 @@ object StreamingAnalytics {
       windowDur: String = "1 hour",
       watermark: String = "10 minutes"): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    def exactDiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
     events.withWatermark(tsCol, watermark)
       .select(col(typeCol).as("event_type"), col(tsCol).as("__t"),
         floor(col(valueCol) * 1000000d).cast("long").as("__vm"))
-      .join(broadcast(spec), "event_type")
-      .withColumn("__b", least(greatest(exactDiv(
-        col("__vm") - col("lo_micro"), col("width_micro")), lit(0L)),
-        lit((bins - 1).toLong)))
+      .join(broadcast(spec), Seq("event_type"), "left")
+      .withColumn("__b", when(col("lo_micro").isNull, lit(bins.toLong))
+        .otherwise(Analytics.clampedBin(col("__vm"), col("lo_micro"),
+          col("width_micro"), bins)))
       .groupBy(col("event_type"), window(col("__t"), windowDur), col("__b"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"), col("window.start").as("window_start"),

@@ -56,11 +56,15 @@ class StreamingPsiSpec extends SparkSpec {
 
     // the other half of window 0 arrives in a LATER micro-batch
     // together with window 1's far-out-of-range values (clamp to bin
-    // 9): the agg must MERGE window 0's two partials, and the
-    // advancing watermark then closes window 0 complete
+    // 9) AND a type the calibration never saw (sentinel bin 10 — a
+    // novel type must surface, never be dropped by the spec join):
+    // the agg must MERGE window 0's two partials, and the advancing
+    // watermark then closes window 0 complete
     input.addData(("a", 0 * H + 3 * s, 3.0), ("a", 0 * H + 4 * s, 4.0),
       ("a", 1 * H + 1 * s, 100.0), ("a", 1 * H + 2 * s, 100.0),
-      ("a", 1 * H + 3 * s, 100.0), ("a", 1 * H + 4 * s, 100.0))
+      ("a", 1 * H + 3 * s, 100.0), ("a", 1 * H + 4 * s, 100.0),
+      ("ghost", 1 * H + 5 * s, 9.9), ("ghost", 1 * H + 6 * s, 1.1),
+      ("ghost", 1 * H + 7 * s, 5.0))
     q.processAllAvailable()
     val w0 = Set(
       ("a", 0 * H, 0L, 1L), ("a", 0 * H, 3L, 1L),
@@ -71,9 +75,10 @@ class StreamingPsiSpec extends SparkSpec {
     // a far event ripens window 1; its own window stays open
     input.addData(("a", 3 * H + 1 * s, 2.0))
     q.processAllAvailable()
-    val closed = w0 + (("a", 1 * H, 9L, 4L))
+    val closed = w0 + (("a", 1 * H, 9L, 4L)) + (("ghost", 1 * H, 10L, 3L))
     assert(got() == closed,
-      "one row per (window, observed bin), clamped")
+      "one row per (window, observed bin), clamped; novel type in the " +
+        "sentinel bin")
 
     // exactly-once: a further watermark advance re-emits nothing
     input.addData(("a", 3 * H + 2 * s, 2.0))
@@ -82,7 +87,8 @@ class StreamingPsiSpec extends SparkSpec {
     q.stop()
 
     // finisher parity: window 0 replays the baseline distribution ->
-    // PSI exactly 0; window 1 is a total regime shift -> positive
+    // PSI exactly 0; window 1 is a total regime shift -> positive;
+    // the never-calibrated ghost type scores loudly from the sentinel
     val current = got().toSeq.toDF("event_type", "window_start", "__b", "n")
     val base = Analytics.psiBinCounts(baseline, "event_type", "value", spec)
     val scored = Analytics.psiAgainstBaseline(current, base, bins = 10,
@@ -90,10 +96,12 @@ class StreamingPsiSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSeq
     assert(scored.map(t => (t._1, t._2, t._3, t._4)) ==
-      Seq(("a", 0L, 4L, 4L), ("a", H, 4L, 4L)))
+      Seq(("a", 0L, 4L, 4L), ("a", H, 4L, 4L), ("ghost", H, 0L, 3L)))
     assert(scored(0)._5 == 0L, s"identical window must score 0: $scored")
     assert(scored(1)._5 > 250000L,
       s"regime-shift window must clear the drift threshold: $scored")
+    assert(scored(2)._5 > 250000L,
+      s"a novel type must score loud drift, not vanish: $scored")
 
     // streaming counts are bit-identical to a batch re-bin of the same
     // ripe events (the clamp convention is shared)
