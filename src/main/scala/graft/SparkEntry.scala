@@ -1412,6 +1412,11 @@ object SparkEntry {
     "q243_quality_budget" -> ((s, d) =>
       TextAnalysis.qualityBudgetCurve(Tables.documents(s, d), "doc_id",
         "text", TextAnalysis.LangProfiles("en"))),
+    // q244: supplier fulfilment-SLA census — order-date attach, then
+    // the fact collapses per supplier FIRST; nation dim broadcast
+    "q244_late_delivery" -> ((s, d) =>
+      Analytics.lateDeliveryCensus(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -5210,6 +5215,29 @@ object SparkEntry {
          |  CAST(cum AS BIGINT) AS cum_tokens_retained,
          |  CAST((cum * 1000000) // tot AS BIGINT) AS retained_ppm
          |FROM c ORDER BY 1""".stripMargin,
+    // q244: integral ship-delay days vs a 60-day budget; the synthetic
+    // data carries NEGATIVE delays, so the mean uses the
+    // nonneg-remainder floor idiom (bare // truncates negatives)
+    "q244_late_delivery" ->
+      """WITH l AS (SELECT l_suppkey AS s,
+        |    CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+        |      AS delay
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |p AS (SELECT s, count(*) AS n,
+        |    sum(CASE WHEN delay > 60 THEN 1 ELSE 0 END) AS nl,
+        |    sum(delay) AS d
+        |  FROM l GROUP BY 1),
+        |j AS (SELECT n_name AS nation, n, nl, d
+        |  FROM p JOIN supplier ON s = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |a AS (SELECT nation, sum(n) AS n, sum(nl) AS nl,
+        |    sum(d) * 1000 AS dm FROM j GROUP BY 1)
+        |SELECT nation, CAST(n AS BIGINT) AS n_lines,
+        |  CAST(nl AS BIGINT) AS n_late,
+        |  CAST((nl * 1000000) // n AS BIGINT) AS late_ppm,
+        |  CAST((dm - ((dm % n + n) % n)) // n AS BIGINT)
+        |    AS mean_delay_millidays
+        |FROM a ORDER BY 1""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

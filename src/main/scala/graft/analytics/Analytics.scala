@@ -4046,6 +4046,55 @@ object Analytics {
         .cast("long"))
   }
 
+  /** Supplier fulfilment-SLA census: per supplier nation, the share of
+    * line items shipped later than `budgetDays` after their order date
+    * and the mean ship delay — the logistics scorecard behind supplier
+    * reviews (q189 trends the same gap by MONTH; this slices it by WHO
+    * ships it, the review's other axis). Delay is exact integral days;
+    * the rate is floored ppm and the mean floored milli-days. Output:
+    * `(nation, n_lines, n_late, late_ppm, mean_delay_millidays)`.
+    *
+    * Scale shape: the order-date attach is the one fact×fact equi-join
+    * the gap requires (both sides order-keyed — no broadcast
+    * pretense); the joined fact then collapses to per-supplier
+    * (count, late count, delay sum) BEFORE the supplier join, which
+    * therefore moves suppliers-sized relations (the supplier table is
+    * NOT broadcastable at warehouse scale); the nation dim broadcasts;
+    * the census is nations-bounded. */
+  def lateDeliveryCensus(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, nation: DataFrame,
+      budgetDays: Int = 60): DataFrame = {
+    require(budgetDays >= 0, s"budgetDays must be >= 0, got $budgetDays")
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val perSupp = lineitem.select(col("l_orderkey").as("__o"),
+        col("l_suppkey").as("__s"), to_date(col("l_shipdate")).as("__sd"))
+      .join(orders.select(col("o_orderkey").as("__o"),
+        to_date(col("o_orderdate")).as("__od")), "__o")
+      .select(col("__s"),
+        datediff(col("__sd"), col("__od")).cast("long").as("__delay"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__delay") > budgetDays, 1L).otherwise(0L))
+          .as("__nl"),
+        sum(col("__delay")).as("__d"))
+    perSupp
+      .join(supplier.select(col("s_suppkey").as("__s"),
+        col("s_nationkey").as("__nk")), "__s")
+      .join(broadcast(nation.select(col("n_nationkey").as("__nk"),
+        col("n_name").as("nation"))), "__nk")
+      .groupBy("nation")
+      .agg(sum(col("__n")).as("n_lines"), sum(col("__nl")).as("n_late"),
+        sum(col("__d")).as("__delay"))
+      .select(col("nation"), col("n_lines"), col("n_late"),
+        fdiv(dec(col("n_late")) * 1000000, dec(col("n_lines")))
+          .as("late_ppm"),
+        fdiv(dec(col("__delay")) * 1000, dec(col("n_lines")))
+          .as("mean_delay_millidays"))
+      .orderBy("nation")
+  }
+
   /** Stream-freshness census: per event type, the last observed event
     * time and its staleness against the corpus frontier — the
     * "which feeds went quiet" monitor every ingestion dashboard leads

@@ -1640,6 +1640,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q244 late delivery: fact collapses per supplier before any dim join") {
+    val p = plan("q244_late_delivery")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the per-supplier rollup must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the nation dim attaches by broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_shipdate"),
+      s"column pruning must reach the fact scan:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

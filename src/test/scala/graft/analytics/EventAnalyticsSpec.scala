@@ -1910,4 +1910,31 @@ class EventAnalyticsSpec extends SparkSpec {
     // 5 views; abandoned: u1's second, u2's, u3's second -> 3/5
     assert(got == Seq((5L, 3L, 600000L, 3L)))
   }
+
+  test("lateDeliveryCensus: budget boundary, exact milli-day mean per nation") {
+    val nation = Seq((1L, "FR"), (2L, "DE")).toDF("n_nationkey", "n_name")
+    val supplier = Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("s_suppkey", "s_nationkey")
+    val orders = Seq((100L, "1970-01-01"), (101L, "1970-01-01"))
+      .toDF("o_orderkey", "__d")
+      .select(col("o_orderkey"), col("__d").cast("date").as("o_orderdate"))
+    val li = Seq(
+      // FR: s10 ships at +12 days (late vs budget 10) and exactly at
+      // the budget (+10 is NOT late); s11 ships at +4
+      (100L, 10L, "1970-01-13"), (100L, 10L, "1970-01-11"),
+      (101L, 11L, "1970-01-05"),
+      // DE: +2 days
+      (101L, 12L, "1970-01-03"))
+      .toDF("l_orderkey", "l_suppkey", "__s")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("__s").cast("date").as("l_shipdate"))
+    val got = Analytics.lateDeliveryCensus(li, orders, supplier, nation,
+        budgetDays = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // FR: 3 lines, 1 late, delays {12, 10, 4} -> mean 26000/3 = 8666
+    assert(got == Seq(
+      ("DE", 1L, 0L, 0L, 2000L),
+      ("FR", 3L, 1L, 333333L, 8666L)))
+  }
 }
