@@ -1417,6 +1417,11 @@ object SparkEntry {
     "q244_late_delivery" -> ((s, d) =>
       Analytics.lateDeliveryCensus(Tables.lineitem(s, d),
         Tables.orders(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    // q245: audience-overlap Jaccard between event types — q232's
+    // template on the distinct (type, user) relation
+    "q245_audience_overlap" -> ((s, d) =>
+      Analytics.audienceOverlap(Tables.events(s, d), "event_type",
+        "user_id")),
 
     // q90: BATCH BM25 — top-3 corpus docs for every query in a query
     // table (the doc_id % 97 slice queries the corpus it came from; each
@@ -5238,6 +5243,22 @@ object SparkEntry {
         |  CAST((dm - ((dm % n + n) % n)) // n AS BIGINT)
         |    AS mean_delay_millidays
         |FROM a ORDER BY 1""".stripMargin,
+    // q245: distinct audiences; zero-overlap pairs kept at 0
+    "q245_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS ty, user_id AS u
+        |  FROM events),
+        |sz AS (SELECT ty, count(*) AS n FROM tu GROUP BY 1),
+        |i AS (SELECT a.ty AS ta, b.ty AS tb, count(*) AS i
+        |  FROM tu a JOIN tu b ON a.u = b.u AND a.ty < b.ty GROUP BY 1, 2)
+        |SELECT x.ty AS type_a, y.ty AS type_b,
+        |  CAST(x.n AS BIGINT) AS n_users_a,
+        |  CAST(y.n AS BIGINT) AS n_users_b,
+        |  CAST(coalesce(i, 0) AS BIGINT) AS n_both,
+        |  CAST((coalesce(i, 0) * 1000000)
+        |    // (x.n + y.n - coalesce(i, 0)) AS BIGINT) AS jaccard_ppm
+        |FROM sz x JOIN sz y ON x.ty < y.ty
+        |LEFT JOIN i ON i.ta = x.ty AND i.tb = y.ty
+        |ORDER BY 1, 2""".stripMargin,
     // q198: identical lower-median rank picks on the (value, id) and
     // (deviation, id) total orders; every output is a data value
     "q198_mad_outliers" ->

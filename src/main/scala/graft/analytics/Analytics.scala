@@ -4095,6 +4095,45 @@ object Analytics {
       .orderBy("nation")
   }
 
+  /** Audience-overlap matrix: Jaccard similarity between the DISTINCT
+    * user sets of every event-type pair — "do the people who do A also
+    * do B" at membership grain (q228 correlates VOLUMES over time;
+    * this compares WHO, the segmentation/retargeting view). Output:
+    * `(type_a, type_b, n_users_a, n_users_b, n_both, jaccard_ppm)`
+    * for ALL pairs (zero-overlap pairs report 0), exact floored ppm.
+    *
+    * Scale shape: the fact collapses once to the DISTINCT (type, user)
+    * relation (hash agg, map-side partials; checkpointed — sizes and
+    * both self-join sides read it); the user-keyed self-join fans out
+    * at most types² per user; sizes and the pair frame are
+    * vocabulary-bounded broadcasts ([[sessionCooccurrence]]'s
+    * discipline at corpus-lifetime grain). */
+  def audienceOverlap(events: DataFrame, typeCol: String,
+      userCol: String): DataFrame = {
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val tu = events.select(col(typeCol).as("__ty"), col(userCol).as("__u"))
+      .distinct()
+      .localCheckpoint() // sizes + both self-join sides read it
+    val sizes = tu.groupBy("__ty").agg(count(lit(1)).as("__n"))
+    val inter = tu.as("a").join(tu.as("b"),
+        col("a.__u") === col("b.__u") && col("a.__ty") < col("b.__ty"))
+      .groupBy(col("a.__ty").as("__ta"), col("b.__ty").as("__tb"))
+      .agg(count(lit(1)).as("__i"))
+    sizes.select(col("__ty").as("__ta"), col("__n").as("__na"))
+      .join(broadcast(sizes.select(col("__ty").as("__tb"),
+        col("__n").as("__nb"))), col("__ta") < col("__tb"))
+      .join(broadcast(inter), Seq("__ta", "__tb"), "left")
+      .select(col("__ta").as("type_a"), col("__tb").as("type_b"),
+        col("__na").as("n_users_a"), col("__nb").as("n_users_b"),
+        coalesce(col("__i"), lit(0L)).as("n_both"),
+        fdiv(dec(coalesce(col("__i"), lit(0L))) * 1000000,
+          dec(col("__na") + col("__nb") - coalesce(col("__i"), lit(0L))))
+          .as("jaccard_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Stream-freshness census: per event type, the last observed event
     * time and its staleness against the corpus frontier — the
     * "which feeds went quiet" monitor every ingestion dashboard leads

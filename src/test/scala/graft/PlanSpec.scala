@@ -1652,6 +1652,16 @@ class PlanSpec extends SparkSpec {
       s"column pruning must reach the fact scan:\n$p")
   }
 
+  test("q245 audience overlap: distinct relation materializes once, frame broadcast") {
+    val p = plan("q245_audience_overlap")
+    assert(!p.contains("events.parquet"),
+      s"sizes and both self-join sides read the checkpointed " +
+        s"(type, user) relation:\n$p")
+    assert(p.contains("ExistingRDD"))
+    assert(!p.contains("CartesianProduct"),
+      s"the types² pair frame must broadcast:\n$p")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     val skewed = spark.range(5000)
       .select(($"id" % 3).as("k"), $"id".as("v"))

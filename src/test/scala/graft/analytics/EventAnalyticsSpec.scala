@@ -1937,4 +1937,21 @@ class EventAnalyticsSpec extends SparkSpec {
       ("DE", 1L, 0L, 0L, 2000L),
       ("FR", 3L, 1L, 333333L, 8666L)))
   }
+
+  test("audienceOverlap: distinct users per type, disjoint pair kept at 0") {
+    val events = Seq(
+      // a: users {1, 2, 3} (u1 twice — must dedup); b: {2, 3};
+      // c: {9} (disjoint from both)
+      (1L, "a"), (1L, "a"), (2L, "a"), (3L, "a"),
+      (2L, "b"), (3L, "b"),
+      (9L, "c"))
+      .toDF("user_id", "event_type")
+    val got = Analytics.audienceOverlap(events, "event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("a", "b", 3L, 2L, 2L, 666666L),  // {2,3} / {1,2,3}
+      ("a", "c", 3L, 1L, 0L, 0L),
+      ("b", "c", 2L, 1L, 0L, 0L)))
+  }
 }
