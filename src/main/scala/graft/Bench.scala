@@ -39,6 +39,22 @@ object Bench {
   private val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
     .flatMap(_.toIntOption).getOrElse(5))
 
+  // FLAGSHIP protocol (round 16 — the 236-query suite made the bench
+  // the round's longest phase): queries whose committed-baseline min is
+  // at or above `flagshipSec` (the ones where a stall materially moves
+  // the total, ~2/3 of suite seconds) keep the full `runs`-pass
+  // protocol; the long tail runs `tailRuns` passes (its committed
+  // minima stay protected by the sf-gated min-merge — a noisy tail
+  // pass can only ever FAIL to lower a min, never raise it, and the 3×
+  // stall guard still grants the extra pass). A query with NO
+  // committed baseline always gets the full protocol: first
+  // measurements seed next round's guard and must be solid.
+  private val tailRuns = math.max(1,
+    sys.env.get("SPARK_GRAFT_BENCH_TAIL_RUNS")
+      .flatMap(_.toIntOption).getOrElse(2))
+  private val flagshipSec = sys.env.get("SPARK_GRAFT_BENCH_FLAGSHIP_SEC")
+    .flatMap(_.toDoubleOption).getOrElse(0.5)
+
   /** Per-query reference minima from the committed round artifacts —
     * the stall-guard baseline. Regex-extracted from the RAW text of
     * the two most recent `BENCH_r*.json` files (their per-query map
@@ -170,9 +186,9 @@ object Bench {
   // between-run storage sweep (leaked internal checkpoints must not
   // accumulate across runs, and the sweep cost must not be charged to
   // the query).
-  private def stats(name: String, after: () => Unit = () => ())
-      (body: => Unit): (Double, Double, Double) = {
-    val ts = Vector.fill(runs) {
+  private def stats(name: String, after: () => Unit = () => (),
+      n: Int = runs)(body: => Unit): (Double, Double, Double) = {
+    val ts = Vector.fill(math.max(1, n)) {
       val t = timed(name)(body)
       after()
       t
@@ -255,6 +271,64 @@ object Bench {
     * randomly, so a realtime-sized delay would quarantine most rows —
     * this benches throughput, not lateness policy; CdcPipelineSpec
     * owns that). */
+  /** Temp dir for bench scratch (cdc corpus, per-run warehouses).
+    * SPARK_GRAFT_BENCH_TMPDIR points it at a quieter filesystem when
+    * /tmp is the contended device — the round-15 cdc wall spread
+    * (8.4 k → 45.7 k → 9.3 k events/s with flat steal/cpu) is exactly
+    * the signature /tmp contention leaves, and the per-run iowait_pct
+    * now measures it. */
+  private def newTempDir(prefix: String): java.nio.file.Path =
+    sys.env.get("SPARK_GRAFT_BENCH_TMPDIR").filter(_.nonEmpty) match {
+      case Some(d) =>
+        val p = java.nio.file.Paths.get(d)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.createTempDirectory(p, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
+
+  /** Micro-batch duration accumulator for the cdc loop — sums the
+    * per-trigger `durationMs` terms across every active query (main
+    * stream + DLQ), so a slow run names its dominant term from the
+    * artifact alone: `addBatch` is execution+sink work, `walCommit`
+    * (+`commitOffsets`) is checkpoint fsync, and wall minus
+    * `triggerExecution` is time OUTSIDE triggers (scheduling, source
+    * listing, stream startup). Progress events post asynchronously —
+    * [[settle]] polls until the counters go quiet before reading. */
+  private final class BatchTimes
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    @volatile var batches = 0L
+    @volatile var addBatchMs = 0L
+    @volatile var walCommitMs = 0L
+    @volatile var triggerMs = 0L
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+      synchronized {
+        val d = e.progress.durationMs
+        def g(k: String): Long =
+          Option(d.get(k)).map(_.longValue).getOrElse(0L)
+        batches += 1
+        addBatchMs += g("addBatch")
+        walCommitMs += g("walCommit") + g("commitOffsets")
+        triggerMs += g("triggerExecution")
+      }
+    /** Wait (bounded) for the async listener bus to drain: the last
+      * trigger's progress event may land after awaitTermination. Runs
+      * OUTSIDE the timed window. */
+    def settle(): Unit = {
+      var last = -1L
+      var spins = 0
+      while (batches != last && spins < 20) {
+        last = batches
+        Thread.sleep(100)
+        spins += 1
+      }
+    }
+  }
+
   private def runCdcReplicate(spark: SparkSession,
       sfDir: String): (Double, Double, Double) = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -268,7 +342,7 @@ object Bench {
     // cost the way a sustained SLA is actually measured.
     val replicas = math.max(1, sys.env.get("SPARK_GRAFT_CDC_REPLICAS")
       .flatMap(_.toIntOption).getOrElse(10))
-    val base = java.nio.file.Files.createTempDirectory("graft-cdcbench")
+    val base = newTempDir("graft-cdcbench")
     val inDir = s"$base/in"
     val ev0 = Tables.events(spark, sfDir)
     val maxId = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
@@ -303,7 +377,9 @@ object Bench {
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
     } catch { case _: Exception => () }
     val runsTele = Vector.fill(cdcRuns) {
-      val runDir = java.nio.file.Files.createTempDirectory("graft-cdcrun")
+      val runDir = newTempDir("graft-cdcrun")
+      val bt = new BatchTimes
+      spark.streams.addListener(bt)
       val rj0 = cpuJiffies()
       val t = timed("cdc_replicate") {
         val pipeline = new cdc.CdcPipeline(spark, s"$runDir/wh", s"$runDir/ck",
@@ -316,22 +392,52 @@ object Bench {
         spark.streams.active.foreach(_.awaitTermination())
       }
       val tele = stealCpu(rj0, cpuJiffies())
+      bt.settle() // async listener bus — drain before reading counters
+      spark.streams.removeListener(bt)
       // per-run warehouse + checkpoint (hundreds of MB each across
       // repeated bench invocations) must not accumulate in /tmp
       rmTree(runDir)
-      (t, tele)
+      (t, tele, bt)
     }
     rmTree(base) // the replicated JSON corpus
     val runFailed = failed("cdc_replicate")
-    // per-run rows IN CHRONOLOGICAL ORDER, each with its own steal/cpu
-    // window — a stalled run (judge round 14: min 48.3k vs med 32.4k
-    // with nothing to adjudicate the gap) is now identifiable from the
-    // artifact alone; a failed batch zeroes eps (time-to-failure would
-    // fabricate a fast rate) but keeps the telemetry
-    lastCdcRuns = Some(runsTele.map { case (t, tele) =>
+    // per-run rows IN CHRONOLOGICAL ORDER, each with its own steal/cpu/
+    // iowait window AND its micro-batch breakdown (Σ addBatch /
+    // walCommit / outside-trigger ms) — a stalled run (judge round 14:
+    // min 48.3k vs med 32.4k; round 15: a 5.4× wall spread that
+    // steal/cpu alone could not explain) now names its dominant term
+    // from the artifact alone; a failed batch zeroes eps
+    // (time-to-failure would fabricate a fast rate) but keeps the
+    // telemetry
+    lastCdcRuns = Some(runsTele.map { case (t, tele, bt) =>
       val eps = if (!runFailed && t > 0) (n / t).toLong else 0L
-      s"""{"sec":${r3(t)},"eps":$eps${stealCpuJson(tele)}}"""
+      val idleMs = math.max(0L, (t * 1000).toLong - bt.triggerMs)
+      s"""{"sec":${r3(t)},"eps":$eps,"batches":${bt.batches},""" +
+        s""""add_batch_ms":${bt.addBatchMs},""" +
+        s""""wal_commit_ms":${bt.walCommitMs},""" +
+        s""""trigger_ms":${bt.triggerMs},""" +
+        s""""non_trigger_ms":$idleMs${stealCpuJson(tele)}}"""
     }.mkString("[", ",", "]"))
+    // the one-sentence verdict a slow run needs: when the wall spread
+    // across runs exceeds 1.5×, name the slowest run's dominant term —
+    // fixed vocabulary only, so the field is always valid JSON
+    if (runsTele.size > 1 && !runFailed) {
+      val walls = runsTele.map(_._1)
+      if (walls.min > 0 && walls.max > 1.5 * walls.min) {
+        val (t, tele, bt) = runsTele.maxBy(_._1)
+        val wallMs = (t * 1000).toLong
+        val terms = Seq(
+          "addBatch" -> bt.addBatchMs,
+          "walCommit" -> bt.walCommitMs,
+          "trigger_other" ->
+            math.max(0L, bt.triggerMs - bt.addBatchMs - bt.walCommitMs),
+          "outside_trigger" -> math.max(0L, wallMs - bt.triggerMs))
+        val (dom, ms) = terms.maxBy(_._2)
+        val io = tele.map(_._3).getOrElse(0.0)
+        lastCdcNote = Some(s"slowest run ${r3(t)} s: dominant term " +
+          s"$dom (${ms} of $wallMs ms wall, iowait ${r3(io)} pct)")
+      }
+    }
     // a failed run's duration is time-to-FAILURE (timed() swallows the
     // throw) — publishing n/that would fabricate a fast events/s; zero
     // the metric instead and let the headline's failed list tell why
@@ -343,27 +449,37 @@ object Bench {
   }
 
   /** Per-run rows of the last [[runCdcReplicate]] — chronological
-    * `{"sec":...,"eps":...,"steal_pct":...,"cpu_pct":...}` objects,
-    * emitted by the child and forwarded into the artifact. */
+    * `{"sec":...,"eps":...,"batches":...,"add_batch_ms":...,
+    * "wal_commit_ms":...,"trigger_ms":...,"non_trigger_ms":...,
+    * "steal_pct":...,"cpu_pct":...,"iowait_pct":...}` objects, emitted
+    * by the child and forwarded into the artifact. */
   private var lastCdcRuns: Option[String] = None
+
+  /** The slow-run verdict sentence of the last [[runCdcReplicate]] —
+    * set only when the wall spread exceeded 1.5×; built from a fixed
+    * vocabulary (term names + numbers), so it embeds in JSON safely. */
+  private var lastCdcNote: Option[String] = None
 
   /** Total block-manager bytes (memory + disk) currently held by RDD
     * storage — the leak-telemetry unit for `queries_storage`. */
   private def storageBytes(spark: SparkSession): Long =
     spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
 
-  /** Aggregate (total, idle+iowait, steal) jiffies from /proc/stat —
+  /** Aggregate (total, idle, iowait, steal) jiffies from /proc/stat —
     * deltas over the bench window make a stalled round machine-readable
     * from the artifact: `steal_pct` is time the hypervisor withheld the
     * CPUs (the stall signature SCALE.md measured; anything over a few
-    * percent means minima-only reading), `cpu_pct` is overall busy
-    * (mostly the bench's own work). None off-Linux → field omitted. */
-  private def cpuJiffies(): Option[(Long, Long, Long)] = try {
+    * percent means minima-only reading), `iowait_pct` is idle-waiting-
+    * on-disk (the /tmp-contention signature a 5× cdc wall spread with
+    * flat steal/cpu points at — the round-15 open question), `cpu_pct`
+    * is overall busy (mostly the bench's own work). None off-Linux →
+    * field omitted. */
+  private def cpuJiffies(): Option[(Long, Long, Long, Long)] = try {
     val src = scala.io.Source.fromFile("/proc/stat")
     try src.getLines().find(_.startsWith("cpu ")).map { l =>
       val f = l.trim.split("\\s+").drop(1).map(_.toLong)
       // fields: user nice system idle iowait irq softirq steal ...
-      (f.sum, f(3) + f.lift(4).getOrElse(0L), f.lift(7).getOrElse(0L))
+      (f.sum, f(3), f.lift(4).getOrElse(0L), f.lift(7).getOrElse(0L))
     } finally src.close()
   } catch { case _: Exception => None }
 
@@ -374,16 +490,16 @@ object Bench {
     * — a stall concentrated in one ~25-minute funnel phase averages
     * away in the whole-window figure, so per-phase deltas are what make
     * an inflated funnel number adjudicable from the artifact alone. */
-  private def hostBusyJson(key: String, start: Option[(Long, Long, Long)],
-      end: Option[(Long, Long, Long)]): String = {
+  private def hostBusyJson(key: String, start: Option[(Long, Long, Long, Long)],
+      end: Option[(Long, Long, Long, Long)]): String = {
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // ONE jiffies-delta computation (stealCpu) feeds both the phase
     // rows and the per-child/per-run telemetry they are adjudicated
     // against — a field fix applied to one copy must not skew the other
     stealCpu(start, end) match {
-      case Some((steal, cpu)) =>
-        s""""$key":{"cpu_pct":${r3(cpu)},"steal_pct":${r3(steal)},"load1":${r3(load1)}},"""
+      case Some((steal, cpu, io)) =>
+        s""""$key":{"cpu_pct":${r3(cpu)},"steal_pct":${r3(steal)},"iowait_pct":${r3(io)},"load1":${r3(load1)}},"""
       case None => ""
     }
   }
@@ -395,21 +511,26 @@ object Bench {
     * funnel retry and the whole-phase host_busy row averaged it
     * away). */
   private[graft] final case class ChildStats(med: Double, lo: Double,
-      hi: Double, stealPct: Option[Double], cpuPct: Option[Double])
+      hi: Double, tele: Option[(Double, Double, Double)])
 
-  /** (steal %, cpu %) over a jiffies window; None when either snapshot
-    * is unavailable. */
-  private def stealCpu(start: Option[(Long, Long, Long)],
-      end: Option[(Long, Long, Long)]): Option[(Double, Double)] = for {
-    (t0, i0, s0) <- start; (t1, i1, s1) <- end
-    dt = t1 - t0 if dt > 0
-  } yield (100.0 * (s1 - s0) / dt, 100.0 * (dt - (i1 - i0)) / dt)
+  /** (steal %, cpu %, iowait %) over a jiffies window; None when either
+    * snapshot is unavailable. busy = total − idle − iowait (iowait is a
+    * flavor of idle — counting it busy would mask the very contention
+    * signal it exists to expose). */
+  private def stealCpu(start: Option[(Long, Long, Long, Long)],
+      end: Option[(Long, Long, Long, Long)]): Option[(Double, Double, Double)] =
+    for {
+      (t0, i0, w0, s0) <- start; (t1, i1, w1, s1) <- end
+      dt = t1 - t0 if dt > 0
+    } yield (100.0 * (s1 - s0) / dt,
+      100.0 * (dt - (i1 - i0) - (w1 - w0)) / dt,
+      100.0 * (w1 - w0) / dt)
 
-  /** `,"steal_pct":x,"cpu_pct":y` or "" — the optional telemetry tail
-    * of a child/run JSON row. */
-  private def stealCpuJson(tele: Option[(Double, Double)]): String =
-    tele.map { case (st, cp) =>
-      s""","steal_pct":${r3(st)},"cpu_pct":${r3(cp)}"""
+  /** `,"steal_pct":x,"cpu_pct":y,"iowait_pct":z` or "" — the optional
+    * telemetry tail of a child/run JSON row. */
+  private def stealCpuJson(tele: Option[(Double, Double, Double)]): String =
+    tele.map { case (st, cp, io) =>
+      s""","steal_pct":${r3(st)},"cpu_pct":${r3(cp)},"iowait_pct":${r3(io)}"""
     }.getOrElse("")
 
   /** Child mode: run ONE funnel in this (fresh) JVM and print a single
@@ -426,6 +547,8 @@ object Bench {
       println(s"""{"metric":"datasheet","name":"$name","sheet":$s}"""))
     lastCdcRuns.foreach(r =>
       println(s"""{"metric":"cdc_runs","runs":$r}"""))
+    lastCdcNote.foreach(s =>
+      println(s"""{"metric":"cdc_note","note":"$s"}"""))
     // failures inside the child are otherwise invisible to the parent
     // (rc stays 0, stderr is only half-forwarded): one machine-readable
     // line per failed unit lets the parent's headline carry them
@@ -467,7 +590,8 @@ object Bench {
         System.err.println(s"[bench] child $name reported failure: ${m.group(1)}")
         failed += m.group(1)
       }
-    // forward the cdc child's per-run telemetry rows into the artifact
+    // forward the cdc child's per-run telemetry rows + slow-run note
+    // into the artifact
     out.linesIterator
       .find(_.startsWith("""{"metric":"cdc_runs""""))
       .foreach { l =>
@@ -475,15 +599,26 @@ object Bench {
         val i = l.indexOf(p)
         if (i >= 0) lastCdcRuns = Some(l.substring(i + p.length).stripSuffix("}"))
       }
+    out.linesIterator
+      .find(_.startsWith("""{"metric":"cdc_note""""))
+      .foreach { l =>
+        val p = """"note":""""
+        val i = l.indexOf(p)
+        if (i >= 0) lastCdcNote =
+          Some(l.substring(i + p.length).stripSuffix("\"}"))
+      }
     val re = ("""\{"metric":"child","name":"""" + name +
       """","med":([0-9.]+),"min":([0-9.]+),"max":([0-9.]+)""" +
-      """(?:,"steal_pct":(-?[0-9.]+),"cpu_pct":(-?[0-9.]+))?\}""").r
+      """(?:,"steal_pct":(-?[0-9.]+),"cpu_pct":(-?[0-9.]+)""" +
+      ""","iowait_pct":(-?[0-9.]+))?\}""").r
     re.findFirstMatchIn(out) match {
       case Some(m) if rc == 0 =>
         Some(ChildStats(m.group(1).toDouble, m.group(2).toDouble,
           m.group(3).toDouble,
-          Option(m.group(4)).map(_.toDouble),
-          Option(m.group(5)).map(_.toDouble)))
+          for {
+            st <- Option(m.group(4)); cp <- Option(m.group(5))
+            io <- Option(m.group(6))
+          } yield (st.toDouble, cp.toDouble, io.toDouble)))
       case _ =>
         System.err.println(s"[bench] child $name failed (rc=$rc); tail: " +
           out.takeRight(500))
@@ -518,9 +653,17 @@ object Bench {
     // column stays ~flat at cache-resident bytes across the suite; a
     // growing value is a machine-readable storage leak.
     val storageAfter = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // flagship = committed-baseline min at/above the threshold OR no
+    // committed baseline yet (first measurement seeds the guard)
+    def isFlagship(name: String): Boolean =
+      priorMins.get(name).forall(_ >= flagshipSec)
+    var nFlagship = 0
     val results = selected.map { case (name, fn) =>
       def sweep() = SparkEntry.sweepTransientStorage(spark)
-      val r0 = stats(name, after = () => sweep()) {
+      val flagship = isFlagship(name)
+      if (flagship) nFlagship += 1
+      val r0 = stats(name, after = () => sweep(),
+          n = if (flagship) runs else math.min(runs, tailRuns)) {
         fn(spark, sfDir).count(): Unit
       }
       // per-query stall guard (the BENCH_r12 q103/q9 pathology: a host
@@ -570,7 +713,7 @@ object Bench {
     // parent Spark work is DONE before any child JVM starts — two
     // active Spark JVMs would contend and corrupt the child's timing
     spark.stop()
-    val zero = ChildStats(0.0, 0.0, 0.0, None, None)
+    val zero = ChildStats(0.0, 0.0, 0.0, None)
     var funnelMode = "fresh-jvm"
     val phaseBusy = new StringBuilder(queriesBusy)
     // stall re-run guard: a funnel child whose MIN lands over 1.5× the
@@ -646,7 +789,7 @@ object Bench {
         val s2 = buildSpark()
         val rr = runFunnel(s2, sfDir, name)
         s2.stop()
-        ChildStats(rr._1, rr._2, rr._3, None, None)
+        ChildStats(rr._1, rr._2, rr._3, None)
       }
       if (wanted(name)) {
         funnelAttempts += name -> attempts.toSeq
@@ -667,7 +810,7 @@ object Bench {
         case (name, atts) if atts.nonEmpty =>
           s""""$name":""" + atts.map(a =>
             s"""{"min":${r3(a.lo)},"med":${r3(a.med)}${
-              stealCpuJson(a.stealPct.zip(a.cpuPct))}}""")
+              stealCpuJson(a.tele)}}""")
             .mkString("[", ",", "]")
       }.mkString("\"funnel_children\":{", ",", "},")
     val funnel = funnels("curate_funnel")
@@ -686,7 +829,7 @@ object Bench {
           val s2 = buildSpark()
           try {
             val rr = runCdcReplicate(s2, sfDir)
-            ChildStats(rr._1, rr._2, rr._3, None, None)
+            ChildStats(rr._1, rr._2, rr._3, None)
           } finally s2.stop()
         }
       } catch { case e: Exception =>
@@ -729,7 +872,9 @@ object Bench {
     // report lands in bench_last.json.
     val cdcRunsField = lastCdcRuns
       .map(r => s""""cdc_replicate_runs":$r,""").getOrElse("")
-    val scalars = s""""metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","runs":$runs,$onlyField$failedField"events_per_sec":$eventsPerSec,"cdc_replicate_events_per_sec":${cdcEps.hi.toLong},"cdc_replicate_eps_med":${cdcEps.med.toLong},$cdcRunsField"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel.lo)},"curate_funnel_med":${r3(funnel.med)},"curate_funnel_full_sec":${r3(funnelFull.lo)},"curate_funnel_full_med":${r3(funnelFull.med)},$phaseBusy${hostBusyJson("host_busy", jiffies0, cpuJiffies())}"sf":"$sfDir""""
+    val cdcNoteField = lastCdcNote
+      .map(s => s""""cdc_slow_note":"$s",""").getOrElse("")
+    val scalars = s""""metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","runs":$runs,"tail_runs":${math.min(runs, tailRuns)},"n_flagship":$nFlagship,$onlyField$failedField"events_per_sec":$eventsPerSec,"cdc_replicate_events_per_sec":${cdcEps.hi.toLong},"cdc_replicate_eps_med":${cdcEps.med.toLong},$cdcRunsField$cdcNoteField"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel.lo)},"curate_funnel_med":${r3(funnel.med)},"curate_funnel_full_sec":${r3(funnelFull.lo)},"curate_funnel_full_med":${r3(funnelFull.med)},$phaseBusy${hostBusyJson("host_busy", jiffies0, cpuJiffies())}"sf":"$sfDir""""
     val sheetField = lastSheet.map(s => s""","funnel_datasheet":$s""").getOrElse("")
     lastSheet.foreach(s =>
       println(s"""{"metric":"datasheet","name":"curate_funnel_full","sheet":$s}"""))
@@ -761,7 +906,8 @@ object Bench {
             parseArtifactMins(Seq(txt)) ++ parseFunnelMins(Seq(txt))
           else {
             System.err.println(s"[bench] $QueriesFile carries a different " +
-              "sf - rewriting it from this run alone")
+              "sf - not merging it (a full run replaces it; a partial " +
+              "run leaves it untouched)")
             Map.empty[String, Double]
           }
         } else Map.empty[String, Double]
@@ -777,12 +923,25 @@ object Bench {
       } ++ funnelMins
       val merged = (prior.toSeq ++ current.toSeq).groupBy(_._1)
         .map { case (k, vs) => k -> vs.map(_._2).min }
+      // a PARTIAL diagnostic run at a DIFFERENT sf must never become
+      // the committed file: prior was dropped by the sf gate and
+      // current covers only the "only" subset (observed: an sf0.01
+      // cdc_replicate-only smoke run rewrote the sf0.1 baseline to an
+      // EMPTY map, disarming next round's stall guard). Rewrite across
+      // sf only from a FULL run; and never write an empty map.
+      val priorDroppedBySf = qf.isFile && prior.isEmpty
+      if (merged.isEmpty || (priorDroppedBySf && only.nonEmpty)) {
+        System.err.println(s"[bench] $QueriesFile left untouched - a " +
+          "partial run at a different sf (or an empty result) must not " +
+          "replace the committed baseline")
+      } else {
       val w = new java.io.PrintWriter(qf)
       try w.println(merged.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"$k\":${r3(v)}" }
         .mkString("{\"metric\":\"query_mins\",\"sf\":\"" + sfDir + "\",",
           ",", "}"))
       finally w.close()
+      }
     } catch { case e: Exception =>
       System.err.println(s"[bench] $QueriesFile write failed: $e")
     }

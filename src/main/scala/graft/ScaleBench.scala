@@ -309,7 +309,8 @@ object ScaleBench {
     if (baseDir.nonEmpty &&
         Seq("q158_triangle_census", "q158_workload_wedges",
           "q174_degree_census", "q174_workload_edges",
-          "q203_clustering_census").exists(wanted)) {
+          "q203_clustering_census", "q235_lift_census",
+          "q235_workload_pairs").exists(wanted)) {
       val fact = scaleBaskets(Tables.lineitem(spark, baseDir), factor)
         .localCheckpoint() // census + workload probes share it
       // the artifact — not just a stderr notice — must carry the basket
@@ -336,6 +337,24 @@ object ScaleBench {
       bench("q203_clustering_census")(
         graft.analytics.Analytics.coPurchaseClustering(fact, minSupport = 2L)
           .count())
+      // q235 brand-pair lift on the SAME compounding-basket fact: the
+      // merged baskets grow brands-per-basket, so the distinct
+      // (order, brand) self-join's pair volume (Σ c·(c−1)/2 — the
+      // documented fan-out bound) COMPOUNDS with the factor like the
+      // wedge family; wall must track the workload row, never baskets²
+      bench("q235_lift_census")(
+        graft.analytics.Analytics.brandPairLift(
+          Tables.part(spark, baseDir), fact).count())
+      bench("q235_workload_pairs") {
+        val ob = fact.join(
+            broadcast(Tables.part(spark, baseDir)
+              .select(col("p_partkey").as("l_partkey"),
+                col("p_brand").as("__b"))), "l_partkey")
+          .select(col("l_orderkey"), col("__b")).distinct()
+        ob.groupBy("l_orderkey").agg(count(lit(1)).as("__c"))
+          .agg(sum((col("__c") * (col("__c") - 1)) / 2).cast("long")
+            .as("__p")).head().getLong(0)
+      }
       releaseStorage(spark)
     }
     // rank family (round 14): the range-repartition global-rank
@@ -354,7 +373,8 @@ object ScaleBench {
           "q198_workload_rows", "q191_attribution_census",
           "q192_linear_census", "q200_locf_census",
           "q217_quantile_census", "q228_corr_census",
-          "q230_psi_census").exists(wanted)) {
+          "q230_psi_census", "q245_overlap_census",
+          "q245_workload_pairs").exists(wanted)) {
       val f = math.min(factor, 16)
       val ev0 = Tables.events(spark, baseDir)
       val maxId = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
@@ -393,6 +413,31 @@ object ScaleBench {
       bench("q230_psi_census")(
         graft.analytics.Analytics.psiDrift(ev, "event_type", "ts",
           "value").count())
+      // q245 audience overlap: the event-id replication above keeps
+      // the USER population fixed (the distinct (type, user) relation
+      // — and with it the pair join — would be invariant across
+      // factors), so this family replicates USERS instead: f× distinct
+      // users, each with the base journey. The user-keyed self-join's
+      // input (Σ_u types_u·(types_u−1)/2 — the documented types²-per-
+      // user bound) then scales LINEARLY with the factor while the
+      // report stays types²-bounded; wall must track the workload row.
+      if (Seq("q245_overlap_census", "q245_workload_pairs").exists(wanted)) {
+        val maxU = ev0.agg(max(col("user_id"))).head().getLong(0) + 1
+        val evU = ev0
+          .crossJoin(broadcast(spark.range(f).select(col("id").as("__r"))))
+          .withColumn("user_id", col("user_id") + col("__r") * maxU)
+          .withColumn("event_id", col("event_id") + col("__r") * maxId)
+          .drop("__r").localCheckpoint()
+        bench("q245_overlap_census")(
+          graft.analytics.Analytics.audienceOverlap(evU, "event_type",
+            "user_id").count())
+        bench("q245_workload_pairs") {
+          evU.select(col("event_type"), col("user_id")).distinct()
+            .groupBy("user_id").agg(count(lit(1)).as("__c"))
+            .agg(sum((col("__c") * (col("__c") - 1)) / 2).cast("long")
+              .as("__p")).head().getLong(0)
+        }
+      }
       val li = Tables.lineitem(spark, baseDir)
         .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
         .crossJoin(broadcast(spark.range(f).select(col("id").as("__r"))))

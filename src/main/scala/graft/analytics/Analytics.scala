@@ -3624,7 +3624,9 @@ object Analytics {
       .groupBy("__gap").agg(count(lit(1)).as("__n"))
       .localCheckpoint() // span-bounded; total agg + horizon census read it
     val tot = gaps.agg(sum(col("__n")).as("__tot"))
-    val hs = array(horizons.sorted.map(h => lit(h.toLong)): _*)
+    // distinct BEFORE the explode: a duplicated horizon would land its
+    // gap rows twice in one horizon_days group and double n_gaps_le
+    val hs = array(horizons.distinct.sorted.map(h => lit(h.toLong)): _*)
     gaps.crossJoin(broadcast(tot))
       .select(explode(hs).as("horizon_days"), col("__gap"), col("__n"),
         col("__tot"))
@@ -4290,7 +4292,10 @@ object Analytics {
       .localCheckpoint() // calendar-bounded; moments + both join sides
     val bounds = panel.agg(min(col("__d")).as("__lo"),
       max(col("__d")).as("__hi"))
-    val lagsArr = array(lags.sorted.map(k => lit(k.toLong)): _*)
+    // distinct BEFORE the explode: a duplicated lag would scale the
+    // conditional moment sums and Σxy by its multiplicity while n does
+    // not — a silently wrong r2_signed_ppm, not just a repeated row
+    val lagsArr = array(lags.distinct.sorted.map(k => lit(k.toLong)): _*)
     val m = panel.crossJoin(broadcast(bounds))
       .select(col("__d"), col("__x"), col("__lo"), col("__hi"),
         explode(lagsArr).as("lag"))

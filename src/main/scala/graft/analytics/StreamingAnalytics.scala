@@ -16,6 +16,22 @@ final case class OpenSession(start: Long, end: Long, n: Long)
 final case class ClosedSession(user_id: Long, session_start_us: Long,
     session_end_us: Long, n_events: Long, duration_us: Long)
 
+/** One in-flight gap session of
+  * [[StreamingAnalytics.sessionCensusStream]]'s per-key state —
+  * [[OpenSession]] plus the session's ENTRY event (its (t, id)-least
+  * member), tracked through merges so the census can key on what the
+  * session opened with. */
+final case class OpenSessionEntry(start: Long, end: Long, n: Long,
+    entryT: Long, entryId: Long, entryTy: String)
+
+/** A closed gap session with its entry type — emitted once, when the
+  * watermark passes `end + gap`. Rolling these up by `entry_type`
+  * (bounce = `n_events == 1`) reproduces
+  * [[Analytics.sessionBounceRate]] (q236) on the same ripe events. */
+final case class ClosedSessionEntry(user_id: Long, session_start_us: Long,
+    session_end_us: Long, n_events: Long, duration_us: Long,
+    entry_type: String)
+
 /** One buffered event of [[StreamingAnalytics.attributionStream]]'s
   * per-user state (events newer than the watermark — an earlier event
   * could still arrive and change what "preceding touch" means). */
@@ -183,6 +199,111 @@ object StreamingAnalytics {
           closed.iterator.map(s =>
             ClosedSession(u, s.start, s.end, s.n, s.end - s.start))
       }
+  }
+
+  /** Streaming SESSION CENSUS — [[sessionizeStream]] extended with the
+    * entry event, the seed of every session-grain census: each closed
+    * session carries the TYPE of its (t, id)-least event, so a
+    * downstream rollup by `entry_type` reproduces the batch
+    * [[Analytics.sessionBounceRate]] (q236) on the same ripe events —
+    * see [[sessionBounceRollup]] for that exact fold. Sessions chain
+    * while gaps stay ≤ `gapUs` (the [[Analytics.sessionize]] /
+    * gap-session-tag boundary rule: a STRICTLY larger gap opens a new
+    * session) and emit append-mode, EXACTLY ONCE, when the watermark
+    * passes `end + gapUs`.
+    *
+    * The entry survives out-of-order arrival: every incoming event
+    * starts as a singleton session that IS its own entry, and a merge
+    * keeps the (entryT, entryId)-least of the two fragments — so a
+    * late-but-in-watermark event that extends a session backwards (or
+    * bridges two fragments) correctly takes over as the entry.
+    *
+    * State per user: OPEN sessions only (closed ones leave the store
+    * the micro-batch they emit), bounded by concurrent open sessions
+    * inside the lateness window; the event-time timeout re-arms at the
+    * earliest open close point so sessions ripen on watermark progress
+    * even when the user goes silent — [[sessionizeStream]]'s exact
+    * discipline, with the entry triple riding along. */
+  def sessionCensusStream(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, gapUs: Long,
+      watermark: String = "10 minutes"): Dataset[ClosedSessionEntry] = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermarked TimestampType column itself must reach the
+    // stateful operator (a long projection strips the watermark tag)
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"),
+        col(typeCol).cast("string").as("ty"))
+      .as[(Long, java.time.Instant, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[OpenSessionEntry], ClosedSessionEntry](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, rows: Iterator[(Long, java.time.Instant, Long, String)],
+         state: GroupState[List[OpenSessionEntry]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.getOrElse(Nil)
+          val incoming = rows.map { r =>
+            val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
+            OpenSessionEntry(t, t, 1L, t, r._3, r._4)
+          }.toList
+          // interval merge (the sessionizeStream fold) with the entry
+          // carried as the (t, id)-least member of the merged span
+          val merged = (prior ++ incoming).sortBy(s => (s.start, s.end))
+            .foldLeft(List.empty[OpenSessionEntry]) { (acc, s) =>
+              acc match {
+                case h :: t if s.start - h.end <= gapUs =>
+                  val entryLeast =
+                    if (s.entryT < h.entryT ||
+                      (s.entryT == h.entryT && s.entryId < h.entryId)) s
+                    else h
+                  OpenSessionEntry(h.start, math.max(h.end, s.end),
+                    h.n + s.n, entryLeast.entryT, entryLeast.entryId,
+                    entryLeast.entryTy) :: t
+                case _ => s :: acc
+              }
+            }.reverse
+          val (closed, open) = merged.partition(_.end + gapUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // earliest possible close, ms-ceiling'd past the µs bound;
+            // clamped above the current watermark (Spark rejects a
+            // timeout at-or-before it)
+            val fire = open.map(_.end + gapUs).min / 1000L + 2L
+            state.setTimeoutTimestamp(
+              math.max(fire, state.getCurrentWatermarkMs() + 1L))
+          }
+          closed.iterator.map(s =>
+            ClosedSessionEntry(u, s.start, s.end, s.n, s.end - s.start,
+              s.entryTy))
+      }
+  }
+
+  /** The q236 fold over [[sessionCensusStream]]'s closed sessions: a
+    * batch-shape rollup (run it in `foreachBatch` over an appended
+    * sink table, or on any frame of [[ClosedSessionEntry]] rows)
+    * producing EXACTLY [[Analytics.sessionBounceRate]]'s output —
+    * `(entry_type, n_sessions, n_bounces, bounce_ppm)`, floored ppm —
+    * so streaming and batch censuses are directly comparable.
+    *
+    * Scale shape: vocabulary-bounded hash agg with map-side partials;
+    * the ppm render is exact integer. */
+  def sessionBounceRollup(closedSessions: DataFrame): DataFrame = {
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    closedSessions.groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .as("n_bounces"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        fdiv(dec(col("n_bounces")) * 1000000, dec(col("n_sessions")))
+          .as("bounce_ppm"))
+      .orderBy("entry_type")
   }
 
   /** Streaming last-touch attribution — the incremental counterpart of

@@ -1960,8 +1960,11 @@ object TextAnalysis {
     * language-purity datasheet number (0 = monolingual source; high
     * entropy on a supposedly-English crawl means the lang-id gate is
     * leaking). Same fixed-point fold as [[charEntropy]] (q131):
-    * `H = L(N) − ⌊Σ c·L(c)/N⌋` with `L(n) = ⌊ln(n)·10⁶⌋` on INTEGER
-    * counts — engine-exact. Output:
+    * `H = ⌊(N·L(N) − Σ c·L(c))/N⌋` with `L(n) = ⌊ln(n)·10⁶⌋` on
+    * INTEGER counts — the floor is taken ONCE over the whole
+    * difference (floor-of-difference, matching the q131 fold and the
+    * DuckDB oracle — `L(N) − ⌊Σ c·L(c)/N⌋` differs by up to 1
+    * micro-nat). Output:
     * `(source, n_docs, n_langs, lang_entropy_micro_nats)`.
     *
     * Scale shape: one scan collapses to the (source, lang) rollup

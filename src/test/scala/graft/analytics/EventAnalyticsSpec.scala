@@ -1689,6 +1689,22 @@ class EventAnalyticsSpec extends SparkSpec {
       (90L, 2L, 2L, 1000000L), (180L, 2L, 2L, 1000000L)))
   }
 
+  test("repurchaseSurvival: duplicated horizons dedup, never double-count") {
+    // the pre-guard failure mode: a repeated horizon exploded each gap
+    // row twice into the same horizon_days group, doubling n_gaps_le
+    // (cum_ppm > 10⁶ while n_gaps stayed right)
+    val orders = Seq(
+      (1L, "1970-01-01"), (1L, "1970-01-06"), (1L, "1970-02-10"))
+      .toDF("o_custkey", "__d")
+      .select(col("o_custkey"), col("__d").cast("date").as("o_orderdate"))
+    def run(hs: Seq[Int]) = Analytics.repurchaseSurvival(orders, hs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(run(Seq(7, 7, 60, 60, 60)) == run(Seq(7, 60)))
+    assert(run(Seq(7, 60)) ==
+      Seq((7L, 2L, 1L, 500000L), (60L, 2L, 2L, 1000000L)))
+  }
+
   test("typeDailyCorrelation: perfect +/-, constant series NULL") {
     val day = 86400000000L
     // daily counts over span {0,1,2} (nd = 3):
@@ -1849,6 +1865,24 @@ class EventAnalyticsSpec extends SparkSpec {
     // lag 2: single pair (2,0): both sides constant-1-point -> both
     //   variances 0 -> NULL
     assert(got == Seq((1L, 2L, Some(-1000000L)), (2L, 1L, None)))
+  }
+
+  test("revenueAutocorrelation: duplicated lags dedup, moments unscaled") {
+    // the pre-guard failure mode: a repeated lag scaled the conditional
+    // moment sums and Σxy by its multiplicity while n did not —
+    // silently wrong r2_signed_ppm, not a repeated row
+    val orders = Seq(
+      ("1970-01-01", 1.0), ("1970-01-02", 2.0),
+      ("1970-01-03", 1.0), ("1970-01-04", 2.0))
+      .toDF("__d", "o_totalprice")
+      .select(col("__d").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+    def run(ls: Seq[Int]) = Analytics.revenueAutocorrelation(orders, ls)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(run(Seq(1, 1, 2, 2, 2)) == run(Seq(1, 2)))
+    assert(run(Seq(1, 2)) ==
+      Seq((1L, 3L, Some(-1000000L)), (2L, 2L, Some(1000000L))))
   }
 
   test("customerTrendCensus: slope sign classes, zero-variance day is flat") {
