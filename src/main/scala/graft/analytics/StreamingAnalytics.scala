@@ -32,6 +32,21 @@ final case class ClosedSessionEntry(user_id: Long, session_start_us: Long,
     session_end_us: Long, n_events: Long, duration_us: Long,
     entry_type: String)
 
+/** One in-flight gap session of
+  * [[StreamingAnalytics.sessionTypesStream]]'s per-key state — the
+  * session bounds plus its DISTINCT event-type set (sorted;
+  * vocabulary-bounded, so state stays small however long the session
+  * runs). */
+final case class OpenSessionTypes(start: Long, end: Long, n: Long,
+    types: List[String])
+
+/** A closed gap session with its distinct type set — emitted once,
+  * when the watermark passes `end + gap`. Feeding these to
+  * [[StreamingAnalytics.sessionPairLiftRollup]] reproduces
+  * [[Analytics.sessionPairLift]] (q218) on the same ripe events. */
+final case class ClosedSessionTypes(user_id: Long, session_start_us: Long,
+    session_end_us: Long, n_events: Long, types: Seq[String])
+
 /** One buffered event of [[StreamingAnalytics.attributionStream]]'s
   * per-user state (events newer than the watermark — an earlier event
   * could still arrive and change what "preceding touch" means). */
@@ -304,6 +319,120 @@ object StreamingAnalytics {
         fdiv(dec(col("n_bounces")) * 1000000, dec(col("n_sessions")))
           .as("bounce_ppm"))
       .orderBy("entry_type")
+  }
+
+  /** Streaming session TYPE-SET builder — the state [[Analytics
+    * .sessionPairLift]] (q218) needs at session grain: each closed gap
+    * session carries its DISTINCT event-type set, so the association
+    * statistics (support/confidence/lift) roll up downstream from
+    * sessions alone — see [[sessionPairLiftRollup]] for the exact
+    * batch-parity fold. Boundary rule and emission discipline are
+    * [[sessionizeStream]]'s (chain while gaps ≤ `gapUs`; append-mode,
+    * exactly-once at watermark ripening; open-session-only state with
+    * an event-time timeout re-armed at the earliest close point).
+    *
+    * A type SET is order-independent, so this needs no id column and
+    * no in-state buffer at all: out-of-order events within the
+    * watermark merge as set unions, which commute — the simplest of
+    * the session family's states. Per-session state is bounded by the
+    * type VOCABULARY (never the session's event count). */
+  def sessionTypesStream(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, gapUs: Long,
+      watermark: String = "10 minutes"): Dataset[ClosedSessionTypes] = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermarked TimestampType column itself must reach the
+    // stateful operator (a long projection strips the watermark tag)
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(tsCol).as("ts"),
+        col(typeCol).cast("string").as("ty"))
+      .as[(Long, java.time.Instant, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[OpenSessionTypes], ClosedSessionTypes](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, rows: Iterator[(Long, java.time.Instant, String)],
+         state: GroupState[List[OpenSessionTypes]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.getOrElse(Nil)
+          val incoming = rows.map { r =>
+            val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
+            OpenSessionTypes(t, t, 1L, List(r._3))
+          }.toList
+          // interval merge; the type sets union (sorted-distinct keeps
+          // the stored state canonical and the emitted array stable)
+          val merged = (prior ++ incoming).sortBy(s => (s.start, s.end))
+            .foldLeft(List.empty[OpenSessionTypes]) { (acc, s) =>
+              acc match {
+                case h :: t if s.start - h.end <= gapUs =>
+                  OpenSessionTypes(h.start, math.max(h.end, s.end),
+                    h.n + s.n,
+                    (h.types ++ s.types).distinct.sorted) :: t
+                case _ => s :: acc
+              }
+            }.reverse
+          val (closed, open) = merged.partition(_.end + gapUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // earliest possible close, ms-ceiling'd past the µs bound;
+            // clamped above the current watermark (Spark rejects a
+            // timeout at-or-before it)
+            val fire = open.map(_.end + gapUs).min / 1000L + 2L
+            state.setTimeoutTimestamp(
+              math.max(fire, state.getCurrentWatermarkMs() + 1L))
+          }
+          closed.iterator.map(s =>
+            ClosedSessionTypes(u, s.start, s.end, s.n, s.types))
+      }
+  }
+
+  /** The q218 fold over [[sessionTypesStream]]'s closed sessions:
+    * association statistics for within-session type pairs — EXACTLY
+    * [[Analytics.sessionPairLift]]'s output (`type_a, type_b,
+    * n_sessions, support_ppm, conf_a_to_b_ppm, conf_b_to_a_ppm,
+    * lift_ppm`, floored integer ppm with DECIMAL(38,0)
+    * cross-multiplication) computed from the emitted session frames,
+    * so streaming and batch statistics are directly comparable.
+    *
+    * Scale shape: the pair generation is a DOUBLE EXPLODE over each
+    * session's (already-distinct, vocabulary-bounded) type array —
+    * types²-per-session fan-out with no self-join at all (the batch
+    * operator needs the (session, type) self-join because its input
+    * is events; here the sessions arrive pre-collapsed). Per-type
+    * counts and the 1-row total are broadcasts. */
+  def sessionPairLiftRollup(closedSessions: DataFrame): DataFrame = {
+    def dec(c: Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    val base = closedSessions.select(col("types"))
+      .localCheckpoint() // pairs, per-type counts, total all read it
+    val pairs = base
+      .select(explode(col("types")).as("type_a"), col("types"))
+      .select(col("type_a"), explode(col("types")).as("type_b"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_sessions"))
+    val perType = base.select(explode(col("types")).as("__ty"))
+      .groupBy("__ty").agg(count(lit(1)).as("__nt"))
+    val total = base.agg(count(lit(1)).as("__ns"))
+    pairs
+      .join(broadcast(perType.select(col("__ty").as("type_a"),
+        col("__nt").as("__na"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("__ty").as("type_b"),
+        col("__nt").as("__nb"))), Seq("type_b"))
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_sessions"),
+        fdiv(dec(col("n_sessions")) * 1000000, dec(col("__ns")))
+          .as("support_ppm"),
+        fdiv(dec(col("n_sessions")) * 1000000, dec(col("__na")))
+          .as("conf_a_to_b_ppm"),
+        fdiv(dec(col("n_sessions")) * 1000000, dec(col("__nb")))
+          .as("conf_b_to_a_ppm"),
+        fdiv(dec(col("n_sessions")) * dec(col("__ns")) * 1000000,
+          dec(col("__na")) * dec(col("__nb"))).as("lift_ppm"))
+      .orderBy("type_a", "type_b")
   }
 
   /** Streaming last-touch attribution — the incremental counterpart of
