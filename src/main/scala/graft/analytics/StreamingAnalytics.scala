@@ -47,6 +47,28 @@ final case class OpenSessionTypes(start: Long, end: Long, n: Long,
 final case class ClosedSessionTypes(user_id: Long, session_start_us: Long,
     session_end_us: Long, n_events: Long, types: Seq[String])
 
+/** One (t, id) event stamp of
+  * [[StreamingAnalytics.abandonmentStream]]'s per-user state — a
+  * pending fromType event awaiting its verdict, or a retained toType
+  * event that may still rescue one. */
+final case class EventStamp(t: Long, id: Long)
+
+/** [[StreamingAnalytics.abandonmentStream]] state: fromType events
+  * whose budget window the watermark has not yet passed, plus toType
+  * events still above the usefulness horizon (a to can only rescue
+  * froms at-or-before it, and live froms sit within `windowUs` of the
+  * watermark — older tos can never matter again). */
+final case class AbandonState(pending: List[EventStamp],
+    seenTo: List[EventStamp])
+
+/** One fromType event's final verdict — emitted exactly once, when the
+  * watermark passes `t + windowUs` (nothing that could still arrive
+  * can rescue or re-rescue it). Rolling these up reproduces
+  * [[Analytics.abandonmentCensus]] (q241) on the same ripe events —
+  * see [[StreamingAnalytics.abandonmentRollup]]. */
+final case class AbandonVerdict(user_id: Long, event_id: Long,
+    from_us: Long, abandoned: Boolean)
+
 /** One buffered event of [[StreamingAnalytics.attributionStream]]'s
   * per-user state (events newer than the watermark — an earlier event
   * could still arrive and change what "preceding touch" means). */
@@ -433,6 +455,119 @@ object StreamingAnalytics {
         fdiv(dec(col("n_sessions")) * dec(col("__ns")) * 1000000,
           dec(col("__na")) * dec(col("__nb"))).as("lift_ppm"))
       .orderBy("type_a", "type_b")
+  }
+
+  /** Streaming abandonment verdicts — the incremental counterpart of
+    * [[Analytics.abandonmentCensus]] (q241): each `fromType` event is
+    * judged ABANDONED iff no `toType` event of the same user follows
+    * it strictly in the (t, id) total order within `(t, t + windowUs]`
+    * — the batch rule exactly — and the verdict is emitted append-mode,
+    * EXACTLY ONCE, when the watermark passes `t + windowUs`: at that
+    * instant every toType event that could rescue the fromType sits
+    * below the watermark, so the verdict is final. In-watermark
+    * disorder cannot mis-judge — a late-but-in-watermark rescue lands
+    * in state before the from's budget ripens.
+    *
+    * State per user: pending froms (bounded by the user's fromType
+    * events inside `windowUs` + the lateness window) plus retained tos
+    * above the usefulness horizon `watermark − windowUs` (a to rescues
+    * only froms at-or-before it, and every live or future from sits at
+    * or above that horizon — older tos are provably useless and are
+    * purged each invocation, so state never grows with history). The
+    * event-time timeout re-arms at the earliest pending budget (or to
+    * purge point), so verdicts ripen — and state drains — on watermark
+    * progress even when the user goes silent.
+    *
+    * Scale shape: one key shuffle per micro-batch, per-key state
+    * lookups, no window over history — the family discipline. Only the
+    * two relevant types should be fed in (filter upstream; the
+    * operator also filters defensively). */
+  def abandonmentStream(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, fromType: String,
+      toType: String, windowUs: Long,
+      watermark: String = "10 minutes"): Dataset[AbandonVerdict] = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(fromType != toType, "fromType and toType must differ")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermarked TimestampType column itself must reach the
+    // stateful operator (a long projection strips the watermark tag)
+    val typed = events
+      .filter(col(typeCol).isin(fromType, toType))
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"),
+        (col(typeCol) === fromType).as("isFrom"))
+      .as[(Long, java.time.Instant, Long, Boolean)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AbandonState, AbandonVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, rows: Iterator[(Long, java.time.Instant, Long, Boolean)],
+         state: GroupState[AbandonState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.getOrElse(AbandonState(Nil, Nil))
+          var newFrom = List.empty[EventStamp]
+          var newTo = List.empty[EventStamp]
+          rows.foreach { r =>
+            val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
+            if (r._4) newFrom ::= EventStamp(t, r._3)
+            else newTo ::= EventStamp(t, r._3)
+          }
+          val tos = prior.seenTo ++ newTo
+          // ripe = the budget window closed below the watermark: no
+          // in-watermark to can still land inside it
+          val (ripe, hold) = (prior.pending ++ newFrom)
+            .partition(f => f.t + windowUs < wmUs)
+          val out = ripe.sortBy(f => (f.t, f.id)).map { f =>
+            val rescued = tos.exists(to =>
+              (to.t > f.t || (to.t == f.t && to.id > f.id)) &&
+                to.t <= f.t + windowUs)
+            AbandonVerdict(u, f.id, f.t, !rescued)
+          }
+          // usefulness horizon: live froms have t ≥ wm − windowUs and
+          // future froms arrive at-or-above the watermark; a rescuing
+          // to is (t, id)-after its from, so tos below the horizon can
+          // never rescue anything again
+          val keepTo = tos.filter(_.t >= wmUs - windowUs)
+          if (hold.isEmpty && keepTo.isEmpty) state.remove()
+          else {
+            state.update(AbandonState(hold, keepTo))
+            // earliest verdict budget or to purge point, ms-ceiling'd
+            // past the µs bound; clamped above the current watermark
+            // (Spark rejects a timeout at-or-before it)
+            val fire = (hold ++ keepTo).map(_.t + windowUs).min / 1000L + 2L
+            state.setTimeoutTimestamp(
+              math.max(fire, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
+  /** The q241 fold over [[abandonmentStream]]'s verdicts: a
+    * batch-shape rollup producing EXACTLY
+    * [[Analytics.abandonmentCensus]]'s one-row output —
+    * `(n_from_events, n_abandoned, abandon_ppm,
+    * n_users_abandoning)`, floored ppm — so streaming and batch
+    * censuses are directly comparable on any ripe prefix.
+    *
+    * Scale shape: per-user hash agg with map-side partials, then a
+    * 1-row fold; the ppm render is exact integer. */
+  def abandonmentRollup(verdicts: DataFrame): DataFrame = {
+    def fdiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("long")
+    def dec(c: Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    verdicts.groupBy("user_id")
+      .agg(count(lit(1)).as("__nf"),
+        sum(when(col("abandoned"), 1L).otherwise(0L)).as("__na"))
+      .agg(sum(col("__nf")).as("n_from_events"),
+        sum(col("__na")).as("n_abandoned"),
+        sum(when(col("__na") > 0, 1L).otherwise(0L))
+          .as("n_users_abandoning"))
+      .select(col("n_from_events"), col("n_abandoned"),
+        fdiv(dec(col("n_abandoned")) * 1000000, dec(col("n_from_events")))
+          .as("abandon_ppm"),
+        col("n_users_abandoning"))
   }
 
   /** Streaming last-touch attribution — the incremental counterpart of
