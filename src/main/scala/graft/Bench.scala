@@ -654,9 +654,11 @@ object Bench {
     // growing value is a machine-readable storage leak.
     val storageAfter = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     // flagship = committed-baseline min at/above the threshold OR no
-    // committed baseline yet (first measurement seeds the guard)
+    // committed baseline yet (first measurement seeds the guard). A
+    // diagnostic "only" run always gets the full protocol — isolating
+    // one query's timing is exactly when every pass matters.
     def isFlagship(name: String): Boolean =
-      priorMins.get(name).forall(_ >= flagshipSec)
+      only.nonEmpty || priorMins.get(name).forall(_ >= flagshipSec)
     var nFlagship = 0
     val results = selected.map { case (name, fn) =>
       def sweep() = SparkEntry.sweepTransientStorage(spark)

@@ -416,21 +416,26 @@ object StreamingAnalytics {
     * n_sessions, support_ppm, conf_a_to_b_ppm, conf_b_to_a_ppm,
     * lift_ppm`, floored integer ppm with DECIMAL(38,0)
     * cross-multiplication) computed from the emitted session frames,
-    * so streaming and batch statistics are directly comparable.
+    * so streaming and batch statistics are directly comparable. Run it
+    * in `foreachBatch` over an appended sink table, or on any batch
+    * frame of [[ClosedSessionTypes]] rows.
     *
     * Scale shape: the pair generation is a DOUBLE EXPLODE over each
     * session's (already-distinct, vocabulary-bounded) type array —
     * types²-per-session fan-out with no self-join at all (the batch
     * operator needs the (session, type) self-join because its input
     * is events; here the sessions arrive pre-collapsed). Per-type
-    * counts and the 1-row total are broadcasts. */
+    * counts and the 1-row total are broadcasts. The three passes scan
+    * the input WITHOUT a checkpoint — deliberately: the input is the
+    * already-collapsed session relation (cheap to rescan), and a
+    * localCheckpoint here would pin one RDD per `foreachBatch`
+    * invocation with no release point — a storage leak on a stream. */
   def sessionPairLiftRollup(closedSessions: DataFrame): DataFrame = {
     def dec(c: Column) =
       c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     def fdiv(num: Column, den: Column) =
       ((num - pmod(num, den)) / den).cast("long")
     val base = closedSessions.select(col("types"))
-      .localCheckpoint() // pairs, per-type counts, total all read it
     val pairs = base
       .select(explode(col("types")).as("type_a"), col("types"))
       .select(col("type_a"), explode(col("types")).as("type_b"))
