@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+import graft.analytics.StreamingAnalytics
+
+/** Streaming event-census launcher — the ops entry point that wires
+  * the session-census stream family
+  * ([[StreamingAnalytics.sessionCensusStream]], optionally
+  * [[StreamingAnalytics.abandonmentStream]]) into a drivable,
+  * restartable pipeline, the way [[CurateStreamCli]] does for ingest
+  * curation:
+  *
+  *   runMain graft.ops.SessionCensusCli \
+  *     --input <dir of JSON event lines {user_id, event_id, ts, event_type}> \
+  *     --sessions <closed-session parquet dir> \
+  *     --checkpoint <dir> \
+  *     [--gap-sec 1800] [--watermark "10 minutes"] \
+  *     [--verdicts <abandonment parquet dir> --from view --to purchase \
+  *       --window-sec 3600] \
+  *     [--state-store rocksdb|hdfs|<provider class>]
+  *
+  * One streaming query per census, each with its own checkpoint
+  * subdirectory and parquet append sink. `Trigger.AvailableNow`
+  * (drain-then-stop) makes the same entry point serve first-load and
+  * incremental invocations; re-running after new files arrive
+  * processes only the delta, and — because the per-user session/verdict
+  * STATE lives in the checkpoint — an open session from one run chains
+  * with events that arrive in a later run, exactly as it would under a
+  * continuously-running stream (the restart test pins this).
+  *
+  * After the drain the CLI prints the batch-parity rollups over the
+  * ACCUMULATED output tables as JSON lines — the bounce census
+  * ([[StreamingAnalytics.sessionBounceRollup]], == batch q236 on the
+  * ripe prefix) and, when enabled, the abandonment census
+  * ([[StreamingAnalytics.abandonmentRollup]], == batch q241) — plus a
+  * final summary line `{"closed_sessions": N, "verdicts": N}`.
+  *
+  * Scale shape: state per user is open-sessions + horizon-purged
+  * stamps (never history); the rollups are vocabulary-bounded / 1-row
+  * folds over the closed-session tables, so the print is driver-safe
+  * at any scale.
+  */
+object SessionCensusCli {
+
+  final case class CensusConfig(
+      input: String,
+      sessions: String,
+      checkpoint: String,
+      gapSec: Long = 1800L,
+      watermark: String = "10 minutes",
+      verdicts: Option[String] = None,
+      fromType: String = "view",
+      toType: String = "purchase",
+      windowSec: Long = 3600L,
+      stateStore: Option[String] = None)
+
+  final case class Summary(closedSessions: Long, verdictCount: Long)
+
+  /** Envelope schema for the input JSON lines. */
+  val inputSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType)))
+
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Same `--state-store` mapping (and checkpoint-binding caveat) as
+    * [[CurateStreamCli]]: `rocksdb` for large off-heap state, `hdfs`
+    * for Spark's heap-backed default, anything else as a provider
+    * class. */
+  private def providerClass(name: String): String = name.toLowerCase match {
+    case "rocksdb" =>
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    case "hdfs" =>
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    case other => other
+  }
+
+  /** Drain both censuses (AvailableNow) and return totals ACROSS ALL
+    * RUNS of this checkpoint (counted from the output tables, so
+    * restarts accumulate). */
+  def run(spark: SparkSession, cfg: CensusConfig): Summary = {
+    val prevProvider = spark.conf.getOption(ProviderConf)
+    cfg.stateStore.foreach(s => spark.conf.set(ProviderConf, providerClass(s)))
+    try doRun(spark, cfg)
+    finally if (cfg.stateStore.isDefined) prevProvider match {
+      case Some(v) => spark.conf.set(ProviderConf, v)
+      case None => spark.conf.unset(ProviderConf)
+    }
+  }
+
+  private def doRun(spark: SparkSession, cfg: CensusConfig): Summary = {
+    // each query plans its OWN source instance off a fresh readStream —
+    // maxFilesPerTrigger=1 keeps micro-batches bounded (backpressure)
+    def source() = spark.readStream.schema(inputSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(cfg.input)
+
+    val gapUs = cfg.gapSec * 1000000L
+    val sessions = StreamingAnalytics.sessionCensusStream(source(),
+        "user_id", "event_type", "ts", "event_id", gapUs, cfg.watermark)
+      .toDF()
+      .writeStream.queryName("session-census")
+      .format("parquet").option("path", cfg.sessions)
+      .option("checkpointLocation", s"${cfg.checkpoint}/sessions")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val verdictQ = cfg.verdicts.map { dir =>
+      StreamingAnalytics.abandonmentStream(source(), "user_id",
+          "event_type", "ts", "event_id", cfg.fromType, cfg.toType,
+          cfg.windowSec * 1000000L, cfg.watermark)
+        .toDF()
+        .writeStream.queryName("abandonment-verdicts")
+        .format("parquet").option("path", dir)
+        .option("checkpointLocation", s"${cfg.checkpoint}/verdicts")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    sessions.awaitTermination()
+    verdictQ.foreach(_.awaitTermination())
+
+    // a run that closed nothing legitimately leaves no parquet behind —
+    // only THAT case maps to zero (the CurateStreamCli rule)
+    def hasParquet(dir: String): Boolean = {
+      val d = new java.io.File(dir)
+      d.isDirectory && Option(d.listFiles())
+        .exists(_.exists(_.getName.endsWith(".parquet")))
+    }
+    val nSessions =
+      if (hasParquet(cfg.sessions)) {
+        val closed = spark.read.parquet(cfg.sessions)
+        // the batch-parity bounce census over EVERYTHING closed so far
+        // (vocabulary-bounded — driver-safe to print)
+        StreamingAnalytics.sessionBounceRollup(closed).collect().foreach(r =>
+          println(s"""{"census": "bounce", "entry_type": "${r.getString(0)}", """ +
+            s""""n_sessions": ${r.getLong(1)}, "n_bounces": ${r.getLong(2)}, """ +
+            s""""bounce_ppm": ${r.getLong(3)}}"""))
+        closed.count()
+      } else 0L
+    val nVerdicts = cfg.verdicts match {
+      case Some(dir) if hasParquet(dir) =>
+        val v = spark.read.parquet(dir)
+        val n = v.count()
+        // the one-row fold over ZERO verdicts is a row of NULL sums
+        // (the batch operator's own empty-input shape — a drained run
+        // may leave empty part files behind); print only a real census
+        if (n > 0)
+          StreamingAnalytics.abandonmentRollup(v).collect().foreach(r =>
+            println(s"""{"census": "abandonment", "n_from_events": ${r.getLong(0)}, """ +
+              s""""n_abandoned": ${r.getLong(1)}, "abandon_ppm": ${r.getLong(2)}, """ +
+              s""""n_users_abandoning": ${r.getLong(3)}}"""))
+        n
+      case _ => 0L
+    }
+    Summary(nSessions, nVerdicts)
+  }
+
+  def parseArgs(args: Array[String]): Either[String, CensusConfig] = {
+    var input = ""; var sessions = ""; var checkpoint = ""
+    var gapSec = 1800L; var watermark = "10 minutes"
+    var verdicts: Option[String] = None
+    var fromType = "view"; var toType = "purchase"; var windowSec = 3600L
+    var stateStore: Option[String] = None
+    var i = 0
+    try {
+      while (i < args.length) {
+        args(i) match {
+          case "--input" => input = args(i + 1); i += 2
+          case "--sessions" => sessions = args(i + 1); i += 2
+          case "--checkpoint" => checkpoint = args(i + 1); i += 2
+          case "--gap-sec" => gapSec = args(i + 1).toLong; i += 2
+          case "--watermark" => watermark = args(i + 1); i += 2
+          case "--verdicts" => verdicts = Some(args(i + 1)); i += 2
+          case "--from" => fromType = args(i + 1); i += 2
+          case "--to" => toType = args(i + 1); i += 2
+          case "--window-sec" => windowSec = args(i + 1).toLong; i += 2
+          case "--state-store" => stateStore = Some(args(i + 1)); i += 2
+          case other => return Left(s"unknown flag '$other'")
+        }
+      }
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => return Left("flag missing its value")
+      case e: NumberFormatException => return Left(s"bad numeric value: ${e.getMessage}")
+    }
+    if (input.isEmpty || sessions.isEmpty || checkpoint.isEmpty)
+      Left("--input, --sessions, --checkpoint required")
+    else if (gapSec <= 0) Left("--gap-sec must be > 0")
+    else if (windowSec <= 0) Left("--window-sec must be > 0")
+    else if (verdicts.isDefined && fromType == toType)
+      Left("--from and --to must differ")
+    else Right(CensusConfig(input, sessions, checkpoint, gapSec, watermark,
+      verdicts, fromType, toType, windowSec, stateStore))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args) match {
+      case Left(err) => System.err.println(s"[config] $err"); sys.exit(10)
+      case Right(c) => c
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-session-census")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val summary = run(spark, cfg)
+    println(s"""{"closed_sessions": ${summary.closedSessions}, "verdicts": ${summary.verdictCount}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** The streaming event-census launcher end-to-end: JSON event files in,
+  * closed-session + verdict parquet out, CROSS-RUN session chaining
+  * through the checkpointed state (an open session from run 1 extends
+  * with run-2 events), and batch-parity rollups printed after the
+  * drain. */
+class SessionCensusCliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val s = 1000000L // µs per second
+
+  // epoch-µs → the UTC timestamp string the JSON reader parses
+  private def iso(us: Long): String =
+    java.time.Instant.ofEpochSecond(us / 1000000L,
+      (us % 1000000L) * 1000L).toString
+
+  private def row(u: Long, id: Long, us: Long, ty: String) =
+    s"""{"user_id":$u,"event_id":$id,"ts":"${iso(us)}","event_type":"$ty"}"""
+
+  test("e2e: cross-run session chaining, verdicts, batch-parity rollups") {
+    val in = Files.createTempDirectory("scc-in").toString
+    val base = Files.createTempDirectory("scc").toString
+    val cfg = SessionCensusCli.CensusConfig(
+      input = in, sessions = s"$base/sessions",
+      checkpoint = s"$base/cp",
+      gapSec = 10L, watermark = "0 seconds",
+      verdicts = Some(s"$base/verdicts"),
+      fromType = "view", toType = "purchase", windowSec = 5L)
+
+    val B = 1000L * s
+    // run 1: u1 view + view 4 s apart — an OPEN session (close point
+    // B+14 s is past the drain watermark B+4 s), so nothing may emit
+    Files.writeString(Paths.get(s"$in/b0.json"), Seq(
+      row(1L, 10L, B, "view"),
+      row(1L, 11L, B + 4 * s, "view")).mkString("\n"))
+    val s1 = SessionCensusCli.run(spark, cfg)
+    assert(s1 == SessionCensusCli.Summary(0L, 0L),
+      s"run 1 must close nothing: $s1")
+
+    // run 2: a purchase at B+8 s CHAINS into the run-1 session (gap
+    // 4 s ≤ 10 s — state restored from the checkpoint); the sentinel
+    // pushes the watermark far past the close point
+    Files.writeString(Paths.get(s"$in/b1.json"), Seq(
+      row(1L, 12L, B + 8 * s, "purchase"),
+      row(99L, 990L, B + 500 * s, "purchase")).mkString("\n"))
+    val s2 = SessionCensusCli.run(spark, cfg)
+    assert(s2.closedSessions == 1L, s"one fused session closes: $s2")
+
+    val sess = spark.read.parquet(cfg.sessions)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    assert(sess == Set((1L, B, B + 8 * s, 3L, 8 * s, "view")),
+      s"the session spans BOTH runs with its run-1 entry: $sess")
+
+    // verdicts: view@B abandoned (purchase at B+8 s is outside its
+    // 5 s budget), view@B+4 s rescued (B+8 s is inside (B+4, B+9])
+    val v = spark.read.parquet(s"$base/verdicts")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(v == Set((1L, 10L, B, true), (1L, 11L, B + 4 * s, false)),
+      s"verdicts: $v")
+    assert(s2.verdictCount == 2L)
+
+    // the rollups over the accumulated tables equal the batch censuses
+    val bounce = graft.analytics.StreamingAnalytics.sessionBounceRollup(
+      spark.read.parquet(cfg.sessions))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(bounce == Seq(("view", 1L, 0L, 0L)))
+    val abd = graft.analytics.StreamingAnalytics.abandonmentRollup(
+      spark.read.parquet(s"$base/verdicts"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(abd == Seq((2L, 1L, 500000L, 1L)))
+
+    // run 3 with no new files: a pure no-op drain must not re-emit
+    val s3 = SessionCensusCli.run(spark, cfg)
+    assert(s3.closedSessions == 1L && s3.verdictCount == 2L,
+      s"idempotent re-drain: $s3")
+  }
+
+  test("parseArgs: contract errors and round-trip") {
+    import SessionCensusCli.parseArgs
+    assert(parseArgs(Array("--input", "a")).isLeft) // missing required
+    assert(parseArgs(Array("--frobnicate", "x")).isLeft) // unknown flag
+    assert(parseArgs(Array("--input")).isLeft) // missing value
+    val req = Array("--input", "a", "--sessions", "b", "--checkpoint", "c")
+    assert(parseArgs(req :+ "--gap-sec" :+ "0").isLeft) // bad gap
+    assert(parseArgs(req :+ "--gap-sec" :+ "abc").isLeft) // non-numeric
+    assert(parseArgs(req ++ Array("--verdicts", "v", "--from", "x",
+      "--to", "x")).isLeft) // from == to
+    val ok = parseArgs(req ++ Array("--gap-sec", "60", "--watermark",
+      "5 minutes", "--verdicts", "v", "--from", "a", "--to", "b",
+      "--window-sec", "120", "--state-store", "rocksdb"))
+    assert(ok == Right(SessionCensusCli.CensusConfig("a", "b", "c", 60L,
+      "5 minutes", Some("v"), "a", "b", 120L, Some("rocksdb"))))
+  }
+}
