@@ -374,7 +374,8 @@ object ScaleBench {
           "q192_linear_census", "q200_locf_census",
           "q217_quantile_census", "q228_corr_census",
           "q230_psi_census", "q245_overlap_census",
-          "q245_workload_pairs").exists(wanted)) {
+          "q245_workload_pairs", "census_stream_wall",
+          "census_stream_workload").exists(wanted)) {
       val f = math.min(factor, 16)
       val ev0 = Tables.events(spark, baseDir)
       val maxId = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
@@ -437,6 +438,74 @@ object ScaleBench {
             .agg(sum((col("__c") * (col("__c") - 1)) / 2).cast("long")
               .as("__p")).head().getLong(0)
         }
+      }
+      // the STREAMING census family at scale: the same replicated
+      // events driven as a JSON file stream through
+      // sessionCensusStream (AvailableNow, fresh checkpoint). Replicas
+      // share each user's timestamps, so the SESSION STRUCTURE — and
+      // the closed-session output — is invariant across factors while
+      // every micro-batch's parse, user shuffle, and per-user state
+      // fold see f× events: wall must track the event volume
+      // (`census_stream_workload` rows), never the output, and the
+      // per-user state stays bounded by OPEN sessions regardless of
+      // how many events pass through. The corpus write and the output
+      // count sit outside/inside the timed window exactly as the cdc
+      // bench prices its loop.
+      if (Seq("census_stream_wall", "census_stream_workload")
+          .exists(wanted)) {
+        def rmTree(p: java.nio.file.Path): Unit = try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(q => java.nio.file.Files.deleteIfExists(q))
+        } catch { case _: Exception => () }
+        val streamBase =
+          java.nio.file.Files.createTempDirectory("graft-censusstream")
+        val inDir = s"$streamBase/in"
+        // CHRONOLOGICAL arrival (range-partitioned by ts; the file
+        // source lists parts in path order): a randomly-shuffled write
+        // would let batch 1 drag the watermark to the corpus frontier
+        // and every later file would arrive "late" — measuring drop
+        // behavior, not census scaling. With in-order files plus a
+        // realistic lateness bound, the closed-session output is a
+        // FUNCTION OF THE DATA, invariant across factors.
+        ev.select(to_json(struct(col("user_id"), col("event_id"),
+            col("ts"), col("event_type"))).as("value"), col("ts"))
+          .repartitionByRange(8, col("ts"))
+          .sortWithinPartitions("ts")
+          .select(col("value"))
+          .write.mode("overwrite").text(inDir)
+        // the file source orders same-batch files by MODIFICATION time
+        // — i.e. task completion order, which is nondeterministic and
+        // ignores the range order entirely. Stamp strictly-increasing
+        // mtimes in part order (part-00000 = earliest range) so the
+        // stream really arrives chronologically.
+        Option(new java.io.File(inDir).listFiles()).getOrElse(Array())
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (pf, i) =>
+            pf.setLastModified(
+              System.currentTimeMillis() - 3600000L + i * 1000L)
+          }
+        bench("census_stream_workload")(ev.count())
+        bench("census_stream_wall") {
+          val runDir =
+            java.nio.file.Files.createTempDirectory("graft-censusrun")
+          val src = spark.readStream
+            .schema(ops.SessionCensusCli.inputSchema)
+            .option("maxFilesPerTrigger", 2).json(inDir)
+          val q = graft.analytics.StreamingAnalytics
+            .sessionCensusStream(src, "user_id", "event_type", "ts",
+              "event_id", 1800L * 1000000L, watermark = "60 seconds")
+            .toDF().writeStream.format("parquet")
+            .option("path", s"$runDir/out")
+            .option("checkpointLocation", s"$runDir/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val n = spark.read.parquet(s"$runDir/out").count()
+          rmTree(runDir)
+          n
+        }
+        rmTree(streamBase)
       }
       val li = Tables.lineitem(spark, baseDir)
         .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
