@@ -375,7 +375,7 @@ object ScaleBench {
           "q217_quantile_census", "q228_corr_census",
           "q230_psi_census", "q245_overlap_census",
           "q245_workload_pairs", "census_stream_wall",
-          "census_stream_workload").exists(wanted)) {
+          "census_stream_workload", "abandon_stream_wall").exists(wanted)) {
       val f = math.min(factor, 16)
       val ev0 = Tables.events(spark, baseDir)
       val maxId = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
@@ -451,8 +451,8 @@ object ScaleBench {
       // how many events pass through. The corpus write and the output
       // count sit outside/inside the timed window exactly as the cdc
       // bench prices its loop.
-      if (Seq("census_stream_wall", "census_stream_workload")
-          .exists(wanted)) {
+      if (Seq("census_stream_wall", "census_stream_workload",
+          "abandon_stream_wall").exists(wanted)) {
         def rmTree(p: java.nio.file.Path): Unit = try {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
@@ -495,6 +495,32 @@ object ScaleBench {
           val q = graft.analytics.StreamingAnalytics
             .sessionCensusStream(src, "user_id", "event_type", "ts",
               "event_id", 1800L * 1000000L, watermark = "60 seconds")
+            .toDF().writeStream.format("parquet")
+            .option("path", s"$runDir/out")
+            .option("checkpointLocation", s"$runDir/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val n = spark.read.parquet(s"$runDir/out").count()
+          rmTree(runDir)
+          n
+        }
+        // the abandonment stream on the SAME corpus: replicas carry
+        // distinct event ids, so from-event verdicts scale LINEARLY
+        // with the factor (the complement of the census row's
+        // invariant output) — wall must track events, and the
+        // horizon-purged (watermark − window) state must hold at 10×
+        // the per-batch stamp volume
+        bench("abandon_stream_wall") {
+          val runDir =
+            java.nio.file.Files.createTempDirectory("graft-abandonrun")
+          val src = spark.readStream
+            .schema(ops.SessionCensusCli.inputSchema)
+            .option("maxFilesPerTrigger", 2).json(inDir)
+          val q = graft.analytics.StreamingAnalytics
+            .abandonmentStream(src, "user_id", "event_type", "ts",
+              "event_id", "view", "purchase", 3600L * 1000000L,
+              watermark = "60 seconds")
             .toDF().writeStream.format("parquet")
             .option("path", s"$runDir/out")
             .option("checkpointLocation", s"$runDir/ck")
