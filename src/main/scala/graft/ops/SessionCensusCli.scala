@@ -210,7 +210,16 @@ object SessionCensusCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the same per-query observability surface the CDC and curation
+    // CLIs expose (M3/ST10): input-row totals via the listener registry
+    val registry = new graft.observe.MetricsRegistry()
+    spark.streams.addListener(new graft.observe.CdcQueryListener(registry))
     val summary = run(spark, cfg)
+    registry.snapshot(spark)
+      .filter("metric like 'cdc_records_replicated_total%'")
+      .select("metric", "value").collect()
+      .foreach(r => println(
+        s"""{"metric": "${r.getString(0)}", "value": ${r.getDouble(1)}}"""))
     println(s"""{"closed_sessions": ${summary.closedSessions}, "verdicts": ${summary.verdictCount}}""")
     spark.stop()
   }
