@@ -80,6 +80,46 @@ class SessionCensusCliSpec extends SparkSpec {
       s"idempotent re-drain: $s3")
   }
 
+  test("RocksDB state store: cross-run chain restores from RocksDB state") {
+    val in = Files.createTempDirectory("scc-rdb-in").toString
+    val base = Files.createTempDirectory("scc-rdb").toString
+    val cfg = SessionCensusCli.CensusConfig(
+      input = in, sessions = s"$base/sessions",
+      checkpoint = s"$base/cp",
+      gapSec = 10L, watermark = "0 seconds",
+      stateStore = Some("rocksdb"))
+    val B = 1000L * s
+    Files.writeString(Paths.get(s"$in/b0.json"),
+      row(1L, 10L, B, "view"))
+    assert(SessionCensusCli.run(spark, cfg) ==
+      SessionCensusCli.Summary(0L, 0L))
+    // the provider choice must not leak into the shared session
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+    // run 2: chains into the RocksDB-restored open session, then the
+    // sentinel ripens it
+    Files.writeString(Paths.get(s"$in/b1.json"), Seq(
+      row(1L, 11L, B + 6 * s, "view"),
+      row(99L, 990L, B + 500 * s, "view")).mkString("\n"))
+    assert(SessionCensusCli.run(spark, cfg).closedSessions == 1L)
+    val sess = spark.read.parquet(cfg.sessions)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    assert(sess == Set((1L, B, B + 6 * s, 2L, 6 * s, "view")),
+      s"cross-run chain through RocksDB state: $sess")
+    // the state dir really is RocksDB-format (zip/changelog uploads,
+    // no HDFS-provider .delta files)
+    import scala.jdk.CollectionConverters._
+    val stateDir = Paths.get(s"$base/cp/sessions/state")
+    assert(Files.exists(stateDir), "state dir must exist")
+    val names = Files.walk(stateDir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(names.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+      s"expected RocksDB snapshot artifacts, got $names")
+    assert(!names.exists(_.endsWith(".delta")),
+      s"HDFS-provider .delta files mean RocksDB was NOT used: $names")
+  }
+
   test("parseArgs: contract errors and round-trip") {
     import SessionCensusCli.parseArgs
     assert(parseArgs(Array("--input", "a")).isLeft) // missing required
