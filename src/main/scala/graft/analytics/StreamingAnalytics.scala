@@ -53,6 +53,30 @@ final case class ClosedSessionTypes(user_id: Long, session_start_us: Long,
   * event that may still rescue one. */
 final case class EventStamp(t: Long, id: Long)
 
+/** One step-event stamp of
+  * [[StreamingAnalytics.sessionFunnelStream]]'s per-session state:
+  * the event time plus its 1-based step index (non-step events leave
+  * no stamp — only the session bounds see them). */
+final case class StepStamp(t: Long, idx: Long)
+
+/** One in-flight gap session of
+  * [[StreamingAnalytics.sessionFunnelStream]]'s per-key state — the
+  * session bounds over ALL events plus the STEP events' stamps (the
+  * greedy fold is order-sensitive, so stamps buffer until the session
+  * closes; state is bounded by the session's step-event volume — the
+  * same bound the batch operator's sorted array carries). */
+final case class OpenSessionSteps(start: Long, end: Long, n: Long,
+    stamps: List[StepStamp])
+
+/** A closed gap session with its funnel result — the furthest step
+  * reached by the greedy earliest-advance fold over the session's
+  * (t, idx)-ordered step events (0 = reached none). Rolling these up
+  * with [[StreamingAnalytics.sessionFunnelRollup]] reproduces
+  * [[Analytics.sessionFunnel]] (q186) on the same ripe events. */
+final case class ClosedSessionFunnel(user_id: Long,
+    session_start_us: Long, session_end_us: Long, n_events: Long,
+    max_step: Long)
+
 /** [[StreamingAnalytics.abandonmentStream]] state: fromType events
   * whose budget window the watermark has not yet passed, plus toType
   * events still above the usefulness horizon (a to can only rescue
@@ -460,6 +484,109 @@ object StreamingAnalytics {
         fdiv(dec(col("n_sessions")) * dec(col("__ns")) * 1000000,
           dec(col("__na")) * dec(col("__nb"))).as("lift_ppm"))
       .orderBy("type_a", "type_b")
+  }
+
+  /** Streaming session-scoped funnel — the incremental counterpart of
+    * [[Analytics.sessionFunnel]] (q186): each closed gap session
+    * carries the furthest funnel step its events reached under the
+    * batch operator's EXACT greedy fold (step events sorted by
+    * (t, step-index), a step advances only on the next index at a
+    * STRICTLY later time), emitted append-mode, exactly once, at
+    * watermark ripening. [[sessionFunnelRollup]] turns the emitted
+    * sessions into the batch report.
+    *
+    * The state shape is the family's most general: session bounds
+    * merge over ALL events (a non-step event still chains the session
+    * — the batch rule: the gap tag sees everything, the fold sees only
+    * steps), while the step events BUFFER as (t, idx) stamps until the
+    * session closes, because the greedy fold is order-sensitive and an
+    * in-watermark straggler can change the outcome. State per open
+    * session is its step-event volume — the bound the batch operator's
+    * per-session sorted array carries — not total event volume.
+    *
+    * No id column: the batch fold orders by (t, step-index) only (ties
+    * at one timestamp process lower indices first), and gap boundaries
+    * depend on timestamps alone. */
+  def sessionFunnelStream(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String], gapUs: Long,
+      watermark: String = "10 minutes"): Dataset[ClosedSessionFunnel] = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct, got $steps")
+    val stepIdx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(tsCol).as("ts"),
+        col(typeCol).cast("string").as("ty"))
+      .as[(Long, java.time.Instant, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[OpenSessionSteps], ClosedSessionFunnel](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, rows: Iterator[(Long, java.time.Instant, String)],
+         state: GroupState[List[OpenSessionSteps]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.getOrElse(Nil)
+          val incoming = rows.map { r =>
+            val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
+            OpenSessionSteps(t, t, 1L,
+              stepIdx.get(r._3).map(StepStamp(t, _)).toList)
+          }.toList
+          // interval merge over ALL events; stamps concatenate (the
+          // fold sorts them once, at close)
+          val merged = (prior ++ incoming).sortBy(s => (s.start, s.end))
+            .foldLeft(List.empty[OpenSessionSteps]) { (acc, s) =>
+              acc match {
+                case h :: t if s.start - h.end <= gapUs =>
+                  OpenSessionSteps(h.start, math.max(h.end, s.end),
+                    h.n + s.n, h.stamps ++ s.stamps) :: t
+                case _ => s :: acc
+              }
+            }.reverse
+          val (closed, open) = merged.partition(_.end + gapUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            val fire = open.map(_.end + gapUs).min / 1000L + 2L
+            state.setTimeoutTimestamp(
+              math.max(fire, state.getCurrentWatermarkMs() + 1L))
+          }
+          closed.iterator.map { s =>
+            // the batch funnelFold exactly: (t, idx)-ascending, advance
+            // on the NEXT index at a strictly later time
+            var step = 0L
+            var last = Long.MinValue
+            s.stamps.sortBy(e => (e.t, e.idx)).foreach { e =>
+              if (e.idx == step + 1 && e.t > last) { step += 1; last = e.t }
+            }
+            ClosedSessionFunnel(u, s.start, s.end, s.n, step)
+          }
+      }
+  }
+
+  /** The q186 fold over [[sessionFunnelStream]]'s closed sessions:
+    * EXACTLY [[Analytics.sessionFunnel]]'s report — one row per step
+    * `(step, step_name, sessions)`, unreached steps at 0 — so
+    * streaming and batch funnels are directly comparable. Pass the
+    * SAME `steps` the stream ran with.
+    *
+    * Scale shape: the explode is max_step-bounded per session; the
+    * census is steps-bounded. */
+  def sessionFunnelRollup(closedSessions: DataFrame,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val spark = closedSessions.sparkSession
+    val stepsArr = array(steps.map(lit): _*)
+    val reached = closedSessions.filter(col("max_step") >= 1)
+      .select(explode(sequence(lit(1L), col("max_step"))).as("step"))
+      .groupBy("step").agg(count(lit(1)).as("__n"))
+    spark.range(1, steps.size + 1).select(col("id").as("step"))
+      .join(reached, Seq("step"), "left")
+      .select(col("step").cast("int").as("step"),
+        element_at(stepsArr, col("step").cast("int")).as("step_name"),
+        coalesce(col("__n"), lit(0L)).as("sessions"))
+      .orderBy("step")
   }
 
   /** Streaming abandonment verdicts — the incremental counterpart of

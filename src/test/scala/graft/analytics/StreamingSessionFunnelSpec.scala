@@ -1,0 +1,109 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming session funnel (q186's streaming counterpart): closed
+  * sessions carry the greedy-fold furthest step, emitted exactly once
+  * at watermark ripening, and
+  * [[StreamingAnalytics.sessionFunnelRollup]] equals the batch
+  * [[Analytics.sessionFunnel]] report on the same ripe events. */
+class StreamingSessionFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gapUs = 10000000L // 10 s
+  private val s = 1000000L
+  private val B = 1000 * s
+  private val steps = Seq("view", "click", "purchase")
+
+  test("sessionFunnelStream: greedy fold at close; rollup equals batch q186") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)] // (user, µs, type)
+    val events = input.toDF()
+      .select(col("_1").as("user_id"),
+        timestamp_micros(col("_2")).as("ts"),
+        col("_3").as("event_type"))
+    val q = StreamingAnalytics.sessionFunnelStream(events, "user_id",
+      "event_type", "ts", steps, gapUs, watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_test").start()
+    def closed(): Set[(Long, Long, Long, Long, Long)] =
+      spark.table("funnel_test")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    // u1: the full ordered funnel (a non-step 'signup' rides along —
+    // it chains the session but must not disturb the fold);
+    // u2: purchase BEFORE view — order gates the fold at step 1;
+    // u3: view and click at the SAME instant — no strictly-later
+    // advance, step stays 1; u4: no step events at all → step 0
+    val live = Seq(
+      (1L, B, "view"), (1L, B + 2 * s, "signup"),
+      (1L, B + 4 * s, "click"), (1L, B + 8 * s, "purchase"),
+      (2L, B + 1 * s, "purchase"), (2L, B + 5 * s, "view"),
+      (3L, B + 2 * s, "view"), (3L, B + 2 * s, "click"),
+      (4L, B + 3 * s, "signup"))
+    input.addData(live: _*)
+    q.processAllAvailable()
+    input.addData((99L, B + 500 * s, "signup"))
+    q.processAllAvailable()
+    val want = Set(
+      (1L, B, B + 8 * s, 4L, 3L),
+      (2L, B + 1 * s, B + 5 * s, 2L, 1L),
+      (3L, B + 2 * s, B + 2 * s, 2L, 1L),
+      (4L, B + 3 * s, B + 3 * s, 1L, 0L))
+    assert(closed() == want)
+
+    // exactly-once
+    input.addData((99L, B + 501 * s, "signup"))
+    q.processAllAvailable()
+    assert(closed() == want)
+
+    // report parity with the batch q186 operator on the same
+    // (non-sentinel) events
+    val streamReport = StreamingAnalytics.sessionFunnelRollup(
+      spark.table("funnel_test"), steps)
+      .as[(Int, String, Long)].collect().toSeq
+    val batch = Analytics.sessionFunnel(
+      live.zipWithIndex.map { case ((u, t, ty), i) => (u, t, i.toLong, ty) }
+        .toDF("user_id", "__us", "event_id", "event_type")
+        .select(col("user_id"), timestamp_micros(col("__us")).as("ts"),
+          col("event_id"), col("event_type")),
+      "user_id", "event_type", "ts", "event_id", steps, gapUs)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(streamReport == batch)
+    assert(batch == Seq((1, "view", 3L), (2, "click", 1L),
+      (3, "purchase", 1L)))
+    q.stop()
+  }
+
+  test("sessionFunnelStream: a late in-watermark step completes the fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val events = input.toDF()
+      .select(col("_1").as("user_id"),
+        timestamp_micros(col("_2")).as("ts"),
+        col("_3").as("event_type"))
+    val q = StreamingAnalytics.sessionFunnelStream(events, "user_id",
+      "event_type", "ts", steps, gapUs, watermark = "60 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_ooo").start()
+
+    // view and purchase arrive first; the BRIDGING click (late in
+    // processing order, in-watermark, strictly between them) must
+    // complete the fold to step 3 — an eager per-batch fold would have
+    // locked the session at step 1
+    input.addData((1L, B, "view"), (1L, B + 8 * s, "purchase"))
+    q.processAllAvailable()
+    input.addData((1L, B + 4 * s, "click"))
+    q.processAllAvailable()
+    input.addData((99L, B + 500 * s, "signup"))
+    q.processAllAvailable()
+    input.addData((99L, B + 501 * s, "signup"))
+    q.processAllAvailable()
+    val got = spark.table("funnel_ooo")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, B, B + 8 * s, 3L, 3L)))
+    q.stop()
+  }
+}
