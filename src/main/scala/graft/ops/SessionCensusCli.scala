@@ -21,6 +21,8 @@ import graft.analytics.StreamingAnalytics
   *     [--gap-sec 1800] [--watermark "10 minutes"] \
   *     [--verdicts <abandonment parquet dir> --from view --to purchase \
   *       --window-sec 3600] \
+  *     [--funnels <funnel-session parquet dir> \
+  *       --funnel-steps view,click,purchase] \
   *     [--state-store rocksdb|hdfs|<provider class>]
   *
   * One streaming query per census, each with its own checkpoint
@@ -56,9 +58,12 @@ object SessionCensusCli {
       fromType: String = "view",
       toType: String = "purchase",
       windowSec: Long = 3600L,
+      funnels: Option[String] = None,
+      funnelSteps: Seq[String] = Nil,
       stateStore: Option[String] = None)
 
-  final case class Summary(closedSessions: Long, verdictCount: Long)
+  final case class Summary(closedSessions: Long, verdictCount: Long,
+      funnelSessions: Long = 0L)
 
   /** Envelope schema for the input JSON lines. */
   val inputSchema: StructType = StructType(Seq(
@@ -121,8 +126,19 @@ object SessionCensusCli {
         .trigger(Trigger.AvailableNow())
         .start()
     }
+    val funnelQ = cfg.funnels.map { dir =>
+      StreamingAnalytics.sessionFunnelStream(source(), "user_id",
+          "event_type", "ts", cfg.funnelSteps, gapUs, cfg.watermark)
+        .toDF()
+        .writeStream.queryName("session-funnel")
+        .format("parquet").option("path", dir)
+        .option("checkpointLocation", s"${cfg.checkpoint}/funnels")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     sessions.awaitTermination()
     verdictQ.foreach(_.awaitTermination())
+    funnelQ.foreach(_.awaitTermination())
 
     // a run that closed nothing legitimately leaves no parquet behind —
     // only THAT case maps to zero (the CurateStreamCli rule)
@@ -157,7 +173,19 @@ object SessionCensusCli {
         n
       case _ => 0L
     }
-    Summary(nSessions, nVerdicts)
+    val nFunnels = cfg.funnels match {
+      case Some(dir) if hasParquet(dir) =>
+        val fsess = spark.read.parquet(dir)
+        // steps-bounded report — driver-safe to print (zero rows for
+        // unreached steps included, the batch q186 shape)
+        StreamingAnalytics.sessionFunnelRollup(fsess, cfg.funnelSteps)
+          .collect().foreach(r =>
+            println(s"""{"census": "funnel", "step": ${r.getInt(0)}, """ +
+              s""""step_name": "${r.getString(1)}", "sessions": ${r.getLong(2)}}"""))
+        fsess.count()
+      case _ => 0L
+    }
+    Summary(nSessions, nVerdicts, nFunnels)
   }
 
   def parseArgs(args: Array[String]): Either[String, CensusConfig] = {
@@ -165,6 +193,8 @@ object SessionCensusCli {
     var gapSec = 1800L; var watermark = "10 minutes"
     var verdicts: Option[String] = None
     var fromType = "view"; var toType = "purchase"; var windowSec = 3600L
+    var funnels: Option[String] = None
+    var funnelSteps: Seq[String] = Nil
     var stateStore: Option[String] = None
     var i = 0
     try {
@@ -179,6 +209,10 @@ object SessionCensusCli {
           case "--from" => fromType = args(i + 1); i += 2
           case "--to" => toType = args(i + 1); i += 2
           case "--window-sec" => windowSec = args(i + 1).toLong; i += 2
+          case "--funnels" => funnels = Some(args(i + 1)); i += 2
+          case "--funnel-steps" =>
+            funnelSteps = args(i + 1).split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq; i += 2
           case "--state-store" => stateStore = Some(args(i + 1)); i += 2
           case other => return Left(s"unknown flag '$other'")
         }
@@ -193,8 +227,14 @@ object SessionCensusCli {
     else if (windowSec <= 0) Left("--window-sec must be > 0")
     else if (verdicts.isDefined && fromType == toType)
       Left("--from and --to must differ")
+    else if (funnels.isDefined &&
+        (funnelSteps.isEmpty || funnelSteps.distinct.size != funnelSteps.size))
+      Left("--funnels requires --funnel-steps with distinct, non-empty steps")
+    else if (funnels.isEmpty && funnelSteps.nonEmpty)
+      Left("--funnel-steps requires --funnels (the output dir)")
     else Right(CensusConfig(input, sessions, checkpoint, gapSec, watermark,
-      verdicts, fromType, toType, windowSec, stateStore))
+      verdicts, fromType, toType, windowSec, funnels, funnelSteps,
+      stateStore))
   }
 
   def main(args: Array[String]): Unit = {
@@ -220,7 +260,7 @@ object SessionCensusCli {
       .select("metric", "value").collect()
       .foreach(r => println(
         s"""{"metric": "${r.getString(0)}", "value": ${r.getDouble(1)}}"""))
-    println(s"""{"closed_sessions": ${summary.closedSessions}, "verdicts": ${summary.verdictCount}}""")
+    println(s"""{"closed_sessions": ${summary.closedSessions}, "verdicts": ${summary.verdictCount}, "funnel_sessions": ${summary.funnelSessions}}""")
     spark.stop()
   }
 }

@@ -30,7 +30,9 @@ class SessionCensusCliSpec extends SparkSpec {
       checkpoint = s"$base/cp",
       gapSec = 10L, watermark = "0 seconds",
       verdicts = Some(s"$base/verdicts"),
-      fromType = "view", toType = "purchase", windowSec = 5L)
+      fromType = "view", toType = "purchase", windowSec = 5L,
+      funnels = Some(s"$base/funnels"),
+      funnelSteps = Seq("view", "purchase"))
 
     val B = 1000L * s
     // run 1: u1 view + view 4 s apart — an OPEN session (close point
@@ -39,7 +41,7 @@ class SessionCensusCliSpec extends SparkSpec {
       row(1L, 10L, B, "view"),
       row(1L, 11L, B + 4 * s, "view")).mkString("\n"))
     val s1 = SessionCensusCli.run(spark, cfg)
-    assert(s1 == SessionCensusCli.Summary(0L, 0L),
+    assert(s1 == SessionCensusCli.Summary(0L, 0L, 0L),
       s"run 1 must close nothing: $s1")
 
     // run 2: a purchase at B+8 s CHAINS into the run-1 session (gap
@@ -74,10 +76,22 @@ class SessionCensusCliSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(abd == Seq((2L, 1L, 500000L, 1L)))
 
+    // the funnel census: the fused session advances view -> purchase
+    // (both strictly ordered), so max_step = 2 of the 2-step funnel
+    val fu = spark.read.parquet(s"$base/funnels")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(fu == Set((1L, B, B + 8 * s, 3L, 2L)), s"funnel sessions: $fu")
+    assert(s2.funnelSessions == 1L)
+    val funnelReport = graft.analytics.StreamingAnalytics
+      .sessionFunnelRollup(spark.read.parquet(s"$base/funnels"),
+        Seq("view", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(funnelReport == Seq((1, "view", 1L), (2, "purchase", 1L)))
+
     // run 3 with no new files: a pure no-op drain must not re-emit
     val s3 = SessionCensusCli.run(spark, cfg)
-    assert(s3.closedSessions == 1L && s3.verdictCount == 2L,
-      s"idempotent re-drain: $s3")
+    assert(s3.closedSessions == 1L && s3.verdictCount == 2L &&
+      s3.funnelSessions == 1L, s"idempotent re-drain: $s3")
   }
 
   test("RocksDB state store: cross-run chain restores from RocksDB state") {
@@ -130,10 +144,16 @@ class SessionCensusCliSpec extends SparkSpec {
     assert(parseArgs(req :+ "--gap-sec" :+ "abc").isLeft) // non-numeric
     assert(parseArgs(req ++ Array("--verdicts", "v", "--from", "x",
       "--to", "x")).isLeft) // from == to
+    assert(parseArgs(req ++ Array("--funnels", "f")).isLeft) // no steps
+    assert(parseArgs(req ++ Array("--funnels", "f", "--funnel-steps",
+      "a,a")).isLeft) // duplicate steps
+    assert(parseArgs(req ++ Array("--funnel-steps", "a,b")).isLeft) // no dir
     val ok = parseArgs(req ++ Array("--gap-sec", "60", "--watermark",
       "5 minutes", "--verdicts", "v", "--from", "a", "--to", "b",
-      "--window-sec", "120", "--state-store", "rocksdb"))
+      "--window-sec", "120", "--funnels", "f", "--funnel-steps", "a,b",
+      "--state-store", "rocksdb"))
     assert(ok == Right(SessionCensusCli.CensusConfig("a", "b", "c", 60L,
-      "5 minutes", Some("v"), "a", "b", 120L, Some("rocksdb"))))
+      "5 minutes", Some("v"), "a", "b", 120L, Some("f"), Seq("a", "b"),
+      Some("rocksdb"))))
   }
 }
