@@ -252,25 +252,6 @@ object Bench {
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 
-  /** CDC replication END-TO-END at bench scale — the number
-    * BASELINE.md's SLA actually names (required ≥10,000 events/s;
-    * 50,000 prod-baseline): the full `CdcPipeline.start` loop — JSON
-    * envelope parse → DLQ split (a poison line every 9973 events keeps
-    * that path priced, not a no-op) → SMT chain → watermark → per-batch
-    * latest-per-key collapse → idempotent monotonic merge into the
-    * BUCKETED copy-on-write warehouse — driven as micro-batches
-    * (8 files, 2 per trigger → 4 merge batches) via AvailableNow.
-    * The q20/q21-based `events_per_sec` headline prices only the
-    * transform+collapse PLAN; this one prices the replication LOOP
-    * with its checkpointing and warehouse writes. Returns
-    * (med, min, max) of per-run events/s over `SPARK_GRAFT_CDC_RUNS`
-    * (default 3) runs — each run gets fresh checkpoint + warehouse
-    * dirs (a shared checkpoint would no-op later runs); the envelope
-    * corpus is written ONCE outside the timed window. watermarkDelay
-    * spans the corpus (the events table covers months and files split
-    * randomly, so a realtime-sized delay would quarantine most rows —
-    * this benches throughput, not lateness policy; CdcPipelineSpec
-    * owns that). */
   /** Temp dir for bench scratch (cdc corpus, per-run warehouses).
     * SPARK_GRAFT_BENCH_TMPDIR points it at a quieter filesystem when
     * /tmp is the contended device — the round-15 cdc wall spread
@@ -329,6 +310,25 @@ object Bench {
     }
   }
 
+  /** CDC replication END-TO-END at bench scale — the number
+    * BASELINE.md's SLA actually names (required ≥10,000 events/s;
+    * 50,000 prod-baseline): the full `CdcPipeline.start` loop — JSON
+    * envelope parse → DLQ split (a poison line every 9973 events keeps
+    * that path priced, not a no-op) → SMT chain → watermark → per-batch
+    * latest-per-key collapse → idempotent monotonic merge into the
+    * BUCKETED copy-on-write warehouse — driven as micro-batches
+    * (8 files, 2 per trigger → 4 merge batches) via AvailableNow.
+    * The q20/q21-based `events_per_sec` headline prices only the
+    * transform+collapse PLAN; this one prices the replication LOOP
+    * with its checkpointing and warehouse writes. Returns
+    * (med, min, max) of per-run events/s over `SPARK_GRAFT_CDC_RUNS`
+    * (default 3) runs — each run gets fresh checkpoint + warehouse
+    * dirs (a shared checkpoint would no-op later runs); the envelope
+    * corpus is written ONCE outside the timed window. watermarkDelay
+    * spans the corpus (the events table covers months and files split
+    * randomly, so a realtime-sized delay would quarantine most rows —
+    * this benches throughput, not lateness policy; CdcPipelineSpec
+    * owns that). */
   private def runCdcReplicate(spark: SparkSession,
       sfDir: String): (Double, Double, Double) = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
