@@ -187,6 +187,43 @@ object StreamingAnalytics {
         date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** The ONE home of the gap-session state discipline every session
+    * stream shares ([[sessionizeStream]], [[sessionCensusStream]],
+    * [[sessionTypesStream]], [[sessionFunnelStream]] — forked copies
+    * would let their session definitions silently diverge, the
+    * [[Analytics]] gap-tag lesson): merge prior open sessions with the
+    * batch's incoming singletons interval-style (chain while the next
+    * start is within `gapUs` of the running end — ≤ merges, the batch
+    * rule), close everything whose last possible extension point
+    * (`end + gapUs`) sits below the watermark, store the rest, and
+    * re-arm the event-time timeout at the earliest open close point
+    * (ms-ceiling'd past the µs bound, clamped above the current
+    * watermark — Spark rejects a timeout at-or-before it). Returns the
+    * CLOSED sessions; the caller only supplies how to read bounds and
+    * how to combine two chained fragments. */
+  private def ripenGapSessions[S](prior: List[S], incoming: List[S],
+      gapUs: Long, state: GroupState[List[S]])(
+      start: S => Long, end: S => Long,
+      combine: (S, S) => S): List[S] = {
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val merged = (prior ++ incoming).sortBy(x => (start(x), end(x)))
+      .foldLeft(List.empty[S]) { (acc, x) =>
+        acc match {
+          case h :: t if start(x) - end(h) <= gapUs => combine(h, x) :: t
+          case _ => x :: acc
+        }
+      }.reverse
+    val (closed, open) = merged.partition(x => end(x) + gapUs < wmUs)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(open)
+      val fire = open.map(end(_) + gapUs).min / 1000L + 2L
+      state.setTimeoutTimestamp(
+        math.max(fire, state.getCurrentWatermarkMs() + 1L))
+    }
+    closed
+  }
+
   /** Streaming gap-based sessionization — [[Analytics.sessionize]]'s
     * batch semantics (events of one user chain into a session while
     * consecutive gaps stay ≤ `gapUs`; a strictly larger gap opens a new
@@ -230,35 +267,15 @@ object StreamingAnalytics {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (u: Long, rows: Iterator[(Long, java.time.Instant)],
          state: GroupState[List[OpenSession]]) =>
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val prior = state.getOption.getOrElse(Nil)
           val incoming = rows.map { r =>
             val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
             OpenSession(t, t, 1L)
           }.toList
-          // interval merge: sessions chain when the next start is within
-          // gap of the running end (<= gap merges — the batch rule)
-          val merged = (prior ++ incoming).sortBy(s => (s.start, s.end))
-            .foldLeft(List.empty[OpenSession]) { (acc, s) =>
-              acc match {
-                case h :: t if s.start - h.end <= gapUs =>
-                  OpenSession(h.start, math.max(h.end, s.end), h.n + s.n) :: t
-                case _ => s :: acc
-              }
-            }.reverse
-          val (closed, open) = merged.partition(_.end + gapUs < wmUs)
-          if (open.isEmpty) state.remove()
-          else {
-            state.update(open)
-            // earliest possible close, ms-ceiling'd past the µs bound;
-            // clamp above the current watermark (Spark rejects a
-            // timeout at-or-before it)
-            val fire = open.map(_.end + gapUs).min / 1000L + 2L
-            state.setTimeoutTimestamp(
-              math.max(fire, state.getCurrentWatermarkMs() + 1L))
-          }
-          closed.iterator.map(s =>
-            ClosedSession(u, s.start, s.end, s.n, s.end - s.start))
+          ripenGapSessions(state.getOption.getOrElse(Nil), incoming,
+            gapUs, state)(_.start, _.end, (h, s) =>
+            OpenSession(h.start, math.max(h.end, s.end), h.n + s.n))
+            .iterator.map(s =>
+              ClosedSession(u, s.start, s.end, s.n, s.end - s.start))
       }
   }
 
@@ -304,42 +321,25 @@ object StreamingAnalytics {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (u: Long, rows: Iterator[(Long, java.time.Instant, Long, String)],
          state: GroupState[List[OpenSessionEntry]]) =>
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val prior = state.getOption.getOrElse(Nil)
           val incoming = rows.map { r =>
             val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
             OpenSessionEntry(t, t, 1L, t, r._3, r._4)
           }.toList
-          // interval merge (the sessionizeStream fold) with the entry
-          // carried as the (t, id)-least member of the merged span
-          val merged = (prior ++ incoming).sortBy(s => (s.start, s.end))
-            .foldLeft(List.empty[OpenSessionEntry]) { (acc, s) =>
-              acc match {
-                case h :: t if s.start - h.end <= gapUs =>
-                  val entryLeast =
-                    if (s.entryT < h.entryT ||
-                      (s.entryT == h.entryT && s.entryId < h.entryId)) s
-                    else h
-                  OpenSessionEntry(h.start, math.max(h.end, s.end),
-                    h.n + s.n, entryLeast.entryT, entryLeast.entryId,
-                    entryLeast.entryTy) :: t
-                case _ => s :: acc
-              }
-            }.reverse
-          val (closed, open) = merged.partition(_.end + gapUs < wmUs)
-          if (open.isEmpty) state.remove()
-          else {
-            state.update(open)
-            // earliest possible close, ms-ceiling'd past the µs bound;
-            // clamped above the current watermark (Spark rejects a
-            // timeout at-or-before it)
-            val fire = open.map(_.end + gapUs).min / 1000L + 2L
-            state.setTimeoutTimestamp(
-              math.max(fire, state.getCurrentWatermarkMs() + 1L))
-          }
-          closed.iterator.map(s =>
-            ClosedSessionEntry(u, s.start, s.end, s.n, s.end - s.start,
-              s.entryTy))
+          // the shared fold, with the entry carried as the
+          // (t, id)-least member of the merged span
+          ripenGapSessions(state.getOption.getOrElse(Nil), incoming,
+            gapUs, state)(_.start, _.end, (h, s) => {
+              val entryLeast =
+                if (s.entryT < h.entryT ||
+                  (s.entryT == h.entryT && s.entryId < h.entryId)) s
+                else h
+              OpenSessionEntry(h.start, math.max(h.end, s.end),
+                h.n + s.n, entryLeast.entryT, entryLeast.entryId,
+                entryLeast.entryTy)
+            })
+            .iterator.map(s =>
+              ClosedSessionEntry(u, s.start, s.end, s.n, s.end - s.start,
+                s.entryTy))
       }
   }
 
@@ -400,37 +400,18 @@ object StreamingAnalytics {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (u: Long, rows: Iterator[(Long, java.time.Instant, String)],
          state: GroupState[List[OpenSessionTypes]]) =>
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val prior = state.getOption.getOrElse(Nil)
           val incoming = rows.map { r =>
             val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
             OpenSessionTypes(t, t, 1L, List(r._3))
           }.toList
-          // interval merge; the type sets union (sorted-distinct keeps
-          // the stored state canonical and the emitted array stable)
-          val merged = (prior ++ incoming).sortBy(s => (s.start, s.end))
-            .foldLeft(List.empty[OpenSessionTypes]) { (acc, s) =>
-              acc match {
-                case h :: t if s.start - h.end <= gapUs =>
-                  OpenSessionTypes(h.start, math.max(h.end, s.end),
-                    h.n + s.n,
-                    (h.types ++ s.types).distinct.sorted) :: t
-                case _ => s :: acc
-              }
-            }.reverse
-          val (closed, open) = merged.partition(_.end + gapUs < wmUs)
-          if (open.isEmpty) state.remove()
-          else {
-            state.update(open)
-            // earliest possible close, ms-ceiling'd past the µs bound;
-            // clamped above the current watermark (Spark rejects a
-            // timeout at-or-before it)
-            val fire = open.map(_.end + gapUs).min / 1000L + 2L
-            state.setTimeoutTimestamp(
-              math.max(fire, state.getCurrentWatermarkMs() + 1L))
-          }
-          closed.iterator.map(s =>
-            ClosedSessionTypes(u, s.start, s.end, s.n, s.types))
+          // the shared fold; type sets union (sorted-distinct keeps the
+          // stored state canonical and the emitted array stable)
+          ripenGapSessions(state.getOption.getOrElse(Nil), incoming,
+            gapUs, state)(_.start, _.end, (h, s) =>
+            OpenSessionTypes(h.start, math.max(h.end, s.end), h.n + s.n,
+              (h.types ++ s.types).distinct.sorted))
+            .iterator.map(s =>
+              ClosedSessionTypes(u, s.start, s.end, s.n, s.types))
       }
   }
 
@@ -526,33 +507,18 @@ object StreamingAnalytics {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (u: Long, rows: Iterator[(Long, java.time.Instant, String)],
          state: GroupState[List[OpenSessionSteps]]) =>
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val prior = state.getOption.getOrElse(Nil)
           val incoming = rows.map { r =>
             val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
             OpenSessionSteps(t, t, 1L,
               stepIdx.get(r._3).map(StepStamp(t, _)).toList)
           }.toList
-          // interval merge over ALL events; stamps concatenate (the
-          // fold sorts them once, at close)
-          val merged = (prior ++ incoming).sortBy(s => (s.start, s.end))
-            .foldLeft(List.empty[OpenSessionSteps]) { (acc, s) =>
-              acc match {
-                case h :: t if s.start - h.end <= gapUs =>
-                  OpenSessionSteps(h.start, math.max(h.end, s.end),
-                    h.n + s.n, h.stamps ++ s.stamps) :: t
-                case _ => s :: acc
-              }
-            }.reverse
-          val (closed, open) = merged.partition(_.end + gapUs < wmUs)
-          if (open.isEmpty) state.remove()
-          else {
-            state.update(open)
-            val fire = open.map(_.end + gapUs).min / 1000L + 2L
-            state.setTimeoutTimestamp(
-              math.max(fire, state.getCurrentWatermarkMs() + 1L))
-          }
-          closed.iterator.map { s =>
+          // the shared fold over ALL events; stamps concatenate (the
+          // funnel fold sorts them once, at close)
+          ripenGapSessions(state.getOption.getOrElse(Nil), incoming,
+            gapUs, state)(_.start, _.end, (h, s) =>
+            OpenSessionSteps(h.start, math.max(h.end, s.end),
+              h.n + s.n, h.stamps ++ s.stamps))
+            .iterator.map { s =>
             // the batch funnelFold exactly: (t, idx)-ascending, advance
             // on the NEXT index at a strictly later time
             var step = 0L
