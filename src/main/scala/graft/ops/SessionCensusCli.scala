@@ -38,8 +38,10 @@ import graft.analytics.StreamingAnalytics
   * ACCUMULATED output tables as JSON lines — the bounce census
   * ([[StreamingAnalytics.sessionBounceRollup]], == batch q236 on the
   * ripe prefix) and, when enabled, the abandonment census
-  * ([[StreamingAnalytics.abandonmentRollup]], == batch q241) — plus a
-  * final summary line `{"closed_sessions": N, "verdicts": N}`.
+  * ([[StreamingAnalytics.abandonmentRollup]], == batch q241) and the
+  * funnel report ([[StreamingAnalytics.sessionFunnelRollup]], == batch
+  * q186) — plus a final summary line
+  * `{"closed_sessions": N, "verdicts": N, "funnel_sessions": N}`.
   *
   * Scale shape: state per user is open-sessions + horizon-purged
   * stamps (never history); the rollups are vocabulary-bounded / 1-row
