@@ -26,6 +26,19 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.parseArtifactMins(Seq("not json at all")) == Map.empty)
   }
 
+  test("parseArtifactMins: round-16 cdc telemetry rows cannot pollute the baseline") {
+    // the per-run breakdown fields (sec/eps/batches/add_batch_ms/...)
+    // carry no q-prefix, so none of them may register as a query min —
+    // a polluted map would hand the stall guard fictitious references
+    val txt = """{"cdc_replicate_runs":[{"sec":55.079,"eps":18155,""" +
+      """"batches":8,"add_batch_ms":61287,"wal_commit_ms":2170,""" +
+      """"trigger_ms":64888,"non_trigger_ms":0,"steal_pct":2.441,""" +
+      """"cpu_pct":27.73,"iowait_pct":0.012}],""" +
+      """"cdc_slow_note":"slowest run 55.079 s: dominant term addBatch",""" +
+      """"q1_pricing":0.5}"""
+    assert(Bench.parseArtifactMins(Seq(txt)) == Map("q1_pricing" -> 0.5))
+  }
+
   test("parseFunnelMins: headline fields + bare keys, min across texts") {
     // round-artifact headline form (the _sec scalars)...
     val artifact = """{"curate_funnel_sec":3.1,"curate_funnel_full_sec":14.5}"""
