@@ -461,6 +461,13 @@ object ScaleBench {
         val streamBase =
           java.nio.file.Files.createTempDirectory("graft-censusstream")
         val inDir = s"$streamBase/in"
+        // the corpus write is only for the *_wall probes — a
+        // workload-only run (census_stream_workload is just ev.count())
+        // must not pay the replicated JSON write it never reads (the
+        // same isolation rule as the gated lineitem checkpoint)
+        val needCorpus =
+          Seq("census_stream_wall", "abandon_stream_wall").exists(wanted)
+        if (needCorpus) {
         // CHRONOLOGICAL arrival (range-partitioned by ts; the file
         // source lists parts in path order): a randomly-shuffled write
         // would let batch 1 drag the watermark to the corpus frontier
@@ -485,6 +492,7 @@ object ScaleBench {
             pf.setLastModified(
               System.currentTimeMillis() - 3600000L + i * 1000L)
           }
+        }
         bench("census_stream_workload")(ev.count())
         bench("census_stream_wall") {
           val runDir =

@@ -87,20 +87,13 @@ object CurateStreamCli {
 
   private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
 
-  /** `--state-store` values → provider classes. At 100-TB ingest the
-    * per-(band,bucket) LSH state outgrows executor heaps — `rocksdb`
-    * moves it off-heap with changelog checkpointing (the recommended
-    * provider for large state); `hdfs` is Spark's heap-backed default.
-    * Any other value is taken as a fully-qualified provider class.
-    * NOTE: a checkpoint is bound to the provider that created it —
-    * restart an existing checkpoint with the SAME setting. */
-  private def providerClass(name: String): String = name.toLowerCase match {
-    case "rocksdb" =>
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    case "hdfs" =>
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
-    case other => other
-  }
+  /** `--state-store` values → provider classes: [[StateStores]] (the
+    * shared home — see its note on the custom-class casing bug the
+    * per-CLI copies carried). At 100-TB ingest the per-(band,bucket)
+    * LSH state outgrows executor heaps — `rocksdb` moves it off-heap
+    * with changelog checkpointing. */
+  private def providerClass(name: String): String =
+    StateStores.providerClass(name)
 
   /** Run both queries to drain (AvailableNow) against the session and
     * return total rows landed / candidates flagged ACROSS ALL RUNS of

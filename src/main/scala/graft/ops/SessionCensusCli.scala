@@ -76,17 +76,11 @@ object SessionCensusCli {
 
   private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
 
-  /** Same `--state-store` mapping (and checkpoint-binding caveat) as
-    * [[CurateStreamCli]]: `rocksdb` for large off-heap state, `hdfs`
-    * for Spark's heap-backed default, anything else as a provider
-    * class. */
-  private def providerClass(name: String): String = name.toLowerCase match {
-    case "rocksdb" =>
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    case "hdfs" =>
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
-    case other => other
-  }
+  /** The shared [[StateStores]] mapping (and its checkpoint-binding
+    * caveat): `rocksdb` for large off-heap state, `hdfs` for Spark's
+    * heap-backed default, anything else verbatim as a provider class. */
+  private def providerClass(name: String): String =
+    StateStores.providerClass(name)
 
   /** Drain both censuses (AvailableNow) and return totals ACROSS ALL
     * RUNS of this checkpoint (counted from the output tables, so
@@ -100,6 +94,13 @@ object SessionCensusCli {
       case None => spark.conf.unset(ProviderConf)
     }
   }
+
+  /** JSON string literal for the rollup print lines — interpolating a
+    * raw value would break the machine-readable contract on a quote or
+    * backslash in an event type / step name (and render null unquoted). */
+  private def jstr(v: String): String =
+    if (v == null) "null"
+    else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   private def doRun(spark: SparkSession, cfg: CensusConfig): Summary = {
     // each query plans its OWN source instance off a fresh readStream —
@@ -138,9 +139,19 @@ object SessionCensusCli {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    sessions.awaitTermination()
-    verdictQ.foreach(_.awaitTermination())
-    funnelQ.foreach(_.awaitTermination())
+    // a failed drain must not leak the OTHER queries onto the shared
+    // session (embedded callers would inherit background writers, and
+    // main() would never reach spark.stop()): stop every query this
+    // run started before rethrowing
+    try {
+      sessions.awaitTermination()
+      verdictQ.foreach(_.awaitTermination())
+      funnelQ.foreach(_.awaitTermination())
+    } catch { case t: Throwable =>
+      (Seq(sessions) ++ verdictQ ++ funnelQ).foreach(q =>
+        try q.stop() catch { case _: Exception => () })
+      throw t
+    }
 
     // a run that closed nothing legitimately leaves no parquet behind —
     // only THAT case maps to zero (the CurateStreamCli rule)
@@ -155,7 +166,7 @@ object SessionCensusCli {
         // the batch-parity bounce census over EVERYTHING closed so far
         // (vocabulary-bounded — driver-safe to print)
         StreamingAnalytics.sessionBounceRollup(closed).collect().foreach(r =>
-          println(s"""{"census": "bounce", "entry_type": "${r.getString(0)}", """ +
+          println(s"""{"census": "bounce", "entry_type": ${jstr(r.getString(0))}, """ +
             s""""n_sessions": ${r.getLong(1)}, "n_bounces": ${r.getLong(2)}, """ +
             s""""bounce_ppm": ${r.getLong(3)}}"""))
         closed.count()
@@ -183,7 +194,7 @@ object SessionCensusCli {
         StreamingAnalytics.sessionFunnelRollup(fsess, cfg.funnelSteps)
           .collect().foreach(r =>
             println(s"""{"census": "funnel", "step": ${r.getInt(0)}, """ +
-              s""""step_name": "${r.getString(1)}", "sessions": ${r.getLong(2)}}"""))
+              s""""step_name": ${jstr(r.getString(1))}, "sessions": ${r.getLong(2)}}"""))
         fsess.count()
       case _ => 0L
     }

@@ -134,6 +134,18 @@ class SessionCensusCliSpec extends SparkSpec {
       s"HDFS-provider .delta files mean RocksDB was NOT used: $names")
   }
 
+  test("StateStores: a custom provider class keeps its casing") {
+    // the pre-fix per-CLI copies lowercased BEFORE matching and
+    // returned the lowercased binding — corrupting any fully-qualified
+    // class into an unloadable all-lowercase name
+    assert(StateStores.providerClass("com.example.MyStateStoreProvider")
+      == "com.example.MyStateStoreProvider")
+    assert(StateStores.providerClass("RocksDB")
+      .endsWith("RocksDBStateStoreProvider")) // aliases case-insensitive
+    assert(StateStores.providerClass("HDFS")
+      .endsWith("HDFSBackedStateStoreProvider"))
+  }
+
   test("parseArgs: contract errors and round-trip") {
     import SessionCensusCli.parseArgs
     assert(parseArgs(Array("--input", "a")).isLeft) // missing required
