@@ -93,6 +93,26 @@ final case class AbandonState(pending: List[EventStamp],
 final case class AbandonVerdict(user_id: Long, event_id: Long,
     from_us: Long, abandoned: Boolean)
 
+/** [[StreamingAnalytics.growthAccountingStream]] state: the durable
+  * per-user carry — has the user EVER had a ripe active day, the most
+  * recent ripe active day, whether that day's churn-out has already
+  * been emitted — plus the not-yet-ripe active-day buffer. The carry
+  * is three scalars forever (the attribution-carry precedent: growth
+  * accounting is exactly the operator that must remember a user across
+  * any silence to tell resurrection from new). */
+final case class GrowthState(everActive: Boolean,
+    lastActive: Option[Long], churnEmitted: Boolean,
+    pending: List[Long])
+
+/** One (user, day) growth event — `cls` ∈ `new` / `retained` /
+  * `resurrected` (the user's classification for an ACTIVE day) or
+  * `churned` (the user was active the previous day and provably not
+  * this one). Emitted exactly once, when the day COMPLETES below the
+  * watermark. [[StreamingAnalytics.growthRollup]] over these
+  * reproduces [[Analytics.growthAccounting]] (q219) on the same ripe
+  * events. */
+final case class GrowthEvent(user_id: Long, day_num: Long, cls: String)
+
 /** One buffered event of [[StreamingAnalytics.attributionStream]]'s
   * per-user state (events newer than the watermark — an earlier event
   * could still arrive and change what "preceding touch" means). */
@@ -666,6 +686,119 @@ object StreamingAnalytics {
         fdiv(dec(col("n_abandoned")) * 1000000, dec(col("n_from_events")))
           .as("abandon_ppm"),
         col("n_users_abandoning"))
+  }
+
+  /** Streaming daily growth accounting — the incremental counterpart
+    * of [[Analytics.growthAccounting]] (q219): each (user, active day)
+    * classifies as `new` (first ripe day ever), `retained` (active the
+    * previous day too) or `resurrected` (active before, but not
+    * yesterday), and a `churned` row marks day `p+1` when the user was
+    * active on `p` and provably not on `p+1`. Emission grain is the
+    * DAY, exactly once, when the day COMPLETES below the watermark
+    * (`(d+1)·DAY ≤ wm` — no day-`d` event can still arrive): an active
+    * day's class is final then, and a churn-out at `p+1` is final once
+    * day `p+1` is complete with no activity — whether discovered by a
+    * GAP between two ripe active days or by SILENCE via the event-time
+    * timeout at `(p+2)·DAY`. A later return emits `resurrected`, never
+    * retracts the churn — the batch operator's own accounting (churn
+    * at `p+1`, resurrection at the return day).
+    *
+    * State per user: the durable three-scalar carry (everActive /
+    * lastActive / churnEmitted) plus the unripe active-day buffer
+    * (bounded by distinct days inside the lateness window). Late
+    * sub-watermark events never reach the operator, so the ripe-day
+    * fold processes each user's days in ascending order exactly
+    * once. */
+  def growthAccountingStream(events: DataFrame, userCol: String,
+      tsCol: String,
+      watermark: String = "10 minutes"): Dataset[GrowthEvent] = {
+    val DAY = 86400000000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(tsCol).as("ts"))
+      .as[(Long, java.time.Instant)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[GrowthState, GrowthEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, rows: Iterator[(Long, java.time.Instant)],
+         state: GroupState[GrowthState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption
+            .getOrElse(GrowthState(false, None, false, Nil))
+          val incoming = rows.map { r =>
+            val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
+            Math.floorDiv(t, DAY)
+          }.toList
+          val days = (prior.pending ++ incoming).distinct
+          // a day is ripe when it is COMPLETE below the watermark
+          val (ripe, hold) = days.partition(d => (d + 1) * DAY <= wmUs)
+          var ever = prior.everActive
+          var last = prior.lastActive
+          var churned = prior.churnEmitted
+          val out = scala.collection.mutable.ListBuffer.empty[GrowthEvent]
+          ripe.sorted.foreach { d =>
+            last match {
+              case Some(p) if d == p + 1 =>
+                out += GrowthEvent(u, d, "retained")
+              case Some(p) =>
+                // gap: day p+1 is ripe (p+1 < d ≤ ripe), so the
+                // churn-out is final — unless the silence arm already
+                // emitted it
+                if (!churned) out += GrowthEvent(u, p + 1, "churned")
+                out += GrowthEvent(u, d, "resurrected")
+              case None =>
+                out += GrowthEvent(u, d, if (ever) "resurrected" else "new")
+            }
+            ever = true; last = Some(d); churned = false
+          }
+          // silence: the day after the last active one is complete with
+          // no activity (it cannot sit in `hold` — that would mean it
+          // is not complete yet, contradicting the bound)
+          last.foreach { p =>
+            if (!churned && (p + 2) * DAY <= wmUs) {
+              out += GrowthEvent(u, p + 1, "churned")
+              churned = true
+            }
+          }
+          state.update(GrowthState(ever, last, churned, hold))
+          // wake at the earliest pending-day completion or the pending
+          // churn-out point; a fully-settled user (churn emitted,
+          // nothing buffered) keeps only the durable carry, no timer
+          val fires = hold.map(d => (d + 1) * DAY) ++
+            (if (!churned) last.map(p => (p + 2) * DAY) else None)
+          if (fires.nonEmpty) {
+            val fire = fires.min / 1000L + 2L
+            state.setTimeoutTimestamp(
+              math.max(fire, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
+  /** The q219 fold over [[growthAccountingStream]]'s events: EXACTLY
+    * [[Analytics.growthAccounting]]'s report — per day the new /
+    * retained / resurrected / churned counts, restricted (like the
+    * batch operator) to days that are SOMEONE'S active day (a churn-out
+    * landing past the observed calendar is dropped by the same
+    * left-semi day spine). */
+  def growthRollup(growthEvents: DataFrame): DataFrame = {
+    // aliased spine column: both join sides derive from the same frame,
+    // and a same-attribute semi join fails to resolve
+    val days = growthEvents.filter(col("cls") =!= "churned")
+      .select(col("day_num").as("__d")).distinct()
+    growthEvents.groupBy("day_num")
+      .agg(
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("cls") === "churned", 1L).otherwise(0L))
+          .as("n_churned"))
+      .join(days, col("day_num") === col("__d"), "left_semi")
+      .orderBy("day_num")
   }
 
   /** Streaming last-touch attribution — the incremental counterpart of
