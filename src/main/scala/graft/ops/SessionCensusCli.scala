@@ -23,6 +23,7 @@ import graft.analytics.StreamingAnalytics
   *       --window-sec 3600] \
   *     [--funnels <funnel-session parquet dir> \
   *       --funnel-steps view,click,purchase] \
+  *     [--growth <growth-event parquet dir>] \
   *     [--state-store rocksdb|hdfs|<provider class>]
   *
   * One streaming query per census, each with its own checkpoint
@@ -40,8 +41,10 @@ import graft.analytics.StreamingAnalytics
   * ripe prefix) and, when enabled, the abandonment census
   * ([[StreamingAnalytics.abandonmentRollup]], == batch q241) and the
   * funnel report ([[StreamingAnalytics.sessionFunnelRollup]], == batch
-  * q186) — plus a final summary line
-  * `{"closed_sessions": N, "verdicts": N, "funnel_sessions": N}`.
+  * q186) and the growth accounting
+  * ([[StreamingAnalytics.growthRollup]], == batch q219) — plus a final
+  * summary line `{"closed_sessions": N, "verdicts": N,
+  * "funnel_sessions": N, "growth_events": N}`.
   *
   * Scale shape: state per user is open-sessions + horizon-purged
   * stamps (never history); the rollups are vocabulary-bounded / 1-row
@@ -62,10 +65,11 @@ object SessionCensusCli {
       windowSec: Long = 3600L,
       funnels: Option[String] = None,
       funnelSteps: Seq[String] = Nil,
+      growth: Option[String] = None,
       stateStore: Option[String] = None)
 
   final case class Summary(closedSessions: Long, verdictCount: Long,
-      funnelSessions: Long = 0L)
+      funnelSessions: Long = 0L, growthEvents: Long = 0L)
 
   /** Envelope schema for the input JSON lines. */
   val inputSchema: StructType = StructType(Seq(
@@ -139,6 +143,16 @@ object SessionCensusCli {
         .trigger(Trigger.AvailableNow())
         .start()
     }
+    val growthQ = cfg.growth.map { dir =>
+      StreamingAnalytics.growthAccountingStream(source(), "user_id",
+          "ts", cfg.watermark)
+        .toDF()
+        .writeStream.queryName("growth-accounting")
+        .format("parquet").option("path", dir)
+        .option("checkpointLocation", s"${cfg.checkpoint}/growth")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     // a failed drain must not leak the OTHER queries onto the shared
     // session (embedded callers would inherit background writers, and
     // main() would never reach spark.stop()): stop every query this
@@ -147,8 +161,9 @@ object SessionCensusCli {
       sessions.awaitTermination()
       verdictQ.foreach(_.awaitTermination())
       funnelQ.foreach(_.awaitTermination())
+      growthQ.foreach(_.awaitTermination())
     } catch { case t: Throwable =>
-      (Seq(sessions) ++ verdictQ ++ funnelQ).foreach(q =>
+      (Seq(sessions) ++ verdictQ ++ funnelQ ++ growthQ).foreach(q =>
         try q.stop() catch { case _: Exception => () })
       throw t
     }
@@ -198,7 +213,18 @@ object SessionCensusCli {
         fsess.count()
       case _ => 0L
     }
-    Summary(nSessions, nVerdicts, nFunnels)
+    val nGrowth = cfg.growth match {
+      case Some(dir) if hasParquet(dir) =>
+        val g = spark.read.parquet(dir)
+        // calendar-bounded report — driver-safe to print
+        StreamingAnalytics.growthRollup(g).collect().foreach(r =>
+          println(s"""{"census": "growth", "day_num": ${r.getLong(0)}, """ +
+            s""""n_new": ${r.getLong(1)}, "n_retained": ${r.getLong(2)}, """ +
+            s""""n_resurrected": ${r.getLong(3)}, "n_churned": ${r.getLong(4)}}"""))
+        g.count()
+      case _ => 0L
+    }
+    Summary(nSessions, nVerdicts, nFunnels, nGrowth)
   }
 
   def parseArgs(args: Array[String]): Either[String, CensusConfig] = {
@@ -208,6 +234,7 @@ object SessionCensusCli {
     var fromType = "view"; var toType = "purchase"; var windowSec = 3600L
     var funnels: Option[String] = None
     var funnelSteps: Seq[String] = Nil
+    var growth: Option[String] = None
     var stateStore: Option[String] = None
     var i = 0
     try {
@@ -226,6 +253,7 @@ object SessionCensusCli {
           case "--funnel-steps" =>
             funnelSteps = args(i + 1).split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq; i += 2
+          case "--growth" => growth = Some(args(i + 1)); i += 2
           case "--state-store" => stateStore = Some(args(i + 1)); i += 2
           case other => return Left(s"unknown flag '$other'")
         }
@@ -247,7 +275,7 @@ object SessionCensusCli {
       Left("--funnel-steps requires --funnels (the output dir)")
     else Right(CensusConfig(input, sessions, checkpoint, gapSec, watermark,
       verdicts, fromType, toType, windowSec, funnels, funnelSteps,
-      stateStore))
+      growth, stateStore))
   }
 
   def main(args: Array[String]): Unit = {
@@ -273,7 +301,7 @@ object SessionCensusCli {
       .select("metric", "value").collect()
       .foreach(r => println(
         s"""{"metric": "${r.getString(0)}", "value": ${r.getDouble(1)}}"""))
-    println(s"""{"closed_sessions": ${summary.closedSessions}, "verdicts": ${summary.verdictCount}, "funnel_sessions": ${summary.funnelSessions}}""")
+    println(s"""{"closed_sessions": ${summary.closedSessions}, "verdicts": ${summary.verdictCount}, "funnel_sessions": ${summary.funnelSessions}, "growth_events": ${summary.growthEvents}}""")
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft.ops
 import java.nio.file.{Files, Paths}
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** The streaming event-census launcher end-to-end: JSON event files in,
   * closed-session + verdict parquet out, CROSS-RUN session chaining
@@ -32,7 +33,8 @@ class SessionCensusCliSpec extends SparkSpec {
       verdicts = Some(s"$base/verdicts"),
       fromType = "view", toType = "purchase", windowSec = 5L,
       funnels = Some(s"$base/funnels"),
-      funnelSteps = Seq("view", "purchase"))
+      funnelSteps = Seq("view", "purchase"),
+      growth = Some(s"$base/growth"))
 
     val B = 1000L * s
     // run 1: u1 view + view 4 s apart — an OPEN session (close point
@@ -46,10 +48,12 @@ class SessionCensusCliSpec extends SparkSpec {
 
     // run 2: a purchase at B+8 s CHAINS into the run-1 session (gap
     // 4 s ≤ 10 s — state restored from the checkpoint); the sentinel
-    // pushes the watermark far past the close point
+    // sits on epoch day 3 so the watermark passes every session close
+    // point AND completes u1's active day (the growth census ripens at
+    // DAY grain — a same-day sentinel would leave it empty)
     Files.writeString(Paths.get(s"$in/b1.json"), Seq(
       row(1L, 12L, B + 8 * s, "purchase"),
-      row(99L, 990L, B + 500 * s, "purchase")).mkString("\n"))
+      row(99L, 990L, 3L * 86400000000L, "purchase")).mkString("\n"))
     val s2 = SessionCensusCli.run(spark, cfg)
     assert(s2.closedSessions == 1L, s"one fused session closes: $s2")
 
@@ -87,6 +91,18 @@ class SessionCensusCliSpec extends SparkSpec {
         Seq("view", "purchase"))
       .as[(Int, String, Long)].collect().toSeq
     assert(funnelReport == Seq((1, "view", 1L), (2, "purchase", 1L)))
+
+    // the growth census: u1's single active day (all events share the
+    // sentinel-ripened epoch day) is "new"; its churn-out lands the day
+    // after — dropped by the day-spine (nobody active then); the
+    // sentinel user's day stays unripe (open watermark frontier)
+    val growthReport = graft.analytics.StreamingAnalytics.growthRollup(
+      spark.read.parquet(s"$base/growth")
+        .filter(col("user_id") =!= 99L))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(growthReport == Seq((B / 86400000000L, 1L, 0L, 0L, 0L)),
+      s"growth report: $growthReport")
+    assert(s2.growthEvents >= 1L)
 
     // run 3 with no new files: a pure no-op drain must not re-emit
     val s3 = SessionCensusCli.run(spark, cfg)
@@ -163,9 +179,9 @@ class SessionCensusCliSpec extends SparkSpec {
     val ok = parseArgs(req ++ Array("--gap-sec", "60", "--watermark",
       "5 minutes", "--verdicts", "v", "--from", "a", "--to", "b",
       "--window-sec", "120", "--funnels", "f", "--funnel-steps", "a,b",
-      "--state-store", "rocksdb"))
+      "--growth", "g", "--state-store", "rocksdb"))
     assert(ok == Right(SessionCensusCli.CensusConfig("a", "b", "c", 60L,
       "5 minutes", Some("v"), "a", "b", 120L, Some("f"), Seq("a", "b"),
-      Some("rocksdb"))))
+      Some("g"), Some("rocksdb"))))
   }
 }
