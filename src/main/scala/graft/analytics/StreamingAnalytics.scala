@@ -144,6 +144,25 @@ final case class LinearAttributionState(touchCounts: Map[String, Long],
 final case class LinearCredit(user_id: Long, conv_event_id: Long,
     touch_type: String, n_touches: Long, credit_micros: Long)
 
+/** The last ripe event of [[StreamingAnalytics.transitionsStream]]'s
+  * per-user state — the FROM side of the user's next transition. */
+final case class LastTyped(t: Long, id: Long, ty: String)
+
+/** [[StreamingAnalytics.transitionsStream]] state: the open left
+  * endpoint plus the not-yet-ripe buffer (the TWAP state shape with a
+  * type instead of a value). */
+final case class TransitionState(last: Option[LastTyped],
+    pending: List[PendingEvent])
+
+/** One user-journey transition edge — emitted exactly once, when its
+  * right endpoint (the `to` event) ripens below the watermark: at that
+  * instant nothing can still land between the two endpoints, so the
+  * adjacency is final. Counting these by (from_type, to_type)
+  * reproduces [[Analytics.eventTransitions]] (q137) on the same ripe
+  * prefix — the live-updating first-order Markov edge stream. */
+final case class TransitionEdge(user_id: Long, from_type: String,
+    to_type: String, to_us: Long, to_event_id: Long)
+
 /** The last ripe sample of [[StreamingAnalytics.twapStream]]'s per-user
   * state — the open interval's left endpoint. */
 final case class LastSample(t: Long, id: Long, vmic: Long)
@@ -963,6 +982,72 @@ object StreamingAnalytics {
     * State per user: ONE (t, id, value-micros) sample plus the
     * sub-watermark buffer; event-time timeout at the earliest buffered
     * time closes intervals even when the user goes silent. */
+  /** Streaming journey transitions — the incremental counterpart of
+    * [[Analytics.eventTransitions]] (q137): each consecutive
+    * (from_type, to_type) pair of a user's (t, id)-ordered journey is
+    * emitted as one edge, append-mode, EXACTLY ONCE, when the TO event
+    * ripens below the watermark — nothing can still land between the
+    * endpoints then, so the adjacency is final (the [[twapStream]]
+    * interval argument with a type in place of a value). Grouping the
+    * edges by (from_type, to_type) and counting reproduces the batch
+    * transition matrix on the same ripe prefix — see
+    * [[transitionsRollup]] — while the raw edges keep per-user,
+    * per-time provenance the batch rollup cannot give.
+    *
+    * State per user: ONE (t, id, type) carry plus the sub-watermark
+    * buffer; event-time timeout at the earliest buffered time closes
+    * edges even when the user goes silent. */
+  def transitionsStream(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      watermark: String = "10 minutes"): Dataset[TransitionEdge] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"),
+        col(typeCol).cast("string").as("ty"))
+      .as[(Long, java.time.Instant, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[TransitionState, TransitionEdge](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, rows: Iterator[(Long, java.time.Instant, Long, String)],
+         state: GroupState[TransitionState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.getOrElse(TransitionState(None, Nil))
+          val incoming = rows.map { r =>
+            val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
+            PendingEvent(t, r._3, r._4, 0.0)
+          }.toList
+          val (ripe, hold) = (prior.pending ++ incoming)
+            .partition(_.t < wmUs)
+          var last = prior.last
+          val out = scala.collection.mutable.ListBuffer.empty[TransitionEdge]
+          ripe.sortBy(e => (e.t, e.id)).foreach { e =>
+            last.foreach(l =>
+              out += TransitionEdge(u, l.ty, e.ty, e.t, e.id))
+            last = Some(LastTyped(e.t, e.id, e.ty))
+          }
+          state.update(TransitionState(last, hold))
+          if (hold.nonEmpty) {
+            val fire = hold.map(_.t).min / 1000L + 2L
+            state.setTimeoutTimestamp(
+              math.max(fire, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
+  /** The q137 fold over [[transitionsStream]]'s edges: EXACTLY
+    * [[Analytics.eventTransitions]]'s matrix —
+    * `(from_type, to_type, n_transitions)` — so streaming and batch
+    * matrices are directly comparable on any ripe prefix. Types²-
+    * bounded hash agg with map-side partials. */
+  def transitionsRollup(edges: DataFrame): DataFrame =
+    edges.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
+
   def twapStream(events: DataFrame, userCol: String, valueCol: String,
       tsCol: String, idCol: String,
       watermark: String = "10 minutes"): Dataset[TwapInterval] = {
