@@ -68,6 +68,25 @@ final case class StepStamp(t: Long, idx: Long)
 final case class OpenSessionSteps(start: Long, end: Long, n: Long,
     stamps: List[StepStamp])
 
+/** One (t, id, type) event stamp of
+  * [[StreamingAnalytics.sessionPathsStream]]'s per-session state — the
+  * path render is order-sensitive, so every event buffers until the
+  * session closes (the batch operator's own per-session collect_list
+  * bound). */
+final case class PathStamp(t: Long, id: Long, ty: String)
+
+/** One in-flight gap session of
+  * [[StreamingAnalytics.sessionPathsStream]]'s per-key state. */
+final case class OpenSessionPath(start: Long, end: Long, n: Long,
+    stamps: List[PathStamp])
+
+/** A closed gap session with its ordered `>`-joined type path —
+  * emitted once, at watermark ripening.
+  * [[StreamingAnalytics.sessionPathsRollup]] over these reproduces
+  * [[Analytics.sessionPaths]] (q197) on the same ripe events. */
+final case class ClosedSessionPath(user_id: Long, session_start_us: Long,
+    session_end_us: Long, n_events: Long, path: String)
+
 /** A closed gap session with its funnel result — the furthest step
   * reached by the greedy earliest-advance fold over the session's
   * (t, idx)-ordered step events (0 = reached none). Rolling these up
@@ -592,6 +611,67 @@ object StreamingAnalytics {
         element_at(stepsArr, col("step").cast("int")).as("step_name"),
         coalesce(col("__n"), lit(0L)).as("sessions"))
       .orderBy("step")
+  }
+
+  /** Streaming session paths — the incremental counterpart of
+    * [[Analytics.sessionPaths]] (q197): each closed gap session
+    * carries its full ordered `>`-joined type path (the batch
+    * operator's (t, id, type)-struct sort exactly), emitted
+    * append-mode, exactly once, at watermark ripening. The top-paths
+    * census derives downstream — see [[sessionPathsRollup]].
+    *
+    * State per open session: every event's (t, id, type) stamp — the
+    * path render is order-sensitive and an in-watermark straggler can
+    * INSERT into the middle, so nothing can be folded early. That is
+    * the batch operator's own per-session collect_list bound (a
+    * session's event count), not history: closed sessions leave the
+    * store the micro-batch they emit. */
+  def sessionPathsStream(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, gapUs: Long,
+      watermark: String = "10 minutes"): Dataset[ClosedSessionPath] = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("u"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"),
+        col(typeCol).cast("string").as("ty"))
+      .as[(Long, java.time.Instant, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[OpenSessionPath], ClosedSessionPath](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, rows: Iterator[(Long, java.time.Instant, Long, String)],
+         state: GroupState[List[OpenSessionPath]]) =>
+          val incoming = rows.map { r =>
+            val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
+            OpenSessionPath(t, t, 1L, List(PathStamp(t, r._3, r._4)))
+          }.toList
+          // the shared fold; stamps concatenate (sorted once, at close)
+          ripenGapSessions(state.getOption.getOrElse(Nil), incoming,
+            gapUs, state)(_.start, _.end, (h, s) =>
+            OpenSessionPath(h.start, math.max(h.end, s.end), h.n + s.n,
+              h.stamps ++ s.stamps))
+            .iterator.map { s =>
+              // the batch render exactly: (t, id, ty)-ascending struct
+              // sort, types joined with ">"
+              val path = s.stamps.sortBy(e => (e.t, e.id, e.ty))
+                .map(_.ty).mkString(">")
+              ClosedSessionPath(u, s.start, s.end, s.n, path)
+            }
+      }
+  }
+
+  /** The q197 fold over [[sessionPathsStream]]'s closed sessions:
+    * EXACTLY [[Analytics.sessionPaths]]'s top-k census —
+    * `(path, n_sessions)`, count-desc then path — so streaming and
+    * batch path reports are directly comparable on any ripe prefix. */
+  def sessionPathsRollup(closedSessions: DataFrame,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    closedSessions.groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
   }
 
   /** Streaming abandonment verdicts — the incremental counterpart of
