@@ -24,6 +24,8 @@ import graft.analytics.StreamingAnalytics
   *     [--funnels <funnel-session parquet dir> \
   *       --funnel-steps view,click,purchase] \
   *     [--growth <growth-event parquet dir>] \
+  *     [--paths <session-path parquet dir>] \
+  *     [--transitions <transition-edge parquet dir>] \
   *     [--state-store rocksdb|hdfs|<provider class>]
   *
   * One streaming query per census, each with its own checkpoint
@@ -39,12 +41,14 @@ import graft.analytics.StreamingAnalytics
   * ACCUMULATED output tables as JSON lines — the bounce census
   * ([[StreamingAnalytics.sessionBounceRollup]], == batch q236 on the
   * ripe prefix) and, when enabled, the abandonment census
-  * ([[StreamingAnalytics.abandonmentRollup]], == batch q241) and the
+  * ([[StreamingAnalytics.abandonmentRollup]], == batch q241), the
   * funnel report ([[StreamingAnalytics.sessionFunnelRollup]], == batch
-  * q186) and the growth accounting
-  * ([[StreamingAnalytics.growthRollup]], == batch q219) — plus a final
-  * summary line `{"closed_sessions": N, "verdicts": N,
-  * "funnel_sessions": N, "growth_events": N}`.
+  * q186), the growth accounting
+  * ([[StreamingAnalytics.growthRollup]], == batch q219), the top
+  * session paths ([[StreamingAnalytics.sessionPathsRollup]], == batch
+  * q197), and the transition matrix
+  * ([[StreamingAnalytics.transitionsRollup]], == batch q137) — plus a
+  * final summary line with every census's row count.
   *
   * Scale shape: state per user is open-sessions + horizon-purged
   * stamps (never history); the rollups are vocabulary-bounded / 1-row
@@ -66,10 +70,13 @@ object SessionCensusCli {
       funnels: Option[String] = None,
       funnelSteps: Seq[String] = Nil,
       growth: Option[String] = None,
+      paths: Option[String] = None,
+      transitions: Option[String] = None,
       stateStore: Option[String] = None)
 
   final case class Summary(closedSessions: Long, verdictCount: Long,
-      funnelSessions: Long = 0L, growthEvents: Long = 0L)
+      funnelSessions: Long = 0L, growthEvents: Long = 0L,
+      pathSessions: Long = 0L, transitionEdges: Long = 0L)
 
   /** Envelope schema for the input JSON lines. */
   val inputSchema: StructType = StructType(Seq(
@@ -153,6 +160,26 @@ object SessionCensusCli {
         .trigger(Trigger.AvailableNow())
         .start()
     }
+    val pathsQ = cfg.paths.map { dir =>
+      StreamingAnalytics.sessionPathsStream(source(), "user_id",
+          "event_type", "ts", "event_id", gapUs, cfg.watermark)
+        .toDF()
+        .writeStream.queryName("session-paths")
+        .format("parquet").option("path", dir)
+        .option("checkpointLocation", s"${cfg.checkpoint}/paths")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    val transQ = cfg.transitions.map { dir =>
+      StreamingAnalytics.transitionsStream(source(), "user_id",
+          "event_type", "ts", "event_id", cfg.watermark)
+        .toDF()
+        .writeStream.queryName("journey-transitions")
+        .format("parquet").option("path", dir)
+        .option("checkpointLocation", s"${cfg.checkpoint}/transitions")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     // a failed drain must not leak the OTHER queries onto the shared
     // session (embedded callers would inherit background writers, and
     // main() would never reach spark.stop()): stop every query this
@@ -162,8 +189,11 @@ object SessionCensusCli {
       verdictQ.foreach(_.awaitTermination())
       funnelQ.foreach(_.awaitTermination())
       growthQ.foreach(_.awaitTermination())
+      pathsQ.foreach(_.awaitTermination())
+      transQ.foreach(_.awaitTermination())
     } catch { case t: Throwable =>
-      (Seq(sessions) ++ verdictQ ++ funnelQ ++ growthQ).foreach(q =>
+      (Seq(sessions) ++ verdictQ ++ funnelQ ++ growthQ ++ pathsQ ++
+        transQ).foreach(q =>
         try q.stop() catch { case _: Exception => () })
       throw t
     }
@@ -224,7 +254,27 @@ object SessionCensusCli {
         g.count()
       case _ => 0L
     }
-    Summary(nSessions, nVerdicts, nFunnels, nGrowth)
+    val nPaths = cfg.paths match {
+      case Some(dir) if hasParquet(dir) =>
+        val pth = spark.read.parquet(dir)
+        // top-20 census — k-bounded, driver-safe to print
+        StreamingAnalytics.sessionPathsRollup(pth).collect().foreach(r =>
+          println(s"""{"census": "paths", "path": ${jstr(r.getString(0))}, """ +
+            s""""n_sessions": ${r.getLong(1)}}"""))
+        pth.count()
+      case _ => 0L
+    }
+    val nTrans = cfg.transitions match {
+      case Some(dir) if hasParquet(dir) =>
+        val tr = spark.read.parquet(dir)
+        // types²-bounded matrix — driver-safe to print
+        StreamingAnalytics.transitionsRollup(tr).collect().foreach(r =>
+          println(s"""{"census": "transitions", "from_type": ${jstr(r.getString(0))}, """ +
+            s""""to_type": ${jstr(r.getString(1))}, "n_transitions": ${r.getLong(2)}}"""))
+        tr.count()
+      case _ => 0L
+    }
+    Summary(nSessions, nVerdicts, nFunnels, nGrowth, nPaths, nTrans)
   }
 
   def parseArgs(args: Array[String]): Either[String, CensusConfig] = {
@@ -235,6 +285,8 @@ object SessionCensusCli {
     var funnels: Option[String] = None
     var funnelSteps: Seq[String] = Nil
     var growth: Option[String] = None
+    var paths: Option[String] = None
+    var transitions: Option[String] = None
     var stateStore: Option[String] = None
     var i = 0
     try {
@@ -254,6 +306,8 @@ object SessionCensusCli {
             funnelSteps = args(i + 1).split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq; i += 2
           case "--growth" => growth = Some(args(i + 1)); i += 2
+          case "--paths" => paths = Some(args(i + 1)); i += 2
+          case "--transitions" => transitions = Some(args(i + 1)); i += 2
           case "--state-store" => stateStore = Some(args(i + 1)); i += 2
           case other => return Left(s"unknown flag '$other'")
         }
@@ -275,7 +329,7 @@ object SessionCensusCli {
       Left("--funnel-steps requires --funnels (the output dir)")
     else Right(CensusConfig(input, sessions, checkpoint, gapSec, watermark,
       verdicts, fromType, toType, windowSec, funnels, funnelSteps,
-      growth, stateStore))
+      growth, paths, transitions, stateStore))
   }
 
   def main(args: Array[String]): Unit = {
@@ -301,7 +355,7 @@ object SessionCensusCli {
       .select("metric", "value").collect()
       .foreach(r => println(
         s"""{"metric": "${r.getString(0)}", "value": ${r.getDouble(1)}}"""))
-    println(s"""{"closed_sessions": ${summary.closedSessions}, "verdicts": ${summary.verdictCount}, "funnel_sessions": ${summary.funnelSessions}, "growth_events": ${summary.growthEvents}}""")
+    println(s"""{"closed_sessions": ${summary.closedSessions}, "verdicts": ${summary.verdictCount}, "funnel_sessions": ${summary.funnelSessions}, "growth_events": ${summary.growthEvents}, "path_sessions": ${summary.pathSessions}, "transition_edges": ${summary.transitionEdges}}""")
     spark.stop()
   }
 }

@@ -34,7 +34,9 @@ class SessionCensusCliSpec extends SparkSpec {
       fromType = "view", toType = "purchase", windowSec = 5L,
       funnels = Some(s"$base/funnels"),
       funnelSteps = Seq("view", "purchase"),
-      growth = Some(s"$base/growth"))
+      growth = Some(s"$base/growth"),
+      paths = Some(s"$base/paths"),
+      transitions = Some(s"$base/transitions"))
 
     val B = 1000L * s
     // run 1: u1 view + view 4 s apart — an OPEN session (close point
@@ -103,6 +105,21 @@ class SessionCensusCliSpec extends SparkSpec {
     assert(growthReport == Seq((B / 86400000000L, 1L, 0L, 0L, 0L)),
       s"growth report: $growthReport")
     assert(s2.growthEvents >= 1L)
+
+    // the paths census: the fused session renders its full journey
+    val pathsTop = graft.analytics.StreamingAnalytics.sessionPathsRollup(
+      spark.read.parquet(s"$base/paths"))
+      .as[(String, Long)].collect().toSeq
+    assert(pathsTop == Seq(("view>view>purchase", 1L)), s"$pathsTop")
+    assert(s2.pathSessions == 1L)
+    // the transition matrix: two edges from the three-event journey
+    val trans = graft.analytics.StreamingAnalytics.transitionsRollup(
+      spark.read.parquet(s"$base/transitions")
+        .filter(col("user_id") =!= 99L))
+      .as[(String, String, Long)].collect().toSeq
+    assert(trans == Seq(("view", "purchase", 1L), ("view", "view", 1L)),
+      s"$trans")
+    assert(s2.transitionEdges >= 2L)
 
     // run 3 with no new files: a pure no-op drain must not re-emit
     val s3 = SessionCensusCli.run(spark, cfg)
@@ -179,9 +196,10 @@ class SessionCensusCliSpec extends SparkSpec {
     val ok = parseArgs(req ++ Array("--gap-sec", "60", "--watermark",
       "5 minutes", "--verdicts", "v", "--from", "a", "--to", "b",
       "--window-sec", "120", "--funnels", "f", "--funnel-steps", "a,b",
-      "--growth", "g", "--state-store", "rocksdb"))
+      "--growth", "g", "--paths", "p", "--transitions", "t",
+      "--state-store", "rocksdb"))
     assert(ok == Right(SessionCensusCli.CensusConfig("a", "b", "c", 60L,
       "5 minutes", Some("v"), "a", "b", 120L, Some("f"), Seq("a", "b"),
-      Some("g"), Some("rocksdb"))))
+      Some("g"), Some("p"), Some("t"), Some("rocksdb"))))
   }
 }
