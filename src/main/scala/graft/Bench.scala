@@ -358,8 +358,9 @@ object Bench {
         .otherwise(lit(cdc.ChangeEvent.Update)).as("operation"),
       unix_micros(col("ts").cast("timestamp")).as("commit_timestamp"),
       col("user_id"), col("event_id"), col("value"), col("props")))
-    ev.select(when(col("event_id") % 9973 === 0, lit("{truncated envelope"))
-        .otherwise(json).as("value"))
+    val envelope = when(col("event_id") % 9973 === 0,
+      lit("{truncated envelope")).otherwise(json).as("value")
+    ev.select(envelope)
       .repartition(8)
       .write.mode("overwrite").text(inDir)
     val n = ev.count()
@@ -376,6 +377,27 @@ object Bench {
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
     } catch { case _: Exception => () }
+    // UNTIMED warm-up drain: a fresh JVM's first run otherwise pays
+    // the one-time JIT + codegen-compile + state/provider class-load
+    // bill inside the priced window (round 16: run 1 at 11.9k eps vs
+    // ~49k for runs 2-3, cdc_slow_note blaming addBatch). A ~2%-volume
+    // corpus through the SAME pipeline (json parse, DLQ split, SMT,
+    // latest-per-key, bucketed merge, checkpoint fsync) compiles every
+    // hot path once, so each timed run is a protocol run.
+    locally {
+      val warmDir = newTempDir("graft-cdcwarm")
+      ev.select(envelope).limit(5000).repartition(2)
+        .write.mode("overwrite").text(s"$warmDir/in")
+      val pipeline = new cdc.CdcPipeline(spark, s"$warmDir/wh",
+        s"$warmDir/ck", keysByTable = tables.map(_ -> Seq("user_id")).toMap,
+        watermarkDelay = "3650 days", warehouseBuckets = 8)
+      val raw = pipeline.readJsonStream(s"$warmDir/in", maxFilesPerTrigger = 2)
+      try {
+        pipeline.start(raw, envSchema).awaitTermination()
+        spark.streams.active.foreach(_.awaitTermination())
+      } catch { case _: Exception => () } // warm-up is best-effort
+      rmTree(warmDir)
+    }
     val runsTele = Vector.fill(cdcRuns) {
       val runDir = newTempDir("graft-cdcrun")
       val bt = new BatchTimes
@@ -876,7 +898,7 @@ object Bench {
       .map(r => s""""cdc_replicate_runs":$r,""").getOrElse("")
     val cdcNoteField = lastCdcNote
       .map(s => s""""cdc_slow_note":"$s",""").getOrElse("")
-    val scalars = s""""metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","runs":$runs,"tail_runs":${math.min(runs, tailRuns)},"n_flagship":$nFlagship,$onlyField$failedField"events_per_sec":$eventsPerSec,"cdc_replicate_events_per_sec":${cdcEps.hi.toLong},"cdc_replicate_eps_med":${cdcEps.med.toLong},$cdcRunsField$cdcNoteField"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel.lo)},"curate_funnel_med":${r3(funnel.med)},"curate_funnel_full_sec":${r3(funnelFull.lo)},"curate_funnel_full_med":${r3(funnelFull.med)},$phaseBusy${hostBusyJson("host_busy", jiffies0, cpuJiffies())}"sf":"$sfDir""""
+    val scalars = s""""metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","flagship_runs":$runs,"tail_runs":${math.min(runs, tailRuns)},"n_flagship":$nFlagship,$onlyField$failedField"events_per_sec":$eventsPerSec,"cdc_replicate_events_per_sec":${cdcEps.hi.toLong},"cdc_replicate_eps_med":${cdcEps.med.toLong},$cdcRunsField$cdcNoteField"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel.lo)},"curate_funnel_med":${r3(funnel.med)},"curate_funnel_full_sec":${r3(funnelFull.lo)},"curate_funnel_full_med":${r3(funnelFull.med)},$phaseBusy${hostBusyJson("host_busy", jiffies0, cpuJiffies())}"sf":"$sfDir""""
     val sheetField = lastSheet.map(s => s""","funnel_datasheet":$s""").getOrElse("")
     lastSheet.foreach(s =>
       println(s"""{"metric":"datasheet","name":"curate_funnel_full","sheet":$s}"""))

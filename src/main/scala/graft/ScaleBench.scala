@@ -375,7 +375,9 @@ object ScaleBench {
           "q217_quantile_census", "q228_corr_census",
           "q230_psi_census", "q245_overlap_census",
           "q245_workload_pairs", "census_stream_wall",
-          "census_stream_workload", "abandon_stream_wall").exists(wanted)) {
+          "census_stream_workload", "abandon_stream_wall",
+          "paths_stream_wall", "funnel_stream_wall",
+          "growth_stream_wall", "transitions_stream_wall").exists(wanted)) {
       val f = math.min(factor, 16)
       val ev0 = Tables.events(spark, baseDir)
       val maxId = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
@@ -452,7 +454,9 @@ object ScaleBench {
       // count sit outside/inside the timed window exactly as the cdc
       // bench prices its loop.
       if (Seq("census_stream_wall", "census_stream_workload",
-          "abandon_stream_wall").exists(wanted)) {
+          "abandon_stream_wall", "paths_stream_wall",
+          "funnel_stream_wall", "growth_stream_wall",
+          "transitions_stream_wall").exists(wanted)) {
         def rmTree(p: java.nio.file.Path): Unit = try {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
@@ -466,7 +470,9 @@ object ScaleBench {
         // must not pay the replicated JSON write it never reads (the
         // same isolation rule as the gated lineitem checkpoint)
         val needCorpus =
-          Seq("census_stream_wall", "abandon_stream_wall").exists(wanted)
+          Seq("census_stream_wall", "abandon_stream_wall",
+            "paths_stream_wall", "funnel_stream_wall",
+            "growth_stream_wall", "transitions_stream_wall").exists(wanted)
         if (needCorpus) {
         // CHRONOLOGICAL arrival (range-partitioned by ts; the file
         // source lists parts in path order): a randomly-shuffled write
@@ -538,6 +544,79 @@ object ScaleBench {
           val n = spark.read.parquet(s"$runDir/out").count()
           rmTree(runDir)
           n
+        }
+        // the ROUND-16 CENSUS FAMILY at scale (round-17 decade rows):
+        // paths/funnel (stamp-buffered, maxStamps-capped), growth and
+        // transitions (durable per-user carries) — each driven through
+        // the SAME chronological corpus under the RocksDB state store
+        // (the CLI's at-scale provider), with the per-batch state-store
+        // telemetry recorded alongside the wall: `*_state_rows` is the
+        // MAX keys-in-state across micro-batches (must track user
+        // cardinality — invariant across factors for this corpus, whose
+        // replicas share each user's timeline), `*_state_bytes` the max
+        // provider-reported memory. Walls must track event volume;
+        // state must not.
+        locally {
+          val providerConf = "spark.sql.streaming.stateStore.providerClass"
+          val prevProvider = spark.conf.getOption(providerConf)
+          val steps = Seq("view", "click", "purchase")
+          val gapUs = 1800L * 1000000L
+          def streamProbe(name: String)(
+              mk: DataFrame => DataFrame): Unit = if (wanted(name)) {
+            spark.conf.set(providerConf,
+              ops.StateStores.providerClass("rocksdb"))
+            try {
+              var stateRows = 0L
+              var stateBytes = 0L
+              bench(name) {
+                val runDir =
+                  java.nio.file.Files.createTempDirectory("graft-streamrun")
+                val src = spark.readStream
+                  .schema(ops.SessionCensusCli.inputSchema)
+                  .option("maxFilesPerTrigger", 2).json(inDir)
+                val q = mk(src).writeStream.format("parquet")
+                  .option("path", s"$runDir/out")
+                  .option("checkpointLocation", s"$runDir/ck")
+                  .trigger(
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                  .start()
+                q.awaitTermination()
+                val sos = q.recentProgress.toSeq
+                  .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+                if (sos.nonEmpty) {
+                  stateRows = sos.map(_.numRowsTotal).max
+                  stateBytes = sos.map(_.memoryUsedBytes).max
+                }
+                val n = spark.read.parquet(s"$runDir/out").count()
+                rmTree(runDir)
+                n
+              }
+              Seq(s"${name.stripSuffix("_wall")}_state_rows" -> stateRows,
+                s"${name.stripSuffix("_wall")}_state_bytes" -> stateBytes)
+                .foreach { case (k, v) =>
+                  results += ((k, 0.0, v))
+                  println(s"""{"scale_query":"$k","sec":0.0,"rows":$v}""")
+                }
+            } finally prevProvider match {
+              case Some(v) => spark.conf.set(providerConf, v)
+              case None => spark.conf.unset(providerConf)
+            }
+          }
+          streamProbe("paths_stream_wall")(src =>
+            graft.analytics.StreamingAnalytics.sessionPathsStream(src,
+              "user_id", "event_type", "ts", "event_id", gapUs,
+              watermark = "60 seconds").toDF())
+          streamProbe("funnel_stream_wall")(src =>
+            graft.analytics.StreamingAnalytics.sessionFunnelStream(src,
+              "user_id", "event_type", "ts", steps, gapUs,
+              watermark = "60 seconds").toDF())
+          streamProbe("growth_stream_wall")(src =>
+            graft.analytics.StreamingAnalytics.growthAccountingStream(src,
+              "user_id", "ts", watermark = "60 seconds").toDF())
+          streamProbe("transitions_stream_wall")(src =>
+            graft.analytics.StreamingAnalytics.transitionsStream(src,
+              "user_id", "event_type", "ts", "event_id",
+              watermark = "60 seconds").toDF())
         }
         rmTree(streamBase)
       }

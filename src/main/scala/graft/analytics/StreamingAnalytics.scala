@@ -63,10 +63,12 @@ final case class StepStamp(t: Long, idx: Long)
   * [[StreamingAnalytics.sessionFunnelStream]]'s per-key state — the
   * session bounds over ALL events plus the STEP events' stamps (the
   * greedy fold is order-sensitive, so stamps buffer until the session
-  * closes; state is bounded by the session's step-event volume — the
-  * same bound the batch operator's sorted array carries). */
+  * closes; state is bounded by min(session's step-event volume,
+  * `maxStamps`) — `trunc` records that the cap dropped stamps, making
+  * the close-time fold a prefix fold (see [[StreamingAnalytics
+  * .sessionFunnelStream]] for why the prefix is deterministic). */
 final case class OpenSessionSteps(start: Long, end: Long, n: Long,
-    stamps: List[StepStamp])
+    stamps: List[StepStamp], trunc: Boolean = false)
 
 /** One (t, id, type) event stamp of
   * [[StreamingAnalytics.sessionPathsStream]]'s per-session state — the
@@ -76,9 +78,12 @@ final case class OpenSessionSteps(start: Long, end: Long, n: Long,
 final case class PathStamp(t: Long, id: Long, ty: String)
 
 /** One in-flight gap session of
-  * [[StreamingAnalytics.sessionPathsStream]]'s per-key state. */
+  * [[StreamingAnalytics.sessionPathsStream]]'s per-key state. Stamps
+  * hold at most the stream's `maxStamps` (t, id, ty)-least events;
+  * `trunc` records that the cap dropped stamps, and the rendered path
+  * then carries an explicit `>…` truncation marker. */
 final case class OpenSessionPath(start: Long, end: Long, n: Long,
-    stamps: List[PathStamp])
+    stamps: List[PathStamp], trunc: Boolean = false)
 
 /** A closed gap session with its ordered `>`-joined type path —
   * emitted once, at watermark ripening.
@@ -210,6 +215,24 @@ final case class TwapInterval(user_id: Long, start_us: Long,
   */
 object StreamingAnalytics {
 
+  /** Fail-loud ceiling on one key's OPEN-session list in the shared
+    * gap-session fold — a corrupt-event-time tripwire, not a tuning
+    * knob (see the [[ripenGapSessions]] scaladoc). 10 000 concurrent
+    * open sessions on a single user inside one lateness window cannot
+    * come from a healthy stream. */
+  val MaxOpenSessions: Int = 10000
+
+  /** Default per-open-session stamp-buffer cap for the two census
+    * operators that must buffer events until a session closes
+    * ([[sessionPathsStream]], [[sessionFunnelStream]]). At ~40 bytes a
+    * stamp this bounds one pathological key (a bot that never gaps, a
+    * sub-gap heartbeat) to ~4 MB of state instead of unbounded growth;
+    * real sessions sit orders of magnitude below it. Truncation keeps
+    * the (t, …)-least stamps — the deterministic fold-order PREFIX of
+    * the session — and is surfaced explicitly (paths append a `>…`
+    * marker; the funnel fold becomes a documented prefix fold). */
+  val DefaultMaxStamps: Int = 100000
+
   /** Tumbling-window order/event rollup over a streaming frame. */
   def windowedRollup(stream: DataFrame, tsCol: String, keyCol: String,
       valueCol: String, windowLength: String = "1 day",
@@ -258,7 +281,17 @@ object StreamingAnalytics {
     * (ms-ceiling'd past the µs bound, clamped above the current
     * watermark — Spark rejects a timeout at-or-before it). Returns the
     * CLOSED sessions; the caller only supplies how to read bounds and
-    * how to combine two chained fragments. */
+    * how to combine two chained fragments.
+    *
+    * State-bound tripwire: a key's open list is normally bounded by
+    * its concurrent open sessions inside the lateness window, but an
+    * event stream with far-future timestamps (a corrupt clock, a µs/ms
+    * unit bug upstream) can open sessions the watermark will not close
+    * for hours — each one a permanent state-store resident. When the
+    * open list exceeds [[StreamingAnalytics.MaxOpenSessions]] the fold
+    * FAILS LOUD rather than letting state grow silently until an
+    * executor OOMs: the fix is always upstream (the event-time
+    * column), never a bigger cap. */
   private def ripenGapSessions[S](prior: List[S], incoming: List[S],
       gapUs: Long, state: GroupState[List[S]])(
       start: S => Long, end: S => Long,
@@ -272,6 +305,13 @@ object StreamingAnalytics {
         }
       }.reverse
     val (closed, open) = merged.partition(x => end(x) + gapUs < wmUs)
+    if (open.size > MaxOpenSessions) throw new IllegalStateException(
+      s"ripenGapSessions: ${open.size} open sessions on one key exceed " +
+        s"MaxOpenSessions=$MaxOpenSessions (watermark ${wmUs}us). This " +
+        "means event timestamps run far ahead of the watermark — a " +
+        "corrupt clock or a seconds/millis/micros unit bug upstream — " +
+        "and the state store would grow without bound. Fix the " +
+        "event-time column; do not raise the cap.")
     if (open.isEmpty) state.remove()
     else {
       state.update(open)
@@ -384,12 +424,16 @@ object StreamingAnalytics {
             OpenSessionEntry(t, t, 1L, t, r._3, r._4)
           }.toList
           // the shared fold, with the entry carried as the
-          // (t, id)-least member of the merged span
+          // (t, id, ty)-least member of the merged span — the type as
+          // third tie-break mirrors the batch min(struct(__t, __id,
+          // __ty)) exactly, so even degenerate duplicate input (two
+          // events sharing timestamp AND id) picks the same entry type
           ripenGapSessions(state.getOption.getOrElse(Nil), incoming,
             gapUs, state)(_.start, _.end, (h, s) => {
               val entryLeast =
                 if (s.entryT < h.entryT ||
-                  (s.entryT == h.entryT && s.entryId < h.entryId)) s
+                  (s.entryT == h.entryT && (s.entryId < h.entryId ||
+                    (s.entryId == h.entryId && s.entryTy < h.entryTy)))) s
                 else h
               OpenSessionEntry(h.start, math.max(h.end, s.end),
                 h.n + s.n, entryLeast.entryT, entryLeast.entryId,
@@ -540,16 +584,31 @@ object StreamingAnalytics {
     * steps), while the step events BUFFER as (t, idx) stamps until the
     * session closes, because the greedy fold is order-sensitive and an
     * in-watermark straggler can change the outcome. State per open
-    * session is its step-event volume — the bound the batch operator's
-    * per-session sorted array carries — not total event volume.
+    * session is min(step-event volume, `maxStamps`) — the batch
+    * operator's per-session sorted-array bound, CAPPED so one
+    * pathological never-gapping key cannot grow its state-store entry
+    * without bound.
+    *
+    * Truncation semantics at the cap: the (t, idx)-LEAST `maxStamps`
+    * stamps are kept. Smallest-k is a mergeable summary
+    * (smallest-k(A ∪ B) = smallest-k(smallest-k(A) ∪ smallest-k(B))),
+    * so whatever order fragments merge in, the kept set is exactly the
+    * first `maxStamps` step events in the fold's own processing order
+    * — and the close-time greedy fold becomes a PREFIX fold: its
+    * result is the fold's true state after those events, a lower bound
+    * on the untruncated `max_step`. A session with 100k+ step events
+    * is bot traffic, not a funnel candidate; the default cap keeps it
+    * from OOMing an executor while leaving every real session exact.
     *
     * No id column: the batch fold orders by (t, step-index) only (ties
     * at one timestamp process lower indices first), and gap boundaries
     * depend on timestamps alone. */
   def sessionFunnelStream(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, steps: Seq[String], gapUs: Long,
-      watermark: String = "10 minutes"): Dataset[ClosedSessionFunnel] = {
+      watermark: String = "10 minutes",
+      maxStamps: Int = DefaultMaxStamps): Dataset[ClosedSessionFunnel] = {
     require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    require(maxStamps >= 1, s"maxStamps must be >= 1, got $maxStamps")
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"steps must be non-empty and distinct, got $steps")
     val stepIdx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
@@ -570,12 +629,20 @@ object StreamingAnalytics {
             OpenSessionSteps(t, t, 1L,
               stepIdx.get(r._3).map(StepStamp(t, _)).toList)
           }.toList
-          // the shared fold over ALL events; stamps concatenate (the
-          // funnel fold sorts them once, at close)
+          // the shared fold over ALL events; stamps concatenate, then
+          // the cap keeps the (t, idx)-least maxStamps (merge-stable:
+          // the deterministic fold-order prefix)
           ripenGapSessions(state.getOption.getOrElse(Nil), incoming,
-            gapUs, state)(_.start, _.end, (h, s) =>
+            gapUs, state)(_.start, _.end, (h, s) => {
+            val all = h.stamps ++ s.stamps
+            val kept =
+              if (all.size > maxStamps)
+                all.sortBy(e => (e.t, e.idx)).take(maxStamps)
+              else all
             OpenSessionSteps(h.start, math.max(h.end, s.end),
-              h.n + s.n, h.stamps ++ s.stamps))
+              h.n + s.n, kept,
+              h.trunc || s.trunc || kept.size < all.size)
+          })
             .iterator.map { s =>
             // the batch funnelFold exactly: (t, idx)-ascending, advance
             // on the NEXT index at a strictly later time
@@ -620,16 +687,30 @@ object StreamingAnalytics {
     * append-mode, exactly once, at watermark ripening. The top-paths
     * census derives downstream — see [[sessionPathsRollup]].
     *
-    * State per open session: every event's (t, id, type) stamp — the
-    * path render is order-sensitive and an in-watermark straggler can
-    * INSERT into the middle, so nothing can be folded early. That is
-    * the batch operator's own per-session collect_list bound (a
-    * session's event count), not history: closed sessions leave the
-    * store the micro-batch they emit. */
+    * State per open session: every event's (t, id, type) stamp UP TO
+    * `maxStamps` — the path render is order-sensitive and an
+    * in-watermark straggler can INSERT into the middle, so nothing can
+    * be folded early; the batch operator's own per-session
+    * collect_list bound (a session's event count) applies, but CAPPED:
+    * a key that never gaps (bot traffic, a sub-gap heartbeat) would
+    * otherwise grow one state-store value forever, and state values
+    * deserialize whole — the one executor-OOM path in the census
+    * family. Closed sessions leave the store the micro-batch they
+    * emit.
+    *
+    * Truncation semantics at the cap: the (t, id, ty)-LEAST `maxStamps`
+    * stamps are kept — smallest-k is merge-stable, so the kept set is
+    * the session's deterministic render-order PREFIX regardless of
+    * arrival order — and the rendered path carries an explicit
+    * trailing `>…` marker (`n_events` still counts every event).
+    * Truncated paths therefore never collide with a genuine full path
+    * in [[sessionPathsRollup]]'s census. */
   def sessionPathsStream(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, idCol: String, gapUs: Long,
-      watermark: String = "10 minutes"): Dataset[ClosedSessionPath] = {
+      watermark: String = "10 minutes",
+      maxStamps: Int = DefaultMaxStamps): Dataset[ClosedSessionPath] = {
     require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    require(maxStamps >= 1, s"maxStamps must be >= 1, got $maxStamps")
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
@@ -647,16 +728,25 @@ object StreamingAnalytics {
             val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
             OpenSessionPath(t, t, 1L, List(PathStamp(t, r._3, r._4)))
           }.toList
-          // the shared fold; stamps concatenate (sorted once, at close)
+          // the shared fold; stamps concatenate, then the cap keeps
+          // the (t, id, ty)-least maxStamps (merge-stable: the
+          // deterministic render-order prefix)
           ripenGapSessions(state.getOption.getOrElse(Nil), incoming,
-            gapUs, state)(_.start, _.end, (h, s) =>
+            gapUs, state)(_.start, _.end, (h, s) => {
+            val all = h.stamps ++ s.stamps
+            val kept =
+              if (all.size > maxStamps)
+                all.sortBy(e => (e.t, e.id, e.ty)).take(maxStamps)
+              else all
             OpenSessionPath(h.start, math.max(h.end, s.end), h.n + s.n,
-              h.stamps ++ s.stamps))
+              kept, h.trunc || s.trunc || kept.size < all.size)
+          })
             .iterator.map { s =>
               // the batch render exactly: (t, id, ty)-ascending struct
-              // sort, types joined with ">"
+              // sort, types joined with ">"; a capped session marks
+              // its dropped tail explicitly
               val path = s.stamps.sortBy(e => (e.t, e.id, e.ty))
-                .map(_.ty).mkString(">")
+                .map(_.ty).mkString(">") + (if (s.trunc) ">…" else "")
               ClosedSessionPath(u, s.start, s.end, s.n, path)
             }
       }
@@ -807,7 +897,22 @@ object StreamingAnalytics {
     * (bounded by distinct days inside the lateness window). Late
     * sub-watermark events never reach the operator, so the ripe-day
     * fold processes each user's days in ascending order exactly
-    * once. */
+    * once.
+    *
+    * Retention note: the carry is deliberately PERMANENT — growth
+    * accounting is exactly the operator that must remember a user
+    * across arbitrary silence (new vs resurrected is a forever
+    * distinction), so a settled user keeps one ~3-scalar entry and
+    * total state grows with LIFETIME user cardinality, never event
+    * volume. That is ~24 bytes/user — 24 GB of RocksDB state per
+    * billion users, fine for any real deployment. A deployment with
+    * truly unbounded user churn (synthetic ids, one event per id) can
+    * bound it operationally: partition the id space across query
+    * instances, or restart from a fresh checkpoint per epoch accepting
+    * `resurrected`→`new` reclassification across the boundary. An
+    * in-operator TTL is deliberately NOT offered — expiring a carry
+    * silently converts resurrections into news and corrupts the
+    * census. */
   def growthAccountingStream(events: DataFrame, userCol: String,
       tsCol: String,
       watermark: String = "10 minutes"): Dataset[GrowthEvent] = {
@@ -1076,7 +1181,16 @@ object StreamingAnalytics {
     *
     * State per user: ONE (t, id, type) carry plus the sub-watermark
     * buffer; event-time timeout at the earliest buffered time closes
-    * edges even when the user goes silent. */
+    * edges even when the user goes silent.
+    *
+    * Retention note: the carry is deliberately durable — a user's next
+    * event, whenever it arrives, forms an edge with the last one, so
+    * state grows with lifetime user cardinality (one small entry per
+    * user), never with event volume. Unlike [[growthAccountingStream]]
+    * expiring a carry here is SAFE (the only loss is the one edge
+    * spanning the expiry): a deployment with unbounded synthetic-id
+    * churn can filter upstream on `ts` age or restart per epoch;
+    * an in-operator TTL knob is omitted until a deployment needs it. */
   def transitionsStream(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, idCol: String,
       watermark: String = "10 minutes"): Dataset[TransitionEdge] = {

@@ -26,7 +26,10 @@ import graft.analytics.StreamingAnalytics
   *     [--growth <growth-event parquet dir>] \
   *     [--paths <session-path parquet dir>] \
   *     [--transitions <transition-edge parquet dir>] \
-  *     [--state-store rocksdb|hdfs|<provider class>]
+  *     [--state-store rocksdb|hdfs|<provider class>] \
+  *     [--max-stamps 100000]   # per-open-session stamp-buffer cap for
+  *                             # the paths/funnel censuses (truncated
+  *                             # paths carry a trailing `>…` marker)
   *
   * One streaming query per census, each with its own checkpoint
   * subdirectory and parquet append sink. `Trigger.AvailableNow`
@@ -72,7 +75,8 @@ object SessionCensusCli {
       growth: Option[String] = None,
       paths: Option[String] = None,
       transitions: Option[String] = None,
-      stateStore: Option[String] = None)
+      stateStore: Option[String] = None,
+      maxStamps: Int = StreamingAnalytics.DefaultMaxStamps)
 
   final case class Summary(closedSessions: Long, verdictCount: Long,
       funnelSessions: Long = 0L, growthEvents: Long = 0L,
@@ -142,7 +146,8 @@ object SessionCensusCli {
     }
     val funnelQ = cfg.funnels.map { dir =>
       StreamingAnalytics.sessionFunnelStream(source(), "user_id",
-          "event_type", "ts", cfg.funnelSteps, gapUs, cfg.watermark)
+          "event_type", "ts", cfg.funnelSteps, gapUs, cfg.watermark,
+          cfg.maxStamps)
         .toDF()
         .writeStream.queryName("session-funnel")
         .format("parquet").option("path", dir)
@@ -162,7 +167,8 @@ object SessionCensusCli {
     }
     val pathsQ = cfg.paths.map { dir =>
       StreamingAnalytics.sessionPathsStream(source(), "user_id",
-          "event_type", "ts", "event_id", gapUs, cfg.watermark)
+          "event_type", "ts", "event_id", gapUs, cfg.watermark,
+          cfg.maxStamps)
         .toDF()
         .writeStream.queryName("session-paths")
         .format("parquet").option("path", dir)
@@ -288,6 +294,7 @@ object SessionCensusCli {
     var paths: Option[String] = None
     var transitions: Option[String] = None
     var stateStore: Option[String] = None
+    var maxStamps = StreamingAnalytics.DefaultMaxStamps
     var i = 0
     try {
       while (i < args.length) {
@@ -309,6 +316,7 @@ object SessionCensusCli {
           case "--paths" => paths = Some(args(i + 1)); i += 2
           case "--transitions" => transitions = Some(args(i + 1)); i += 2
           case "--state-store" => stateStore = Some(args(i + 1)); i += 2
+          case "--max-stamps" => maxStamps = args(i + 1).toInt; i += 2
           case other => return Left(s"unknown flag '$other'")
         }
       }
@@ -327,9 +335,10 @@ object SessionCensusCli {
       Left("--funnels requires --funnel-steps with distinct, non-empty steps")
     else if (funnels.isEmpty && funnelSteps.nonEmpty)
       Left("--funnel-steps requires --funnels (the output dir)")
+    else if (maxStamps < 1) Left("--max-stamps must be >= 1")
     else Right(CensusConfig(input, sessions, checkpoint, gapSec, watermark,
       verdicts, fromType, toType, windowSec, funnels, funnelSteps,
-      growth, paths, transitions, stateStore))
+      growth, paths, transitions, stateStore, maxStamps))
   }
 
   def main(args: Array[String]): Unit = {

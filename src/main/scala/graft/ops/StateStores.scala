@@ -13,7 +13,7 @@ package graft.ops
   * fully-qualified provider class. NOTE: a checkpoint is bound to the
   * provider that created it — restart an existing checkpoint with the
   * SAME setting. */
-private[ops] object StateStores {
+private[graft] object StateStores {
   def providerClass(name: String): String = name.toLowerCase match {
     case "rocksdb" =>
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

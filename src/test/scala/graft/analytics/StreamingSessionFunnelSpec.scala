@@ -106,4 +106,39 @@ class StreamingSessionFunnelSpec extends SparkSpec {
     assert(got == Set((1L, B, B + 8 * s, 3L, 3L)))
     q.stop()
   }
+
+  test("sessionFunnelStream: maxStamps bounds a never-gapping key's " +
+    "step buffer; the fold becomes the documented prefix fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val events = input.toDF()
+      .select(col("_1").as("user_id"),
+        timestamp_micros(col("_2")).as("ts"),
+        col("_3").as("event_type"))
+    val q = StreamingAnalytics.sessionFunnelStream(events, "user_id",
+      "event_type", "ts", steps, gapUs, watermark = "0 seconds",
+      maxStamps = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_cap").start()
+
+    // u1 never gaps and emits 6 step events across two micro-batches;
+    // the cap keeps only the (t, idx)-least 2 (view@0, click@2), so
+    // the fold reaches step 2 — the prefix fold's exact state after
+    // the kept events, a documented lower bound on the true step 3
+    input.addData((1L, B, "view"), (1L, B + 2 * s, "click"),
+      (1L, B + 4 * s, "purchase"))
+    q.processAllAvailable()
+    input.addData((1L, B + 6 * s, "view"), (1L, B + 8 * s, "click"),
+      (1L, B + 10 * s, "purchase"))
+    q.processAllAvailable()
+    input.addData((99L, B + 500 * s, "signup"))
+    q.processAllAvailable()
+    input.addData((99L, B + 501 * s, "signup"))
+    q.processAllAvailable()
+    val got = spark.table("funnel_cap")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // n_events still counts all 6; max_step is the prefix fold's 2
+    assert(got == Set((1L, B, B + 10 * s, 6L, 2L)))
+    q.stop()
+  }
 }

@@ -100,4 +100,76 @@ class StreamingSessionPathsSpec extends SparkSpec {
     assert(got == Set((1L, B, B + 8 * s, 3L, "view>click>purchase")))
     q.stop()
   }
+
+  test("sessionPathsStream: maxStamps bounds a never-gapping key's state; " +
+    "path is the deterministic prefix with an explicit >… marker") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val events = input.toDF()
+      .select(col("_1").as("user_id"),
+        timestamp_micros(col("_2")).as("ts"),
+        col("_3").as("event_id"), col("_4").as("event_type"))
+    val q = StreamingAnalytics.sessionPathsStream(events, "user_id",
+      "event_type", "ts", "event_id", gapUs, watermark = "0 seconds",
+      maxStamps = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("paths_cap").start()
+
+    // u1 never gaps: 10 events 1 s apart (gap is 10 s), fed across
+    // THREE micro-batches so the cap must hold through state merges,
+    // not just within one batch's fold
+    val tys = "abcdefghij".map(_.toString)
+    def ev(i: Int) = (1L, B + i * s, 100L + i, tys(i))
+    input.addData((0 until 4).map(ev): _*)
+    q.processAllAvailable()
+    input.addData((4 until 7).map(ev): _*)
+    q.processAllAvailable()
+    input.addData((7 until 10).map(ev): _*)
+    q.processAllAvailable()
+    // ripen: a sentinel far past end + gap
+    input.addData((99L, B + 500 * s, 990L, "view"))
+    q.processAllAvailable()
+    input.addData((99L, B + 501 * s, 991L, "view"))
+    q.processAllAvailable()
+    val got = spark.table("paths_cap")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    // n_events counts all 10; the path is the render-order PREFIX of
+    // the 4 kept stamps plus the explicit truncation marker
+    assert(got == Set((1L, B, B + 9 * s, 10L, "a>b>c>d>…")))
+    q.stop()
+  }
+
+  test("sessionPathsStream: a late in-watermark middle event enters the " +
+    "capped prefix deterministically (smallest-k is merge-stable)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val events = input.toDF()
+      .select(col("_1").as("user_id"),
+        timestamp_micros(col("_2")).as("ts"),
+        col("_3").as("event_id"), col("_4").as("event_type"))
+    val q = StreamingAnalytics.sessionPathsStream(events, "user_id",
+      "event_type", "ts", "event_id", gapUs, watermark = "60 seconds",
+      maxStamps = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("paths_cap_ooo").start()
+
+    // t=0,2,4,6,8 arrive first (cap already exceeded: keep a,b,c,d);
+    // then t=1 and t=3 land LATE but in-watermark — they belong inside
+    // the prefix, so the final kept set must be the four (t,id,ty)-least
+    // of ALL seven events: a(0), x(1), b(2), y(3)
+    input.addData((1L, B, 10L, "a"), (1L, B + 2 * s, 12L, "b"),
+      (1L, B + 4 * s, 14L, "c"), (1L, B + 6 * s, 16L, "d"),
+      (1L, B + 8 * s, 18L, "e"))
+    q.processAllAvailable()
+    input.addData((1L, B + 1 * s, 11L, "x"), (1L, B + 3 * s, 13L, "y"))
+    q.processAllAvailable()
+    input.addData((99L, B + 500 * s, 990L, "view"))
+    q.processAllAvailable()
+    input.addData((99L, B + 501 * s, 991L, "view"))
+    q.processAllAvailable()
+    val got = spark.table("paths_cap_ooo")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == Set((1L, B, B + 8 * s, 7L, "a>x>b>y>…")))
+    q.stop()
+  }
 }

@@ -105,4 +105,34 @@ class StreamingSessionSpec extends SparkSpec {
     assert(got == Set((1L, B, B + 30 * s, 4L, 30 * s)))
     q.stop()
   }
+
+  test("sessionizeStream: the MaxOpenSessions tripwire fails loud on " +
+    "far-future timestamps instead of growing state silently") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF()
+      .select(col("_1").as("user_id"),
+        timestamp_micros(col("_2")).as("ts"))
+    val q = StreamingAnalytics
+      .sessionizeStream(events, "user_id", "ts", gapUs, watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_tripwire").start()
+
+    // one key, 10 001 mutually-gapped events all far ahead of the
+    // watermark (it is still epoch 0 while this first batch runs) —
+    // the corrupt-clock shape: every event opens a session the
+    // watermark cannot close, so the open list crosses the cap and the
+    // fold must throw rather than let one key's state grow unbounded
+    val farFuture = (0 to StreamingAnalytics.MaxOpenSessions)
+      .map(i => (7L, B + i * 20 * s))
+    input.addData(farFuture: _*)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.getMessage != null && c.getMessage.contains("MaxOpenSessions")))
+    q.stop()
+  }
 }

@@ -28,6 +28,40 @@ class OpsSpec extends SparkSpec {
       c.asOf.contains("2024-01-20 00:00:00") && c.asOfColumn == "commit_ts"))
   }
 
+  test("JsonStage: chronological JSON staging — range-ordered parts, " +
+    "increasing mtimes, round-trippable rows") {
+    val in = Files.createTempDirectory("stage-in").toString
+    val out = Files.createTempDirectory("stage-out").toString
+    spark.range(100).select(col("id").as("user_id"),
+      timestamp_micros(col("id") * 1000000L + 1000000000L).as("ts"),
+      concat(lit("t"), col("id") % 3).as("event_type"),
+      lit("dropme").as("extra"))
+      .write.mode("overwrite").parquet(in)
+    val n = JsonStage.stage(spark, in, out, orderBy = "ts",
+      select = Seq("user_id", "ts", "event_type"), parts = 4)
+    assert(n == 4)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // mtimes strictly increase in part order (the file-source contract)
+    assert(parts.map(_.lastModified()).sliding(2).forall(p => p(0) < p(1)))
+    // range order: every timestamp in part k precedes every one in k+1
+    def tsOf(f: java.io.File): Seq[String] =
+      scala.io.Source.fromFile(f).getLines().toSeq
+        .map(l => l.split("\"ts\":\"")(1).split("\"")(0))
+    val perPart = parts.toSeq.map(tsOf).filter(_.nonEmpty)
+    assert(perPart.sliding(2).forall {
+      case Seq(a, b) => a.max <= b.min
+      case _ => true
+    })
+    // the projection applied and every row survived the round trip
+    val back = spark.read.schema(StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))).json(out)
+    assert(back.columns.toSeq == Seq("user_id", "ts", "event_type"))
+    assert(back.count() == 100 &&
+      back.agg(sum("user_id")).head().getLong(0) == 4950L)
+  }
+
   test("DlqReplay: dry-run counts, execute re-appends payloads, retry budget") {
     val dlqDir = Files.createTempDirectory("dlq").toString
     val inDir = Files.createTempDirectory("in").toString
