@@ -292,78 +292,88 @@ class CdcPipelineSpec extends SparkSpec {
 
   test("ST1 exactly-once under HARD CRASH: a torn WAL commit (sink wrote, " +
       "commit lost) replays idempotently after restart and the warehouse " +
-      "matches the no-crash run") {
+      "matches the no-crash run — snapshot AND bucketed-COW warehouses") {
     import java.nio.file.Paths
     import scala.jdk.CollectionConverters._
-    // four single-event files, one micro-batch each
-    // (maxFilesPerTrigger=1); mtimes stamped in range order so the
-    // file source's mtime ordering is deterministic
-    val in = tmpDir()
     val lines = Seq(
       ev("INSERT", 1000L, "u1", "alice", "active"),
       ev("UPDATE", 2000L, "u1", null, "inactive"),
       ev("INSERT", 1500L, "u2", "bob", "active"),
       ev("UPDATE", 2500L, "u2", null, "banned"))
-    def writeFile(i: Int): Unit = {
-      val p = Paths.get(s"$in/f$i.json")
-      Files.writeString(p, lines(i))
-      p.toFile.setLastModified(1700000000000L + i * 60000L)
-    }
-    def drain(wh: String, cp: String): Unit = {
-      // a FRESH pipeline object every time — after the simulated kill
-      // the only surviving state is what's on disk (checkpoint +
-      // warehouse), exactly a new JVM's view
-      val pipeline = new CdcPipeline(spark, wh, cp, Map("users" -> Seq("user_id")))
-      val raw = spark.readStream
-        .schema(StructType(Seq(StructField("value", StringType))))
-        .option("maxFilesPerTrigger", 1).text(in).toDF("value")
-      val q = pipeline.start(raw, envSchema, Trigger.AvailableNow())
-      q.awaitTermination(120000)
-      spark.streams.active.foreach(_.awaitTermination(120000))
-    }
-    def snap(wh: String, cp: String): Set[(String, String, String)] = {
-      val pipeline = new CdcPipeline(spark, wh, cp, Map("users" -> Seq("user_id")))
-      pipeline.readTable("users").get
-        .select("user_id", "username", "status")
-        .as[(String, String, String)].collect().toSet
+
+    def crashCase(buckets: Int): Unit = {
+      // four single-event files, one micro-batch each
+      // (maxFilesPerTrigger=1); mtimes stamped in range order so the
+      // file source's mtime ordering is deterministic
+      val in = tmpDir()
+      def writeFile(i: Int): Unit = {
+        val p = Paths.get(s"$in/f$i.json")
+        Files.writeString(p, lines(i))
+        p.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+      def drain(wh: String, cp: String): Unit = {
+        // a FRESH pipeline object every time — after the simulated kill
+        // the only surviving state is what's on disk (checkpoint +
+        // warehouse), exactly a new JVM's view
+        val pipeline = new CdcPipeline(spark, wh, cp,
+          Map("users" -> Seq("user_id")), warehouseBuckets = buckets)
+        val raw = spark.readStream
+          .schema(StructType(Seq(StructField("value", StringType))))
+          .option("maxFilesPerTrigger", 1).text(in).toDF("value")
+        val q = pipeline.start(raw, envSchema, Trigger.AvailableNow())
+        q.awaitTermination(120000)
+        spark.streams.active.foreach(_.awaitTermination(120000))
+      }
+      def snap(wh: String, cp: String): Set[(String, String, String)] = {
+        val pipeline = new CdcPipeline(spark, wh, cp,
+          Map("users" -> Seq("user_id")), warehouseBuckets = buckets)
+        pipeline.readTable("users").get
+          .select("user_id", "username", "status")
+          .as[(String, String, String)].collect().toSet
+      }
+
+      // the no-crash reference run over the full corpus
+      (0 to 3).foreach(writeFile)
+      val whRef = tmpDir(); val cpRef = tmpDir()
+      drain(whRef, cpRef)
+      val want = snap(whRef, cpRef)
+      assert(want == Set(("u1", "alice", "inactive"), ("u2", "bob", "banned")),
+        s"buckets=$buckets reference run")
+
+      // crash run: only f0/f1 exist for the first incarnation
+      val wh = tmpDir(); val cp = tmpDir()
+      (0 to 3).foreach(i => Files.deleteIfExists(Paths.get(s"$in/f$i.json")))
+      writeFile(0); writeFile(1)
+      drain(wh, cp)
+      // simulate kill -9 in the torn window (reference failure scenarios
+      // A–D, data-model.md:475-502): batch 1's warehouse writes are on
+      // disk but its WAL commit never landed — delete the newest
+      // commits/<n>, so the restarted query sees offsets/1 with no
+      // commits/1 and MUST replay batch 1 into the already-merged
+      // warehouse (for buckets > 0 that replay re-merges into
+      // already-swapped COW buckets — the monotonic guard, not the
+      // swap, carries the idempotence)
+      val commits = Paths.get(s"$cp/merge/commits")
+      val newest = Files.list(commits).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      Files.delete(newest)
+      // the local FS writes commits through Hadoop's ChecksumFileSystem —
+      // the sidecar .N.crc dies with the commit in a real crash (neither
+      // was fsynced), and a stale one blocks the replay's rewrite
+      Files.deleteIfExists(
+        newest.resolveSibling("." + newest.getFileName.toString + ".crc"))
+      // the rest of the corpus arrives while the pipeline is "down"
+      writeFile(2); writeFile(3)
+      // restart from disk alone: replay the torn batch, then drain the
+      // new files; at-least-once redelivery + idempotent monotonic merge
+      // must land EXACTLY the no-crash warehouse
+      drain(wh, cp)
+      assert(snap(wh, cp) == want, s"buckets=$buckets crash run diverged")
     }
 
-    // the no-crash reference run over the full corpus
-    (0 to 3).foreach(writeFile)
-    val whRef = tmpDir(); val cpRef = tmpDir()
-    drain(whRef, cpRef)
-    val want = snap(whRef, cpRef)
-    assert(want == Set(("u1", "alice", "inactive"), ("u2", "bob", "banned")))
-
-    // crash run: only f0/f1 exist for the first incarnation
-    val in2 = in // same corpus dir; re-stage it fresh
-    val wh = tmpDir(); val cp = tmpDir()
-    (0 to 3).foreach(i => Files.deleteIfExists(Paths.get(s"$in2/f$i.json")))
-    writeFile(0); writeFile(1)
-    drain(wh, cp)
-    // simulate kill -9 in the torn window (reference failure scenarios
-    // A–D, data-model.md:475-502): batch 1's warehouse writes are on
-    // disk but its WAL commit never landed — delete the newest
-    // commits/<n>, so the restarted query sees offsets/1 with no
-    // commits/1 and MUST replay batch 1 into the already-merged
-    // warehouse
-    val commits = Paths.get(s"$cp/merge/commits")
-    val newest = Files.list(commits).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.forall(_.isDigit))
-      .maxBy(_.getFileName.toString.toLong)
-    Files.delete(newest)
-    // the local FS writes commits through Hadoop's ChecksumFileSystem —
-    // the sidecar .N.crc dies with the commit in a real crash (neither
-    // was fsynced), and a stale one blocks the replay's rewrite
-    Files.deleteIfExists(
-      newest.resolveSibling("." + newest.getFileName.toString + ".crc"))
-    // the rest of the corpus arrives while the pipeline is "down"
-    writeFile(2); writeFile(3)
-    // restart from disk alone: replay the torn batch, then drain the
-    // new files; at-least-once redelivery + idempotent monotonic merge
-    // must land EXACTLY the no-crash warehouse
-    drain(wh, cp)
-    assert(snap(wh, cp) == want)
+    crashCase(buckets = 0) // single-snapshot warehouse
+    crashCase(buckets = 8) // bucketed copy-on-write warehouse
   }
 
   test("CDC -> SCD2 bridge: upsert stream intervalizes into dimension history, " +

@@ -193,13 +193,14 @@ class SessionCensusCliSpec extends SparkSpec {
     assert(parseArgs(req ++ Array("--funnels", "f", "--funnel-steps",
       "a,a")).isLeft) // duplicate steps
     assert(parseArgs(req ++ Array("--funnel-steps", "a,b")).isLeft) // no dir
+    assert(parseArgs(req :+ "--max-stamps" :+ "0").isLeft) // cap must be >= 1
     val ok = parseArgs(req ++ Array("--gap-sec", "60", "--watermark",
       "5 minutes", "--verdicts", "v", "--from", "a", "--to", "b",
       "--window-sec", "120", "--funnels", "f", "--funnel-steps", "a,b",
       "--growth", "g", "--paths", "p", "--transitions", "t",
-      "--state-store", "rocksdb"))
+      "--state-store", "rocksdb", "--max-stamps", "5000"))
     assert(ok == Right(SessionCensusCli.CensusConfig("a", "b", "c", 60L,
       "5 minutes", Some("v"), "a", "b", 120L, Some("f"), Seq("a", "b"),
-      Some("g"), Some("p"), Some("t"), Some("rocksdb"))))
+      Some("g"), Some("p"), Some("t"), Some("rocksdb"), 5000)))
   }
 }
