@@ -31,6 +31,12 @@ import graft.analytics.StreamingAnalytics
   *                             # the paths/funnel censuses (truncated
   *                             # paths carry a trailing `>…` marker)
   *
+  * State-schema note: the paths/funnel state rows gained a truncation
+  * flag when the cap landed (round 17). Spark's state store validates
+  * the schema on restore and fails loudly on a checkpoint written by
+  * the pre-cap build — resume those censuses from a fresh checkpoint
+  * (the parquet output tables carry everything already emitted).
+  *
   * One streaming query per census, each with its own checkpoint
   * subdirectory and parquet append sink. `Trigger.AvailableNow`
   * (drain-then-stop) makes the same entry point serve first-load and
