@@ -210,6 +210,24 @@ object SessionCensusCli {
       throw t
     }
 
+    // per-census state-store telemetry over THIS run's micro-batches:
+    // max keys in state (must track user cardinality, never event
+    // volume — the documented bound of every census operator) and max
+    // provider-reported memory (grows only with the in-window buffered
+    // rate; the paths/funnel buffers additionally sit under
+    // --max-stamps). The same numbers ScaleBench's decade rows pin at
+    // 10×/16× volume, surfaced here so an operator can watch the
+    // bound hold in production.
+    (Seq(sessions) ++ verdictQ ++ funnelQ ++ growthQ ++ pathsQ ++ transQ)
+      .foreach { q =>
+        val sos = q.recentProgress.toSeq
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        if (sos.nonEmpty)
+          println(s"""{"state": ${jstr(q.name)}, """ +
+            s""""max_keys": ${sos.map(_.numRowsTotal).max}, """ +
+            s""""max_bytes": ${sos.map(_.memoryUsedBytes).max}}""")
+      }
+
     // a run that closed nothing legitimately leaves no parquet behind —
     // only THAT case maps to zero (the CurateStreamCli rule)
     def hasParquet(dir: String): Boolean = {
