@@ -396,6 +396,14 @@ object Bench {
         pipeline.start(raw, envSchema).awaitTermination()
         spark.streams.active.foreach(_.awaitTermination())
       } catch { case _: Exception => () } // warm-up is best-effort
+      finally {
+        // a failed warm-up must not leak its fire-and-forget DLQ query
+        // (or a dying merge query) into the timed runs — they would
+        // surface through the timed window's awaitTermination, or read
+        // from the dirs rmTree is about to delete
+        spark.streams.active.foreach(q =>
+          try q.stop() catch { case _: Exception => () })
+      }
       rmTree(warmDir)
     }
     val runsTele = Vector.fill(cdcRuns) {

@@ -474,30 +474,20 @@ object ScaleBench {
             "paths_stream_wall", "funnel_stream_wall",
             "growth_stream_wall", "transitions_stream_wall").exists(wanted)
         if (needCorpus) {
-        // CHRONOLOGICAL arrival (range-partitioned by ts; the file
-        // source lists parts in path order): a randomly-shuffled write
-        // would let batch 1 drag the watermark to the corpus frontier
-        // and every later file would arrive "late" — measuring drop
-        // behavior, not census scaling. With in-order files plus a
-        // realistic lateness bound, the closed-session output is a
-        // FUNCTION OF THE DATA, invariant across factors.
-        ev.select(to_json(struct(col("user_id"), col("event_id"),
-            col("ts"), col("event_type"))).as("value"), col("ts"))
-          .repartitionByRange(8, col("ts"))
-          .sortWithinPartitions("ts")
-          .select(col("value"))
-          .write.mode("overwrite").text(inDir)
-        // the file source orders same-batch files by MODIFICATION time
-        // — i.e. task completion order, which is nondeterministic and
-        // ignores the range order entirely. Stamp strictly-increasing
-        // mtimes in part order (part-00000 = earliest range) so the
-        // stream really arrives chronologically.
-        Option(new java.io.File(inDir).listFiles()).getOrElse(Array())
-          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-          .zipWithIndex.foreach { case (pf, i) =>
-            pf.setLastModified(
-              System.currentTimeMillis() - 3600000L + i * 1000L)
-          }
+          // CHRONOLOGICAL arrival through the shared staging helper
+          // (ops.JsonStage.stageFrame): range-partitioned by ts,
+          // within-sorted, part mtimes stamped strictly increasing in
+          // part order — a randomly-shuffled write would let batch 1
+          // drag the watermark to the corpus frontier and every later
+          // file would arrive "late", measuring drop behavior instead
+          // of census scaling; and the file source orders same-batch
+          // files by nondeterministic MODIFICATION time, so the range
+          // order alone is not enough. With in-order files plus a
+          // realistic lateness bound, the closed-session output is a
+          // FUNCTION OF THE DATA, invariant across factors.
+          ops.JsonStage.stageFrame(
+            ev.select("user_id", "event_id", "ts", "event_type"),
+            inDir, orderBy = "ts", parts = 8)
         }
         bench("census_stream_workload")(ev.count())
         bench("census_stream_wall") {
@@ -565,6 +555,11 @@ object ScaleBench {
               mk: DataFrame => DataFrame): Unit = if (wanted(name)) {
             spark.conf.set(providerConf,
               ops.StateStores.providerClass("rocksdb"))
+            // the shared max-fold listener (SessionCensusCli uses the
+            // same one): sees EVERY micro-batch, where recentProgress
+            // rings out at 100 entries
+            val stateMax = new graft.observe.StateMaxListener()
+            spark.streams.addListener(stateMax)
             try {
               var stateRows = 0L
               var stateBytes = 0L
@@ -577,19 +572,18 @@ object ScaleBench {
                 val q = mk(src).writeStream.format("parquet")
                   .option("path", s"$runDir/out")
                   .option("checkpointLocation", s"$runDir/ck")
+                  .queryName(name)
                   .trigger(
                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
                   .start()
                 q.awaitTermination()
-                val sos = q.recentProgress.toSeq
-                  .flatMap(p => Option(p.stateOperators).toSeq.flatten)
-                if (sos.nonEmpty) {
-                  stateRows = sos.map(_.numRowsTotal).max
-                  stateBytes = sos.map(_.memoryUsedBytes).max
-                }
                 val n = spark.read.parquet(s"$runDir/out").count()
                 rmTree(runDir)
                 n
+              }
+              stateMax.settle() // async bus — outside the timed window
+              stateMax.maxFor(name).foreach { case (k, b) =>
+                stateRows = k; stateBytes = b
               }
               Seq(s"${name.stripSuffix("_wall")}_state_rows" -> stateRows,
                 s"${name.stripSuffix("_wall")}_state_bytes" -> stateBytes)
@@ -597,9 +591,12 @@ object ScaleBench {
                   results += ((k, 0.0, v))
                   println(s"""{"scale_query":"$k","sec":0.0,"rows":$v}""")
                 }
-            } finally prevProvider match {
-              case Some(v) => spark.conf.set(providerConf, v)
-              case None => spark.conf.unset(providerConf)
+            } finally {
+              spark.streams.removeListener(stateMax)
+              prevProvider match {
+                case Some(v) => spark.conf.set(providerConf, v)
+                case None => spark.conf.unset(providerConf)
+              }
             }
           }
           streamProbe("paths_stream_wall")(src =>

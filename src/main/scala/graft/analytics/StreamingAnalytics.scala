@@ -64,11 +64,13 @@ final case class StepStamp(t: Long, idx: Long)
   * session bounds over ALL events plus the STEP events' stamps (the
   * greedy fold is order-sensitive, so stamps buffer until the session
   * closes; state is bounded by min(session's step-event volume,
-  * `maxStamps`) — `trunc` records that the cap dropped stamps, making
-  * the close-time fold a prefix fold (see [[StreamingAnalytics
-  * .sessionFunnelStream]] for why the prefix is deterministic). */
+  * 2·`maxStamps`) — `trunc` records that the cap dropped stamps,
+  * making the close-time fold a prefix fold (see [[StreamingAnalytics
+  * .sessionFunnelStream]] for why the prefix is deterministic).
+  * `ns` counts the buffered stamps so a combine never pays an O(n)
+  * `size` walk. */
 final case class OpenSessionSteps(start: Long, end: Long, n: Long,
-    stamps: List[StepStamp], trunc: Boolean = false)
+    stamps: List[StepStamp], trunc: Boolean = false, ns: Int = 0)
 
 /** One (t, id, type) event stamp of
   * [[StreamingAnalytics.sessionPathsStream]]'s per-session state — the
@@ -79,11 +81,13 @@ final case class PathStamp(t: Long, id: Long, ty: String)
 
 /** One in-flight gap session of
   * [[StreamingAnalytics.sessionPathsStream]]'s per-key state. Stamps
-  * hold at most the stream's `maxStamps` (t, id, ty)-least events;
-  * `trunc` records that the cap dropped stamps, and the rendered path
-  * then carries an explicit `>…` truncation marker. */
+  * hold at most 2·`maxStamps` events, always including the
+  * (t, id, ty)-least `maxStamps`; `trunc` records that the cap dropped
+  * stamps, and the rendered path then carries an explicit `>…`
+  * truncation marker. `ns` counts the buffered stamps so a combine
+  * never pays an O(n) `size` walk. */
 final case class OpenSessionPath(start: Long, end: Long, n: Long,
-    stamps: List[PathStamp], trunc: Boolean = false)
+    stamps: List[PathStamp], trunc: Boolean = false, ns: Int = 0)
 
 /** A closed gap session with its ordered `>`-joined type path —
   * emitted once, at watermark ripening.
@@ -96,10 +100,16 @@ final case class ClosedSessionPath(user_id: Long, session_start_us: Long,
   * reached by the greedy earliest-advance fold over the session's
   * (t, idx)-ordered step events (0 = reached none). Rolling these up
   * with [[StreamingAnalytics.sessionFunnelRollup]] reproduces
-  * [[Analytics.sessionFunnel]] (q186) on the same ripe events. */
+  * [[Analytics.sessionFunnel]] (q186) on the same ripe events.
+  * `truncated` surfaces the `maxStamps` cap: when true, `max_step` is
+  * the PREFIX fold's exact state after the kept step events — a lower
+  * bound on the untruncated result — so a downstream consumer can
+  * count, exclude, or alert on capped sessions instead of silently
+  * folding a bound into an exact census (the funnel analog of the
+  * paths `>…` marker). */
 final case class ClosedSessionFunnel(user_id: Long,
     session_start_us: Long, session_end_us: Long, n_events: Long,
-    max_step: Long)
+    max_step: Long, truncated: Boolean = false)
 
 /** [[StreamingAnalytics.abandonmentStream]] state: fromType events
   * whose budget window the watermark has not yet passed, plus toType
@@ -224,13 +234,15 @@ object StreamingAnalytics {
 
   /** Default per-open-session stamp-buffer cap for the two census
     * operators that must buffer events until a session closes
-    * ([[sessionPathsStream]], [[sessionFunnelStream]]). At ~40 bytes a
-    * stamp this bounds one pathological key (a bot that never gaps, a
-    * sub-gap heartbeat) to ~4 MB of state instead of unbounded growth;
-    * real sessions sit orders of magnitude below it. Truncation keeps
-    * the (t, …)-least stamps — the deterministic fold-order PREFIX of
-    * the session — and is surfaced explicitly (paths append a `>…`
-    * marker; the funnel fold becomes a documented prefix fold). */
+    * ([[sessionPathsStream]], [[sessionFunnelStream]]). The buffer
+    * holds at most 2× this (the amortization headroom); at ~40 bytes a
+    * stamp that bounds one pathological key (a bot that never gaps, a
+    * sub-gap heartbeat) to ~8 MB of state instead of unbounded growth;
+    * real sessions sit orders of magnitude below it. The emitted
+    * result always derives from the (t, …)-least `maxStamps` stamps —
+    * the deterministic fold-order PREFIX of the session — and
+    * truncation is surfaced explicitly (paths append a `>…` marker;
+    * the funnel emits a `truncated` column marking its prefix fold). */
   val DefaultMaxStamps: Int = 100000
 
   /** Tumbling-window order/event rollup over a streaming frame. */
@@ -284,14 +296,20 @@ object StreamingAnalytics {
     * how to combine two chained fragments.
     *
     * State-bound tripwire: a key's open list is normally bounded by
-    * its concurrent open sessions inside the lateness window, but an
-    * event stream with far-future timestamps (a corrupt clock, a µs/ms
-    * unit bug upstream) can open sessions the watermark will not close
-    * for hours — each one a permanent state-store resident. When the
-    * open list exceeds [[StreamingAnalytics.MaxOpenSessions]] the fold
-    * FAILS LOUD rather than letting state grow silently until an
-    * executor OOMs: the fix is always upstream (the event-time
-    * column), never a bigger cap. */
+    * its concurrent open sessions inside the lateness window, but a
+    * watermark configured (or corrupted) to lag the data by far more
+    * than the gap lets sessions pile up unclosable — each one a
+    * permanent state-store resident. The fold FAILS LOUD when the
+    * overflow PERSISTS: the list exceeded
+    * [[StreamingAnalytics.MaxOpenSessions]] when last STORED (`prior`)
+    * and still exceeds it after this invocation's ripening
+    * opportunity. A coarse backfill batch that transiently holds many
+    * genuinely-gapped sessions open — purely because the watermark
+    * lags one micro-batch behind the data — stores once and ripens at
+    * the next advance, so it never trips; a persistent pile-up cannot
+    * ripen and trips on its second sighting, before state compounds
+    * further. The fix is upstream (the event-time column or the
+    * watermark-delay-to-gap ratio), never a bigger cap. */
   private def ripenGapSessions[S](prior: List[S], incoming: List[S],
       gapUs: Long, state: GroupState[List[S]])(
       start: S => Long, end: S => Long,
@@ -305,13 +323,17 @@ object StreamingAnalytics {
         }
       }.reverse
     val (closed, open) = merged.partition(x => end(x) + gapUs < wmUs)
-    if (open.size > MaxOpenSessions) throw new IllegalStateException(
-      s"ripenGapSessions: ${open.size} open sessions on one key exceed " +
-        s"MaxOpenSessions=$MaxOpenSessions (watermark ${wmUs}us). This " +
-        "means event timestamps run far ahead of the watermark — a " +
-        "corrupt clock or a seconds/millis/micros unit bug upstream — " +
-        "and the state store would grow without bound. Fix the " +
-        "event-time column; do not raise the cap.")
+    if (prior.size > MaxOpenSessions && open.size > MaxOpenSessions)
+      throw new IllegalStateException(
+        s"ripenGapSessions: ${open.size} open sessions on one key still " +
+          s"exceed MaxOpenSessions=$MaxOpenSessions after a ripening " +
+          s"opportunity (watermark ${wmUs}us). The watermark is lagging " +
+          "the data by far more than the session gap — a corrupt " +
+          "event-time column (seconds/millis/micros unit bug), or a " +
+          "watermark delay configured orders of magnitude above the " +
+          "gap — and the state store would grow without bound. Fix the " +
+          "event-time column or the delay-to-gap ratio; do not raise " +
+          "the cap.")
     if (open.isEmpty) state.remove()
     else {
       state.update(open)
@@ -584,20 +606,23 @@ object StreamingAnalytics {
     * steps), while the step events BUFFER as (t, idx) stamps until the
     * session closes, because the greedy fold is order-sensitive and an
     * in-watermark straggler can change the outcome. State per open
-    * session is min(step-event volume, `maxStamps`) — the batch
+    * session is min(step-event volume, 2·`maxStamps`) — the batch
     * operator's per-session sorted-array bound, CAPPED so one
     * pathological never-gapping key cannot grow its state-store entry
-    * without bound.
+    * without bound (the 2× headroom lets the sort-truncate amortize to
+    * O(log maxStamps) per event instead of running per combine at the
+    * cap).
     *
-    * Truncation semantics at the cap: the (t, idx)-LEAST `maxStamps`
-    * stamps are kept. Smallest-k is a mergeable summary
-    * (smallest-k(A ∪ B) = smallest-k(smallest-k(A) ∪ smallest-k(B))),
-    * so whatever order fragments merge in, the kept set is exactly the
-    * first `maxStamps` step events in the fold's own processing order
-    * — and the close-time greedy fold becomes a PREFIX fold: its
-    * result is the fold's true state after those events, a lower bound
-    * on the untruncated `max_step`. A session with 100k+ step events
-    * is bot traffic, not a funnel candidate; the default cap keeps it
+    * Truncation semantics at the cap: the close-time fold runs over
+    * the (t, idx)-LEAST `maxStamps` stamps. The true least-k always
+    * survive a truncate-to-least-k of any superset, so whatever order
+    * fragments merge (and whenever the amortized cut fires), the
+    * emitted result is computed over exactly the first `maxStamps`
+    * step events in the fold's own processing order — a PREFIX fold
+    * whose `max_step` is the fold's true state after those events, a
+    * lower bound on the untruncated result, SURFACED via the
+    * `truncated` output column. A session with 100k+ step events is
+    * bot traffic, not a funnel candidate; the default cap keeps it
     * from OOMing an executor while leaving every real session exact.
     *
     * No id column: the batch fold orders by (t, step-index) only (ties
@@ -626,32 +651,47 @@ object StreamingAnalytics {
          state: GroupState[List[OpenSessionSteps]]) =>
           val incoming = rows.map { r =>
             val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
-            OpenSessionSteps(t, t, 1L,
-              stepIdx.get(r._3).map(StepStamp(t, _)).toList)
+            val st = stepIdx.get(r._3).map(StepStamp(t, _)).toList
+            OpenSessionSteps(t, t, 1L, st, trunc = false, ns = st.size)
           }.toList
-          // the shared fold over ALL events; stamps concatenate, then
-          // the cap keeps the (t, idx)-least maxStamps (merge-stable:
-          // the deterministic fold-order prefix)
+          // the shared fold over ALL events. The cap is AMORTIZED:
+          // concat puts the smaller fragment left (it shares the big
+          // side's tail — O(min) per combine, never O(buffer)), the
+          // stamp count rides in `ns` (no O(n) size walks), and the
+          // sort-truncate fires only past 2×maxStamps, cutting back to
+          // maxStamps — O(log maxStamps) per event amortized, instead
+          // of a full sort per combine once a bot key reaches the cap.
+          // Keeping the (t, idx)-least maxStamps is safe under ANY cut
+          // schedule: the true least-k always survive a
+          // truncate-to-least-k of a superset, so the close-time
+          // take(maxStamps) below is deterministic.
           ripenGapSessions(state.getOption.getOrElse(Nil), incoming,
             gapUs, state)(_.start, _.end, (h, s) => {
-            val all = h.stamps ++ s.stamps
+            val total = h.ns + s.ns
+            val cat =
+              if (s.ns <= h.ns) s.stamps ++ h.stamps
+              else h.stamps ++ s.stamps
+            val cut = total > 2 * maxStamps
             val kept =
-              if (all.size > maxStamps)
-                all.sortBy(e => (e.t, e.idx)).take(maxStamps)
-              else all
+              if (cut) cat.sortBy(e => (e.t, e.idx)).take(maxStamps)
+              else cat
             OpenSessionSteps(h.start, math.max(h.end, s.end),
-              h.n + s.n, kept,
-              h.trunc || s.trunc || kept.size < all.size)
+              h.n + s.n, kept, h.trunc || s.trunc || cut,
+              if (cut) maxStamps else total)
           })
             .iterator.map { s =>
             // the batch funnelFold exactly: (t, idx)-ascending, advance
-            // on the NEXT index at a strictly later time
+            // on the NEXT index at a strictly later time; a capped
+            // session folds its deterministic least-maxStamps prefix
+            // and says so in `truncated`
+            val ordered0 = s.stamps.sortBy(e => (e.t, e.idx))
+            val ordered = if (s.trunc) ordered0.take(maxStamps) else ordered0
             var step = 0L
             var last = Long.MinValue
-            s.stamps.sortBy(e => (e.t, e.idx)).foreach { e =>
+            ordered.foreach { e =>
               if (e.idx == step + 1 && e.t > last) { step += 1; last = e.t }
             }
-            ClosedSessionFunnel(u, s.start, s.end, s.n, step)
+            ClosedSessionFunnel(u, s.start, s.end, s.n, step, s.trunc)
           }
       }
   }
@@ -688,20 +728,22 @@ object StreamingAnalytics {
     * census derives downstream — see [[sessionPathsRollup]].
     *
     * State per open session: every event's (t, id, type) stamp UP TO
-    * `maxStamps` — the path render is order-sensitive and an
+    * 2·`maxStamps` — the path render is order-sensitive and an
     * in-watermark straggler can INSERT into the middle, so nothing can
     * be folded early; the batch operator's own per-session
     * collect_list bound (a session's event count) applies, but CAPPED:
     * a key that never gaps (bot traffic, a sub-gap heartbeat) would
     * otherwise grow one state-store value forever, and state values
     * deserialize whole — the one executor-OOM path in the census
-    * family. Closed sessions leave the store the micro-batch they
-    * emit.
+    * family. The 2× headroom amortizes the sort-truncate to
+    * O(log maxStamps) per event. Closed sessions leave the store the
+    * micro-batch they emit.
     *
-    * Truncation semantics at the cap: the (t, id, ty)-LEAST `maxStamps`
-    * stamps are kept — smallest-k is merge-stable, so the kept set is
-    * the session's deterministic render-order PREFIX regardless of
-    * arrival order — and the rendered path carries an explicit
+    * Truncation semantics at the cap: the rendered path is the
+    * (t, id, ty)-LEAST `maxStamps` stamps — the true least-k survive
+    * any truncate-to-least-k of a superset, so regardless of arrival
+    * order or when the amortized cut fires, the emitted path is the
+    * session's deterministic render-order PREFIX — with an explicit
     * trailing `>…` marker (`n_events` still counts every event).
     * Truncated paths therefore never collide with a genuine full path
     * in [[sessionPathsRollup]]'s census. */
@@ -726,27 +768,39 @@ object StreamingAnalytics {
          state: GroupState[List[OpenSessionPath]]) =>
           val incoming = rows.map { r =>
             val t = r._2.getEpochSecond * 1000000L + r._2.getNano / 1000L
-            OpenSessionPath(t, t, 1L, List(PathStamp(t, r._3, r._4)))
+            OpenSessionPath(t, t, 1L, List(PathStamp(t, r._3, r._4)),
+              trunc = false, ns = 1)
           }.toList
-          // the shared fold; stamps concatenate, then the cap keeps
-          // the (t, id, ty)-least maxStamps (merge-stable: the
-          // deterministic render-order prefix)
+          // the shared fold, with the funnel's AMORTIZED cap: smaller
+          // fragment left in the concat (O(min) per combine), count in
+          // `ns`, sort-truncate to the (t, id, ty)-least maxStamps only
+          // past 2×maxStamps — O(log maxStamps) per event amortized.
+          // The true least-k survive any such cut, so the close-time
+          // take(maxStamps) renders a deterministic prefix.
           ripenGapSessions(state.getOption.getOrElse(Nil), incoming,
             gapUs, state)(_.start, _.end, (h, s) => {
-            val all = h.stamps ++ s.stamps
+            val total = h.ns + s.ns
+            val cat =
+              if (s.ns <= h.ns) s.stamps ++ h.stamps
+              else h.stamps ++ s.stamps
+            val cut = total > 2 * maxStamps
             val kept =
-              if (all.size > maxStamps)
-                all.sortBy(e => (e.t, e.id, e.ty)).take(maxStamps)
-              else all
+              if (cut) cat.sortBy(e => (e.t, e.id, e.ty)).take(maxStamps)
+              else cat
             OpenSessionPath(h.start, math.max(h.end, s.end), h.n + s.n,
-              kept, h.trunc || s.trunc || kept.size < all.size)
+              kept, h.trunc || s.trunc || cut,
+              if (cut) maxStamps else total)
           })
             .iterator.map { s =>
               // the batch render exactly: (t, id, ty)-ascending struct
-              // sort, types joined with ">"; a capped session marks
-              // its dropped tail explicitly
-              val path = s.stamps.sortBy(e => (e.t, e.id, e.ty))
-                .map(_.ty).mkString(">") + (if (s.trunc) ">…" else "")
+              // sort, types joined with ">"; a capped session renders
+              // its deterministic least-maxStamps prefix and marks the
+              // dropped tail explicitly
+              val ordered0 = s.stamps.sortBy(e => (e.t, e.id, e.ty))
+              val ordered =
+                if (s.trunc) ordered0.take(maxStamps) else ordered0
+              val path = ordered.map(_.ty).mkString(">") +
+                (if (s.trunc) ">…" else "")
               ClosedSessionPath(u, s.start, s.end, s.n, path)
             }
       }

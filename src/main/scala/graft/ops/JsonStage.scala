@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet → JSON-lines staging utility — the bridge between the
@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   *     --input <parquet path> --output <dir of JSON lines> \
   *     [--select c1,c2,...]   project before serializing \
   *     [--order-by <col>]     range-partition + sort so files are
-  *                            chronological \
+  *                            chronological (the column need not be in
+  *                            --select) \
   *     [--parts 8]            output file count
   *
   * Two details matter for a faithful replay and are easy to get wrong
@@ -27,20 +28,26 @@ import org.apache.spark.sql.functions._
   *  2. MTIME ordering: Spark's file source breaks same-batch ties by
   *     MODIFICATION time — i.e. write-task completion order,
   *     nondeterministic and unrelated to the range order. The staged
-  *     parts get strictly-increasing mtimes stamped in part order, so
-  *     the stream really arrives in `--order-by` order.
+  *     parts get strictly-increasing mtimes stamped in part order
+  *     (stage-time base, 1 ms apart), so the stream really arrives in
+  *     `--order-by` order, and a follow-on corpus staged even seconds
+  *     later stamps strictly after this one. Do not run two stagings
+  *     CONCURRENTLY into one watched input — their part stamps would
+  *     interleave.
   */
 object JsonStage {
 
-  /** The staging body (testable seam): project, serialize, range-order,
-    * write, stamp mtimes. Returns the staged part-file count. */
-  def stage(spark: SparkSession, input: String, output: String,
-      orderBy: String = "", select: Seq[String] = Nil,
-      parts: Int = 8): Int = {
+  /** Staging body over an already-loaded frame (ScaleBench stages its
+    * replicated corpora through this too): serialize `selCols` (all
+    * columns when empty) as one JSON line per row, range-order by
+    * `orderBy` when given (resolved against `df`, so it need not be
+    * serialized), write `parts` text files, stamp part mtimes
+    * strictly increasing in part order. Returns the part count. */
+  def stageFrame(df: DataFrame, output: String, orderBy: String = "",
+      selCols: Seq[String] = Nil, parts: Int = 8): Int = {
     require(parts >= 1, s"parts must be >= 1, got $parts")
-    val df0 = spark.read.parquet(input)
-    val df = if (select.nonEmpty) df0.select(select.map(col): _*) else df0
-    val json = to_json(struct(df.columns.map(col): _*)).as("value")
+    val cols = if (selCols.nonEmpty) selCols else df.columns.toSeq
+    val json = to_json(struct(cols.map(col): _*)).as("value")
     val staged =
       if (orderBy.nonEmpty)
         df.select(json, col(orderBy).as("__ord"))
@@ -49,34 +56,53 @@ object JsonStage {
           .select("value")
       else df.select(json).repartition(parts)
     staged.write.mode("overwrite").text(output)
-    // strictly-increasing mtimes in part order (see the scaladoc); the
-    // base sits an hour back so files staged later (an incremental
-    // drop-in) naturally sort after these
     val partFiles = Option(new java.io.File(output).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // stage-time base + 1 ms per part: within-run order is strict, and
+    // any later staging run stamps after this one as long as the runs
+    // are not concurrent (see the scaladoc)
+    val base = System.currentTimeMillis()
     partFiles.zipWithIndex.foreach { case (f, idx) =>
-      f.setLastModified(System.currentTimeMillis() - 3600000L + idx * 1000L)
+      f.setLastModified(base + idx)
     }
     partFiles.length
   }
+
+  /** Path-based entry: read parquet, project `select` if given (the
+    * `orderBy` column resolves against the FULL input schema, so
+    * ordering by a column you don't serialize works). */
+  def stage(spark: SparkSession, input: String, output: String,
+      orderBy: String = "", select: Seq[String] = Nil,
+      parts: Int = 8): Int =
+    stageFrame(spark.read.parquet(input), output, orderBy, select, parts)
 
   def main(args: Array[String]): Unit = {
     var input = ""; var output = ""; var orderBy = ""
     var select = Seq.empty[String]; var parts = 8
     var i = 0
-    while (i < args.length) {
-      args(i) match {
-        case "--input" => input = args(i + 1); i += 2
-        case "--output" => output = args(i + 1); i += 2
-        case "--order-by" => orderBy = args(i + 1); i += 2
-        case "--select" =>
-          select = args(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          i += 2
-        case "--parts" => parts = args(i + 1).toInt; i += 2
-        case other =>
-          System.err.println(s"[config] unknown flag '$other'"); sys.exit(10)
+    // the CLI contract every launcher shares: config errors print a
+    // [config] line and exit 10, never a raw stack trace
+    try {
+      while (i < args.length) {
+        args(i) match {
+          case "--input" => input = args(i + 1); i += 2
+          case "--output" => output = args(i + 1); i += 2
+          case "--order-by" => orderBy = args(i + 1); i += 2
+          case "--select" =>
+            select = args(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            i += 2
+          case "--parts" => parts = args(i + 1).toInt; i += 2
+          case other =>
+            System.err.println(s"[config] unknown flag '$other'"); sys.exit(10)
+        }
       }
+    } catch {
+      case _: ArrayIndexOutOfBoundsException =>
+        System.err.println("[config] flag missing its value"); sys.exit(10)
+      case e: NumberFormatException =>
+        System.err.println(s"[config] bad numeric value: ${e.getMessage}")
+        sys.exit(10)
     }
     if (input.isEmpty || output.isEmpty || parts < 1) {
       System.err.println("[config] --input and --output required, --parts >= 1")

@@ -130,6 +130,12 @@ object SessionCensusCli {
       .option("maxFilesPerTrigger", 1)
       .json(cfg.input)
 
+    // state maxima tracked through a listener, NOT recentProgress —
+    // one-file micro-batches overflow its 100-entry ring on any real
+    // drain and would silently under-report a mid-run peak
+    val stateMax = new graft.observe.StateMaxListener()
+    spark.streams.addListener(stateMax)
+
     val gapUs = cfg.gapSec * 1000000L
     val sessions = StreamingAnalytics.sessionCensusStream(source(),
         "user_id", "event_type", "ts", "event_id", gapUs, cfg.watermark)
@@ -207,25 +213,26 @@ object SessionCensusCli {
       (Seq(sessions) ++ verdictQ ++ funnelQ ++ growthQ ++ pathsQ ++
         transQ).foreach(q =>
         try q.stop() catch { case _: Exception => () })
+      spark.streams.removeListener(stateMax)
       throw t
     }
 
-    // per-census state-store telemetry over THIS run's micro-batches:
-    // max keys in state (must track user cardinality, never event
+    // per-census state-store telemetry over EVERY micro-batch of this
+    // run: max keys in state (must track user cardinality, never event
     // volume — the documented bound of every census operator) and max
     // provider-reported memory (grows only with the in-window buffered
     // rate; the paths/funnel buffers additionally sit under
     // --max-stamps). The same numbers ScaleBench's decade rows pin at
     // 10×/16× volume, surfaced here so an operator can watch the
     // bound hold in production.
+    stateMax.settle() // async bus — drain before reading
+    spark.streams.removeListener(stateMax)
     (Seq(sessions) ++ verdictQ ++ funnelQ ++ growthQ ++ pathsQ ++ transQ)
       .foreach { q =>
-        val sos = q.recentProgress.toSeq
-          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
-        if (sos.nonEmpty)
+        stateMax.maxFor(q.name).foreach { case (k, b) =>
           println(s"""{"state": ${jstr(q.name)}, """ +
-            s""""max_keys": ${sos.map(_.numRowsTotal).max}, """ +
-            s""""max_bytes": ${sos.map(_.memoryUsedBytes).max}}""")
+            s""""max_keys": $k, "max_bytes": $b}""")
+        }
       }
 
     // a run that closed nothing legitimately leaves no parquet behind —

@@ -28,9 +28,9 @@ class StreamingSessionFunnelSpec extends SparkSpec {
       "event_type", "ts", steps, gapUs, watermark = "0 seconds")
       .writeStream.outputMode("append")
       .format("memory").queryName("funnel_test").start()
-    def closed(): Set[(Long, Long, Long, Long, Long)] =
+    def closed(): Set[(Long, Long, Long, Long, Long, Boolean)] =
       spark.table("funnel_test")
-        .as[(Long, Long, Long, Long, Long)].collect().toSet
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
 
     // u1: the full ordered funnel (a non-step 'signup' rides along —
     // it chains the session but must not disturb the fold);
@@ -48,10 +48,10 @@ class StreamingSessionFunnelSpec extends SparkSpec {
     input.addData((99L, B + 500 * s, "signup"))
     q.processAllAvailable()
     val want = Set(
-      (1L, B, B + 8 * s, 4L, 3L),
-      (2L, B + 1 * s, B + 5 * s, 2L, 1L),
-      (3L, B + 2 * s, B + 2 * s, 2L, 1L),
-      (4L, B + 3 * s, B + 3 * s, 1L, 0L))
+      (1L, B, B + 8 * s, 4L, 3L, false),
+      (2L, B + 1 * s, B + 5 * s, 2L, 1L, false),
+      (3L, B + 2 * s, B + 2 * s, 2L, 1L, false),
+      (4L, B + 3 * s, B + 3 * s, 1L, 0L, false))
     assert(closed() == want)
 
     // exactly-once
@@ -102,8 +102,8 @@ class StreamingSessionFunnelSpec extends SparkSpec {
     input.addData((99L, B + 501 * s, "signup"))
     q.processAllAvailable()
     val got = spark.table("funnel_ooo")
-      .as[(Long, Long, Long, Long, Long)].collect().toSet
-    assert(got == Set((1L, B, B + 8 * s, 3L, 3L)))
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, B, B + 8 * s, 3L, 3L, false)))
     q.stop()
   }
 
@@ -121,10 +121,11 @@ class StreamingSessionFunnelSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("funnel_cap").start()
 
-    // u1 never gaps and emits 6 step events across two micro-batches;
-    // the cap keeps only the (t, idx)-least 2 (view@0, click@2), so
-    // the fold reaches step 2 — the prefix fold's exact state after
-    // the kept events, a documented lower bound on the true step 3
+    // u1 never gaps and emits 6 step events across two micro-batches
+    // (past the 2x amortization threshold); the close-time fold runs
+    // over the (t, idx)-least 2 (view@0, click@2), so it reaches step
+    // 2 — the prefix fold's exact state after the kept events, a lower
+    // bound on the true step 3, SURFACED by truncated=true
     input.addData((1L, B, "view"), (1L, B + 2 * s, "click"),
       (1L, B + 4 * s, "purchase"))
     q.processAllAvailable()
@@ -136,9 +137,10 @@ class StreamingSessionFunnelSpec extends SparkSpec {
     input.addData((99L, B + 501 * s, "signup"))
     q.processAllAvailable()
     val got = spark.table("funnel_cap")
-      .as[(Long, Long, Long, Long, Long)].collect().toSet
-    // n_events still counts all 6; max_step is the prefix fold's 2
-    assert(got == Set((1L, B, B + 10 * s, 6L, 2L)))
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    // n_events still counts all 6; max_step is the prefix fold's 2,
+    // and the cap says so in the truncated column
+    assert(got == Set((1L, B, B + 10 * s, 6L, 2L, true)))
     q.stop()
   }
 }

@@ -149,14 +149,14 @@ class StreamingSessionPathsSpec extends SparkSpec {
         col("_3").as("event_id"), col("_4").as("event_type"))
     val q = StreamingAnalytics.sessionPathsStream(events, "user_id",
       "event_type", "ts", "event_id", gapUs, watermark = "60 seconds",
-      maxStamps = 4)
+      maxStamps = 2)
       .writeStream.outputMode("append")
       .format("memory").queryName("paths_cap_ooo").start()
 
-    // t=0,2,4,6,8 arrive first (cap already exceeded: keep a,b,c,d);
-    // then t=1 and t=3 land LATE but in-watermark — they belong inside
-    // the prefix, so the final kept set must be the four (t,id,ty)-least
-    // of ALL seven events: a(0), x(1), b(2), y(3)
+    // t=0,2,4,6,8 arrive first (5 > 2×cap, so the amortized cut fires:
+    // keep a,b); then t=1 and t=3 land LATE but in-watermark — x(1)
+    // belongs INSIDE the final prefix, so the rendered head must be
+    // the two (t,id,ty)-least of ALL seven events: a(0), x(1)
     input.addData((1L, B, 10L, "a"), (1L, B + 2 * s, 12L, "b"),
       (1L, B + 4 * s, 14L, "c"), (1L, B + 6 * s, 16L, "d"),
       (1L, B + 8 * s, 18L, "e"))
@@ -169,7 +169,7 @@ class StreamingSessionPathsSpec extends SparkSpec {
     q.processAllAvailable()
     val got = spark.table("paths_cap_ooo")
       .as[(Long, Long, Long, Long, String)].collect().toSet
-    assert(got == Set((1L, B, B + 8 * s, 7L, "a>x>b>y>…")))
+    assert(got == Set((1L, B, B + 8 * s, 7L, "a>x>…")))
     q.stop()
   }
 }

@@ -106,26 +106,38 @@ class StreamingSessionSpec extends SparkSpec {
     q.stop()
   }
 
-  test("sessionizeStream: the MaxOpenSessions tripwire fails loud on " +
-    "far-future timestamps instead of growing state silently") {
+  test("sessionizeStream: the MaxOpenSessions tripwire fails loud on a " +
+    "PERSISTENT pile-up, and lets a transient backfill spike through") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
     val events = input.toDF()
       .select(col("_1").as("user_id"),
         timestamp_micros(col("_2")).as("ts"))
+    // a watermark delay orders of magnitude above the gap — the
+    // misconfiguration (or corrupt-event-time) shape under which open
+    // sessions genuinely cannot ripen and state would grow forever
     val q = StreamingAnalytics
-      .sessionizeStream(events, "user_id", "ts", gapUs, watermark = "0 seconds")
+      .sessionizeStream(events, "user_id", "ts", gapUs,
+        watermark = "36500 days")
       .writeStream.outputMode("append")
       .format("memory").queryName("sessions_tripwire").start()
 
-    // one key, 10 001 mutually-gapped events all far ahead of the
-    // watermark (it is still epoch 0 while this first batch runs) —
-    // the corrupt-clock shape: every event opens a session the
-    // watermark cannot close, so the open list crosses the cap and the
-    // fold must throw rather than let one key's state grow unbounded
-    val farFuture = (0 to StreamingAnalytics.MaxOpenSessions)
+    // batch 1: one key, 10 001 mutually-gapped sessions. This alone
+    // must NOT throw — a coarse backfill batch can transiently hold
+    // this many genuinely-gapped sessions open purely because the
+    // watermark lags one micro-batch, and those ripen at the next
+    // advance. The overflow is stored once.
+    val pileup = (0 to StreamingAnalytics.MaxOpenSessions)
       .map(i => (7L, B + i * 20 * s))
-    input.addData(farFuture: _*)
+    input.addData(pileup: _*)
+    q.processAllAvailable() // no exception: transient spikes pass
+
+    // batch 2: the key is touched again and the pile-up has NOT
+    // ripened (the huge delay pins the watermark at zero) — the stored
+    // list was over the cap AND is still over it after this ripening
+    // opportunity: now the fold must fail loud instead of letting the
+    // state-store entry compound forever
+    input.addData((7L, B + 10002L * 20 * s))
     val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q.processAllAvailable()
     }

@@ -60,6 +60,17 @@ class OpsSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("user_id", "ts", "event_type"))
     assert(back.count() == 100 &&
       back.agg(sum("user_id")).head().getLong(0) == 4950L)
+
+    // ordering by a column that is NOT serialized: --order-by resolves
+    // against the full input schema, not the projection
+    val out2 = Files.createTempDirectory("stage-out2").toString
+    assert(JsonStage.stage(spark, in, out2, orderBy = "ts",
+      select = Seq("user_id", "event_type"), parts = 2) == 2)
+    val back2 = spark.read.schema(StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))).json(out2)
+    assert(back2.columns.toSeq == Seq("user_id", "event_type") &&
+      back2.count() == 100)
   }
 
   test("DlqReplay: dry-run counts, execute re-appends payloads, retry budget") {

@@ -85,8 +85,9 @@ class SessionCensusCliSpec extends SparkSpec {
     // the funnel census: the fused session advances view -> purchase
     // (both strictly ordered), so max_step = 2 of the 2-step funnel
     val fu = spark.read.parquet(s"$base/funnels")
-      .as[(Long, Long, Long, Long, Long)].collect().toSet
-    assert(fu == Set((1L, B, B + 8 * s, 3L, 2L)), s"funnel sessions: $fu")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(fu == Set((1L, B, B + 8 * s, 3L, 2L, false)),
+      s"funnel sessions: $fu")
     assert(s2.funnelSessions == 1L)
     val funnelReport = graft.analytics.StreamingAnalytics
       .sessionFunnelRollup(spark.read.parquet(s"$base/funnels"),
