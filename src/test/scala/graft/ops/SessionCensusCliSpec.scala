@@ -168,6 +168,59 @@ class SessionCensusCliSpec extends SparkSpec {
       s"HDFS-provider .delta files mean RocksDB was NOT used: $names")
   }
 
+  test("HARD CRASH on the stateful path: a torn WAL commit between runs " +
+    "replays the flatMapGroupsWithState batch exactly-once — no " +
+    "duplicated or lost closed sessions") {
+    import scala.jdk.CollectionConverters._
+    val B = 1000L * s
+    val half1 = Seq(row(1L, 10L, B, "view"), row(1L, 11L, B + 4 * s, "view"))
+    val half2 = Seq(row(1L, 12L, B + 8 * s, "purchase"),
+      row(2L, 20L, B + 30 * s, "view"),
+      row(99L, 990L, B + 500 * s, "view"))
+    def mkCfg(): (String, SessionCensusCli.CensusConfig) = {
+      val in = Files.createTempDirectory("scc-crash-in").toString
+      val base = Files.createTempDirectory("scc-crash").toString
+      (in, SessionCensusCli.CensusConfig(
+        input = in, sessions = s"$base/sessions",
+        checkpoint = s"$base/cp", gapSec = 10L, watermark = "0 seconds"))
+    }
+    def sessionsOf(cfg: SessionCensusCli.CensusConfig) =
+      spark.read.parquet(cfg.sessions)
+        .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+        .sorted
+
+    // no-crash reference: two incremental drains
+    val (inR, cfgR) = mkCfg()
+    Files.writeString(Paths.get(s"$inR/b0.json"), half1.mkString("\n"))
+    SessionCensusCli.run(spark, cfgR)
+    Files.writeString(Paths.get(s"$inR/b1.json"), half2.mkString("\n"))
+    SessionCensusCli.run(spark, cfgR)
+    val want = sessionsOf(cfgR)
+    assert(want.nonEmpty)
+
+    // crash run: drain half 1, then tear the newest WAL commit (+ its
+    // .crc — a real kill loses both, and the state store's version for
+    // that batch plus the sink's _spark_metadata entry survive); the
+    // restart must REPLAY that micro-batch against state version N−1
+    // and the idempotent sink, then chain half 2 — append-mode
+    // flatMapGroupsWithState's exactly-once under the same torn window
+    // CdcPipelineSpec proves for the foreachBatch merge path
+    val (inC, cfgC) = mkCfg()
+    Files.writeString(Paths.get(s"$inC/b0.json"), half1.mkString("\n"))
+    SessionCensusCli.run(spark, cfgC)
+    val commits = Paths.get(s"${cfgC.checkpoint}/sessions/commits")
+    val newest = Files.list(commits).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(newest)
+    Files.deleteIfExists(
+      newest.resolveSibling("." + newest.getFileName.toString + ".crc"))
+    Files.writeString(Paths.get(s"$inC/b1.json"), half2.mkString("\n"))
+    SessionCensusCli.run(spark, cfgC)
+    assert(sessionsOf(cfgC) == want,
+      s"torn-commit replay diverged: ${sessionsOf(cfgC)} vs $want")
+  }
+
   test("StateStores: a custom provider class keeps its casing") {
     // the pre-fix per-CLI copies lowercased BEFORE matching and
     // returned the lowercased binding — corrupting any fully-qualified
