@@ -299,15 +299,7 @@ object Bench {
     /** Wait (bounded) for the async listener bus to drain: the last
       * trigger's progress event may land after awaitTermination. Runs
       * OUTSIDE the timed window. */
-    def settle(): Unit = {
-      var last = -1L
-      var spins = 0
-      while (batches != last && spins < 20) {
-        last = batches
-        Thread.sleep(100)
-        spins += 1
-      }
-    }
+    def settle(): Unit = observe.ListenerDrain.settle(() => batches)
   }
 
   /** CDC replication END-TO-END at bench scale — the number

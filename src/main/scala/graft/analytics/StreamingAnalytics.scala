@@ -245,6 +245,14 @@ object StreamingAnalytics {
     * the funnel emits a `truncated` column marking its prefix fold). */
   val DefaultMaxStamps: Int = 100000
 
+  /** Upper bound on a caller-supplied `maxStamps`: 100 M stamps is a
+    * ~4 GB single state value — already far past anything an executor
+    * survives — and the ceiling keeps every internal count (`ns`,
+    * `h.ns + s.ns`, `2·maxStamps`) comfortably inside Int, so a
+    * "make it effectively unlimited" flag value cannot overflow the
+    * cut test into marking every session truncated. */
+  val MaxStampsCeiling: Int = 100000000
+
   /** Tumbling-window order/event rollup over a streaming frame. */
   def windowedRollup(stream: DataFrame, tsCol: String, keyCol: String,
       valueCol: String, windowLength: String = "1 day",
@@ -299,16 +307,20 @@ object StreamingAnalytics {
     * its concurrent open sessions inside the lateness window, but a
     * watermark configured (or corrupted) to lag the data by far more
     * than the gap lets sessions pile up unclosable — each one a
-    * permanent state-store resident. The fold FAILS LOUD when the
-    * overflow PERSISTS: the list exceeded
-    * [[StreamingAnalytics.MaxOpenSessions]] when last STORED (`prior`)
-    * and still exceeds it after this invocation's ripening
-    * opportunity. A coarse backfill batch that transiently holds many
-    * genuinely-gapped sessions open — purely because the watermark
-    * lags one micro-batch behind the data — stores once and ripens at
-    * the next advance, so it never trips; a persistent pile-up cannot
-    * ripen and trips on its second sighting, before state compounds
-    * further. The fix is upstream (the event-time column or the
+    * permanent state-store resident. Two ceilings, both FAIL LOUD:
+    * past [[StreamingAnalytics.MaxOpenSessions]] only when the
+    * overflow PERSISTS (over the cap when last stored AND still over
+    * it after this invocation's ripening opportunity — a coarse
+    * backfill batch that transiently holds many genuinely-gapped
+    * sessions open behind the one-batch watermark lag stores once,
+    * ripens at the next advance, and never trips), and past 10× the
+    * cap IMMEDIATELY (no healthy single batch opens that many
+    * unclosable sessions on one key, and storing them would plant the
+    * deserialize-whole OOM before a second sighting). Worst residual:
+    * a key over the soft cap that is never touched again keeps its
+    * stored list (≤ 10×cap ≈ a few MB) until its event-time timeout
+    * fires — bounded, and the timeout ripens it whenever the watermark
+    * moves at all. The fix is upstream (the event-time column or the
     * watermark-delay-to-gap ratio), never a bigger cap. */
   private def ripenGapSessions[S](prior: List[S], incoming: List[S],
       gapUs: Long, state: GroupState[List[S]])(
@@ -323,15 +335,30 @@ object StreamingAnalytics {
         }
       }.reverse
     val (closed, open) = merged.partition(x => end(x) + gapUs < wmUs)
-    if (prior.size > MaxOpenSessions && open.size > MaxOpenSessions)
+    // two ceilings: a SOFT one (MaxOpenSessions) that fires only when
+    // the overflow persists across a ripening opportunity — one batch
+    // of a coarse backfill may transiently exceed it behind the
+    // one-batch watermark lag and stores once — and a HARD one (10×)
+    // that fires immediately: a single batch opening that many
+    // unclosable sessions on ONE key is never a healthy backfill, and
+    // storing it would plant a hundreds-of-MB single state value (the
+    // deserialize-whole OOM) before any second sighting could object.
+    val persistent =
+      prior.size > MaxOpenSessions && open.size > MaxOpenSessions
+    if (persistent || open.size > 10 * MaxOpenSessions)
       throw new IllegalStateException(
-        s"ripenGapSessions: ${open.size} open sessions on one key still " +
-          s"exceed MaxOpenSessions=$MaxOpenSessions after a ripening " +
-          s"opportunity (watermark ${wmUs}us). The watermark is lagging " +
-          "the data by far more than the session gap — a corrupt " +
-          "event-time column (seconds/millis/micros unit bug), or a " +
-          "watermark delay configured orders of magnitude above the " +
-          "gap — and the state store would grow without bound. Fix the " +
+        s"ripenGapSessions: ${open.size} open sessions on one key " +
+          (if (persistent)
+            s"still exceed MaxOpenSessions=$MaxOpenSessions after a " +
+              "ripening opportunity"
+          else
+            s"exceed the hard ceiling ${10 * MaxOpenSessions} in a " +
+              "single batch") +
+          s" (watermark ${wmUs}us). The watermark is lagging the data " +
+          "by far more than the session gap — a corrupt event-time " +
+          "column (seconds/millis/micros unit bug), or a watermark " +
+          "delay configured orders of magnitude above the gap — and " +
+          "the state store would grow without bound. Fix the " +
           "event-time column or the delay-to-gap ratio; do not raise " +
           "the cap.")
     if (open.isEmpty) state.remove()
@@ -633,7 +660,8 @@ object StreamingAnalytics {
       watermark: String = "10 minutes",
       maxStamps: Int = DefaultMaxStamps): Dataset[ClosedSessionFunnel] = {
     require(gapUs > 0, s"gapUs must be positive, got $gapUs")
-    require(maxStamps >= 1, s"maxStamps must be >= 1, got $maxStamps")
+    require(maxStamps >= 1 && maxStamps <= MaxStampsCeiling,
+      s"maxStamps must be in [1, $MaxStampsCeiling], got $maxStamps")
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"steps must be non-empty and distinct, got $steps")
     val stepIdx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
@@ -671,7 +699,7 @@ object StreamingAnalytics {
             val cat =
               if (s.ns <= h.ns) s.stamps ++ h.stamps
               else h.stamps ++ s.stamps
-            val cut = total > 2 * maxStamps
+            val cut = total.toLong > 2L * maxStamps
             val kept =
               if (cut) cat.sortBy(e => (e.t, e.idx)).take(maxStamps)
               else cat
@@ -752,7 +780,8 @@ object StreamingAnalytics {
       watermark: String = "10 minutes",
       maxStamps: Int = DefaultMaxStamps): Dataset[ClosedSessionPath] = {
     require(gapUs > 0, s"gapUs must be positive, got $gapUs")
-    require(maxStamps >= 1, s"maxStamps must be >= 1, got $maxStamps")
+    require(maxStamps >= 1 && maxStamps <= MaxStampsCeiling,
+      s"maxStamps must be in [1, $MaxStampsCeiling], got $maxStamps")
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
@@ -783,7 +812,7 @@ object StreamingAnalytics {
             val cat =
               if (s.ns <= h.ns) s.stamps ++ h.stamps
               else h.stamps ++ s.stamps
-            val cut = total > 2 * maxStamps
+            val cut = total.toLong > 2L * maxStamps
             val kept =
               if (cut) cat.sortBy(e => (e.t, e.id, e.ty)).take(maxStamps)
               else cat

@@ -46,13 +46,22 @@ final class StateMaxListener extends StreamingQueryListener {
     * named query, if any of its batches carried state operators. */
   def maxFor(name: String): Option[(Long, Long)] = maxima.get(name)
 
-  /** Bounded wait for the async listener bus to drain (the BatchTimes
-    * discipline): spin while events still arrive, up to ~2 s. */
-  def settle(): Unit = {
+  /** Bounded wait for the async listener bus to drain. */
+  def settle(): Unit = ListenerDrain.settle(() => events)
+}
+
+/** The ONE bounded listener-bus drain (graft.Bench's BatchTimes and
+  * [[StateMaxListener]] share it): Spark's StreamingQueryListener bus
+  * is async and the last trigger's event can land after
+  * `awaitTermination`, so readers spin while the counter still moves —
+  * 100 ms polls, ~2 s cap. Changing the drain bound changes it
+  * everywhere. */
+object ListenerDrain {
+  def settle(events: () => Long): Unit = {
     var last = -1L
     var spins = 0
-    while (events != last && spins < 20) {
-      last = events
+    while (events() != last && spins < 20) {
+      last = events()
       Thread.sleep(100)
       spins += 1
     }

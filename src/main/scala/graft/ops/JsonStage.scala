@@ -28,12 +28,14 @@ import org.apache.spark.sql.functions._
   *  2. MTIME ordering: Spark's file source breaks same-batch ties by
   *     MODIFICATION time — i.e. write-task completion order,
   *     nondeterministic and unrelated to the range order. The staged
-  *     parts get strictly-increasing mtimes stamped in part order
-  *     (stage-time base, 1 ms apart), so the stream really arrives in
-  *     `--order-by` order, and a follow-on corpus staged even seconds
-  *     later stamps strictly after this one. Do not run two stagings
-  *     CONCURRENTLY into one watched input — their part stamps would
-  *     interleave.
+  *     parts get strictly-increasing mtimes stamped in part order,
+  *     2 s apart (sub-second steps vanish on coarse-granularity
+  *     filesystems) and ending at stage time, so the stream really
+  *     arrives in `--order-by` order. A follow-on corpus staged later
+  *     stamps strictly after this one PROVIDED the runs start more
+  *     than 2·parts seconds apart (a Spark session launch already
+  *     takes longer); never run two stagings concurrently into one
+  *     watched input — their part stamps would interleave.
   */
 object JsonStage {
 
@@ -59,12 +61,16 @@ object JsonStage {
     val partFiles = Option(new java.io.File(output).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    // stage-time base + 1 ms per part: within-run order is strict, and
-    // any later staging run stamps after this one as long as the runs
-    // are not concurrent (see the scaladoc)
-    val base = System.currentTimeMillis()
+    // part mtimes spaced 2 s apart (coarse-granularity filesystems —
+    // ext3, FAT, some container mounts — round sub-second mtimes away,
+    // and identical stamps would reintroduce the nondeterministic
+    // arrival order this stamping exists to fix), ENDING at stage
+    // time: a follow-on staging run stamps strictly after this one as
+    // long as the runs start more than 2·parts seconds apart (see the
+    // scaladoc)
+    val base = System.currentTimeMillis() - 2000L * partFiles.length
     partFiles.zipWithIndex.foreach { case (f, idx) =>
-      f.setLastModified(base + idx)
+      f.setLastModified(base + (idx + 1) * 2000L)
     }
     partFiles.length
   }

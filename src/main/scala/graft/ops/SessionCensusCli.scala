@@ -35,7 +35,14 @@ import graft.analytics.StreamingAnalytics
   * flag when the cap landed (round 17). Spark's state store validates
   * the schema on restore and fails loudly on a checkpoint written by
   * the pre-cap build — resume those censuses from a fresh checkpoint
-  * (the parquet output tables carry everything already emitted).
+  * (the parquet output tables carry everything already emitted). The
+  * FUNNEL census additionally gained a `truncated` OUTPUT column:
+  * point the resumed census at a fresh --funnels dir too, or read a
+  * mixed old+new dir with `mergeSchema` and
+  * `coalesce(col("truncated"), lit(false))` — appending 6-column files
+  * next to 5-column ones otherwise leaves pre-upgrade rows reading
+  * `truncated` as null, which a `filter(!col("truncated"))` silently
+  * drops.
   *
   * One streaming query per census, each with its own checkpoint
   * subdirectory and parquet append sink. `Trigger.AvailableNow`
@@ -132,9 +139,17 @@ object SessionCensusCli {
 
     // state maxima tracked through a listener, NOT recentProgress —
     // one-file micro-batches overflow its 100-entry ring on any real
-    // drain and would silently under-report a mid-run peak
+    // drain and would silently under-report a mid-run peak. The
+    // listener must come off the shared session on EVERY exit path
+    // (including a .start() that throws before the await block), or an
+    // embedded caller's repeated runs accumulate orphans — hence the
+    // try/finally spanning start-to-telemetry.
     val stateMax = new graft.observe.StateMaxListener()
     spark.streams.addListener(stateMax)
+    val censusNames = Set("session-census", "abandonment-verdicts",
+      "session-funnel", "growth-accounting", "session-paths",
+      "journey-transitions")
+    try {
 
     val gapUs = cfg.gapSec * 1000000L
     val sessions = StreamingAnalytics.sessionCensusStream(source(),
@@ -213,7 +228,6 @@ object SessionCensusCli {
       (Seq(sessions) ++ verdictQ ++ funnelQ ++ growthQ ++ pathsQ ++
         transQ).foreach(q =>
         try q.stop() catch { case _: Exception => () })
-      spark.streams.removeListener(stateMax)
       throw t
     }
 
@@ -226,7 +240,6 @@ object SessionCensusCli {
     // 10×/16× volume, surfaced here so an operator can watch the
     // bound hold in production.
     stateMax.settle() // async bus — drain before reading
-    spark.streams.removeListener(stateMax)
     (Seq(sessions) ++ verdictQ ++ funnelQ ++ growthQ ++ pathsQ ++ transQ)
       .foreach { q =>
         stateMax.maxFor(q.name).foreach { case (k, b) =>
@@ -234,6 +247,16 @@ object SessionCensusCli {
             s""""max_keys": $k, "max_bytes": $b}""")
         }
       }
+
+    } catch { case t: Throwable =>
+      // a START failure (unwritable checkpoint, bad watermark string)
+      // leaves earlier queries running with no handles in scope; query
+      // names are session-unique, so stopping this run's census names
+      // is safe and idempotent with the inner stop
+      spark.streams.active.filter(q => censusNames(q.name)).foreach(q =>
+        try q.stop() catch { case _: Exception => () })
+      throw t
+    } finally spark.streams.removeListener(stateMax)
 
     // a run that closed nothing legitimately leaves no parquet behind —
     // only THAT case maps to zero (the CurateStreamCli rule)
