@@ -315,4 +315,73 @@ class CurateStreamCliSpec extends SparkSpec {
     val s3 = CurateStreamCli.run(spark, cfg)
     assert(s3 == CurateStreamCli.Summary(3, 1), s"idempotent re-drain, got $s3")
   }
+
+  test("HARD CRASH between runs: torn WAL commits on both queries replay " +
+    "exactly-once — landing and near-dup state match the no-crash run") {
+    val baseDoc = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDoc = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val otherDoc = "a completely different story about columnar query engines today"
+    def mkCfg(): CurateStreamCli.StreamConfig = {
+      val in = Files.createTempDirectory("cscli-crash-in").toString
+      val base = Files.createTempDirectory("cscli-crash").toString
+      CurateStreamCli.StreamConfig(
+        input = in, output = s"$base/landing", candidates = s"$base/cands",
+        checkpoint = s"$base/cp",
+        curate = CurateCli.Config(minQuality = 0.4, languages = Set("en"),
+          jaccardThreshold = 0.5, shingleK = 2))
+    }
+    def stage(cfg: CurateStreamCli.StreamConfig, name: String,
+        rows: Seq[String], mtime: Long): Unit = {
+      val p = Paths.get(s"${cfg.input}/$name")
+      Files.writeString(p, rows.mkString("\n"))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(mtime))
+    }
+    def tearNewestCommit(cpSub: String): Unit = {
+      val commits = Paths.get(cpSub, "commits")
+      val newest = Files.list(commits).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      Files.delete(newest)
+      Files.deleteIfExists(
+        newest.resolveSibling("." + newest.getFileName.toString + ".crc"))
+    }
+    def landed(cfg: CurateStreamCli.StreamConfig): Set[Long] =
+      spark.read.parquet(cfg.output).select("doc_id").as[Long].collect().toSet
+    def flagged(cfg: CurateStreamCli.StreamConfig): Set[(String, String)] =
+      spark.read.parquet(cfg.candidates)
+        .select("doc_id", "dup_of").as[(String, String)].collect().toSet
+    val now = System.currentTimeMillis()
+    val half1 = Seq(jsonRow(1, baseDoc, "2024-01-01T10:00:00Z"))
+    val half2 = Seq(jsonRow(4, nearDoc, "2024-01-01T10:01:00Z"),
+      jsonRow(5, otherDoc, "2024-01-01T10:01:01Z"))
+
+    // no-crash reference
+    val cfgR = mkCfg()
+    stage(cfgR, "b0.json", half1, now - 120000)
+    CurateStreamCli.run(spark, cfgR)
+    stage(cfgR, "b1.json", half2, now)
+    val sR = CurateStreamCli.run(spark, cfgR)
+    assert(sR == CurateStreamCli.Summary(3, 1))
+
+    // crash run: drain half 1, then simulate kill -9 in the torn
+    // window on BOTH queries (a dying JVM tears whatever was in
+    // flight): each query's newest WAL commit + .crc vanish while its
+    // sink metadata and state-store versions survive. The restart must
+    // replay that batch against state version N−1 — in particular the
+    // LSH bucket state must NOT double-insert doc 1, or doc 4 would
+    // flag twice / against a phantom — then chain the new files.
+    val cfgC = mkCfg()
+    stage(cfgC, "b0.json", half1, now - 120000)
+    CurateStreamCli.run(spark, cfgC)
+    tearNewestCommit(s"${cfgC.checkpoint}/landing")
+    tearNewestCommit(s"${cfgC.checkpoint}/candidates")
+    stage(cfgC, "b1.json", half2, now)
+    val sC = CurateStreamCli.run(spark, cfgC)
+    assert(sC == CurateStreamCli.Summary(3, 1), s"crash run summary: $sC")
+    assert(landed(cfgC) == landed(cfgR) && landed(cfgC) == Set(1L, 4L, 5L),
+      s"landing diverged: ${landed(cfgC)} vs ${landed(cfgR)}")
+    assert(flagged(cfgC) == flagged(cfgR) &&
+      flagged(cfgC) == Set(("4", "1")),
+      s"candidates diverged: ${flagged(cfgC)} vs ${flagged(cfgR)}")
+  }
 }
