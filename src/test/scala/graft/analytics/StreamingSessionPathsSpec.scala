@@ -172,4 +172,40 @@ class StreamingSessionPathsSpec extends SparkSpec {
     assert(got == Set((1L, B, B + 8 * s, 7L, "a>x>…")))
     q.stop()
   }
+
+  test("sessionPathsStream: the capped prefix is IDENTICAL under " +
+    "arbitrary arrival orders and batch splits (merge-stability, " +
+    "property-style over seeded permutations)") {
+    implicit val sqlCtx = spark.sqlContext
+    // nine events, cap 3: the truth is always the three (t, id, ty)-
+    // least events rendered in order plus the marker, no matter how
+    // arrival interleaves or where the amortized cut fires
+    val events = (0 until 9).map(i =>
+      (1L, B + i * s, 10L + i, ('a' + i).toChar.toString))
+    val want = Set((1L, B, B + 8 * s, 9L, "a>b>c>…"))
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(events)
+      val batches = shuffled.grouped(3).toSeq // three 3-event batches
+      val input = MemoryStream[(Long, Long, Long, String)]
+      val df = input.toDF()
+        .select(col("_1").as("user_id"),
+          timestamp_micros(col("_2")).as("ts"),
+          col("_3").as("event_id"), col("_4").as("event_type"))
+      val q = StreamingAnalytics.sessionPathsStream(df, "user_id",
+        "event_type", "ts", "event_id", gapUs, watermark = "60 seconds",
+        maxStamps = 3)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"paths_perm_$seed").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData((99L, B + 500 * s, 990L, "view"))
+      q.processAllAvailable()
+      input.addData((99L, B + 501 * s, 991L, "view"))
+      q.processAllAvailable()
+      val got = spark.table(s"paths_perm_$seed")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(got == want, s"seed $seed (arrival ${shuffled.map(_._4)}): $got")
+      q.stop()
+    }
+  }
 }
