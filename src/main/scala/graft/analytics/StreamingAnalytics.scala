@@ -360,7 +360,11 @@ object StreamingAnalytics {
           "delay configured orders of magnitude above the gap — and " +
           "the state store would grow without bound. Fix the " +
           "event-time column or the delay-to-gap ratio; do not raise " +
-          "the cap.")
+          "the cap. If this is a legitimate coarse backfill (one huge " +
+          "file holding a key's multi-year history in a single " +
+          "micro-batch), bound the batch instead — set " +
+          "maxFilesPerTrigger / maxOffsetsPerTrigger so gapped " +
+          "sessions get a watermark advance to ripen between batches.")
     if (open.isEmpty) state.remove()
     else {
       state.update(open)
@@ -725,26 +729,46 @@ object StreamingAnalytics {
   }
 
   /** The q186 fold over [[sessionFunnelStream]]'s closed sessions:
-    * EXACTLY [[Analytics.sessionFunnel]]'s report — one row per step
-    * `(step, step_name, sessions)`, unreached steps at 0 — so
-    * streaming and batch funnels are directly comparable. Pass the
-    * SAME `steps` the stream ran with.
+    * [[Analytics.sessionFunnel]]'s report — one row per step
+    * `(step, step_name, sessions)`, unreached steps at 0 — PLUS an
+    * `n_truncated` column making the `maxStamps` cap visible: for each
+    * step, the number of `truncated` sessions whose capped `max_step`
+    * stopped BELOW it. A truncated session's max_step is a lower
+    * bound, so its reach of later steps is unknown — folding it
+    * silently into `sessions` would do exactly the bound-into-exact
+    * census the [[ClosedSessionFunnel]] scaladoc warns against.
+    * Instead the true census at each step lies in
+    * `[sessions, sessions + n_truncated]`; batch parity
+    * (`sessions` column == [[Analytics.sessionFunnel]]) holds exactly
+    * whenever `n_truncated` is 0 everywhere. Pass the SAME `steps` the
+    * stream ran with. Input without a `truncated` column (pre-cap
+    * output) reads as all-untruncated.
     *
-    * Scale shape: the explode is max_step-bounded per session; the
+    * Scale shape: both explodes are steps-bounded per session; the
     * census is steps-bounded. */
   def sessionFunnelRollup(closedSessions: DataFrame,
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
     val spark = closedSessions.sparkSession
     val stepsArr = array(steps.map(lit): _*)
-    val reached = closedSessions.filter(col("max_step") >= 1)
+    val trunc = if (closedSessions.columns.contains("truncated"))
+      col("truncated") else lit(false)
+    val base = closedSessions.select(col("max_step"), trunc.as("__tr"))
+    val reached = base.filter(col("max_step") >= 1)
       .select(explode(sequence(lit(1L), col("max_step"))).as("step"))
       .groupBy("step").agg(count(lit(1)).as("__n"))
+    val unknown = base
+      .filter(col("__tr") && col("max_step") < steps.size)
+      .select(explode(sequence(col("max_step") + 1,
+        lit(steps.size.toLong))).as("step"))
+      .groupBy("step").agg(count(lit(1)).as("__u"))
     spark.range(1, steps.size + 1).select(col("id").as("step"))
       .join(reached, Seq("step"), "left")
+      .join(unknown, Seq("step"), "left")
       .select(col("step").cast("int").as("step"),
         element_at(stepsArr, col("step").cast("int")).as("step_name"),
-        coalesce(col("__n"), lit(0L)).as("sessions"))
+        coalesce(col("__n"), lit(0L)).as("sessions"),
+        coalesce(col("__u"), lit(0L)).as("n_truncated"))
       .orderBy("step")
   }
 

@@ -46,6 +46,13 @@ final class StateMaxListener extends StreamingQueryListener {
     * named query, if any of its batches carried state operators. */
   def maxFor(name: String): Option[(Long, Long)] = maxima.get(name)
 
+  /** Every per-query maximum observed (query name — or id when
+    * unnamed — → (keys, bytes)); empty when no batch of any query
+    * carried state operators. Lets a launcher whose queries are
+    * unnamed ([[graft.ops.CdcReplicateCli]]) report its state bounds
+    * without threading query handles through. */
+  def all: Map[String, (Long, Long)] = maxima.toMap
+
   /** Bounded wait for the async listener bus to drain. */
   def settle(): Unit = ListenerDrain.settle(() => events)
 }

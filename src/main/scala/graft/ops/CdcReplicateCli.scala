@@ -51,9 +51,28 @@ object CdcReplicateCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, input, warehouse, checkpoint, tables, columns)
+    spark.stop()
+  }
 
+  /** Launcher body over an existing session — drains the replication
+    * loop with AvailableNow and prints the contract lines (per-table
+    * rows, records_replicated_total, and the per-drain state-bound
+    * telemetry the census launcher emits). Listeners come off the
+    * session on every exit path, so an embedded caller's repeated runs
+    * don't accumulate orphans. */
+  def run(spark: SparkSession, input: String, warehouse: String,
+      checkpoint: String, tables: Map[String, Seq[String]],
+      columns: Seq[String] = Seq("username", "status")): Unit = {
     val registry = new MetricsRegistry()
-    spark.streams.addListener(new CdcQueryListener(registry))
+    val regListener = new CdcQueryListener(registry)
+    spark.streams.addListener(regListener)
+    // the same per-drain state-bound telemetry SessionCensusCli emits
+    // (every-batch maxima via listener, immune to the 100-entry
+    // recentProgress ring)
+    val stateMax = new graft.observe.StateMaxListener()
+    spark.streams.addListener(stateMax)
+    try {
 
     // envelope: topic/operation/commit_timestamp + per-table key and data
     // columns (string-typed generic envelope; typed tables cast post-route)
@@ -81,6 +100,22 @@ object CdcReplicateCli {
         org.apache.spark.sql.functions.sum("value"),
         org.apache.spark.sql.functions.lit(0.0))).head().getDouble(0)
     println(s"""{"metric": "records_replicated_total", "value": $replicatedRow}""")
-    spark.stop()
+    // state-bound line: the merge path collapses latest-per-key INSIDE
+    // each foreachBatch, so it keeps ZERO store state by design — the
+    // zero row is the bound being reported, not a missing metric. Any
+    // stateful operator a future pipeline shape adds shows up as its
+    // own nonzero row automatically.
+    stateMax.settle() // async listener bus — drain before reading
+    if (stateMax.all.isEmpty)
+      println("""{"state": "cdc-merge", "max_keys": 0, "max_bytes": 0}""")
+    else stateMax.all.toSeq.sortBy(_._1).foreach { case (n, (k, b)) =>
+      val nm = n.replace("\\", "\\\\").replace("\"", "\\\"")
+      println(s"""{"state": "$nm", "max_keys": $k, "max_bytes": $b}""")
+    }
+
+    } finally {
+      spark.streams.removeListener(stateMax)
+      spark.streams.removeListener(regListener)
+    }
   }
 }

@@ -44,7 +44,10 @@ object JsonStage {
     * columns when empty) as one JSON line per row, range-order by
     * `orderBy` when given (resolved against `df`, so it need not be
     * serialized), write `parts` text files, stamp part mtimes
-    * strictly increasing in part order. Returns the part count. */
+    * strictly increasing in part order. Returns the part count.
+    * `output` must be a LOCAL filesystem path that honors
+    * `setLastModified` — anything else fails loudly rather than stage
+    * a nondeterministically-ordered corpus. */
   def stageFrame(df: DataFrame, output: String, orderBy: String = "",
       selCols: Seq[String] = Nil, parts: Int = 8): Int = {
     require(parts >= 1, s"parts must be >= 1, got $parts")
@@ -61,6 +64,16 @@ object JsonStage {
     val partFiles = Option(new java.io.File(output).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // the stamping below is the tool's whole reason to exist — failing
+    // it silently (non-local output path where java.io.File sees
+    // nothing, or a filesystem refusing setLastModified) would hand the
+    // caller a corpus with nondeterministic arrival order and a
+    // truthful-looking staged_files count. Fail loudly instead.
+    require(partFiles.nonEmpty,
+      s"JsonStage: wrote '$output' but found no part- files via the " +
+        "local filesystem — the output path must be LOCAL (the mtime " +
+        "stamping that guarantees chronological arrival cannot reach " +
+        "other filesystems)")
     // part mtimes spaced 2 s apart (coarse-granularity filesystems —
     // ext3, FAT, some container mounts — round sub-second mtimes away,
     // and identical stamps would reintroduce the nondeterministic
@@ -70,7 +83,12 @@ object JsonStage {
     // scaladoc)
     val base = System.currentTimeMillis() - 2000L * partFiles.length
     partFiles.zipWithIndex.foreach { case (f, idx) =>
-      f.setLastModified(base + (idx + 1) * 2000L)
+      if (!f.setLastModified(base + (idx + 1) * 2000L))
+        throw new java.io.IOException(
+          s"JsonStage: setLastModified failed on ${f.getPath} — this " +
+            "filesystem does not honor mtime stamping, so the staged " +
+            "corpus would arrive in nondeterministic order; stage onto " +
+            "a filesystem that supports it")
     }
     partFiles.length
   }

@@ -130,7 +130,33 @@ object SessionCensusCli {
     if (v == null) "null"
     else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** True when `dir` already holds parquet rows WITHOUT the funnel's
+    * `truncated` column — a pre-upgrade (5-column) output. Appending
+    * 6-column files into such a dir makes later readers see the old
+    * rows' `truncated` as null, which `filter(!col("truncated"))`
+    * silently drops — so [[doRun]] refuses at startup instead of
+    * relying on the scaladoc migration note. An absent or empty dir is
+    * a fresh output, not a legacy one. */
+  private[ops] def legacyFunnelDir(spark: SparkSession, dir: String): Boolean =
+    try !spark.read.parquet(dir).schema.fieldNames.contains("truncated")
+    catch { case _: Exception => false }
+
+  /** Startup refusal for a pre-upgrade --funnels dir; mapped to the
+    * [config]/exit-10 contract by [[main]]. */
+  final class LegacyFunnelDirException(dir: String)
+    extends IllegalArgumentException(
+      s"--funnels dir $dir holds pre-upgrade funnel rows without the " +
+        "'truncated' column; appending would mix 5/6-column files whose " +
+        "old rows read truncated as null and get silently dropped by " +
+        "filters. Point --funnels at a fresh dir, or migrate the old one " +
+        "(read with mergeSchema, coalesce(truncated, false), rewrite).")
+
   private def doRun(spark: SparkSession, cfg: CensusConfig): Summary = {
+    // refuse a pre-upgrade funnel output BEFORE any query starts (and
+    // before any checkpoint mutation) — see LegacyFunnelDirException
+    cfg.funnels.foreach { dir =>
+      if (legacyFunnelDir(spark, dir)) throw new LegacyFunnelDirException(dir)
+    }
     // each query plans its OWN source instance off a fresh readStream —
     // maxFilesPerTrigger=1 keeps micro-batches bounded (backpressure)
     def source() = spark.readStream.schema(inputSchema)
@@ -299,7 +325,8 @@ object SessionCensusCli {
         StreamingAnalytics.sessionFunnelRollup(fsess, cfg.funnelSteps)
           .collect().foreach(r =>
             println(s"""{"census": "funnel", "step": ${r.getInt(0)}, """ +
-              s""""step_name": ${jstr(r.getString(1))}, "sessions": ${r.getLong(2)}}"""))
+              s""""step_name": ${jstr(r.getString(1))}, "sessions": ${r.getLong(2)}, """ +
+              s""""n_truncated": ${r.getLong(3)}}"""))
         fsess.count()
       case _ => 0L
     }
@@ -390,6 +417,11 @@ object SessionCensusCli {
     else if (funnels.isEmpty && funnelSteps.nonEmpty)
       Left("--funnel-steps requires --funnels (the output dir)")
     else if (maxStamps < 1) Left("--max-stamps must be >= 1")
+    // mirror StreamingAnalytics' own ceiling HERE so an over-large cap
+    // surfaces as a [config]/exit-10 line before any query starts,
+    // not as a raw IllegalArgumentException mid-launch
+    else if (maxStamps > StreamingAnalytics.MaxStampsCeiling)
+      Left(s"--max-stamps must be <= ${StreamingAnalytics.MaxStampsCeiling}")
     else Right(CensusConfig(input, sessions, checkpoint, gapSec, watermark,
       verdicts, fromType, toType, windowSec, funnels, funnelSteps,
       growth, paths, transitions, stateStore, maxStamps))
@@ -412,7 +444,11 @@ object SessionCensusCli {
     // CLIs expose (M3/ST10): input-row totals via the listener registry
     val registry = new graft.observe.MetricsRegistry()
     spark.streams.addListener(new graft.observe.CdcQueryListener(registry))
-    val summary = run(spark, cfg)
+    val summary = try run(spark, cfg) catch {
+      case e: LegacyFunnelDirException =>
+        System.err.println(s"[config] ${e.getMessage}")
+        spark.stop(); sys.exit(10)
+    }
     registry.snapshot(spark)
       .filter("metric like 'cdc_records_replicated_total%'")
       .select("metric", "value").collect()

@@ -61,9 +61,13 @@ class StreamingSessionFunnelSpec extends SparkSpec {
 
     // report parity with the batch q186 operator on the same
     // (non-sentinel) events
-    val streamReport = StreamingAnalytics.sessionFunnelRollup(
+    val fullReport = StreamingAnalytics.sessionFunnelRollup(
       spark.table("funnel_test"), steps)
-      .as[(Int, String, Long)].collect().toSeq
+      .as[(Int, String, Long, Long)].collect().toSeq
+    // no session hit the cap here, so every step's unknown-count is 0
+    // and the sessions column is the EXACT batch census
+    assert(fullReport.forall(_._4 == 0L), s"n_truncated: $fullReport")
+    val streamReport = fullReport.map(r => (r._1, r._2, r._3))
     val batch = Analytics.sessionFunnel(
       live.zipWithIndex.map { case ((u, t, ty), i) => (u, t, i.toLong, ty) }
         .toDF("user_id", "__us", "event_id", "event_type")

@@ -316,7 +316,12 @@ class CurateStreamCliSpec extends SparkSpec {
     assert(s3 == CurateStreamCli.Summary(3, 1), s"idempotent re-drain, got $s3")
   }
 
-  test("HARD CRASH between runs: torn WAL commits on both queries replay " +
+  // both providers: the LSH bucket state's crash replay lives in
+  // per-version .delta files (HDFS default) vs snapshot zip +
+  // changelog (RocksDB) — exactly-once must hold on each
+  for (provider <- Seq(None, Some("rocksdb")))
+  test("HARD CRASH between runs" + provider.fold("")(p => s" under $p") +
+    ": torn WAL commits on both queries replay " +
     "exactly-once — landing and near-dup state match the no-crash run") {
     val baseDoc = "the quick brown fox jumps over the lazy dog near the river bank today"
     val nearDoc = "the quick brown fox jumps over the lazy dog near the river bank tonight"
@@ -328,7 +333,8 @@ class CurateStreamCliSpec extends SparkSpec {
         input = in, output = s"$base/landing", candidates = s"$base/cands",
         checkpoint = s"$base/cp",
         curate = CurateCli.Config(minQuality = 0.4, languages = Set("en"),
-          jaccardThreshold = 0.5, shingleK = 2))
+          jaccardThreshold = 0.5, shingleK = 2),
+        stateStore = provider)
     }
     def stage(cfg: CurateStreamCli.StreamConfig, name: String,
         rows: Seq[String], mtime: Long): Unit = {

@@ -28,6 +28,40 @@ class OpsSpec extends SparkSpec {
       c.asOf.contains("2024-01-20 00:00:00") && c.asOfColumn == "commit_ts"))
   }
 
+  test("CdcReplicateCli.run: drains the loop and prints the contract " +
+    "lines — per-table rows, replicated total, and the state-bound " +
+    "telemetry row (zero by design: latest-per-key collapses per batch)") {
+    val in = Files.createTempDirectory("cdcrepl-in").toString
+    val base = Files.createTempDirectory("cdcrepl").toString
+    def env(id: Long, ts: Long, u: String) =
+      s"""{"topic":"scylla-cluster.app_data.users","operation":"UPDATE","commit_timestamp":$ts,"user_id":"$id","username":"$u","status":"active"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/b0.json"),
+      Seq(env(1, 1000L, "ann"), env(2, 2000L, "bob"),
+        env(1, 3000L, "ann2")).mkString("\n"))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      CdcReplicateCli.run(spark, in, s"$base/wh", s"$base/ck",
+        Map("users" -> Seq("user_id")))
+    }
+    val lines = buf.toString("UTF-8").linesIterator.toSeq
+    assert(lines.contains("""{"table": "users", "rows": 2}"""),
+      s"table line missing in:\n${lines.mkString("\n")}")
+    // value counts listener-observed input rows across the run's
+    // queries (main + DLQ, per-batch) — shared-session test noise makes
+    // the exact figure environment-dependent, so pin presence + sign
+    val metric = lines.find(_.startsWith(
+      """{"metric": "records_replicated_total", "value": """))
+    assert(metric.isDefined && !metric.get.contains("value\": 0"),
+      s"metric line missing/zero in:\n${lines.mkString("\n")}")
+    // the M3/ST10 state-bound row the census launcher also emits
+    assert(lines.contains(
+      """{"state": "cdc-merge", "max_keys": 0, "max_bytes": 0}"""),
+      s"state line missing in:\n${lines.mkString("\n")}")
+    // listeners must come off the shared session
+    assert(spark.streams.active.isEmpty)
+  }
+
   test("JsonStage: chronological JSON staging — range-ordered parts, " +
     "increasing mtimes, round-trippable rows") {
     val in = Files.createTempDirectory("stage-in").toString

@@ -92,8 +92,9 @@ class SessionCensusCliSpec extends SparkSpec {
     val funnelReport = graft.analytics.StreamingAnalytics
       .sessionFunnelRollup(spark.read.parquet(s"$base/funnels"),
         Seq("view", "purchase"))
-      .as[(Int, String, Long)].collect().toSeq
-    assert(funnelReport == Seq((1, "view", 1L), (2, "purchase", 1L)))
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(funnelReport ==
+      Seq((1, "view", 1L, 0L), (2, "purchase", 1L, 0L)))
 
     // the growth census: u1's single active day (all events share the
     // sentinel-ripened epoch day) is "new"; its churn-out lands the day
@@ -168,7 +169,15 @@ class SessionCensusCliSpec extends SparkSpec {
       s"HDFS-provider .delta files mean RocksDB was NOT used: $names")
   }
 
-  test("HARD CRASH on the stateful path: a torn WAL commit between runs " +
+  // the torn-commit matrix runs over BOTH state-store providers: the
+  // HDFS-backed default and RocksDB differ exactly where crash replay
+  // lives (per-version .delta files vs snapshot zip + changelog
+  // replay), so exactly-once proven on one does not transfer to the
+  // other
+  for (provider <- Seq(None, Some("rocksdb")))
+  test("HARD CRASH on the stateful path" +
+    provider.fold("")(p => s" under $p") +
+    ": a torn WAL commit between runs " +
     "replays the flatMapGroupsWithState batch exactly-once — no " +
     "duplicated or lost closed sessions") {
     import scala.jdk.CollectionConverters._
@@ -182,7 +191,8 @@ class SessionCensusCliSpec extends SparkSpec {
       val base = Files.createTempDirectory("scc-crash").toString
       (in, SessionCensusCli.CensusConfig(
         input = in, sessions = s"$base/sessions",
-        checkpoint = s"$base/cp", gapSec = 10L, watermark = "0 seconds"))
+        checkpoint = s"$base/cp", gapSec = 10L, watermark = "0 seconds",
+        stateStore = provider))
     }
     def sessionsOf(cfg: SessionCensusCli.CensusConfig) =
       spark.read.parquet(cfg.sessions)
@@ -233,6 +243,50 @@ class SessionCensusCliSpec extends SparkSpec {
       .endsWith("HDFSBackedStateStoreProvider"))
   }
 
+  test("legacy 5-column --funnels dir refused at startup; rollup " +
+      "surfaces capped sessions as n_truncated, never as exact census") {
+    val base = Files.createTempDirectory("census-legacy").toString
+    // a pre-upgrade funnel output: no `truncated` column — appending
+    // 6-column files would make old rows read truncated as null and
+    // get silently dropped by filters downstream
+    Seq((1L, 0L, 10L, 3L, 1L))
+      .toDF("user_id", "session_start", "session_end", "n_events",
+        "max_step")
+      .write.parquet(s"$base/funnels")
+    assert(SessionCensusCli.legacyFunnelDir(spark, s"$base/funnels"))
+    assert(!SessionCensusCli.legacyFunnelDir(spark, s"$base/absent"))
+    val empty = Files.createTempDirectory("census-empty").toString
+    assert(!SessionCensusCli.legacyFunnelDir(spark, empty)) // fresh dir
+    val cfg = SessionCensusCli.parseArgs(Array("--input", s"$base/in",
+      "--sessions", s"$base/sess", "--checkpoint", s"$base/ck",
+      "--funnels", s"$base/funnels", "--funnel-steps", "a,b"))
+      .toOption.get
+    // refused BEFORE any query starts or checkpoint mutates
+    intercept[SessionCensusCli.LegacyFunnelDirException] {
+      SessionCensusCli.run(spark, cfg)
+    }
+    assert(!Files.exists(Paths.get(s"$base/ck")))
+
+    // rollup: u1 capped at max_step=1 (lower bound) of a 3-step
+    // funnel, u2 genuinely finished. Steps 2-3's true census is in
+    // [sessions, sessions + n_truncated]; the capped session is never
+    // silently folded in or out without the marker.
+    val closed = Seq((1L, 0L, 10L, 5L, 1L, true),
+        (2L, 0L, 10L, 5L, 3L, false))
+      .toDF("user_id", "session_start", "session_end", "n_events",
+        "max_step", "truncated")
+    val rep = graft.analytics.StreamingAnalytics
+      .sessionFunnelRollup(closed, Seq("a", "b", "c"))
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(rep == Seq((1, "a", 2L, 0L), (2, "b", 1L, 1L),
+      (3, "c", 1L, 1L)))
+    // pre-cap (5-column) input reads as all-untruncated
+    val old = graft.analytics.StreamingAnalytics.sessionFunnelRollup(
+        spark.read.parquet(s"$base/funnels"), Seq("a", "b"))
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(old == Seq((1, "a", 1L, 0L), (2, "b", 0L, 0L)))
+  }
+
   test("parseArgs: contract errors and round-trip") {
     import SessionCensusCli.parseArgs
     assert(parseArgs(Array("--input", "a")).isLeft) // missing required
@@ -248,6 +302,12 @@ class SessionCensusCliSpec extends SparkSpec {
       "a,a")).isLeft) // duplicate steps
     assert(parseArgs(req ++ Array("--funnel-steps", "a,b")).isLeft) // no dir
     assert(parseArgs(req :+ "--max-stamps" :+ "0").isLeft) // cap must be >= 1
+    // an over-ceiling cap must fail HERE ([config]/exit-10), not as a
+    // raw require mid-launch after the sessions query started
+    assert(parseArgs(req :+ "--max-stamps" :+
+      (graft.analytics.StreamingAnalytics.MaxStampsCeiling + 1).toString).isLeft)
+    assert(parseArgs(req :+ "--max-stamps" :+
+      graft.analytics.StreamingAnalytics.MaxStampsCeiling.toString).isRight)
     val ok = parseArgs(req ++ Array("--gap-sec", "60", "--watermark",
       "5 minutes", "--verdicts", "v", "--from", "a", "--to", "b",
       "--window-sec", "120", "--funnels", "f", "--funnel-steps", "a,b",
