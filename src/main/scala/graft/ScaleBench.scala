@@ -630,6 +630,104 @@ object ScaleBench {
       }
       releaseStorage(spark)
     }
+
+    // AT-VOLUME TRUNCATION PROBE (round 18): a planted never-gapping
+    // bot key — sub-gap 1 s heartbeats, 10·maxStamps·factor events on
+    // ONE user — driven through the stamp-buffered censuses under
+    // RocksDB with a deliberately small cap (maxStamps=1000, the CLI's
+    // --max-stamps). The cap is the only thing between this key and
+    // the deserialize-whole executor OOM, so the decade row must show
+    // *_state_bytes FLAT at the cap across factors (the normal-traffic
+    // rows pin state at user cardinality; THIS row pins it under
+    // adversarial volume) while the bot session still EMITS — with the
+    // `>…` path marker / `truncated=true` funnel flag — once the
+    // far-future sentinel ripens it (`n_events` counts every event
+    // either way). The synthetic corpus is self-contained: factor
+    // scales ONLY the bot's event count, so any state growth across
+    // factors is a cap leak, not a data artifact.
+    if (Seq("paths_botcap_wall", "funnel_botcap_wall").exists(wanted)) {
+      def rmTree(p: java.nio.file.Path): Unit = try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(q => java.nio.file.Files.deleteIfExists(q))
+      } catch { case _: Exception => () }
+      val bf = math.min(factor, 16)
+      val botStamps = 1000
+      val nBot = 10L * botStamps * bf
+      val botBase = java.nio.file.Files.createTempDirectory("graft-botcap")
+      val botIn = s"$botBase/in"
+      val epochB = 1700000000L * 1000000L
+      val gapUs = 1800L * 1000000L
+      val steps = Seq("view", "click", "purchase")
+      val botEv = spark.range(nBot).select(
+        lit(424242L).as("user_id"), col("id").as("event_id"),
+        timestamp_micros(lit(epochB) + col("id") * 1000000L).as("ts"),
+        element_at(array(steps.map(lit): _*),
+          (col("id") % 3 + 1).cast("int")).as("event_type"))
+      // a far-future event on ANOTHER key pushes the watermark past the
+      // bot session's end+gap so the capped session ripens and emits
+      val sentinel = spark.range(1).select(lit(1L).as("user_id"),
+        lit(nBot + 1L).as("event_id"),
+        timestamp_micros(lit(epochB + (nBot + 864000L) * 1000000L)).as("ts"),
+        lit("view").as("event_type"))
+      ops.JsonStage.stageFrame(botEv.unionByName(sentinel), botIn,
+        orderBy = "ts", parts = 8)
+      val providerConf = "spark.sql.streaming.stateStore.providerClass"
+      def botProbe(name: String)(mk: DataFrame => DataFrame)(
+          truncatedOf: DataFrame => Long): Unit = if (wanted(name)) {
+        val prevProvider = spark.conf.getOption(providerConf)
+        spark.conf.set(providerConf,
+          ops.StateStores.providerClass("rocksdb"))
+        val stateMax = new graft.observe.StateMaxListener()
+        spark.streams.addListener(stateMax)
+        try {
+          val runDir =
+            java.nio.file.Files.createTempDirectory("graft-botrun")
+          bench(name) {
+            val src = spark.readStream
+              .schema(ops.SessionCensusCli.inputSchema)
+              .option("maxFilesPerTrigger", 2).json(botIn)
+            val q = mk(src).writeStream.format("parquet")
+              .option("path", s"$runDir/out")
+              .option("checkpointLocation", s"$runDir/ck")
+              .queryName(name)
+              .trigger(
+                org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            spark.read.parquet(s"$runDir/out").count()
+          }
+          stateMax.settle() // async bus — outside the timed window
+          val (k, b) = stateMax.maxFor(name).getOrElse((0L, 0L))
+          val out = spark.read.parquet(s"$runDir/out")
+          Seq(s"${name.stripSuffix("_wall")}_state_rows" -> k,
+            s"${name.stripSuffix("_wall")}_state_bytes" -> b,
+            s"${name.stripSuffix("_wall")}_truncated" -> truncatedOf(out))
+            .foreach { case (kk, v) =>
+              results += ((kk, 0.0, v))
+              println(s"""{"scale_query":"$kk","sec":0.0,"rows":$v}""")
+            }
+          rmTree(runDir)
+        } finally {
+          spark.streams.removeListener(stateMax)
+          prevProvider match {
+            case Some(v) => spark.conf.set(providerConf, v)
+            case None => spark.conf.unset(providerConf)
+          }
+        }
+      }
+      botProbe("paths_botcap_wall")(src =>
+        graft.analytics.StreamingAnalytics.sessionPathsStream(src,
+          "user_id", "event_type", "ts", "event_id", gapUs,
+          watermark = "60 seconds", maxStamps = botStamps).toDF())(out =>
+        out.filter(col("path").endsWith(">…")).count())
+      botProbe("funnel_botcap_wall")(src =>
+        graft.analytics.StreamingAnalytics.sessionFunnelStream(src,
+          "user_id", "event_type", "ts", steps, gapUs,
+          watermark = "60 seconds", maxStamps = botStamps).toDF())(out =>
+        out.filter(col("truncated")).count())
+      rmTree(botBase)
+    }
     results.toList
   }
 
