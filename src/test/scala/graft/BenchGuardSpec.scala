@@ -30,11 +30,16 @@ class BenchGuardSpec extends AnyFunSuite {
     // the per-run breakdown fields (sec/eps/batches/add_batch_ms/...)
     // carry no q-prefix, so none of them may register as a query min —
     // a polluted map would hand the stall guard fictitious references
+    // incl. the round-18 nested batch_rows objects (id/add_batch_ms/rows)
     val txt = """{"cdc_replicate_runs":[{"sec":55.079,"eps":18155,""" +
       """"batches":8,"add_batch_ms":61287,"wal_commit_ms":2170,""" +
-      """"trigger_ms":64888,"non_trigger_ms":0,"steal_pct":2.441,""" +
+      """"trigger_ms":64888,"non_trigger_ms":0,""" +
+      """"batch_rows":[{"id":0,"add_batch_ms":9000,"rows":12000},""" +
+      """{"id":1,"add_batch_ms":8000,"rows":13000}],"steal_pct":2.441,""" +
       """"cpu_pct":27.73,"iowait_pct":0.012}],""" +
-      """"cdc_slow_note":"slowest run 55.079 s: dominant term addBatch",""" +
+      """"cdc_slow_note":"slowest run 55.079 s: dominant term addBatch""" +
+      """ (61287 of 64888 ms wall, iowait 0.012 pct); front-loaded""" +
+      """ (first 2 batches carry 72 pct of addBatch => residual warm-up)",""" +
       """"q1_pricing":0.5}"""
     assert(Bench.parseArtifactMins(Seq(txt)) == Map("q1_pricing" -> 0.5))
   }
