@@ -86,9 +86,17 @@ object CdcReplicateCli {
     val raw = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .text(input).toDF("value")
-    val q = pipeline.start(raw, schema, Trigger.AvailableNow())
-    q.awaitTermination()
-    spark.streams.active.foreach(_.awaitTermination())
+    try {
+      val q = pipeline.start(raw, schema, Trigger.AvailableNow())
+      q.awaitTermination()
+      spark.streams.active.foreach(_.awaitTermination())
+    } catch { case t: Throwable =>
+      // a dying merge query must not leave the fire-and-forget DLQ
+      // stream running in an embedded caller's session
+      spark.streams.active.foreach(q =>
+        try q.stop() catch { case _: Exception => () })
+      throw t
+    }
 
     tables.keys.foreach { t =>
       val n = pipeline.readTable(t).map(_.count()).getOrElse(0L)
