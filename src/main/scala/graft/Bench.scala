@@ -312,11 +312,15 @@ object Bench {
       }.mkString("[", ",", "]")
     }
     /** Fraction of total addBatch time carried by the first two
-      * arriving batches — >0.5 with ≥3 batches reads as front-loaded. */
-    def frontLoadFrac: Double = synchronized {
+      * arriving batches — >0.5 with ≥3 batches reads as front-loaded.
+      * None when there is no basis for a verdict (fewer than 3 batches,
+      * or zero recorded addBatch time): conflating "no data" with
+      * "0 pct front-loaded" would fabricate a confident host-contention
+      * verdict from an empty breakdown. */
+    def frontLoadFrac: Option[Double] = synchronized {
       val tot = perBatch.map(_._2).sum
-      if (tot <= 0 || perBatch.size < 3) 0.0
-      else perBatch.take(2).map(_._2).sum.toDouble / tot
+      if (tot <= 0 || perBatch.size < 3) None
+      else Some(perBatch.take(2).map(_._2).sum.toDouble / tot)
     }
     /** Wait (bounded) for the async listener bus to drain: the last
       * trigger's progress event may land after awaitTermination. Runs
@@ -487,15 +491,18 @@ object Bench {
         // batches is residual warm-up (grow the warm-up corpus); one
         // spread uniformly across batches is host contention (read the
         // steal/iowait columns, trust the fast runs)
-        val frac = bt.frontLoadFrac
         val shape =
           if (dom != "addBatch") "not addBatch-dominated"
-          else if (frac > 0.5)
-            f"front-loaded (first 2 batches carry ${frac * 100}%.0f pct " +
-              "of addBatch => residual warm-up)"
-          else
-            f"uniform across batches (first 2 carry ${frac * 100}%.0f pct " +
-              "=> host contention; see steal/iowait)"
+          else bt.frontLoadFrac match {
+            case None =>
+              "insufficient per-batch data for a front-load verdict"
+            case Some(frac) if frac > 0.5 =>
+              f"front-loaded (first 2 batches carry ${frac * 100}%.0f pct " +
+                "of addBatch => residual warm-up)"
+            case Some(frac) =>
+              f"uniform across batches (first 2 carry ${frac * 100}%.0f pct " +
+                "=> host contention; see steal/iowait)"
+          }
         lastCdcNote = Some(s"slowest run ${r3(t)} s: dominant term " +
           s"$dom (${ms} of $wallMs ms wall, iowait ${r3(io)} pct); $shape")
       }

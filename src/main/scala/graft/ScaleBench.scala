@@ -680,9 +680,9 @@ object ScaleBench {
           ops.StateStores.providerClass("rocksdb"))
         val stateMax = new graft.observe.StateMaxListener()
         spark.streams.addListener(stateMax)
+        val runDir =
+          java.nio.file.Files.createTempDirectory("graft-botrun")
         try {
-          val runDir =
-            java.nio.file.Files.createTempDirectory("graft-botrun")
           bench(name) {
             val src = spark.readStream
               .schema(ops.SessionCensusCli.inputSchema)
@@ -707,8 +707,8 @@ object ScaleBench {
               results += ((kk, 0.0, v))
               println(s"""{"scale_query":"$kk","sec":0.0,"rows":$v}""")
             }
-          rmTree(runDir)
         } finally {
+          rmTree(runDir) // a failed probe must not leak checkpoint+out
           spark.streams.removeListener(stateMax)
           prevProvider match {
             case Some(v) => spark.conf.set(providerConf, v)

@@ -744,7 +744,8 @@ object StreamingAnalytics {
     * stream ran with. Input without a `truncated` column (pre-cap
     * output) reads as all-untruncated.
     *
-    * Scale shape: both explodes are steps-bounded per session; the
+    * Scale shape: ONE scan of the closed sessions, exploded exactly
+    * `steps.size` rows per session with both counts conditional; the
     * census is steps-bounded. */
   def sessionFunnelRollup(closedSessions: DataFrame,
       steps: Seq[String]): DataFrame = {
@@ -753,18 +754,15 @@ object StreamingAnalytics {
     val stepsArr = array(steps.map(lit): _*)
     val trunc = if (closedSessions.columns.contains("truncated"))
       col("truncated") else lit(false)
-    val base = closedSessions.select(col("max_step"), trunc.as("__tr"))
-    val reached = base.filter(col("max_step") >= 1)
-      .select(explode(sequence(lit(1L), col("max_step"))).as("step"))
-      .groupBy("step").agg(count(lit(1)).as("__n"))
-    val unknown = base
-      .filter(col("__tr") && col("max_step") < steps.size)
-      .select(explode(sequence(col("max_step") + 1,
-        lit(steps.size.toLong))).as("step"))
-      .groupBy("step").agg(count(lit(1)).as("__u"))
+    val perStep = closedSessions
+      .select(col("max_step"), trunc.as("__tr"),
+        explode(sequence(lit(1L), lit(steps.size.toLong))).as("step"))
+      .groupBy("step").agg(
+        count(when(col("max_step") >= col("step"), 1)).as("__n"),
+        count(when(col("__tr") && col("max_step") < col("step"), 1))
+          .as("__u"))
     spark.range(1, steps.size + 1).select(col("id").as("step"))
-      .join(reached, Seq("step"), "left")
-      .join(unknown, Seq("step"), "left")
+      .join(perStep, Seq("step"), "left")
       .select(col("step").cast("int").as("step"),
         element_at(stepsArr, col("step").cast("int")).as("step_name"),
         coalesce(col("__n"), lit(0L)).as("sessions"),

@@ -86,14 +86,23 @@ object CdcReplicateCli {
     val raw = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .text(input).toDF("value")
+    // scope every await/stop/telemetry read to THIS run's queries (the
+    // merge + the fire-and-forget DLQ CdcPipeline.start launches): an
+    // embedded caller's unrelated continuous query on the shared
+    // session must be neither awaited (run() would hang forever) nor
+    // stopped on failure nor reported as CDC state
+    val pre = spark.streams.active.map(_.id).toSet
+    var mine = Set.empty[String]
     try {
       val q = pipeline.start(raw, schema, Trigger.AvailableNow())
+      def started = spark.streams.active.filterNot(x => pre(x.id))
+      mine = started.map(_.id.toString).toSet + q.id.toString
       q.awaitTermination()
-      spark.streams.active.foreach(_.awaitTermination())
+      started.foreach(_.awaitTermination())
     } catch { case t: Throwable =>
       // a dying merge query must not leave the fire-and-forget DLQ
       // stream running in an embedded caller's session
-      spark.streams.active.foreach(q =>
+      spark.streams.active.filterNot(x => pre(x.id)).foreach(q =>
         try q.stop() catch { case _: Exception => () })
       throw t
     }
@@ -114,9 +123,13 @@ object CdcReplicateCli {
     // stateful operator a future pipeline shape adds shows up as its
     // own nonzero row automatically.
     stateMax.settle() // async listener bus — drain before reading
-    if (stateMax.all.isEmpty)
+    // only THIS run's queries (unnamed → keyed by query id) may feed
+    // the CDC contract line — an embedded caller's concurrent stateful
+    // query must not masquerade as CDC state
+    val mineState = stateMax.all.view.filterKeys(mine).toMap
+    if (mineState.isEmpty)
       println("""{"state": "cdc-merge", "max_keys": 0, "max_bytes": 0}""")
-    else stateMax.all.toSeq.sortBy(_._1).foreach { case (n, (k, b)) =>
+    else mineState.toSeq.sortBy(_._1).foreach { case (n, (k, b)) =>
       val nm = n.replace("\\", "\\\\").replace("\"", "\\\"")
       println(s"""{"state": "$nm", "max_keys": $k, "max_bytes": $b}""")
     }

@@ -136,10 +136,14 @@ object SessionCensusCli {
     * rows' `truncated` as null, which `filter(!col("truncated"))`
     * silently drops — so [[doRun]] refuses at startup instead of
     * relying on the scaladoc migration note. An absent or empty dir is
-    * a fresh output, not a legacy one. */
+    * a fresh output, not a legacy one — ONLY those (AnalysisException:
+    * path-not-found / unable-to-infer-schema) read as fresh; any other
+    * read error propagates, because treating a corrupt-but-legacy dir
+    * as fresh would bypass the guard into exactly the corruption it
+    * prevents. */
   private[ops] def legacyFunnelDir(spark: SparkSession, dir: String): Boolean =
     try !spark.read.parquet(dir).schema.fieldNames.contains("truncated")
-    catch { case _: Exception => false }
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
 
   /** Startup refusal for a pre-upgrade --funnels dir; mapped to the
     * [config]/exit-10 contract by [[main]]. */

@@ -54,8 +54,11 @@ trap 'rm -rf "$WORK"' EXIT
 fail() { echo "FAIL: $*" >&2; exit 1; }
 note() { echo "== $*"; }
 
-# jq-free field extraction from the launchers' JSON lines
-jint() { grep -o "\"$2\": *-\?[0-9]*" <<<"$1" | head -1 | grep -o -- '-\?[0-9]*$'; }
+# jq-free field extraction from the launchers' JSON lines. Never exits
+# nonzero (empty output on a miss): under set -e a failing $(jint ...)
+# assignment would kill the script BEFORE the explicit fail-with-
+# diagnostic guards that follow each extraction could run.
+jint() { grep -o "\"$2\": *-\?[0-9]*" <<<"$1" | head -1 | grep -o -- '-\?[0-9]*$' || true; }
 
 note "step 1: batch curation funnel (CurateCli $SF)"
 CURATE_OUT="$(run_class graft.ops.CurateCli "$SF" "$WORK/curated" 0.5 full 2>"$WORK/curate.err")" \
