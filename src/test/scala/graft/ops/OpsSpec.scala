@@ -62,6 +62,51 @@ class OpsSpec extends SparkSpec {
     assert(spark.streams.active.isEmpty)
   }
 
+  test("CdcReplicateCli.run in an embedded session: a pre-existing " +
+    "stateful query is not awaited, not stopped, and stays out of the " +
+    "CDC state telemetry") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // an unrelated CONTINUOUS stateful query on the shared session —
+    // the pre-fix run() would awaitTermination it (hang forever), stop
+    // it on failure, and print its state row as CDC state
+    val unrelated = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50").load()
+      .groupBy(window(col("timestamp"), "1 second")).count()
+      .writeStream.format("memory").queryName("unrelated_rate_agg")
+      .outputMode("complete").start()
+    try {
+      val in = Files.createTempDirectory("cdcrepl2-in").toString
+      val base = Files.createTempDirectory("cdcrepl2").toString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$in/b0.json"),
+        """{"topic":"scylla-cluster.app_data.users","operation":"UPDATE","commit_timestamp":1000,"user_id":"1","username":"ann","status":"active"}""")
+      val buf = new java.io.ByteArrayOutputStream()
+      // a regression to session-global awaits hangs forever on the
+      // continuous query — surface that as a clean timeout failure
+      val fut = Future {
+        Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+          CdcReplicateCli.run(spark, in, s"$base/wh", s"$base/ck",
+            Map("users" -> Seq("user_id")))
+        }
+      }
+      Await.result(fut, 3.minutes)
+      assert(unrelated.isActive,
+        "run() stopped a pre-existing query it does not own")
+      val lines = buf.toString("UTF-8").linesIterator.toSeq
+      // the unrelated query's nonzero state must NOT masquerade as CDC
+      // state: the contract line stays the cdc-merge zero row
+      assert(lines.contains(
+        """{"state": "cdc-merge", "max_keys": 0, "max_bytes": 0}"""),
+        s"state line contaminated:\n${lines.mkString("\n")}")
+      assert(!lines.exists(_.contains("unrelated_rate_agg")),
+        s"unrelated query leaked into telemetry:\n${lines.mkString("\n")}")
+    } finally {
+      try unrelated.stop() catch { case _: Exception => () }
+    }
+  }
+
   test("JsonStage: chronological JSON staging — range-ordered parts, " +
     "increasing mtimes, round-trippable rows") {
     val in = Files.createTempDirectory("stage-in").toString
