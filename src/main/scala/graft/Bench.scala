@@ -311,6 +311,10 @@ object Bench {
         s"""{"id":$id,"add_batch_ms":$ms,"rows":$rows}"""
       }.mkString("[", ",", "]")
     }
+    /** Immutable (batchId, addBatchMs, rows) snapshot — the input to
+      * [[Bench.contentionAdjustedSec]]. */
+    def batchSnapshot: Seq[(Long, Long, Long)] =
+      synchronized(perBatch.toList)
     /** Fraction of total addBatch time carried by the first two
       * arriving batches — >0.5 with ≥3 batches reads as front-loaded.
       * None when there is no basis for a verdict (fewer than 3 batches,
@@ -326,6 +330,35 @@ object Bench {
       * trigger's progress event may land after awaitTermination. Runs
       * OUTSIDE the timed window. */
     def settle(): Unit = observe.ListenerDrain.settle(() => batches)
+  }
+
+  /** Contention-adjusted wall seconds for one CDC run (the round-18
+    * judge's ask): the fastest run's per-batch addBatch times are the
+    * contention-free reference, so a contended run's EXCESS is
+    * Σ max(0, mine(batch) − ref(batch)) matched by batch id (main +
+    * DLQ queries share ids 0..n and interleave, so same-id times are
+    * summed per run before differencing — a per-query split would need
+    * query ids the progress rows don't carry). Subtracting the excess
+    * from the wall yields the run's estimated quiet-host duration;
+    * `eps_adj = events / that`. Properties BenchGuardSpec pins: the
+    * reference run adjusts to exactly its own wall; a run FASTER than
+    * the reference on some batch never gains time back (clamp at 0 per
+    * batch); ids absent from the reference contribute no adjustment
+    * (nothing to difference against); the result stays positive even
+    * if the inferred excess exceeds the wall (floor at 1% — by then
+    * the estimate is noise, but a division by ≤0 would fabricate an
+    * infinite/negative rate). */
+  private[graft] def contentionAdjustedSec(
+      wallSec: Double,
+      mine: Seq[(Long, Long, Long)],
+      ref: Seq[(Long, Long, Long)]): Double = {
+    def byId(rows: Seq[(Long, Long, Long)]): Map[Long, Long] =
+      rows.groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).sum }
+    val refById = byId(ref)
+    val excessMs = byId(mine).map { case (id, ms) =>
+      refById.get(id).map(r => math.max(0L, ms - r)).getOrElse(0L)
+    }.sum
+    math.max(wallSec - excessMs / 1000.0, wallSec * 0.01)
   }
 
   /** CDC replication END-TO-END at bench scale — the number
@@ -460,16 +493,34 @@ object Bench {
     // from the artifact alone; a failed batch zeroes eps
     // (time-to-failure would fabricate a fast rate) but keeps the
     // telemetry
+    // contention-adjusted rate per run: difference each run's per-batch
+    // addBatch times against the fastest clean run's — raw eps and
+    // eps_adj ride side by side in every row, so the artifact carries
+    // both the honest measurement and the quiet-host estimate
+    val refBatches: Seq[(Long, Long, Long)] = {
+      val ok = runsTele.filter(_._1 > 0)
+      if (!runFailed && ok.nonEmpty) ok.minBy(_._1)._3.batchSnapshot
+      else Nil
+    }
+    def adjEps(t: Double, bt: BatchTimes): Long =
+      if (t <= 0 || refBatches.isEmpty) 0L
+      else (n / contentionAdjustedSec(t, bt.batchSnapshot, refBatches)).toLong
     lastCdcRuns = Some(runsTele.map { case (t, tele, bt) =>
       val eps = if (!runFailed && t > 0) (n / t).toLong else 0L
       val idleMs = math.max(0L, (t * 1000).toLong - bt.triggerMs)
-      s"""{"sec":${r3(t)},"eps":$eps,"batches":${bt.batches},""" +
+      s"""{"sec":${r3(t)},"eps":$eps,"eps_adj":${adjEps(t, bt)},""" +
+        s""""batches":${bt.batches},""" +
         s""""add_batch_ms":${bt.addBatchMs},""" +
         s""""wal_commit_ms":${bt.walCommitMs},""" +
         s""""trigger_ms":${bt.triggerMs},""" +
         s""""non_trigger_ms":$idleMs,""" +
         s""""batch_rows":${bt.batchRowsJson}${stealCpuJson(tele)}}"""
     }.mkString("[", ",", "]"))
+    locally {
+      val adjs = runsTele.map { case (t, _, bt) => adjEps(t, bt) }
+        .filter(_ > 0).sorted
+      lastCdcEpsAdj = if (adjs.isEmpty) None else Some(adjs(adjs.size / 2))
+    }
     // the one-sentence verdict a slow run needs: when the wall spread
     // across runs exceeds 1.5×, name the slowest run's dominant term —
     // fixed vocabulary only, so the field is always valid JSON
@@ -532,6 +583,12 @@ object Bench {
     * set only when the wall spread exceeded 1.5×; built from a fixed
     * vocabulary (term names + numbers), so it embeds in JSON safely. */
   private var lastCdcNote: Option[String] = None
+
+  /** Median contention-adjusted events/s across the last CDC runs —
+    * the headline's `cdc_eps_adj` scalar (raw median stays in
+    * `cdc_replicate_eps_med`; the adjustment itself is
+    * [[contentionAdjustedSec]]). */
+  private var lastCdcEpsAdj: Option[Long] = None
 
   /** Total block-manager bytes (memory + disk) currently held by RDD
     * storage — the leak-telemetry unit for `queries_storage`. */
@@ -622,6 +679,8 @@ object Bench {
       println(s"""{"metric":"cdc_runs","runs":$r}"""))
     lastCdcNote.foreach(s =>
       println(s"""{"metric":"cdc_note","note":"$s"}"""))
+    lastCdcEpsAdj.foreach(v =>
+      println(s"""{"metric":"cdc_eps_adj","value":$v}"""))
     // failures inside the child are otherwise invisible to the parent
     // (rc stays 0, stderr is only half-forwarded): one machine-readable
     // line per failed unit lets the parent's headline carry them
@@ -679,6 +738,12 @@ object Bench {
         val i = l.indexOf(p)
         if (i >= 0) lastCdcNote =
           Some(l.substring(i + p.length).stripSuffix("\"}"))
+      }
+    out.linesIterator
+      .find(_.startsWith("""{"metric":"cdc_eps_adj""""))
+      .foreach { l =>
+        """"value":(\d+)""".r.findFirstMatchIn(l)
+          .foreach(m => lastCdcEpsAdj = Some(m.group(1).toLong))
       }
     val re = ("""\{"metric":"child","name":"""" + name +
       """","med":([0-9.]+),"min":([0-9.]+),"max":([0-9.]+)""" +
@@ -949,7 +1014,9 @@ object Bench {
       .map(r => s""""cdc_replicate_runs":$r,""").getOrElse("")
     val cdcNoteField = lastCdcNote
       .map(s => s""""cdc_slow_note":"$s",""").getOrElse("")
-    val scalars = s""""metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","flagship_runs":$runs,"tail_runs":${math.min(runs, tailRuns)},"n_flagship":$nFlagship,$onlyField$failedField"events_per_sec":$eventsPerSec,"cdc_replicate_events_per_sec":${cdcEps.hi.toLong},"cdc_replicate_eps_med":${cdcEps.med.toLong},$cdcRunsField$cdcNoteField"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel.lo)},"curate_funnel_med":${r3(funnel.med)},"curate_funnel_full_sec":${r3(funnelFull.lo)},"curate_funnel_full_med":${r3(funnelFull.med)},$phaseBusy${hostBusyJson("host_busy", jiffies0, cpuJiffies())}"sf":"$sfDir""""
+    val cdcAdjField = lastCdcEpsAdj
+      .map(v => s""""cdc_eps_adj":$v,""").getOrElse("")
+    val scalars = s""""metric":"total","value":${r3(totalMin)},"stat":"min","value_med":${r3(totalMed)},"unit":"sec","flagship_runs":$runs,"tail_runs":${math.min(runs, tailRuns)},"n_flagship":$nFlagship,$onlyField$failedField"events_per_sec":$eventsPerSec,"cdc_replicate_events_per_sec":${cdcEps.hi.toLong},"cdc_replicate_eps_med":${cdcEps.med.toLong},$cdcAdjField$cdcRunsField$cdcNoteField"funnel_mode":"$funnelMode","curate_funnel_sec":${r3(funnel.lo)},"curate_funnel_med":${r3(funnel.med)},"curate_funnel_full_sec":${r3(funnelFull.lo)},"curate_funnel_full_med":${r3(funnelFull.med)},$phaseBusy${hostBusyJson("host_busy", jiffies0, cpuJiffies())}"sf":"$sfDir""""
     val sheetField = lastSheet.map(s => s""","funnel_datasheet":$s""").getOrElse("")
     lastSheet.foreach(s =>
       println(s"""{"metric":"datasheet","name":"curate_funnel_full","sheet":$s}"""))

@@ -716,17 +716,21 @@ object ScaleBench {
           }
         }
       }
-      botProbe("paths_botcap_wall")(src =>
-        graft.analytics.StreamingAnalytics.sessionPathsStream(src,
-          "user_id", "event_type", "ts", "event_id", gapUs,
-          watermark = "60 seconds", maxStamps = botStamps).toDF())(out =>
-        out.filter(col("path").endsWith(">…")).count())
-      botProbe("funnel_botcap_wall")(src =>
-        graft.analytics.StreamingAnalytics.sessionFunnelStream(src,
-          "user_id", "event_type", "ts", steps, gapUs,
-          watermark = "60 seconds", maxStamps = botStamps).toDF())(out =>
-        out.filter(col("truncated")).count())
-      rmTree(botBase)
+      // the staged bot corpus (up to 160k JSON lines) must not leak in
+      // /tmp when a probe throws mid-bench — same finally discipline as
+      // each probe's inner runDir
+      try {
+        botProbe("paths_botcap_wall")(src =>
+          graft.analytics.StreamingAnalytics.sessionPathsStream(src,
+            "user_id", "event_type", "ts", "event_id", gapUs,
+            watermark = "60 seconds", maxStamps = botStamps).toDF())(out =>
+          out.filter(col("path").endsWith(">…")).count())
+        botProbe("funnel_botcap_wall")(src =>
+          graft.analytics.StreamingAnalytics.sessionFunnelStream(src,
+            "user_id", "event_type", "ts", steps, gapUs,
+            watermark = "60 seconds", maxStamps = botStamps).toDF())(out =>
+          out.filter(col("truncated")).count())
+      } finally rmTree(botBase)
     }
     results.toList
   }

@@ -111,8 +111,14 @@ object CdcReplicateCli {
       val n = pipeline.readTable(t).map(_.count()).getOrElse(0L)
       println(s"""{"table": "$t", "rows": $n}""")
     }
+    // scope the contract metric to THIS run's queries exactly like the
+    // state line below: queries here are unnamed, so the listener keys
+    // by query id and the registry key is fully reconstructible — an
+    // embedded caller's concurrent query can't inflate the count
+    val mineMetrics = mine.map(id => s"cdc_records_replicated_total{query=$id}")
     val replicatedRow = registry.snapshot(spark)
-      .filter("metric like 'cdc_records_replicated_total%'")
+      .filter(org.apache.spark.sql.functions.col("metric")
+        .isin(mineMetrics.toSeq: _*))
       .agg(org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.functions.sum("value"),
         org.apache.spark.sql.functions.lit(0.0))).head().getDouble(0)

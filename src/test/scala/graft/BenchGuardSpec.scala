@@ -19,6 +19,31 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(got("q90_bm25") == 11.5) // min picks the faster round
   }
 
+  test("contentionAdjustedSec: the arithmetic behind cdc_eps_adj") {
+    // (batchId, addBatchMs, rows) — rows are irrelevant to the math
+    def b(rows: (Long, Long)*): Seq[(Long, Long, Long)] =
+      rows.map { case (id, ms) => (id, ms, 100L) }
+    val ref = b(0L -> 1000L, 1L -> 1000L, 2L -> 1000L)
+    // the reference run itself: zero excess, adjusts to its own wall
+    assert(Bench.contentionAdjustedSec(3.5, ref, ref) == 3.5)
+    // a contended run: batches 1+2 carry 2.0 s of excess over the
+    // clean run → 10.0 s wall adjusts to 8.0 s
+    val slow = b(0L -> 1000L, 1L -> 2000L, 2L -> 2000L)
+    assert(Bench.contentionAdjustedSec(10.0, slow, ref) == 8.0)
+    // a batch FASTER than the reference never gains time back
+    val mixed = b(0L -> 500L, 1L -> 2000L, 2L -> 1000L)
+    assert(Bench.contentionAdjustedSec(10.0, mixed, ref) == 9.0)
+    // main + DLQ queries share batch ids: same-id times sum per run
+    // BEFORE differencing (0: 800+700 vs 1000 → 500 ms excess)
+    val dlq = b(0L -> 800L, 0L -> 700L)
+    assert(Bench.contentionAdjustedSec(4.0, dlq, b(0L -> 1000L)) == 3.5)
+    // ids the reference never saw contribute nothing
+    assert(Bench.contentionAdjustedSec(5.0, b(9L -> 9999L), ref) == 5.0)
+    // inferred excess beyond the wall floors at 1% of it, never <= 0
+    val huge = b(0L -> 99000L)
+    assert(Bench.contentionAdjustedSec(2.0, huge, b(0L -> 100L)) == 0.02)
+  }
+
   test("parseArtifactMins: zeros and non-query keys dropped, junk safe") {
     val txt = """{"queries":{"q2_x":0.0,"q3_y":1.25},"value":99.0,"runs":5}"""
     val got = Bench.parseArtifactMins(Seq(txt))

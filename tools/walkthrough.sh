@@ -86,9 +86,12 @@ if command -v python3 >/dev/null && python3 -c 'import duckdb' 2>/dev/null; then
   WANT_MISSING="$(python3 - "$SF/documents.parquet" "$WORK/curated/corpus" <<'PY'
 import duckdb, sys
 src, tgt = sys.argv[1], sys.argv[2]
+# anti-join, not NOT IN: a NULL doc_id on the target side would make
+# NOT IN's three-valued logic return zero rows and mask real drift
 n = duckdb.sql(f"""
   SELECT count(*) FROM read_parquet('{src}') s
-  WHERE s.doc_id NOT IN (SELECT doc_id FROM read_parquet('{tgt}/*.parquet'))
+  WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{tgt}/*.parquet') t
+                    WHERE t.doc_id = s.doc_id)
 """).fetchone()[0]
 print(n)
 PY
@@ -120,6 +123,10 @@ grep -q '"state"' <<<"$C1_OUT" || fail "run 1 printed no state-bound telemetry l
 cp -p "$WORK/events_all"/part-0000[4-7]* "$WORK/in/"
 C2_OUT="$(census)" || fail "census run 2 failed: $(tail -5 "$WORK/census.err")"
 C2="$(jint "$C2_OUT" closed_sessions)"
+# guard before the numeric compare: an empty extraction would otherwise
+# die as an opaque bash integer-expression error instead of a fail()
+[[ -n "$C1" && -n "$C2" ]] \
+  || fail "census output missing closed_sessions (run1='$C1', run2='$C2')"
 [[ "$C2" -gt "$C1" ]] \
   || fail "cross-run chaining drifted: run1 closed=$C1, run2 closed=$C2 (must grow on the delta)"
 grep -q '"census"' <<<"$C2_OUT" || fail "run 2 printed no rollup lines"
