@@ -605,6 +605,60 @@ object Analytics {
     funnelReport(perSession, stepsArr, steps.size, "sessions")
   }
 
+  /** Batch recomputation of
+    * [[StreamingAnalytics.sessionFunnelStream]]'s CAPPED semantics —
+    * one row per gap session `(user, max_step, truncated, n_steps)`
+    * mirroring the stream's AMORTIZED cut exactly: a session whose
+    * step-event count stays ≤ 2·`maxStamps` never triggers the
+    * sort-truncate, so its fold is EXACT and `truncated` is false;
+    * past 2·`maxStamps` the cut fires and the close-time fold runs
+    * over the (t, step-index)-least `maxStamps` stamps only, with
+    * `truncated` marking `max_step` as a LOWER bound on the uncapped
+    * result. Feeding this to
+    * [[StreamingAnalytics.sessionFunnelRollup]] yields the same
+    * bound-vs-exact split report the stream emits — and because every
+    * piece (gap islands, (t, idx) sort, prefix cut, chained greedy
+    * advance) is relational, a SQL oracle can recompute it exactly:
+    * the q251 correctness row is the proof that `n_truncated > 0`
+    * reports a bound, not a silently wrong exact count. Sessions with
+    * NO step events still emit (max_step 0) — the stream closes those
+    * sessions too, and the rollup's truncation column would otherwise
+    * undercount total sessions.
+    *
+    * Scale shape: identical to [[sessionFunnel]] — one shuffle to the
+    * (user, session) grain, per-session arrays bounded by the
+    * session's own step-event count (the sort_array fold), and the
+    * cap applies BEFORE the fold so the fold work is `maxStamps`-
+    * bounded. (Batch keeps the full sorted array per session — it has
+    * the whole corpus; the cap exists to mirror the stream's state
+    * bound, not to protect batch memory.) */
+  def sessionFunnelCapped(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, steps: Seq[String],
+      gapUs: Long, maxStamps: Int): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct, got $steps")
+    require(maxStamps >= 1, s"maxStamps must be >= 1, got $maxStamps")
+    val stepsArr = array(steps.map(lit): _*)
+    val tagged = gapSessionTag(events, userCol, typeCol, tsCol, idCol, gapUs)
+    tagged
+      .select(col("__u"), col("__sid"),
+        // non-step events still chain the session (the gap tag above
+        // saw them); they contribute no stamp — collect_list drops
+        // the null
+        when(array_position(stepsArr, col("__ty")) > 0,
+          struct(col("__t").as("t"),
+            array_position(stepsArr, col("__ty")).as("idx"))).as("__e"))
+      .groupBy("__u", "__sid")
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .select(col("__u").as("user"),
+        when(size(col("__es")) > 2 * maxStamps,
+          funnelFold(slice(col("__es"), 1, maxStamps)))
+          .otherwise(funnelFold(col("__es")))
+          .getField("step").as("max_step"),
+        (size(col("__es")) > 2 * maxStamps).as("truncated"),
+        size(col("__es")).cast("long").as("n_steps"))
+  }
+
   /** Event-sequence pattern matching — the COUNT shape of SQL
     * MATCH_RECOGNIZE (which Spark does not ship): each user's complete
     * (ts, id)-ordered event-type sequence renders as one

@@ -110,6 +110,33 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     sha2(regexp_replace(lower(trim(c)), "\\s+", " "), 256)
 
+  /** Homoglyph (confusable) substitution pairs: visually identical
+    * non-Latin letters → their Latin look-alikes. The classic
+    * decontamination evasion is re-typing an eval answer with Cyrillic
+    * а/е/о/р/с/у/х (identical glyphs, different codepoints) — byte-level
+    * shingle matching then sees disjoint n-grams and the contaminated
+    * doc sails through. Folding BOTH sides through this map before
+    * shingling restores the collision. Deliberately a small curated
+    * table of the unambiguous identical-glyph pairs (the Unicode
+    * TR39 confusables table is thousands of entries deep and includes
+    * merely-similar glyphs; these are the byte-for-glyph identical core
+    * an attacker actually uses), expressed as a `translate` so both the
+    * engine and any SQL oracle reproduce it codepoint-for-codepoint. */
+  val ConfusableFrom: String =
+    "аеорсухіѕј" + // а е о р с у х і ѕ ј
+      "АВЕКМНОРСТХІЅЈ" + // А В Е К М Н О Р С Т Х І Ѕ Ј
+      "οΟΑΒΕΖΗΙΚΜΝΡΤΥΧ" // ο Ο Α Β Ε Ζ Η Ι Κ Μ Ν Ρ Τ Υ Χ
+  val ConfusableTo: String =
+    "aeopcyxisj" + "ABEKMHOPCTXISJ" + "oOABEZHIKMNPTYX"
+
+  /** Fold confusable homoglyphs to their Latin forms — see
+    * [[ConfusableFrom]]. Composes with [[Dedup.decontaminate]] /
+    * [[Dedup.contaminationCounts]] by folding the text column on both
+    * sides; a plain `translate`, so it stays inside whole-stage codegen
+    * and replays in any engine with the same two constant strings. */
+  def confusableFold(c: Column): Column =
+    translate(c, ConfusableFrom, ConfusableTo)
+
   /** 62-bit SimHash over whitespace tokens: per-token polynomial hash
     * ([[graft.functions.TextHashes]] — integer arithmetic any engine
     * reproduces, so sketch VALUES are oracle-checkable), bitwise
@@ -687,7 +714,7 @@ object TextAnalysis {
     * token reordering that destroys every shingle). Each document's
     * sparse vector keeps only its `topM` most distinctive terms
     * ([[distinctiveTerms]] ranking), weighted `⌊tf·10⁶/df⌋` in exact
-    * integer micros: the dot product is then an exact BIGINT sum
+    * integer micros: the dot product is then an exact DECIMAL(38,0) sum
     * (order-independent — double summation order differs across
     * engines and partitionings), and the cosine is three IEEE ops
     * (two sqrt, one divide) on exact integers — bit-identical on any
@@ -743,8 +770,14 @@ object TextAnalysis {
       .groupBy("__id")
       .agg(array_sort(collect_list(struct(col("df"), col("token"), col("w"))))
         .as("__arr"))
-      .withColumn("__n2", aggregate(col("__arr"), lit(0L),
-        (a, e) => a + e.getField("w") * e.getField("w")))
+      // norms in DECIMAL(38,0), not BIGINT: w = tf·10⁶ div df reaches
+      // 3·10⁹ (and w² wraps a long) as soon as one document repeats a
+      // rare term >3000× — routine at corpus scale. The decimal sum is
+      // exact at any magnitude; it leaves whole-stage codegen never
+      // (Decimal arithmetic is codegen'd) and runs once per doc over
+      // ≤ topM entries, so the cost is vector-sized, not corpus-sized.
+      .withColumn("__n2", aggregate(col("__arr"), lit(0L).cast(dec),
+        (a, e) => a + e.getField("w").cast(dec) * e.getField("w")))
       .filter(col("__n2") > 0)
       .localCheckpoint()
     // residual-norm prefix: cumulative squares via a per-doc window
@@ -756,12 +789,20 @@ object TextAnalysis {
       .select(col("__id"), col("__n2"),
         posexplode(col("__arr")).as(Seq("pos", "e")))
       .withColumn("__rsq", col("__n2") -
-        coalesce(sum(col("e.w") * col("e.w")).over(wPos), lit(0L)))
+        coalesce(sum(col("e.w").cast(dec) * col("e.w")).over(wPos),
+          lit(0L).cast(dec)))
       .select(col("__id"), col("e").getField("token").as("token"),
         col("__rsq"), col("__n2"))
+    // prefix gate in double with a conservative 1e-9 relative margin
+    // (same rationale as the positional filter below): the decimal
+    // product __rsq·10¹² can exceed DECIMAL(38,0) for long documents
+    // and a precision overflow would DROP the position — i.e. lose
+    // true pairs. The margin only lengthens the prefix; verification
+    // below is exact, so the result is unchanged.
     val prefixes = positions
-      .filter(col("__rsq").cast(dec) * lit(1000000000000L).cast(dec) >=
-        lit(tPpm * tPpm).cast(dec) * col("__n2").cast(dec))
+      .filter(col("__rsq").cast("double") * lit(1.0e12) >=
+        lit(tPpm.toDouble * tPpm) * col("__n2").cast("double") *
+          lit(1.0 - 1.0e-9))
     val full = positions.select(col("__id").as("__idf"),
       col("token"), col("__rsq").as("__rsqf"), col("__n2").as("__n2f"))
     // positional residual filter (L2AP-style): a collision at
@@ -787,8 +828,8 @@ object TextAnalysis {
         e => struct(e.getField("token"), e.getField("w")))).as("__mb"),
       col("__n2").as("n2_b"))
     cands.join(sideA, Seq("id_a")).join(sideB, Seq("id_b"))
-      .withColumn("dp", aggregate(col("__aa"), lit(0L),
-        (a, e) => a + e.getField("w") *
+      .withColumn("dp", aggregate(col("__aa"), lit(0L).cast(dec),
+        (a, e) => a + e.getField("w").cast(dec) *
           coalesce(element_at(col("__mb"), e.getField("token")), lit(0L))))
       .withColumn("cosine", col("dp").cast("double") /
         (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))

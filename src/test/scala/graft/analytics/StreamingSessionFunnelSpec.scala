@@ -147,4 +147,63 @@ class StreamingSessionFunnelSpec extends SparkSpec {
     assert(got == Set((1L, B, B + 10 * s, 6L, 2L, true)))
     q.stop()
   }
+
+  test("capped stream rollup == batch sessionFunnelCapped (q251's " +
+    "operator), and the bound brackets the uncapped truth") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val events = input.toDF()
+      .select(col("_1").as("user_id"),
+        timestamp_micros(col("_2")).as("ts"),
+        col("_3").as("event_type"))
+    val q = StreamingAnalytics.sessionFunnelStream(events, "user_id",
+      "event_type", "ts", steps, gapUs, watermark = "0 seconds",
+      maxStamps = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_cap_parity").start()
+
+    // u1: 5 step events — past the 2·maxStamps = 4 amortized-cut
+    // threshold, so the cut fires: prefix-2 fold reaches 2, the true
+    // fold reaches 3, truncated=true; u2: 2 step events (exact fold,
+    // step 2, no cut); u3: one step event (exact, step 1)
+    val live = Seq(
+      (1L, B, "view"), (1L, B + 1 * s, "click"),
+      (1L, B + 2 * s, "purchase"), (1L, B + 3 * s, "view"),
+      (1L, B + 4 * s, "click"),
+      (2L, B, "view"), (2L, B + 2 * s, "click"),
+      (3L, B + 1 * s, "view"))
+    input.addData(live: _*)
+    q.processAllAvailable()
+    input.addData((99L, B + 500 * s, "signup"))
+    q.processAllAvailable()
+
+    val streamed = StreamingAnalytics.sessionFunnelRollup(
+      spark.table("funnel_cap_parity"), steps)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    val batchEvents = live.zipWithIndex
+      .map { case ((u, t, ty), i) => (u, t, i.toLong, ty) }
+      .toDF("user_id", "__us", "event_id", "event_type")
+      .select(col("user_id"), timestamp_micros(col("__us")).as("ts"),
+        col("event_id"), col("event_type"))
+    val batch = StreamingAnalytics.sessionFunnelRollup(
+      Analytics.sessionFunnelCapped(batchEvents, "user_id",
+        "event_type", "ts", "event_id", steps, gapUs, maxStamps = 2),
+      steps).as[(Int, String, Long, Long)].collect().toSeq
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // the split itself: u1 truncated below step 3 => n_truncated = 1
+    // there; u1+u2 reach step 2 exactly
+    assert(streamed == Seq((1, "view", 3L, 0L), (2, "click", 2L, 0L),
+      (3, "purchase", 0L, 1L)))
+    // bound property vs the UNCAPPED batch truth: at every step,
+    // capped sessions <= true sessions <= capped + n_truncated
+    val uncapped = Analytics.sessionFunnel(batchEvents, "user_id",
+      "event_type", "ts", "event_id", steps, gapUs)
+      .as[(Int, String, Long)].collect().toSeq
+    streamed.zip(uncapped).foreach { case ((st, _, lo, unk), (st2, _, tru)) =>
+      assert(st == st2)
+      assert(lo <= tru && tru <= lo + unk,
+        s"step $st: bound [$lo, ${lo + unk}] must bracket $tru")
+    }
+    q.stop()
+  }
 }

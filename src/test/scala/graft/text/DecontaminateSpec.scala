@@ -86,4 +86,34 @@ class DecontaminateSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(14L))
   }
+
+  test("confusable evasion: Cyrillic homoglyphs dodge raw shingles; " +
+    "folding both sides restores every collision (q250)") {
+    // the eval window re-typed with Cyrillic а/е/о/с/р — renders
+    // identically, shares zero codepoint-level tokens
+    val attacked = corpus
+      .filter(col("doc_id") === 10L)
+      .select(col("doc_id"),
+        translate(col("text"), "aeocp", "аеоср").as("text"))
+    // raw decontamination is blind to it
+    val keptRaw = Dedup.decontaminate(attacked, evalDocs,
+      "doc_id", "text", k = 8).select("doc_id").as[Long].collect().toSet
+    assert(keptRaw == Set(10L), "raw shingles must miss the homoglyph copy")
+    // folding both sides through the confusable table catches it
+    val keptFolded = Dedup.decontaminate(
+      attacked.withColumn("text", TextAnalysis.confusableFold(col("text"))),
+      evalDocs.withColumn("text", TextAnalysis.confusableFold(col("text"))),
+      "doc_id", "text", k = 8).select("doc_id").as[Long].collect().toSet
+    assert(keptFolded.isEmpty, "folded shingles must drop the copy")
+    // the fold is the identity on pure-ASCII text, and the from/to
+    // tables stay codepoint-aligned (translate is positional)
+    assert(TextAnalysis.ConfusableFrom.codePointCount(0,
+        TextAnalysis.ConfusableFrom.length) ==
+      TextAnalysis.ConfusableTo.codePointCount(0,
+        TextAnalysis.ConfusableTo.length))
+    val ascii = corpus.filter(col("doc_id") === 11L)
+      .select(TextAnalysis.confusableFold(col("text")) <=> col("text"))
+      .as[Boolean].head()
+    assert(ascii, "confusableFold must be identity on ASCII text")
+  }
 }
