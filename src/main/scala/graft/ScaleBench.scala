@@ -377,7 +377,8 @@ object ScaleBench {
           "q245_workload_pairs", "census_stream_wall",
           "census_stream_workload", "abandon_stream_wall",
           "paths_stream_wall", "funnel_stream_wall",
-          "growth_stream_wall", "transitions_stream_wall").exists(wanted)) {
+          "growth_stream_wall", "transitions_stream_wall",
+          "census_crash_wall").exists(wanted)) {
       val f = math.min(factor, 16)
       val ev0 = Tables.events(spark, baseDir)
       val maxId = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
@@ -456,7 +457,7 @@ object ScaleBench {
       if (Seq("census_stream_wall", "census_stream_workload",
           "abandon_stream_wall", "paths_stream_wall",
           "funnel_stream_wall", "growth_stream_wall",
-          "transitions_stream_wall").exists(wanted)) {
+          "transitions_stream_wall", "census_crash_wall").exists(wanted)) {
         def rmTree(p: java.nio.file.Path): Unit = try {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
@@ -472,7 +473,8 @@ object ScaleBench {
         val needCorpus =
           Seq("census_stream_wall", "abandon_stream_wall",
             "paths_stream_wall", "funnel_stream_wall",
-            "growth_stream_wall", "transitions_stream_wall").exists(wanted)
+            "growth_stream_wall", "transitions_stream_wall",
+            "census_crash_wall").exists(wanted)
         if (needCorpus) {
           // CHRONOLOGICAL arrival through the shared staging helper
           // (ops.JsonStage.stageFrame): range-partitioned by ts,
@@ -614,6 +616,45 @@ object ScaleBench {
             graft.analytics.StreamingAnalytics.transitionsStream(src,
               "user_id", "event_type", "ts", "event_id",
               watermark = "60 seconds").toDF())
+
+          // MID-DRAIN CRASH AT VOLUME (round 19): the torn-WAL-commit
+          // exactly-once proof, fixture-scale in SessionCensusCliSpec,
+          // re-run here at the ScaleBench factor under RocksDB — where
+          // the replayed batch restores real multi-MB snapshot+changelog
+          // state, not a toy. `census_crash_wall` prices the crash run
+          // (partial drain, tear, restart); `census_crash_match` is 1
+          // iff the recovered closed-session count equals the clean
+          // run's — the row the decade table carries as the
+          // exactly-once-at-10× evidence.
+          if (wanted("census_crash_wall")) {
+            spark.conf.set(providerConf,
+              ops.StateStores.providerClass("rocksdb"))
+            try {
+              val scratch = java.nio.file.Files
+                .createTempDirectory("graft-censuscrash")
+              try {
+                var cleanN = 0L
+                var recoveredN = 0L
+                bench("census_crash_wall") {
+                  val (c, r) = crashRecoveryCounts(spark, inDir,
+                    scratch.toString, gapUs, watermark = "60 seconds")
+                  cleanN = c; recoveredN = r
+                  r
+                }
+                val ok = if (cleanN == recoveredN && cleanN > 0L) 1L else 0L
+                results += (("census_crash_match", 0.0, ok))
+                println(s"""{"scale_query":"census_crash_match","sec":0.0,"rows":$ok}""")
+                if (ok == 0L)
+                  System.err.println("[scale] census_crash_match FAILED: " +
+                    s"clean=$cleanN recovered=$recoveredN")
+              } finally rmTree(scratch)
+            } finally {
+              prevProvider match {
+                case Some(v) => spark.conf.set(providerConf, v)
+                case None => spark.conf.unset(providerConf)
+              }
+            }
+          }
         }
         rmTree(streamBase)
       }
@@ -733,6 +774,69 @@ object ScaleBench {
       } finally rmTree(botBase)
     }
     results.toList
+  }
+
+  /** Exactly-once under a MID-DRAIN crash, at whatever volume `inDir`
+    * holds: a clean full drain of the session census is the reference;
+    * the crash run stops the query after `stopAfterBatches` committed
+    * micro-batches, tears the newest WAL commit AND its `.crc` sidecar
+    * (a real kill -9 loses both — neither is fsynced), then restarts
+    * from the same checkpoint to completion. Returns
+    * `(clean, recovered)` closed-session counts — equal iff the torn
+    * batch replayed exactly-once against state version N−1 and the
+    * parquet sink's metadata log. The fixture-scale torn-commit matrix
+    * (SessionCensusCliSpec) proves the mechanism; this runs it at the
+    * ScaleBench factor under the caller's state-store provider, where
+    * RocksDB's replay path (snapshot zip + changelog, not per-version
+    * .delta files) carries real multi-MB state. `maxFilesPerTrigger=1`
+    * maximizes the batch count so "mid-drain" leaves a real remainder
+    * at any factor. */
+  private[graft] def crashRecoveryCounts(spark: SparkSession,
+      inDir: String, scratch: String, gapUs: Long,
+      watermark: String, stopAfterBatches: Int = 2): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    def drain(ck: String, out: String, stopAfter: Option[Int]): Unit = {
+      val src = spark.readStream
+        .schema(ops.SessionCensusCli.inputSchema)
+        .option("maxFilesPerTrigger", 1).json(inDir)
+      val q = graft.analytics.StreamingAnalytics
+        .sessionCensusStream(src, "user_id", "event_type", "ts",
+          "event_id", gapUs, watermark)
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      stopAfter match {
+        case Some(n) =>
+          // recentProgress grows one entry per committed micro-batch;
+          // stop as soon as n have landed (deadline-bounded — a probe
+          // must never hang the bench)
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          while (q.isActive && q.recentProgress.length < n &&
+            System.nanoTime() < deadline) Thread.sleep(25)
+          if (q.isActive) q.stop()
+          q.awaitTermination()
+        case None => q.awaitTermination()
+      }
+    }
+    drain(s"$scratch/ckClean", s"$scratch/outClean", None)
+    val clean = spark.read.parquet(s"$scratch/outClean").count()
+    drain(s"$scratch/ckCrash", s"$scratch/outCrash",
+      Some(stopAfterBatches))
+    val commits = java.nio.file.Paths.get(s"$scratch/ckCrash/commits")
+    if (java.nio.file.Files.isDirectory(commits)) {
+      val numbered = java.nio.file.Files.list(commits).iterator().asScala
+        .toSeq.filter(_.getFileName.toString.forall(_.isDigit))
+      if (numbered.nonEmpty) {
+        val newest = numbered.maxBy(_.getFileName.toString.toLong)
+        java.nio.file.Files.delete(newest)
+        java.nio.file.Files.deleteIfExists(newest.resolveSibling(
+          "." + newest.getFileName.toString + ".crc"))
+      }
+    }
+    drain(s"$scratch/ckCrash", s"$scratch/outCrash", None)
+    val recovered = spark.read.parquet(s"$scratch/outCrash").count()
+    (clean, recovered)
   }
 
   /** One parser for SPARK_GRAFT_SCALE_ONLY (trimmed, empty segments
