@@ -749,6 +749,10 @@ object TextAnalysis {
       s"threshold must be in (0,1], got $threshold")
     val tPpm = math.floor(threshold * 1000000).toLong
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // largest per-term weight for which a topM-term sum of squares (or
+    // of cross products — |wa·wb| ≤ safeW² likewise) provably fits
+    // int64: the long-vs-decimal branch point for the exact folds below
+    val safeW = math.sqrt(Long.MaxValue.toDouble / topM).toLong - 1
     val perDoc = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         explode(tokens(col(textCol))).as("token"))
@@ -770,14 +774,24 @@ object TextAnalysis {
       .groupBy("__id")
       .agg(array_sort(collect_list(struct(col("df"), col("token"), col("w"))))
         .as("__arr"))
-      // norms in DECIMAL(38,0), not BIGINT: w = tf·10⁶ div df reaches
-      // 3·10⁹ (and w² wraps a long) as soon as one document repeats a
-      // rare term >3000× — routine at corpus scale. The decimal sum is
-      // exact at any magnitude; it leaves whole-stage codegen never
-      // (Decimal arithmetic is codegen'd) and runs once per doc over
-      // ≤ topM entries, so the cost is vector-sized, not corpus-sized.
-      .withColumn("__n2", aggregate(col("__arr"), lit(0L).cast(dec),
-        (a, e) => a + e.getField("w").cast(dec) * e.getField("w")))
+      // norms EXACT at any magnitude, in DECIMAL(38,0) only when they
+      // must be: w = tf·10⁶ div df reaches 3·10⁹ (and w² wraps a long)
+      // as soon as one document repeats a rare term >3000× — routine at
+      // corpus scale — but the overwhelmingly common doc stays far
+      // under it, so the fold branches on the doc's max weight: below
+      // `safeW` (every topM-term square-sum provably fits int64) the
+      // sum runs in long arithmetic and casts once; above it, the
+      // decimal fold (measured ~20% on this whole query when applied
+      // unconditionally — the branch confines that cost to the rare
+      // overflow-regime rows q252 pins)
+      .withColumn("__wmax",
+        array_max(transform(col("__arr"), e => e.getField("w"))))
+      .withColumn("__n2",
+        when(col("__wmax") <= safeW,
+          aggregate(col("__arr"), lit(0L),
+            (a, e) => a + e.getField("w") * e.getField("w")).cast(dec))
+          .otherwise(aggregate(col("__arr"), lit(0L).cast(dec),
+            (a, e) => a + e.getField("w").cast(dec) * e.getField("w"))))
       .filter(col("__n2") > 0)
       .localCheckpoint()
     // residual-norm prefix: cumulative squares via a per-doc window
@@ -788,9 +802,9 @@ object TextAnalysis {
     val positions = docsArr
       .select(col("__id"), col("__n2"),
         posexplode(col("__arr")).as(Seq("pos", "e")))
-      .withColumn("__rsq", col("__n2") -
-        coalesce(sum(col("e.w").cast(dec) * col("e.w")).over(wPos),
-          lit(0L).cast(dec)))
+      .withColumn("__rsq", col("__n2").cast("double") -
+        coalesce(sum(col("e.w").cast("double") * col("e.w")).over(wPos),
+          lit(0.0)))
       .select(col("__id"), col("e").getField("token").as("token"),
         col("__rsq"), col("__n2"))
     // prefix gate in double with a conservative 1e-9 relative margin
@@ -800,7 +814,7 @@ object TextAnalysis {
     // true pairs. The margin only lengthens the prefix; verification
     // below is exact, so the result is unchanged.
     val prefixes = positions
-      .filter(col("__rsq").cast("double") * lit(1.0e12) >=
+      .filter(col("__rsq") * lit(1.0e12) >=
         lit(tPpm.toDouble * tPpm) * col("__n2").cast("double") *
           lit(1.0 - 1.0e-9))
     val full = positions.select(col("__id").as("__idf"),
@@ -814,7 +828,7 @@ object TextAnalysis {
     // dwarfs double rounding, so no true collision is lost
     val cands = prefixes.join(full, "token")
       .filter(col("__id") =!= col("__idf"))
-      .filter(col("__rsq").cast("double") * col("__rsqf").cast("double") *
+      .filter(col("__rsq") * col("__rsqf") *
           lit(1.0e12) >=
         lit(tPpm.toDouble * tPpm) * col("__n2").cast("double") *
           col("__n2f").cast("double") * lit(1.0 - 1.0e-9))
@@ -822,15 +836,25 @@ object TextAnalysis {
         greatest(col("__id"), col("__idf")).as("id_b"))
       .distinct()
     val sideA = docsArr.select(col("__id").as("id_a"),
-      col("__arr").as("__aa"), col("__n2").as("n2_a"))
+      col("__arr").as("__aa"), col("__wmax").as("__wma"),
+      col("__n2").as("n2_a"))
     val sideB = docsArr.select(col("__id").as("id_b"),
       map_from_entries(transform(col("__arr"),
         e => struct(e.getField("token"), e.getField("w")))).as("__mb"),
-      col("__n2").as("n2_b"))
+      col("__wmax").as("__wmb"), col("__n2").as("n2_b"))
     cands.join(sideA, Seq("id_a")).join(sideB, Seq("id_b"))
-      .withColumn("dp", aggregate(col("__aa"), lit(0L).cast(dec),
-        (a, e) => a + e.getField("w").cast(dec) *
-          coalesce(element_at(col("__mb"), e.getField("token")), lit(0L))))
+      // same long-vs-decimal branch as the norms: both sides under
+      // safeW ⇒ every cross product and the topM-sum fit int64
+      .withColumn("dp",
+        when(col("__wma") <= safeW && col("__wmb") <= safeW,
+          aggregate(col("__aa"), lit(0L),
+            (a, e) => a + e.getField("w") *
+              coalesce(element_at(col("__mb"), e.getField("token")),
+                lit(0L))).cast(dec))
+          .otherwise(aggregate(col("__aa"), lit(0L).cast(dec),
+            (a, e) => a + e.getField("w").cast(dec) *
+              coalesce(element_at(col("__mb"), e.getField("token")),
+                lit(0L)))))
       .withColumn("cosine", col("dp").cast("double") /
         (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
       .filter(col("cosine") >= threshold)
