@@ -1736,6 +1736,33 @@ object SparkEntry {
         .select(col("o_orderkey"), col("src_value"), col("tgt_value"))
     }),
 
+    // q257: BM25's degenerate ends — query terms that appear in NO
+    // document (every score_fp is 0 and filtered: the engine must not
+    // emit zero-score rows or crash on df=0 idf arithmetic) and an
+    // empty corpus (the 1-row stats rollup sees n=0)
+    "q257_bm25_degenerate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      famCount("no_hit_terms",
+          Retrieval.bm25Scores(docs, "doc_id", "text",
+            Seq("zzqqxx", "qqzzyy")))(s)
+        .union(famCount("empty_corpus",
+          Retrieval.bm25Scores(docs.filter(col("doc_id") < 0),
+            "doc_id", "text", Seq("alpha")))(s))
+    }),
+
+    // q258: the cap-off parity pin — sessionFunnelCapped with a cap no
+    // session reaches must equal the UNCAPPED q186 report exactly
+    // (sessions column identical, n_truncated identically 0): the
+    // bound-vs-exact split degrades to the exact census when the cap
+    // never fires
+    "q258_funnel_cap_exact_parity" -> ((s, d) =>
+      graft.analytics.StreamingAnalytics.sessionFunnelRollup(
+        Analytics.sessionFunnelCapped(Tables.events(s, d), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view", "click", "purchase"), gapUs = 1800000000L,
+          maxStamps = 1000000),
+        Seq("view", "click", "purchase"))),
+
     // q256: every document truncated BELOW the shingle size k=3 — the
     // whole-text fallback shingle carries the entire pair pipeline, so
     // pairs are exactly the equal-truncation groups (jaccard 1);
@@ -6025,6 +6052,36 @@ object SparkEntry {
         |SELECT s.o_orderkey, s.st AS src_value, t.st AS tgt_value
         |FROM src s JOIN tgt t USING (o_orderkey)
         |WHERE NOT (s.st IS NOT DISTINCT FROM t.st)""".stripMargin,
+
+    // q257: both degenerate ends are provably empty — zero-score docs
+    // are filtered, an empty corpus yields no postings
+    "q257_bm25_degenerate" ->
+      """SELECT 'no_hit_terms' AS family, CAST(0 AS BIGINT) AS n
+        |UNION ALL SELECT 'empty_corpus', CAST(0 AS BIGINT)""".stripMargin,
+
+    // q258: the q186 chained-min replay verbatim, with the truncation
+    // column identically zero — the cap-off parity proof
+    "q258_funnel_cap_exact_parity" ->
+      """WITH ev AS (SELECT user_id AS u, event_id AS id, event_type AS ty,
+        |    epoch_us(ts) AS t FROM events),
+        |g AS (SELECT u, id, ty, t, CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+        |  FROM ev WINDOW w AS (PARTITION BY u ORDER BY t, id)),
+        |s AS (SELECT u, id, ty, t, sum(nw) OVER (PARTITION BY u
+        |    ORDER BY t, id ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |s1 AS (SELECT u, sid, min(t) AS t FROM s WHERE ty = 'view'
+        |  GROUP BY 1, 2),
+        |s2 AS (SELECT s.u, s.sid, min(s.t) AS t FROM s
+        |  JOIN s1 ON s.u = s1.u AND s.sid = s1.sid
+        |  WHERE s.ty = 'click' AND s.t > s1.t GROUP BY 1, 2),
+        |s3 AS (SELECT s.u, s.sid, min(s.t) AS t FROM s
+        |  JOIN s2 ON s.u = s2.u AND s.sid = s2.sid
+        |  WHERE s.ty = 'purchase' AND s.t > s2.t GROUP BY 1, 2)
+        |SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+        |  (SELECT count(*) FROM s1) AS sessions, CAST(0 AS BIGINT) AS n_truncated
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2), CAST(0 AS BIGINT)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3), CAST(0 AS BIGINT)
+        |ORDER BY step""".stripMargin,
 
     // q256: pairs = equal-truncation groups (the whole-text fallback
     // shingle), reduced to the same (count, checksum) aggregate — each
