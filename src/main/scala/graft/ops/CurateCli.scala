@@ -229,10 +229,21 @@ object CurateCli {
     // materialize ONCE and cut lineage: the stage's plan becomes a
     // single LogicalRDD leaf, so a join-back stage referencing its
     // input twice adds O(1) plan nodes instead of doubling the tree
+    // LAZY local checkpoint: the Dataset returned is already a
+    // LogicalRDD leaf (the plan cut is unchanged), but materialization
+    // happens at the stage's FIRST action — which in this funnel is
+    // always the datasheet count that immediately follows. The count
+    // aggregate computes every partition, so it materializes the
+    // checkpoint AND produces the stage row in ONE job: one pass over
+    // the stage output instead of two (eager-materialize, then re-scan
+    // to count) — at 100 TB the count re-read is a full second pass per
+    // stage. The reliable-checkpoint path stays eager: a lazy reliable
+    // checkpoint recomputes its lineage once more when the checkpoint
+    // file is written, which would ADD a pass instead of removing one.
     def checkpointed(df: DataFrame): DataFrame = {
       val c =
         if (cfg.checkpointDir.isDefined) df.checkpoint()
-        else df.localCheckpoint()
+        else df.localCheckpoint(eager = false)
       live += c
       c
     }
@@ -240,8 +251,16 @@ object CurateCli {
       Dedup.releaseIndex(df)
       live -= df
     }
+    // label every stage's jobs (materialize + count) so the Spark UI /
+    // a job listener can attribute funnel wall time stage by stage
+    // (optimization guide §1.5); thread-local, restored at the end
+    val sc = docs.sparkSession.sparkContext
+    def labeled[T](stage: String)(body: => T): T = {
+      sc.setJobDescription(s"curate:$stage")
+      try body finally sc.setJobDescription(null)
+    }
     try {
-      val input = stageCount("input", docs, textCol)
+      val input = labeled("input_count")(stageCount("input", docs, textCol))
 
       // optional Unicode NFC rewrite FIRST — canonically-equivalent
       // spellings (composed vs decomposed accents) become byte-equal
@@ -249,7 +268,7 @@ object CurateCli {
       // audit see one document, not two. Native codegen expression
       // ([[graft.functions.NfcNormalize]]), docs count unchanged
       val (src, nfcStage) =
-        if (cfg.nfcNormalize) {
+        if (cfg.nfcNormalize) labeled("nfc_normalize") {
           val n = checkpointed(docs.withColumn(textCol,
             graft.functions.UnicodeExpressions.nfcNormalize(col(textCol))))
           (n, Some(stageCount("nfc_normalize", n, textCol)))
@@ -261,11 +280,13 @@ object CurateCli {
       // materialized. The language filter is counted straight off the
       // checkpointed near-dedup output (a narrow codegen'd scan), so it
       // needs no materialization of its own.
-      val exact = checkpointed(Dedup.dedupExact(src, idCol, textCol))
-      val afterExact = stageCount("exact_dedup", exact, textCol)
+      val (exact, afterExact) = labeled("exact_dedup") {
+        val e = checkpointed(Dedup.dedupExact(src, idCol, textCol))
+        (e, stageCount("exact_dedup", e, textCol))
+      }
       if (cfg.nfcNormalize) release(src)
 
-      val pairs =
+      val pairs = labeled("near_dedup")(
         if (cfg.snmWindow > 0)
           // sorted-neighborhood blocking: candidates within snmWindow
           // positions of the length order — the third blocking family;
@@ -281,24 +302,28 @@ object CurateCli {
           Dedup.minhashVerifiedPairs(exact, idCol, textCol,
             k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
             threshold = cfg.jaccardThreshold,
-            indexPath = cfg.indexDir.map(_ + "/minhash_index"))
-      val near = checkpointed(
-        if (cfg.nearKeepBest)
-          Dedup.dedupByPairsKeepBest(exact, idCol, pairs,
-            TextAnalysis.qualityScore(col(textCol),
-              TextAnalysis.LangProfiles("en")))
-        else Dedup.dedupByComponents(exact, idCol, pairs))
-      val afterNear = stageCount("near_dedup", near, textCol)
+            indexPath = cfg.indexDir.map(_ + "/minhash_index")))
+      val (near, afterNear) = labeled("near_dedup") {
+        val n = checkpointed(
+          if (cfg.nearKeepBest)
+            Dedup.dedupByPairsKeepBest(exact, idCol, pairs,
+              TextAnalysis.qualityScore(col(textCol),
+                TextAnalysis.LangProfiles("en")))
+          else Dedup.dedupByComponents(exact, idCol, pairs))
+        (n, stageCount("near_dedup", n, textCol))
+      }
       release(exact)
 
       val lang = near.filter(
         TextAnalysis.languageId(col(textCol)).isin(cfg.languages.toSeq: _*))
-      val afterLang = stageCount("language", lang, textCol)
+      val afterLang = labeled("language")(stageCount("language", lang, textCol))
 
-      val quality = checkpointed(lang.filter(
-        TextAnalysis.qualityScore(col(textCol),
-          TextAnalysis.LangProfiles("en")) >= cfg.minQuality))
-      val afterQuality = stageCount("quality", quality, textCol)
+      val (quality, afterQuality) = labeled("quality") {
+        val q = checkpointed(lang.filter(
+          TextAnalysis.qualityScore(col(textCol),
+            TextAnalysis.LangProfiles("en")) >= cfg.minQuality))
+        (q, stageCount("quality", q, textCol))
+      }
       release(near)
 
       // ---- extended stages (each optional, same lineage-cut
@@ -307,7 +332,11 @@ object CurateCli {
       val sheet = scala.collection.mutable.ListBuffer(
         Seq(Some(input), nfcStage, Some(afterExact), Some(afterNear),
           Some(afterLang), Some(afterQuality)).flatten: _*)
-      def advance(stage: String, next: DataFrame): Unit = {
+      // `next` by name: stage expressions run eager driver-side work
+      // (bucket-offset collects, internal index checkpoints) at
+      // CONSTRUCTION time — evaluating inside `labeled` attributes those
+      // jobs to their stage instead of "(none)"
+      def advance(stage: String, next: => DataFrame): Unit = labeled(stage) {
         val p = checkpointed(next)
         sheet += stageCount(stage, p, textCol)
         release(cur)
@@ -470,7 +499,7 @@ object CurateCli {
       // packing is a sidecar projection over the final corpus, not a
       // shrink stage — its datasheet row re-counts through the packed
       // rows (same tokenCount), pinning corpus ≡ packed consistency
-      val packed = if (cfg.packBudget > 0) {
+      val packed = if (cfg.packBudget > 0) labeled("pack") {
         val p = checkpointed(TextAnalysis.packSequences(cur, idCol, textCol,
           budget = cfg.packBudget, buckets = cfg.packBuckets))
         val r = p.agg(count(lit(1)).as("docs"),
