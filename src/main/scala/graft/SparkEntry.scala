@@ -1601,9 +1601,18 @@ object SparkEntry {
       val baseText = base
         .join(broadcast(base.agg(min("doc_id").as("doc_id"))), Seq("doc_id"))
         .select(col("text").as("__bt"))
+      // materialize the 40-row clone corpora ONCE: eight dedup families
+      // consume `clones` (and the cosine family `vecClones`), and
+      // without the cut each family re-runs the full documents scan +
+      // TakeOrdered + broadcast-min join just to rebuild the same 40
+      // rows — 8 redundant corpus scans per bench pass (guide §1.2:
+      // don't recompute what you already have). The blocks are released
+      // by the bench's between-run storage sweep like every other
+      // internal checkpoint.
       val clones = docs.orderBy("doc_id").limit(40).select("doc_id")
         .crossJoin(broadcast(baseText))
         .select(col("doc_id"), col("__bt").as("text"))
+        .localCheckpoint()
       val emb = Tables.embeddings(s, d)
       val baseVec = emb
         .join(broadcast(emb.agg(min("vec_id").as("vec_id"))), Seq("vec_id"))
@@ -1611,6 +1620,7 @@ object SparkEntry {
       val vecClones = emb.orderBy("vec_id").limit(40).select("vec_id")
         .crossJoin(broadcast(baseVec))
         .select(col("vec_id"), col("__bv").as("embedding"))
+        .localCheckpoint()
       val mh = Dedup.minhashVerifiedPairs(clones, "doc_id", "text",
         k = 3, numHashes = 32, bands = 16, threshold = 0.4)
       val jc = Dedup.ngramJaccardPairsPrefix(clones, "doc_id", "text",
@@ -1789,17 +1799,33 @@ object SparkEntry {
     * deterministic id anchor (min doc_id), so the oracle rebuilds the
     * identical corpus. */
   private def overflowBm25Corpus(s: SparkSession, d: String): DataFrame =
+    // the giant texts are built from RUNTIME columns (token + count per
+    // row), never from literal arguments: `repeat(lit("alpha "), 700000)`
+    // is constant-foldable, and Catalyst folded the three ~MB documents
+    // into plan literals — measured ~2.8 s of pure driver time per run
+    // (plan copies + codegen sources carrying 8 MB of string literal)
+    // against ~0.6 s of executor work. With (t, n) as columns the plan
+    // stays bytes-small and each executor builds its own document once.
     Tables.documents(s, d).agg(min(col("doc_id")).as("m"))
       .select(explode(array(
         struct((col("m") + 0).as("doc_id"),
-          concat(repeat(lit("alpha "), 700000),
-            repeat(lit("beta "), 100)).as("text")),
+          lit("alpha ").as("t1"), lit(700000).as("n1"),
+          lit("beta ").as("t2"), lit(100).as("n2")),
         struct((col("m") + 1).as("doc_id"),
-          concat(repeat(lit("alpha "), 400000),
-            repeat(lit("gamma "), 50)).as("text")),
+          lit("alpha ").as("t1"), lit(400000).as("n1"),
+          lit("gamma ").as("t2"), lit(50).as("n2")),
         struct((col("m") + 2).as("doc_id"),
-          repeat(lit("beta "), 300000).as("text")))).as("r"))
-      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+          lit("beta ").as("t1"), lit(300000).as("n1"),
+          lit("").as("t2"), lit(0).as("n2")))).as("r"))
+      // spread the 3 rows BEFORE the texts materialize: the 1-row
+      // aggregate source leaves every document in one partition, so the
+      // 1.4M-token tokenize (the query's actual work) ran in a single
+      // task (guide §2.5 input skew, parallelized at the row level);
+      // the exchange here carries 3 tiny (token, count) rows, not MBs
+      .repartition(3, col("r.doc_id"))
+      .select(col("r.doc_id").as("doc_id"),
+        concat(expr("repeat(r.t1, r.n1)"), expr("repeat(r.t2, r.n2)"))
+          .as("text"))
 
   /** q252's overflow corpus: rare tokens repeated until the tf-idf
     * micro-weights square past int64 (w up to 4·10⁹). */

@@ -515,7 +515,17 @@ object Dedup {
       shAll.join(rare, Seq("shingle"), "left_semi").localCheckpoint()
     } else shAll
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.alias("x").join(sh.alias("y"), Seq("shingle"))
+    // pinned join-key width for the pair join: the index is a few MB of
+    // 16-byte rows, so AQE coalesces its exchange to 1-4 partitions —
+    // and the self-join's per-shingle quadratic fan-out plus the pair
+    // rollup's partials then serialize into that handful of tasks
+    // (measured on the q98 shape: 1 task carrying 2.2 s of a 3.4 s
+    // query). Session shuffle parallelism is the scale-adaptive width;
+    // bytes-based coalescing is the wrong signal under structural
+    // fan-out.
+    val shJ = sh.repartition(sh.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, col("shingle"))
+    val inter = shJ.alias("x").join(shJ.alias("y"), Seq("shingle"))
       .filter(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -614,7 +624,12 @@ object Dedup {
       shAll.join(rare, Seq("shingle"), "left_semi").localCheckpoint()
     } else shAll
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.alias("x").join(sh.alias("y"), Seq("shingle"))
+    // pinned join-key width — same rationale and measurement as
+    // [[ngramJaccardPairsFromIndex]]: AQE coalesces the byte-tiny index
+    // exchange and serializes the quadratic pair fan-out into 1 task
+    val shJ = sh.repartition(sh.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, col("shingle"))
+    val inter = shJ.alias("x").join(shJ.alias("y"), Seq("shingle"))
       .filter(col("x.id") =!= col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -761,10 +776,32 @@ object Dedup {
         explode(slice(col("__syms"), lit(1),
           greatest((col("__sz") - ceilTs + lit(1)).cast("int"), lit(1))))
           .as("shingle"))
+      // EXPLICIT join-key repartition at the session's configured
+      // shuffle parallelism (pinned N — AQE cannot re-coalesce it): the
+      // prefix table is tiny in BYTES, so AQE coalesces its exchange to
+      // 1-4 partitions, but the self-join fans out quadratically per
+      // shingle and the coalesced task then serializes candidate
+      // generation + the pair-distinct partials (measured: the fan-out
+      // stage ran in 4 tasks of a 32-core session, 2.9 s of a 3.8 s
+      // query). Bytes-proportional coalescing is the wrong signal for a
+      // structurally-exploding join; session parallelism is the right
+      // scale-adaptive width at any corpus size.
+      .repartition(shAll.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("shingle"))
+    // the same pinned-width treatment for VERIFICATION: candidate pairs
+    // are 16 bytes/row, so AQE coalesces the distinct's exchange to a
+    // handful of partitions — but each pair then pays an O(|set|)
+    // array_intersect, work the byte-based coalescing cannot see
+    // (measured: verify ran in 5 tasks, 1.9 s of a 3.7 s query)
     val cands = prefixes.alias("x").join(prefixes.alias("y"), Seq("shingle"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+      // keyed by id_a ALONE on purpose: a pinned repartition with the
+      // distinct's own (id_a, id_b) keys is planned as redundant and
+      // collapsed into the coalescible distinct exchange
+      .repartition(shAll.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("id_a"))
     // auto-sized verify-broadcast decision: ~8 bytes per shingle hash
     // plus per-row array/offset overhead — a deliberate overestimate
     // (UnsafeArrayData headers, row pointers), so the hint only fires

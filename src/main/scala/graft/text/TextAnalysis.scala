@@ -826,7 +826,20 @@ object TextAnalysis {
     // the rest is sound. Double arithmetic with a 1e-9 relative
     // margin: magnitudes can exceed DECIMAL(38,0) and the margin
     // dwarfs double rounding, so no true collision is lost
-    val cands = prefixes.join(full, "token")
+    // EXPLICIT parallelism for the candidate join: its inputs are tiny
+    // (prefix positions — ~1 MB at sf0.1) so AQE coalesces the window
+    // exchange to ONE partition, but the join then fans out ~500× (12.7M
+    // candidate rows at sf0.1) and the single coalesced task serializes
+    // candidate generation + the partial pair-distinct — measured 5.8 s
+    // of a 8.4 s query in one task. Repartitioning the prefix side by
+    // the join key at the session's configured shuffle parallelism
+    // (pinned N, so AQE cannot re-coalesce it) spreads the fan-out; at
+    // corpus scale the join needs a token exchange anyway, so this adds
+    // nothing there.
+    val shufflePartitions =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val cands = prefixes.repartition(shufflePartitions, col("token"))
+      .join(full, "token")
       .filter(col("__id") =!= col("__idf"))
       .filter(col("__rsq") * col("__rsqf") *
           lit(1.0e12) >=
@@ -835,6 +848,13 @@ object TextAnalysis {
       .select(least(col("__id"), col("__idf")).as("id_a"),
         greatest(col("__id"), col("__idf")).as("id_b"))
       .distinct()
+      // pinned width for VERIFICATION too: candidate pairs are 16
+      // bytes/row, so AQE coalesces the distinct's exchange far below
+      // session parallelism — but each pair then pays an O(topM) map
+      // dot product, work the byte-based coalescing cannot see. Keyed
+      // by id_a alone (the (id_a, id_b)-keyed pin is planned as
+      // redundant with the distinct's own exchange and collapsed).
+      .repartition(shufflePartitions, col("id_a"))
     val sideA = docsArr.select(col("__id").as("id_a"),
       col("__arr").as("__aa"), col("__wmax").as("__wma"),
       col("__n2").as("n2_a"))
