@@ -563,7 +563,12 @@ object Dedup {
       .distinct()
       .localCheckpoint() // sizes + both sides of the pair join
     val sizes = sh.groupBy("src").agg(count(lit(1)).as("sz"))
-    sh.alias("x").join(sh.alias("y"), Seq("shingle"))
+    // pinned join-key width — the ngramJaccardPairsFromIndex rationale:
+    // the distinct (src, shingle) table is bytes-tiny, AQE coalesces its
+    // exchange, and the per-shingle |sources|² fan-out serializes
+    val shJ = sh.repartition(sh.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, col("shingle"))
+    shJ.alias("x").join(shJ.alias("y"), Seq("shingle"))
       .filter(col("x.src") < col("y.src"))
       .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))
       .agg(count(lit(1)).as("inter"))

@@ -219,6 +219,8 @@ object Similarity {
     * — the pair loop stays in one whole-stage-codegen task loop. */
   def exactNearDuplicatePairs(df: DataFrame, idCol: String, embCol: String,
       threshold: Double, blocks: Int = 0): DataFrame = {
+    val shufflePartitions = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val nBlocks = if (blocks > 0) blocks else {
       // probe a NON-NULL embedding for the dim — a null/empty first row
       // would undersize rowBytes and defeat the task-memory guard
@@ -228,13 +230,28 @@ object Similarity {
           case Array(r) => r.getSeq[Any](0).length
           case _ => 0
         }
-      sizeBlocks(df.count(), rowBytes = dim * 8L + 64L)
+      // two lower bounds: the memory-driven count (task slices must fit
+      // the budget) and a PARALLELISM floor — blocks(blocks+1)/2 block
+      // pairs must at least cover the session's shuffle width, or the
+      // O(N²) cosine work lands in a handful of tasks (a small corpus
+      // sized blocks=2 → 3 block pairs → one task computing all 12.5M
+      // cosines at sf0.1). The memory bound dominates at scale; the
+      // floor only bites when the corpus is small relative to the
+      // cluster.
+      val parBlocks = math.ceil((math.sqrt(8.0 * shufflePartitions + 1) - 1) / 2).toInt
+      math.max(sizeBlocks(df.count(), rowBytes = dim * 8L + 64L), parBlocks)
     }
     val base = df.select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"),
       pmod(xxhash64(col(idCol)), lit(nBlocks)).cast("int").as("blk"))
     val a = base.select(col("id").as("id_a"), col("emb").as("emb_a"),
         col("blk").as("blk_a"))
       .withColumn("j", explode(sequence(col("blk_a"), lit(nBlocks - 1))))
+      // pinned width on the probe side: the block keys are bytes-tiny,
+      // so AQE coalesces (or a broadcast keeps the 1-partition scan
+      // width) and the per-block-pair cosine loops serialize; the
+      // repartition carries each row once per block pair it probes —
+      // the volume the theta join ships anyway
+      .repartition(shufflePartitions, col("blk_a"), col("j"))
     val b = base.select(col("id").as("id_b"), col("emb").as("emb_b"),
         col("blk").as("blk_b"))
       .withColumn("i", explode(sequence(lit(0), col("blk_b"))))
