@@ -241,6 +241,16 @@ object Multimodal {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id").cast("long"), col("source"))
+      // spread BEFORE the payloads exist: the exchange carries ~30-byte
+      // (id, source) rows, and the PNG/WAV/GVID generation plus every
+      // downstream decode then runs at session width instead of on the
+      // scan's partitioning (a sub-128MB documents file is ONE split, so
+      // the whole multimodal family decoded in a single task — measured
+      // 1.5 s single-task stages on q93/q94). The payload bytes
+      // themselves are never shuffled — the §8 rule: move the small
+      // proxy, not the heavy rows.
+      .repartition(documents.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, source) =>
