@@ -169,14 +169,26 @@ object Dedup {
     * (signatures would bloat the shuffle). */
   private def bandedCandidates(sigDf: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
+    // pinned widths, twice — the shared pair-family rationale (see
+    // ngramJaccardPairsFromIndex): the bucket rows and the candidate
+    // pairs are both bytes-tiny, so AQE coalesces their exchanges to a
+    // handful of tasks, serializing (a) the per-bucket quadratic
+    // fan-out of the band self-join and (b) the per-pair signature /
+    // shingle verification that consumes the distinct output
+    val parts = sigDf.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val buckets = sigDf
       .select(col("id"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .repartition(parts, col("band"), col("bucket"))
     buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      // keyed by id_a alone — the (id_a, id_b) pin would be collapsed
+      // into the distinct's own coalescible exchange
+      .repartition(parts, col("id_a"))
   }
 
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
