@@ -623,8 +623,14 @@ object SparkEntry {
     // ImageIO-decoded PNG payloads; lossless PNG means the oracle's
     // closed-form pixel replay must match bit-for-bit
     "q94_image_pixel_stats" -> ((s, d) =>
+      // pre-filter to the image doc ids (media assignment is doc_id%3)
+      // BEFORE synthesis — the q49 pattern: imagePixelStats' media_type
+      // filter can't push below syntheticAssets' opaque mapPartitions,
+      // so without it two-thirds of the generation work (WAV + GVID
+      // encodes) is paid only to be discarded
       Multimodal.imagePixelStats(
-        Multimodal.syntheticAssets(Tables.documents(s, d)))
+        Multimodal.syntheticAssets(
+          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(3)) === 0)))
         .orderBy("asset_id")),
 
     // q93: REAL audio feature extraction — exact integer PCM statistics
@@ -632,8 +638,11 @@ object SparkEntry {
     // oracle re-derives the generator's closed-form samples in SQL, so
     // a pass proves the decode reads the real bytes bit-for-bit
     "q93_audio_features" -> ((s, d) =>
+      // pre-filter to the audio doc ids before synthesis (the q49/q94
+      // pattern — skip the discarded PNG + GVID generation)
       Multimodal.audioFeatures(
-        Multimodal.syntheticAssets(Tables.documents(s, d)))
+        Multimodal.syntheticAssets(
+          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(3)) === 1)))
         .orderBy("asset_id")),
 
     // q91: revenue by nation (TPC-H Q5 shape) — the star-join rollup:

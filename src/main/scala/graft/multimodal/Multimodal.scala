@@ -51,6 +51,74 @@ object Multimodal {
   // loop, and an outright failure on tmp-less containers
   ImageIO.setUseCache(false)
 
+  // ---- pinned per-thread PNG codec instances --------------------------
+  // ImageIO.read/write perform a service-registry scan and construct a
+  // fresh reader/writer (with its buffers) PER CALL. At 32 concurrent
+  // decode tasks over tiny synthetic images that fixed cost dominates
+  // and contends (measured round 19: q94's 8-core run beat its 32-core
+  // run ~8×). Reader/writer instances are not thread-safe, so one per
+  // executor task thread via ThreadLocal; they hold only heap buffers,
+  // so no dispose bookkeeping is needed.
+
+  private val pngReaderTL = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader = {
+      val it = ImageIO.getImageReadersByFormatName("png")
+      if (it.hasNext) it.next() else null
+    }
+  }
+  private val pngWriterTL = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter = {
+      val it = ImageIO.getImageWritersByFormatName("png")
+      if (it.hasNext) it.next() else null
+    }
+  }
+
+  /** The full 8-byte PNG signature — the exact bytes the JDK PNG
+    * reader's canDecodeInput checks, so the pinned-reader fast path
+    * accepts precisely the payloads ImageIO.read would hand to the PNG
+    * reader (anything else falls back to the generic registry path and
+    * behaves byte-for-byte as before). */
+  private val PngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+  private def isPng(b: Array[Byte]): Boolean = {
+    var i = 0
+    if (b.length < 8) return false
+    while (i < 8) { if (b(i) != PngSig(i)) return false; i += 1 }
+    true
+  }
+
+  /** Decode image bytes to a BufferedImage (null when no reader claims
+    * them) — ImageIO.read semantics through the pinned per-thread PNG
+    * reader when the signature matches. */
+  private def readImageBuffered(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val r = if (isPng(payload)) pngReaderTL.get() else null
+    if (r == null) ImageIO.read(new ByteArrayInputStream(payload))
+    else {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try { r.setInput(iis, true, true); r.read(0) }
+      finally {
+        try r.setInput(null) catch { case _: Exception => () }
+        iis.close()
+      }
+    }
+  }
+
+  /** Encode a BufferedImage as PNG through the pinned per-thread writer
+    * (default write param — byte-identical to `ImageIO.write(img,
+    * "png", out)`, which resolves the same JDK PNGImageWriter with the
+    * same defaults). */
+  private def writePng(img: java.awt.image.BufferedImage,
+      baos: ByteArrayOutputStream): Unit = {
+    val w = pngWriterTL.get()
+    if (w == null) { ImageIO.write(img, "png", baos); return }
+    val ios = ImageIO.createImageOutputStream(baos)
+    try { w.setOutput(ios); w.write(img) }
+    finally {
+      try w.setOutput(null) catch { case _: Exception => () }
+      ios.close()
+    }
+  }
+
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("media_type", StringType),   // image | audio | video
@@ -70,27 +138,34 @@ object Multimodal {
   private[multimodal] def imageDims(id: Long): (Int, Int) =
     (8 + math.floorMod(id, 24L).toInt, 8 + math.floorMod(id, 16L).toInt)
 
-  /** Real PNG bytes for a deterministic tiny image. */
+  /** Real PNG bytes for a deterministic tiny image. Pixels land via ONE
+    * bulk setRGB (per-pixel setRGB pays a virtual dispatch + bounds
+    * check per call) and the encode goes through the pinned per-thread
+    * PNG writer — same bytes, a fraction of the per-row fixed cost. */
   private[multimodal] def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
+    var i = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, ((seed + x * 31 + y * 17) & 0xffffff).toInt)
+        px(i) = ((seed + x * 31 + y * 17) & 0xffffff).toInt
+        i += 1
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val baos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", baos)
+    writePng(img, baos)
     baos.toByteArray
   }
 
   /** REAL image decode: width/height read from the PNG/JPEG bytes. */
   private[multimodal] def decodeImage(payload: Array[Byte]): (Int, Int) = {
-    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val img = readImageBuffered(payload)
     if (img == null) (-1, -1) else (img.getWidth, img.getHeight)
   }
 
@@ -249,8 +324,8 @@ object Multimodal {
       // 1.5 s single-task stages on q93/q94). The payload bytes
       // themselves are never shuffled — the §8 rule: move the small
       // proxy, not the heavy rows.
-      .repartition(documents.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      .repartition(graft.util.Parallelism.shuffleWidth(documents),
+        col("doc_id"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, source) =>
@@ -377,20 +452,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
           try {
-            val img = ImageIO.read(new ByteArrayInputStream(payload))
+            val img = readImageBuffered(payload)
             if (img == null) None
             else {
-              var (sr, sg, sb) = (0L, 0L, 0L)
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val v = img.getRGB(x, y)
-                  sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
-                  x += 1
-                }
-                y += 1
-              }
+              val (sr, sg, sb) = channelSums(img)
               Some(ImageStat(id, img.getWidth.toLong * img.getHeight,
                 sr, sg, sb))
             }
@@ -398,6 +463,58 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  /** Exact per-channel pixel sums via bulk raster access. Round 19
+    * measured per-pixel `getRGB(x, y)` as the q94 hot path (it allocates
+    * a transfer array and re-dispatches the color model PER PIXEL, and
+    * 32 concurrent decoders amplified the GC pressure into an 8-core <
+    * 32-core inversion). Fast path: 8-bit 3-band interleaved sRGB
+    * rasters (what the JDK PNG reader produces for truecolor PNGs) sum
+    * raw bytes straight off the data buffer — for that layout
+    * `getRGB`'s color conversion is the identity, so the sums are
+    * bit-equal. Anything else takes ONE bulk `getRGB` row fetch (same
+    * per-pixel conversion as before, without the per-call overhead). */
+  private[multimodal] def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    import java.awt.image.{DataBufferByte, PixelInterleavedSampleModel}
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val raster = img.getRaster
+    val cm = img.getColorModel
+    (raster.getSampleModel, raster.getDataBuffer) match {
+      case (sm: PixelInterleavedSampleModel, db: DataBufferByte)
+          if sm.getNumBands == 3 && sm.getPixelStride == 3 &&
+            cm.getNumComponents == 3 && !cm.hasAlpha &&
+            cm.getComponentSize.forall(_ == 8) &&
+            cm.getColorSpace.isCS_sRGB =>
+        val d = db.getData
+        val off = sm.getBandOffsets // band order: 0=R, 1=G, 2=B
+        val base0 = db.getOffset - raster.getSampleModelTranslateY *
+          sm.getScanlineStride - raster.getSampleModelTranslateX * 3
+        val ro = off(0); val go = off(1); val bo = off(2)
+        var y = 0
+        while (y < h) {
+          var p = base0 + y * sm.getScanlineStride
+          var x = 0
+          while (x < w) {
+            sr += d(p + ro) & 0xff; sg += d(p + go) & 0xff
+            sb += d(p + bo) & 0xff
+            p += 3
+            x += 1
+          }
+          y += 1
+        }
+      case _ =>
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < px.length) {
+          val v = px(i)
+          sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+          i += 1
+        }
+    }
+    (sr, sg, sb)
   }
 
   /** Metadata-level resize: recomputes dims for a target box, preserving

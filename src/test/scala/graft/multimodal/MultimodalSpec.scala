@@ -128,17 +128,57 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decode shuffles payload bytes only when parallelism opts in") {
-    // default: decode rides the scan partitions — shuffling media BYTES
-    // before decode doubles payload I/O at scale, so no Exchange may
-    // appear; parallelism > 0 is the explicit spread-shuffle opt-in
-    val plan0 = Multimodal.decodeAndFeaturize(assets)
-      .queryExecution.executedPlan.toString
-    assert(!plan0.contains("Exchange"),
-      s"default decode must not shuffle payloads:\n$plan0")
-    val plan4 = Multimodal.decodeAndFeaturize(assets, parallelism = 4)
-      .queryExecution.executedPlan.toString
-    assert(plan4.contains("Exchange"),
-      s"parallelism=4 must spread-shuffle by asset id:\n$plan4")
+    // the contract: no Exchange may ever carry the binary `payload`
+    // column by default — shuffling media BYTES before decode doubles
+    // payload I/O at scale. Pre-payload exchanges (syntheticAssets
+    // spreads ~30-byte (id, source) rows before generation) are fine;
+    // parallelism > 0 is the explicit payload-spread opt-in.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] =
+      p.collect { case e: ShuffleExchangeLike => e } ++
+        p.collect { case a: AdaptiveSparkPlanExec => a }
+          .flatMap(a => exchanges(a.executedPlan))
+    def payloadExchanges(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val ex = exchanges(df.queryExecution.executedPlan)
+      (ex.size, ex.count(_.output.exists(_.name == "payload")))
+    }
+    val (n0, p0) = payloadExchanges(Multimodal.decodeAndFeaturize(assets))
+    assert(p0 == 0,
+      s"default decode must not shuffle payload bytes ($p0 of $n0 exchanges carry payload)")
+    val (n4, p4) = payloadExchanges(
+      Multimodal.decodeAndFeaturize(assets, parallelism = 4))
+    assert(p4 >= 1,
+      s"parallelism=4 must spread-shuffle the assets by id ($p4 of $n4 exchanges carry payload)")
+  }
+
+  test("channelSums: raster fast path equals the bulk getRGB fallback") {
+    // the fast path sums raw bytes off the interleaved sRGB raster; the
+    // fallback converts through getRGB. Both must agree with the
+    // generator formula on a decoded PNG (fast path) and on a
+    // TYPE_INT_RGB image (fallback — its raster is int-packed, not
+    // byte-interleaved)
+    val (w, h, seed) = (13, 9, 42L)
+    val decoded = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.pngBytes(w, h, seed)))
+      Multimodal.channelSums(img)
+    }
+    val intRgb = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((seed + x * 31 + y * 17) & 0xffffff).toInt)
+      Multimodal.channelSums(img)
+    }
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((seed + x * 31 + y * 17) & 0xffffff).toInt
+      er += (v >> 16) & 0xff; eg += (v >> 8) & 0xff; eb += v & 0xff
+    }
+    assert(decoded == ((er, eg, eb)))
+    assert(intRgb == ((er, eg, eb)))
   }
 
   test("audioFeatures: decoded PCM statistics equal the generator formula") {
