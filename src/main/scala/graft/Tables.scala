@@ -16,8 +16,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // One RELATION resolution per (session, dir, table) — what a catalog
+  // provides and `spark.read.parquet` re-does on every call (a file
+  // listing plus a footer schema read, a driver-side job each time; the
+  // 249-query bench resolves `documents` alone hundreds of times).
+  // This memoizes METADATA only — the logical plan leaf — never rows:
+  // every action over the returned DataFrame still scans the parquet
+  // input. The test corpora are immutable per the driver contract, so a
+  // point-in-time file snapshot is correct; sessions are part of the
+  // key, and the handful of plan leaves a session can pin is bytes.
+  private val resolved =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    resolved.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -164,6 +164,12 @@ object Dedup {
     java.lang.Math.floorMod(h, shards.toLong)
   }
 
+  /** Bounded salt width for the pair-verification repartitions: wide
+    * enough to break a hot id_a across tasks, narrow enough that the
+    * (id_a, salt) key space stays ≫ partition count (guide §2.5's
+    * 20-100× rule is carried by id_a's own cardinality). */
+  private val pairSalt = 16
+
   /** Banded candidate pairs from a signature index: ids sharing at least
     * one full band bucket, each unordered pair once. id-only join
     * (signatures would bloat the shuffle). */
@@ -175,8 +181,7 @@ object Dedup {
     // handful of tasks, serializing (a) the per-bucket quadratic
     // fan-out of the band self-join and (b) the per-pair signature /
     // shingle verification that consumes the distinct output
-    val parts = sigDf.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
+    val parts = graft.util.Parallelism.shuffleWidth(sigDf)
     val buckets = sigDf
       .select(col("id"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -186,9 +191,13 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      // keyed by id_a alone — the (id_a, id_b) pin would be collapsed
-      // into the distinct's own coalescible exchange
-      .repartition(parts, col("id_a"))
+      // the (id_a, id_b) pin would be collapsed into the distinct's own
+      // coalescible exchange, so key by id_a SALTED with a bounded hash
+      // of id_b: a hub document pairing with thousands of others spreads
+      // over pairSalt partitions instead of concentrating its
+      // verification in one (a pinned REPARTITION_BY_NUM also opts out
+      // of AQE skew-splitting, so the salt is the only skew valve here)
+      .repartition(parts, col("id_a"), pmod(xxhash64(col("id_b")), lit(pairSalt)))
   }
 
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
@@ -535,8 +544,8 @@ object Dedup {
     // query). Session shuffle parallelism is the scale-adaptive width;
     // bytes-based coalescing is the wrong signal under structural
     // fan-out.
-    val shJ = sh.repartition(sh.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt, col("shingle"))
+    val shJ = sh.repartition(
+      graft.util.Parallelism.shuffleWidth(sh), col("shingle"))
     val inter = shJ.alias("x").join(shJ.alias("y"), Seq("shingle"))
       .filter(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -578,8 +587,8 @@ object Dedup {
     // pinned join-key width — the ngramJaccardPairsFromIndex rationale:
     // the distinct (src, shingle) table is bytes-tiny, AQE coalesces its
     // exchange, and the per-shingle |sources|² fan-out serializes
-    val shJ = sh.repartition(sh.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt, col("shingle"))
+    val shJ = sh.repartition(
+      graft.util.Parallelism.shuffleWidth(sh), col("shingle"))
     shJ.alias("x").join(shJ.alias("y"), Seq("shingle"))
       .filter(col("x.src") < col("y.src"))
       .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))
@@ -644,8 +653,8 @@ object Dedup {
     // pinned join-key width — same rationale and measurement as
     // [[ngramJaccardPairsFromIndex]]: AQE coalesces the byte-tiny index
     // exchange and serializes the quadratic pair fan-out into 1 task
-    val shJ = sh.repartition(sh.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt, col("shingle"))
+    val shJ = sh.repartition(
+      graft.util.Parallelism.shuffleWidth(sh), col("shingle"))
     val inter = shJ.alias("x").join(shJ.alias("y"), Seq("shingle"))
       .filter(col("x.id") =!= col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -803,8 +812,8 @@ object Dedup {
       // query). Bytes-proportional coalescing is the wrong signal for a
       // structurally-exploding join; session parallelism is the right
       // scale-adaptive width at any corpus size.
-      .repartition(shAll.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col("shingle"))
+      .repartition(
+        graft.util.Parallelism.shuffleWidth(shAll), col("shingle"))
     // the same pinned-width treatment for VERIFICATION: candidate pairs
     // are 16 bytes/row, so AQE coalesces the distinct's exchange to a
     // handful of partitions — but each pair then pays an O(|set|)
@@ -814,11 +823,14 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-      // keyed by id_a ALONE on purpose: a pinned repartition with the
-      // distinct's own (id_a, id_b) keys is planned as redundant and
-      // collapsed into the coalescible distinct exchange
-      .repartition(shAll.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col("id_a"))
+      // a pinned repartition with the distinct's own (id_a, id_b) keys
+      // is planned as redundant and collapsed into the coalescible
+      // distinct exchange — so key by id_a SALTED with a bounded hash of
+      // id_b ([[pairSalt]]): the pin survives AND a hub id_a's
+      // per-pair array_intersect work spreads instead of landing in one
+      // partition (pinned exchanges opt out of AQE skew-splitting)
+      .repartition(graft.util.Parallelism.shuffleWidth(shAll),
+        col("id_a"), pmod(xxhash64(col("id_b")), lit(pairSalt)))
     // auto-sized verify-broadcast decision: ~8 bytes per shingle hash
     // plus per-row array/offset overhead — a deliberate overestimate
     // (UnsafeArrayData headers, row pointers), so the hint only fires
@@ -1135,17 +1147,57 @@ object Dedup {
   def dedupAgainstHistory(newDf: DataFrame, historyDf: DataFrame,
       idCol: String, textCol: String, k: Int = 8, minHits: Int = 1,
       expectedItems: Long = 0L, fpp: Double = 0.01,
-      broadcastConfirm: Boolean = true): DataFrame =
-    dedupAgainstHistoryBloom(newDf, historyDf,
-      historyShingleBloom(historyDf, textCol, k, expectedItems, fpp),
-      idCol, textCol, k, minHits, broadcastConfirm)
+      broadcastConfirm: Boolean = true): DataFrame = {
+    // tokenize the history ONCE: built naively, the one-shot
+    // build-and-use path pays THREE k-gram tokenize passes over the
+    // history corpus (HLL sizing, bloom tree-aggregation, exact
+    // confirm). Materializing the 8-byte shingle rows makes passes 2-3
+    // cheap re-reads. The trade at 100 TB: ~corpus-sized checkpoint
+    // storage (MEMORY_AND_DISK — spills, never OOMs), vs two extra
+    // full-corpus tokenize scans; a persistent ingest pipeline should
+    // still prebuild the sketch once per history snapshot and call
+    // [[dedupAgainstHistoryBloom]], which keeps the 1× history pass.
+    // LAZY checkpoint: the HLL sizing aggregate that immediately follows
+    // touches every partition, so it materializes the checkpoint and
+    // produces the estimate in ONE job instead of two
+    val histSh = historyDf
+      .select(explode(shingleHashes(col(textCol), k, distinct = true))
+        .as("shingle"))
+      .localCheckpoint(eager = false)
+    val n =
+      if (expectedItems > 0L) expectedItems
+      else math.max(1000L,
+        histSh.agg(approx_count_distinct("shingle").as("n")).head().getLong(0)
+          * 13L / 10L)
+    val bloom = histSh.stat.bloomFilter("shingle", n, fpp)
+    val out = dedupAgainstHistoryShingles(newDf, histSh, bloom, idCol,
+      textCol, k, minHits, broadcastConfirm)
+    // safe to release NOW: the confirm/dirty derivation inside is
+    // materialized eagerly, so the returned plan no longer reads histSh
+    releaseIndex(histSh)
+    out
+  }
 
   /** [[dedupAgainstHistory]] against a pre-built (typically persisted)
     * [[historyShingleBloom]]. */
   def dedupAgainstHistoryBloom(newDf: DataFrame, historyDf: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter, idCol: String,
       textCol: String, k: Int = 8, minHits: Int = 1,
-      broadcastConfirm: Boolean = true): DataFrame = {
+      broadcastConfirm: Boolean = true): DataFrame =
+    dedupAgainstHistoryShingles(newDf,
+      historyDf.select(
+        explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle")),
+      bloom, idCol, textCol, k, minHits, broadcastConfirm)
+
+  /** Shared tail of the history-dedup family: prefilter + exact confirm
+    * against an already-derived history shingle-hash table (either the
+    * one-pass scan of [[dedupAgainstHistoryBloom]] or the materialized
+    * single-tokenize table of [[dedupAgainstHistory]]). */
+  private def dedupAgainstHistoryShingles(newDf: DataFrame,
+      histShingles: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter, idCol: String,
+      textCol: String, k: Int, minHits: Int,
+      broadcastConfirm: Boolean): DataFrame = {
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
     val maybeBroadcast: DataFrame => DataFrame =
       if (broadcastConfirm) broadcast else identity
@@ -1157,10 +1209,9 @@ object Dedup {
         explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
       .filter(graft.functions.BloomExpressions.mightContainLong(col("shingle"), bloom))
       .localCheckpoint()
-    // 2. exact confirm: one history pass against the broadcast candidate
-    //    shingle set — false positives fall out here
-    val confirmed = historyDf
-      .select(explode(shingleHashes(col(textCol), k, distinct = true)).as("shingle"))
+    // 2. exact confirm: one history-shingle pass against the broadcast
+    //    candidate shingle set — false positives fall out here
+    val confirmed = histShingles
       .join(maybeBroadcast(cand.select("shingle").distinct()),
         Seq("shingle"), "left_semi")
       .distinct()

@@ -836,8 +836,7 @@ object TextAnalysis {
     // (pinned N, so AQE cannot re-coalesce it) spreads the fan-out; at
     // corpus scale the join needs a token exchange anyway, so this adds
     // nothing there.
-    val shufflePartitions =
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val shufflePartitions = graft.util.Parallelism.shuffleWidth(df)
     val cands = prefixes.repartition(shufflePartitions, col("token"))
       .join(full, "token")
       .filter(col("__id") =!= col("__idf"))
@@ -851,10 +850,14 @@ object TextAnalysis {
       // pinned width for VERIFICATION too: candidate pairs are 16
       // bytes/row, so AQE coalesces the distinct's exchange far below
       // session parallelism — but each pair then pays an O(topM) map
-      // dot product, work the byte-based coalescing cannot see. Keyed
-      // by id_a alone (the (id_a, id_b)-keyed pin is planned as
-      // redundant with the distinct's own exchange and collapsed).
-      .repartition(shufflePartitions, col("id_a"))
+      // dot product, work the byte-based coalescing cannot see. The
+      // (id_a, id_b)-keyed pin is planned as redundant with the
+      // distinct's own exchange and collapsed, so key by id_a SALTED
+      // with a bounded hash of id_b: the pin survives and a hub id_a's
+      // verification spreads over 16 partitions instead of one (a
+      // pinned exchange also opts out of AQE skew-splitting).
+      .repartition(shufflePartitions, col("id_a"),
+        pmod(xxhash64(col("id_b")), lit(16)))
     val sideA = docsArr.select(col("__id").as("id_a"),
       col("__arr").as("__aa"), col("__wmax").as("__wma"),
       col("__n2").as("n2_a"))

@@ -219,8 +219,7 @@ object Similarity {
     * — the pair loop stays in one whole-stage-codegen task loop. */
   def exactNearDuplicatePairs(df: DataFrame, idCol: String, embCol: String,
       threshold: Double, blocks: Int = 0): DataFrame = {
-    val shufflePartitions = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
+    val shufflePartitions = graft.util.Parallelism.shuffleWidth(df)
     val nBlocks = if (blocks > 0) blocks else {
       // probe a NON-NULL embedding for the dim — a null/empty first row
       // would undersize rowBytes and defeat the task-memory guard
