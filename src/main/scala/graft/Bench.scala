@@ -361,6 +361,20 @@ object Bench {
     math.max(wallSec - excessMs / 1000.0, wallSec * 0.01)
   }
 
+  /** Per-run contention-adjusted events/s, CLAMPED at the best raw
+    * events/s across runs: the 1% wall floor above can otherwise
+    * fabricate absurd rates (round 19 shipped a per-run `eps_adj` of
+    * 1,631,982 — 100× raw — when a contended run's inferred excess
+    * exceeded its wall). The adjustment estimates a quiet-host rate,
+    * and no quiet-host estimate can beat the fastest measured run.
+    * BenchGuardSpec pins `eps_adj ≤ bestRawEps`. */
+  private[graft] def clampedAdjEps(n: Long, wallSec: Double,
+      mine: Seq[(Long, Long, Long)], ref: Seq[(Long, Long, Long)],
+      bestRawEps: Long): Long =
+    if (wallSec <= 0 || ref.isEmpty) 0L
+    else math.min(bestRawEps,
+      (n / contentionAdjustedSec(wallSec, mine, ref)).toLong)
+
   /** CDC replication END-TO-END at bench scale — the number
     * BASELINE.md's SLA actually names (required ≥10,000 events/s;
     * 50,000 prod-baseline): the full `CdcPipeline.start` loop — JSON
@@ -502,9 +516,12 @@ object Bench {
       if (!runFailed && ok.nonEmpty) ok.minBy(_._1)._3.batchSnapshot
       else Nil
     }
+    val bestRawEps: Long = {
+      val ok = runsTele.map(_._1).filter(_ > 0)
+      if (runFailed || ok.isEmpty) 0L else (n / ok.min).toLong
+    }
     def adjEps(t: Double, bt: BatchTimes): Long =
-      if (t <= 0 || refBatches.isEmpty) 0L
-      else (n / contentionAdjustedSec(t, bt.batchSnapshot, refBatches)).toLong
+      clampedAdjEps(n, t, bt.batchSnapshot, refBatches, bestRawEps)
     lastCdcRuns = Some(runsTele.map { case (t, tele, bt) =>
       val eps = if (!runFailed && t > 0) (n / t).toLong else 0L
       val idleMs = math.max(0L, (t * 1000).toLong - bt.triggerMs)

@@ -243,6 +243,14 @@ object ScaleBench {
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text", k = 8, expectedItems = 50000000L).count())
+    // q34 family: LSH candidates + exact-Jaccard verify — the round-20
+    // datapoint for the shared per-doc shingle-set table (one lazy
+    // checkpoint feeding both verify legs vs the prior per-leg
+    // re-tokenize)
+    bench("q34_minhash_verified")(
+      Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
+        threshold = 0.5).count())
+    releaseStorage(spark) // the sig index + shingle-set checkpoints
     // q61: corpus vocabulary — pure word-count shape; the salted tokens
     // grow the vocab ~linearly with the factor, the hot originals keep
     // their flat DF, so this exercises the (token, doc) pre-agg at 10×

@@ -1830,8 +1830,12 @@ object SparkEntry {
       // aggregate source leaves every document in one partition, so the
       // 1.4M-token tokenize (the query's actual work) ran in a single
       // task (guide §2.5 input skew, parallelized at the row level);
-      // the exchange here carries 3 tiny (token, count) rows, not MBs
-      .repartition(3, col("r.doc_id"))
+      // the exchange here carries 3 tiny (token, count) rows, not MBs.
+      // RANGE partitioning, not hash: murmur3(doc_id) mod 3 can
+      // co-locate two of the MB-scale documents (the spread then
+      // depends on the corpus's min doc_id); ranges over 3 distinct ids
+      // give one document per task deterministically
+      .repartitionByRange(3, col("r.doc_id"))
       .select(col("r.doc_id").as("doc_id"),
         concat(expr("repeat(r.t1, r.n1)"), expr("repeat(r.t2, r.n2)"))
           .as("text"))

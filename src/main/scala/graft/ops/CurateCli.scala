@@ -256,8 +256,11 @@ object CurateCli {
     // (optimization guide §1.5); thread-local, restored at the end
     val sc = docs.sparkSession.sparkContext
     def labeled[T](stage: String)(body: => T): T = {
+      // restore the CALLER's description, not null — a bench/notebook
+      // label active when curate() was invoked must survive it
+      val prev = sc.getLocalProperty("spark.job.description")
       sc.setJobDescription(s"curate:$stage")
-      try body finally sc.setJobDescription(null)
+      try body finally sc.setJobDescription(prev)
     }
     try {
       val input = labeled("input_count")(stageCount("input", docs, textCol))
@@ -314,6 +317,14 @@ object CurateCli {
       }
       release(exact)
 
+      // NOTE (round-20 negative result, kept on purpose): fusing the
+      // language and quality datasheet rows into one aggregate over
+      // `near` measured consistently SLOWER (FunnelDiag quality stage
+      // 1.2 s split → 1.7-2.0 s fused): the fused projection evaluates
+      // qualityScore/tokenCount on EVERY row, while the split shape's
+      // filter ordering confines them to language survivors — and the
+      // eager checkpoint the fusion forces gives back the
+      // lazy-checkpoint+count job fusion. The split shape stands.
       val lang = near.filter(
         TextAnalysis.languageId(col(textCol)).isin(cfg.languages.toSeq: _*))
       val afterLang = labeled("language")(stageCount("language", lang, textCol))
@@ -362,12 +373,15 @@ object CurateCli {
         // degenerate-text screen ([[TextAnalysis.charEntropy]]):
         // key-mash, padding runs, and base64-ish blobs sit far below
         // natural text's character entropy; the fixed-point floor drops
-        // them before the heavier n-gram stages tokenize them
-        advance("char_entropy", cur.join(
-          TextAnalysis.charEntropy(cur, idCol, textCol)
-            .filter(col("entropy_fp") >= cfg.minCharEntropyFp)
-            .select(col(idCol)),
-          Seq(idCol), "left_semi"))
+        // them before the heavier n-gram stages tokenize them. A plain
+        // per-row filter since the native [[graft.functions.CharEntropy]]
+        // kernel: same survivors as the old score-table semi-join
+        // (empty/null text carried no entropy row there and drops here
+        // on the length gate), zero joins, rides the stage scan
+        advance("char_entropy", cur.filter(
+          col(textCol).isNotNull && length(col(textCol)) > 0 &&
+            graft.functions.EntropyExpressions.charEntropy(col(textCol))
+              .getField("entropy_fp") >= cfg.minCharEntropyFp))
 
       if (cfg.containmentThreshold > 0) {
         // excerpt dedup right after the whole-doc gates: quotes and

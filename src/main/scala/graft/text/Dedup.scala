@@ -240,8 +240,18 @@ object Dedup {
       threshold: Double = 0.5, indexPath: Option[String] = None): DataFrame = {
     val sigDf = minhashIndex(df, idCol, textCol, k, numHashes, indexPath)
     val pairs = bandedCandidates(sigDf, bands, numHashes / bands)
+    // ONE materialized per-doc shingle-set table feeding BOTH verify
+    // legs: built inline, each leg's join re-derived it — a second full
+    // tokenize pass over the corpus (and a third counting the signature
+    // index). Same trade as the history-dedup single-tokenize:
+    // corpus-scale spill-capable checkpoint storage instead of a
+    // repeated tokenize scan; LAZY, so the first verify leg's
+    // materialization doubles as the build. Storage follows the sig
+    // index's lifecycle (transient; the bench sweep / ContextCleaner
+    // reap it once the pair list is consumed).
     val sets = df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), k, distinct = true).as("sh"))
+      .localCheckpoint(eager = false)
     pairs
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -1438,7 +1438,21 @@ object TextAnalysis {
     * Scale shape: explode to single chars, hash-agg on (doc, char) —
     * alphabet-bounded rows per doc after map-side partials — then a
     * per-doc rollup. Linear in corpus bytes, no joins. */
-  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol),
+        graft.functions.EntropyExpressions.charEntropy(col(textCol)).as("__e"))
+      .select(col(idCol), col("__e").getField("n_chars_counted")
+        .as("n_chars_counted"),
+        col("__e").getField("entropy_fp").as("entropy_fp"))
+
+  /** The original explode→hash-agg SQL shape of [[charEntropy]], kept as
+    * the equivalence reference the native kernel is pinned against
+    * (TextSpec) — one row per corpus CHARACTER through two exchanges,
+    * which is why the per-row fused expression replaced it in the query
+    * path. */
+  private[text] def charEntropySqlShape(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     def lfp(c: Column): Column =
       floor(log(c.cast("double")) * lit(1000000L)).cast("long")
     df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)

@@ -44,6 +44,27 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.contentionAdjustedSec(2.0, huge, b(0L -> 100L)) == 0.02)
   }
 
+  test("clampedAdjEps: never exceeds the best raw events/s") {
+    def b(rows: (Long, Long)*): Seq[(Long, Long, Long)] =
+      rows.map { case (id, ms) => (id, ms, 100L) }
+    val ref = b(0L -> 600L)
+    val n = 1000000L
+    // the round-19 pathology: a run whose inferred excess exceeds its
+    // wall floors contentionAdjustedSec at 1% of wall (0.61 s for a
+    // 61 s run) and the unclamped rate fabricates ~100x raw. With the
+    // fastest run at 20 s (bestRawEps = 50,000), the clamp holds.
+    val contended = b(0L -> 97656L)
+    val best = n / 20L // 50,000 eps from the fastest run
+    val adj = Bench.clampedAdjEps(n, 61.0, contended, ref, best)
+    assert(adj == best, s"eps_adj $adj must clamp at best raw eps $best")
+    // an uncontended run stays below the clamp and keeps its estimate
+    assert(Bench.clampedAdjEps(n, 25.0, b(0L -> 1600L), ref, best) ==
+      (n / 24.0).toLong)
+    // degenerate inputs: zero wall or no reference → 0
+    assert(Bench.clampedAdjEps(n, 0.0, ref, ref, best) == 0L)
+    assert(Bench.clampedAdjEps(n, 5.0, ref, Nil, best) == 0L)
+  }
+
   test("parseArtifactMins: zeros and non-query keys dropped, junk safe") {
     val txt = """{"queries":{"q2_x":0.0,"q3_y":1.25},"value":99.0,"runs":5}"""
     val got = Bench.parseArtifactMins(Seq(txt))

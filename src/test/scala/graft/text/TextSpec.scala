@@ -964,6 +964,27 @@ class TextSpec extends SparkSpec {
     assert(math.abs(got(2L)._2 - 693147L) <= 1)
   }
 
+  test("charEntropy: native kernel equals the explode/hash-agg SQL shape") {
+    // the fused per-row expression replaced the per-character explode —
+    // pin bit-equality on the cases where the two could diverge: unicode
+    // beyond ASCII, combining marks, surrogate pairs (one CODE POINT
+    // each), lone surrogates, newlines/whitespace, long skewed runs
+    val corpus = Seq(
+      (1L, "héllo wörld é́"),              // accents + combining acute
+      (2L, "日本語テキスト、これはテストです。"),  // CJK
+      (3L, "emoji 😀😀 pair"), // surrogate pairs ×2
+      (4L, "lone\ud800surrogate"),               // unpaired high surrogate
+      (5L, "line1\nline2\ttab  spaces\r\n"),
+      (6L, "a" * 1000 + "b"),                    // extreme skew
+      (7L, (0 until 500).map(i => ('a' + i % 26).toChar).mkString))
+      .toDF("doc_id", "text")
+    val native = TextAnalysis.charEntropy(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sql = TextAnalysis.charEntropySqlShape(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(native == sql)
+  }
+
   test("sourceTokenGini: 0 when uniform, → (n−1)/n when one source dominates") {
     val uniform = Seq((1L, "a", "x y"), (2L, "b", "x y"), (3L, "c", "x y"))
       .toDF("doc_id", "source", "text")
