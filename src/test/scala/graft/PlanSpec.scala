@@ -566,10 +566,16 @@ class PlanSpec extends SparkSpec {
       s"expected filtered-postings leaves:\n$p")
   }
 
-  test("q131 char entropy / q130 quantile norm: map-side partials, one key shuffle") {
+  test("q131 char entropy / q130 quantile norm: fused kernel / one key shuffle") {
+    // round 20: the explode-per-character + (doc,char) hash-agg shape
+    // (whose map-side partials this test used to pin) was replaced by the
+    // fused native kernel — pin the NEW contract: one scan, the
+    // char_entropy expression inline, and ZERO exchanges/aggregates
     val p131 = plan("q131_char_entropy")
-    assert(p131.contains("partial_"),
-      s"(doc, char) counts must partial-aggregate map-side:\n$p131")
+    assert(p131.contains("char_entropy"),
+      s"q131 must run the fused native kernel:\n$p131")
+    assert(!p131.contains("Exchange") && !p131.toLowerCase.contains("aggregate"),
+      s"per-row kernel must need no shuffle and no aggregation:\n$p131")
     val p130 = plan("q130_quantile_norm")
     assert(p130.contains("hashpartitioning(source"),
       s"quantile norm must shuffle on source only:\n$p130")
